@@ -1,0 +1,10 @@
+"""Operator modules — importing this package registers every query spec."""
+
+from quiver_spark.operators import (  # noqa: F401
+    dedup,
+    events,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)

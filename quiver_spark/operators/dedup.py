@@ -1,0 +1,291 @@
+"""Deduplication operators for LLM training-data pipelines (driver mandate):
+exact dedup, MinHash+LSH banding, SimHash fingerprints.
+
+Scale posture: every pipeline here is shuffle-bounded by (doc_id, small key)
+pairs — shingling and hashing are map-side, candidate generation joins on
+band-hash buckets (the LSH trick: only near-duplicates collide, so the join
+fan-out stays tiny even at 100 TB). Hashes are md5-based so the DuckDB
+oracles can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+N_HASHES = 8  # minhash signature length
+BAND_SIZE = 2  # rows per LSH band → 4 bands
+N_BANDS = N_HASHES // BAND_SIZE
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_cnt
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint, keep the lowest
+    doc_id per group. One shuffle on the 128-bit hash — uniform keys, no
+    skew, scales to any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("_h"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+        .select("keep_id", "dup_cnt")
+    )
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct word 3-grams per document.
+
+    Built with a single array transform (map-side, no self-join): for token
+    array t, shingle_i = t[i] ' ' t[i+1] ' ' t[i+2].
+    """
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)), "
+                    "(x, i) -> concat(x, ' ', split(text, ' ')[i + 1], ' ', split(text, ' ')[i + 2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+#: DuckDB twin of _shingles (1-based list indexing; range(1, n-1) = [1..n-2]).
+SQL_SHINGLES = """
+SELECT DISTINCT doc_id, unnest(
+    [list_extract(toks, i) || ' ' || list_extract(toks, i + 1) || ' ' || list_extract(toks, i + 2)
+     FOR i IN range(1, greatest(len(toks) - 1, 1))]
+) AS shingle
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → m0..m7 minhash signature columns (md5-seeded min-hashing)."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(N_HASHES)])
+    ).alias("seed")
+    hashed = sh.select(
+        "doc_id",
+        seeds,
+        "shingle",
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(
+            F.concat(
+                F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
+            ).cast("binary")
+        ).alias("h"),
+    )
+    mh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    return mh.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("seed") == i, F.col("mh"))).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+
+
+def _sql_minhash_signature() -> str:
+    pivot = ", ".join(
+        f"MIN(CASE WHEN seed = {i} THEN mh END) AS m{i}" for i in range(N_HASHES)
+    )
+    return f"""
+shingles AS ({SQL_SHINGLES}),
+hashed AS (
+    SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+    FROM shingles CROSS JOIN (SELECT unnest(range({N_HASHES})) AS seed)
+),
+mh AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, {pivot} FROM mh GROUP BY doc_id)
+"""
+
+
+def _sql_bands() -> str:
+    parts = []
+    for b in range(N_BANDS):
+        cols = " || ',' || ".join(
+            f"m{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM sig"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle="WITH " + _sql_minhash_signature() + "\nSELECT doc_id, "
+    + ", ".join(f"m{i}" for i in range(N_HASHES))
+    + " FROM sig",
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5-seeded hashes over word 3-gram shingles).
+    Shingle→hash→min is map-side + one (doc,seed) aggregation."""
+    sig = _minhash_signature(spark, sf_dir)
+    return sig.select("doc_id", *[f"m{i}" for i in range(N_HASHES)])
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle="WITH "
+    + _sql_minhash_signature()
+    + f""",
+bands AS ({_sql_bands()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END +
+             CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END +
+             CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END +
+             CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END +
+             CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END +
+             CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END +
+             CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END +
+             CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END) AS DOUBLE) / {N_HASHES}
+           AS est_jaccard
+FROM cand
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+""",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signatures (4 bands × 2 rows),
+    bucket-join on band hash, estimate Jaccard from signature agreement.
+    The join key is the band hash, so only near-dup docs ever meet — the
+    shuffle stays proportional to true-duplicate density at any scale."""
+    sig = _minhash_signature(spark, sf_dir).cache()
+    bands = None
+    for b in range(N_BANDS):
+        cols = [F.col(f"m{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *cols).cast("binary")).alias("band_hash"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / N_HASHES).alias("est_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16  # 4 md5 nibbles — compact but exercises the full pipeline
+_HEX = "0123456789abcdef"
+
+
+def _sql_simhash() -> str:
+    nibbles = ", ".join(
+        f"(POSITION(SUBSTR(md5(token), {n + 1}, 1) IN '{_HEX}') - 1) AS nib{n}"
+        for n in range(SIMHASH_BITS // 4)
+    )
+    bit_sums = ", ".join(
+        f"SUM(2 * ((nib{j // 4} // {1 << (j % 4)}) % 2) - 1) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+nibs AS (SELECT doc_id, {nibbles} FROM tok WHERE token <> ''),
+sums AS (SELECT doc_id, {bit_sums} FROM nibs GROUP BY doc_id)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_sql_simhash(),
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint: each token votes ±1 on every fingerprint
+    bit (weighted by occurrence), bit = sign of the tally. Near-dup docs get
+    near-equal fingerprints (small Hamming distance). Pure map + one
+    per-doc aggregation."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    nibs = tok.select(
+        "doc_id",
+        *[
+            (
+                F.expr(
+                    f"position(substr(md5(token), {n + 1}, 1) IN '{_HEX}') - 1"
+                )
+            ).alias(f"nib{n}")
+            for n in range(SIMHASH_BITS // 4)
+        ],
+    )
+    sums = nibs.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                2 * ((F.col(f"nib{j // 4}") / (1 << (j % 4))).cast("int") % 2)
+                - 1
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    assemble = sum(
+        F.when(F.col(f"s{j}") > 0, 1 << j).otherwise(0)
+        for j in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", assemble.cast("bigint").alias("simhash"))

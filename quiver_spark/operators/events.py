@@ -1,0 +1,180 @@
+"""Event-stream analytics in batch form (the streaming variants live in
+quiver_spark.streaming; these batch recipes share the same semantics so the
+DuckDB oracle can check them).
+
+The events table arrives with nanosecond timestamps (see tables.load) and a
+JSON props column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from quiver_spark.functions import DEC_VALUE, dsum, sql_dsum
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+#: Timestamps are emitted as formatted strings — bulletproof against
+#: timezone/precision representation differences between engines.
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_hourly_rollup",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS hour_ts,
+       event_type,
+       COUNT(*) AS cnt,
+       {sql_dsum('value', DEC_VALUE)} AS sum_value,
+       COUNT(DISTINCT user_id) AS users
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "agg", "time"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (1h) aggregate in batch form — the batch twin of the
+    Structured Streaming window() aggregation in quiver_spark.streaming."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), TS_FMT_SPARK).alias(
+                "hour_ts"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value", DEC_VALUE).alias("sum_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@register(
+    "events_sliding_daily",
+    oracle=f"""
+SELECT strftime(date_trunc('day', ts), '{TS_FMT_DUCK}') AS day_ts,
+       COUNT(*) AS cnt,
+       {sql_dsum('value', DEC_VALUE)} AS sum_value
+FROM events
+GROUP BY 1
+""",
+    tags=("events", "agg", "time"),
+)
+def events_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup via Spark's window() streaming-compatible function; the
+    1-day tumbling window start equals date_trunc('day')."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value", DEC_VALUE).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("day_ts"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) % 10 AS k_bucket,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY 1
+""",
+    tags=("events", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a JSON field (regex-based so both engines share semantics)
+    and aggregate per bucket."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k": (\\d+)', 1).cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.col("value").cast(DEC_VALUE)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+)
+SELECT user_id,
+       CAST(1 + SUM(is_new) AS BIGINT) AS session_cnt,
+       COUNT(*) AS event_cnt
+FROM marked
+GROUP BY user_id
+""",
+    tags=("events", "session", "window"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min idle gap) via LAG + running flag —
+    the batch twin of session_window() in streaming. Per-user windows
+    partition cleanly (no global ordering), so this scales with user count."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("prev_ts", F.lag("ts").over(w)).select(
+        "user_id",
+        "event_id",
+        F.when(F.expr("ts - prev_ts > INTERVAL 30 MINUTE"), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return marked.groupBy("user_id").agg(
+        (F.lit(1) + F.sum("is_new")).cast("bigint").alias("session_cnt"),
+        F.count(F.lit(1)).alias("event_cnt"),
+    )
+
+
+@register(
+    "events_pivot_types",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+FROM events
+GROUP BY user_id
+""",
+    tags=("events", "pivot"),
+)
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-user count columns (single-pass
+    conditional aggregation — one shuffle, no pivot metadata pass)."""
+    ev = load(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast(
+            "bigint"
+        )
+
+    return ev.groupBy("user_id").agg(
+        cnt("click").alias("clicks"),
+        cnt("view").alias("views"),
+        cnt("purchase").alias("purchases"),
+        cnt("signup").alias("signups"),
+        cnt("error").alias("errors"),
+    )

@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (driver mandate): brute-force
+top-k (the correctness baseline) and blocked near-duplicate detection (the
+scale path — candidate pairs only form inside a blocking key).
+
+Determinism: embeddings are quantized to scaled BIGINTs (functions.int_vec),
+so dot products are exact integer sums — bit-identical in Spark and DuckDB —
+and the only floating-point steps (sqrt / divide) are single IEEE ops on
+identical operands.
+
+Scale posture: the query side of ann_* is broadcast (small set of probe
+vectors); candidates never shuffle. Near-dup blocks on `label` so the
+quadratic term is bounded per block (at 100 TB you'd block on an LSH bucket
+or IVF centroid id — same plan shape, see dedup_minhash_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from quiver_spark.functions import int_dot, int_vec
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+N_PROBES = 5  # ann_* uses vec_id < N_PROBES as the probe set
+TOP_K = 10
+
+#: DuckDB: embeddings exploded to (vec_id, label, i, scaled-int component).
+SQL_IV = """
+SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+       CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi
+FROM embeddings
+"""
+
+
+def _int_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", int_vec("embedding").alias("iv"))
+
+
+@register(
+    "ann_dot_topk",
+    oracle=f"""
+WITH iv AS ({SQL_IV}),
+q AS (SELECT vec_id AS qid, i, xi AS qi FROM iv WHERE vec_id < {N_PROBES}),
+dots AS (
+    SELECT q.qid, iv.vec_id, SUM(iv.xi * q.qi) AS idot
+    FROM iv JOIN q ON iv.i = q.i AND iv.vec_id <> q.qid
+    GROUP BY q.qid, iv.vec_id
+),
+ranked AS (
+    SELECT qid, vec_id, CAST(idot AS DOUBLE) AS dot,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY idot DESC, vec_id) AS rnk
+    FROM dots
+)
+SELECT qid, vec_id, dot, rnk FROM ranked WHERE rnk <= {TOP_K}
+""",
+    tags=("similarity", "ann"),
+)
+def ann_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force inner-product top-k: probes broadcast against the corpus,
+    exact integer dot products, per-probe ranked window."""
+    emb = _int_emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("iv").alias("qv")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid", "vec_id", int_dot("iv", "qv").alias("idot")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("idot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id", F.col("idot").cast("double").alias("dot"), "rnk")
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH iv AS ({SQL_IV}),
+norms AS (SELECT vec_id, SUM(xi * xi) AS nrm FROM iv GROUP BY vec_id),
+q AS (SELECT vec_id AS qid, i, xi AS qi FROM iv WHERE vec_id < {N_PROBES}),
+dots AS (
+    SELECT q.qid, iv.vec_id, SUM(iv.xi * q.qi) AS idot
+    FROM iv JOIN q ON iv.i = q.i AND iv.vec_id <> q.qid
+    GROUP BY q.qid, iv.vec_id
+),
+scored AS (
+    SELECT d.qid, d.vec_id,
+           CAST(d.idot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nc.nrm AS DOUBLE))) AS cos
+    FROM dots d
+    JOIN norms nq ON d.qid = nq.vec_id
+    JOIN norms nc ON d.vec_id = nc.vec_id
+),
+ranked AS (
+    SELECT qid, vec_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+    FROM scored
+)
+SELECT qid, vec_id, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+""",
+    tags=("similarity", "ann", "cosine"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact integer dot + norms, one IEEE
+    division per pair)."""
+    emb = _int_emb(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
+    q = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("iv").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        (
+            int_dot("iv", "qv").cast("double")
+            / (F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("nrm").cast("double")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id", "cos", "rnk")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+WITH iv AS ({SQL_IV}),
+norms AS (SELECT vec_id, label, SUM(xi * xi) AS nrm
+          FROM iv GROUP BY vec_id, label)
+SELECT label, COUNT(*) AS cnt,
+       CAST(SUM(nrm) AS DOUBLE) / COUNT(*) AS avg_sq_norm,
+       CAST(MIN(nrm) AS BIGINT) AS min_sq_norm,
+       CAST(MAX(nrm) AS BIGINT) AS max_sq_norm
+FROM norms
+GROUP BY label
+""",
+    tags=("similarity", "stats"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label squared-norm statistics (exact integer norms)."""
+    emb = _int_emb(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum("nrm").cast("double") / F.count(F.lit(1))).alias("avg_sq_norm"),
+        F.min("nrm").cast("bigint").alias("min_sq_norm"),
+        F.max("nrm").cast("bigint").alias("max_sq_norm"),
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+WITH iv AS ({SQL_IV}),
+norms AS (SELECT vec_id, SUM(xi * xi) AS nrm FROM iv GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.xi * b.xi) AS idot
+    FROM iv a JOIN iv b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+       CAST(idot AS DOUBLE) / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
+FROM dots
+JOIN norms na ON vec_a = na.vec_id
+JOIN norms nb ON vec_b = nb.vec_id
+WHERE CAST(idot AS DOUBLE) / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) > 0.25
+""",
+    tags=("similarity", "dedup", "blocked"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked near-duplicate pairs: candidate pairs only within the same
+    `label` block (the IVF/LSH-bucket pattern), cosine above threshold.
+    The pairwise term is quadratic only within a block."""
+    emb = _int_emb(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
+    a = emb.select(
+        F.col("label").alias("la"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("iv").alias("iva"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("iv").alias("ivb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    cos = int_dot("iva", "ivb").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") > 0.25)
+    )

@@ -1,0 +1,225 @@
+"""Text-analysis operators for LLM training-data pipelines (driver mandate,
+beyond the reference): token counting, quality stats, language-ID heuristic,
+document fingerprinting.
+
+Everything here is expressed with JVM built-in string functions (no Python
+UDFs in the hot path), so the plans stay inside whole-stage codegen and
+scale linearly with document count — at 100 TB the documents table is the
+big one and these are pure map-side transforms (the only shuffles are the
+final small aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+# --------------------------------------------------------------------------
+# Token counting / quality stats
+# --------------------------------------------------------------------------
+
+
+def token_count_col(c: str = "text") -> Column:
+    """Whitespace token count via length arithmetic — identical semantics in
+    any SQL engine (no regex dialect risk)."""
+    return (
+        F.length(c) - F.length(F.replace(F.col(c), F.lit(" "), F.lit(""))) + 1
+    )
+
+
+SQL_TOKEN_COUNT = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_len,
+       CAST(SUM({SQL_TOKEN_COUNT}) AS BIGINT) AS total_tokens,
+       CAST(SUM(LENGTH(text)) AS DOUBLE) / SUM({SQL_TOKEN_COUNT}) AS chars_per_token,
+       CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+       CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
+FROM documents
+GROUP BY lang
+""",
+    tags=("text", "quality"),
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus quality stats: doc/char/token counts, length
+    distribution — the screening pass of a data-quality pipeline."""
+    d = load(spark, sf_dir, "documents")
+    tok = token_count_col()
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_len"),
+        F.sum(tok).cast("bigint").alias("total_tokens"),
+        (F.sum(F.length("text")).cast("double") / F.sum(tok)).alias(
+            "chars_per_token"
+        ),
+        F.min(F.length("text")).cast("bigint").alias("min_len"),
+        F.max(F.length("text")).cast("bigint").alias("max_len"),
+    )
+
+
+@register(
+    "text_token_topk",
+    oracle="""
+SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 25
+""",
+    tags=("text", "explode", "topk"),
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode → count → top-k. The explode is map-side;
+    only (token, partial-count) pairs shuffle — this is the scalable
+    word-count shape, not a collect-and-count."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("cnt"), "token")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Language identification (n-gram / stopword heuristic)
+# --------------------------------------------------------------------------
+
+#: (language, marker stopwords) — occurrences are counted with padded
+#: delimiters so partial-word hits don't count.
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of")),
+    ("fr", ("le", "la", "et")),
+    ("de", ("der", "die", "und")),
+    ("es", ("el", "los", "que")),
+    ("zh", ("的", "了", "是")),
+)
+
+
+def _occurrence_count(text: Column, marker: str) -> Column:
+    """# of occurrences of ``' marker '`` in ``' '||text||' '`` via length
+    arithmetic (identical in any engine; no regex)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {marker} "
+    return (
+        F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def _sql_occurrence_count(marker: str) -> str:
+    needle = f" {marker} "
+    return (
+        f"((LENGTH(' ' || text || ' ') - "
+        f"LENGTH(REPLACE(' ' || text || ' ', '{needle}', ''))) / {len(needle)})"
+    )
+
+
+def _lang_score_sql(lang: str, markers: tuple[str, ...]) -> str:
+    return " + ".join(_sql_occurrence_count(m) for m in markers)
+
+
+@register(
+    "text_lang_id",
+    oracle=(
+        "WITH scored AS (SELECT doc_id, lang, "
+        + ", ".join(
+            f"({_lang_score_sql(lang, markers)}) AS score_{lang}"
+            for lang, markers in LANG_MARKERS
+        )
+        + " FROM documents)\n"
+        + "SELECT lang, pred_lang, COUNT(*) AS cnt FROM (\n"
+        + "  SELECT lang, CASE "
+        + " ".join(
+            f"WHEN score_{lang} > 0 AND "
+            + " AND ".join(
+                f"score_{lang} >= score_{other}"
+                for other, _ in LANG_MARKERS
+                if other != lang
+            )
+            + f" THEN '{lang}'"
+            for lang, _ in LANG_MARKERS
+        )
+        + " ELSE 'und' END AS pred_lang FROM scored\n"
+        + ") GROUP BY lang, pred_lang"
+    ),
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: score each language by marker-word
+    occurrences, predict the argmax (first-listed language wins ties),
+    report the (actual, predicted) confusion counts."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            sum(
+                (_occurrence_count(text, m) for m in markers),
+                F.lit(0).cast("double"),
+            ).alias(f"score_{lang}")
+            for lang, markers in LANG_MARKERS
+        ],
+    )
+    pred = None
+    for lang, _ in LANG_MARKERS:
+        cond = (F.col(f"score_{lang}") > 0)
+        for other, _ in LANG_MARKERS:
+            if other != lang:
+                cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
+        pred = (
+            F.when(cond, lang) if pred is None else pred.when(cond, lang)
+        )
+    pred = pred.otherwise("und").alias("pred_lang")
+    return scored.select("lang", pred).groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT SUBSTR(md5(text), 1, 16) AS fp,
+       COUNT(*) AS cnt,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents
+GROUP BY 1
+""",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit content fingerprint (md5 prefix) per document — the exact-dup
+    key used by dedup_exact_docs. md5 hex is engine-portable."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )

@@ -1,0 +1,61 @@
+"""SparkSession construction and runtime configuration.
+
+Two entry styles:
+- ``get_spark()`` builds a tuned local session (tests, bench.py).
+- ``configure(spark)`` applies only *runtime-settable* knobs to a session we
+  did not create (the driver passes its own session to ``entry``/``queries``).
+
+Scale posture: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), shuffle partitions sized for the local harness but overridable via
+env for cluster runs, Arrow enabled so pandas-UDF paths are vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable SQL confs applied to every session we touch.
+RUNTIME_CONFS: dict[str, str] = {
+    # Determinism: naive timestamps everywhere (matches DuckDB's TIMESTAMP).
+    "spark.sql.session.timeZone": "UTC",
+    # The events table stores TIMESTAMP(NANOS) parquet which Spark refuses by
+    # default; read the raw int64 and convert ourselves (tables.load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime shuffle coalescing + skew-join handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally-owned session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this session (static conf) — keep going; every
+            # conf in RUNTIME_CONFS is runtime-settable on stock Spark 4.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "quiver-spark") -> SparkSession:
+    """Build the tuned local session used by tests and bench.py."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = os.environ.get("QUIVER_SHUFFLE_PARTITIONS", str(min(int(cpus) * 2, 64)))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("QUIVER_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.driver.memory", os.environ.get("QUIVER_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())

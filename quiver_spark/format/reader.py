@@ -1,0 +1,170 @@
+"""quiver file reader: footer parsing, page decoding, whole-file and
+page-range reads.
+
+Mirrors the reference read path (src/read/reader.rs): `read_meta` seeks
+End-12 for the meta size, `infer_schema` seeks End-16 for the schema size;
+page iteration decodes validity then values per page
+(src/read/deserialize.rs, src/read/array/*).
+
+Page-range reads are the engine's split unit: a Spark InputPartition covers
+[page_start, page_end) of every projected column, with per-column byte
+offsets computed from the footer metas (the ColumnMeta::slice arithmetic of
+src/lib.rs:45-70).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from quiver_spark.format.codecs import (
+    Cursor,
+    decode_binary,
+    decode_boolean,
+    decode_numeric,
+)
+from quiver_spark.format.validity import decode_validity
+from quiver_spark.format.writer import _physical_dtype
+
+
+@dataclass(frozen=True)
+class PageMeta:
+    length: int  # compressed page bytes (incl. validity prefix)
+    num_values: int
+
+
+@dataclass(frozen=True)
+class ColumnMeta:
+    offset: int  # file offset of first page
+    pages: tuple[PageMeta, ...]
+
+    def page_offsets(self) -> np.ndarray:
+        """File offset of each page (+ end sentinel)."""
+        lens = np.array([p.length for p in self.pages], dtype=np.int64)
+        out = np.empty(len(lens) + 1, dtype=np.int64)
+        out[0] = self.offset
+        np.cumsum(lens, out=out[1:])
+        out[1:] += self.offset
+        return out
+
+
+def read_meta(f) -> list[ColumnMeta]:
+    f.seek(-12, 2)
+    (meta_size,) = struct.unpack("<I", f.read(4))
+    f.seek(-16 - meta_size, 2)
+    buf = memoryview(f.read(meta_size))
+    pos = 0
+    (n_cols,) = struct.unpack_from("<Q", buf, pos)
+    pos += 8
+    metas = []
+    for _ in range(n_cols):
+        offset, n_pages = struct.unpack_from("<QQ", buf, pos)
+        pos += 16
+        pages = []
+        for _ in range(n_pages):
+            length, num_values = struct.unpack_from("<QQ", buf, pos)
+            pos += 16
+            pages.append(PageMeta(length, num_values))
+        metas.append(ColumnMeta(offset, tuple(pages)))
+    return metas
+
+
+def infer_schema(f) -> pa.Schema:
+    f.seek(-16, 2)
+    schema_size, meta_size = struct.unpack("<II", f.read(8))
+    f.seek(-16 - meta_size - schema_size, 2)
+    schema_bytes = f.read(schema_size)
+    return pa.ipc.read_schema(pa.py_buffer(schema_bytes))
+
+
+def decode_page(
+    buf: memoryview, num_values: int, field: pa.Field
+) -> pa.Array:
+    """One page's bytes → pyarrow Array of the field's type."""
+    t = field.type
+    pos = 0
+    valid = None
+    if field.nullable:
+        valid, consumed = decode_validity(buf, num_values)
+        pos = consumed
+        if valid.all():
+            valid = None
+    cur = Cursor(buf, pos)
+
+    validity_buf = None
+    null_count = 0
+    if valid is not None:
+        null_count = int(num_values - valid.sum())
+        validity_buf = pa.py_buffer(
+            np.packbits(valid, bitorder="little").tobytes()
+        )
+
+    if pa.types.is_boolean(t):
+        values = decode_boolean(cur, num_values)
+        vbuf = pa.py_buffer(np.packbits(values, bitorder="little").tobytes())
+        return pa.Array.from_buffers(t, num_values, [validity_buf, vbuf], null_count)
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_large_binary(t)
+    ):
+        width = 8 if (pa.types.is_large_string(t) or pa.types.is_large_binary(t)) else 4
+        offsets, values = decode_binary(cur, num_values, width)
+        off_dtype = np.dtype("<i8") if width == 8 else np.dtype("<i4")
+        obuf = pa.py_buffer(offsets.astype(off_dtype).tobytes())
+        vbuf = pa.py_buffer(values.tobytes())
+        return pa.Array.from_buffers(
+            t, num_values, [validity_buf, obuf, vbuf], null_count
+        )
+    dtype, _is_double = _physical_dtype(t)
+    values = decode_numeric(cur, num_values, dtype)
+    vbuf = pa.py_buffer(np.ascontiguousarray(values).tobytes())
+    return pa.Array.from_buffers(t, num_values, [validity_buf, vbuf], null_count)
+
+
+def read_column_pages(
+    f, meta: ColumnMeta, field: pa.Field, page_start: int, page_end: int
+) -> list[pa.Array]:
+    """Decode pages [page_start, page_end) of one column (one seek+read)."""
+    offs = meta.page_offsets()
+    f.seek(int(offs[page_start]))
+    buf = memoryview(f.read(int(offs[page_end] - offs[page_start])))
+    out = []
+    pos = 0
+    for p in range(page_start, page_end):
+        pm = meta.pages[p]
+        out.append(decode_page(buf[pos : pos + pm.length], pm.num_values, field))
+        pos += pm.length
+    return out
+
+
+def read_table(
+    path: str,
+    columns: list[str] | None = None,
+    page_start: int = 0,
+    page_end: int | None = None,
+) -> pa.Table:
+    """Read a quiver file (optionally a page range / column subset)."""
+    with open(path, "rb") as f:
+        schema = infer_schema(f)
+        metas = read_meta(f)
+        names = schema.names
+        sel = columns if columns is not None else names
+        arrays = []
+        fields = []
+        for name in sel:
+            ci = names.index(name)
+            field = schema.field(ci)
+            meta = metas[ci]
+            pe = page_end if page_end is not None else len(meta.pages)
+            pages = read_column_pages(f, meta, field, page_start, pe)
+            if not pages:
+                arrays.append(pa.chunked_array([], type=field.type))
+            else:
+                arrays.append(pa.chunked_array(pages))
+            fields.append(field)
+        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))

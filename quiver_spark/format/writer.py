@@ -1,0 +1,171 @@
+"""quiver file writer: pyarrow Table → one quiver file.
+
+Envelope per the reference NativeWriter (src/write/writer.rs:91-167):
+magic, contiguous per-leaf pages, footer (schema IPC | meta | sizes | EOS).
+One file holds exactly one row group (writer.rs:107-112); callers with more
+data write more files (that is also the Spark-native unit of parallelism).
+
+Round-1 type surface: flat primitives (ints, floats, bool, string/binary,
+date/timestamp as their physical ints). Nested types (list/struct/map) and
+decimals land with the rep/def-level machinery in a later round — the page
+and footer layout already accommodates them (multiple leaves per field).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+import pyarrow as pa
+
+from quiver_spark.format import codecs
+from quiver_spark.format.codecs import CodecOptions, encode_binary, encode_boolean, encode_numeric
+from quiver_spark.format.constants import EOS, MAGIC, NAME_TO_CODEC
+from quiver_spark.format.validity import encode_validity
+
+DEFAULT_PAGE_SIZE = 8192  # rows per page (reference examples use 8192)
+
+
+@dataclass(frozen=True)
+class WriteOptions:
+    default_codec: str = "lz4"
+    compress_ratio: float | None = 2.0  # None → adaptive off (basic codec only)
+    max_page_size: int = DEFAULT_PAGE_SIZE
+    forbidden: tuple[str, ...] = ("patas",)  # patas decode lands later
+
+    def codec_options(self) -> CodecOptions:
+        return CodecOptions(
+            default_codec=NAME_TO_CODEC[self.default_codec],
+            compress_ratio=self.compress_ratio,
+            forbidden=frozenset(NAME_TO_CODEC[f] for f in self.forbidden),
+        )
+
+
+#: arrow type → (physical numpy dtype, is_double) for primitive leaves.
+def _physical_dtype(t: pa.DataType) -> tuple[np.dtype, bool] | None:
+    if pa.types.is_boolean(t) or pa.types.is_string(t) or pa.types.is_binary(t):
+        return None
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        return None
+    if pa.types.is_float32(t):
+        return np.dtype("<f4"), True
+    if pa.types.is_float64(t):
+        return np.dtype("<f8"), True
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return np.dtype("<i4"), False
+    if pa.types.is_date64(t) or pa.types.is_time64(t) or pa.types.is_timestamp(t) or pa.types.is_duration(t):
+        return np.dtype("<i8"), False
+    if pa.types.is_integer(t):
+        return np.dtype(t.to_pandas_dtype()).newbyteorder("<"), False
+    raise NotImplementedError(f"quiver round-1 writer does not support {t}")
+
+
+def _prim_np(arr: pa.Array, dtype: np.dtype) -> tuple[np.ndarray, np.ndarray | None]:
+    """(values, valid) numpy views of a primitive arrow array."""
+    bufs = arr.buffers()
+    values = np.frombuffer(bufs[1], dtype=dtype, count=arr.offset + len(arr))[
+        arr.offset : arr.offset + len(arr)
+    ]
+    valid = None
+    if arr.null_count:
+        bits = np.unpackbits(
+            np.frombuffer(bufs[0], dtype=np.uint8), bitorder="little"
+        )
+        valid = bits[arr.offset : arr.offset + len(arr)].astype(bool)
+    return values, valid
+
+
+def _bool_np(arr: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
+    bufs = arr.buffers()
+    bits = np.unpackbits(np.frombuffer(bufs[1], dtype=np.uint8), bitorder="little")
+    values = bits[arr.offset : arr.offset + len(arr)].astype(bool)
+    valid = None
+    if arr.null_count:
+        vbits = np.unpackbits(
+            np.frombuffer(bufs[0], dtype=np.uint8), bitorder="little"
+        )
+        valid = vbits[arr.offset : arr.offset + len(arr)].astype(bool)
+    return values, valid
+
+
+def encode_leaf_page(arr: pa.Array, nullable: bool, copts: CodecOptions) -> bytes:
+    """One page: optional validity prefix + typed payload."""
+    t = arr.type
+    out = bytearray()
+    if nullable:
+        import pyarrow.compute as pc
+
+        valid = np.asarray(pc.is_valid(arr)) if arr.null_count else None
+        v = encode_validity(valid, len(arr))
+        out += struct.pack("<I", len(v)) + v
+
+    if pa.types.is_boolean(t):
+        values, valid = _bool_np(arr)
+        out += encode_boolean(values, valid, copts)
+    elif (
+        pa.types.is_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_large_binary(t)
+    ):
+        width = 8 if (pa.types.is_large_string(t) or pa.types.is_large_binary(t)) else 4
+        out += encode_binary(arr, copts, width)
+    else:
+        dtype, is_double = _physical_dtype(t)
+        values, valid = _prim_np(arr, dtype)
+        out += encode_numeric(values, valid, copts, is_double)
+    return bytes(out)
+
+
+def write_table(table: pa.Table, path: str, options: WriteOptions | None = None) -> dict:
+    """Write one pyarrow Table as one quiver file. Returns {col: [page meta]}
+    for inspection/testing."""
+    options = options or WriteOptions()
+    copts = options.codec_options()
+    table = table.combine_chunks()
+    n = table.num_rows
+    page_size = min(options.max_page_size, n) if n else options.max_page_size
+
+    metas: list[tuple[int, list[tuple[int, int]]]] = []
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        offset = len(MAGIC)
+        for ci in range(table.num_columns):
+            field_ = table.schema.field(ci)
+            col = table.column(ci)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=field_.type)
+            col_offset = offset
+            pages: list[tuple[int, int]] = []
+            for start in range(0, max(n, 1), max(page_size, 1)):
+                if n == 0 and start > 0:
+                    break
+                length = min(page_size, n - start) if n else 0
+                page_arr = arr.slice(start, length)
+                page_bytes = encode_leaf_page(page_arr, field_.nullable, copts)
+                f.write(page_bytes)
+                pages.append((len(page_bytes), length))
+                offset += len(page_bytes)
+                if n == 0:
+                    break
+            metas.append((col_offset, pages))
+
+        # footer: schema IPC bytes
+        schema_bytes = table.schema.serialize().to_pybytes()
+        f.write(schema_bytes)
+        offset += len(schema_bytes)
+        # meta block
+        meta = bytearray()
+        meta += struct.pack("<Q", len(metas))
+        for col_offset, pages in metas:
+            meta += struct.pack("<QQ", col_offset, len(pages))
+            for length, num_values in pages:
+                meta += struct.pack("<QQ", length, num_values)
+        f.write(meta)
+        f.write(struct.pack("<II", len(schema_bytes), len(meta)))
+        f.write(EOS)
+    return {
+        table.schema.field(i).name: metas[i][1] for i in range(table.num_columns)
+    }

@@ -32,6 +32,21 @@ def main() -> None:
     specs = load_all_operators()
     spark = get_spark("quiver-bench")
 
+    # Pre-build the parquet→quiver cache so format-query timings measure the
+    # scan, not the one-time conversion.
+    from quiver_spark.operators.format_queries import quiver_table
+
+    for tbl, codec in [
+        ("lineitem", "lz4"),
+        ("orders", "lz4"),
+        ("documents", "lz4"),
+        ("lineitem", "zstd"),
+        ("orders", "zstd"),
+        ("customer", "zstd"),
+        ("nation", "zstd"),
+    ]:
+        quiver_table(spark, sf_dir, tbl, codec)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in sorted(specs.items()):
@@ -43,6 +58,27 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+
+    # Format throughput proxies (BASELINE.md): full-table scan quiver vs
+    # parquet on identical data (not part of the headline total).
+    def _t(fn):
+        t0 = time.perf_counter()
+        fn()
+        return round(time.perf_counter() - t0, 3)
+
+    li_parquet = f"{sf_dir}/lineitem.parquet"
+    timings["scan_parquet_lineitem"] = _t(
+        lambda: spark.read.parquet(li_parquet)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    timings["scan_quiver_lineitem"] = _t(
+        lambda: quiver_table(spark, sf_dir, "lineitem")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     print(
         json.dumps(

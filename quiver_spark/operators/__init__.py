@@ -3,6 +3,7 @@
 from quiver_spark.operators import (  # noqa: F401
     dedup,
     events,
+    format_queries,
     multimodal,
     relational,
     similarity,

@@ -1,0 +1,154 @@
+"""Format-backed queries: run relational workloads over quiver-stored
+tables and oracle-check them against the parquet originals — this routes the
+driver's correctness gate through the full native-format write+scan path.
+
+The parquet→quiver conversion is cached per (sf_dir, table) under /tmp so
+repeated gate runs pay the conversion once.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quiver_spark.functions import DEC_RATE, dec, dsum, revenue, sql_dsum, SQL_REVENUE
+from quiver_spark.registry import register
+from quiver_spark.sources import register as register_format
+
+CACHE_ROOT = "/tmp/quiver_cache"
+
+
+def quiver_table(
+    spark: SparkSession, sf_dir: str, name: str, codec: str = "lz4"
+) -> DataFrame:
+    """Load a testdata table through the quiver format (converting parquet →
+    quiver once per sf/table/codec)."""
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, f"{name}-{codec}")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        from quiver_spark.format.writer import WriteOptions, write_table
+
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/{name}.parquet")
+        write_table(
+            t,
+            os.path.join(d, "part-0.quiver"),
+            WriteOptions(default_codec=codec, compress_ratio=2.0),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return spark.read.format("quiver").load(d)
+
+
+@register(
+    "quiver_scan_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       ROUND(CAST(SUM({SQL_REVENUE}) AS DOUBLE), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("format", "scan", "agg"),
+)
+def quiver_scan_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-style aggregate over the NATIVE quiver format scan; the oracle
+    reads the parquet original — proving byte-faithful decode end-to-end."""
+    li = quiver_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.round(F.sum(revenue()).cast("double"), 2).alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "quiver_scan_checksums",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS price_sum,
+       MIN(o_orderstatus) AS min_status,
+       MAX(o_orderpriority) AS max_priority,
+       COUNT(DISTINCT o_custkey) AS custs
+FROM orders
+""",
+    tags=("format", "scan"),
+)
+def quiver_scan_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column checksums over quiver-stored orders (every type family:
+    int keys, doubles, strings, timestamps feed the group below)."""
+    o = quiver_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        dsum("o_totalprice").alias("price_sum"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderpriority").alias("max_priority"),
+        F.countDistinct("o_custkey").alias("custs"),
+    )
+
+
+@register(
+    "quiver_adaptive_zstd_join",
+    oracle=f"""
+SELECT n_name,
+       ROUND(CAST(SUM({SQL_REVENUE}) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS cnt
+FROM lineitem, orders, customer, nation
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("format", "scan", "join"),
+)
+def quiver_adaptive_zstd_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join across FOUR quiver-stored tables written with the adaptive zstd
+    cascade — dict/rle/freq pages all land in real query results."""
+    li = quiver_table(spark, sf_dir, "lineitem", codec="zstd")
+    o = quiver_table(spark, sf_dir, "orders", codec="zstd")
+    c = quiver_table(spark, sf_dir, "customer", codec="zstd")
+    n = quiver_table(spark, sf_dir, "nation", codec="zstd")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue()).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "quiver_scan_documents",
+    oracle="""
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_len,
+       SUBSTR(MIN(md5(text)), 1, 8) AS min_fp
+FROM documents
+GROUP BY lang
+""",
+    tags=("format", "scan", "text"),
+)
+def quiver_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-heavy table through the binary page codecs."""
+    d = quiver_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_len"),
+        F.substring(F.min(F.md5(F.col("text").cast("binary"))), 1, 8).alias(
+            "min_fp"
+        ),
+    )

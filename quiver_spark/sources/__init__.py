@@ -1,0 +1,4 @@
+from quiver_spark.sources.quiver_datasource import (  # noqa: F401
+    QuiverDataSource,
+    register,
+)

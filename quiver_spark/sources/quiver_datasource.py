@@ -1,0 +1,297 @@
+"""PySpark DataSource V2 for the quiver format:
+
+    spark.read.format("quiver").load(dir_or_file)
+    df.write.format("quiver").mode("overwrite").save(dir)
+
+Split planning mirrors the reference's page-granular reads (NativeReader
+nth/skip_page, src/read/reader.rs:91-146): the driver reads each file's
+footer once, then fans out InputPartitions covering page ranges sized by
+`partition_rows` (default 128k rows). Executors open only their byte range
+per projected column — at 100 TB this is the same contract as Spark's
+parquet scan: splits ~= files × page-ranges, no driver-side row handling.
+
+Column pruning: Spark's Python DataSource API does not (yet) push required
+columns, so the reader accepts an explicit `columns` option (comma list);
+the quiver_table() helper in quiver_spark.tables applies it.
+
+Registration ships the package to Python workers via a zip + addPyFile, so
+the source works in any session (the driver harness's included) without
+PYTHONPATH assumptions.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "quiver"
+DEFAULT_PARTITION_ROWS = 1 << 17
+DEFAULT_MAX_ROWS_PER_FILE = 1 << 22
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.quiver")))
+    return [path]
+
+
+@dataclass
+class QuiverPartition(InputPartition):
+    file: str
+    page_start: int
+    page_end: int
+
+
+class QuiverDataSource(DataSource):
+    """quiver columnar format (strawboat layout) as a Spark data source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from quiver_spark.format.reader import infer_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("quiver datasource requires a path")
+        files = _list_files(path)
+        if not files:
+            raise ValueError(f"no .quiver files under {path}")
+        with open(files[0], "rb") as f:
+            arrow_schema = infer_schema(f)
+        cols = self.options.get("columns")
+        if cols:
+            keep = [c.strip() for c in cols.split(",")]
+            arrow_schema = pa_schema_select(arrow_schema, keep)
+        # tz-less timestamps map to TIMESTAMP_NTZ, matching Spark's parquet
+        # reader (spark.sql.parquet.inferTimestampNTZ default)
+        return from_arrow_schema(
+            _spark_schema(arrow_schema), prefer_timestamp_ntz=True
+        )
+
+    def reader(self, schema: StructType) -> "QuiverScanReader":
+        return QuiverScanReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "QuiverWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("quiver datasource requires a path")
+        if overwrite and os.path.isdir(path):
+            for f in glob.glob(os.path.join(path, "*.quiver")):
+                os.remove(f)
+        os.makedirs(path, exist_ok=True)
+        return QuiverWriter(self.options)
+
+
+def pa_schema_select(schema, names):
+    import pyarrow as pa
+
+    return pa.schema([schema.field(schema.names.index(n)) for n in names])
+
+
+def _spark_field(field):
+    """Normalize an arrow field to what Spark's vectorized Arrow reader
+    accepts (timestamps must be microsecond; the file may carry s/ms/ns)."""
+    import pyarrow as pa
+
+    t = field.type
+    if pa.types.is_timestamp(t) and t.unit != "us":
+        return field.with_type(pa.timestamp("us", tz=t.tz))
+    return field
+
+
+def _spark_schema(schema):
+    import pyarrow as pa
+
+    return pa.schema([_spark_field(f) for f in schema])
+
+
+class QuiverScanReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.options = options
+        self.path = options.get("path")
+        self.columns = None
+        cols = options.get("columns")
+        if cols:
+            self.columns = [c.strip() for c in cols.split(",")]
+        self.partition_rows = int(
+            options.get("partition_rows", DEFAULT_PARTITION_ROWS)
+        )
+
+    def partitions(self):
+        from quiver_spark.format.reader import read_meta
+
+        parts: list[QuiverPartition] = []
+        for file in _list_files(self.path):
+            with open(file, "rb") as f:
+                metas = read_meta(f)
+            if not metas or not metas[0].pages:
+                continue
+            pages = metas[0].pages
+            start = 0
+            rows = 0
+            for i, p in enumerate(pages):
+                rows += p.num_values
+                if rows >= self.partition_rows:
+                    parts.append(QuiverPartition(file, start, i + 1))
+                    start, rows = i + 1, 0
+            if start < len(pages):
+                parts.append(QuiverPartition(file, start, len(pages)))
+        if not parts:
+            # empty dataset: single no-op partition so Spark gets a schema'd
+            # empty result
+            files = _list_files(self.path)
+            parts.append(QuiverPartition(files[0], 0, 0))
+        return parts
+
+    def read(self, partition: QuiverPartition) -> Iterator:
+        import pyarrow as pa
+
+        from quiver_spark.format.reader import (
+            infer_schema,
+            read_column_pages,
+            read_meta,
+        )
+
+        with open(partition.file, "rb") as f:
+            schema = infer_schema(f)
+            metas = read_meta(f)
+            names = self.columns if self.columns is not None else schema.names
+            if partition.page_end <= partition.page_start:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=schema.field(schema.names.index(n)).type) for n in names],
+                    names=names,
+                )
+                return
+            per_col: list[list] = []
+            fields = []
+            for n in names:
+                ci = schema.names.index(n)
+                fields.append(schema.field(ci))
+                per_col.append(
+                    read_column_pages(
+                        f,
+                        metas[ci],
+                        schema.field(ci),
+                        partition.page_start,
+                        partition.page_end,
+                    )
+                )
+        # one RecordBatch per page: columnar batches flow straight into
+        # Spark's vectorized Arrow path (timestamps normalized to us)
+        casts = [
+            (i, _spark_field(f).type)
+            for i, f in enumerate(fields)
+            if _spark_field(f).type != f.type
+        ]
+        n_pages = partition.page_end - partition.page_start
+        for p in range(n_pages):
+            arrays = [per_col[c][p] for c in range(len(names))]
+            for i, t in casts:
+                arrays[i] = arrays[i].cast(t)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+class QuiverCommit(WriterCommitMessage):
+    pass
+
+
+class QuiverWriter(DataSourceArrowWriter):
+    def __init__(self, options):
+        self.options = options
+        self.path = options.get("path")
+        self.max_rows = int(
+            options.get("max_rows_per_file", DEFAULT_MAX_ROWS_PER_FILE)
+        )
+        self.codec = options.get("codec", "lz4")
+        ratio = options.get("compress_ratio", "2.0")
+        self.compress_ratio = None if ratio in ("none", "None") else float(ratio)
+        self.max_page_size = int(options.get("max_page_size", 8192))
+        forbidden = options.get("forbidden", "patas")
+        self.forbidden = tuple(
+            x.strip() for x in forbidden.split(",") if x.strip()
+        )
+
+    def write(self, iterator) -> QuiverCommit:
+        """One task → one or more .quiver files (a file is one row group,
+        src/write/writer.rs:107-112; oversized tasks roll to new files)."""
+        import pyarrow as pa
+
+        from quiver_spark.format.writer import WriteOptions, write_table
+
+        opts = WriteOptions(
+            default_codec=self.codec,
+            compress_ratio=self.compress_ratio,
+            max_page_size=self.max_page_size,
+            forbidden=self.forbidden,
+        )
+        buffer: list[pa.RecordBatch] = []
+        rows = 0
+        wrote = False
+
+        def flush():
+            nonlocal buffer, rows, wrote
+            if not buffer:
+                return
+            table = pa.Table.from_batches(buffer)
+            fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.quiver")
+            write_table(table, fname, opts)
+            buffer, rows = [], 0
+            wrote = True
+
+        for batch in iterator:
+            buffer.append(batch)
+            rows += batch.num_rows
+            if rows >= self.max_rows:
+                flush()
+        flush()
+        return QuiverCommit()
+
+
+_REGISTERED_SESSIONS: set[int] = set()
+
+
+def register(spark) -> None:
+    """Register the quiver format with a session, shipping the package to
+    Python workers (zip + addPyFile) so executors can import it."""
+    key = id(spark)
+    if key in _REGISTERED_SESSIONS:
+        return
+    import hashlib
+    import zipfile
+
+    import quiver_spark
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(quiver_spark.__file__)))
+    sources = []
+    for root, _dirs, fnames in os.walk(os.path.join(pkg_dir, "quiver_spark")):
+        for fn in sorted(fnames):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    digest = hashlib.md5()
+    for full in sorted(sources):
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    zip_path = os.path.join("/tmp", f"quiver_spark_pkg_{digest.hexdigest()[:12]}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for full in sorted(sources):
+                zf.write(full, os.path.relpath(full, pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    spark.dataSource.register(QuiverDataSource)
+    _REGISTERED_SESSIONS.add(key)

@@ -1,0 +1,114 @@
+"""End-to-end Spark DataSource tests: write/read the quiver format through
+spark.read/spark.write, compare against the parquet originals."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from quiver_spark.format.writer import WriteOptions, write_table
+from quiver_spark.sources import register
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def quiver_lineitem_dir(spark, tmp_path_factory):
+    """lineitem converted parquet → quiver via the library writer."""
+    d = tmp_path_factory.mktemp("quiver") / "lineitem"
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    write_table(t, str(d / "part-0.quiver"), WriteOptions())
+    register(spark)
+    return str(d)
+
+
+def test_scan_matches_parquet(spark, quiver_lineitem_dir):
+    q = spark.read.format("quiver").load(quiver_lineitem_dir)
+    p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    assert q.count() == p.count()
+    assert q.schema == p.schema
+    qs = q.agg(
+        F.sum("l_quantity"), F.sum("l_orderkey"), F.min("l_shipdate"), F.max("l_returnflag")
+    ).collect()[0]
+    ps = p.agg(
+        F.sum("l_quantity"), F.sum("l_orderkey"), F.min("l_shipdate"), F.max("l_returnflag")
+    ).collect()[0]
+    assert qs == ps
+
+
+def test_scan_with_filter_and_projection(spark, quiver_lineitem_dir):
+    q = (
+        spark.read.format("quiver")
+        .option("columns", "l_orderkey,l_quantity,l_returnflag")
+        .load(quiver_lineitem_dir)
+    )
+    assert q.columns == ["l_orderkey", "l_quantity", "l_returnflag"]
+    got = (
+        q.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    want = (
+        p.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_partitioned_scan(spark, tmp_path):
+    """partition_rows smaller than the table → multiple InputPartitions
+    (splits are page-granular, so write 1000-row pages)."""
+    d = tmp_path / "li_paged"
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    write_table(t, str(d / "part-0.quiver"), WriteOptions(max_page_size=1000))
+    register(spark)
+    q = (
+        spark.read.format("quiver")
+        .option("partition_rows", "1000")
+        .load(str(d))
+    )
+    assert q.rdd.getNumPartitions() > 1
+    p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    assert q.count() == p.count()
+    assert sorted(q.select("l_orderkey").limit(0).columns) == ["l_orderkey"]
+
+
+def test_spark_write_roundtrip(spark, tmp_path):
+    register(spark)
+    p = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = str(tmp_path / "orders_quiver")
+    p.write.format("quiver").mode("overwrite").save(out)
+    files = [f for f in os.listdir(out) if f.endswith(".quiver")]
+    assert files
+    q = spark.read.format("quiver").load(out)
+    assert q.count() == p.count()
+    a = sorted(q.collect(), key=lambda r: r.o_orderkey)
+    b = sorted(p.collect(), key=lambda r: r.o_orderkey)
+    assert a == b
+
+
+def test_spark_write_adaptive_options(spark, tmp_path):
+    register(spark)
+    p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = str(tmp_path / "li_zstd")
+    (
+        p.write.format("quiver")
+        .option("codec", "zstd")
+        .option("max_page_size", "2048")
+        .mode("overwrite")
+        .save(out)
+    )
+    q = spark.read.format("quiver").load(out)
+    assert q.count() == p.count()
+    assert q.agg(F.sum("l_extendedprice")).collect() == p.agg(
+        F.sum("l_extendedprice")
+    ).collect()

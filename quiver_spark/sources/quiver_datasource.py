@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -96,6 +97,13 @@ class QuiverDataSource(DataSource):
                 os.remove(f)
         os.makedirs(path, exist_ok=True)
         return QuiverWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("quiver datasource requires a path")
+        os.makedirs(path, exist_ok=True)
+        return QuiverStreamWriter(self.options)
 
 
 def pa_schema_select(schema, names):
@@ -261,6 +269,20 @@ class QuiverWriter(DataSourceArrowWriter):
                 flush()
         flush()
         return QuiverCommit()
+
+
+class QuiverStreamWriter(QuiverWriter, DataSourceStreamArrowWriter):
+    """Streaming sink: each micro-batch appends task files to the directory
+    (the quiver analogue of Spark's file-stream sink). Micro-batch files are
+    immutable once written; `abort` best-effort-cleans nothing because task
+    files are uniquely named and unreferenced readers simply pick up only
+    completed files listed at scan time."""
+
+    def commit(self, messages, batchId) -> None:  # noqa: N803
+        return None
+
+    def abort(self, messages, batchId) -> None:  # noqa: N803
+        return None
 
 
 _REGISTERED_SESSIONS: set[int] = set()

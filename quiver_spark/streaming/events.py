@@ -1,0 +1,125 @@
+"""Structured Streaming recipes over the events table (SURVEY.md §2.3
+streaming row — absent from the reference, mandated by the driver).
+
+Everything is expressed with stock Structured Streaming primitives:
+file-stream source, `withWatermark` for late data, `window()` /
+`session_window()` aggregations, `dropDuplicatesWithinWatermark`. Each
+recipe has a batch twin in quiver_spark.operators.events, and the tests run
+the streams with Trigger.AvailableNow against the batch results.
+
+Scale posture: streaming state is keyed by (window × group) or
+(session × user) — bounded by the watermark horizon, not by stream length;
+no per-record driver state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from quiver_spark.session import configure
+
+#: Raw parquet schema of events (ts as int64 nanos; Spark cannot type
+#: TIMESTAMP(NANOS) parquet natively — see tables.load).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-stream source over a directory of events parquet files, with the
+    ns→timestamp conversion applied. New files appearing in the directory
+    are picked up per micro-batch (the standard landing-zone pattern)."""
+    configure(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(events_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+    )
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h windows with a late-data watermark (batch twin:
+    events_hourly_rollup)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding windows (1h length, 30m slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "cnt",
+        )
+    )
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based), the streaming twin of the
+    batch events_sessionize recipe."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .select(
+            "user_id",
+            F.date_format(F.col("s.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "event_cnt",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-event_id within the watermark horizon — the
+    streaming dedup primitive (state is bounded by the watermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def write_quiver_stream(df: DataFrame, out_dir: str, checkpoint: str):
+    """Stream into a quiver directory (append-only files per micro-batch)
+    via the quiver DataSource streaming sink."""
+    from quiver_spark.sources import register
+
+    register(df.sparkSession)
+    return (
+        df.writeStream.format("quiver")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,110 @@
+"""Structured Streaming tests: run each streaming recipe with
+Trigger.AvailableNow over a file landing zone and compare against the batch
+twin computed on the same data."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from quiver_spark.streaming import events as se
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def landing_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("landing")
+    # split the events parquet into multiple files so maxFilesPerTrigger
+    # exercises multi-batch progress
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    n = t.num_rows
+    step = max(n // 5, 1)
+    for i, start in enumerate(range(0, n, step)):
+        pq.write_table(t.slice(start, step), str(d / f"chunk-{i}.parquet"))
+    return str(d)
+
+
+def _run_stream(df, tmp_path, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name != "dedup" else "append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_hourly_counts_matches_batch(spark, landing_dir, tmp_path):
+    stream = se.stream_events(spark, landing_dir)
+    _run_stream(se.hourly_counts(stream), tmp_path, "hourly")
+    got = spark.table("hourly").toPandas()
+
+    from quiver_spark.tables import load
+
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .toPandas()
+    )
+    key = ["hour_ts", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(batch)
+    assert (got["cnt"].values == batch["cnt"].values).all()
+    assert (got["sum_value"].values == batch["sum_value"].values).all()
+
+
+def test_session_windows_run(spark, landing_dir, tmp_path):
+    stream = se.stream_events(spark, landing_dir)
+    _run_stream(se.sessionized_counts(stream), tmp_path, "sessions")
+    got = spark.table("sessions")
+    assert got.count() > 0
+    # session event counts must total the input events
+    assert got.agg(F.sum("event_cnt")).collect()[0][0] == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_stream_dedup(spark, landing_dir, tmp_path):
+    stream = se.stream_events(spark, landing_dir)
+    q = (
+        se.stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup")
+    assert got.count() == got.select("event_id").distinct().count() == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_quiver_streaming_sink(spark, landing_dir, tmp_path):
+    out = str(tmp_path / "quiver_out")
+    ckpt = str(tmp_path / "ckpt-quiver")
+    stream = se.stream_events(spark, landing_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = se.write_quiver_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    files = [f for f in os.listdir(out) if f.endswith(".quiver")]
+    assert files, "streaming sink wrote no quiver files"
+    back = spark.read.format("quiver").load(out)
+    assert back.count() == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert back.select(F.sum("event_id")).collect()[0][0] == spark.read.parquet(f"{SF_DIR}/events.parquet").select(F.sum("event_id")).collect()[0][0]

@@ -47,6 +47,11 @@ def main() -> None:
     ]:
         quiver_table(spark, sf_dir, tbl, codec)
 
+    # JVM + Python-worker warmup so the first timed query isn't charged for
+    # session spin-up.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(10).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in sorted(specs.items()):

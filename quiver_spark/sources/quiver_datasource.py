@@ -38,7 +38,11 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "quiver"
-DEFAULT_PARTITION_ROWS = 1 << 17
+# Measured on local[32] at sf0.1: 32k-row partitions (~4 pages) keep all
+# Python workers busy without task-overhead flood — quiver scan lands within
+# ~1.2x of Spark's JVM parquet reader. At cluster scale this still yields
+# splits ~= files x page-ranges.
+DEFAULT_PARTITION_ROWS = 1 << 15
 DEFAULT_MAX_ROWS_PER_FILE = 1 << 22
 
 

@@ -1,0 +1,70 @@
+"""Physical-plan property tests: the 100 TB posture checks. A query that
+passes correctness but shuffles where it should broadcast, or scans columns
+it doesn't need, fails HERE."""
+
+from __future__ import annotations
+
+from quiver_spark import plans
+from quiver_spark.registry import load_all_operators
+
+from conftest import SF_DIR
+
+SPECS = load_all_operators()
+
+
+def _df(spark, name):
+    return SPECS[name].spark(spark, SF_DIR)
+
+
+def test_dimension_joins_broadcast(spark):
+    """q3/q5/q10: every dimension side broadcasts — the only Exchange left
+    is the fact-fact join + final agg."""
+    for name in ["q3_shipping_priority", "q5_region_revenue", "q10_returned_items"]:
+        df = _df(spark, name)
+        assert plans.has_broadcast_join(df), f"{name}: no broadcast join in plan"
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    df = _df(spark, "q6_forecast_revenue")
+    pushed = plans.pushed_filters(df)
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+
+
+def test_q6_scan_prunes_columns(spark):
+    """Q6 needs 4 lineitem columns; the parquet ReadSchema must not include
+    the rest (no l_orderkey, no l_comment-style wide reads)."""
+    schema = plans.read_schema(_df(spark, "q6_forecast_revenue"))
+    for col in ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]:
+        assert col in schema, schema
+    for col in ["l_orderkey", "l_returnflag", "l_tax"]:
+        assert col not in schema, schema
+
+
+def test_q1_single_shuffle(spark):
+    """Q1 is one hash aggregate: exactly one exchange (partial→final agg)."""
+    df = _df(spark, "q1_pricing_summary")
+    assert plans.count_shuffles(df) <= 1, plans.physical_plan(df)
+
+
+def test_scalar_batteries_stay_codegen(spark):
+    """Row-level function batteries must compile to whole-stage codegen
+    (no Python evaluation in the hot path)."""
+    for name in ["scalar_string_funcs", "scalar_math_funcs", "scalar_date_funcs"]:
+        df = _df(spark, name)
+        plan = plans.physical_plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert plans.codegen_stage_count(df) >= 1, name
+
+
+def test_semi_anti_join_shapes(spark):
+    for name, kind in [
+        ("semi_join_customers", "LeftSemi"),
+        ("anti_join_customers", "LeftAnti"),
+    ]:
+        plan = plans.physical_plan(_df(spark, name))
+        assert kind in plan, f"{name}: expected {kind} in\n{plan}"
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plans.physical_plan(_df(spark, "topk_orders"))
+    assert "TakeOrderedAndProject" in plan, plan

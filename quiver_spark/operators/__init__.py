@@ -6,6 +6,7 @@ from quiver_spark.operators import (  # noqa: F401
     format_queries,
     multimodal,
     relational,
+    relational2,
     similarity,
     text,
 )

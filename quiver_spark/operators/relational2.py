@@ -1,0 +1,299 @@
+"""Second relational battery: statistical aggregates, quantiles, ordered
+aggregation, array/JSON scalar functions, RANGE window frames, correlated
+aggregates.
+
+Statistical moments (stddev/var/corr) are computed from exact DECIMAL power
+sums on both sides — Spark's and DuckDB's built-in one-pass implementations
+accumulate floats in different orders, so the built-ins can't hash-match;
+the moment-sum formulation is order-insensitive and bit-identical (modulo a
+final rounding that absorbs the decimal→double ULP at >2^53 scaled sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from quiver_spark.functions import dec, dsum
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+WITH sums AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(sx / n, 6) AS mean_qty,
+       ROUND((sxx - sx * sx / n) / (n - 1), 4) AS var_qty,
+       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+       ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_qty_price
+FROM sums
+""",
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev / variance / correlation from exact decimal moment sums."""
+    li = load(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity", "decimal(18,2)"), dec("l_extendedprice", "decimal(18,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round((sxx - sx * sx / n) / (n - 1), 4).alias("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_quantiles",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg", "quantile"),
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quantiles (Spark percentile ==
+    quantile_cont semantics; rounding absorbs the interpolation-formula
+    ULP difference between engines)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "agg_minby_maxby",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(MAX(o_orderkey) AS BIGINT) AS last_key,
+       MAX_BY(o_totalprice, o_orderkey) AS last_price,
+       MIN_BY(o_totalprice, o_orderkey) AS first_price,
+       MAX_BY(o_orderpriority, o_orderkey) AS last_priority
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg", "ordered"),
+)
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN_BY/MAX_BY keyed on the unique orderkey (deterministic ties)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max("o_orderkey").cast("bigint").alias("last_key"),
+        F.expr("max_by(o_totalprice, o_orderkey)").alias("last_price"),
+        F.expr("min_by(o_totalprice, o_orderkey)").alias("first_price"),
+        F.expr("max_by(o_orderpriority, o_orderkey)").alias("last_priority"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+SELECT n_name,
+       array_to_string(list_sort(list(s_name)), '|') AS suppliers,
+       COUNT(*) AS cnt
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("agg", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list → sort → join (deterministic ordered aggregation)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias(
+                "suppliers"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+SELECT doc_id,
+       len(toks) AS n_toks,
+       toks[1] AS first_tok,
+       array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), '|') AS top5_sorted,
+       list_contains(toks, 'the') AS has_the,
+       len(list_distinct(toks)) AS n_distinct
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+""",
+    tags=("scalar", "array"),
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery over tokenized documents."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), "|"
+        ).alias("top5_sorted"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    oracle="""
+SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1
+""",
+    tags=("scalar", "json"),
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (get_json_object ≡ json_extract_string)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4)))
+            OVER (PARTITION BY o_custkey ORDER BY day_num
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS spend_30d
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num
+    FROM orders
+)
+""",
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (30-day trailing spend). RANGE includes all peers, so
+    ties need no breaker — deterministic by construction."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "day_num",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@register(
+    "correlated_small_quantity",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem,
+     (SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a
+WHERE l_partkey = pk AND l_quantity < 0.5 * avg_qty
+""",
+    tags=("subquery", "join", "tpch"),
+)
+def correlated_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated aggregate, decorrelated into a self-join
+    on the per-part average (what Catalyst does to the subquery form)."""
+    li = load(spark, sf_dir, "lineitem")
+    avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(F.broadcast(avg), li.l_partkey == avg.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            ),
+        )
+    )
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+    tags=("setop",),
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # approximate sketches differ across engines → rows-only
+    tags=("agg", "approx"),
+    bench=True,
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (sketch values are
+    engine-specific — the local test checks the 5% error envelope
+    against the exact count instead of the oracle)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

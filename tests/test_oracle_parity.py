@@ -88,3 +88,13 @@ def test_registry_consistency():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_approx_distinct_error_envelope(spark):
+    """approx_count_distinct must land within its configured 2% rsd (checked
+    at 5% to be safe) of the exact count."""
+    df = SPECS["approx_distinct_parts"].spark(spark, SF_DIR).toPandas()
+    for _, row in df.iterrows():
+        assert abs(row.approx_parts - row.exact_parts) <= max(
+            0.05 * row.exact_parts, 2
+        )

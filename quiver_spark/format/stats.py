@@ -1,0 +1,208 @@
+"""Per-page min/max/null-count statistics — the engine-side zone-map
+extension over the reference format.
+
+The reference persists NO statistics (PageMeta is only {length, num_values},
+src/lib.rs:75-80; src/stat.rs is a diagnostic, nothing stored), so predicate
+pushdown is impossible on bare files. We keep the data file byte-layout
+untouched and write a sidecar `<file>.stats.json` next to each `.quiver`
+file. Readers that don't know about the sidecar still work; readers that do
+prune page ranges before scheduling partitions — at 100 TB this is the
+difference between scanning everything and scanning the pages a selective
+predicate touches (same role as parquet row-group stats + zone maps).
+
+Stored domains are chosen so JSON round-trips exactly and comparisons are
+branch-free:
+- integers / floats: JSON numbers (pages containing NaN get null stats)
+- booleans: JSON booleans
+- strings: min is a 64-char prefix (a valid lower bound even when
+  truncated); max is null when truncation would break the upper bound
+- date32/date64/timestamp/time/duration: the PHYSICAL int (days / millis /
+  unit ticks) — filter values are converted to the same physical domain
+- binary / nested / other: no stats (null entries, never pruned)
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STATS_SUFFIX = ".stats.json"
+STATS_VERSION = 1
+_STR_CAP = 64
+
+_EPOCH = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
+
+#: ticks per second for timestamp/time units
+_UNIT_SCALE = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+
+def _physical_int_type(t: pa.DataType) -> pa.DataType | None:
+    """The int type whose values equal the temporal type's physical ticks."""
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return pa.int32()
+    if (
+        pa.types.is_date64(t)
+        or pa.types.is_time64(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_duration(t)
+    ):
+        return pa.int64()
+    return None
+
+
+def supports_stats(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or _physical_int_type(t) is not None
+    )
+
+
+def page_stats(arr: pa.Array) -> tuple[object, object, int]:
+    """(min, max, null_count) for one page in the JSON-stable domain;
+    (None, None, nulls) when unsupported/unavailable."""
+    t = arr.type
+    nulls = arr.null_count
+    if nulls == len(arr) or len(arr) == 0 or not supports_stats(t):
+        return None, None, nulls
+    phys = _physical_int_type(t)
+    if phys is not None:
+        arr = arr.view(phys)
+    mm = pc.min_max(arr)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if isinstance(lo, float) and (math.isnan(lo) or math.isnan(hi)):
+        return None, None, nulls
+    if isinstance(lo, str):
+        lo = lo[:_STR_CAP]
+        hi = None if len(hi) > _STR_CAP else hi
+    return lo, hi, nulls
+
+
+def build_file_stats(
+    per_column: dict[str, list[tuple[object, object, int]]],
+    page_rows: list[int],
+) -> dict:
+    return {
+        "version": STATS_VERSION,
+        "page_rows": page_rows,
+        "columns": {
+            name: {
+                "min": [s[0] for s in stats],
+                "max": [s[1] for s in stats],
+                "nulls": [s[2] for s in stats],
+            }
+            for name, stats in per_column.items()
+        },
+    }
+
+
+def write_sidecar(data_path: str, stats: dict) -> None:
+    with open(data_path + STATS_SUFFIX, "w") as f:
+        json.dump(stats, f)
+
+
+def load_sidecar(data_path: str) -> dict | None:
+    p = data_path + STATS_SUFFIX
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            stats = json.load(f)
+        return stats if stats.get("version") == STATS_VERSION else None
+    except (OSError, ValueError):
+        return None
+
+
+def to_physical(value, t: pa.DataType):
+    """Convert a filter value from Spark's Python domain into the sidecar's
+    stored domain. Returns NotImplemented when un-convertible (no pruning)."""
+    if value is None:
+        return NotImplemented
+    if pa.types.is_date32(t):
+        if isinstance(value, datetime.date) and not isinstance(
+            value, datetime.datetime
+        ):
+            return (value - _EPOCH).days
+        return NotImplemented
+    if pa.types.is_timestamp(t):
+        if isinstance(value, datetime.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            delta = value - _EPOCH_DT
+            micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            scale = _UNIT_SCALE[t.unit]
+            return micros * scale // 1_000_000
+        return NotImplemented
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return NotImplemented
+        return value
+    if pa.types.is_boolean(t):
+        return value if isinstance(value, bool) else NotImplemented
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return value if isinstance(value, str) else NotImplemented
+    return NotImplemented
+
+
+def _cmp_ok(a, b) -> bool:
+    """Comparable under the stored domain (numbers with numbers, etc.)."""
+    num = (int, float)
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return type(a) is type(b)
+
+
+def page_may_match(op: str, value, lo, hi, nulls: int, num_values: int) -> bool:
+    """Conservative page predicate: False ONLY when no row can satisfy the
+    filter. `value` is already in the stored domain.
+
+    String max may be None (truncated) — upper-bound checks then pass."""
+    if op == "isnull":
+        return nulls > 0
+    if op == "isnotnull":
+        return nulls < num_values
+    # value comparisons are null-rejecting: an all-null page never matches
+    if nulls >= num_values:
+        return False
+    if lo is None:
+        return True  # no stats for this page
+    if op == "in":
+        for v in value:
+            if not _cmp_ok(v, lo):
+                return True
+            if v >= lo and (hi is None or v <= hi):
+                return True
+        return False
+    if not _cmp_ok(value, lo):
+        return True
+    if op == "eq":
+        return value >= lo and (hi is None or value <= hi)
+    if op == "gt":
+        return hi is None or hi > value
+    if op == "gte":
+        return hi is None or hi >= value
+    if op == "lt":
+        return lo < value
+    if op == "lte":
+        return lo <= value
+    if op == "startswith":
+        # page may hold a value in [value, next_prefix(value))
+        try:
+            prefix_hi = value[:-1] + chr(ord(value[-1]) + 1) if value else None
+        except ValueError:
+            prefix_hi = None
+        if prefix_hi is not None and lo >= prefix_hi:
+            return False
+        return hi is None or hi >= value
+    return True

@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from quiver_spark.format import codecs
+from quiver_spark.format import stats as stats_mod
 from quiver_spark.format.codecs import CodecOptions, encode_binary, encode_boolean, encode_numeric
 from quiver_spark.format.constants import EOS, MAGIC, NAME_TO_CODEC
 from quiver_spark.format.validity import encode_validity
@@ -33,6 +34,7 @@ class WriteOptions:
     compress_ratio: float | None = 2.0  # None → adaptive off (basic codec only)
     max_page_size: int = DEFAULT_PAGE_SIZE
     forbidden: tuple[str, ...] = ("patas",)  # patas decode lands later
+    page_stats: bool = True  # per-page min/max sidecar (engine extension)
 
     def codec_options(self) -> CodecOptions:
         return CodecOptions(
@@ -128,6 +130,8 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
     page_size = min(options.max_page_size, n) if n else options.max_page_size
 
     metas: list[tuple[int, list[tuple[int, int]]]] = []
+    col_stats: dict[str, list[tuple[object, object, int]]] = {}
+    page_rows: list[int] = []
     with open(path, "wb") as f:
         f.write(MAGIC)
         offset = len(MAGIC)
@@ -139,6 +143,8 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
                 arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=field_.type)
             col_offset = offset
             pages: list[tuple[int, int]] = []
+            want_stats = options.page_stats and stats_mod.supports_stats(field_.type)
+            stats_rows: list[tuple[object, object, int]] = []
             for start in range(0, max(n, 1), max(page_size, 1)):
                 if n == 0 and start > 0:
                     break
@@ -147,9 +153,15 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
                 page_bytes = encode_leaf_page(page_arr, field_.nullable, copts)
                 f.write(page_bytes)
                 pages.append((len(page_bytes), length))
+                if want_stats:
+                    stats_rows.append(stats_mod.page_stats(page_arr))
                 offset += len(page_bytes)
                 if n == 0:
                     break
+            if ci == 0:
+                page_rows = [p[1] for p in pages]
+            if want_stats:
+                col_stats[field_.name] = stats_rows
             metas.append((col_offset, pages))
 
         # footer: schema IPC bytes
@@ -166,6 +178,10 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
         f.write(meta)
         f.write(struct.pack("<II", len(schema_bytes), len(meta)))
         f.write(EOS)
+    if options.page_stats and col_stats:
+        stats_mod.write_sidecar(
+            path, stats_mod.build_file_stats(col_stats, page_rows)
+        )
     return {
         table.schema.field(i).name: metas[i][1] for i in range(table.num_columns)
     }

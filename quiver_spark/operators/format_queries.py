@@ -22,19 +22,31 @@ CACHE_ROOT = "/tmp/quiver_cache"
 
 
 def quiver_table(
-    spark: SparkSession, sf_dir: str, name: str, codec: str = "lz4"
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    codec: str = "lz4",
+    sort_by: str | None = None,
 ) -> DataFrame:
     """Load a testdata table through the quiver format (converting parquet →
-    quiver once per sf/table/codec)."""
+    quiver once per sf/table/codec).
+
+    ``sort_by`` clusters rows on a column before writing so the per-page
+    min/max sidecar (format/stats.py) gives disjoint page ranges — the
+    scale-out pattern for zone-map pruning: sort on the hot predicate column
+    at ingest, and selective scans touch only matching pages."""
     register_format(spark)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(CACHE_ROOT, tag, f"{name}-{codec}")
+    suffix = f"-s_{sort_by}" if sort_by else ""
+    d = os.path.join(CACHE_ROOT, tag, f"{name}-{codec}{suffix}")
     marker = os.path.join(d, "_done")
     if not os.path.exists(marker):
         from quiver_spark.format.writer import WriteOptions, write_table
 
         os.makedirs(d, exist_ok=True)
         t = pq.read_table(f"{sf_dir}/{name}.parquet")
+        if sort_by:
+            t = t.sort_by(sort_by)
         write_table(
             t,
             os.path.join(d, "part-0.quiver"),
@@ -126,6 +138,35 @@ def quiver_adaptive_zstd_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(F.sum(revenue()).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "quiver_pruned_date_scan",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       COUNT(*) AS cnt
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_returnflag
+""",
+    tags=("format", "scan", "pushdown"),
+)
+def quiver_pruned_date_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective date-range scan over lineitem CLUSTERED on l_shipdate:
+    the pushed filter prunes non-matching pages via the min/max sidecar
+    before any partition is scheduled (zone-map pattern; the reference
+    format itself stores no stats — src/lib.rs:75-80 — this is the
+    engine-side extension of SURVEY §4)."""
+    li = quiver_table(spark, sf_dir, "lineitem", sort_by="l_shipdate")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )

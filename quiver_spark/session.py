@@ -29,6 +29,8 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let Python DataSources receive pushed filters (quiver page pruning).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -97,7 +97,9 @@ class QuiverDataSource(DataSource):
         if not path:
             raise ValueError("quiver datasource requires a path")
         if overwrite and os.path.isdir(path):
-            for f in glob.glob(os.path.join(path, "*.quiver")):
+            for f in glob.glob(os.path.join(path, "*.quiver")) + glob.glob(
+                os.path.join(path, "*.quiver.stats.json")
+            ):
                 os.remove(f)
         os.makedirs(path, exist_ok=True)
         return QuiverWriter(self.options)
@@ -133,6 +135,20 @@ def _spark_schema(schema):
     return pa.schema([_spark_field(f) for f in schema])
 
 
+#: pushed-filter → (op tag used by stats.page_may_match, has value)
+_FILTER_OPS = {
+    "EqualTo": "eq",
+    "GreaterThan": "gt",
+    "GreaterThanOrEqual": "gte",
+    "LessThan": "lt",
+    "LessThanOrEqual": "lte",
+    "In": "in",
+    "IsNull": "isnull",
+    "IsNotNull": "isnotnull",
+    "StringStartsWith": "startswith",
+}
+
+
 class QuiverScanReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.options = options
@@ -144,6 +160,73 @@ class QuiverScanReader(DataSourceReader):
         self.partition_rows = int(
             options.get("partition_rows", DEFAULT_PARTITION_ROWS)
         )
+        # (column, op, physical value) predicates usable for page pruning
+        self._prune_filters: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        """Collect zone-map-usable filters for page pruning. Every filter is
+        returned (Spark re-applies them row-level) because pruning is
+        page-granular — the same contract as parquet row-group stats."""
+        from quiver_spark.format import stats as stats_mod
+        from quiver_spark.format.reader import infer_schema
+
+        files = _list_files(self.path)
+        arrow_schema = None
+        if files and os.path.exists(files[0]):
+            with open(files[0], "rb") as f:
+                arrow_schema = infer_schema(f)
+        for flt in filters:
+            op = _FILTER_OPS.get(type(flt).__name__)
+            attr = getattr(flt, "attribute", None)
+            if (
+                op is None
+                or arrow_schema is None
+                or attr is None
+                or len(attr) != 1
+                or attr[0] not in arrow_schema.names
+            ):
+                continue
+            col = attr[0]
+            t = arrow_schema.field(arrow_schema.names.index(col)).type
+            if op in ("isnull", "isnotnull"):
+                self._prune_filters.append((col, op, None))
+            elif op == "in":
+                vals = [stats_mod.to_physical(v, t) for v in flt.value]
+                if all(v is not NotImplemented for v in vals) and vals:
+                    self._prune_filters.append((col, op, vals))
+            else:
+                v = stats_mod.to_physical(flt.value, t)
+                if v is not NotImplemented:
+                    self._prune_filters.append((col, op, v))
+        # every filter is "unsupported" for exact evaluation → Spark keeps
+        # the row-level Filter; we only used them to prune pages
+        return list(filters)
+
+    def _page_keep_mask(self, file: str, n_pages: int) -> list[bool]:
+        """Evaluate pruning predicates against the file's stats sidecar."""
+        from quiver_spark.format import stats as stats_mod
+
+        keep = [True] * n_pages
+        if not self._prune_filters:
+            return keep
+        sidecar = stats_mod.load_sidecar(file)
+        if sidecar is None:
+            return keep
+        cols = sidecar.get("columns", {})
+        page_rows = sidecar.get("page_rows", [])
+        if len(page_rows) != n_pages:
+            return keep
+        for col, op, value in self._prune_filters:
+            st = cols.get(col)
+            if st is None or len(st.get("min", [])) != n_pages:
+                continue
+            lo_, hi_, nulls_ = st["min"], st["max"], st["nulls"]
+            for i in range(n_pages):
+                if keep[i] and not stats_mod.page_may_match(
+                    op, value, lo_[i], hi_[i], nulls_[i], page_rows[i]
+                ):
+                    keep[i] = False
+        return keep
 
     def partitions(self):
         from quiver_spark.format.reader import read_meta
@@ -155,18 +238,26 @@ class QuiverScanReader(DataSourceReader):
             if not metas or not metas[0].pages:
                 continue
             pages = metas[0].pages
-            start = 0
+            keep = self._page_keep_mask(file, len(pages))
+            start = None
             rows = 0
             for i, p in enumerate(pages):
+                if not keep[i]:
+                    if start is not None:
+                        parts.append(QuiverPartition(file, start, i))
+                        start, rows = None, 0
+                    continue
+                if start is None:
+                    start = i
                 rows += p.num_values
                 if rows >= self.partition_rows:
                     parts.append(QuiverPartition(file, start, i + 1))
-                    start, rows = i + 1, 0
-            if start < len(pages):
+                    start, rows = None, 0
+            if start is not None:
                 parts.append(QuiverPartition(file, start, len(pages)))
         if not parts:
-            # empty dataset: single no-op partition so Spark gets a schema'd
-            # empty result
+            # empty / fully-pruned dataset: single no-op partition so Spark
+            # gets a schema'd empty result
             files = _list_files(self.path)
             parts.append(QuiverPartition(files[0], 0, 0))
         return parts
@@ -186,7 +277,15 @@ class QuiverScanReader(DataSourceReader):
             names = self.columns if self.columns is not None else schema.names
             if partition.page_end <= partition.page_start:
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array([], type=schema.field(schema.names.index(n)).type) for n in names],
+                    [
+                        pa.array(
+                            [],
+                            type=_spark_field(
+                                schema.field(schema.names.index(n))
+                            ).type,
+                        )
+                        for n in names
+                    ],
                     names=names,
                 )
                 return
@@ -238,6 +337,7 @@ class QuiverWriter(DataSourceArrowWriter):
         self.forbidden = tuple(
             x.strip() for x in forbidden.split(",") if x.strip()
         )
+        self.page_stats = options.get("page_stats", "true").lower() != "false"
 
     def write(self, iterator) -> QuiverCommit:
         """One task → one or more .quiver files (a file is one row group,
@@ -251,6 +351,7 @@ class QuiverWriter(DataSourceArrowWriter):
             compress_ratio=self.compress_ratio,
             max_page_size=self.max_page_size,
             forbidden=self.forbidden,
+            page_stats=self.page_stats,
         )
         buffer: list[pa.RecordBatch] = []
         rows = 0
@@ -320,4 +421,10 @@ def register(spark) -> None:
                 zf.write(full, os.path.relpath(full, pkg_dir))
     spark.sparkContext.addPyFile(zip_path)
     spark.dataSource.register(QuiverDataSource)
+    try:
+        # our reader implements pushFilters, which Spark refuses to plan
+        # unless this conf is on — required for ANY session reading quiver
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     _REGISTERED_SESSIONS.add(key)

@@ -96,6 +96,73 @@ def test_spark_write_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_page_pruning_sorted_column(spark, tmp_path):
+    """A selective predicate on a sort-clustered column prunes pages before
+    partitions are scheduled, and results still match exactly."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from quiver_spark.sources.quiver_datasource import QuiverScanReader
+
+    d = tmp_path / "li_sorted"
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet").sort_by("l_orderkey")
+    write_table(t, str(d / "part-0.quiver"), WriteOptions(max_page_size=500))
+    register(spark)
+
+    # driver-side: the pruning mask shrinks the partition list
+    opts = {"path": str(d), "partition_rows": "500"}
+    r_all = QuiverScanReader(dict(opts), None)
+    n_all = len(r_all.partitions())
+    r_f = QuiverScanReader(dict(opts), None)
+    r_f.pushFilters([LessThan(("l_orderkey",), 100)])
+    n_f = len(r_f.partitions())
+    assert n_f < n_all
+    # page ranges shrink too (not just partition grouping)
+    pages_f = sum(p.page_end - p.page_start for p in r_f.partitions())
+    pages_all = sum(p.page_end - p.page_start for p in r_all.partitions())
+    assert pages_f < pages_all
+
+    # end-to-end equality vs parquet for several pushable predicates
+    q = spark.read.format("quiver").load(str(d))
+    p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for cond in [
+        "l_orderkey < 100",
+        "l_orderkey >= 5900",
+        "l_orderkey = 42",
+        "l_orderkey IN (1, 2, 5999)",
+        "l_returnflag = 'R' AND l_orderkey < 500",
+    ]:
+        assert q.filter(cond).count() == p.filter(cond).count(), cond
+
+
+def test_pruning_with_date_filter(spark, tmp_path):
+    d = tmp_path / "li_by_date"
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet").sort_by("l_shipdate")
+    write_table(t, str(d / "part-0.quiver"), WriteOptions(max_page_size=500))
+    register(spark)
+    q = spark.read.format("quiver").load(str(d))
+    p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cond = "l_shipdate >= timestamp'1998-01-01'"
+    assert q.filter(cond).count() == p.filter(cond).count()
+
+
+def test_scan_without_sidecar_still_works(spark, tmp_path):
+    """Deleting the stats sidecar must only disable pruning, never break
+    the scan."""
+    d = tmp_path / "li_nostats"
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    write_table(t, str(d / "part-0.quiver"), WriteOptions(page_stats=False))
+    assert not os.path.exists(str(d / "part-0.quiver.stats.json"))
+    register(spark)
+    q = spark.read.format("quiver").load(str(d))
+    p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    assert q.filter("l_orderkey < 100").count() == p.filter(
+        "l_orderkey < 100"
+    ).count()
+
+
 def test_spark_write_adaptive_options(spark, tmp_path):
     register(spark)
     p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")

@@ -107,6 +107,25 @@ def _basic_decompress(codec: int, buf: memoryview, usize: int) -> bytes:
     return pa.decompress(bytes(buf), decompressed_size=usize, codec=_PA_CODEC[codec], asbytes=True)
 
 
+def encode_raw(raw: bytes, opts: CodecOptions) -> bytes:
+    """Fixed-width opaque values (decimal128 as Int128 leaves, §1.3): one
+    basic-codec frame over the raw little-endian buffer. The typed integer
+    cascade for Int128 is unreachable from this writer (numpy has no
+    int128); readers only ever see basic codecs for these leaves."""
+    codec = opts.default_codec if opts.default_codec in BASIC_CODECS else CODEC_LZ4
+    payload = _basic_compress(codec, raw)
+    if len(payload) >= len(raw):
+        codec, payload = CODEC_NONE, raw
+    return _frame(codec, payload, len(raw))
+
+
+def decode_raw(cur: Cursor, usize_expected: int) -> bytes:
+    (codec, csize, usize) = struct.unpack_from("<BII", cur.buf, cur.pos)
+    cur.pos += 9
+    payload = cur.take(csize)
+    return _basic_decompress(codec, payload, usize)
+
+
 def _ffill(values: np.ndarray, valid: np.ndarray | None) -> np.ndarray:
     """Nulls take the previous value (leading nulls take the type default),
     which is exactly the RLE/Dict null semantics of the reference."""

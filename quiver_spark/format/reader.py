@@ -20,11 +20,13 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
+from quiver_spark.format import nested as nested_mod
 from quiver_spark.format.codecs import (
     Cursor,
     decode_binary,
     decode_boolean,
     decode_numeric,
+    decode_raw,
 )
 from quiver_spark.format.validity import decode_validity
 from quiver_spark.format.writer import _physical_dtype
@@ -80,28 +82,8 @@ def infer_schema(f) -> pa.Schema:
     return pa.ipc.read_schema(pa.py_buffer(schema_bytes))
 
 
-def decode_page(
-    buf: memoryview, num_values: int, field: pa.Field
-) -> pa.Array:
-    """One page's bytes → pyarrow Array of the field's type."""
-    t = field.type
-    pos = 0
-    valid = None
-    if field.nullable:
-        valid, consumed = decode_validity(buf, num_values)
-        pos = consumed
-        if valid.all():
-            valid = None
-    cur = Cursor(buf, pos)
-
-    validity_buf = None
-    null_count = 0
-    if valid is not None:
-        null_count = int(num_values - valid.sum())
-        validity_buf = pa.py_buffer(
-            np.packbits(valid, bitorder="little").tobytes()
-        )
-
+def _decode_values(cur: Cursor, num_values: int, t: pa.DataType, validity_buf, null_count: int) -> pa.Array:
+    """Typed payload at cursor → flat pyarrow Array."""
     if pa.types.is_boolean(t):
         values = decode_boolean(cur, num_values)
         vbuf = pa.py_buffer(np.packbits(values, bitorder="little").tobytes())
@@ -120,16 +102,84 @@ def decode_page(
         return pa.Array.from_buffers(
             t, num_values, [validity_buf, obuf, vbuf], null_count
         )
+    if pa.types.is_decimal(t):
+        raw = decode_raw(cur, num_values * t.byte_width)
+        return pa.Array.from_buffers(
+            t, num_values, [validity_buf, pa.py_buffer(raw)], null_count
+        )
     dtype, _is_double = _physical_dtype(t)
     values = decode_numeric(cur, num_values, dtype)
     vbuf = pa.py_buffer(np.ascontiguousarray(values).tobytes())
     return pa.Array.from_buffers(t, num_values, [validity_buf, vbuf], null_count)
 
 
-def read_column_pages(
-    f, meta: ColumnMeta, field: pa.Field, page_start: int, page_end: int
-) -> list[pa.Array]:
-    """Decode pages [page_start, page_end) of one column (one seek+read)."""
+def decode_page(
+    buf: memoryview, num_values: int, field: pa.Field
+) -> pa.Array:
+    """One flat page's bytes → pyarrow Array of the field's type."""
+    pos = 0
+    valid = None
+    if field.nullable:
+        valid, consumed = decode_validity(buf, num_values)
+        pos = consumed
+        if valid.all():
+            valid = None
+    cur = Cursor(buf, pos)
+
+    validity_buf = None
+    null_count = 0
+    if valid is not None:
+        null_count = int(num_values - valid.sum())
+        validity_buf = pa.py_buffer(
+            np.packbits(valid, bitorder="little").tobytes()
+        )
+    return _decode_values(cur, num_values, field.type, validity_buf, null_count)
+
+
+def decode_nested_page(
+    leaf_bufs: list[memoryview], field: pa.Field
+) -> pa.Array:
+    """All leaves' bytes of one nested-column page → assembled Array."""
+    specs = nested_mod.leaf_specs(field)
+    leaves: list[nested_mod.Leaf] = []
+    for buf, (max_rep, max_def, leaf_t) in zip(leaf_bufs, specs):
+        n_slots, rep_len, def_len = struct.unpack_from("<III", buf, 0)
+        pos = 12
+        rep = nested_mod.decode_levels(
+            buf[pos : pos + rep_len], n_slots, nested_mod.bits_for(max_rep)
+        )
+        pos += rep_len
+        def_ = nested_mod.decode_levels(
+            buf[pos : pos + def_len], n_slots, nested_mod.bits_for(max_def)
+        )
+        pos += def_len
+        n_present = int((def_ >= max_def).sum())
+        values = _decode_values(Cursor(buf, pos), n_present, leaf_t, None, 0)
+        leaves.append(
+            nested_mod.Leaf(
+                rep=rep, def_=def_, values=values,
+                max_rep=max_rep, max_def=max_def, type=leaf_t,
+            )
+        )
+    return nested_mod.assemble(field, leaves)
+
+
+def column_leaf_ranges(schema: pa.Schema) -> list[tuple[int, int]]:
+    """Per top-level column: (first leaf meta index, leaf count)."""
+    out = []
+    pos = 0
+    for i in range(len(schema)):
+        t = schema.field(i).type
+        cnt = nested_mod.count_leaves(t) if nested_mod.is_nested_type(t) else 1
+        out.append((pos, cnt))
+        pos += cnt
+    return out
+
+
+def _read_leaf_bytes(
+    f, meta: ColumnMeta, page_start: int, page_end: int
+) -> list[memoryview]:
+    """Raw bytes of pages [page_start, page_end) of one leaf (one seek)."""
     offs = meta.page_offsets()
     f.seek(int(offs[page_start]))
     buf = memoryview(f.read(int(offs[page_end] - offs[page_start])))
@@ -137,9 +187,34 @@ def read_column_pages(
     pos = 0
     for p in range(page_start, page_end):
         pm = meta.pages[p]
-        out.append(decode_page(buf[pos : pos + pm.length], pm.num_values, field))
+        out.append(buf[pos : pos + pm.length])
         pos += pm.length
     return out
+
+
+def read_column_pages(
+    f,
+    leaf_metas: list[ColumnMeta],
+    field: pa.Field,
+    page_start: int,
+    page_end: int,
+) -> list[pa.Array]:
+    """Decode pages [page_start, page_end) of one column (flat: one leaf;
+    nested: all the column's leaves zipped per page)."""
+    if not nested_mod.is_nested_type(field.type):
+        meta = leaf_metas[0]
+        bufs = _read_leaf_bytes(f, meta, page_start, page_end)
+        return [
+            decode_page(b, meta.pages[page_start + i].num_values, field)
+            for i, b in enumerate(bufs)
+        ]
+    per_leaf = [
+        _read_leaf_bytes(f, m, page_start, page_end) for m in leaf_metas
+    ]
+    return [
+        decode_nested_page([pl[p] for pl in per_leaf], field)
+        for p in range(page_end - page_start)
+    ]
 
 
 def read_table(
@@ -153,15 +228,17 @@ def read_table(
         schema = infer_schema(f)
         metas = read_meta(f)
         names = schema.names
+        ranges = column_leaf_ranges(schema)
         sel = columns if columns is not None else names
         arrays = []
         fields = []
         for name in sel:
             ci = names.index(name)
             field = schema.field(ci)
-            meta = metas[ci]
-            pe = page_end if page_end is not None else len(meta.pages)
-            pages = read_column_pages(f, meta, field, page_start, pe)
+            lo, cnt = ranges[ci]
+            leaf_metas = metas[lo : lo + cnt]
+            pe = page_end if page_end is not None else len(leaf_metas[0].pages)
+            pages = read_column_pages(f, leaf_metas, field, page_start, pe)
             if not pages:
                 arrays.append(pa.chunked_array([], type=field.type))
             else:

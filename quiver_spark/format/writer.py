@@ -5,10 +5,17 @@ magic, contiguous per-leaf pages, footer (schema IPC | meta | sizes | EOS).
 One file holds exactly one row group (writer.rs:107-112); callers with more
 data write more files (that is also the Spark-native unit of parallelism).
 
-Round-1 type surface: flat primitives (ints, floats, bool, string/binary,
-date/timestamp as their physical ints). Nested types (list/struct/map) and
-decimals land with the rep/def-level machinery in a later round — the page
-and footer layout already accommodates them (multiple leaves per field).
+Type surface: flat primitives (ints, floats, bool, string/binary,
+date/timestamp as their physical ints), decimal128/256 (raw basic-codec
+frames — numpy has no int128 so the reference's Int128 integer cascade is
+write-unreachable, §1.3), and nested list/large_list/fixed_size_list/
+struct/map via Dremel rep/def levels (nested.py), one ColumnMeta per
+parquet leaf exactly like the reference (src/write/common.rs:66-68).
+
+Engine extension beyond the reference: PageMeta.num_values always holds the
+page's TOP-LEVEL row count (for nested leaves the slot count lives in the
+page prefix), keeping page-range split planning uniform; and a per-page
+min/max sidecar (stats.py) for zone-map pruning.
 """
 
 from __future__ import annotations
@@ -20,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from quiver_spark.format import codecs
+from quiver_spark.format import nested as nested_mod
 from quiver_spark.format import stats as stats_mod
 from quiver_spark.format.codecs import CodecOptions, encode_binary, encode_boolean, encode_numeric
 from quiver_spark.format.constants import EOS, MAGIC, NAME_TO_CODEC
@@ -91,9 +99,34 @@ def _bool_np(arr: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
     return values, valid
 
 
-def encode_leaf_page(arr: pa.Array, nullable: bool, copts: CodecOptions) -> bytes:
-    """One page: optional validity prefix + typed payload."""
+def _encode_values(arr: pa.Array, copts: CodecOptions) -> bytes:
+    """Typed cascade over a flat array's values (no validity prefix)."""
     t = arr.type
+    if pa.types.is_boolean(t):
+        values, valid = _bool_np(arr)
+        return encode_boolean(values, valid, copts)
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_large_binary(t)
+    ):
+        width = 8 if (pa.types.is_large_string(t) or pa.types.is_large_binary(t)) else 4
+        return encode_binary(arr, copts, width)
+    if pa.types.is_decimal(t):
+        width = t.byte_width  # 16 for decimal128, 32 for decimal256
+        bufs = arr.buffers()
+        raw = memoryview(bufs[1])[
+            arr.offset * width : (arr.offset + len(arr)) * width
+        ]
+        return codecs.encode_raw(bytes(raw), copts)
+    dtype, is_double = _physical_dtype(t)
+    values, valid = _prim_np(arr, dtype)
+    return encode_numeric(values, valid, copts, is_double)
+
+
+def encode_leaf_page(arr: pa.Array, nullable: bool, copts: CodecOptions) -> bytes:
+    """One flat page: optional validity prefix + typed payload."""
     out = bytearray()
     if nullable:
         import pyarrow.compute as pc
@@ -101,23 +134,29 @@ def encode_leaf_page(arr: pa.Array, nullable: bool, copts: CodecOptions) -> byte
         valid = np.asarray(pc.is_valid(arr)) if arr.null_count else None
         v = encode_validity(valid, len(arr))
         out += struct.pack("<I", len(v)) + v
-
-    if pa.types.is_boolean(t):
-        values, valid = _bool_np(arr)
-        out += encode_boolean(values, valid, copts)
-    elif (
-        pa.types.is_string(t)
-        or pa.types.is_binary(t)
-        or pa.types.is_large_string(t)
-        or pa.types.is_large_binary(t)
-    ):
-        width = 8 if (pa.types.is_large_string(t) or pa.types.is_large_binary(t)) else 4
-        out += encode_binary(arr, copts, width)
-    else:
-        dtype, is_double = _physical_dtype(t)
-        values, valid = _prim_np(arr, dtype)
-        out += encode_numeric(values, valid, copts, is_double)
+    out += _encode_values(arr, copts)
     return bytes(out)
+
+
+def encode_nested_pages(
+    arr: pa.Array, field: pa.Field, copts: CodecOptions
+) -> list[bytes]:
+    """One nested-column page, all leaves: shred the page's rows and emit
+    per-leaf `n_slots u32 | rep_len u32 | def_len u32 | rep | def | values`
+    (the reference nested layout, write_nested_validity at
+    src/write/serialize.rs:217-232; levels hybrid-RLE bitpacked)."""
+    leaves = nested_mod.shred(arr, field)
+    out = []
+    for lf in leaves:
+        rep_b = nested_mod.encode_levels(lf.rep, nested_mod.bits_for(lf.max_rep))
+        def_b = nested_mod.encode_levels(lf.def_, nested_mod.bits_for(lf.max_def))
+        page = bytearray()
+        page += struct.pack("<III", len(lf.rep), len(rep_b), len(def_b))
+        page += rep_b
+        page += def_b
+        page += _encode_values(lf.values, copts)
+        out.append(bytes(page))
+    return out
 
 
 def write_table(table: pa.Table, path: str, options: WriteOptions | None = None) -> dict:
@@ -141,28 +180,49 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=field_.type)
-            col_offset = offset
-            pages: list[tuple[int, int]] = []
+            is_nested = nested_mod.is_nested_type(field_.type)
+            n_leaves = nested_mod.count_leaves(field_.type) if is_nested else 1
+            # per-leaf buffered pages: leaves of a column are laid out
+            # contiguously leaf-by-leaf (one ColumnMeta per parquet leaf,
+            # src/lib.rs:40-43)
+            leaf_pages: list[list[bytes]] = [[] for _ in range(n_leaves)]
             want_stats = options.page_stats and stats_mod.supports_stats(field_.type)
             stats_rows: list[tuple[object, object, int]] = []
+            rows_per_page: list[int] = []
             for start in range(0, max(n, 1), max(page_size, 1)):
                 if n == 0 and start > 0:
                     break
                 length = min(page_size, n - start) if n else 0
                 page_arr = arr.slice(start, length)
-                page_bytes = encode_leaf_page(page_arr, field_.nullable, copts)
-                f.write(page_bytes)
-                pages.append((len(page_bytes), length))
+                if is_nested:
+                    for li, pb in enumerate(
+                        encode_nested_pages(page_arr, field_, copts)
+                    ):
+                        leaf_pages[li].append(pb)
+                else:
+                    leaf_pages[0].append(
+                        encode_leaf_page(page_arr, field_.nullable, copts)
+                    )
+                rows_per_page.append(length)
                 if want_stats:
                     stats_rows.append(stats_mod.page_stats(page_arr))
-                offset += len(page_bytes)
                 if n == 0:
                     break
+            for li in range(n_leaves):
+                col_offset = offset
+                pages: list[tuple[int, int]] = []
+                for pi, pb in enumerate(leaf_pages[li]):
+                    f.write(pb)
+                    # num_values = top-level ROWS of the page for every leaf
+                    # (slot counts live in the nested page prefix) — keeps
+                    # split planning uniform across flat and nested columns
+                    pages.append((len(pb), rows_per_page[pi]))
+                    offset += len(pb)
+                metas.append((col_offset, pages))
             if ci == 0:
-                page_rows = [p[1] for p in pages]
+                page_rows = rows_per_page
             if want_stats:
                 col_stats[field_.name] = stats_rows
-            metas.append((col_offset, pages))
 
         # footer: schema IPC bytes
         schema_bytes = table.schema.serialize().to_pybytes()
@@ -182,6 +242,12 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
         stats_mod.write_sidecar(
             path, stats_mod.build_file_stats(col_stats, page_rows)
         )
-    return {
-        table.schema.field(i).name: metas[i][1] for i in range(table.num_columns)
-    }
+    out: dict[str, list[tuple[int, int]]] = {}
+    li = 0
+    for i in range(table.num_columns):
+        field_ = table.schema.field(i)
+        out[field_.name] = metas[li][1]
+        li += nested_mod.count_leaves(field_.type) if nested_mod.is_nested_type(
+            field_.type
+        ) else 1
+    return out

@@ -173,6 +173,42 @@ def quiver_pruned_date_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quiver_scan_embeddings",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(len(embedding)) AS BIGINT) AS total_dims,
+       CAST(SUM(
+           (SELECT SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                       * CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+            FROM unnest(embedding) AS t(x))
+       ) AS BIGINT) AS inorm_sum
+FROM embeddings
+GROUP BY label
+""",
+    tags=("format", "scan", "nested"),
+)
+def quiver_scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED column (embedding list<float>) through the quiver format's
+    Dremel rep/def path (format/nested.py): per-label counts and exact
+    integer-quantized norm sums over the quiver scan, oracled against the
+    parquet original."""
+    from quiver_spark.functions import int_vec
+
+    e = quiver_table(spark, sf_dir, "embeddings")
+    iv = e.select("label", F.size("embedding").alias("dims"), int_vec("embedding").alias("iv"))
+    return iv.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dims").cast("bigint").alias("total_dims"),
+        F.sum(
+            F.aggregate(
+                "iv", F.lit(0).cast("bigint"), lambda a, x: a + x * x
+            )
+        ).cast("bigint").alias("inorm_sum"),
+    )
+
+
+@register(
     "quiver_scan_documents",
     oracle="""
 SELECT lang, COUNT(*) AS docs,

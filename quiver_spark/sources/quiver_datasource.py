@@ -266,6 +266,7 @@ class QuiverScanReader(DataSourceReader):
         import pyarrow as pa
 
         from quiver_spark.format.reader import (
+            column_leaf_ranges,
             infer_schema,
             read_column_pages,
             read_meta,
@@ -274,6 +275,7 @@ class QuiverScanReader(DataSourceReader):
         with open(partition.file, "rb") as f:
             schema = infer_schema(f)
             metas = read_meta(f)
+            leaf_ranges = column_leaf_ranges(schema)
             names = self.columns if self.columns is not None else schema.names
             if partition.page_end <= partition.page_start:
                 yield pa.RecordBatch.from_arrays(
@@ -293,11 +295,12 @@ class QuiverScanReader(DataSourceReader):
             fields = []
             for n in names:
                 ci = schema.names.index(n)
+                lo, cnt = leaf_ranges[ci]
                 fields.append(schema.field(ci))
                 per_col.append(
                     read_column_pages(
                         f,
-                        metas[ci],
+                        metas[lo : lo + cnt],
                         schema.field(ci),
                         partition.page_start,
                         partition.page_end,

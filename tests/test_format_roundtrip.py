@@ -147,3 +147,102 @@ def test_empty_strings_column_all_null(tmp_path):
     path = str(tmp_path / "t.quiver")
     write_table(t, path, WriteOptions())
     _assert_tables_equal(t, read_table(path))
+
+
+# ---------------------------------------------------------------------------
+# Nested types — the reference's nested matrix (tests/it/io.rs:167-278):
+# struct / list / map / list-of-list / list-of-struct / list-of-map /
+# struct-with-list, with random offsets and nulls.
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+_random.seed(42)
+
+
+def _rand_list(gen, max_len=4, null_p=0.15):
+    if _random.random() < null_p:
+        return None
+    return [gen() for _ in range(_random.randint(0, max_len))]
+
+
+def _nested_cases() -> dict[str, pa.Array]:
+    n = 800
+    gi = lambda: None if _random.random() < 0.2 else _random.randint(0, 99)
+    gs = lambda: None if _random.random() < 0.2 else _random.choice("abcdef") * _random.randint(0, 3)
+    return {
+        "struct": pa.array(
+            [None if _random.random() < 0.1 else {"a": gi(), "b": gs()} for _ in range(n)],
+            pa.struct([("a", pa.int64()), ("b", pa.string())]),
+        ),
+        "list": pa.array([_rand_list(gi) for _ in range(n)], pa.list_(pa.int64())),
+        "map": pa.array(
+            [None if _random.random() < 0.1 else [(f"k{j}", gi()) for j in range(_random.randint(0, 3))] for _ in range(n)],
+            pa.map_(pa.string(), pa.int64()),
+        ),
+        "list_of_list": pa.array(
+            [_rand_list(lambda: _rand_list(gi, 3)) for _ in range(n)],
+            pa.list_(pa.list_(pa.int64())),
+        ),
+        "list_of_struct": pa.array(
+            [_rand_list(lambda: {"a": gi(), "b": gs()}) for _ in range(n)],
+            pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        ),
+        "list_of_map": pa.array(
+            [_rand_list(lambda: [(f"k{j}", gi()) for j in range(_random.randint(0, 2))]) for _ in range(n)],
+            pa.list_(pa.map_(pa.string(), pa.int64())),
+        ),
+        "struct_with_list": pa.array(
+            [None if _random.random() < 0.1 else {"l": _rand_list(gi), "s": gs()} for _ in range(n)],
+            pa.struct([("l", pa.list_(pa.int64())), ("s", pa.string())]),
+        ),
+        "fixed_size_list": pa.array(
+            [None if _random.random() < 0.1 else [_random.random(), _random.random()] for _ in range(n)],
+            pa.list_(pa.float32(), 2),
+        ),
+    }
+
+
+@pytest.mark.parametrize("codec", ["lz4", "zstd"])
+def test_roundtrip_nested_matrix(tmp_path, codec):
+    cases = _nested_cases()
+    t = pa.table(cases)
+    path = str(tmp_path / "nested.quiver")
+    write_table(t, path, WriteOptions(default_codec=codec, max_page_size=100))
+    _assert_tables_equal(t, read_table(path))
+
+
+def test_roundtrip_nested_page_range(tmp_path):
+    t = pa.table(_nested_cases())
+    path = str(tmp_path / "nested.quiver")
+    write_table(t, path, WriteOptions(max_page_size=100))
+    part = read_table(path, columns=["list", "struct"], page_start=2, page_end=5)
+    expect = t.select(["list", "struct"]).slice(200, 300)
+    _assert_tables_equal(expect, part)
+
+
+def test_roundtrip_embeddings_table(tmp_path):
+    """Real nested testdata (embedding: list<float>) round-trips."""
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "emb.quiver")
+    write_table(t, path, WriteOptions(max_page_size=256))
+    _assert_tables_equal(t, read_table(path))
+
+
+def test_roundtrip_decimal128(tmp_path):
+    import decimal
+
+    t = pa.table(
+        {
+            "d": pa.array(
+                [None if i % 5 == 0 else decimal.Decimal(i * 7) / 100 for i in range(3000)],
+                pa.decimal128(20, 4),
+            ),
+            "d2": pa.array(
+                [decimal.Decimal(i) for i in range(3000)], pa.decimal128(38, 0)
+            ),
+        }
+    )
+    path = str(tmp_path / "dec.quiver")
+    write_table(t, path, WriteOptions(default_codec="zstd", max_page_size=512))
+    _assert_tables_equal(t, read_table(path))

@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
-from quiver_spark.format import bitpack, roaring
+from quiver_spark.format import bitpack, patas, roaring
 from quiver_spark.format.constants import (
     BASIC_CODECS,
     CODEC_BITPACKING,
@@ -45,6 +45,7 @@ from quiver_spark.format.constants import (
     CODEC_LZ4,
     CODEC_NONE,
     CODEC_ONE_VALUE,
+    CODEC_PATAS,
     CODEC_RLE,
     CODEC_SNAPPY,
     CODEC_ZSTD,
@@ -202,6 +203,8 @@ def encode_numeric(
         if CODEC_RLE not in opts.forbidden:
             rle_size = len(run_counts) * (4 + isize)
             cands.append((CODEC_RLE, total_bytes / max(rle_size, 1), (run_vals, run_counts)))
+        if is_double and CODEC_PATAS not in opts.forbidden and len(nn) > 1:
+            cands.append((CODEC_PATAS, patas.sample_ratio(bits), None))
         if not is_double and isize == 4 and n % 128 == 0 and n > 0:
             v32 = filled.view(np.uint32) if values.dtype != np.int32 else filled.astype(np.uint32, copy=False)
             raw_min = int(filled.view(np.int32).min()) if values.dtype == np.int32 else int(filled.min())
@@ -280,6 +283,10 @@ def encode_numeric(
         )
         return _frame(CODEC_FREQ, payload, total_bytes)
 
+    if best_codec == CODEC_PATAS:
+        payload = patas.encode(bits)
+        return _frame(CODEC_PATAS, payload, total_bytes)
+
     if best_codec == CODEC_BITPACKING:
         payload = bitpack.pack(filled.astype(np.uint32, copy=False))
         return _frame(CODEC_BITPACKING, payload, total_bytes)
@@ -339,7 +346,10 @@ def decode_numeric(cur: Cursor, length: int, dtype: np.dtype) -> np.ndarray:
         vals = bitpack.unpack_sorted(payload, ((length + 127) // 128) * 128, 0)[:length]
         return vals.view(dtype) if dtype.itemsize == 4 else vals.astype(dtype)
 
-    raise NotImplementedError(f"codec {codec} (patas decode lands in a later round)")
+    if codec == CODEC_PATAS:
+        return patas.decode(payload, length, dtype)
+
+    raise NotImplementedError(f"unknown codec byte {codec}")
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,10 @@ class WriteOptions:
     default_codec: str = "lz4"
     compress_ratio: float | None = 2.0  # None → adaptive off (basic codec only)
     max_page_size: int = DEFAULT_PAGE_SIZE
-    forbidden: tuple[str, ...] = ("patas",)  # patas decode lands later
+    # patas is fully decodable but write-disabled by default: its XOR chain
+    # is sequential Python (format/patas.py) — enable explicitly when the
+    # ratio is worth it
+    forbidden: tuple[str, ...] = ("patas",)
     page_stats: bool = True  # per-page min/max sidecar (engine extension)
 
     def codec_options(self) -> CodecOptions:

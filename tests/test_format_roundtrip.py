@@ -85,6 +85,7 @@ def test_roundtrip_forced_codecs(tmp_path):
         "one_value": pa.table({"x": pa.array(np.full(4096, 7, dtype=np.int64))}),
         "bitpacking": pa.table({"x": pa.array(RNG.integers(0, 1 << 10, 4096).astype(np.int32))}),
         "delta_bitpacking": pa.table({"x": pa.array(np.sort(RNG.integers(0, 1 << 20, 4096)).astype(np.int32))}),
+        "patas": pa.table({"x": pa.array(np.tile(np.round(RNG.random(64) * 10, 1), 64))}),
     }
     all_codecs = ("rle", "dict", "one_value", "freq", "bitpacking", "delta_bitpacking", "patas")
     for target, table in cases.items():
@@ -97,6 +98,18 @@ def test_roundtrip_forced_codecs(tmp_path):
         )
         got = read_table(path)
         _assert_tables_equal(table, got)
+
+
+def test_patas_with_nulls_and_pages(tmp_path):
+    """Patas across page boundaries with nulls (nulls ffill into the
+    XOR chain, matching the reference's raw-buffer behavior)."""
+    vals = np.round(RNG.random(3000) * 100, 2)
+    mask = RNG.random(3000) < 0.2
+    t = pa.table({"x": pa.array(vals, mask=mask)})
+    path = str(tmp_path / "p.quiver")
+    forbidden = ("rle", "dict", "one_value", "freq", "bitpacking", "delta_bitpacking")
+    write_table(t, path, WriteOptions(compress_ratio=0.2, max_page_size=512, forbidden=forbidden))
+    _assert_tables_equal(t, read_table(path))
 
 
 def test_roundtrip_string_specials(tmp_path):

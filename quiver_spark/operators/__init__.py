@@ -5,8 +5,10 @@ from quiver_spark.operators import (  # noqa: F401
     events,
     format_queries,
     multimodal,
+    pipeline2,
     relational,
     relational2,
+    relational3,
     similarity,
     text,
 )

@@ -1,0 +1,208 @@
+"""Second LLM-pipeline battery (driver mandate): n-gram Jaccard dedup and
+LSH-bucketed similarity search — the two scale paths missing from
+dedup.py / similarity.py.
+
+Scale posture:
+- ngram-Jaccard generates candidate pairs ONLY through a shingle-inverted-
+  index join, with a document-frequency cap on shingles (stop-shingle
+  removal) so no hot key explodes the join — at 100 TB the df-cap is the
+  difference between a bounded shuffle and a quadratic one.
+- LSH bucketing reduces ANN from corpus × corpus to per-bucket blocks; the
+  random hyperplanes are a deterministic integer pattern reproducible in
+  ANSI SQL, so the DuckDB oracle checks the exact same buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quiver_spark.functions import int_vec
+from quiver_spark.operators.dedup import SQL_SHINGLES, _shingles
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+JACCARD_THRESHOLD = 0.5
+MAX_SHINGLE_DF = 50  # stop-shingle cap: drop shingles in more docs
+N_PLANES = 8  # LSH signature bits
+COS_THRESHOLD = 0.3
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH shingles AS ({SQL_SHINGLES}),
+sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+kept AS (
+    SELECT doc_id, shingle FROM shingles
+    WHERE shingle IN (
+        SELECT shingle FROM shingles GROUP BY shingle
+        HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    )
+),
+pairs AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.a, p.b,
+       ROUND(CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter), 4)
+           AS jaccard
+FROM pairs p
+JOIN sized sa ON p.a = sa.doc_id
+JOIN sized sb ON p.b = sb.doc_id
+WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)
+      >= {JACCARD_THRESHOLD}
+""",
+    tags=("dedup", "ngram", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs via a shingle inverted index.
+
+    Exact counts both sides; the Jaccard itself is one IEEE division of
+    identical integers, so the hash-match is bit-exact."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)  # distinct (doc_id, shingle)
+    sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    kept = sh.join(rare, "shingle")
+    a = kept.select(F.col("doc_id").alias("a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sized.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _plane_weight_expr(j: int, ivar: str = "i") -> str:
+    """Deterministic pseudo-random hyperplane component for (dim i, plane j):
+    values in [-3, 3], identical integer arithmetic in Spark SQL and
+    DuckDB. ``ivar`` is the 0-based dimension index expression."""
+    return f"(({ivar} * 31 + {j} * 17) % 7 - 3)"
+
+
+def _lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id, label, iv (quantized ints), sig (bit-string bucket)."""
+    e = load(spark, sf_dir, "embeddings")
+    iv = e.select("vec_id", "label", int_vec("embedding").alias("iv"))
+    bits = []
+    for j in range(N_PLANES):
+        w = _plane_weight_expr(j)
+        dot = F.expr(
+            "aggregate(zip_with(iv, sequence(0, size(iv) - 1), "
+            f"(x, i) -> x * {w}), 0L, (a, x) -> a + x)"
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return iv.withColumn("sig", F.concat(*bits))
+
+
+def _sql_lsh_signature() -> str:
+    """DuckDB twin: 1-based generate_subscripts → i-1 matches Spark's 0-based
+    sequence index."""
+    bit_cols = []
+    for j in range(N_PLANES):
+        w = _plane_weight_expr(j, ivar="(i - 1)")
+        bit_cols.append(
+            f"CASE WHEN SUM(xi * {w}) > 0 THEN '1' ELSE '0' END"
+        )
+    sig = " || ".join(bit_cols)
+    return f"""
+iv AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+           CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi
+    FROM embeddings
+),
+sig AS (
+    SELECT vec_id, label, {sig} AS sig
+    FROM iv GROUP BY vec_id, label
+)
+"""
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+WITH {_sql_lsh_signature()}
+SELECT sig, COUNT(*) AS bucket_size,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec,
+       COUNT(DISTINCT label) AS n_labels
+FROM sig GROUP BY sig
+""",
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram — the partitioning step of
+    bucketed ANN (each bucket is an independent block; at scale, buckets
+    are the shuffle key and brute force never crosses them)."""
+    sig = _lsh_signature(spark, sf_dir)
+    return sig.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("bucket_size"),
+        F.min("vec_id").cast("bigint").alias("min_vec"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@register(
+    "ann_lsh_bucketed_pairs",
+    oracle=f"""
+WITH {_sql_lsh_signature()},
+dots AS (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           SUM(ia.xi * ib.xi) AS idot
+    FROM sig a
+    JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    JOIN iv ia ON ia.vec_id = a.vec_id
+    JOIN iv ib ON ib.vec_id = b.vec_id AND ia.i = ib.i
+    GROUP BY a.vec_id, b.vec_id
+),
+norms AS (SELECT vec_id, SUM(xi * xi) AS nrm FROM iv GROUP BY vec_id)
+SELECT d.a, d.b,
+       ROUND(CAST(d.idot AS DOUBLE) / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))), 4) AS cos
+FROM dots d JOIN norms na ON d.a = na.vec_id JOIN norms nb ON d.b = nb.vec_id
+WHERE CAST(d.idot AS DOUBLE) / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) >= {COS_THRESHOLD}
+""",
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN candidate pairs: exact integer cosine, but ONLY within
+    an LSH bucket — the scale path next to ann_cosine_topk's brute force.
+    Exact integer dots and norms; cosine is sqrt+divide on identical
+    operands both sides."""
+    from quiver_spark.functions import int_dot
+
+    sig = _lsh_signature(spark, sf_dir)
+    a = sig.select(F.col("vec_id").alias("a"), F.col("iv").alias("va"), "sig")
+    b = sig.select(F.col("vec_id").alias("b"), F.col("iv").alias("vb"), "sig")
+    pairs = a.join(b, "sig").filter(F.col("a") < F.col("b"))
+    nrm = lambda c: F.aggregate(c, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x)
+    scored = pairs.select(
+        "a",
+        "b",
+        int_dot("va", "vb").alias("idot"),
+        nrm("va").alias("na"),
+        nrm("vb").alias("nb"),
+    )
+    cos = F.col("idot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return scored.filter(cos >= COS_THRESHOLD).select(
+        "a", "b", F.round(cos, 4).alias("cos")
+    )

@@ -11,4 +11,5 @@ from quiver_spark.operators import (  # noqa: F401
     relational3,
     similarity,
     text,
+    udtf_ops,
 )

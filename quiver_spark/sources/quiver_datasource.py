@@ -52,6 +52,29 @@ def _list_files(path: str) -> list[str]:
     return [path]
 
 
+#: (path, mtime_ns, size) → (arrow schema, leaf metas). The reference
+#: pre-reads a 64 KiB footer tail to save object-store round-trips
+#: (src/read/reader.rs:33,180-213); the Spark-side analogue is caching the
+#: parsed footer per file on the planning process so repeated queries/
+#: partitions() calls do one footer read per file, not one per query.
+_FOOTER_CACHE: dict[tuple[str, int, int], tuple] = {}
+
+
+def _file_footer(file: str):
+    from quiver_spark.format.reader import infer_schema, read_meta
+
+    st = os.stat(file)
+    key = (file, st.st_mtime_ns, st.st_size)
+    hit = _FOOTER_CACHE.get(key)
+    if hit is None:
+        with open(file, "rb") as f:
+            hit = (infer_schema(f), read_meta(f))
+        if len(_FOOTER_CACHE) > 4096:  # bound driver memory
+            _FOOTER_CACHE.clear()
+        _FOOTER_CACHE[key] = hit
+    return hit
+
+
 @dataclass
 class QuiverPartition(InputPartition):
     file: str
@@ -77,8 +100,7 @@ class QuiverDataSource(DataSource):
         files = _list_files(path)
         if not files:
             raise ValueError(f"no .quiver files under {path}")
-        with open(files[0], "rb") as f:
-            arrow_schema = infer_schema(f)
+        arrow_schema, _ = _file_footer(files[0])
         cols = self.options.get("columns")
         if cols:
             keep = [c.strip() for c in cols.split(",")]
@@ -168,13 +190,11 @@ class QuiverScanReader(DataSourceReader):
         returned (Spark re-applies them row-level) because pruning is
         page-granular — the same contract as parquet row-group stats."""
         from quiver_spark.format import stats as stats_mod
-        from quiver_spark.format.reader import infer_schema
 
         files = _list_files(self.path)
         arrow_schema = None
         if files and os.path.exists(files[0]):
-            with open(files[0], "rb") as f:
-                arrow_schema = infer_schema(f)
+            arrow_schema, _ = _file_footer(files[0])
         for flt in filters:
             op = _FILTER_OPS.get(type(flt).__name__)
             attr = getattr(flt, "attribute", None)
@@ -229,12 +249,9 @@ class QuiverScanReader(DataSourceReader):
         return keep
 
     def partitions(self):
-        from quiver_spark.format.reader import read_meta
-
         parts: list[QuiverPartition] = []
         for file in _list_files(self.path):
-            with open(file, "rb") as f:
-                metas = read_meta(f)
+            _schema, metas = _file_footer(file)
             if not metas or not metas[0].pages:
                 continue
             pages = metas[0].pages

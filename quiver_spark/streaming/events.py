@@ -110,6 +110,47 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def user_totals_stateful(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY §2.3
+    streaming row): per-user running totals held in explicit GroupState —
+    the extension point for operators Spark's built-in windows can't
+    express. State is one row per user (bounded by cardinality, not stream
+    length); each micro-batch emits the updated running totals."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_cnt", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("sv", DoubleType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        cnt, sv = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            sv += float(pdf["value"].sum())
+        state.update((cnt, sv))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "event_cnt": [cnt], "sum_value": [sv]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def write_quiver_stream(df: DataFrame, out_dir: str, checkpoint: str):
     """Stream into a quiver directory (append-only files per micro-batch)
     via the quiver DataSource streaming sink."""

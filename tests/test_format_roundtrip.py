@@ -259,3 +259,25 @@ def test_roundtrip_decimal128(tmp_path):
     path = str(tmp_path / "dec.quiver")
     write_table(t, path, WriteOptions(default_codec="zstd", max_page_size=512))
     _assert_tables_equal(t, read_table(path))
+
+
+def test_stat_codec_tree(tmp_path):
+    """The stat diagnostic (reference stat_simple, src/stat.rs) reports the
+    chosen codec per page, including recursive dict sub-codecs."""
+    from quiver_spark.format.stat import describe, stat_file
+
+    t = pa.table(
+        {
+            "lowcard": pa.array(RNG.integers(0, 5, 4096).astype(np.int64)),
+            "seq": pa.array(np.full(4096, 3, dtype=np.int64)),
+            "vecs": pa.array([[1.0, 2.0]] * 4096, pa.list_(pa.float64())),
+        }
+    )
+    path = str(tmp_path / "s.quiver")
+    write_table(t, path, WriteOptions(compress_ratio=1.5, max_page_size=2048))
+    st = stat_file(path)
+    assert set(st) == {"lowcard", "seq", "vecs"}
+    assert st["lowcard"][0].codec == "dict"
+    assert st["lowcard"][0].children, "dict pages report the indices codec"
+    assert st["seq"][0].codec == "one_value"
+    assert "pages" in describe(path)

@@ -95,6 +95,35 @@ def test_stream_dedup(spark, landing_dir, tmp_path):
     assert got.count() == got.select("event_id").distinct().count() == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
 
+def test_stateful_user_totals(spark, landing_dir, tmp_path):
+    """applyInPandasWithState running totals: the final update per user must
+    equal the batch group-by (state carries across micro-batches)."""
+    stream = se.stream_events(spark, landing_dir)
+    q = (
+        se.user_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("usertotals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt-ut"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("usertotals")
+    # running totals are monotone: the max per user is the final state
+    final = got.groupBy("user_id").agg(F.max("event_cnt").alias("event_cnt"))
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+    )
+    diff = final.join(batch, "user_id").filter(
+        final.event_cnt != batch.event_cnt
+    )
+    assert final.count() == batch.count()
+    assert diff.count() == 0
+
+
 def test_quiver_streaming_sink(spark, landing_dir, tmp_path):
     out = str(tmp_path / "quiver_out")
     ckpt = str(tmp_path / "ckpt-quiver")

@@ -1,4 +1,5 @@
 from quiver_spark.sources.quiver_datasource import (  # noqa: F401
     QuiverDataSource,
     register,
+    ship_package,
 )

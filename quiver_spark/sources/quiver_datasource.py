@@ -410,14 +410,16 @@ class QuiverStreamWriter(QuiverWriter, DataSourceStreamArrowWriter):
         return None
 
 
+_SHIPPED_SESSIONS: set[int] = set()
 _REGISTERED_SESSIONS: set[int] = set()
 
 
-def register(spark) -> None:
-    """Register the quiver format with a session, shipping the package to
-    Python workers (zip + addPyFile) so executors can import it."""
+def ship_package(spark) -> None:
+    """Ship quiver_spark to Python workers (zip + addPyFile) so executors
+    can unpickle references into the package (DataSource reader, mapInPandas
+    functions, UDTF classes) regardless of the driver process's cwd."""
     key = id(spark)
-    if key in _REGISTERED_SESSIONS:
+    if key in _SHIPPED_SESSIONS:
         return
     import hashlib
     import zipfile
@@ -440,6 +442,15 @@ def register(spark) -> None:
             for full in sorted(sources):
                 zf.write(full, os.path.relpath(full, pkg_dir))
     spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
+def register(spark) -> None:
+    """Register the quiver format with a session (+ ship the package)."""
+    ship_package(spark)
+    key = id(spark)
+    if key in _REGISTERED_SESSIONS:
+        return
     spark.dataSource.register(QuiverDataSource)
     try:
         # our reader implements pushFilters, which Spark refuses to plan

@@ -35,6 +35,13 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame with engine-canonical types."""
     configure(spark)
+    # ship quiver_spark to Python workers up front: operators that pickle
+    # references into the package (mapInPandas decoders, UDTF classes) must
+    # work no matter which query the caller runs first or what the driver
+    # process's cwd/sys.path looks like
+    from quiver_spark.sources import ship_package
+
+    ship_package(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanoseconds → naive microsecond timestamp (truncating, the

@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -132,6 +133,9 @@ class QuiverDataSource(DataSource):
             raise ValueError("quiver datasource requires a path")
         os.makedirs(path, exist_ok=True)
         return QuiverStreamWriter(self.options)
+
+    def streamReader(self, schema: StructType) -> "QuiverStreamReader":
+        return QuiverStreamReader(self.options, schema)
 
 
 def pa_schema_select(schema, names):
@@ -336,6 +340,77 @@ class QuiverScanReader(DataSourceReader):
             for i, t in casts:
                 arrays[i] = arrays[i].cast(t)
             yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+class QuiverStreamReader(DataSourceStreamReader):
+    """Streaming SOURCE over a quiver directory (the twin of the streaming
+    sink): micro-batches are deltas of the sorted file listing. Files are
+    immutable once written (each sink task writes uniquely-named files), so
+    an offset is simply the set of already-consumed file names, represented
+    compactly as a sorted-list watermark index.
+
+    Scale posture: one page-range partition per new file chunk, exactly like
+    the batch reader — per-batch work is proportional to new data only, and
+    the offset stays O(1) in the log regardless of directory size."""
+
+    def __init__(self, options, schema: StructType):
+        self.options = options
+        self.path = options.get("path")
+        self.partition_rows = int(
+            options.get("partition_rows", DEFAULT_PARTITION_ROWS)
+        )
+
+    def _files(self) -> list[str]:
+        return [os.path.basename(f) for f in _list_files(self.path)]
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return {"files": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"files": self._files()}
+
+    def partitions(self, start: dict, end: dict):
+        seen = set(start.get("files", []))
+        new = [f for f in end.get("files", []) if f not in seen]
+        parts: list[QuiverPartition] = []
+        for name in new:
+            file = os.path.join(self.path, name)
+            if not os.path.exists(file):
+                continue
+            _schema, metas = _file_footer(file)
+            if not metas or not metas[0].pages:
+                continue
+            pages = metas[0].pages
+            start_p, rows = 0, 0
+            for i, p in enumerate(pages):
+                rows += p.num_values
+                if rows >= self.partition_rows:
+                    parts.append(QuiverPartition(file, start_p, i + 1))
+                    start_p, rows = i + 1, 0
+            if start_p < len(pages):
+                parts.append(QuiverPartition(file, start_p, len(pages)))
+        if not parts:
+            files = _list_files(self.path)
+            anchor = files[0] if files else os.path.join(self.path, "_none")
+            parts.append(QuiverPartition(anchor, 0, 0))
+        return parts
+
+    def read(self, partition: QuiverPartition) -> Iterator:
+        # identical decode path as the batch reader (no pushed filters in
+        # streams); empty anchor partitions yield nothing
+        if partition.page_end <= partition.page_start:
+            return iter(())
+        batch_reader = QuiverScanReader(
+            {"path": self.path, "partition_rows": str(self.partition_rows)},
+            None,
+        )
+        return batch_reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        return None
+
+    def stop(self) -> None:
+        return None
 
 
 class QuiverCommit(WriterCommitMessage):

@@ -68,3 +68,78 @@ def test_semi_anti_join_shapes(spark):
 def test_topk_uses_take_ordered(spark):
     plan = plans.physical_plan(_df(spark, "topk_orders"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located join via bucketing: two tables bucketed on the join key
+    join WITHOUT a shuffle on either side — the 100 TB pattern for repeated
+    fact-fact joins (bucket pruning + storage-partitioned join)."""
+    from pyspark.sql import functions as F
+
+    from quiver_spark.tables import load
+
+    wh = str(tmp_path / "wh")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    (
+        li.write.format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{wh}/li_b").mode("overwrite")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        o.write.format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{wh}/o_b").mode("overwrite")
+        .saveAsTable("o_bucketed")
+    )
+    try:
+        a = spark.table("li_bucketed")
+        b = spark.table("o_bucketed")
+        joined = a.join(b, a.l_orderkey == b.o_orderkey).groupBy().agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        plan = plans.physical_plan(joined)
+        # the join itself must not shuffle either bucketed side: the only
+        # allowed exchange is the final single-partition aggregate
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning" not in join_part, plan
+        # and the result matches the unbucketed join
+        got = joined.collect()[0].cnt
+        want = (
+            li.join(o, li.l_orderkey == o.o_orderkey).count()
+        )
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_salted_skew_join_matches_plain(spark):
+    """Key-salting recipe for skewed joins: explode the small side over
+    SALT replicas, salt the fact side randomly-but-deterministically, join
+    on (key, salt) — same rows as the plain join, but a hot key now spreads
+    over SALT partitions. (AQE skew-join handles this at runtime; salting
+    is the plan-level tool when a key is pathologically hot.)"""
+    from pyspark.sql import functions as F
+
+    from quiver_spark.tables import load
+
+    SALT = 4
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+
+    salted_fact = li.withColumn(
+        "_salt", (F.crc32(F.col("l_orderkey").cast("string")) % SALT).cast("int")
+    )
+    salted_dim = o.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
+    )
+    got = salted_fact.join(
+        salted_dim,
+        (salted_fact.l_orderkey == salted_dim.o_orderkey)
+        & (salted_fact._salt == salted_dim._salt),
+    ).count()
+    want = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert got == want

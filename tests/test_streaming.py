@@ -137,3 +137,22 @@ def test_quiver_streaming_sink(spark, landing_dir, tmp_path):
     back = spark.read.format("quiver").load(out)
     assert back.count() == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert back.select(F.sum("event_id")).collect()[0][0] == spark.read.parquet(f"{SF_DIR}/events.parquet").select(F.sum("event_id")).collect()[0][0]
+
+    # quiver directory as a streaming SOURCE: stream the sink's output back
+    # out and compare totals (sink → source round-trip)
+    src = spark.readStream.format("quiver").load(out)
+    q2 = (
+        src.groupBy()
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("event_id").alias("ks"))
+        .writeStream.format("memory")
+        .queryName("quiver_src")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt-qsrc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    row = spark.table("quiver_src").collect()[0]
+    p = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert row.cnt == p.count()
+    assert row.ks == p.select(F.sum("event_id")).collect()[0][0]

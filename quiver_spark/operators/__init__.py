@@ -10,6 +10,8 @@ from quiver_spark.operators import (  # noqa: F401
     relational2,
     relational3,
     similarity,
+    sketches,
     text,
+    timeseries,
     udtf_ops,
 )

@@ -1,0 +1,137 @@
+"""Time-series operators the reference ecosystem lacks, built Spark-first
+(SURVEY §2.3 custom-operator row; the driver's "as-of join / hypertable
+rollup" examples).
+
+The as-of join uses the union-merge formulation: tag both streams, sort by
+(key, time, tag) in ONE shuffle, and carry the latest left-hand attributes
+forward with an ignore-nulls window — no row fan-out, no range-join
+explosion. At 100 TB this is the only shape that scales: work is
+O(events + orders) per key, not O(events × orders)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+WITH od AS (
+    SELECT o_custkey, o_orderdate, CAST(MAX(o_orderkey) AS BIGINT) AS okey
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.okey AS last_orderkey,
+       date_diff('day', CAST(o.o_orderdate AS DATE), CAST(e.ts AS DATE))
+           AS days_since_order
+FROM events e
+ASOF JOIN od o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+    tags=("timeseries", "asof", "join"),
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event picks the user's latest order at-or-before the
+    event time (orders deduped per (custkey, day) by max orderkey so the
+    match is unique — DuckDB's ASOF has no tie-break control).
+
+    Implementation: union both streams with a type tag, one window sorted
+    by (time, tag) per user, `last(..., ignoreNulls)` carries the most
+    recent order forward; inner-match semantics via the NOT NULL filter."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").cast("bigint").alias("okey"))
+    )
+    left = od.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        "okey",
+        F.col("o_orderdate").alias("ot"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    right = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("bigint").alias("okey"),
+        F.lit(None).cast(left.schema["ot"].dataType).alias("ot"),
+        "event_id",
+    )
+    merged = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = merged.select(
+        "event_id",
+        "user_id",
+        "is_event",
+        "t",
+        F.last("okey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("ot", ignorenulls=True).over(w).alias("last_ot"),
+    )
+    return (
+        joined.filter((F.col("is_event") == 1) & F.col("last_orderkey").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "last_orderkey",
+            F.datediff(
+                F.col("t").cast("date"), F.col("last_ot").cast("date")
+            ).alias("days_since_order"),
+        )
+    )
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(CASE WHEN GROUPING(hr) = 0 THEN hr END AS INTEGER) AS hr,
+       CAST(GROUPING(hr) AS INTEGER) AS is_day_total,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (SELECT CAST(ts AS DATE) AS day, date_part('hour', ts) AS hr, value
+      FROM events)
+GROUP BY ROLLUP (day, hr)
+HAVING GROUPING(day) = 0
+""",
+    tags=("timeseries", "rollup", "grouping-sets"),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass produces BOTH the
+    hourly and the daily rollup of the events stream (grouping-set
+    hierarchy day → (day, hour)); `is_day_total` marks the coarser level.
+    The map-side partial aggregation makes the two granularities cost one
+    shuffle, the continuous-aggregate trick at scale."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("hr"),
+        "value",
+    )
+    return (
+        ev.rollup("day", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.grouping("hr").cast("int").alias("is_day_total"),
+            F.grouping("day").cast("int").alias("_gday"),
+        )
+        # keep (day) and (day, hr) levels; drop the grand total — the
+        # GROUPING(day)=0 HAVING of the oracle
+        .filter(F.col("_gday") == 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("hr").cast("int").alias("hr"),
+            "is_day_total",
+            "cnt",
+            "sum_value",
+        )
+    )

@@ -283,6 +283,38 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_regexp_funcs",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_prefix,
+       len(regexp_extract_all(text, 'scan')) AS scan_count,
+       regexp_matches(text, 'join.*join') AS double_join,
+       regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS source_num
+FROM (SELECT doc_id, SUBSTR(text, 1, 60) AS text, source FROM documents)
+""",
+    tags=("scalar", "regexp"),
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp battery (extract / replace / count / match) over document
+    prefixes. Patterns are restricted to the RE2 ∩ Java-regex common
+    subset so both engines agree byte-for-byte."""
+    from quiver_spark.tables import load as _load
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("text"), "source"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", r"[aeiou]", "_").alias("devoweled_prefix"),
+        F.size(F.expr("regexp_extract_all(text, 'scan', 0)")).alias("scan_count"),
+        F.col("text").rlike("join.*join").alias("double_join"),
+        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 2).alias("source_num"),
+    )
+
+
+@register(
     "approx_distinct_parts",
     oracle=None,  # approximate sketches differ across engines → rows-only
     tags=("agg", "approx"),

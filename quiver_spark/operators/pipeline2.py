@@ -62,7 +62,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact counts both sides; the Jaccard itself is one IEEE division of
     identical integers, so the hash-match is bit-exact."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d)  # distinct (doc_id, shingle)
+    # the shingle set feeds three consumers (sizes, df-filter, join) —
+    # persist so the explode+distinct runs once, not three times
+    sh = _shingles(d).persist()
     sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = (
         sh.groupBy("shingle")

@@ -54,7 +54,7 @@ def get_spark(app_name: str = "quiver-spark") -> SparkSession:
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("QUIVER_MASTER", f"local[{cpus}]"))
         .config("spark.sql.shuffle.partitions", shuffle)
-        .config("spark.driver.memory", os.environ.get("QUIVER_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("QUIVER_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )

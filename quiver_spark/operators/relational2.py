@@ -283,6 +283,68 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution_funcs",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER()   OVER w AS rn,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST()    OVER w, 6) AS cdist,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+       LEAD(o_orderkey, 1, -1) OVER w AS next_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+""",
+    tags=("window", "distribution"),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/analytic window battery: percent_rank and cume_dist are
+    exact integer-ratio divisions under a unique ordering (bit-identical
+    both sides); nth_value/first_value use the default running frame."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.lead("o_orderkey", 1, -1).over(w).alias("next_key"),
+    )
+
+
+@register(
+    "agg_string_ordered",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv,
+       COUNT(*) AS cnt
+FROM orders
+WHERE o_custkey < 20
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "string-agg", "ordered"),
+)
+def agg_string_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect → sort → join gives
+    deterministic CSV regardless of partitioning (the shuffle-order-proof
+    formulation of string_agg ... ORDER BY)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.col("o_orderkey"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("keys_csv"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
     "scalar_regexp_funcs",
     oracle="""
 SELECT doc_id,

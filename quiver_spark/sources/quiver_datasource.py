@@ -335,6 +335,17 @@ class QuiverScanReader(DataSourceReader):
             if _spark_field(f).type != f.type
         ]
         n_pages = partition.page_end - partition.page_start
+        merge = self.options.get("merge_batches", "false").lower() == "true"
+        if merge and n_pages > 1:
+            # one batch per partition: fewer Python→JVM handoffs at the cost
+            # of one concat copy (opt-in; measure per workload)
+            arrays = [
+                pa.concat_arrays([a for a in per_col[c]]) for c in range(len(names))
+            ]
+            for i, t in casts:
+                arrays[i] = arrays[i].cast(t)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            return
         for p in range(n_pages):
             arrays = [per_col[c][p] for c in range(len(names))]
             for i, t in casts:

@@ -125,7 +125,7 @@ class QuiverDataSource(DataSource):
             ):
                 os.remove(f)
         os.makedirs(path, exist_ok=True)
-        return QuiverWriter(self.options)
+        return QuiverWriter(self.options, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         path = self.options.get("path")
@@ -429,8 +429,9 @@ class QuiverCommit(WriterCommitMessage):
 
 
 class QuiverWriter(DataSourceArrowWriter):
-    def __init__(self, options):
+    def __init__(self, options, spark_schema: StructType | None = None):
         self.options = options
+        self.spark_schema = spark_schema
         self.path = options.get("path")
         self.max_rows = int(
             options.get("max_rows_per_file", DEFAULT_MAX_ROWS_PER_FILE)
@@ -480,6 +481,31 @@ class QuiverWriter(DataSourceArrowWriter):
                 flush()
         flush()
         return QuiverCommit()
+
+    def commit(self, messages) -> None:
+        """Driver-side commit: a fully-empty result set must still leave a
+        schema-bearing file, or subsequent reads of the directory fail."""
+        if glob.glob(os.path.join(self.path, "*.quiver")):
+            return
+        if self.spark_schema is None:
+            return
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from quiver_spark.format.writer import WriteOptions, write_table
+
+        empty = pa.Table.from_arrays(
+            [
+                pa.array([], type=f.type)
+                for f in to_arrow_schema(self.spark_schema)
+            ],
+            schema=to_arrow_schema(self.spark_schema),
+        )
+        write_table(
+            empty,
+            os.path.join(self.path, f"part-{uuid.uuid4().hex}.quiver"),
+            WriteOptions(),
+        )
 
 
 class QuiverStreamWriter(QuiverWriter, DataSourceStreamArrowWriter):

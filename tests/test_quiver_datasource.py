@@ -163,6 +163,19 @@ def test_scan_without_sidecar_still_works(spark, tmp_path):
     ).count()
 
 
+def test_empty_dataframe_write_read(spark, tmp_path):
+    """An all-filtered write must still leave a schema-bearing file so the
+    directory stays readable (driver-side commit fallback)."""
+    register(spark)
+    out = str(tmp_path / "empty_q")
+    df = spark.range(5).filter("id > 99").selectExpr("id", "string(id) AS s")
+    df.write.format("quiver").mode("overwrite").save(out)
+    back = spark.read.format("quiver").load(out)
+    assert back.count() == 0
+    assert back.schema == df.schema
+    assert back.filter("id > 1").count() == 0
+
+
 def test_spark_write_adaptive_options(spark, tmp_path):
     register(spark)
     p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")

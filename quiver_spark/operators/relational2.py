@@ -377,6 +377,56 @@ def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_bag_semantics",
+    oracle="""
+SELECT nationkey, COUNT(*) AS cnt FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+) GROUP BY nationkey
+""",
+    tags=("setop", "bag"),
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference — each supplier occurrence cancels
+    one customer occurrence of the same nation), aggregated to a stable
+    histogram."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+SELECT nationkey, COUNT(*) AS cnt FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+) GROUP BY nationkey
+""",
+    tags=("setop", "bag"),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection: min of per-side multiplicities)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
     "approx_distinct_parts",
     oracle=None,  # approximate sketches differ across engines → rows-only
     tags=("agg", "approx"),

@@ -55,30 +55,33 @@ def main() -> None:
     spark.range(10).selectExpr("sum(id)").collect()
     quiver_table(spark, sf_dir, "lineitem").selectExpr("count(l_orderkey)").collect()
 
-    # Each query is timed as the min of two end-to-end runs: the second run
-    # re-executes everything (noop sink, no caching) but is not exposed to
-    # one-off JVM effects (GC from a preceding query's buffers, codegen
-    # compilation), which otherwise dominate sub-second queries.
+    # Each query is timed as the min over two FULL PASSES of the battery
+    # (not back-to-back repeats): the min strips one-off JVM effects (GC,
+    # codegen compilation), and separating the two samples of each query by
+    # a whole pass means a transient external CPU spike cannot poison both.
+    bench_specs = [(n, s) for n, s in sorted(specs.items()) if s.bench]
     timings: dict[str, float] = {}
-    total = 0.0
-    for name, spec in sorted(specs.items()):
-        if not spec.bench:
-            continue
-        best = float("inf")
-        for _ in range(2):
+    for _pass in range(2):
+        for name, spec in bench_specs:
             t0 = time.perf_counter()
             df = spec.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        total += best
+            dt = time.perf_counter() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    total = sum(timings.values())
 
     # Format throughput proxies (BASELINE.md): full-table scan quiver vs
-    # parquet on identical data (not part of the headline total).
-    def _t(fn):
-        t0 = time.perf_counter()
-        fn()
-        return round(time.perf_counter() - t0, 3)
+    # parquet on identical data (not part of the headline total). Same
+    # separated-sample min as the battery.
+    def _t(fn, runs=3):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
 
     li_parquet = f"{sf_dir}/lineitem.parquet"
     timings["scan_parquet_lineitem"] = _t(

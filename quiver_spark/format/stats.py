@@ -77,6 +77,12 @@ def page_stats(arr: pa.Array) -> tuple[object, object, int]:
     phys = _physical_int_type(t)
     if phys is not None:
         arr = arr.view(phys)
+    if pa.types.is_floating(t):
+        # pc.min_max SKIPS NaN, so a finite max would let page_may_match
+        # prune gt/gte/eq pages even though Spark orders NaN above every
+        # value. Pages containing any NaN get null stats (never pruned).
+        if bool(pc.any(pc.is_nan(arr)).as_py()):
+            return None, None, nulls
     mm = pc.min_max(arr)
     lo, hi = mm["min"].as_py(), mm["max"].as_py()
     if isinstance(lo, float) and (math.isnan(lo) or math.isnan(hi)):

@@ -147,6 +147,38 @@ def test_pruning_with_date_filter(spark, tmp_path):
     assert q.filter(cond).count() == p.filter(cond).count()
 
 
+def test_pruning_never_drops_nan_rows(spark, tmp_path):
+    """Spark orders NaN above every double, but pc.min_max skips NaN —
+    pages containing NaN must get null stats so gt/gte/eq never prune them."""
+    import math
+
+    import pyarrow as pa
+
+    from quiver_spark.format.stats import page_stats
+
+    # unit level: a mixed page reports no stats at all
+    lo, hi, nulls = page_stats(pa.array([1.0, float("nan"), 2.0, 3.0]))
+    assert lo is None and hi is None and nulls == 0
+    # all-NaN page likewise
+    lo, hi, _ = page_stats(pa.array([float("nan")] * 4))
+    assert lo is None and hi is None
+    # NaN-free pages still produce stats (pruning stays effective)
+    lo, hi, _ = page_stats(pa.array([1.0, 2.0, 3.0]))
+    assert lo == 1.0 and hi == 3.0
+
+    # end-to-end: filter x > 5.0 must keep the NaN row (Spark: NaN > 5.0)
+    d = tmp_path / "nan_pages"
+    os.makedirs(d, exist_ok=True)
+    t = pa.table({"x": pa.array([1.0, float("nan"), 2.0, 3.0], pa.float64())})
+    write_table(t, str(d / "part-0.quiver"), WriteOptions(max_page_size=2))
+    register(spark)
+    q = spark.read.format("quiver").load(str(d))
+    assert q.filter("x > 5.0").count() == 1
+    assert q.filter("x >= 5.0").count() == 1
+    assert q.filter("x = double('NaN')").count() == 1
+    assert q.filter("x < 5.0").count() == 3
+
+
 def test_scan_without_sidecar_still_works(spark, tmp_path):
     """Deleting the stats sidecar must only disable pruning, never break
     the scan."""

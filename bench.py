@@ -73,29 +73,27 @@ def main() -> None:
     total = sum(timings.values())
 
     # Format throughput proxies (BASELINE.md): full-table scan quiver vs
-    # parquet on identical data (not part of the headline total). Same
-    # separated-sample min as the battery.
-    def _t(fn, runs=3):
-        best = float("inf")
-        for _ in range(runs):
+    # parquet on identical data (not part of the headline total). The two
+    # scans are interleaved across passes (parquet, quiver, parquet, ...)
+    # so a transient host CPU spike cannot poison every sample of one side.
+    li_parquet = f"{sf_dir}/lineitem.parquet"
+    proxies = {
+        "scan_parquet_lineitem": lambda: spark.read.parquet(li_parquet)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        "scan_quiver_lineitem": lambda: quiver_table(spark, sf_dir, "lineitem")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    }
+    for _pass in range(3):
+        for name, fn in proxies.items():
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
-
-    li_parquet = f"{sf_dir}/lineitem.parquet"
-    timings["scan_parquet_lineitem"] = _t(
-        lambda: spark.read.parquet(li_parquet)
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
-    timings["scan_quiver_lineitem"] = _t(
-        lambda: quiver_table(spark, sf_dir, "lineitem")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
+            dt = round(time.perf_counter() - t0, 3)
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
 
     print(
         json.dumps(

@@ -65,12 +65,13 @@ def read_meta(f) -> list[ColumnMeta]:
     for _ in range(n_cols):
         offset, n_pages = struct.unpack_from("<QQ", buf, pos)
         pos += 16
-        pages = []
-        for _ in range(n_pages):
-            length, num_values = struct.unpack_from("<QQ", buf, pos)
-            pos += 16
-            pages.append(PageMeta(length, num_values))
-        metas.append(ColumnMeta(offset, tuple(pages)))
+        # page table is contiguous (length, num_values) u64 pairs
+        tbl = np.frombuffer(buf, dtype="<u8", count=2 * n_pages, offset=pos)
+        pos += 16 * n_pages
+        pages = tuple(
+            PageMeta(int(tbl[2 * i]), int(tbl[2 * i + 1])) for i in range(n_pages)
+        )
+        metas.append(ColumnMeta(offset, pages))
     return metas
 
 

@@ -17,6 +17,17 @@ the quiver_table() helper in quiver_spark.tables applies it.
 Registration ships the package to Python workers via a zip + addPyFile, so
 the source works in any session (the driver harness's included) without
 PYTHONPATH assumptions.
+
+SHARP EDGE — one load() per query when filters are involved: Spark's
+PythonDataSourceV2 caches the planned read (partitions + read command) on
+the Table object and the most recent filter-pushdown build OVERWRITES it,
+so re-using one loaded DataFrame across differently-filtered queries can
+replay a previous query's page pruning (verified on 4.1.2 with the trace
+hook below: the second full scan after a filtered count does no Python
+planning at all and returns the filtered query's partitions). The engine's
+own APIs (tables.load / quiver_table) therefore create a fresh relation per
+call; do the same in user code, or disable pruning (page_stats=false /
+no sidecars) for long-lived DataFrames.
 """
 
 from __future__ import annotations
@@ -39,11 +50,12 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "quiver"
-# Measured on local[32] at sf0.1: 32k-row partitions (~4 pages) keep all
-# Python workers busy without task-overhead flood — quiver scan lands within
-# ~1.2x of Spark's JVM parquet reader. At cluster scale this still yields
-# splits ~= files x page-ranges.
-DEFAULT_PARTITION_ROWS = 1 << 15
+# Measured on local[32] at sf0.1 (600k-row lineitem): 64k-row partitions
+# (~8 pages) + one merged Arrow batch per partition minimize Python→JVM
+# handoffs while keeping all workers busy — quiver scan lands ~1.5x of
+# Spark's JVM parquet reader. At cluster scale this still yields splits
+# ~= files x page-ranges.
+DEFAULT_PARTITION_ROWS = 1 << 16
 DEFAULT_MAX_ROWS_PER_FILE = 1 << 22
 
 
@@ -175,6 +187,34 @@ _FILTER_OPS = {
 }
 
 
+def _trace(ev: str, reader, **extra) -> None:
+    """Planning-lifecycle trace (QUIVER_TRACE=<path>): appends one JSON line
+    per reader event from whatever process runs it. Debug aid for Spark's
+    plan/pushdown caching behavior; no-op unless the env var is set."""
+    import json
+    import time as _time
+
+    path = os.environ.get("QUIVER_TRACE")
+    if not path:
+        return
+    with open(path, "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "ev": ev,
+                    "ts": round(_time.time(), 4),
+                    "reader_id": id(reader),
+                    "pid": os.getpid(),
+                    "filters": [
+                        (c, op, str(v)) for c, op, v in reader._prune_filters
+                    ],
+                    **extra,
+                }
+            )
+            + "\n"
+        )
+
+
 class QuiverScanReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.options = options
@@ -188,6 +228,7 @@ class QuiverScanReader(DataSourceReader):
         )
         # (column, op, physical value) predicates usable for page pruning
         self._prune_filters: list[tuple[str, str, object]] = []
+        _trace("init", self)
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         """Collect zone-map-usable filters for page pruning. Every filter is
@@ -224,6 +265,7 @@ class QuiverScanReader(DataSourceReader):
                     self._prune_filters.append((col, op, v))
         # every filter is "unsupported" for exact evaluation → Spark keeps
         # the row-level Filter; we only used them to prune pages
+        _trace("push", self, n_in=len(list(filters)))
         return list(filters)
 
     def _page_keep_mask(self, file: str, n_pages: int) -> list[bool]:
@@ -281,6 +323,7 @@ class QuiverScanReader(DataSourceReader):
             # gets a schema'd empty result
             files = _list_files(self.path)
             parts.append(QuiverPartition(files[0], 0, 0))
+        _trace("partitions", self, n_parts=len(parts))
         return parts
 
     def read(self, partition: QuiverPartition) -> Iterator:
@@ -288,14 +331,14 @@ class QuiverScanReader(DataSourceReader):
 
         from quiver_spark.format.reader import (
             column_leaf_ranges,
-            infer_schema,
             read_column_pages,
-            read_meta,
         )
 
+        _trace("read_start", self, page_start=partition.page_start)
+        # footer via the module cache: Spark reuses Python worker processes,
+        # so later tasks on the same file skip the footer re-parse entirely
+        schema, metas = _file_footer(partition.file)
         with open(partition.file, "rb") as f:
-            schema = infer_schema(f)
-            metas = read_meta(f)
             leaf_ranges = column_leaf_ranges(schema)
             names = self.columns if self.columns is not None else schema.names
             if partition.page_end <= partition.page_start:
@@ -335,10 +378,11 @@ class QuiverScanReader(DataSourceReader):
             if _spark_field(f).type != f.type
         ]
         n_pages = partition.page_end - partition.page_start
-        merge = self.options.get("merge_batches", "false").lower() == "true"
+        merge = self.options.get("merge_batches", "true").lower() == "true"
         if merge and n_pages > 1:
             # one batch per partition: fewer Python→JVM handoffs at the cost
-            # of one concat copy (opt-in; measure per workload)
+            # of one concat copy (default on — measured faster at sf0.1;
+            # disable per-read with merge_batches=false)
             arrays = [
                 pa.concat_arrays([a for a in per_col[c]]) for c in range(len(names))
             ]

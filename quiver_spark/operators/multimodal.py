@@ -94,7 +94,17 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # mapInPandas pipeline — rows-only check
+    # the stub decoder is md5-deterministic, so the whole mapInPandas
+    # pipeline is exactly expressible in SQL: byte k of the digest is the
+    # k-th hex pair of md5(text)
+    oracle="""
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS nbytes,
+       16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 64 AS fake_width,
+       16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 64 AS fake_height,
+       'stub-md5' AS decoder
+FROM documents
+""",
     tags=("multimodal", "mapInPandas"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:

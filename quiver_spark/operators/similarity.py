@@ -156,49 +156,73 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_near_dup",
-    oracle=f"""
-WITH iv AS ({SQL_IV}),
+NEAR_DUP_COS = 0.25
+
+
+def _near_dup_oracle() -> str:
+    from quiver_spark.operators.pipeline2 import _sql_lsh_signature
+
+    return f"""
+WITH {_sql_lsh_signature()},
 norms AS (SELECT vec_id, SUM(xi * xi) AS nrm FROM iv GROUP BY vec_id),
 dots AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.xi * b.xi) AS idot
-    FROM iv a JOIN iv b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
-    GROUP BY 1, 2
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label = b.label AS same_label,
+           SUM(ia.xi * ib.xi) AS idot
+    FROM sig a
+    JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    JOIN iv ia ON ia.vec_id = a.vec_id
+    JOIN iv ib ON ib.vec_id = b.vec_id AND ia.i = ib.i
+    GROUP BY 1, 2, 3
 )
-SELECT vec_a, vec_b,
+SELECT vec_a, vec_b, same_label,
        CAST(idot AS DOUBLE) / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
 FROM dots
 JOIN norms na ON vec_a = na.vec_id
 JOIN norms nb ON vec_b = nb.vec_id
-WHERE CAST(idot AS DOUBLE) / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) > 0.25
-""",
+WHERE CAST(idot AS DOUBLE) / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) > {NEAR_DUP_COS}
+"""
+
+
+@register(
+    "embedding_near_dup",
+    oracle=_near_dup_oracle(),
     tags=("similarity", "dedup", "blocked"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked near-duplicate pairs: candidate pairs only within the same
-    `label` block (the IVF/LSH-bucket pattern), cosine above threshold.
-    The pairwise term is quadratic only within a block."""
-    emb = _int_emb(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
+    """Near-duplicate pairs blocked on the random-hyperplane LSH bucket
+    (pipeline2._lsh_signature) — the 100 TB-safe blocking key: buckets are
+    data-determined and exponentially unlikely to go hot, unlike a
+    categorical `label` whose hottest value makes label-blocking quadratic.
+    Emits whether the near-dups also agree on `label` (cross-label
+    near-dups are the interesting dedup signal)."""
+    from quiver_spark.operators.pipeline2 import _lsh_signature
+
+    sig = _lsh_signature(spark, sf_dir)
+    emb = sig.withColumn("nrm", int_dot("iv", "iv"))
     a = emb.select(
+        F.col("sig").alias("sa"),
         F.col("label").alias("la"),
         F.col("vec_id").alias("vec_a"),
         F.col("iv").alias("iva"),
         F.col("nrm").alias("na"),
     )
     b = emb.select(
+        F.col("sig").alias("sb"),
         F.col("label").alias("lb"),
         F.col("vec_id").alias("vec_b"),
         F.col("iv").alias("ivb"),
         F.col("nrm").alias("nb"),
     )
     pairs = a.join(
-        b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b"))
+        b, (F.col("sa") == F.col("sb")) & (F.col("vec_a") < F.col("vec_b"))
     )
     cos = int_dot("iva", "ivb").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
-    return (
-        pairs.select("vec_a", "vec_b", cos.alias("cos"))
-        .filter(F.col("cos") > 0.25)
-    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        (F.col("la") == F.col("lb")).alias("same_label"),
+        cos.alias("cos"),
+    ).filter(F.col("cos") > NEAR_DUP_COS)

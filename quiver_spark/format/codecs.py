@@ -108,25 +108,6 @@ def _basic_decompress(codec: int, buf: memoryview, usize: int) -> bytes:
     return pa.decompress(bytes(buf), decompressed_size=usize, codec=_PA_CODEC[codec], asbytes=True)
 
 
-def encode_raw(raw: bytes, opts: CodecOptions) -> bytes:
-    """Fixed-width opaque values (decimal128 as Int128 leaves, §1.3): one
-    basic-codec frame over the raw little-endian buffer. The typed integer
-    cascade for Int128 is unreachable from this writer (numpy has no
-    int128); readers only ever see basic codecs for these leaves."""
-    codec = opts.default_codec if opts.default_codec in BASIC_CODECS else CODEC_LZ4
-    payload = _basic_compress(codec, raw)
-    if len(payload) >= len(raw):
-        codec, payload = CODEC_NONE, raw
-    return _frame(codec, payload, len(raw))
-
-
-def decode_raw(cur: Cursor, usize_expected: int) -> bytes:
-    (codec, csize, usize) = struct.unpack_from("<BII", cur.buf, cur.pos)
-    cur.pos += 9
-    payload = cur.take(csize)
-    return _basic_decompress(codec, payload, usize)
-
-
 def _ffill(values: np.ndarray, valid: np.ndarray | None) -> np.ndarray:
     """Nulls take the previous value (leading nulls take the type default),
     which is exactly the RLE/Dict null semantics of the reference."""
@@ -350,6 +331,175 @@ def decode_numeric(cur: Cursor, length: int, dtype: np.dtype) -> np.ndarray:
         return patas.decode(payload, length, dtype)
 
     raise NotImplementedError(f"unknown codec byte {codec}")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width big integers (Int128/Int256 = decimal128/256 leaves)
+# ---------------------------------------------------------------------------
+#
+# The reference runs Int128/Int256 through the same integer cascade as the
+# narrow types (src/compression/integer/traits.rs:30-39, round-tripped by
+# tests/it/io.rs:48-75). numpy has no int128, so values are handled as
+# (n, width) u8 rows: unique/run analysis via void views, payload layouts
+# byte-identical to the integer codecs with a 16/32-byte value slot.
+
+
+def _fixed_ffill(rows: np.ndarray, valid: np.ndarray | None) -> np.ndarray:
+    """Row-wise _ffill: nulls take the previous row (leading nulls zero)."""
+    if valid is None or valid.all():
+        return rows
+    idx = np.where(valid, np.arange(len(rows)), -1)
+    np.maximum.accumulate(idx, out=idx)
+    out = rows[np.maximum(idx, 0)].copy()
+    out[idx < 0] = 0
+    return out
+
+
+def encode_fixed(
+    rows: np.ndarray, valid: np.ndarray | None, opts: CodecOptions
+) -> bytes:
+    """Adaptive cascade for one page of (n, width)-u8 fixed values.
+    Candidates mirror the integer chooser minus the bitpacking family
+    (4-byte-only, integer/bp.rs:92-100): OneValue, Freq, Dict, RLE."""
+    n, width = rows.shape
+    total_bytes = n * width
+    filled = np.ascontiguousarray(_fixed_ffill(rows, valid))
+    void = filled.view(f"V{width}").ravel()
+    nn_mask = valid if valid is not None else None
+    null_count = int(n - valid.sum()) if valid is not None else 0
+
+    best_codec, best_ratio = None, 0.0
+    uniq = inv = counts = None
+    run_starts = run_counts = None
+    if opts.compress_ratio is not None and n > 0:
+        nn_void = void[nn_mask] if nn_mask is not None else void
+        uniq, inv, counts = np.unique(
+            void, return_inverse=True, return_counts=True
+        )
+        nn_unique = len(np.unique(nn_void)) if nn_mask is not None else len(uniq)
+        top_count = int(counts.max()) if len(counts) else 0
+
+        change = np.nonzero(void[1:] != void[:-1])[0] + 1
+        run_starts = np.concatenate([[0], change])
+        run_counts = np.diff(np.concatenate([run_starts, [n]]))
+
+        cands: list[tuple[int, float]] = []
+        if CODEC_ONE_VALUE not in opts.forbidden and nn_unique <= 1:
+            cands.append((CODEC_ONE_VALUE, float(n)))
+        if CODEC_FREQ not in opts.forbidden and nn_unique > 1:
+            if null_count / n >= 0.9 or top_count / n >= 0.9:
+                cands.append((CODEC_FREQ, float(n - 1)))
+        if CODEC_DICT not in opts.forbidden and len(uniq) * 3 < n:
+            after = len(uniq) * width + n + n * 2 // 128
+            cands.append((CODEC_DICT, total_bytes / max(after, 1)))
+        if CODEC_RLE not in opts.forbidden:
+            rle_size = len(run_counts) * (4 + width)
+            cands.append((CODEC_RLE, total_bytes / max(rle_size, 1)))
+        for codec, ratio in cands:
+            if ratio > best_ratio:
+                best_codec, best_ratio = codec, ratio
+
+    if best_codec is None or best_ratio < (opts.compress_ratio or np.inf):
+        raw = rows.tobytes()
+        payload = _basic_compress(opts.default_codec, raw)
+        if len(payload) >= len(raw):
+            return _frame(CODEC_NONE, raw, total_bytes)
+        return _frame(opts.default_codec, payload, total_bytes)
+
+    if best_codec == CODEC_ONE_VALUE:
+        nn_rows = filled[nn_mask] if nn_mask is not None else filled
+        val = nn_rows[0].tobytes() if len(nn_rows) else bytes(width)
+        return _frame(CODEC_ONE_VALUE, val, total_bytes)
+
+    if best_codec == CODEC_RLE:
+        rec = np.empty(
+            len(run_starts), dtype=np.dtype([("c", "<u4"), ("v", "u1", (width,))])
+        )
+        rec["c"] = run_counts
+        rec["v"] = filled[run_starts]
+        return _frame(CODEC_RLE, rec.tobytes(), total_bytes)
+
+    if best_codec == CODEC_DICT:
+        # np.unique sorts, so inv is a valid index array; entry order differs
+        # from the reference's insertion-ordered interner but any
+        # self-consistent (indices, entries) pair decodes identically
+        sub = CodecOptions(
+            opts.default_codec, opts.compress_ratio, opts.forbidden | {CODEC_DICT}
+        )
+        payload = encode_numeric(inv.astype(np.uint32), None, sub, False)
+        entries = uniq.view(np.uint8).reshape(len(uniq), width)
+        payload += struct.pack("<I", len(uniq)) + entries.tobytes()
+        return _frame(CODEC_DICT, payload, total_bytes)
+
+    if best_codec == CODEC_FREQ:
+        if null_count / n >= 0.9:
+            top_row = np.zeros(width, dtype=np.uint8)
+        else:
+            top_row = uniq[int(np.argmax(counts))].view(np.uint8) if len(uniq) else np.zeros(width, np.uint8)
+        neq = void != top_row.view(f"V{width}")[0]
+        exc_mask = (nn_mask & neq) if nn_mask is not None else neq
+        positions = np.nonzero(exc_mask)[0].astype(np.uint32)
+        bm = roaring.serialize(positions)
+        sub = CodecOptions(
+            opts.default_codec, opts.compress_ratio, opts.forbidden | {CODEC_FREQ}
+        )
+        payload = (
+            top_row.tobytes()
+            + struct.pack("<I", len(bm))
+            + bm
+            + encode_fixed(rows[exc_mask], None, sub)
+        )
+        return _frame(CODEC_FREQ, payload, total_bytes)
+
+    raise AssertionError(best_codec)
+
+
+def decode_fixed(cur: Cursor, length: int, width: int) -> bytes:
+    """Fixed-width cascade decode → raw little-endian buffer of
+    length*width bytes."""
+    codec, csize, usize = cur.frame_header()
+    payload = cur.take(csize)
+
+    if codec in BASIC_CODECS:
+        return _basic_decompress(codec, payload, length * width)
+
+    if codec == CODEC_ONE_VALUE:
+        return np.tile(
+            np.frombuffer(payload[:width], dtype=np.uint8), length
+        ).tobytes()
+
+    if codec == CODEC_RLE:
+        rec_dt = np.dtype([("c", "<u4"), ("v", "u1", (width,))])
+        n_possible = len(payload) // rec_dt.itemsize
+        rec = np.frombuffer(payload[: n_possible * rec_dt.itemsize], dtype=rec_dt)
+        cum = np.cumsum(rec["c"])
+        n_runs = int(np.searchsorted(cum, length, side="left")) + 1
+        rec = rec[:n_runs]
+        return np.repeat(rec["v"], rec["c"], axis=0)[:length].tobytes()
+
+    if codec == CODEC_DICT:
+        sub = Cursor(payload)
+        indices = decode_numeric(sub, length, np.dtype("<u4"))
+        n_sets = sub.u32()
+        entries = np.frombuffer(
+            sub.take(n_sets * width), dtype=np.uint8
+        ).reshape(n_sets, width)
+        return entries[indices].tobytes()
+
+    if codec == CODEC_FREQ:
+        sub = Cursor(payload)
+        top = np.frombuffer(sub.take(width), dtype=np.uint8)
+        bm_size = sub.u32()
+        positions = roaring.deserialize(sub.take(bm_size))
+        exceptions = decode_fixed(sub, len(positions), width)
+        out = np.tile(top, length).reshape(length, width)
+        if len(positions):
+            out[positions] = np.frombuffer(exceptions, dtype=np.uint8).reshape(
+                len(positions), width
+            )
+        return out.tobytes()
+
+    raise NotImplementedError(f"fixed-width codec byte {codec}")
 
 
 # ---------------------------------------------------------------------------

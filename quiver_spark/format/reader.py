@@ -25,8 +25,8 @@ from quiver_spark.format.codecs import (
     Cursor,
     decode_binary,
     decode_boolean,
+    decode_fixed,
     decode_numeric,
-    decode_raw,
 )
 from quiver_spark.format.validity import decode_validity
 from quiver_spark.format.writer import _physical_dtype
@@ -104,7 +104,9 @@ def _decode_values(cur: Cursor, num_values: int, t: pa.DataType, validity_buf, n
             t, num_values, [validity_buf, obuf, vbuf], null_count
         )
     if pa.types.is_decimal(t):
-        raw = decode_raw(cur, num_values * t.byte_width)
+        # full Int128/Int256 cascade (OneValue/Freq/Dict/RLE + basic) so
+        # reference-written decimal pages decode whatever the writer chose
+        raw = decode_fixed(cur, num_values, t.byte_width)
         return pa.Array.from_buffers(
             t, num_values, [validity_buf, pa.py_buffer(raw)], null_count
         )

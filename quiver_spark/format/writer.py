@@ -6,11 +6,12 @@ One file holds exactly one row group (writer.rs:107-112); callers with more
 data write more files (that is also the Spark-native unit of parallelism).
 
 Type surface: flat primitives (ints, floats, bool, string/binary,
-date/timestamp as their physical ints), decimal128/256 (raw basic-codec
-frames — numpy has no int128 so the reference's Int128 integer cascade is
-write-unreachable, §1.3), and nested list/large_list/fixed_size_list/
-struct/map via Dremel rep/def levels (nested.py), one ColumnMeta per
-parquet leaf exactly like the reference (src/write/common.rs:66-68).
+date/timestamp as their physical ints), decimal128/256 through the same
+integer cascade as the narrow types (OneValue/Freq/Dict/RLE, as (n, width)
+u8 rows — src/compression/integer/traits.rs:30-39), and nested list/
+large_list/fixed_size_list/struct/map via Dremel rep/def levels
+(nested.py), one ColumnMeta per parquet leaf exactly like the reference
+(src/write/common.rs:66-68).
 
 Engine extension beyond the reference: PageMeta.num_values always holds the
 page's TOP-LEVEL row count (for nested leaves the slot count lives in the
@@ -120,12 +121,21 @@ def _encode_values(arr: pa.Array, copts: CodecOptions) -> bytes:
         width = 8 if (pa.types.is_large_string(t) or pa.types.is_large_binary(t)) else 4
         return encode_binary(arr, copts, width)
     if pa.types.is_decimal(t):
+        # Int128/Int256 leaves run the same integer cascade as the narrow
+        # types (src/compression/integer/traits.rs:30-39), handled as
+        # (n, byte_width) u8 rows since numpy has no int128
         width = t.byte_width  # 16 for decimal128, 32 for decimal256
         bufs = arr.buffers()
-        raw = memoryview(bufs[1])[
-            arr.offset * width : (arr.offset + len(arr)) * width
-        ]
-        return codecs.encode_raw(bytes(raw), copts)
+        rows = np.frombuffer(
+            bufs[1], dtype=np.uint8, count=(arr.offset + len(arr)) * width
+        )[arr.offset * width :].reshape(len(arr), width)
+        valid = None
+        if arr.null_count:
+            bits = np.unpackbits(
+                np.frombuffer(bufs[0], dtype=np.uint8), bitorder="little"
+            )
+            valid = bits[arr.offset : arr.offset + len(arr)].astype(bool)
+        return codecs.encode_fixed(rows, valid, copts)
     dtype, is_double = _physical_dtype(t)
     values, valid = _prim_np(arr, dtype)
     return encode_numeric(values, valid, copts, is_double)

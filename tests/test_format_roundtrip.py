@@ -100,6 +100,55 @@ def test_roundtrip_forced_codecs(tmp_path):
         _assert_tables_equal(table, got)
 
 
+def test_roundtrip_decimal_cascade(tmp_path):
+    """Decimal128/256 leaves run the Int128/Int256 integer cascade
+    (src/compression/integer/traits.rs:30-39, exercised by the reference's
+    tests/it/io.rs:48-75): force each eligible codec to win, round-trip,
+    with and without nulls, across page boundaries."""
+    import decimal
+
+    def dec_col(vals, mask=None, precision=38, scale=4):
+        ds = [None if (mask is not None and m) else decimal.Decimal(v) for v, m in
+              zip(vals, mask if mask is not None else [False] * len(vals))]
+        return pa.array(ds, type=pa.decimal128(precision, scale))
+
+    n = 4096
+    big = 10**30  # forces both u64 limbs into play
+    rng_vals = [int(x) for x in RNG.integers(-(1 << 40), 1 << 40, n)]
+    cases = {
+        "one_value": dec_col([big] * n),
+        "rle": dec_col([v * big // (10**28) for v in np.repeat(np.arange(16), n // 16)]),
+        "dict": dec_col([(v % 5) * big for v in rng_vals]),
+        "freq": dec_col([big if RNG.random() < 0.95 else v for v in rng_vals]),
+    }
+    all_codecs = ("rle", "dict", "one_value", "freq", "bitpacking", "delta_bitpacking", "patas")
+    mask = RNG.random(n) < 0.15
+    for target, col in cases.items():
+        forbidden = tuple(c for c in all_codecs if c != target)
+        for with_nulls in (False, True):
+            arr = col
+            if with_nulls:
+                arr = dec_col([v.as_py() for v in col], mask=mask)
+            table = pa.table({"d": arr})
+            path = str(tmp_path / f"dec_{target}_{with_nulls}.quiver")
+            write_table(
+                table,
+                path,
+                WriteOptions(compress_ratio=1.01, max_page_size=1000, forbidden=forbidden),
+            )
+            _assert_tables_equal(table, read_table(path))
+    # decimal256 takes the same path at width 32
+    d256 = pa.array(
+        [decimal.Decimal(10**50) * (i % 3) for i in range(n)],
+        type=pa.decimal256(60, 2),
+    )
+    t256 = pa.table({"d": d256})
+    path = str(tmp_path / "dec256.quiver")
+    write_table(t256, path, WriteOptions(compress_ratio=1.01, max_page_size=1000,
+                                         forbidden=tuple(c for c in all_codecs if c != "dict")))
+    _assert_tables_equal(t256, read_table(path))
+
+
 def test_patas_with_nulls_and_pages(tmp_path):
     """Patas across page boundaries with nulls (nulls ffill into the
     XOR chain, matching the reference's raw-buffer behavior)."""

@@ -432,10 +432,13 @@ def encode_fixed(
         return _frame(CODEC_DICT, payload, total_bytes)
 
     if best_codec == CODEC_FREQ:
-        if null_count / n >= 0.9:
+        if null_count / n >= 0.9 or len(nn_void) == 0:
             top_row = np.zeros(width, dtype=np.uint8)
         else:
-            top_row = uniq[int(np.argmax(counts))].view(np.uint8) if len(uniq) else np.zeros(width, np.uint8)
+            # Top value from non-null rows only (mirrors the numeric FREQ
+            # branch above); 1-element fancy index keeps the view 1-D.
+            nn_uniq, nn_counts = np.unique(nn_void, return_counts=True)
+            top_row = nn_uniq[[int(np.argmax(nn_counts))]].view(np.uint8).ravel()
         neq = void != top_row.view(f"V{width}")[0]
         exc_mask = (nn_mask & neq) if nn_mask is not None else neq
         positions = np.nonzero(exc_mask)[0].astype(np.uint32)

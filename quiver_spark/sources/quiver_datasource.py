@@ -236,6 +236,10 @@ class QuiverScanReader(DataSourceReader):
         page-granular — the same contract as parquet row-group stats."""
         from quiver_spark.format import stats as stats_mod
 
+        # Snapshot once: the API contract allows an iterator, and consuming
+        # it twice (trace below + return) would hand Spark an empty list —
+        # i.e. silently claim every filter was fully applied at the source.
+        filters = list(filters)
         files = _list_files(self.path)
         arrow_schema = None
         if files and os.path.exists(files[0]):
@@ -265,8 +269,8 @@ class QuiverScanReader(DataSourceReader):
                     self._prune_filters.append((col, op, v))
         # every filter is "unsupported" for exact evaluation → Spark keeps
         # the row-level Filter; we only used them to prune pages
-        _trace("push", self, n_in=len(list(filters)))
-        return list(filters)
+        _trace("push", self, n_in=len(filters))
+        return filters
 
     def _page_keep_mask(self, file: str, n_pages: int) -> list[bool]:
         """Evaluate pruning predicates against the file's stats sidecar."""

@@ -20,6 +20,78 @@ if _REPO not in sys.path:
 
 from quiver_spark.registry import load_all_operators  # noqa: E402
 
+# Registration order drives which queries a bounded correctness sample sees
+# first. Front-load (a) the operators that went unchecked in rounds 1-2 —
+# TPC-H q7/q8/q9/q14/q19/q22, the agg/window/setop/scalar batteries, ANN
+# brute force, text analysis, as-of/range/sketch — then (b) the core format
+# surface (quiver scans, multimodal) so the file format itself always stays
+# in-sample. Everything else follows in registry order.
+_PRIORITY = [
+    # (a) previously driver-unchecked
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
+    "correlated_small_quantity",
+    "agg_quantiles",
+    "agg_minby_maxby",
+    "agg_collect_sorted",
+    "agg_string_ordered",
+    "approx_distinct_parts",
+    "window_range_frame",
+    "window_distribution_funcs",
+    "setop_union_distinct",
+    "setop_bag_semantics",
+    "setop_intersect_all",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "scalar_regexp_funcs",
+    "ann_dot_topk",
+    "ann_cosine_topk",
+    "embedding_norm_stats",
+    "embedding_near_dup",
+    "sketch_count_min",
+    "text_quality_stats",
+    "text_token_topk",
+    "text_lang_id",
+    "text_fingerprint",
+    "asof_join_events_orders",
+    "range_join_user_bursts",
+    "hypertable_rollup",
+    "udtf_token_explode",
+    # (b) core format + flagship surface (keep in any 50-wide sample)
+    "quiver_scan_q1",
+    "quiver_scan_checksums",
+    "quiver_adaptive_zstd_join",
+    "quiver_pruned_date_scan",
+    "quiver_scan_documents",
+    "quiver_scan_embeddings",
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "dedup_exact_docs",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "ann_lsh_bucketed_pairs",
+    "events_sessionize",
+    "window_rank_orders",
+]
+
+
+def _ordered_specs():
+    specs = load_all_operators()
+    rank = {n: i for i, n in enumerate(_PRIORITY)}
+    return dict(
+        sorted(
+            specs.items(),
+            key=lambda kv: (rank.get(kv[0], len(rank)), list(specs).index(kv[0])),
+        )
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
@@ -28,12 +100,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark for name, spec in load_all_operators().items()}
+    return {name: spec.spark for name, spec in _ordered_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle
-        for name, spec in load_all_operators().items()
+        for name, spec in _ordered_specs().items()
         if spec.oracle is not None
     }

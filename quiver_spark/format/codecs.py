@@ -109,14 +109,19 @@ def _basic_decompress(codec: int, buf: memoryview, usize: int) -> bytes:
 
 
 def _ffill(values: np.ndarray, valid: np.ndarray | None) -> np.ndarray:
-    """Nulls take the previous value (leading nulls take the type default),
-    which is exactly the RLE/Dict null semantics of the reference."""
+    """Nulls take the previous value; leading nulls take the FIRST valid
+    value so an RLE encode merges them into the first run exactly like the
+    reference (integer/rle.rs:64-83: leading nulls only bump seen_count and
+    flush with the first valid value). All-null pages fill with 0 (the
+    reference's final flush writes T::default())."""
     if valid is None or valid.all():
         return values
+    if not valid.any():
+        return np.zeros_like(values)
     idx = np.where(valid, np.arange(len(values)), -1)
     np.maximum.accumulate(idx, out=idx)
-    out = np.where(idx >= 0, values[np.maximum(idx, 0)], np.zeros(1, values.dtype))
-    return out.astype(values.dtype, copy=False)
+    idx[idx < 0] = int(np.argmax(valid))
+    return values[idx]
 
 
 def _run_lengths(filled: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -345,14 +350,17 @@ def decode_numeric(cur: Cursor, length: int, dtype: np.dtype) -> np.ndarray:
 
 
 def _fixed_ffill(rows: np.ndarray, valid: np.ndarray | None) -> np.ndarray:
-    """Row-wise _ffill: nulls take the previous row (leading nulls zero)."""
+    """Row-wise _ffill: nulls take the previous row; leading nulls take the
+    first valid row (reference RLE run-merge semantics, integer/rle.rs:64-83);
+    all-null pages zero-fill."""
     if valid is None or valid.all():
         return rows
+    if not valid.any():
+        return np.zeros_like(rows)
     idx = np.where(valid, np.arange(len(rows)), -1)
     np.maximum.accumulate(idx, out=idx)
-    out = rows[np.maximum(idx, 0)].copy()
-    out[idx < 0] = 0
-    return out
+    idx[idx < 0] = int(np.argmax(valid))
+    return rows[idx]
 
 
 def encode_fixed(

@@ -80,7 +80,21 @@ def infer_schema(f) -> pa.Schema:
     schema_size, meta_size = struct.unpack("<II", f.read(8))
     f.seek(-16 - meta_size - schema_size, 2)
     schema_bytes = f.read(schema_size)
-    return pa.ipc.read_schema(pa.py_buffer(schema_bytes))
+    if schema_bytes[:4] == b"\xff\xff\xff\xff":
+        # encapsulated IPC framing (continuation + length prefix) — emitted
+        # by this writer before the raw-flatbuffer switch; keep readable
+        return pa.ipc.read_schema(pa.py_buffer(schema_bytes))
+    # raw flatbuffer Message: arrow2 schema_to_bytes stores no framing
+    # (reference src/write/writer.rs:137 / read/reader.rs:239); rewrap so
+    # pyarrow can parse it
+    pad = (-len(schema_bytes)) % 8
+    framed = (
+        b"\xff\xff\xff\xff"
+        + struct.pack("<i", len(schema_bytes) + pad)
+        + schema_bytes
+        + b"\x00" * pad
+    )
+    return pa.ipc.read_schema(pa.py_buffer(framed))
 
 
 def _decode_values(cur: Cursor, num_values: int, t: pa.DataType, validity_buf, null_count: int) -> pa.Array:

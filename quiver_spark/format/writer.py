@@ -240,8 +240,11 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
             if want_stats:
                 col_stats[field_.name] = stats_rows
 
-        # footer: schema IPC bytes
-        schema_bytes = table.schema.serialize().to_pybytes()
+        # footer: schema IPC bytes — raw flatbuffer Message, the arrow2
+        # schema_to_bytes layout (reference src/write/writer.rs:137, which
+        # stores no encapsulation); pyarrow's 8-byte continuation+length
+        # prefix is stripped so reference readers can parse our footer.
+        schema_bytes = table.schema.serialize().to_pybytes()[8:]
         f.write(schema_bytes)
         offset += len(schema_bytes)
         # meta block

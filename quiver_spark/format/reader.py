@@ -134,6 +134,11 @@ def decode_page(
     buf: memoryview, num_values: int, field: pa.Field
 ) -> pa.Array:
     """One flat page's bytes → pyarrow Array of the field's type."""
+    if pa.types.is_null(field.type):
+        # Null pages carry no bytes — the array is reconstructed from the
+        # page's num_values alone (reference write_simple `Null => {}` at
+        # src/write/serialize.rs:63; read src/read/array/null.rs:84-89)
+        return pa.nulls(num_values)
     pos = 0
     valid = None
     if field.nullable:

@@ -143,6 +143,11 @@ def _encode_values(arr: pa.Array, copts: CodecOptions) -> bytes:
 
 def encode_leaf_page(arr: pa.Array, nullable: bool, copts: CodecOptions) -> bytes:
     """One flat page: optional validity prefix + typed payload."""
+    if pa.types.is_null(arr.type):
+        # Null pages are empty — no validity, no payload; only the page
+        # meta's num_values carries information (reference write_simple
+        # `Null => {}`, src/write/serialize.rs:63)
+        return b""
     out = bytearray()
     if nullable:
         import pyarrow.compute as pc

@@ -456,6 +456,40 @@ def test_boolean_basic_onevalue_rle(tmp_path):
     assert _col(t, "c") == [True, True, None, False, False, True, True, True, True, True]
 
 
+def test_null_column_zero_byte_pages(tmp_path):
+    # Null pages carry no bytes at all; num_values alone reconstructs the
+    # array (write_simple `Null => {}` serialize.rs:63, null.rs:84-89)
+    fields = [pa.field("n", pa.null(), nullable=True),
+              pa.field("a", pa.int64(), nullable=False)]
+    n_pages = [(b"", 3), (b"", 2)]
+    a_pages = [(frame(NONE, i64(1, 2, 3), 24), 3), (frame(NONE, i64(4, 5), 16), 2)]
+    p = _write(tmp_path, "null.quiver", envelope(fields, [n_pages, a_pages]))
+    t = read_table(p)
+    assert _col(t, "n") == [None] * 5
+    assert _col(t, "a") == [1, 2, 3, 4, 5]
+
+
+def test_null_column_write_roundtrip_and_bytes(tmp_path):
+    t = pa.table({"n": pa.nulls(7), "a": pa.array(range(7), type=pa.int32())})
+    t = t.cast(pa.schema([pa.field("n", pa.null(), nullable=True),
+                          pa.field("a", pa.int32(), nullable=False)]))
+    p = str(tmp_path / "nw.quiver")
+    write_table(t, p, WriteOptions(default_codec="none", compress_ratio=None,
+                                   max_page_size=4, page_stats=False))
+    back = read_table(p)
+    assert _col(back, "n") == [None] * 7
+    assert _col(back, "a") == list(range(7))
+    # byte-identity vs the independent envelope (2 pages of 4+3 rows)
+    fields = [pa.field("n", pa.null(), nullable=True),
+              pa.field("a", pa.int32(), nullable=False)]
+    expect = envelope(fields, [
+        [(b"", 4), (b"", 3)],
+        [(frame(NONE, i32(0, 1, 2, 3), 16), 4), (frame(NONE, i32(4, 5, 6), 12), 3)],
+    ])
+    with open(p, "rb") as f:
+        assert f.read() == expect
+
+
 def test_decimal128_fixed_cascade(tmp_path):
     # Int128 leaves run the integer cascade with a 16-byte value slot
     # (integer/traits.rs:30-34, round-tripped by tests/it/io.rs:48-75)

@@ -54,7 +54,10 @@ def quiver_table(
         )
         with open(marker, "w") as f:
             f.write("ok")
-    return spark.read.format("quiver").load(d)
+    # page_prune opt-in is safe here: every call builds a fresh relation, so
+    # Spark's plan cache can never replay this load's pruned partitions for
+    # a differently-filtered query (the datasource's documented sharp edge)
+    return spark.read.format("quiver").option("page_prune", "true").load(d)
 
 
 @register(

@@ -18,16 +18,17 @@ Registration ships the package to Python workers via a zip + addPyFile, so
 the source works in any session (the driver harness's included) without
 PYTHONPATH assumptions.
 
-SHARP EDGE — one load() per query when filters are involved: Spark's
-PythonDataSourceV2 caches the planned read (partitions + read command) on
-the Table object and the most recent filter-pushdown build OVERWRITES it,
-so re-using one loaded DataFrame across differently-filtered queries can
-replay a previous query's page pruning (verified on 4.1.2 with the trace
-hook below: the second full scan after a filtered count does no Python
-planning at all and returns the filtered query's partitions). The engine's
-own APIs (tables.load / quiver_table) therefore create a fresh relation per
-call; do the same in user code, or disable pruning (page_stats=false /
-no sidecars) for long-lived DataFrames.
+SHARP EDGE — Spark's PythonDataSourceV2 caches the planned read
+(partitions + read command) on the Table object and the most recent
+filter-pushdown build OVERWRITES it, so re-using one loaded DataFrame
+across differently-filtered queries can replay a previous query's page
+pruning (verified on 4.1.2 with the trace hook below: the second full scan
+after a filtered count does no Python planning at all and returns the
+filtered query's partitions). Zone-map page pruning is therefore OPT-IN
+(`.option("page_prune", "true")`): the default build never prunes, so a
+replayed plan still covers every page and Spark's row-level filters keep
+results correct. Opt in only for single-use relations — the engine's own
+quiver_table() does, because it creates a fresh relation per call.
 """
 
 from __future__ import annotations
@@ -226,6 +227,13 @@ class QuiverScanReader(DataSourceReader):
         self.partition_rows = int(
             options.get("partition_rows", DEFAULT_PARTITION_ROWS)
         )
+        # Zone-map page pruning is OPT-IN (page_prune=true): Spark's
+        # PythonDataSourceV2 plan cache can replay a filtered build's pruned
+        # partitions for a later unfiltered query on the same DataFrame (see
+        # module SHARP EDGE note), so the default keeps every page and lets
+        # Spark's row-level filters do the work. The engine's own
+        # quiver_table() opts in because it builds a fresh relation per call.
+        self.page_prune = options.get("page_prune", "false").lower() == "true"
         # (column, op, physical value) predicates usable for page pruning
         self._prune_filters: list[tuple[str, str, object]] = []
         _trace("init", self)
@@ -240,6 +248,9 @@ class QuiverScanReader(DataSourceReader):
         # it twice (trace below + return) would hand Spark an empty list —
         # i.e. silently claim every filter was fully applied at the source.
         filters = list(filters)
+        if not self.page_prune:
+            _trace("push", self, n_in=len(filters), pruning="off")
+            return filters
         files = _list_files(self.path)
         arrow_schema = None
         if files and os.path.exists(files[0]):

@@ -110,7 +110,7 @@ def test_page_pruning_sorted_column(spark, tmp_path):
     register(spark)
 
     # driver-side: the pruning mask shrinks the partition list
-    opts = {"path": str(d), "partition_rows": "500"}
+    opts = {"path": str(d), "partition_rows": "500", "page_prune": "true"}
     r_all = QuiverScanReader(dict(opts), None)
     n_all = len(r_all.partitions())
     r_f = QuiverScanReader(dict(opts), None)
@@ -123,7 +123,7 @@ def test_page_pruning_sorted_column(spark, tmp_path):
     assert pages_f < pages_all
 
     # end-to-end equality vs parquet for several pushable predicates
-    q = spark.read.format("quiver").load(str(d))
+    q = spark.read.format("quiver").option("page_prune", "true").load(str(d))
     p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     for cond in [
         "l_orderkey < 100",
@@ -141,7 +141,7 @@ def test_pruning_with_date_filter(spark, tmp_path):
     t = pq.read_table(f"{SF_DIR}/lineitem.parquet").sort_by("l_shipdate")
     write_table(t, str(d / "part-0.quiver"), WriteOptions(max_page_size=500))
     register(spark)
-    q = spark.read.format("quiver").load(str(d))
+    q = spark.read.format("quiver").option("page_prune", "true").load(str(d))
     p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     cond = "l_shipdate >= timestamp'1998-01-01'"
     assert q.filter(cond).count() == p.filter(cond).count()
@@ -172,11 +172,30 @@ def test_pruning_never_drops_nan_rows(spark, tmp_path):
     t = pa.table({"x": pa.array([1.0, float("nan"), 2.0, 3.0], pa.float64())})
     write_table(t, str(d / "part-0.quiver"), WriteOptions(max_page_size=2))
     register(spark)
-    q = spark.read.format("quiver").load(str(d))
+    q = spark.read.format("quiver").option("page_prune", "true").load(str(d))
     assert q.filter("x > 5.0").count() == 1
     assert q.filter("x >= 5.0").count() == 1
     assert q.filter("x = double('NaN')").count() == 1
     assert q.filter("x < 5.0").count() == 3
+
+
+def test_plan_cache_replay_is_safe_by_default(spark, tmp_path):
+    """The documented PythonDataSourceV2 sharp edge, defused: with pruning
+    off by default, re-using ONE loaded DataFrame for a filtered query and
+    then an unfiltered one must return the FULL table — even though Spark
+    replays the filtered build's cached plan. (With page_prune=true this
+    exact sequence used to return only the filtered query's pages.)"""
+    d = tmp_path / "li_reuse"
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet").sort_by("l_orderkey")
+    write_table(t, str(d / "part-0.quiver"), WriteOptions(max_page_size=500))
+    register(spark)
+    q = spark.read.format("quiver").load(str(d))  # ONE DataFrame, reused
+    n_filtered = q.filter("l_orderkey < 100").count()
+    n_full = q.count()
+    p = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    assert n_filtered == p.filter("l_orderkey < 100").count()
+    assert n_full == p.count()  # would be n_filtered-ish if pruning replayed
 
 
 def test_scan_without_sidecar_still_works(spark, tmp_path):

@@ -234,6 +234,13 @@ class QuiverScanReader(DataSourceReader):
         # Spark's row-level filters do the work. The engine's own
         # quiver_table() opts in because it builds a fresh relation per call.
         self.page_prune = options.get("page_prune", "false").lower() == "true"
+        # Row-budget LIMIT short-circuit (the engine analogue of the
+        # reference's nth/skip_page, src/read/reader.rs:91-146): Spark's
+        # Python DS API has no pushLimit, so `.option("limit", N)` caps BOTH
+        # the planned partitions and each partition's decoded pages at page
+        # granularity. For un-ordered `SELECT ... LIMIT N` recipes this
+        # turns a full-table scan into <=ceil(N/page_rows) decoded pages.
+        self.limit = int(options["limit"]) if "limit" in options else None
         # (column, op, physical value) predicates usable for page pruning
         self._prune_filters: list[tuple[str, str, object]] = []
         _trace("init", self)
@@ -311,7 +318,10 @@ class QuiverScanReader(DataSourceReader):
 
     def partitions(self):
         parts: list[QuiverPartition] = []
+        budget = self.limit  # remaining rows to plan (None → unlimited)
         for file in _list_files(self.path):
+            if budget is not None and budget <= 0:
+                break
             _schema, metas = _file_footer(file)
             if not metas or not metas[0].pages:
                 continue
@@ -328,11 +338,18 @@ class QuiverScanReader(DataSourceReader):
                 if start is None:
                     start = i
                 rows += p.num_values
+                if budget is not None:
+                    budget -= p.num_values
+                    if budget <= 0:
+                        # page granularity: stop planning once the pages so
+                        # far cover the limit (skip_page analogue)
+                        break
                 if rows >= self.partition_rows:
                     parts.append(QuiverPartition(file, start, i + 1))
                     start, rows = None, 0
             if start is not None:
-                parts.append(QuiverPartition(file, start, len(pages)))
+                end = i + 1 if budget is not None and budget <= 0 else len(pages)
+                parts.append(QuiverPartition(file, start, end))
         if not parts:
             # empty / fully-pruned dataset: single no-op partition so Spark
             # gets a schema'd empty result
@@ -370,12 +387,38 @@ class QuiverScanReader(DataSourceReader):
                     names=names,
                 )
                 return
+            fields = [schema.field(schema.names.index(n)) for n in names]
+            if self.limit is not None:
+                # lazy page-at-a-time decode under a row budget: stop
+                # decoding as soon as the pages yielded cover the limit
+                # (reference nth/skip_page, src/read/reader.rs:91-146)
+                casts_l = [
+                    (i, _spark_field(fld).type)
+                    for i, fld in enumerate(fields)
+                    if _spark_field(fld).type != fld.type
+                ]
+                budget = self.limit
+                for p in range(partition.page_start, partition.page_end):
+                    if budget <= 0:
+                        return
+                    arrays = []
+                    for n, fld in zip(names, fields):
+                        lo, cnt = leaf_ranges[schema.names.index(n)]
+                        arrays.append(
+                            read_column_pages(
+                                f, metas[lo : lo + cnt], fld, p, p + 1
+                            )[0]
+                        )
+                    for i, t in casts_l:
+                        arrays[i] = arrays[i].cast(t)
+                    budget -= len(arrays[0]) if arrays else budget
+                    _trace("read_page", self, page=p)
+                    yield pa.RecordBatch.from_arrays(arrays, names=names)
+                return
             per_col: list[list] = []
-            fields = []
             for n in names:
                 ci = schema.names.index(n)
                 lo, cnt = leaf_ranges[ci]
-                fields.append(schema.field(ci))
                 per_col.append(
                     read_column_pages(
                         f,

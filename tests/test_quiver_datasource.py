@@ -179,6 +179,46 @@ def test_pruning_never_drops_nan_rows(spark, tmp_path):
     assert q.filter("x < 5.0").count() == 3
 
 
+def test_limit_short_circuit(spark, tmp_path):
+    """`.option("limit", N)` stops partition planning AND page decode at
+    page granularity (the reference's nth/skip_page analogue): a LIMIT 100
+    on a multi-partition table plans one short partition and decodes one
+    page, instead of scanning every page."""
+    from quiver_spark.sources.quiver_datasource import QuiverScanReader
+
+    d = tmp_path / "li_limit"
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    write_table(t, str(d / "part-0.quiver"), WriteOptions(max_page_size=500))
+    register(spark)
+
+    # plan: pages covering >=100 rows only (here: a single 500-row page)
+    r = QuiverScanReader({"path": str(d), "partition_rows": "500", "limit": "100"}, None)
+    parts = r.partitions()
+    assert sum(p.page_end - p.page_start for p in parts) == 1
+    r_all = QuiverScanReader({"path": str(d), "partition_rows": "500"}, None)
+    assert sum(p.page_end - p.page_start for p in r_all.partitions()) > 10
+
+    # read budget: a 10-page partition under limit=100 decodes ONE page
+    # (in-process, so the lazy generator's early return is observable)
+    from quiver_spark.sources.quiver_datasource import QuiverPartition
+
+    r_budget = QuiverScanReader({"path": str(d), "limit": "100"}, None)
+    batches = list(
+        r_budget.read(QuiverPartition(str(d / "part-0.quiver"), 0, 10))
+    )
+    assert len(batches) == 1 and batches[0].num_rows == 500
+
+    # end-to-end: correct rows out
+    q = (spark.read.format("quiver").option("limit", "100").load(str(d))
+         .limit(100))
+    rows = q.collect()
+    assert len(rows) == 100
+    expect = t.slice(0, 100).to_pylist()
+    got = [r.asDict() for r in rows]
+    assert [g["l_orderkey"] for g in got] == [e["l_orderkey"] for e in expect]
+
+
 def test_plan_cache_replay_is_safe_by_default(spark, tmp_path):
     """The documented PythonDataSourceV2 sharp edge, defused: with pruning
     off by default, re-using ONE loaded DataFrame for a filtered query and

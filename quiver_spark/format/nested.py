@@ -65,8 +65,11 @@ def encode_levels(levels: np.ndarray, width: int) -> bytes:
 
 
 def decode_levels(buf: memoryview, n: int, width: int) -> np.ndarray:
-    """Inverse of encode_levels (accepts bitpacked and RLE runs)."""
-    out = np.empty(n, dtype=np.uint8)
+    """Inverse of encode_levels (accepts bitpacked and RLE runs). An empty
+    buffer decodes to all-zero levels: parquet writers emit zero-width level
+    streams when the max level is 0 (get_bit_width(0) == 0 — e.g. rep levels
+    of a struct-only column), and level 0 is the only possible value then."""
+    out = np.zeros(n, dtype=np.uint8)
     pos = 0
     count = 0
     while count < n and pos < len(buf):

@@ -159,13 +159,19 @@ def decode_page(
 
 
 def decode_nested_page(
-    leaf_bufs: list[memoryview], field: pa.Field
+    leaf_bufs: list[memoryview], field: pa.Field, slot_counts: list[int]
 ) -> pa.Array:
-    """All leaves' bytes of one nested-column page → assembled Array."""
+    """All leaves' bytes of one nested-column page → assembled Array.
+
+    ``slot_counts`` are the per-leaf page-meta num_values — the rep/def
+    LEVEL counts (reference: HybridRleDecoder count at read_basic.rs:84-85);
+    the page's own u32 prefix carries the top-level ROW count."""
     specs = nested_mod.leaf_specs(field)
     leaves: list[nested_mod.Leaf] = []
-    for buf, (max_rep, max_def, leaf_t) in zip(leaf_bufs, specs):
-        n_slots, rep_len, def_len = struct.unpack_from("<III", buf, 0)
+    for buf, n_slots, (max_rep, max_def, leaf_t) in zip(
+        leaf_bufs, slot_counts, specs
+    ):
+        _n_rows, rep_len, def_len = struct.unpack_from("<III", buf, 0)
         pos = 12
         rep = nested_mod.decode_levels(
             buf[pos : pos + rep_len], n_slots, nested_mod.bits_for(max_rep)
@@ -234,7 +240,11 @@ def read_column_pages(
         _read_leaf_bytes(f, m, page_start, page_end) for m in leaf_metas
     ]
     return [
-        decode_nested_page([pl[p] for pl in per_leaf], field)
+        decode_nested_page(
+            [pl[p] for pl in per_leaf],
+            field,
+            [m.pages[page_start + p].num_values for m in leaf_metas],
+        )
         for p in range(page_end - page_start)
     ]
 

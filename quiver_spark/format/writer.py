@@ -13,10 +13,12 @@ large_list/fixed_size_list/struct/map via Dremel rep/def levels
 (nested.py), one ColumnMeta per parquet leaf exactly like the reference
 (src/write/common.rs:66-68).
 
-Engine extension beyond the reference: PageMeta.num_values always holds the
-page's TOP-LEVEL row count (for nested leaves the slot count lives in the
-page prefix), keeping page-range split planning uniform; and a per-page
-min/max sidecar (stats.py) for zone-map pruning.
+PageMeta.num_values follows the reference exactly: the page row count for
+flat leaves and the rep/def SLOT count for nested leaves
+(src/write/common.rs:103-107 stores arrow2's num_values(&nested)); the
+nested page prefix's u32 carries the row count (serialize.rs:217-232).
+Engine extension beyond the reference: a per-page min/max sidecar
+(stats.py) for zone-map pruning.
 """
 
 from __future__ import annotations
@@ -161,22 +163,27 @@ def encode_leaf_page(arr: pa.Array, nullable: bool, copts: CodecOptions) -> byte
 
 def encode_nested_pages(
     arr: pa.Array, field: pa.Field, copts: CodecOptions
-) -> list[bytes]:
+) -> list[tuple[bytes, int]]:
     """One nested-column page, all leaves: shred the page's rows and emit
-    per-leaf `n_slots u32 | rep_len u32 | def_len u32 | rep | def | values`
-    (the reference nested layout, write_nested_validity at
-    src/write/serialize.rs:217-232; levels hybrid-RLE bitpacked)."""
+    per-leaf `(page_bytes, n_slots)` where the page is
+    `rows u32 | rep_len u32 | def_len u32 | rep | def | values`.
+
+    Reference layout (write_nested_validity, src/write/serialize.rs:217-232
+    + encode_chunk, src/write/common.rs:79-108): the u32 prefix is the
+    page's top-level ROW count (`length`, the reader's row-stop condition at
+    read_basic.rs:160-162) while the page meta's num_values is the SLOT
+    (level) count — the HybridRleDecoder count at read_basic.rs:84-85."""
     leaves = nested_mod.shred(arr, field)
     out = []
     for lf in leaves:
         rep_b = nested_mod.encode_levels(lf.rep, nested_mod.bits_for(lf.max_rep))
         def_b = nested_mod.encode_levels(lf.def_, nested_mod.bits_for(lf.max_def))
         page = bytearray()
-        page += struct.pack("<III", len(lf.rep), len(rep_b), len(def_b))
+        page += struct.pack("<III", len(arr), len(rep_b), len(def_b))
         page += rep_b
         page += def_b
         page += _encode_values(lf.values, copts)
-        out.append(bytes(page))
+        out.append((bytes(page), len(lf.rep)))
     return out
 
 
@@ -203,10 +210,11 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
                 arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=field_.type)
             is_nested = nested_mod.is_nested_type(field_.type)
             n_leaves = nested_mod.count_leaves(field_.type) if is_nested else 1
-            # per-leaf buffered pages: leaves of a column are laid out
-            # contiguously leaf-by-leaf (one ColumnMeta per parquet leaf,
-            # src/lib.rs:40-43)
-            leaf_pages: list[list[bytes]] = [[] for _ in range(n_leaves)]
+            # per-leaf buffered (page_bytes, num_values) pairs: leaves of a
+            # column are laid out contiguously leaf-by-leaf (one ColumnMeta
+            # per parquet leaf, src/lib.rs:40-43); num_values = rows for
+            # flat leaves, SLOT count for nested leaves (common.rs:103-107)
+            leaf_pages: list[list[tuple[bytes, int]]] = [[] for _ in range(n_leaves)]
             want_stats = options.page_stats and stats_mod.supports_stats(field_.type)
             stats_rows: list[tuple[object, object, int]] = []
             rows_per_page: list[int] = []
@@ -216,13 +224,13 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
                 length = min(page_size, n - start) if n else 0
                 page_arr = arr.slice(start, length)
                 if is_nested:
-                    for li, pb in enumerate(
+                    for li, pair in enumerate(
                         encode_nested_pages(page_arr, field_, copts)
                     ):
-                        leaf_pages[li].append(pb)
+                        leaf_pages[li].append(pair)
                 else:
                     leaf_pages[0].append(
-                        encode_leaf_page(page_arr, field_.nullable, copts)
+                        (encode_leaf_page(page_arr, field_.nullable, copts), length)
                     )
                 rows_per_page.append(length)
                 if want_stats:
@@ -232,12 +240,9 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
             for li in range(n_leaves):
                 col_offset = offset
                 pages: list[tuple[int, int]] = []
-                for pi, pb in enumerate(leaf_pages[li]):
+                for pb, nv in leaf_pages[li]:
                     f.write(pb)
-                    # num_values = top-level ROWS of the page for every leaf
-                    # (slot counts live in the nested page prefix) — keeps
-                    # split planning uniform across flat and nested columns
-                    pages.append((len(pb), rows_per_page[pi]))
+                    pages.append((len(pb), nv))
                     offset += len(pb)
                 metas.append((col_offset, pages))
             if ci == 0:

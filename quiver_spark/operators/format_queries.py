@@ -18,7 +18,9 @@ from quiver_spark.functions import DEC_RATE, dec, dsum, revenue, sql_dsum, SQL_R
 from quiver_spark.registry import register
 from quiver_spark.sources import register as register_format
 
-CACHE_ROOT = "/tmp/quiver_cache"
+# v2: nested page layout corrected to reference semantics (meta num_values
+# = slot count, prefix u32 = rows) — old cached conversions are unreadable
+CACHE_ROOT = "/tmp/quiver_cache/v2"
 
 
 def quiver_table(

@@ -51,10 +51,17 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "quiver"
-# Measured on local[32] at sf0.1 (600k-row lineitem): 64k-row partitions
-# (~8 pages) + one merged Arrow batch per partition minimize Python→JVM
-# handoffs while keeping all workers busy — quiver scan lands ~1.5x of
-# Spark's JVM parquet reader. At cluster scale this still yields splits
+# Measured on an idle local[32] host at sf0.1 (600k-row lineitem, min of 3
+# interleaved with the parquet control at 0.313 s):
+#   rows=32k  merge=true 2.13x   merge=false 1.95x
+#   rows=64k  merge=true 1.99x   merge=false 1.86x
+#   rows=128k merge=true 1.86x   merge=false 1.94x
+# Configs plateau at ~1.86x of the JVM parquet scan (sigma ~0.05); the
+# remainder is the Python-DataSource handoff floor — single-threaded page
+# decode of the whole table is 0.37 s, i.e. ~40 ms of the 0.58 s wall when
+# spread over 10 partitions. Default = 64k rows + per-page batches, the
+# best measured cell; per-page yield also keeps decode lazy (LIMIT budget,
+# no concat copy, lower peak memory). At cluster scale splits stay
 # ~= files x page-ranges.
 DEFAULT_PARTITION_ROWS = 1 << 16
 DEFAULT_MAX_ROWS_PER_FILE = 1 << 22
@@ -317,12 +324,24 @@ class QuiverScanReader(DataSourceReader):
         return keep
 
     def partitions(self):
+        from quiver_spark.format import nested as nested_mod
+
         parts: list[QuiverPartition] = []
         budget = self.limit  # remaining rows to plan (None → unlimited)
         for file in _list_files(self.path):
             if budget is not None and budget <= 0:
                 break
             _schema, metas = _file_footer(file)
+            if (
+                budget is not None
+                and len(_schema) > 0
+                and nested_mod.is_nested_type(_schema.field(0).type)
+            ):
+                # nested leaves store SLOT counts in num_values (reference
+                # common.rs:103-107), an over-count of rows — truncating the
+                # plan on slots could under-deliver rows, so fall back to
+                # the lazy decode budget only
+                budget = None
             if not metas or not metas[0].pages:
                 continue
             pages = metas[0].pages
@@ -436,11 +455,12 @@ class QuiverScanReader(DataSourceReader):
             if _spark_field(f).type != f.type
         ]
         n_pages = partition.page_end - partition.page_start
-        merge = self.options.get("merge_batches", "true").lower() == "true"
+        merge = self.options.get("merge_batches", "false").lower() == "true"
         if merge and n_pages > 1:
             # one batch per partition: fewer Python→JVM handoffs at the cost
-            # of one concat copy (default on — measured faster at sf0.1;
-            # disable per-read with merge_batches=false)
+            # of one concat copy (default OFF — the idle-host matrix above
+            # measures per-page batches fastest at the default 64k split;
+            # enable per-read with merge_batches=true)
             arrays = [
                 pa.concat_arrays([a for a in per_col[c]]) for c in range(len(names))
             ]

@@ -520,6 +520,80 @@ def test_decimal128_fixed_cascade(tmp_path):
     assert q  # silence lints
 
 
+def ref_levels(levels: list[int], width: int) -> bytes:
+    """Hybrid-RLE levels, one bitpacked run at `width` bits LSB-first
+    (parquet2 hybrid_rle bitpacked encoding; the reference decodes via
+    HybridRleDecoder at read_basic.rs:84-85)."""
+    n = len(levels)
+    groups = (n + 7) // 8
+    header = bytearray()
+    h = (groups << 1) | 1
+    while True:
+        b = h & 0x7F
+        h >>= 7
+        if h:
+            header.append(b | 0x80)
+        else:
+            header.append(b)
+            break
+    stream = 0
+    for i, v in enumerate(levels):
+        stream |= v << (i * width)
+    return bytes(header) + stream.to_bytes(groups * width, "little")
+
+
+def nested_page(rows: int, rep: list[int], rep_w: int, def_: list[int],
+                def_w: int, values_frame: bytes) -> bytes:
+    """`rows u32 | rep_len u32 | def_len u32 | rep | def | values`
+    (write_nested_validity serialize.rs:217-232; the u32 prefix is the ROW
+    count, the page meta num_values is the SLOT count, common.rs:79-108)."""
+    rep_b = ref_levels(rep, rep_w) if rep_w > 0 else b""
+    def_b = ref_levels(def_, def_w) if def_w > 0 else b""
+    return (struct.pack("<III", rows, len(rep_b), len(def_b))
+            + rep_b + def_b + values_frame)
+
+
+def test_nested_list_golden(tmp_path):
+    # rows: [[1, None, 2], [], None, [3]] — nullable list of nullable int32
+    # max_rep=1, max_def=3; slots=6, rows=4; present values [1, 2, 3]
+    rep = [0, 1, 1, 0, 0, 0]
+    def_ = [3, 2, 3, 1, 0, 3]
+    page = nested_page(4, rep, 1, def_, 2, frame(NONE, i32(1, 2, 3), 12))
+    fields = [pa.field("l", pa.list_(pa.field("element", pa.int32(),
+                                              nullable=True)), nullable=True)]
+    p = _write(tmp_path, "nl.quiver", envelope(fields, [[(page, 6)]]))
+    assert _col(read_table(p), "l") == [[1, None, 2], [], None, [3]]
+
+
+def test_nested_struct_zero_width_rep_golden(tmp_path):
+    # struct<a int32 nullable> nullable: max_rep=0 → parquet writers emit a
+    # ZERO-width rep stream (get_bit_width(0)==0); our reader must treat the
+    # empty buffer as all-zero levels. max_def=2; rows=slots=3.
+    # rows: [{a: 5}, None, {a: None}] → def [2, 0, 1]
+    page = nested_page(3, [], 0, [2, 0, 1], 2, frame(NONE, i32(5), 4))
+    fields = [pa.field("s", pa.struct([pa.field("a", pa.int32(),
+                                                nullable=True)]), nullable=True)]
+    p = _write(tmp_path, "ns.quiver", envelope(fields, [[(page, 3)]]))
+    assert _col(read_table(p), "s") == [{"a": 5}, None, {"a": None}]
+
+
+def test_nested_meta_num_values_is_slot_count(tmp_path):
+    """Writer round-trip + meta semantics: nested leaf page metas carry the
+    SLOT count (reference common.rs:103-107), the prefix carries rows."""
+    from quiver_spark.format.reader import read_meta
+
+    t = pa.table({"l": pa.array([[1, 2, 3], [], [4]],
+                                type=pa.list_(pa.int64()))})
+    p = str(tmp_path / "slots.quiver")
+    write_table(t, p, WriteOptions(default_codec="none", compress_ratio=None,
+                                   page_stats=False))
+    with open(p, "rb") as f:
+        metas = read_meta(f)
+    # slots: row0 → 3, row1 (empty) → 1, row2 → 1 ⇒ 5
+    assert metas[0].pages[0].num_values == 5
+    assert _col(read_table(p), "l") == [[1, 2, 3], [], [4]]
+
+
 # ---------------------------------------------------------------------------
 # Encode direction: our encoders must emit reference-identical bytes for
 # the deterministic codecs

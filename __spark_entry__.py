@@ -66,6 +66,8 @@ _PRIORITY = [
     "quiver_scan_checksums",
     "quiver_adaptive_zstd_join",
     "quiver_pruned_date_scan",
+    "quiver_limit_head",
+    "quiver_partitioned_scan",
     "quiver_scan_documents",
     "quiver_scan_embeddings",
     "multimodal_binary_meta",

@@ -23,20 +23,15 @@ from quiver_spark.sources import register as register_format
 CACHE_ROOT = "/tmp/quiver_cache/v2"
 
 
-def quiver_table(
+def quiver_dir(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     codec: str = "lz4",
     sort_by: str | None = None,
-) -> DataFrame:
-    """Load a testdata table through the quiver format (converting parquet →
-    quiver once per sf/table/codec).
-
-    ``sort_by`` clusters rows on a column before writing so the per-page
-    min/max sidecar (format/stats.py) gives disjoint page ranges — the
-    scale-out pattern for zone-map pruning: sort on the hot predicate column
-    at ingest, and selective scans touch only matching pages."""
+) -> str:
+    """Convert a testdata parquet table → a cached quiver directory (once
+    per sf/table/codec) and return the directory path."""
     register_format(spark)
     tag = os.path.basename(sf_dir.rstrip("/"))
     suffix = f"-s_{sort_by}" if sort_by else ""
@@ -56,6 +51,24 @@ def quiver_table(
         )
         with open(marker, "w") as f:
             f.write("ok")
+    return d
+
+
+def quiver_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    codec: str = "lz4",
+    sort_by: str | None = None,
+) -> DataFrame:
+    """Load a testdata table through the quiver format (converting parquet →
+    quiver once per sf/table/codec).
+
+    ``sort_by`` clusters rows on a column before writing so the per-page
+    min/max sidecar (format/stats.py) gives disjoint page ranges — the
+    scale-out pattern for zone-map pruning: sort on the hot predicate column
+    at ingest, and selective scans touch only matching pages."""
+    d = quiver_dir(spark, sf_dir, name, codec, sort_by)
     # page_prune opt-in is safe here: every call builds a fresh relation, so
     # Spark's plan cache can never replay this load's pruned partitions for
     # a differently-filtered query (the datasource's documented sharp edge)
@@ -210,6 +223,81 @@ def quiver_scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "iv", F.lit(0).cast("bigint"), lambda a, x: a + x * x
             )
         ).cast("bigint").alias("inorm_sum"),
+    )
+
+
+@register(
+    "quiver_limit_head",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+FROM (SELECT o_orderkey FROM orders LIMIT 1000) t
+""",
+    tags=("format", "scan", "limit"),
+)
+def quiver_limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT-shaped scan through the source-level short-circuit: the
+    `limit` option caps partition planning AND page decode (the reference
+    nth/skip_page analogue, src/read/reader.rs:91-146), then Spark's own
+    .limit trims to exactly N. Deterministic because the quiver conversion
+    preserves parquet row order and both engines take the file-order
+    prefix."""
+    d = quiver_dir(spark, sf_dir, "orders")
+    head = (
+        spark.read.format("quiver")
+        .option("limit", "1000")
+        .option("columns", "o_orderkey")
+        .load(d)
+        .limit(1000)
+    )
+    return head.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.min("o_orderkey").cast("bigint").alias("first_key"),
+    )
+
+
+@register(
+    "quiver_partitioned_scan",
+    oracle="""
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_len
+FROM documents
+WHERE lang >= 'e'
+GROUP BY lang
+""",
+    tags=("format", "scan", "partition"),
+)
+def quiver_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned quiver layout: documents written once per sf under
+    `lang=<v>/` subdirs, then scanned with `partition_prune=true` so the
+    pushed `lang >= 'e'` filter skips non-matching FILES before any byte is
+    read — the engine's directory-pruning scale story (a partition-key
+    filter costs O(matching files) at 100 TB, not O(dataset))."""
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "documents-bylang")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .write.format("quiver")
+            .option("partition_by", "lang")
+            .mode("overwrite")
+            .save(d)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    docs = (
+        spark.read.format("quiver")
+        .option("partition_prune", "true")
+        .load(d)
+        .filter(F.col("lang") >= "e")
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_len"),
     )
 
 

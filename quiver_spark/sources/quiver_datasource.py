@@ -14,6 +14,15 @@ Column pruning: Spark's Python DataSource API does not (yet) push required
 columns, so the reader accepts an explicit `columns` option (comma list);
 the quiver_table() helper in quiver_spark.tables applies it.
 
+Hive-style partitioned layout: `.option("partition_by", "a,b")` on write
+fans rows into `a=v1/b=v2/part-*.quiver` subdirectories (partition columns
+dropped from the files); reads discover `col=value` segments, type them
+(long/double/string, Spark's inference subset), re-attach them as constant
+columns, and — opt-in via `partition_prune=true`, same plan-cache caveat
+as page_prune — skip non-matching FILES before any byte of them is read.
+That directory pruning is the 100 TB scan story: a filter on the partition
+key costs O(matching files), not O(dataset).
+
 Registration ships the package to Python workers via a zip + addPyFile, so
 the source works in any session (the driver harness's included) without
 PYTHONPATH assumptions.
@@ -35,8 +44,9 @@ from __future__ import annotations
 
 import glob
 import os
+import urllib.parse
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -69,8 +79,125 @@ DEFAULT_MAX_ROWS_PER_FILE = 1 << 22
 
 def _list_files(path: str) -> list[str]:
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, "*.quiver")))
+        return sorted(glob.glob(os.path.join(path, "**", "*.quiver"), recursive=True))
     return [path]
+
+
+#: Hive null-partition directory token (Spark/Hive convention)
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+#: inferred partition-column kind → arrow type (mirrors Spark's
+#: partitionColumnTypeInference subset: long, double, string)
+_PART_KIND_PA = {"long": "int64", "double": "float64", "string": "string"}
+
+
+def _part_pa_type(kind: str):
+    import pyarrow as pa
+
+    return getattr(pa, _PART_KIND_PA[kind])()
+
+
+def _discover_partitions(path: str):
+    """Hive-style partition discovery over ``col=value`` directory segments:
+    returns ``([(col, kind)], {file: (typed values…)})``. Kind inference is
+    long → double → string over all observed values (Spark's
+    partitionColumnTypeInference subset). At 100 TB this is the layout that
+    lets a filtered scan skip whole files before ANY byte is read."""
+    if not os.path.isdir(path):
+        return [], {}
+    files = _list_files(path)
+    raw: dict[str, dict[str, str]] = {}
+    cols: list[str] = []
+    for f in files:
+        spec: dict[str, str] = {}
+        rel = os.path.relpath(os.path.dirname(f), path)
+        if rel not in (".", ""):
+            for seg in rel.split(os.sep):
+                if "=" not in seg:
+                    continue
+                k, v = seg.split("=", 1)
+                spec[k] = urllib.parse.unquote(v)
+                if k not in cols:
+                    cols.append(k)
+        raw[f] = spec
+    if not cols:
+        return [], {f: () for f in files}
+    kinds: dict[str, str] = {}
+    for c in cols:
+        kind = "long"
+        for f in files:
+            v = raw[f].get(c)
+            if v is None or v == HIVE_NULL:
+                continue
+            if kind == "long":
+                try:
+                    int(v)
+                    continue
+                except ValueError:
+                    kind = "double"
+            try:
+                float(v)
+            except ValueError:
+                kind = "string"
+                break
+        kinds[c] = kind
+
+    def typed(f: str):
+        out = []
+        for c in cols:
+            v = raw[f].get(c)
+            if v is None or v == HIVE_NULL:
+                out.append(None)
+            elif kinds[c] == "long":
+                out.append(int(v))
+            elif kinds[c] == "double":
+                out.append(float(v))
+            else:
+                out.append(v)
+        return tuple(out)
+
+    return [(c, kinds[c]) for c in cols], {f: typed(f) for f in files}
+
+
+def _part_segment(v) -> str:
+    """One ``col=value`` path value (Hive escaping via URL-quote)."""
+    if v is None:
+        return HIVE_NULL
+    return urllib.parse.quote(str(v), safe="")
+
+
+def _part_matches(filters, values: dict) -> bool:
+    """Exact evaluation of pushed filters against one file's partition
+    values (directory-level pruning — the file analogue of zone maps)."""
+    for col, op, fv in filters:
+        v = values.get(col)
+        try:
+            if op == "isnull":
+                ok = v is None
+            elif op == "isnotnull":
+                ok = v is not None
+            elif v is None:
+                ok = False
+            elif op == "eq":
+                ok = v == fv
+            elif op == "gt":
+                ok = v > fv
+            elif op == "gte":
+                ok = v >= fv
+            elif op == "lt":
+                ok = v < fv
+            elif op == "lte":
+                ok = v <= fv
+            elif op == "in":
+                ok = v in list(fv)
+            elif op == "startswith":
+                ok = isinstance(v, str) and v.startswith(fv)
+            else:
+                ok = True
+        except TypeError:
+            ok = True  # incomparable types → cannot prune safely
+        if not ok:
+            return False
+    return True
 
 
 #: (path, mtime_ns, size) → (arrow schema, leaf metas). The reference
@@ -101,6 +228,9 @@ class QuiverPartition(InputPartition):
     file: str
     page_start: int
     page_end: int
+    #: Hive partition spec of the file: ((col, typed value, kind), …) — the
+    #: reader re-attaches these as constant columns per batch
+    part: tuple = field(default_factory=tuple)
 
 
 class QuiverDataSource(DataSource):
@@ -122,6 +252,18 @@ class QuiverDataSource(DataSource):
         if not files:
             raise ValueError(f"no .quiver files under {path}")
         arrow_schema, _ = _file_footer(files[0])
+        part_cols, _ = _discover_partitions(path)
+        if part_cols:
+            import pyarrow as pa
+
+            arrow_schema = pa.schema(
+                list(arrow_schema)
+                + [
+                    pa.field(c, _part_pa_type(kind), nullable=True)
+                    for c, kind in part_cols
+                    if c not in arrow_schema.names
+                ]
+            )
         cols = self.options.get("columns")
         if cols:
             keep = [c.strip() for c in cols.split(",")]
@@ -140,8 +282,10 @@ class QuiverDataSource(DataSource):
         if not path:
             raise ValueError("quiver datasource requires a path")
         if overwrite and os.path.isdir(path):
-            for f in glob.glob(os.path.join(path, "*.quiver")) + glob.glob(
-                os.path.join(path, "*.quiver.stats.json")
+            for f in glob.glob(
+                os.path.join(path, "**", "*.quiver"), recursive=True
+            ) + glob.glob(
+                os.path.join(path, "**", "*.quiver.stats.json"), recursive=True
             ):
                 os.remove(f)
         os.makedirs(path, exist_ok=True)
@@ -241,6 +385,14 @@ class QuiverScanReader(DataSourceReader):
         # Spark's row-level filters do the work. The engine's own
         # quiver_table() opts in because it builds a fresh relation per call.
         self.page_prune = options.get("page_prune", "false").lower() == "true"
+        # Directory-level Hive-partition pruning — same plan-cache sharp
+        # edge as page_prune (a replayed filtered plan would drop files for
+        # a later unfiltered query), so equally OPT-IN.
+        self.partition_prune = (
+            options.get("partition_prune", "false").lower() == "true"
+        )
+        # (column, op, value) predicates over Hive partition columns
+        self._part_filters: list[tuple[str, str, object]] = []
         # Row-budget LIMIT short-circuit (the engine analogue of the
         # reference's nth/skip_page, src/read/reader.rs:91-146): Spark's
         # Python DS API has no pushLimit, so `.option("limit", N)` caps BOTH
@@ -262,6 +414,21 @@ class QuiverScanReader(DataSourceReader):
         # it twice (trace below + return) would hand Spark an empty list —
         # i.e. silently claim every filter was fully applied at the source.
         filters = list(filters)
+        if self.partition_prune:
+            part_cols, _ = _discover_partitions(self.path)
+            part_names = {c for c, _k in part_cols}
+            for flt in filters:
+                op = _FILTER_OPS.get(type(flt).__name__)
+                attr = getattr(flt, "attribute", None)
+                if (
+                    op is not None
+                    and attr is not None
+                    and len(attr) == 1
+                    and attr[0] in part_names
+                ):
+                    self._part_filters.append(
+                        (attr[0], op, getattr(flt, "value", None))
+                    )
         if not self.page_prune:
             _trace("push", self, n_in=len(filters), pruning="off")
             return filters
@@ -326,11 +493,27 @@ class QuiverScanReader(DataSourceReader):
     def partitions(self):
         from quiver_spark.format import nested as nested_mod
 
+        part_cols, per_file = _discover_partitions(self.path)
+
+        def pspec(file: str) -> tuple:
+            vals = per_file.get(file, ())
+            return tuple(
+                (c, v, k) for (c, k), v in zip(part_cols, vals)
+            )
+
         parts: list[QuiverPartition] = []
         budget = self.limit  # remaining rows to plan (None → unlimited)
         for file in _list_files(self.path):
             if budget is not None and budget <= 0:
                 break
+            if self._part_filters and not _part_matches(
+                self._part_filters,
+                dict(zip((c for c, _k in part_cols), per_file.get(file, ()))),
+            ):
+                # directory-level pruning: the file is skipped before its
+                # footer is even opened — at 100 TB this is what turns a
+                # partition-key filter into O(matching files) I/O
+                continue
             _schema, metas = _file_footer(file)
             if (
                 budget is not None
@@ -351,7 +534,7 @@ class QuiverScanReader(DataSourceReader):
             for i, p in enumerate(pages):
                 if not keep[i]:
                     if start is not None:
-                        parts.append(QuiverPartition(file, start, i))
+                        parts.append(QuiverPartition(file, start, i, pspec(file)))
                         start, rows = None, 0
                     continue
                 if start is None:
@@ -364,16 +547,16 @@ class QuiverScanReader(DataSourceReader):
                         # far cover the limit (skip_page analogue)
                         break
                 if rows >= self.partition_rows:
-                    parts.append(QuiverPartition(file, start, i + 1))
+                    parts.append(QuiverPartition(file, start, i + 1, pspec(file)))
                     start, rows = None, 0
             if start is not None:
                 end = i + 1 if budget is not None and budget <= 0 else len(pages)
-                parts.append(QuiverPartition(file, start, end))
+                parts.append(QuiverPartition(file, start, end, pspec(file)))
         if not parts:
             # empty / fully-pruned dataset: single no-op partition so Spark
             # gets a schema'd empty result
             files = _list_files(self.path)
-            parts.append(QuiverPartition(files[0], 0, 0))
+            parts.append(QuiverPartition(files[0], 0, 0, pspec(files[0])))
         _trace("partitions", self, n_parts=len(parts))
         return parts
 
@@ -389,53 +572,88 @@ class QuiverScanReader(DataSourceReader):
         # footer via the module cache: Spark reuses Python worker processes,
         # so later tasks on the same file skip the footer re-parse entirely
         schema, metas = _file_footer(partition.file)
+        part_map = {
+            c: (v, _part_pa_type(k))
+            for c, v, k in partition.part
+            if c not in schema.names
+        }
+        names = (
+            self.columns
+            if self.columns is not None
+            else list(schema.names) + list(part_map)
+        )
+        file_names = [n for n in names if n not in part_map]
+        # partition-columns-only projection still needs per-batch row
+        # counts: probe-decode the first file column without emitting it
+        probe = [schema.names[0]] if not file_names and len(schema) else []
+
+        def finalize(cols: list, n_rows: int) -> pa.RecordBatch:
+            """Assemble the output batch: decoded file columns in request
+            order + Hive partition values as constant columns."""
+            arrays, it = [], iter(cols)
+            for nm in names:
+                if nm in part_map:
+                    v, t = part_map[nm]
+                    arrays.append(
+                        pa.nulls(n_rows, t)
+                        if v is None
+                        else pa.array([v] * n_rows, type=t)
+                    )
+                else:
+                    arrays.append(next(it))
+            return pa.RecordBatch.from_arrays(arrays, names=names)
+
+        if partition.page_end <= partition.page_start:
+            yield finalize(
+                [
+                    pa.array(
+                        [],
+                        type=_spark_field(
+                            schema.field(schema.names.index(n))
+                        ).type,
+                    )
+                    for n in file_names
+                ],
+                0,
+            )
+            return
+        fields = [schema.field(schema.names.index(n)) for n in file_names]
+        casts = [
+            (i, _spark_field(fld).type)
+            for i, fld in enumerate(fields)
+            if _spark_field(fld).type != fld.type
+        ]
         with open(partition.file, "rb") as f:
             leaf_ranges = column_leaf_ranges(schema)
-            names = self.columns if self.columns is not None else schema.names
-            if partition.page_end <= partition.page_start:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(
-                            [],
-                            type=_spark_field(
-                                schema.field(schema.names.index(n))
-                            ).type,
-                        )
-                        for n in names
-                    ],
-                    names=names,
-                )
-                return
-            fields = [schema.field(schema.names.index(n)) for n in names]
             if self.limit is not None:
                 # lazy page-at-a-time decode under a row budget: stop
                 # decoding as soon as the pages yielded cover the limit
                 # (reference nth/skip_page, src/read/reader.rs:91-146)
-                casts_l = [
-                    (i, _spark_field(fld).type)
-                    for i, fld in enumerate(fields)
-                    if _spark_field(fld).type != fld.type
-                ]
                 budget = self.limit
                 for p in range(partition.page_start, partition.page_end):
                     if budget <= 0:
                         return
                     arrays = []
-                    for n, fld in zip(names, fields):
+                    for n in file_names + probe:
                         lo, cnt = leaf_ranges[schema.names.index(n)]
                         arrays.append(
                             read_column_pages(
-                                f, metas[lo : lo + cnt], fld, p, p + 1
+                                f,
+                                metas[lo : lo + cnt],
+                                schema.field(schema.names.index(n)),
+                                p,
+                                p + 1,
                             )[0]
                         )
-                    for i, t in casts_l:
+                    for i, t in casts:
                         arrays[i] = arrays[i].cast(t)
-                    budget -= len(arrays[0]) if arrays else budget
+                    n_rows = len(arrays[0]) if arrays else 0
+                    budget -= n_rows if arrays else budget
                     _trace("read_page", self, page=p)
-                    yield pa.RecordBatch.from_arrays(arrays, names=names)
+                    yield finalize(arrays[: len(file_names)], n_rows)
                 return
             per_col: list[list] = []
-            for n in names:
+            for n in file_names + probe:
                 ci = schema.names.index(n)
                 lo, cnt = leaf_ranges[ci]
                 per_col.append(
@@ -449,11 +667,6 @@ class QuiverScanReader(DataSourceReader):
                 )
         # one RecordBatch per page: columnar batches flow straight into
         # Spark's vectorized Arrow path (timestamps normalized to us)
-        casts = [
-            (i, _spark_field(f).type)
-            for i, f in enumerate(fields)
-            if _spark_field(f).type != f.type
-        ]
         n_pages = partition.page_end - partition.page_start
         merge = self.options.get("merge_batches", "false").lower() == "true"
         if merge and n_pages > 1:
@@ -461,18 +674,18 @@ class QuiverScanReader(DataSourceReader):
             # of one concat copy (default OFF — the idle-host matrix above
             # measures per-page batches fastest at the default 64k split;
             # enable per-read with merge_batches=true)
-            arrays = [
-                pa.concat_arrays([a for a in per_col[c]]) for c in range(len(names))
-            ]
+            arrays = [pa.concat_arrays(pages) for pages in per_col]
             for i, t in casts:
                 arrays[i] = arrays[i].cast(t)
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            n_rows = len(arrays[0]) if arrays else 0
+            yield finalize(arrays[: len(file_names)], n_rows)
             return
         for p in range(n_pages):
-            arrays = [per_col[c][p] for c in range(len(names))]
+            arrays = [per_col[c][p] for c in range(len(file_names) + len(probe))]
             for i, t in casts:
                 arrays[i] = arrays[i].cast(t)
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            n_rows = len(arrays[0]) if arrays else 0
+            yield finalize(arrays[: len(file_names)], n_rows)
 
 
 class QuiverStreamReader(DataSourceStreamReader):
@@ -494,7 +707,9 @@ class QuiverStreamReader(DataSourceStreamReader):
         )
 
     def _files(self) -> list[str]:
-        return [os.path.basename(f) for f in _list_files(self.path)]
+        # offsets carry paths RELATIVE to the root so Hive-partitioned
+        # subdirectory files stream exactly like flat ones
+        return [os.path.relpath(f, self.path) for f in _list_files(self.path)]
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
         return {"files": []}
@@ -505,6 +720,14 @@ class QuiverStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         seen = set(start.get("files", []))
         new = [f for f in end.get("files", []) if f not in seen]
+        part_cols, per_file = _discover_partitions(self.path)
+
+        def pspec(file: str) -> tuple:
+            return tuple(
+                (c, v, k)
+                for (c, k), v in zip(part_cols, per_file.get(file, ()))
+            )
+
         parts: list[QuiverPartition] = []
         for name in new:
             file = os.path.join(self.path, name)
@@ -518,14 +741,14 @@ class QuiverStreamReader(DataSourceStreamReader):
             for i, p in enumerate(pages):
                 rows += p.num_values
                 if rows >= self.partition_rows:
-                    parts.append(QuiverPartition(file, start_p, i + 1))
+                    parts.append(QuiverPartition(file, start_p, i + 1, pspec(file)))
                     start_p, rows = i + 1, 0
             if start_p < len(pages):
-                parts.append(QuiverPartition(file, start_p, len(pages)))
+                parts.append(QuiverPartition(file, start_p, len(pages), pspec(file)))
         if not parts:
             files = _list_files(self.path)
             anchor = files[0] if files else os.path.join(self.path, "_none")
-            parts.append(QuiverPartition(anchor, 0, 0))
+            parts.append(QuiverPartition(anchor, 0, 0, pspec(anchor)))
         return parts
 
     def read(self, partition: QuiverPartition) -> Iterator:
@@ -567,10 +790,49 @@ class QuiverWriter(DataSourceArrowWriter):
             x.strip() for x in forbidden.split(",") if x.strip()
         )
         self.page_stats = options.get("page_stats", "true").lower() != "false"
+        # Hive-style partitioned layout: `.option("partition_by", "a,b")`
+        # writes `a=v1/b=v2/part-*.quiver` subdirectories with the partition
+        # columns dropped from the files (the reader re-attaches them from
+        # the path). Spark's native partitionBy() is not surfaced to Python
+        # data sources, hence the option.
+        pby = options.get("partition_by", "")
+        self.partition_by = [c.strip() for c in pby.split(",") if c.strip()]
+
+    def _split_partitions(self, table):
+        """Yield ``(subdir, sub_table)`` per distinct partition-key combo;
+        the passthrough for unpartitioned writes is ``("", table)``."""
+        if not self.partition_by:
+            yield "", table
+            return
+        import pyarrow.compute as pc
+
+        missing = [c for c in self.partition_by if c not in table.column_names]
+        if missing:
+            raise ValueError(f"partition_by columns not in schema: {missing}")
+        combos = (
+            table.select(self.partition_by)
+            .group_by(self.partition_by, use_threads=False)
+            .aggregate([])
+        )
+        rest = table.drop_columns(self.partition_by)
+        for i in range(combos.num_rows):
+            mask = None
+            segs = []
+            for c in self.partition_by:
+                v = combos.column(c)[i]
+                cond = (
+                    pc.is_null(table.column(c))
+                    if not v.is_valid
+                    else pc.equal(table.column(c), v)
+                )
+                mask = cond if mask is None else pc.and_(mask, cond)
+                segs.append(f"{c}={_part_segment(v.as_py())}")
+            yield os.path.join(*segs), rest.filter(mask)
 
     def write(self, iterator) -> QuiverCommit:
         """One task → one or more .quiver files (a file is one row group,
-        src/write/writer.rs:107-112; oversized tasks roll to new files)."""
+        src/write/writer.rs:107-112; oversized tasks roll to new files;
+        partitioned writes fan the buffered rows into Hive subdirs)."""
         import pyarrow as pa
 
         from quiver_spark.format.writer import WriteOptions, write_table
@@ -584,17 +846,19 @@ class QuiverWriter(DataSourceArrowWriter):
         )
         buffer: list[pa.RecordBatch] = []
         rows = 0
-        wrote = False
 
         def flush():
-            nonlocal buffer, rows, wrote
+            nonlocal buffer, rows
             if not buffer:
                 return
             table = pa.Table.from_batches(buffer)
-            fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.quiver")
-            write_table(table, fname, opts)
+            for subdir, sub in self._split_partitions(table):
+                d = os.path.join(self.path, subdir) if subdir else self.path
+                os.makedirs(d, exist_ok=True)
+                write_table(
+                    sub, os.path.join(d, f"part-{uuid.uuid4().hex}.quiver"), opts
+                )
             buffer, rows = [], 0
-            wrote = True
 
         for batch in iterator:
             buffer.append(batch)
@@ -607,7 +871,7 @@ class QuiverWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         """Driver-side commit: a fully-empty result set must still leave a
         schema-bearing file, or subsequent reads of the directory fail."""
-        if glob.glob(os.path.join(self.path, "*.quiver")):
+        if glob.glob(os.path.join(self.path, "**", "*.quiver"), recursive=True):
             return
         if self.spark_schema is None:
             return

@@ -283,3 +283,125 @@ def test_spark_write_adaptive_options(spark, tmp_path):
     assert q.agg(F.sum("l_extendedprice")).collect() == p.agg(
         F.sum("l_extendedprice")
     ).collect()
+
+
+def test_hive_partitioned_write_read(spark, tmp_path):
+    """partition_by writes Hive `col=value` subdirs with the partition
+    column dropped from the files; the reader re-attaches it from the
+    path with the same values."""
+    register(spark)
+    out = str(tmp_path / "docs_by_lang")
+    p = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (
+        p.write.format("quiver")
+        .option("partition_by", "lang")
+        .mode("overwrite")
+        .save(out)
+    )
+    subdirs = sorted(x for x in os.listdir(out) if "=" in x)
+    assert subdirs and all(x.startswith("lang=") for x in subdirs)
+    # partition column must not be stored in the files themselves
+    from quiver_spark.format.reader import infer_schema
+
+    one = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".quiver")
+    )
+    with open(one, "rb") as fh:
+        assert "lang" not in infer_schema(fh).names
+    q = spark.read.format("quiver").load(out)
+    assert "lang" in q.columns
+    a = sorted(q.collect(), key=lambda r: r.doc_id)
+    b = sorted(p.collect(), key=lambda r: r.doc_id)
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_hive_partition_prune_skips_files(spark, tmp_path):
+    """With partition_prune=true, a filter on the partition key plans only
+    the matching files' partitions — directory-level pruning before any
+    footer or page is read."""
+    from quiver_spark.sources.quiver_datasource import QuiverScanReader
+
+    register(spark)
+    out = str(tmp_path / "docs_pruned")
+    p = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (
+        p.write.format("quiver")
+        .option("partition_by", "lang")
+        .mode("overwrite")
+        .save(out)
+    )
+    langs = [r.lang for r in p.select("lang").distinct().collect()]
+    assert len(langs) > 1
+    target = sorted(langs)[0]
+
+    class FakeEq:  # duck-typed pushed filter (pyspark.sql.datasource.EqualTo)
+        attribute = ("lang",)
+        value = target
+
+    FakeEq.__name__ = "EqualTo"
+    r = QuiverScanReader({"path": out, "partition_prune": "true"}, None)
+    r.pushFilters([FakeEq()])
+    files = {pt.file for pt in r.partitions()}
+    assert files and all(f"lang={target}" in f for f in files)
+    r_all = QuiverScanReader({"path": out}, None)
+    assert len({pt.file for pt in r_all.partitions()}) > len(files)
+
+    # end-to-end correctness (fresh relation per query, like quiver_table)
+    got = (
+        spark.read.format("quiver")
+        .option("partition_prune", "true")
+        .load(out)
+        .filter(F.col("lang") == target)
+        .count()
+    )
+    assert got == p.filter(F.col("lang") == target).count()
+
+
+def test_hive_partition_types_and_null(spark, tmp_path):
+    """Numeric partition values infer as long; nulls round-trip through the
+    __HIVE_DEFAULT_PARTITION__ directory."""
+    register(spark)
+    out = str(tmp_path / "by_bucket")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 20), (4, "d", None)],
+        "id INT, s STRING, bucket INT",
+    )
+    (
+        df.write.format("quiver")
+        .option("partition_by", "bucket")
+        .mode("overwrite")
+        .save(out)
+    )
+    assert os.path.isdir(os.path.join(out, "bucket=__HIVE_DEFAULT_PARTITION__"))
+    q = spark.read.format("quiver").load(out)
+    assert dict(q.dtypes)["bucket"] == "bigint"
+    got = sorted(
+        (r.id, r.s, r.bucket) for r in q.collect()
+    )
+    assert got == [(1, "a", 10), (2, "b", 10), (3, "c", 20), (4, "d", None)]
+
+
+def test_hive_partition_column_only_projection(spark, tmp_path):
+    """Selecting ONLY the partition column still yields correct per-file
+    row counts (the reader probe-decodes one file column for lengths)."""
+    register(spark)
+    out = str(tmp_path / "docs_lang_only")
+    p = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (
+        p.write.format("quiver")
+        .option("partition_by", "lang")
+        .mode("overwrite")
+        .save(out)
+    )
+    q = (
+        spark.read.format("quiver")
+        .option("columns", "lang")
+        .load(out)
+        .groupBy("lang")
+        .count()
+    )
+    want = {(r.lang, r["count"]) for r in p.groupBy("lang").count().collect()}
+    assert {(r.lang, r["count"]) for r in q.collect()} == want

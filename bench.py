@@ -48,6 +48,9 @@ def main() -> None:
         ("nation", "zstd", None),
     ]:
         quiver_table(spark, sf_dir, tbl, codec, sort_by=sort_by)
+    from quiver_spark.operators.format_queries import partitioned_documents_dir
+
+    partitioned_documents_dir(spark, sf_dir)
 
     # JVM + Python-worker warmup (including the Python-datasource worker
     # pool) so the first timed query isn't charged for session spin-up.

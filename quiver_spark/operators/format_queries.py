@@ -258,6 +258,26 @@ def quiver_limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partitioned_documents_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Documents written once per sf as a Hive-partitioned quiver layout
+    (`lang=<v>/part-*.quiver`); returns the directory."""
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "documents-bylang")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .write.format("quiver")
+            .option("partition_by", "lang")
+            .mode("overwrite")
+            .save(d)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
 @register(
     "quiver_partitioned_scan",
     oracle="""
@@ -275,26 +295,14 @@ def quiver_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed `lang >= 'e'` filter skips non-matching FILES before any byte is
     read — the engine's directory-pruning scale story (a partition-key
     filter costs O(matching files) at 100 TB, not O(dataset))."""
-    register_format(spark)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(CACHE_ROOT, tag, "documents-bylang")
-    marker = os.path.join(d, "_done")
-    if not os.path.exists(marker):
-        (
-            spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .write.format("quiver")
-            .option("partition_by", "lang")
-            .mode("overwrite")
-            .save(d)
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
+    d = partitioned_documents_dir(spark, sf_dir)
     docs = (
         spark.read.format("quiver")
         .option("partition_prune", "true")
         .load(d)
         .filter(F.col("lang") >= "e")
     )
+
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.length("text")).cast("bigint").alias("total_len"),

@@ -428,16 +428,34 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    oracle=None,  # approximate sketches differ across engines → rows-only
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_5pct
+FROM lineitem GROUP BY l_returnflag
+""",
     tags=("agg", "approx"),
     bench=True,
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (sketch values are
-    engine-specific — the local test checks the 5% error envelope
-    against the exact count instead of the oracle)."""
+    """HyperLogLog++ approximate distinct. Sketch estimates are
+    engine-specific, so the oracle-checkable surface is the exact count
+    plus a deterministic boolean asserting the HLL estimate lands within
+    a 5% envelope of it (HLL++ at rsd=0.02 is deterministic for fixed
+    data, so the boolean is stable; the oracle side is simply TRUE)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("within_5pct"),
+        )
     )

@@ -22,12 +22,13 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from quiver_spark.session import configure
 
-#: Raw parquet schema of events (ts as int64 nanos; Spark cannot type
-#: TIMESTAMP(NANOS) parquet natively — see tables.load).
+#: Raw stream schema when events.ts is stored as int64 nanos (Spark cannot
+#: type TIMESTAMP(NANOS) parquet natively — see tables.load).
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -40,19 +41,61 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def _events_ts_is_int64_nanos(events_dir: str) -> bool:
+    """Probe one parquet footer to learn how ``ts`` is physically stored.
+
+    Mirrors the conditional guard in tables.load (convert only when the
+    column arrives as int64); readStream forces a schema so we must decide
+    before opening the stream. One driver-side footer read, no data I/O.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    candidates = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    if os.path.isfile(events_dir):
+        candidates = [events_dir]
+    for path in candidates:
+        try:
+            field = pq.read_schema(path).field("ts")
+        except (OSError, KeyError):
+            continue
+        import pyarrow as pa
+
+        return pa.types.is_int64(field.type)
+    return False
+
+
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-stream source over a directory of events parquet files, with the
-    ns→timestamp conversion applied. New files appearing in the directory
-    are picked up per micro-batch (the standard landing-zone pattern)."""
+    ts column normalized to a naive timestamp. New files appearing in the
+    directory are picked up per micro-batch (the standard landing-zone
+    pattern). Handles both physical layouts the driver has shipped:
+    timestamp[us] (read natively) and int64 nanos (truncated to micros,
+    matching tables.load / DuckDB's TIMESTAMP(NANOS) handling)."""
     configure(spark)
+    if _events_ts_is_int64_nanos(events_dir):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", "4")
+            .parquet(events_dir)
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+        )
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", TimestampNTZType())
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "4")
         .parquet(events_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

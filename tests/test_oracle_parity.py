@@ -91,10 +91,9 @@ def test_registry_consistency():
 
 
 def test_approx_distinct_error_envelope(spark):
-    """approx_count_distinct must land within its configured 2% rsd (checked
-    at 5% to be safe) of the exact count."""
+    """approx_count_distinct must land within 5% of the exact count — the
+    query itself folds the comparison into the within_5pct boolean so the
+    driver's hash-match oracle can check it (oracle side emits TRUE)."""
     df = SPECS["approx_distinct_parts"].spark(spark, SF_DIR).toPandas()
-    for _, row in df.iterrows():
-        assert abs(row.approx_parts - row.exact_parts) <= max(
-            0.05 * row.exact_parts, 2
-        )
+    assert df.within_5pct.all()
+    assert (df.exact_parts > 0).all()

@@ -45,26 +45,28 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(df: DataFrame) -> DataFrame:
-    """(doc_id, shingle) pairs — distinct word 3-grams per document.
+def _raw_shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs — word 3-grams per document, WITH per-doc
+    repeats (no distinct; callers dedup on whatever key they project).
 
     Built with a single array transform (map-side, no self-join): for token
     array t, shingle_i = t[i] ' ' t[i+1] ' ' t[i+2]. The token array is
     materialized ONCE per row (a 4× split of large texts measured 29s →
     ~7s at sf0.1)."""
-    return (
-        df.select("doc_id", F.split("text", " ").alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(slice(toks, 1, greatest(size(toks) - 2, 0)), "
-                    "(x, i) -> concat(x, ' ', toks[i + 1], ' ', toks[i + 2]))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    return df.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 2, 0)), "
+                "(x, i) -> concat(x, ' ', toks[i + 1], ' ', toks[i + 2]))"
+            )
+        ).alias("shingle"),
     )
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct word 3-grams per document."""
+    return _raw_shingles(df).distinct()
 
 
 #: DuckDB twin of _shingles (1-based list indexing; range(1, n-1) = [1..n-2]).

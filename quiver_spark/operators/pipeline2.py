@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quiver_spark.functions import int_vec
-from quiver_spark.operators.dedup import SQL_SHINGLES, _shingles
+from quiver_spark.operators.dedup import SQL_SHINGLES, _raw_shingles, _shingles
 from quiver_spark.registry import register
 from quiver_spark.tables import load
 
@@ -31,18 +31,23 @@ COS_THRESHOLD = 0.3
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH shingles AS ({SQL_SHINGLES}),
+WITH shingles0 AS ({SQL_SHINGLES}),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 15)) AS BIGINT) AS sh
+    FROM shingles0
+),
 sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
 kept AS (
-    SELECT doc_id, shingle FROM shingles
-    WHERE shingle IN (
-        SELECT shingle FROM shingles GROUP BY shingle
+    SELECT doc_id, sh FROM shingles
+    WHERE sh IN (
+        SELECT sh FROM shingles GROUP BY sh
         HAVING COUNT(*) <= {MAX_SHINGLE_DF}
     )
 ),
 pairs AS (
     SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
-    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT p.a, p.b,
@@ -59,24 +64,43 @@ WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs via a shingle inverted index.
 
-    Exact counts both sides; the Jaccard itself is one IEEE division of
-    identical integers, so the hash-match is bit-exact."""
+    Shingles are hashed to a 60-bit int64 (md5 prefix — identical
+    arithmetic in Spark's conv() and DuckDB's hex cast) as soon as they are
+    generated: the inverted-index shuffle then moves 8-byte keys instead of
+    ~30-char strings, cutting shuffle bytes several-fold. Jaccard is
+    computed over the hashed shingle sets on BOTH engines, so the rare
+    60-bit collision cannot cause a mismatch. Exact integer counts; the
+    Jaccard itself is one IEEE division of identical integers."""
     d = load(spark, sf_dir, "documents")
-    # the shingle set feeds three consumers (sizes, df-filter, join) —
-    # persist so the explode+distinct runs once, not three times
-    sh = _shingles(d).persist()
+    # hash BEFORE the distinct: the dedup shuffle and every downstream
+    # consumer then move 8-byte keys, and the shingle strings never leave
+    # the map stage. The set of distinct (doc_id, hash) rows is identical
+    # whether strings are deduped first or not, so the oracle (which
+    # dedups post-hash too) matches exactly. Persist because the shingle
+    # set feeds three consumers (sizes, df-filter, join).
+    sh = (
+        _raw_shingles(d)
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("sh"),
+        )
+        .distinct()
+        .persist()
+    )
     sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = (
-        sh.groupBy("shingle")
+        sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
+        .select("sh")
     )
-    kept = sh.join(rare, "shingle")
-    a = kept.select(F.col("doc_id").alias("a"), "shingle")
-    b = kept.select(F.col("doc_id").alias("b"), "shingle")
+    kept = sh.join(rare, "sh")
+    a = kept.select(F.col("doc_id").alias("a"), "sh")
+    b = kept.select(F.col("doc_id").alias("b"), "sh")
     pairs = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -45,8 +45,13 @@ class WriteOptions:
     compress_ratio: float | None = 2.0  # None → adaptive off (basic codec only)
     max_page_size: int = DEFAULT_PAGE_SIZE
     # patas is fully decodable but write-disabled by default: its XOR chain
-    # is sequential Python (format/patas.py) — enable explicitly when the
-    # ratio is worth it
+    # is sequential Python (format/patas.py) — measured 6.3 MB/s encode /
+    # 9.2 MB/s decode at ratio ~1.9 on XOR-friendly doubles, vs >1 GB/s for
+    # the block codecs, so the adaptive sampler alone would throttle every
+    # double page's write. Disabling is legal per the reference's own
+    # forbidden_compressions (src/write/common.rs:37-45); enable explicitly
+    # (forbidden=()) when ratio beats throughput — the open-competition
+    # round-trip is pinned by test_patas_chosen_in_open_competition.
     forbidden: tuple[str, ...] = ("patas",)
     page_stats: bool = True  # per-page min/max sidecar (engine extension)
 

@@ -308,15 +308,45 @@ def pa_schema_select(schema, names):
     return pa.schema([schema.field(schema.names.index(n)) for n in names])
 
 
-def _spark_field(field):
-    """Normalize an arrow field to what Spark's vectorized Arrow reader
-    accepts (timestamps must be microsecond; the file may carry s/ms/ns)."""
+def _spark_type(t):
+    """Recursively normalize an arrow type to what Spark accepts:
+    timestamps to microseconds (the file may carry s/ms/ns), and unsigned
+    ints WIDENED per SURVEY §1.3 — uint8→int16, uint16→int32,
+    uint32→int64, uint64→decimal128(20,0) — because Spark has no unsigned
+    types and a same-width signed map would overflow the top half of the
+    range. The reference writes uint leaves via the plain integer cascade
+    (src/write/primitive.rs:55-70), so only this Spark boundary widens."""
     import pyarrow as pa
 
-    t = field.type
     if pa.types.is_timestamp(t) and t.unit != "us":
-        return field.with_type(pa.timestamp("us", tz=t.tz))
-    return field
+        return pa.timestamp("us", tz=t.tz)
+    if pa.types.is_unsigned_integer(t):
+        return {
+            8: pa.int16(),
+            16: pa.int32(),
+            32: pa.int64(),
+            64: pa.decimal128(20, 0),
+        }[t.bit_width]
+    if pa.types.is_list(t):
+        return pa.list_(_spark_type(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_spark_type(t.value_type))
+    if pa.types.is_fixed_size_list(t):
+        return pa.list_(_spark_type(t.value_type), t.list_size)
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [f.with_type(_spark_type(f.type)) for f in t]
+        )
+    if pa.types.is_map(t):
+        return pa.map_(_spark_type(t.key_type), _spark_type(t.item_type))
+    return t
+
+
+def _spark_field(field):
+    """Normalize an arrow field to what Spark's vectorized Arrow reader
+    accepts (see _spark_type)."""
+    t = _spark_type(field.type)
+    return field.with_type(t) if t != field.type else field
 
 
 def _spark_schema(schema):
@@ -800,34 +830,47 @@ class QuiverWriter(DataSourceArrowWriter):
 
     def _split_partitions(self, table):
         """Yield ``(subdir, sub_table)`` per distinct partition-key combo;
-        the passthrough for unpartitioned writes is ``("", table)``."""
+        the passthrough for unpartitioned writes is ``("", table)``.
+
+        One pass over the buffered rows regardless of key cardinality:
+        sort by the partition columns, find run boundaries with a
+        vectorized dictionary-index comparison, and slice the contiguous
+        runs zero-copy. (The previous per-combo ``filter`` re-scanned the
+        whole table once per distinct combo — quadratic-ish for a
+        high-cardinality partition key.)"""
         if not self.partition_by:
             yield "", table
             return
+        import numpy as np
+        import pyarrow as pa
         import pyarrow.compute as pc
 
         missing = [c for c in self.partition_by if c not in table.column_names]
         if missing:
             raise ValueError(f"partition_by columns not in schema: {missing}")
-        combos = (
-            table.select(self.partition_by)
-            .group_by(self.partition_by, use_threads=False)
-            .aggregate([])
-        )
+        table = table.sort_by([(c, "ascending") for c in self.partition_by])
+        n = table.num_rows
+        if n == 0:
+            return
+        # per-key dictionary indices: equal values share an index, so a run
+        # boundary is any row where some key's index differs from the
+        # previous row's (nulls → -1, their own group)
+        change = np.zeros(n, dtype=bool)
+        for c in self.partition_by:
+            col = table.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            idx = pc.fill_null(pc.dictionary_encode(col).indices, -1)
+            iv = np.asarray(idx)
+            change[1:] |= iv[1:] != iv[:-1]
+        starts = np.flatnonzero(np.concatenate(([True], change[1:])))
+        ends = np.append(starts[1:], n)
         rest = table.drop_columns(self.partition_by)
-        for i in range(combos.num_rows):
-            mask = None
-            segs = []
-            for c in self.partition_by:
-                v = combos.column(c)[i]
-                cond = (
-                    pc.is_null(table.column(c))
-                    if not v.is_valid
-                    else pc.equal(table.column(c), v)
-                )
-                mask = cond if mask is None else pc.and_(mask, cond)
-                segs.append(f"{c}={_part_segment(v.as_py())}")
-            yield os.path.join(*segs), rest.filter(mask)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            segs = [
+                f"{c}={_part_segment(table.column(c)[s].as_py())}"
+                for c in self.partition_by
+            ]
+            yield os.path.join(*segs), rest.slice(s, e - s)
 
     def write(self, iterator) -> QuiverCommit:
         """One task → one or more .quiver files (a file is one row group,

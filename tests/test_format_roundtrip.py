@@ -149,6 +149,58 @@ def test_roundtrip_decimal_cascade(tmp_path):
     _assert_tables_equal(t256, read_table(path))
 
 
+def test_patas_chosen_in_open_competition(tmp_path):
+    """Patas as a first-class candidate of the DOUBLE chooser (reference
+    candidate list [OneValue, Freq, Dict, Patas, RLE],
+    src/compression/double/mod.rs:271-277): with NO codec forbidden, a
+    doubles fixture whose mantissa granularity favors XOR compression must
+    see the chooser pick patas on merit, and the file must round-trip.
+
+    Fixture: distinct multiples of 1/16 near 1000 — too many uniques for
+    Dict (unique*3 >= count), no 90% top value for Freq, no runs for RLE,
+    but every XOR has >=38 trailing zeros, so patas stores ~2 significant
+    bytes/value (ratio ~2x)."""
+    from quiver_spark.format.stat import stat_file
+
+    n = 4096
+    vals = 1000.0 + RNG.permutation(n).astype(np.float64) / 16.0
+    t = pa.table({"x": pa.array(vals)})
+    path = str(tmp_path / "open.quiver")
+    write_table(t, path, WriteOptions(compress_ratio=1.2, max_page_size=2048, forbidden=()))
+    pages = stat_file(path)["x"]
+    assert [p.codec for p in pages] == ["patas"] * len(pages), [
+        p.codec for p in pages
+    ]
+    _assert_tables_equal(t, read_table(path))
+
+
+def test_patas_pack_unpack_micro():
+    """The reference's patas pack/unpack micro-test
+    (src/compression/double/patas.rs:191-202) re-expressed over our
+    encode/decode: bit-exact round-trip of f64 and f32 arrays covering the
+    equal-value chain (sig_bytes=0 + trailing_zeros=nbits-1 trick), the
+    8-significant-byte disambiguation quirk, and ring-buffer references
+    older than the immediate predecessor."""
+    from quiver_spark.format import patas as patas_mod
+
+    f64_vals = np.array(
+        [1.0, 1.0, 5.0, 1.0, 5.0, -0.0, 0.0, 1e300, -1e-300, 3.141592653589793]
+        + [7.25] * 130  # push an equal-value ref past the 128 window
+        + list(np.round(RNG.random(200) * 1e6, 6)),
+        dtype=np.float64,
+    )
+    bits = f64_vals.view(np.uint64)
+    out = patas_mod.decode(memoryview(patas_mod.encode(bits)), len(bits), np.dtype("<f8"))
+    assert out.view(np.uint64).tolist() == bits.tolist()
+
+    f32_vals = np.array([0.0, 0.0, 1.5, -1.5, 3.25, 3.25, 1e30], dtype=np.float32)
+    bits32 = f32_vals.view(np.uint32)
+    out32 = patas_mod.decode(
+        memoryview(patas_mod.encode(bits32)), len(bits32), np.dtype("<f4")
+    )
+    assert out32.view(np.uint32).tolist() == bits32.tolist()
+
+
 def test_patas_with_nulls_and_pages(tmp_path):
     """Patas across page boundaries with nulls (nulls ffill into the
     XOR chain, matching the reference's raw-buffer behavior)."""

@@ -405,3 +405,38 @@ def test_hive_partition_column_only_projection(spark, tmp_path):
     )
     want = {(r.lang, r["count"]) for r in p.groupBy("lang").count().collect()}
     assert {(r.lang, r["count"]) for r in q.collect()} == want
+
+
+def test_hive_partition_high_cardinality_one_pass(spark, tmp_path):
+    """A high-cardinality partition key fans out in ONE pass over the
+    buffered rows (sort + run slicing) — the per-combo filter this
+    replaced re-scanned the whole buffer once per distinct value. Checks
+    correctness at 200 distinct keys and that the split helper touches
+    each input row once."""
+    import pyarrow as pa
+
+    from quiver_spark.sources.quiver_datasource import QuiverWriter
+
+    register(spark)
+    out = str(tmp_path / "many_parts")
+    n, k = 4000, 200
+    df = spark.range(n).selectExpr(
+        "id", "CAST(id % 200 AS INT) AS part", "md5(CAST(id AS STRING)) AS payload"
+    ).coalesce(1)
+    df.write.format("quiver").option("partition_by", "part").mode(
+        "overwrite"
+    ).save(out)
+    subdirs = {x for x in os.listdir(out) if x.startswith("part=")}
+    assert len(subdirs) == k
+    q = spark.read.format("quiver").load(out)
+    assert q.count() == n
+    got = sorted((r.id, r.part) for r in q.select("id", "part").collect())
+    assert got == [(i, i % k) for i in range(n)]
+
+    # unit-level: runs are contiguous slices covering the table exactly once
+    w = QuiverWriter.__new__(QuiverWriter)
+    w.partition_by = ["p"]
+    t = pa.table({"p": [3, 1, 2, 1, None, 3], "v": [0, 1, 2, 3, 4, 5]})
+    parts = list(w._split_partitions(t))
+    assert sorted(sub.num_rows for _d, sub in parts) == [1, 1, 2, 2]
+    assert sum(sub.num_rows for _d, sub in parts) == t.num_rows

@@ -712,3 +712,64 @@ def test_validity_prefix_bytes(tmp_path):
     # freshly-built arrays) — byte-equal for this construction
     expect = envelope(fields, [[(page, 3)]])
     assert got == expect
+
+
+def test_uint_golden_read_and_spark_widening(tmp_path, spark):
+    """Unsigned-int golden files through BOTH boundaries (SURVEY §1.3).
+
+    The reference writes UInt8/16/32/64 leaves through the plain integer
+    cascade at their physical width (src/write/primitive.rs:55-70); Spark
+    has no unsigned types, so the engine must widen on read —
+    uint8→short, uint16→int, uint32→long, uint64→decimal(20,0) — and
+    values above the same-width signed max must survive (an overflowing
+    LongType map would corrupt uint64 silently)."""
+    import struct as _s
+
+    def u(fmt, *vals):
+        return b"".join(_s.pack(fmt, v) for v in vals)
+
+    fields = [
+        pa.field("u8", pa.uint8(), nullable=False),
+        pa.field("u16", pa.uint16(), nullable=False),
+        pa.field("u32", pa.uint32(), nullable=False),
+        pa.field("u64", pa.uint64(), nullable=False),
+    ]
+    u8v = [0, 200, 255]
+    u16v = [0, 40000, 65535]
+    u32v = [0, 3_000_000_000, 4_294_967_295]
+    u64v = [0, 10_000_000_000_000_000_000, 18_446_744_073_709_551_615]
+    pages = [
+        [(frame(NONE, u("<B", *u8v), 3), 3)],
+        [(frame(NONE, u("<H", *u16v), 6), 3)],
+        [(frame(NONE, u("<I", *u32v), 12), 3)],
+        [(frame(NONE, u("<Q", *u64v), 24), 3)],
+    ]
+    p = _write(tmp_path, "uints.quiver", envelope(fields, pages))
+
+    # format-level read keeps the physical uint types
+    t = read_table(p)
+    assert t.schema.field("u64").type == pa.uint64()
+    assert _col(t, "u8") == u8v
+    assert _col(t, "u16") == u16v
+    assert _col(t, "u32") == u32v
+    assert _col(t, "u64") == u64v
+
+    # Spark boundary widens
+    from quiver_spark.sources import register
+
+    register(spark)
+    df = spark.read.format("quiver").load(str(tmp_path))
+    dt = dict(df.dtypes)
+    assert dt == {
+        "u8": "smallint",
+        "u16": "int",
+        "u32": "bigint",
+        "u64": "decimal(20,0)",
+    }
+    rows = sorted(df.collect(), key=lambda r: r.u8)
+    import decimal as _d
+
+    assert [r.u8 for r in rows] == u8v
+    assert [r.u16 for r in rows] == u16v
+    assert [r.u32 for r in rows] == u32v
+    assert [r.u64 for r in rows] == [_d.Decimal(v) for v in u64v]

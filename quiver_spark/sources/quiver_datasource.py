@@ -6,7 +6,7 @@
 Split planning mirrors the reference's page-granular reads (NativeReader
 nth/skip_page, src/read/reader.rs:91-146): the driver reads each file's
 footer once, then fans out InputPartitions covering page ranges sized by
-`partition_rows` (default 128k rows). Executors open only their byte range
+`partition_rows` (default 32k rows). Executors open only their byte range
 per projected column — at 100 TB this is the same contract as Spark's
 parquet scan: splits ~= files × page-ranges, no driver-side row handling.
 
@@ -36,8 +36,11 @@ after a filtered count does no Python planning at all and returns the
 filtered query's partitions). Zone-map page pruning is therefore OPT-IN
 (`.option("page_prune", "true")`): the default build never prunes, so a
 replayed plan still covers every page and Spark's row-level filters keep
-results correct. Opt in only for single-use relations — the engine's own
-quiver_table() does, because it creates a fresh relation per call.
+results correct — which also makes a pruning-off relation safe to REUSE
+across arbitrarily-filtered queries (its partitions depend only on static
+options). The engine's quiver_table() exploits both sides: unsorted tables
+get one cached, reusable, pruning-off relation (skipping the per-load
+Python round trip); sorted tables get a fresh page_prune relation per call.
 """
 
 from __future__ import annotations
@@ -61,19 +64,21 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "quiver"
-# Measured on an idle local[32] host at sf0.1 (600k-row lineitem, min of 3
-# interleaved with the parquet control at 0.313 s):
-#   rows=32k  merge=true 2.13x   merge=false 1.95x
-#   rows=64k  merge=true 1.99x   merge=false 1.86x
-#   rows=128k merge=true 1.86x   merge=false 1.94x
-# Configs plateau at ~1.86x of the JVM parquet scan (sigma ~0.05); the
-# remainder is the Python-DataSource handoff floor — single-threaded page
-# decode of the whole table is 0.37 s, i.e. ~40 ms of the 0.58 s wall when
-# spread over 10 partitions. Default = 64k rows + per-page batches, the
-# best measured cell; per-page yield also keeps decode lazy (LIMIT budget,
-# no concat copy, lower peak memory). At cluster scale splits stay
-# ~= files x page-ranges.
-DEFAULT_PARTITION_ROWS = 1 << 16
+# Measured on an idle local[32] host at sf0.1 (600k-row lineitem, min of 5
+# interleaved with a fresh-load parquet control at 0.310 s, r5 protocol).
+# With the relation reused across queries (the catalog pattern the engine's
+# quiver_table() implements — a fresh .load() per query pays a ~0.25 s
+# Python-worker round trip for datasource instantiation + schema()):
+#   rows=32k  merge=false 0.94x   merge=true 0.96x
+#   rows=48k  merge=false 0.94x   merge=true 1.03x
+#   rows=64k  merge=false 1.03x   merge=true 1.00x
+# i.e. the scan is at PARITY with the JVM parquet reader once the per-load
+# tax is out of the loop; single-threaded page decode of the whole table is
+# 0.37 s, spread over ~19 partitions. Default = 32k rows + per-page
+# batches, the best measured cell; per-page yield also keeps decode lazy
+# (LIMIT budget, no concat copy, lower peak memory). At cluster scale
+# splits stay ~= files x page-ranges.
+DEFAULT_PARTITION_ROWS = 1 << 15
 DEFAULT_MAX_ROWS_PER_FILE = 1 << 22
 
 

@@ -3,8 +3,9 @@ page-range reads.
 
 Mirrors the reference read path (src/read/reader.rs): `read_meta` seeks
 End-12 for the meta size, `infer_schema` seeks End-16 for the schema size;
-page iteration decodes validity then values per page
-(src/read/deserialize.rs, src/read/array/*).
+`read_footer` gets both in one 64 KiB tail pre-read (the async object-store
+path, src/read/reader.rs:33,180-225); page iteration decodes validity then
+values per page (src/read/deserialize.rs, src/read/array/*).
 
 Page-range reads are the engine's split unit: a Spark InputPartition covers
 [page_start, page_end) of every projected column, with per-column byte
@@ -53,11 +54,13 @@ class ColumnMeta:
         return out
 
 
-def read_meta(f) -> list[ColumnMeta]:
-    f.seek(-12, 2)
-    (meta_size,) = struct.unpack("<I", f.read(4))
-    f.seek(-16 - meta_size, 2)
-    buf = memoryview(f.read(meta_size))
+#: one-I/O footer tail pre-read size (reference DEFAULT_FOOTER_SIZE,
+#: src/read/reader.rs:33) — sized so schema+meta of typical files fit in a
+#: single object-store range request
+DEFAULT_FOOTER_SIZE = 64 * 1024
+
+
+def _parse_meta(buf: memoryview) -> list[ColumnMeta]:
     pos = 0
     (n_cols,) = struct.unpack_from("<Q", buf, pos)
     pos += 8
@@ -75,11 +78,7 @@ def read_meta(f) -> list[ColumnMeta]:
     return metas
 
 
-def infer_schema(f) -> pa.Schema:
-    f.seek(-16, 2)
-    schema_size, meta_size = struct.unpack("<II", f.read(8))
-    f.seek(-16 - meta_size - schema_size, 2)
-    schema_bytes = f.read(schema_size)
+def _parse_schema(schema_bytes: bytes) -> pa.Schema:
     if schema_bytes[:4] == b"\xff\xff\xff\xff":
         # encapsulated IPC framing (continuation + length prefix) — emitted
         # by this writer before the raw-flatbuffer switch; keep readable
@@ -95,6 +94,45 @@ def infer_schema(f) -> pa.Schema:
         + b"\x00" * pad
     )
     return pa.ipc.read_schema(pa.py_buffer(framed))
+
+
+def read_meta(f) -> list[ColumnMeta]:
+    f.seek(-12, 2)
+    (meta_size,) = struct.unpack("<I", f.read(4))
+    f.seek(-16 - meta_size, 2)
+    return _parse_meta(memoryview(f.read(meta_size)))
+
+
+def infer_schema(f) -> pa.Schema:
+    f.seek(-16, 2)
+    schema_size, meta_size = struct.unpack("<II", f.read(8))
+    f.seek(-16 - meta_size - schema_size, 2)
+    return _parse_schema(f.read(schema_size))
+
+
+def read_footer(f) -> tuple[pa.Schema, list[ColumnMeta]]:
+    """Schema + column metas in ONE read: pre-read a 64 KiB tail and parse
+    both footer blocks out of it, re-reading exactly once only when the
+    footer is larger than the tail.
+
+    This is the object-store posture of the reference's async footer path
+    (src/read/reader.rs:180-225): a remote read costs a round trip, so the
+    tail pre-read turns the 2-3 seek+read sequence of read_meta +
+    infer_schema into a single range request per file."""
+    size = f.seek(0, 2)
+    tail_len = min(size, DEFAULT_FOOTER_SIZE)
+    f.seek(size - tail_len)
+    tail = f.read(tail_len)
+    schema_size, meta_size = struct.unpack_from("<II", tail, tail_len - 16)
+    footer_len = 16 + meta_size + schema_size
+    if footer_len > tail_len:
+        f.seek(size - footer_len)
+        tail = f.read(footer_len)
+        tail_len = footer_len
+    view = memoryview(tail)
+    meta_lo = tail_len - 16 - meta_size
+    schema = _parse_schema(bytes(view[meta_lo - schema_size : meta_lo]))
+    return schema, _parse_meta(view[meta_lo : tail_len - 16])
 
 
 def _decode_values(cur: Cursor, num_values: int, t: pa.DataType, validity_buf, null_count: int) -> pa.Array:
@@ -257,8 +295,7 @@ def read_table(
 ) -> pa.Table:
     """Read a quiver file (optionally a page range / column subset)."""
     with open(path, "rb") as f:
-        schema = infer_schema(f)
-        metas = read_meta(f)
+        schema, metas = read_footer(f)
         names = schema.names
         ranges = column_leaf_ranges(schema)
         sel = columns if columns is not None else names

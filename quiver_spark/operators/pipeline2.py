@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quiver_spark.functions import int_vec
-from quiver_spark.operators.dedup import SQL_SHINGLES, _raw_shingles, _shingles
+from quiver_spark.operators.dedup import SQL_SHINGLES, _raw_shingles
 from quiver_spark.registry import register
 from quiver_spark.tables import load
 

@@ -214,14 +214,16 @@ _FOOTER_CACHE: dict[tuple[str, int, int], tuple] = {}
 
 
 def _file_footer(file: str):
-    from quiver_spark.format.reader import infer_schema, read_meta
+    from quiver_spark.format.reader import read_footer
 
     st = os.stat(file)
     key = (file, st.st_mtime_ns, st.st_size)
     hit = _FOOTER_CACHE.get(key)
     if hit is None:
         with open(file, "rb") as f:
-            hit = (infer_schema(f), read_meta(f))
+            # one 64 KiB tail pre-read for schema+meta (object-store
+            # posture: a single range request per uncached footer)
+            hit = read_footer(f)
         if len(_FOOTER_CACHE) > 4096:  # bound driver memory
             _FOOTER_CACHE.clear()
         _FOOTER_CACHE[key] = hit
@@ -332,18 +334,29 @@ def _spark_type(t):
             32: pa.int64(),
             64: pa.decimal128(20, 0),
         }[t.bit_width]
+    # nested rebuilds preserve the original child FIELD (name/nullability)
+    # via with_type: rebuilding with bare types would rename children to
+    # pyarrow defaults ('item'/'entries'), making an otherwise-identical
+    # type compare unequal and triggering a useless per-batch cast
     if pa.types.is_list(t):
-        return pa.list_(_spark_type(t.value_type))
+        return pa.list_(t.value_field.with_type(_spark_type(t.value_type)))
     if pa.types.is_large_list(t):
-        return pa.large_list(_spark_type(t.value_type))
+        return pa.large_list(
+            t.value_field.with_type(_spark_type(t.value_type))
+        )
     if pa.types.is_fixed_size_list(t):
-        return pa.list_(_spark_type(t.value_type), t.list_size)
+        return pa.list_(
+            t.value_field.with_type(_spark_type(t.value_type)), t.list_size
+        )
     if pa.types.is_struct(t):
         return pa.struct(
             [f.with_type(_spark_type(f.type)) for f in t]
         )
     if pa.types.is_map(t):
-        return pa.map_(_spark_type(t.key_type), _spark_type(t.item_type))
+        return pa.map_(
+            t.key_field.with_type(_spark_type(t.key_type)),
+            t.item_field.with_type(_spark_type(t.item_type)),
+        )
     return t
 
 
@@ -842,7 +855,12 @@ class QuiverWriter(DataSourceArrowWriter):
         vectorized dictionary-index comparison, and slice the contiguous
         runs zero-copy. (The previous per-combo ``filter`` re-scanned the
         whole table once per distinct combo — quadratic-ish for a
-        high-cardinality partition key.)"""
+        high-cardinality partition key.)
+
+        NOTE: rows within each written file are in partition-key-sorted
+        order, not arrival order — the same (documented) non-guarantee as
+        Spark's own partitioned file sinks, where the sink is free to
+        cluster rows by partition before writing."""
         if not self.partition_by:
             yield "", table
             return
@@ -864,9 +882,17 @@ class QuiverWriter(DataSourceArrowWriter):
         for c in self.partition_by:
             col = table.column(c)
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            idx = pc.fill_null(pc.dictionary_encode(col).indices, -1)
-            iv = np.asarray(idx)
-            change[1:] |= iv[1:] != iv[:-1]
+            try:
+                idx = pc.fill_null(pc.dictionary_encode(col).indices, -1)
+                iv = np.asarray(idx)
+                change[1:] |= iv[1:] != iv[:-1]
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                # types dictionary_encode rejects (e.g. already-dictionary):
+                # adjacent-row comparison finds the same run boundaries
+                a, b = col.slice(0, n - 1), col.slice(1)
+                neq = pc.fill_null(pc.not_equal(a, b), False)
+                nulldiff = pc.xor(pc.is_null(a), pc.is_null(b))
+                change[1:] |= np.asarray(pc.or_(neq, nulldiff))
         starts = np.flatnonzero(np.concatenate(([True], change[1:])))
         ends = np.append(starts[1:], n)
         rest = table.drop_columns(self.partition_by)

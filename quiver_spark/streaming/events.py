@@ -42,11 +42,16 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def _events_ts_is_int64_nanos(events_dir: str) -> bool:
-    """Probe one parquet footer to learn how ``ts`` is physically stored.
+    """Probe one parquet footer to learn how Spark will see ``ts``.
 
-    Mirrors the conditional guard in tables.load (convert only when the
-    column arrives as int64); readStream forces a schema so we must decide
-    before opening the stream. One driver-side footer read, no data I/O.
+    readStream forces a schema, so the branch must be decided before the
+    stream opens. With ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by
+    session.configure) Spark reads BOTH a physical int64 column and a
+    TIMESTAMP(NANOS) logical column as bigint — but pyarrow's footer reports
+    the latter as timestamp[ns] — so both map to the int64-nanos branch
+    here. Only a genuine timestamp[us/ms/s] column takes the native branch.
+    One driver-side footer read, no data I/O; an events dir with no
+    readable footer is an explicit error rather than a silent guess.
     """
     import glob
     import os
@@ -63,8 +68,15 @@ def _events_ts_is_int64_nanos(events_dir: str) -> bool:
             continue
         import pyarrow as pa
 
-        return pa.types.is_int64(field.type)
-    return False
+        t = field.type
+        return pa.types.is_int64(t) or (
+            pa.types.is_timestamp(t) and t.unit == "ns"
+        )
+    raise FileNotFoundError(
+        f"no parquet file with a 'ts' column under {events_dir}; cannot "
+        "choose the stream's ts layout (pass a landing dir seeded with at "
+        "least one file)"
+    )
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:

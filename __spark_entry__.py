@@ -75,8 +75,8 @@ _PRIORITY = [
     "multimodal_binary_meta",
     "multimodal_decode_features",
     "q1_pricing_summary",
-    "dedup_exact_docs",
-    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "ann_ivf_topk",
     "dedup_ngram_jaccard",
     "ann_lsh_bucketed_pairs",
 ]

@@ -80,6 +80,10 @@ def main() -> None:
     # scans are interleaved across passes (parquet, quiver, parquet, ...)
     # so a transient host CPU spike cannot poison every sample of one side.
     li_parquet = f"{sf_dir}/lineitem.parquet"
+    li_df = spark.read.parquet(li_parquet)
+    import tempfile
+
+    wdir = tempfile.mkdtemp(prefix="quiver_bench_write_")
     proxies = {
         "scan_parquet_lineitem": lambda: spark.read.parquet(li_parquet)
         .write.format("noop")
@@ -89,6 +93,14 @@ def main() -> None:
         .write.format("noop")
         .mode("overwrite")
         .save(),
+        # write proxies (BASELINE.md proxy #2): full-table sink through each
+        # format's writer on identical data
+        "write_parquet_lineitem": lambda: li_df.write.mode("overwrite").parquet(
+            f"{wdir}/pq"
+        ),
+        "write_quiver_lineitem": lambda: li_df.write.format("quiver")
+        .mode("overwrite")
+        .save(f"{wdir}/qv"),
     }
     # 5 interleaved passes (parquet, quiver, parquet, ...): min-of-5 per side
     # so a single fast outlier on either side can't set the ratio.
@@ -99,6 +111,9 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if dt < timings.get(name, float("inf")):
                 timings[name] = dt
+    import shutil
+
+    shutil.rmtree(wdir, ignore_errors=True)
 
     # The driver's capture window keeps only the head of long lines, so order
     # the record by importance: scan proxies first, then every query slowest

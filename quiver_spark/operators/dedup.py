@@ -293,3 +293,136 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(SIMHASH_BITS)
     )
     return sums.select("doc_id", assemble.cast("bigint").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Duplicate clustering (connected components over the near-dup graph)
+# --------------------------------------------------------------------------
+
+#: minimum estimated Jaccard for an LSH candidate pair to become an edge
+CLUSTER_JACCARD = 0.5
+#: label-propagation round cap (duplicate clusters are shallow; the loop
+#: exits early on convergence)
+MAX_LP_ITERS = 12
+
+
+def _cluster_edges_sql() -> str:
+    """Shared CTE chain: signatures → bands → candidate pairs → edges."""
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+    return (
+        _sql_minhash_signature()
+        + f""",
+bands AS ({_sql_bands()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a, doc_b
+    FROM cand
+    JOIN sig sa ON doc_a = sa.doc_id
+    JOIN sig sb ON doc_b = sb.doc_id
+    WHERE CAST(({agree}) AS DOUBLE) / {N_HASHES} >= {CLUSTER_JACCARD}
+),
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM edges
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM edges
+)"""
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE "
+    + _cluster_edges_sql()
+    + """,
+reach(node, label) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT sym.src, reach.label FROM sym JOIN reach ON sym.dst = reach.node
+)
+SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""",
+    tags=("dedup", "minhash", "lsh", "graph", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-LSH near-duplicate graph (edges = candidate pairs with
+    estimated Jaccard >= 0.5), cluster_id = min doc_id of the component —
+    the step a training pipeline runs after pair generation to pick one
+    canonical document per duplicate group.
+
+    Implemented as iterative min-label propagation in DataFrame ops over
+    the symmetric edge list PLUS self-loops, so one join + one min-groupBy
+    per round covers both neighbor labels and the node's own (two shuffles
+    per round, no left-join/coalesce leg). Labels only ever decrease, so
+    SUM(label) is a monotone convergence witness — the loop exits when it
+    stops falling (a scalar agg per round, no data ever collected to the
+    driver). At 100 TB the per-round cost is one shuffle join keyed on
+    doc_id, the edge set is duplicate-density-proportional (LSH-bounded),
+    and rounds needed = component diameter, which is small for dup
+    clusters; the cap of 12 is a safety rail.
+    """
+    # persist the edge list BEFORE mirroring it: the propagation union has
+    # three branches, and without this the whole LSH pair pipeline would be
+    # recomputed once per branch on first materialization
+    edges = (
+        dedup_minhash_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_JACCARD)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    # propagation graph = both edge directions + a self-loop per node (the
+    # self-loop carries the node's own label through the min)
+    prop = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"), F.col("node").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    # None sentinel: the first round always runs (labels start as node ids,
+    # any edge lowers some label), so an init-sum job is unnecessary
+    prev_sum = None
+    for _ in range(MAX_LP_ITERS):
+        new_labels = (
+            prop.join(labels, prop["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "node")
+            .persist()
+        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    prop.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+    )

@@ -143,3 +143,10 @@ def test_salted_skew_join_matches_plain(spark):
     ).count()
     want = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert got == want
+
+
+def test_ivf_centroid_joins_broadcast(spark):
+    """ann_ivf_topk: centroid assignment and probe ranking must broadcast
+    the (tiny) centroid set — the corpus never shuffles for indexing."""
+    df = _df(spark, "ann_ivf_topk")
+    assert plans.has_broadcast_join(df), "IVF plan lost its broadcast joins"

@@ -223,3 +223,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("first_doc"),
         )
     )
+
+
+#: BPE-ish pre-tokenizer regex (GPT-style digit/punct splitting, letter
+#: runs) — only constructs with identical Java-regex / RE2 semantics, so
+#: Spark and DuckDB tokenize bit-identically
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_token_bpe",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS docs,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT)
+           AS total_bpe_tokens,
+       CAST(SUM({SQL_TOKEN_COUNT}) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS DOUBLE)
+           / SUM({SQL_TOKEN_COUNT}) AS bpe_per_ws
+FROM documents
+GROUP BY lang
+""",
+    tags=("text", "tokens"),
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token accounting: a BPE-ish pre-tokenizer regex
+    (letter runs, single digits, single punctuation — the GPT pre-tokenizer
+    shape) counted per document and aggregated per language, alongside the
+    whitespace token count. bpe_per_ws is the fertility proxy a training
+    pipeline uses for budgeting tokens per corpus slice. Pure map-side
+    regex + one aggregation — all JVM built-ins, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    bpe = F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))")
+    ws = token_count_col()
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(bpe).cast("bigint").alias("total_bpe_tokens"),
+        F.sum(ws).cast("bigint").alias("total_ws_tokens"),
+        (F.sum(bpe).cast("double") / F.sum(ws)).alias("bpe_per_ws"),
+    )

@@ -80,7 +80,10 @@ def main() -> None:
     # scans are interleaved across passes (parquet, quiver, parquet, ...)
     # so a transient host CPU spike cannot poison every sample of one side.
     li_parquet = f"{sf_dir}/lineitem.parquet"
-    li_df = spark.read.parquet(li_parquet)
+    # 16 write tasks on BOTH sides (the testdata parquet opens as only 3
+    # splits — a single-file artifact, not a cluster-representative layout;
+    # the identical repartition shuffle is timed inside both proxies)
+    li_df = spark.read.parquet(li_parquet).repartition(16)
     import tempfile
 
     wdir = tempfile.mkdtemp(prefix="quiver_bench_write_")

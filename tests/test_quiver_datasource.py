@@ -440,3 +440,42 @@ def test_hive_partition_high_cardinality_one_pass(spark, tmp_path):
     parts = list(w._split_partitions(t))
     assert sorted(sub.num_rows for _d, sub in parts) == [1, 1, 2, 2]
     assert sum(sub.num_rows for _d, sub in parts) == t.num_rows
+
+
+def test_spark_writer_open_competition_can_choose_patas(spark, tmp_path):
+    """The Spark sink's default chooser mirrors WriteOptions: nothing
+    forbidden, so XOR-friendly doubles can win patas pages end-to-end
+    (write → stat → read) — pinning the datasource/WriteOptions default
+    alignment (a stale 'forbidden=patas' sink default once diverged)."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+
+    from quiver_spark.format.stat import stat_file
+    from quiver_spark.sources import register as register_format
+
+    register_format(spark)
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(20000),
+            "v": np.cumsum(rng.normal(0, 0.01, 20000)) + 100.0,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    d = str(tmp_path / "patas_open")
+    # no repartition: round-robin shuffling would scramble the smooth value
+    # sequence that makes patas win its sampled-ratio contest
+    (
+        df.write.format("quiver")
+        .option("compress_ratio", "1.05")
+        .mode("overwrite")
+        .save(d)
+    )
+    codecs = set()
+    for f in glob.glob(f"{d}/*.quiver"):
+        codecs |= {p.codec for p in stat_file(f)["v"]}
+    assert "patas" in codecs, codecs
+    back = spark.read.format("quiver").load(d)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -178,3 +178,65 @@ def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("signup").alias("signups"),
         cnt("error").alias("errors"),
     )
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle=f"""
+WITH agg AS (
+    SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+rng AS (
+    SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+    FROM events
+),
+grid AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM rng
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT strftime(g.h, '{TS_FMT_DUCK}') AS hour_ts,
+       t.event_type,
+       COALESCE(a.c, 0) AS cnt,
+       (a.c IS NULL) AS is_gap
+FROM grid g
+CROSS JOIN types t
+LEFT JOIN agg a ON a.h = g.h AND a.event_type = t.event_type
+""",
+    tags=("events", "time", "gapfill"),
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap-fill): generate the full hourly grid
+    between the corpus min/max hour × every event type, left-join the
+    observed hourly counts, and zero-fill the holes — the step before any
+    window/trend model that assumes a regular series.
+
+    Scale posture: the grid is bounded by wall-clock span × type count
+    (hours-in-a-decade ≈ 88k rows), so it broadcasts; the only data-sized
+    shuffle is the hourly pre-aggregation itself."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("h")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    full = grid.crossJoin(F.broadcast(types))
+    return (
+        full.join(F.broadcast(agg), ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", TS_FMT_SPARK).alias("hour_ts"),
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("cnt"),
+            F.col("c").isNull().alias("is_gap"),
+        )
+    )

@@ -54,17 +54,36 @@ def quiver_dir(
     return d
 
 
-# Loaded-relation cache: one logical relation per (app, quiver dir), the
-# catalog pattern — a production deployment registers each table once in a
-# metastore and every query references the same relation. Re-calling
-# spark.read.format("quiver").load() per query pays a ~0.25 s Python-worker
-# round trip (datasource instantiation + schema()) that a registered table
-# never pays; on a 600k-row full scan that tax alone is >1× the parquet
-# control. ONLY stateless relations are cached: with pruning off, planned
-# partitions depend exclusively on static options and Spark re-applies every
-# filter row-level above the scan, so sharing one relation across
-# arbitrarily-filtered queries is safe.
-_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Loaded-relation cache: one logical relation per (app, quiver dir,
+# options), the catalog pattern — a production deployment registers each
+# table once in a metastore and every query references the same relation.
+# Re-calling spark.read.format("quiver").load() per query pays a ~0.25 s
+# Python-worker round trip (datasource instantiation + schema()) that a
+# registered table never pays; on a 600k-row full scan that tax alone is
+# >1× the parquet control. ONLY stateless relations are cached: with
+# pruning off, planned partitions depend exclusively on static options and
+# Spark re-applies every filter row-level above the scan, so sharing one
+# relation across arbitrarily-filtered queries is safe. page_prune /
+# partition_prune relations carry per-query pushed-filter state and must
+# stay fresh per call.
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def quiver_relation(spark: SparkSession, d: str, **options: str) -> DataFrame:
+    """Cached pruning-off quiver relation for a directory + static options."""
+    assert "page_prune" not in options and "partition_prune" not in options
+    key = (
+        spark.sparkContext.applicationId,
+        d,
+        tuple(sorted(options.items())),
+    )
+    df = _DF_CACHE.get(key)
+    if df is None:
+        r = spark.read.format("quiver")
+        for k, v in options.items():
+            r = r.option(k, v)
+        df = _DF_CACHE[key] = r.load(d)
+    return df
 
 
 def quiver_table(
@@ -89,11 +108,7 @@ def quiver_table(
         # differently-filtered query (the datasource's documented sharp
         # edge). Zone maps only pay off on sorted/clustered columns anyway.
         return spark.read.format("quiver").option("page_prune", "true").load(d)
-    key = (spark.sparkContext.applicationId, d)
-    df = _DF_CACHE.get(key)
-    if df is None:
-        df = _DF_CACHE[key] = spark.read.format("quiver").load(d)
-    return df
+    return quiver_relation(spark, d)
 
 
 @register(
@@ -265,13 +280,11 @@ def quiver_limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserves parquet row order and both engines take the file-order
     prefix."""
     d = quiver_dir(spark, sf_dir, "orders")
-    head = (
-        spark.read.format("quiver")
-        .option("limit", "1000")
-        .option("columns", "o_orderkey")
-        .load(d)
-        .limit(1000)
-    )
+    # limit/columns are static options → the relation is stateless and
+    # cacheable like any catalog table
+    head = quiver_relation(
+        spark, d, limit="1000", columns="o_orderkey"
+    ).limit(1000)
     return head.agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),

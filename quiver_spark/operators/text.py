@@ -262,3 +262,59 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ws).cast("bigint").alias("total_ws_tokens"),
         (F.sum(bpe).cast("double") / F.sum(ws)).alias("bpe_per_ws"),
     )
+
+
+#: per-language keep rate (per-mille) for the stratified sampler — the
+#: rebalancing shape of a corpus-mixing pipeline: downsample the dominant
+#: language harder than the tail
+SAMPLE_RATE_PERMILLE = {"en": 250}
+SAMPLE_DEFAULT_PERMILLE = 500
+
+
+@register(
+    "sample_stratified_docs",
+    oracle=f"""
+WITH gated AS (
+    SELECT lang,
+           CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS gate,
+           CASE WHEN lang = 'en' THEN {SAMPLE_RATE_PERMILLE['en']}
+                ELSE {SAMPLE_DEFAULT_PERMILLE} END AS keep_permille
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS total_docs,
+       CAST(SUM(CASE WHEN gate < keep_permille THEN 1 ELSE 0 END) AS BIGINT)
+           AS sampled_docs,
+       CAST(SUM(CASE WHEN gate < keep_permille THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS achieved_rate
+FROM gated
+GROUP BY lang
+""",
+    tags=("sampling", "pipeline"),
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each document passes a stable
+    md5(doc_id) hash gate with a per-language keep rate (dominant language
+    downsampled harder) — the corpus-rebalancing step of a training-data
+    mix, reproducible across engines, reruns, and reshards because the
+    gate depends only on the row key. Pure map-side filter + one
+    aggregation; at 100 TB the sample never shuffles, only the per-slice
+    accounting does. Identical hash arithmetic both engines:
+    conv(substr(md5, 1, 8), 16, 10) == CAST('0x'-prefixed hex AS BIGINT)."""
+    d = load(spark, sf_dir, "documents")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    keep = (
+        F.when(F.col("lang") == "en", F.lit(SAMPLE_RATE_PERMILLE["en"]))
+        .otherwise(F.lit(SAMPLE_DEFAULT_PERMILLE))
+    )
+    sampled = F.sum(F.when(gate < keep, 1).otherwise(0))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        sampled.cast("bigint").alias("sampled_docs"),
+        (sampled.cast("double") / F.count(F.lit(1))).alias("achieved_rate"),
+    )

@@ -74,11 +74,11 @@ _PRIORITY = [
     "quiver_scan_embeddings",
     "multimodal_binary_meta",
     "multimodal_decode_features",
-    "q1_pricing_summary",
     "dedup_clusters",
     "ann_ivf_topk",
+    "events_gapfill_hourly",
+    "sample_stratified_docs",
     "dedup_ngram_jaccard",
-    "ann_lsh_bucketed_pairs",
 ]
 
 

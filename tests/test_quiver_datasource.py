@@ -479,3 +479,26 @@ def test_spark_writer_open_competition_can_choose_patas(spark, tmp_path):
     assert "patas" in codecs, codecs
     back = spark.read.format("quiver").load(d)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_shared_relation_filter_correctness(spark):
+    """The cached (pruning-off) relation must answer full → filtered → full
+    correctly: Spark's PythonDataSourceV2 replays the most recent planned
+    read for a reused DataFrame, so ONLY a reader whose partitions are
+    filter-independent may be shared. This is the invariant that gates
+    quiver_table's catalog-style relation cache (a page_prune reader
+    verifiably fails this exact sequence — see the module SHARP EDGE note).
+    """
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR
+    from quiver_spark.operators.format_queries import quiver_table
+
+    df = quiver_table(spark, SF_DIR, "lineitem")
+    assert df is quiver_table(spark, SF_DIR, "lineitem"), "relation not cached"
+    full = df.count()
+    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
+    filt = df.filter(F.col("l_shipdate") >= cutoff).count()
+    assert 0 < filt < full
+    assert df.count() == full, "stale pruned partitions replayed on full scan"
+    assert df.filter(F.col("l_shipdate") >= cutoff).count() == filt

@@ -65,7 +65,7 @@ _PRIORITY = [
     "events_pivot_types",
     # (b) core format + flagship surface (keep in any 50-wide sample)
     "quiver_scan_q1",
-    "quiver_scan_checksums",
+    "quiver_scan_bools",
     "quiver_adaptive_zstd_join",
     "quiver_pruned_date_scan",
     "quiver_limit_head",

@@ -364,3 +364,91 @@ def quiver_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_fp"
         ),
     )
+
+
+def _bool_quiver_dir(spark: SparkSession, sf_dir: str) -> str:
+    """orders projected to derived BOOLEAN columns (one dense, one with
+    nulls) and written as quiver — drives the boolean page cascade
+    (one_value / rle / bitpacked validity, reference
+    src/compression/boolean/*) through a real Spark scan."""
+    import pyarrow.compute as pc
+
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "orders-bools")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        import pyarrow as pa
+
+        from quiver_spark.format.writer import WriteOptions, write_table
+
+        os.makedirs(d, exist_ok=True)
+        # sort on the thresholded column: is_big becomes two runs, so the
+        # boolean RLE/one-value cascade wins pages (aggregates don't care
+        # about row order, so the oracle is unaffected)
+        t = pq.read_table(f"{sf_dir}/orders.parquet").sort_by("o_totalprice")
+        big = pc.greater(t["o_totalprice"], 150000.0)
+        urgent = pc.equal(t["o_orderpriority"], "1-URGENT")
+        # nullable flag: NULL wherever o_orderkey % 7 < 2 (pyarrow has no
+        # mod kernel — x % 7 == x - 7*floor(x/7) for non-negative keys)
+        keys = t["o_orderkey"]
+        rem = pc.subtract(
+            keys, pc.multiply(pc.divide(keys, 7), 7)
+        )
+        null_mask = pc.less(rem, 2)
+        maybe = pc.if_else(null_mask, pa.scalar(None, pa.bool_()), big)
+        bt = pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "is_big": big,
+                "is_urgent": urgent,
+                "maybe_big": maybe,
+            }
+        )
+        write_table(
+            bt,
+            os.path.join(d, "part-0.quiver"),
+            WriteOptions(default_codec="lz4", compress_ratio=2.0),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "quiver_scan_bools",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS big_cnt,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+           AS urgent_cnt,
+       CAST(COUNT(CASE WHEN o_orderkey % 7 < 2 THEN NULL
+                       ELSE (o_totalprice > 150000.0) END) AS BIGINT)
+           AS maybe_known,
+       CAST(SUM(CASE WHEN (CASE WHEN o_orderkey % 7 < 2 THEN NULL
+                                ELSE (o_totalprice > 150000.0) END)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS maybe_big_cnt
+FROM orders
+""",
+    tags=("format", "scan", "boolean"),
+)
+def quiver_scan_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over NATIVE boolean quiver pages (dense + nullable):
+    proves the boolean write cascade and validity decode end-to-end — the
+    oracle recomputes the same flags from the parquet originals."""
+    d = _bool_quiver_dir(spark, sf_dir)
+    q = quiver_relation(spark, d)
+    return q.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("is_big"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("big_cnt"),
+        F.sum(F.when(F.col("is_urgent"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("urgent_cnt"),
+        F.count(F.col("maybe_big")).cast("bigint").alias("maybe_known"),
+        F.sum(F.when(F.col("maybe_big"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("maybe_big_cnt"),
+    )

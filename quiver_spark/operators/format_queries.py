@@ -452,3 +452,68 @@ def quiver_scan_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("maybe_big_cnt"),
     )
+
+
+def _delta_quiver_dir(spark: SparkSession, sf_dir: str) -> str:
+    """orders keys as SORTED int32 (delta-bitpacking territory: 4-byte,
+    non-null, ascending — reference src/compression/integer/delta_bp.rs:
+    97-109) plus a small-range int32 (plain bitpacking: min >= 0, <2^12
+    so the sampled ratio clears 2.0), written as quiver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "orders-delta")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        from quiver_spark.format.writer import WriteOptions, write_table
+
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/orders.parquet").sort_by("o_orderkey")
+        keys = t["o_orderkey"]
+        ok32 = pc.cast(keys, pa.int32())
+        ck = t["o_custkey"]
+        small = pc.cast(
+            pc.subtract(ck, pc.multiply(pc.divide(ck, 1000), 1000)),
+            pa.int32(),
+        )
+        bt = pa.table({"ok32": ok32, "ck_small": small})
+        write_table(
+            bt,
+            os.path.join(d, "part-0.quiver"),
+            WriteOptions(default_codec="lz4", compress_ratio=2.0),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "quiver_scan_delta",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_orderkey AS INTEGER)) AS BIGINT) AS key_sum,
+       CAST(MIN(o_orderkey) AS BIGINT) AS key_min,
+       CAST(MAX(o_orderkey) AS BIGINT) AS key_max,
+       CAST(SUM(CAST(o_custkey AS INTEGER) % 1000) AS BIGINT) AS small_sum,
+       CAST(MAX(CAST(o_custkey AS INTEGER) % 1000) AS BIGINT) AS small_max
+FROM orders
+""",
+    tags=("format", "scan", "bitpacking"),
+)
+def quiver_scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over delta-bitpacked (sorted int32 keys) and bitpacked
+    (small-range int32) quiver pages — the two 4-byte-integer codecs the
+    chooser only picks under these exact shapes, oracle-checked against
+    the parquet originals."""
+    d = _delta_quiver_dir(spark, sf_dir)
+    q = quiver_relation(spark, d)
+    return q.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("ok32").cast("bigint").alias("key_sum"),
+        F.min("ok32").cast("bigint").alias("key_min"),
+        F.max("ok32").cast("bigint").alias("key_max"),
+        F.sum("ck_small").cast("bigint").alias("small_sum"),
+        F.max("ck_small").cast("bigint").alias("small_max"),
+    )

@@ -517,3 +517,128 @@ def quiver_scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ck_small").cast("bigint").alias("small_sum"),
         F.max("ck_small").cast("bigint").alias("small_max"),
     )
+
+
+def _freq_quiver_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A 90%-one-value int column (top value + roaring exception bitmap,
+    reference src/compression/integer/freq.rs:30-152) written as quiver:
+    CASE WHEN o_orderkey % 10 == 0 THEN o_orderkey ELSE 0 — top value 0
+    holds ~90% of rows (orderkeys start at 1, so 0 never collides with a
+    real key) and the column max is >=256, satisfying Freq eligibility."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "orders-freq0")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        from quiver_spark.format.writer import WriteOptions, write_table
+
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/orders.parquet")
+        keys = t["o_orderkey"]
+        rem = pc.subtract(keys, pc.multiply(pc.divide(keys, 10), 10))
+        freq_col = pc.if_else(
+            pc.equal(rem, 0), keys, pa.scalar(0, pa.int64())
+        )
+        write_table(
+            pa.table({"freqy": freq_col}),
+            os.path.join(d, "part-0.quiver"),
+            WriteOptions(default_codec="lz4", compress_ratio=2.0),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "quiver_scan_freq",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey ELSE 0 END)
+            AS BIGINT) AS freq_sum,
+       CAST(MAX(CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey ELSE 0 END)
+            AS BIGINT) AS freq_max,
+       CAST(SUM(CASE WHEN o_orderkey % 10 = 0 AND o_orderkey <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS exception_cnt
+FROM orders
+""",
+    tags=("format", "scan", "freq"),
+)
+def quiver_scan_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over a Freq-encoded page set (top value + roaring
+    exception positions + recursively-compressed exceptions) — drives the
+    roaring bitmap decode through the driver gate."""
+    d = _freq_quiver_dir(spark, sf_dir)
+    q = quiver_relation(spark, d)
+    return q.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("freqy").cast("bigint").alias("freq_sum"),
+        F.max("freqy").cast("bigint").alias("freq_max"),
+        F.sum(F.when(F.col("freqy") != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("exception_cnt"),
+    )
+
+
+def _nested_quiver_dir(spark: SparkSession, sf_dir: str) -> str:
+    """orders re-shaped into struct and map columns and written as quiver —
+    drives struct/map shredding (write_nested, rep/def levels) and
+    assembly (reference src/read/array/{struct_,map}.rs) end-to-end."""
+    import pyarrow as pa
+
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "orders-nested")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        from quiver_spark.format.writer import WriteOptions, write_table
+
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/orders.parquet")
+        status = t["o_orderstatus"].combine_chunks()
+        price = t["o_totalprice"].combine_chunks()
+        keys = t["o_orderkey"].combine_chunks()
+        s = pa.StructArray.from_arrays(
+            [status, price], names=["flag", "price"]
+        )
+        # one-entry map per row: {o_orderstatus: o_orderkey}
+        n = len(keys)
+        offsets = pa.array(range(n + 1), pa.int32())
+        m = pa.MapArray.from_arrays(offsets, status, keys)
+        bt = pa.table({"o_orderkey": keys, "s": s, "m": m})
+        write_table(
+            bt,
+            os.path.join(d, "part-0.quiver"),
+            WriteOptions(default_codec="lz4", compress_ratio=2.0),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "quiver_scan_nested_types",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS price_sum,
+       MIN(o_orderstatus) AS min_flag,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS BIGINT)
+           AS f_key_sum
+FROM orders
+""",
+    tags=("format", "scan", "nested"),
+)
+def quiver_scan_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over quiver STRUCT and MAP columns (struct field access +
+    map element lookup after full rep/def reassembly) — the oracle
+    recomputes from the flat parquet originals."""
+    d = _nested_quiver_dir(spark, sf_dir)
+    q = quiver_relation(spark, d)
+    return q.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("s.price").alias("price_sum"),
+        F.min("s.flag").alias("min_flag"),
+        F.sum(F.element_at(F.col("m"), "F")).cast("bigint").alias("f_key_sum"),
+    )

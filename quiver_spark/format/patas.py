@@ -97,7 +97,7 @@ def encode(bits: np.ndarray) -> bytes:
     keep[:, 2:] = np.arange(8, dtype=np.int64) < sig_bytes[:, None]
     keep[0, :] = False
     return (
-        u[0].astype(bits.dtype.type).tobytes()
+        int(u[0]).to_bytes(nbytes, "little")
         + wide.ravel()[keep.ravel()].tobytes()
     )
 
@@ -152,6 +152,11 @@ def decode(buf: memoryview, length: int, dtype: np.dtype) -> np.ndarray:
     )
     tz = (hdr & 0x3F).astype(np.uint64)
     diff = ((hdr >> 9) & 0x7F).astype(np.int64)
+    if (diff == 0).any():
+        # a valid encoder always references a PREVIOUS value (ref < i), so
+        # ref_diff=0 only occurs in corrupt/foreign bytes — without this
+        # guard the pointer-doubling loop below would never terminate
+        raise ValueError("corrupt patas page: ref_diff=0 header entry")
     # payload bytes → stored (xor >> tz), 8 masked byte-plane gathers
     stored = np.zeros(n - 1, dtype=np.uint64)
     payload = offs + 2

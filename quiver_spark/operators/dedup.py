@@ -149,28 +149,37 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", *[f"m{i}" for i in range(N_HASHES)])
 
 
-@register(
-    "dedup_minhash_pairs",
-    oracle="WITH "
-    + _sql_minhash_signature()
-    + f""",
+def _sql_agree() -> str:
+    """Signature-agreement sum (the est_jaccard numerator), shared by the
+    pairs and clusters oracles so the two edge definitions cannot drift."""
+    return " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+
+
+def _sql_cand_chain() -> str:
+    """sig → bands → cand CTE chain shared by the pairs/clusters oracles."""
+    return (
+        _sql_minhash_signature()
+        + f""",
 bands AS ({_sql_bands()}),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
                 AND a.doc_id < b.doc_id
-)
+)"""
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle="WITH "
+    + _sql_cand_chain()
+    + f"""
 SELECT doc_a, doc_b,
-       CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END +
-             CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END +
-             CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END +
-             CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END +
-             CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END +
-             CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END +
-             CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END +
-             CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END) AS DOUBLE) / {N_HASHES}
-           AS est_jaccard
+       CAST(({_sql_agree()}) AS DOUBLE) / {N_HASHES} AS est_jaccard
 FROM cand
 JOIN sig sa ON doc_a = sa.doc_id
 JOIN sig sb ON doc_b = sb.doc_id
@@ -301,33 +310,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: minimum estimated Jaccard for an LSH candidate pair to become an edge
 CLUSTER_JACCARD = 0.5
-#: label-propagation round cap (duplicate clusters are shallow; the loop
-#: exits early on convergence)
-MAX_LP_ITERS = 12
+#: label-propagation safety cap — the loop normally exits on convergence
+#: (rounds needed = component diameter, small for dup clusters); hitting
+#: the cap without converging raises instead of silently returning labels
+#: that are not component minima (the recursive-CTE oracle has no cap)
+MAX_LP_ITERS = 60
 
 
 def _cluster_edges_sql() -> str:
-    """Shared CTE chain: signatures → bands → candidate pairs → edges."""
-    agree = " + ".join(
-        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
-        for i in range(N_HASHES)
-    )
+    """Shared sig→bands→cand chain + thresholded edges + symmetric view."""
     return (
-        _sql_minhash_signature()
+        _sql_cand_chain()
         + f""",
-bands AS ({_sql_bands()}),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-                AND a.doc_id < b.doc_id
-),
 edges AS (
     SELECT doc_a, doc_b
     FROM cand
     JOIN sig sa ON doc_a = sa.doc_id
     JOIN sig sb ON doc_b = sb.doc_id
-    WHERE CAST(({agree}) AS DOUBLE) / {N_HASHES} >= {CLUSTER_JACCARD}
+    WHERE CAST(({_sql_agree()}) AS DOUBLE) / {N_HASHES} >= {CLUSTER_JACCARD}
 ),
 sym AS (
     SELECT doc_a AS src, doc_b AS dst FROM edges
@@ -368,7 +368,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver). At 100 TB the per-round cost is one shuffle join keyed on
     doc_id, the edge set is duplicate-density-proportional (LSH-bounded),
     and rounds needed = component diameter, which is small for dup
-    clusters; the cap of 12 is a safety rail.
+    clusters; exhausting the safety cap raises instead of returning
+    labels that are not component minima.
     """
     # persist the edge list BEFORE mirroring it: the propagation union has
     # three branches, and without this the whole LSH pair pipeline would be
@@ -404,6 +405,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # None sentinel: the first round always runs (labels start as node ids,
     # any edge lowers some label), so an init-sum job is unnecessary
     prev_sum = None
+    converged = False
     for _ in range(MAX_LP_ITERS):
         new_labels = (
             prop.join(labels, prop["dst"] == labels["node"])
@@ -418,10 +420,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
     prop.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{MAX_LP_ITERS} rounds (pathologically deep duplicate chain)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").cast("bigint").alias("cluster_id"),

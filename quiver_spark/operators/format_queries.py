@@ -366,53 +366,57 @@ def quiver_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bool_quiver_dir(spark: SparkSession, sf_dir: str) -> str:
-    """orders projected to derived BOOLEAN columns (one dense, one with
-    nulls) and written as quiver — drives the boolean page cascade
-    (one_value / rle / bitpacked validity, reference
-    src/compression/boolean/*) through a real Spark scan."""
-    import pyarrow.compute as pc
-
+def _derived_quiver_dir(spark: SparkSession, sf_dir: str, name: str, build) -> str:
+    """Marker-gated cache scaffold shared by the derived-table format
+    queries below: ``build(sf_dir) -> pa.Table``, written once per
+    (sf, name) with the default adaptive-lz4 options."""
     register_format(spark)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(CACHE_ROOT, tag, "orders-bools")
+    d = os.path.join(CACHE_ROOT, tag, name)
     marker = os.path.join(d, "_done")
     if not os.path.exists(marker):
-        import pyarrow as pa
-
         from quiver_spark.format.writer import WriteOptions, write_table
 
         os.makedirs(d, exist_ok=True)
-        # sort on the thresholded column: is_big becomes two runs, so the
-        # boolean RLE/one-value cascade wins pages (aggregates don't care
-        # about row order, so the oracle is unaffected)
-        t = pq.read_table(f"{sf_dir}/orders.parquet").sort_by("o_totalprice")
-        big = pc.greater(t["o_totalprice"], 150000.0)
-        urgent = pc.equal(t["o_orderpriority"], "1-URGENT")
-        # nullable flag: NULL wherever o_orderkey % 7 < 2 (pyarrow has no
-        # mod kernel — x % 7 == x - 7*floor(x/7) for non-negative keys)
-        keys = t["o_orderkey"]
-        rem = pc.subtract(
-            keys, pc.multiply(pc.divide(keys, 7), 7)
-        )
-        null_mask = pc.less(rem, 2)
-        maybe = pc.if_else(null_mask, pa.scalar(None, pa.bool_()), big)
-        bt = pa.table(
-            {
-                "o_orderkey": t["o_orderkey"],
-                "is_big": big,
-                "is_urgent": urgent,
-                "maybe_big": maybe,
-            }
-        )
         write_table(
-            bt,
+            build(sf_dir),
             os.path.join(d, "part-0.quiver"),
             WriteOptions(default_codec="lz4", compress_ratio=2.0),
         )
         with open(marker, "w") as f:
             f.write("ok")
     return d
+
+
+def _pa_mod(col, k: int):
+    """x % k for non-negative ints (pyarrow ships no mod kernel)."""
+    import pyarrow.compute as pc
+
+    return pc.subtract(col, pc.multiply(pc.divide(col, k), k))
+
+
+def _build_bools(sf_dir: str):
+    """orders projected to derived BOOLEAN columns (one dense, one with
+    nulls) — drives the boolean page cascade (one_value / rle / bitpacked
+    validity, reference src/compression/boolean/*) through a real scan.
+    Sorted on the thresholded column so is_big becomes two runs and the
+    RLE/one-value cascade wins pages (aggregates ignore row order)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet").sort_by("o_totalprice")
+    big = pc.greater(t["o_totalprice"], 150000.0)
+    urgent = pc.equal(t["o_orderpriority"], "1-URGENT")
+    null_mask = pc.less(_pa_mod(t["o_orderkey"], 7), 2)
+    maybe = pc.if_else(null_mask, pa.scalar(None, pa.bool_()), big)
+    return pa.table(
+        {
+            "o_orderkey": t["o_orderkey"],
+            "is_big": big,
+            "is_urgent": urgent,
+            "maybe_big": maybe,
+        }
+    )
 
 
 @register(
@@ -437,7 +441,7 @@ def quiver_scan_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregates over NATIVE boolean quiver pages (dense + nullable):
     proves the boolean write cascade and validity decode end-to-end — the
     oracle recomputes the same flags from the parquet originals."""
-    d = _bool_quiver_dir(spark, sf_dir)
+    d = _derived_quiver_dir(spark, sf_dir, "orders-bools", _build_bools)
     q = quiver_relation(spark, d)
     return q.agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -454,39 +458,18 @@ def quiver_scan_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _delta_quiver_dir(spark: SparkSession, sf_dir: str) -> str:
+def _build_delta(sf_dir: str):
     """orders keys as SORTED int32 (delta-bitpacking territory: 4-byte,
     non-null, ascending — reference src/compression/integer/delta_bp.rs:
     97-109) plus a small-range int32 (plain bitpacking: min >= 0, <2^12
-    so the sampled ratio clears 2.0), written as quiver."""
+    so the sampled ratio clears 2.0)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    register_format(spark)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(CACHE_ROOT, tag, "orders-delta")
-    marker = os.path.join(d, "_done")
-    if not os.path.exists(marker):
-        from quiver_spark.format.writer import WriteOptions, write_table
-
-        os.makedirs(d, exist_ok=True)
-        t = pq.read_table(f"{sf_dir}/orders.parquet").sort_by("o_orderkey")
-        keys = t["o_orderkey"]
-        ok32 = pc.cast(keys, pa.int32())
-        ck = t["o_custkey"]
-        small = pc.cast(
-            pc.subtract(ck, pc.multiply(pc.divide(ck, 1000), 1000)),
-            pa.int32(),
-        )
-        bt = pa.table({"ok32": ok32, "ck_small": small})
-        write_table(
-            bt,
-            os.path.join(d, "part-0.quiver"),
-            WriteOptions(default_codec="lz4", compress_ratio=2.0),
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-    return d
+    t = pq.read_table(f"{sf_dir}/orders.parquet").sort_by("o_orderkey")
+    ok32 = pc.cast(t["o_orderkey"], pa.int32())
+    small = pc.cast(_pa_mod(t["o_custkey"], 1000), pa.int32())
+    return pa.table({"ok32": ok32, "ck_small": small})
 
 
 @register(
@@ -507,7 +490,7 @@ def quiver_scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small-range int32) quiver pages — the two 4-byte-integer codecs the
     chooser only picks under these exact shapes, oracle-checked against
     the parquet originals."""
-    d = _delta_quiver_dir(spark, sf_dir)
+    d = _derived_quiver_dir(spark, sf_dir, "orders-delta", _build_delta)
     q = quiver_relation(spark, d)
     return q.agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -519,37 +502,22 @@ def quiver_scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _freq_quiver_dir(spark: SparkSession, sf_dir: str) -> str:
+def _build_freq(sf_dir: str):
     """A 90%-one-value int column (top value + roaring exception bitmap,
-    reference src/compression/integer/freq.rs:30-152) written as quiver:
+    reference src/compression/integer/freq.rs:30-152):
     CASE WHEN o_orderkey % 10 == 0 THEN o_orderkey ELSE 0 — top value 0
-    holds ~90% of rows (orderkeys start at 1, so 0 never collides with a
-    real key) and the column max is >=256, satisfying Freq eligibility."""
+    holds ~90% of rows and the column max is >=256, satisfying Freq
+    eligibility (the synthetic data contains orderkey 0, which the
+    oracle's exception-count definition excludes explicitly)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    register_format(spark)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(CACHE_ROOT, tag, "orders-freq0")
-    marker = os.path.join(d, "_done")
-    if not os.path.exists(marker):
-        from quiver_spark.format.writer import WriteOptions, write_table
-
-        os.makedirs(d, exist_ok=True)
-        t = pq.read_table(f"{sf_dir}/orders.parquet")
-        keys = t["o_orderkey"]
-        rem = pc.subtract(keys, pc.multiply(pc.divide(keys, 10), 10))
-        freq_col = pc.if_else(
-            pc.equal(rem, 0), keys, pa.scalar(0, pa.int64())
-        )
-        write_table(
-            pa.table({"freqy": freq_col}),
-            os.path.join(d, "part-0.quiver"),
-            WriteOptions(default_codec="lz4", compress_ratio=2.0),
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-    return d
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    keys = t["o_orderkey"]
+    freq_col = pc.if_else(
+        pc.equal(_pa_mod(keys, 10), 0), keys, pa.scalar(0, pa.int64())
+    )
+    return pa.table({"freqy": freq_col})
 
 
 @register(
@@ -570,7 +538,7 @@ def quiver_scan_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregates over a Freq-encoded page set (top value + roaring
     exception positions + recursively-compressed exceptions) — drives the
     roaring bitmap decode through the driver gate."""
-    d = _freq_quiver_dir(spark, sf_dir)
+    d = _derived_quiver_dir(spark, sf_dir, "orders-freq0", _build_freq)
     q = quiver_relation(spark, d)
     return q.agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -582,40 +550,22 @@ def quiver_scan_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nested_quiver_dir(spark: SparkSession, sf_dir: str) -> str:
-    """orders re-shaped into struct and map columns and written as quiver —
-    drives struct/map shredding (write_nested, rep/def levels) and
-    assembly (reference src/read/array/{struct_,map}.rs) end-to-end."""
+def _build_nested(sf_dir: str):
+    """orders re-shaped into struct and map columns — drives struct/map
+    shredding (write_nested, rep/def levels) and assembly (reference
+    src/read/array/{struct_,map}.rs) end-to-end."""
+    import numpy as np
     import pyarrow as pa
 
-    register_format(spark)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(CACHE_ROOT, tag, "orders-nested")
-    marker = os.path.join(d, "_done")
-    if not os.path.exists(marker):
-        from quiver_spark.format.writer import WriteOptions, write_table
-
-        os.makedirs(d, exist_ok=True)
-        t = pq.read_table(f"{sf_dir}/orders.parquet")
-        status = t["o_orderstatus"].combine_chunks()
-        price = t["o_totalprice"].combine_chunks()
-        keys = t["o_orderkey"].combine_chunks()
-        s = pa.StructArray.from_arrays(
-            [status, price], names=["flag", "price"]
-        )
-        # one-entry map per row: {o_orderstatus: o_orderkey}
-        n = len(keys)
-        offsets = pa.array(range(n + 1), pa.int32())
-        m = pa.MapArray.from_arrays(offsets, status, keys)
-        bt = pa.table({"o_orderkey": keys, "s": s, "m": m})
-        write_table(
-            bt,
-            os.path.join(d, "part-0.quiver"),
-            WriteOptions(default_codec="lz4", compress_ratio=2.0),
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-    return d
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    status = t["o_orderstatus"].combine_chunks()
+    price = t["o_totalprice"].combine_chunks()
+    keys = t["o_orderkey"].combine_chunks()
+    s = pa.StructArray.from_arrays([status, price], names=["flag", "price"])
+    # one-entry map per row: {o_orderstatus: o_orderkey}
+    offsets = pa.array(np.arange(len(keys) + 1, dtype=np.int32))
+    m = pa.MapArray.from_arrays(offsets, status, keys)
+    return pa.table({"o_orderkey": keys, "s": s, "m": m})
 
 
 @register(
@@ -634,7 +584,7 @@ def quiver_scan_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregates over quiver STRUCT and MAP columns (struct field access +
     map element lookup after full rep/def reassembly) — the oracle
     recomputes from the flat parquet originals."""
-    d = _nested_quiver_dir(spark, sf_dir)
+    d = _derived_quiver_dir(spark, sf_dir, "orders-nested", _build_nested)
     q = quiver_relation(spark, d)
     return q.agg(
         F.count(F.lit(1)).alias("cnt"),

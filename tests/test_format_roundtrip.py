@@ -432,3 +432,15 @@ def test_footer_tail_preread(tmp_path):
     assert schema == expect[0]
     assert len(metas) == len(expect[1])
     assert read_table(wpath).equals(wide)
+
+
+def test_patas_decode_rejects_zero_ref_diff():
+    """A ref_diff=0 header (impossible from a valid encoder) must raise,
+    not hang: the pointer-doubling chain resolver would otherwise spin on
+    the self-referential entry forever (the sequential formulation it
+    replaced merely returned garbage)."""
+    from quiver_spark.format import patas
+
+    buf = np.float64(42.0).tobytes() + b"\x3f\x00"  # header: diff=0 sig=0 tz=63
+    with pytest.raises(ValueError, match="ref_diff=0"):
+        patas.decode(memoryview(buf), 2, np.dtype("f8"))

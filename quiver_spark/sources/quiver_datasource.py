@@ -82,10 +82,23 @@ DEFAULT_PARTITION_ROWS = 1 << 15
 DEFAULT_MAX_ROWS_PER_FILE = 1 << 22
 
 
+#: staging root for the write commit protocol (hidden from readers, the
+#: same convention as Spark's file sinks)
+_STAGING_DIR = "_temporary"
+
+
 def _list_files(path: str) -> list[str]:
-    if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, "**", "*.quiver"), recursive=True))
-    return [path]
+    if not os.path.isdir(path):
+        return [path]
+    out = []
+    for f in glob.glob(os.path.join(path, "**", "*.quiver"), recursive=True):
+        rel = os.path.relpath(f, path)
+        # skip hidden/staging components: files under _temporary are
+        # uncommitted task attempts and must never be scanned
+        if any(seg.startswith(("_", ".")) for seg in rel.split(os.sep)[:-1]):
+            continue
+        out.append(f)
+    return sorted(out)
 
 
 #: Hive null-partition directory token (Spark/Hive convention)
@@ -817,8 +830,14 @@ class QuiverStreamReader(DataSourceStreamReader):
         return None
 
 
+@dataclass
 class QuiverCommit(WriterCommitMessage):
-    pass
+    """Per-task commit message: where the task staged its files and the
+    path of each (relative to the staging dir, preserving Hive partition
+    subdirs) — the driver moves them into place only on job commit."""
+
+    task_dir: str = ""
+    files: tuple = ()
 
 
 class QuiverWriter(DataSourceArrowWriter):
@@ -908,7 +927,14 @@ class QuiverWriter(DataSourceArrowWriter):
     def write(self, iterator) -> QuiverCommit:
         """One task → one or more .quiver files (a file is one row group,
         src/write/writer.rs:107-112; oversized tasks roll to new files;
-        partitioned writes fan the buffered rows into Hive subdirs)."""
+        partitioned writes fan the buffered rows into Hive subdirs).
+
+        Files are STAGED under `_temporary/<task-uuid>/` and only moved
+        into the table directory by the driver-side commit — the standard
+        file-sink contract: a failed/retried task's partial output is never
+        reader-visible and never double-counts (task retries are routine on
+        a large cluster, so direct-to-destination writes would duplicate
+        rows)."""
         import pyarrow as pa
 
         from quiver_spark.format.writer import WriteOptions, write_table
@@ -920,6 +946,8 @@ class QuiverWriter(DataSourceArrowWriter):
             forbidden=self.forbidden,
             page_stats=self.page_stats,
         )
+        task_dir = os.path.join(self.path, _STAGING_DIR, uuid.uuid4().hex)
+        staged: list[str] = []
         buffer: list[pa.RecordBatch] = []
         rows = 0
 
@@ -929,11 +957,13 @@ class QuiverWriter(DataSourceArrowWriter):
                 return
             table = pa.Table.from_batches(buffer)
             for subdir, sub in self._split_partitions(table):
-                d = os.path.join(self.path, subdir) if subdir else self.path
-                os.makedirs(d, exist_ok=True)
-                write_table(
-                    sub, os.path.join(d, f"part-{uuid.uuid4().hex}.quiver"), opts
-                )
+                rel = os.path.join(
+                    subdir, f"part-{uuid.uuid4().hex}.quiver"
+                ) if subdir else f"part-{uuid.uuid4().hex}.quiver"
+                full = os.path.join(task_dir, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                write_table(sub, full, opts)
+                staged.append(rel)
             buffer, rows = [], 0
 
         for batch in iterator:
@@ -942,12 +972,36 @@ class QuiverWriter(DataSourceArrowWriter):
             if rows >= self.max_rows:
                 flush()
         flush()
-        return QuiverCommit()
+        return QuiverCommit(task_dir=task_dir, files=tuple(staged))
+
+    def _publish(self, messages) -> None:
+        """Move every committed task's staged files into the table dir
+        (same-filesystem rename; sidecars travel with their files)."""
+        import shutil
+
+        for msg in messages:
+            if msg is None or not msg.task_dir:
+                continue
+            for rel in msg.files:
+                dst = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(msg.task_dir, rel), dst)
+                side = os.path.join(msg.task_dir, rel + ".stats.json")
+                if os.path.exists(side):
+                    os.replace(side, dst + ".stats.json")
+            shutil.rmtree(msg.task_dir, ignore_errors=True)
+        stage_root = os.path.join(self.path, _STAGING_DIR)
+        try:
+            os.rmdir(stage_root)  # only if no other attempts remain
+        except OSError:
+            pass
 
     def commit(self, messages) -> None:
-        """Driver-side commit: a fully-empty result set must still leave a
-        schema-bearing file, or subsequent reads of the directory fail."""
-        if glob.glob(os.path.join(self.path, "**", "*.quiver"), recursive=True):
+        """Driver-side commit: publish staged task output, then ensure a
+        fully-empty result set still leaves a schema-bearing file (or
+        subsequent reads of the directory fail)."""
+        self._publish(messages)
+        if _list_files(self.path):
             return
         if self.spark_schema is None:
             return
@@ -969,19 +1023,29 @@ class QuiverWriter(DataSourceArrowWriter):
             WriteOptions(),
         )
 
+    def abort(self, messages) -> None:
+        """Drop staged output of any task that did report a message; task
+        dirs from attempts that died before reporting stay under the
+        hidden staging root, invisible to readers."""
+        import shutil
+
+        for msg in messages:
+            if msg is not None and getattr(msg, "task_dir", ""):
+                shutil.rmtree(msg.task_dir, ignore_errors=True)
+
 
 class QuiverStreamWriter(QuiverWriter, DataSourceStreamArrowWriter):
-    """Streaming sink: each micro-batch appends task files to the directory
-    (the quiver analogue of Spark's file-stream sink). Micro-batch files are
-    immutable once written; `abort` best-effort-cleans nothing because task
-    files are uniquely named and unreferenced readers simply pick up only
-    completed files listed at scan time."""
+    """Streaming sink: each micro-batch stages task files under the hidden
+    `_temporary/` root and publishes them on batch commit (the quiver
+    analogue of Spark's file-stream sink manifest): a batch's files become
+    reader-visible atomically-per-task at commit, and an aborted batch's
+    staged output is dropped instead of polluting the directory."""
 
     def commit(self, messages, batchId) -> None:  # noqa: N803
-        return None
+        self._publish(messages)
 
     def abort(self, messages, batchId) -> None:  # noqa: N803
-        return None
+        QuiverWriter.abort(self, messages)
 
 
 _SHIPPED_SESSIONS: set[int] = set()

@@ -502,3 +502,47 @@ def test_shared_relation_filter_correctness(spark):
     assert 0 < filt < full
     assert df.count() == full, "stale pruned partitions replayed on full scan"
     assert df.filter(F.col("l_shipdate") >= cutoff).count() == filt
+
+
+def test_write_commit_protocol_isolates_failed_tasks(spark, tmp_path):
+    """Task output is staged under _temporary/ and only published on job
+    commit: a task that dies mid-write leaves nothing reader-visible, and
+    abort drops reported staging dirs — the file-sink contract that makes
+    task retries safe (no duplicate rows, no partial files)."""
+    import pyarrow as pa
+
+    from quiver_spark.sources.quiver_datasource import (
+        QuiverWriter,
+        _list_files,
+    )
+
+    d = str(tmp_path / "proto")
+    os.makedirs(d, exist_ok=True)
+    w = QuiverWriter({"path": d})
+    batch = pa.record_batch({"x": pa.array([1, 2, 3], pa.int64())})
+
+    def failing_iter():
+        yield batch
+        raise RuntimeError("task died")
+
+    try:
+        list(w.write(failing_iter()))
+    except RuntimeError:
+        pass
+    # nothing visible before commit, even though the task began writing
+    assert _list_files(d) == []
+
+    msg = w.write(iter([batch]))
+    assert msg.files and os.path.isdir(msg.task_dir)
+    assert _list_files(d) == []  # still staged
+    w.commit([msg])
+    files = _list_files(d)
+    assert len(files) == 1 and "_temporary" not in files[0]
+    q = spark.read.format("quiver").load(d)
+    assert sorted(r.x for r in q.collect()) == [1, 2, 3]
+
+    # abort drops a reported staging dir
+    msg2 = w.write(iter([batch]))
+    w.abort([msg2])
+    assert not os.path.isdir(msg2.task_dir)
+    assert sorted(r.x for r in spark.read.format("quiver").load(d).collect()) == [1, 2, 3]

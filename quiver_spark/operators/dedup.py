@@ -434,3 +434,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("label").cast("bigint").alias("cluster_id"),
     )
+
+
+#: max Hamming distance for a simhash candidate pair to count as near-dup
+SIMHASH_HAMMING_MAX = 3
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH sh AS ({_sql_simhash()}),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS ha, b.simhash AS hb
+    FROM sh a JOIN sh b
+      ON a.simhash % 256 = b.simhash % 256 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+    FROM sh a JOIN sh b
+      ON a.simhash // 256 = b.simhash // 256 AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAMMING_MAX}
+""",
+    tags=("dedup", "simhash", "pairs"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 16-bit fingerprint into two
+    bytes, bucket-join on each band (a pair within Hamming distance 1 is
+    GUARANTEED to agree on at least one band; wider distances are caught
+    with high probability), then filter exactly on popcount of the XOR.
+    Like minhash-LSH, the shuffle is band-bucket-bounded — no all-pairs
+    join at any scale; the per-bucket quadratic term tracks collision
+    density."""
+    sh = dedup_simhash(spark, sf_dir)
+
+    def side(alias: str):
+        return sh.select(
+            F.col("doc_id").alias(f"doc_{alias}"),
+            F.col("simhash").alias(f"h{alias}"),
+            F.expr("simhash % 256").alias(f"lo_{alias}"),
+            F.expr("simhash div 256").alias(f"hi_{alias}"),
+        )
+
+    a, b = side("a"), side("b")
+    lt = F.col("doc_a") < F.col("doc_b")
+    cand = (
+        a.join(b, (F.col("lo_a") == F.col("lo_b")) & lt)
+        .select("doc_a", "doc_b", "ha", "hb")
+        .unionByName(
+            a.join(b, (F.col("hi_a") == F.col("hi_b")) & lt).select(
+                "doc_a", "doc_b", "ha", "hb"
+            )
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(ha ^ hb)")
+    return (
+        cand.filter(hamming <= SIMHASH_HAMMING_MAX)
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.cast("bigint").alias("hamming"),
+        )
+    )

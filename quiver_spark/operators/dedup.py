@@ -468,7 +468,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Like minhash-LSH, the shuffle is band-bucket-bounded — no all-pairs
     join at any scale; the per-bucket quadratic term tracks collision
     density."""
-    sh = dedup_simhash(spark, sf_dir)
+    # cache: the fingerprint pipeline (token explode + 16 bit-tallies)
+    # feeds four join legs below and must compute once
+    sh = dedup_simhash(spark, sf_dir).cache()
 
     def side(alias: str):
         return sh.select(

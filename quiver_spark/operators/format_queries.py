@@ -592,3 +592,116 @@ def quiver_scan_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s.flag").alias("min_flag"),
         F.sum(F.element_at(F.col("m"), "F")).cast("bigint").alias("f_key_sum"),
     )
+
+
+def _build_uints(sf_dir: str):
+    """orders keys derived into all four UNSIGNED widths — drives the
+    write-side plain integer cascade over uint leaves (reference
+    src/write/primitive.rs:55-70) and the Spark-boundary WIDENING
+    (uint8→int16, uint16→int32, uint32→int64, uint64→decimal(20,0);
+    SURVEY §1.3) through a real scan. Values include the top half of each
+    unsigned range so a same-width signed mapping would corrupt them."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    keys = t["o_orderkey"]
+    u8 = pc.cast(pc.add(_pa_mod(keys, 100), 155), pa.uint8())  # 155..254
+    u16 = pc.cast(pc.add(_pa_mod(keys, 30000), 35000), pa.uint16())
+    u32 = pc.cast(
+        pc.add(_pa_mod(keys, 1_000_000), 3_000_000_000), pa.uint32()
+    )
+    u64 = pc.add(
+        pc.cast(keys, pa.uint64()), pa.scalar(2**63, pa.uint64())
+    )  # beyond int64
+    return pa.table({"u8": u8, "u16": u16, "u32": u32, "u64": u64})
+
+
+@register(
+    "quiver_scan_uints",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey % 100 + 155) AS BIGINT) AS u8_sum,
+       CAST(SUM(o_orderkey % 30000 + 35000) AS BIGINT) AS u16_sum,
+       CAST(SUM(o_orderkey % 1000000 + 3000000000) AS BIGINT) AS u32_sum,
+       CAST(MAX(o_orderkey % 100 + 155) AS BIGINT) AS u8_max,
+       CAST(SUM(CAST(o_orderkey AS HUGEINT)
+                + CAST('9223372036854775808' AS HUGEINT))
+            AS DOUBLE) AS u64_sum
+FROM orders
+""",
+    tags=("format", "scan", "uint"),
+)
+def quiver_scan_uints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over unsigned-int quiver columns whose values occupy the
+    top half of each unsigned range — provably correct only if the Spark
+    boundary widens every width (a same-width signed read would wrap
+    negative). u64 lands as decimal(20,0) and is summed exactly before one
+    final cast to double on both engines."""
+    d = _derived_quiver_dir(spark, sf_dir, "orders-uints", _build_uints)
+    q = quiver_relation(spark, d)
+    return q.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("u8").cast("bigint").alias("u8_sum"),
+        F.sum("u16").cast("bigint").alias("u16_sum"),
+        F.sum("u32").cast("bigint").alias("u32_sum"),
+        F.max("u8").cast("bigint").alias("u8_max"),
+        F.sum(F.col("u64").cast("decimal(38,0)")).cast("double").alias("u64_sum"),
+    )
+
+
+def _build_decimals(sf_dir: str):
+    """orders totalprice re-typed as decimal128 at two scales — drives the
+    fixed-width Int128 page cascade (OneValue/Freq/Dict/RLE over 16-byte
+    rows, reference src/compression/integer/traits.rs:30-34) through a
+    real scan rather than only the unit matrix."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    price = t["o_totalprice"]
+    d12 = pc.cast(
+        pc.round(price, ndigits=2), pa.decimal128(12, 2)
+    )
+    # low-cardinality decimal: CASE over orderstatus → dict/one-value pages
+    status = t["o_orderstatus"]
+    flat = pc.if_else(
+        pc.equal(status, "F"),
+        pa.scalar("11.50"),
+        pa.scalar("7.25"),
+    )
+    d38 = pc.cast(flat, pa.decimal128(38, 10))
+    return pa.table(
+        {"o_orderkey": t["o_orderkey"], "price_dec": d12, "flat_dec": d38}
+    )
+
+
+@register(
+    "quiver_scan_decimals",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DOUBLE)
+           AS price_sum,
+       CAST(MIN(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DOUBLE)
+           AS price_min,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST('11.50' AS DECIMAL(38,10))
+                     ELSE CAST('7.25' AS DECIMAL(38,10)) END) AS DOUBLE)
+           AS flat_sum
+FROM orders
+""",
+    tags=("format", "scan", "decimal"),
+)
+def quiver_scan_decimals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over decimal128 quiver pages at scale 2 and scale 10
+    (the 16-byte fixed-width cascade; the low-cardinality column lands on
+    dict/one-value pages) — exact decimal sums, one final cast to double
+    on both engines."""
+    d = _derived_quiver_dir(spark, sf_dir, "orders-decimals", _build_decimals)
+    q = quiver_relation(spark, d)
+    return q.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("price_dec").cast("double").alias("price_sum"),
+        F.min("price_dec").cast("double").alias("price_min"),
+        F.sum("flat_dec").cast("double").alias("flat_sum"),
+    )

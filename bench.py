@@ -118,6 +118,25 @@ def main() -> None:
 
     shutil.rmtree(wdir, ignore_errors=True)
 
+    # Compression proxy (BASELINE.md proxy #4 — the reference's stated
+    # reason to exist): adaptive-cascade bytes vs basic-lz4-only bytes on
+    # identical lineitem data. One-time conversions, cached like the rest.
+    import os as _os
+
+    from quiver_spark.operators.format_queries import quiver_dir
+
+    def _dir_bytes(d: str) -> int:
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _dirs, fs in _os.walk(d)
+            for f in fs
+            if f.endswith(".quiver")
+        )
+
+    adaptive_dir = quiver_dir(spark, sf_dir, "lineitem")  # chooser on
+    basic_dir = quiver_dir(spark, sf_dir, "lineitem", adaptive=False)
+    comp_ratio = round(_dir_bytes(basic_dir) / max(_dir_bytes(adaptive_dir), 1), 3)
+
     # The driver's capture window keeps only the head of long lines, so order
     # the record by importance: scan proxies first, then every query slowest
     # first — a tail truncation then drops only the cheapest entries.
@@ -137,6 +156,7 @@ def main() -> None:
                     timings["scan_quiver_lineitem"] / timings["scan_parquet_lineitem"],
                     3,
                 ),
+                "adaptive_vs_basic_compression_ratio": comp_ratio,
                 "queries": ordered,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -29,12 +29,17 @@ def quiver_dir(
     name: str,
     codec: str = "lz4",
     sort_by: str | None = None,
+    adaptive: bool = True,
 ) -> str:
     """Convert a testdata parquet table → a cached quiver directory (once
-    per sf/table/codec) and return the directory path."""
+    per sf/table/codec) and return the directory path. ``adaptive=False``
+    disables the chooser (basic block codec only) — the comparison point
+    for the compression-ratio proxy."""
     register_format(spark)
     tag = os.path.basename(sf_dir.rstrip("/"))
     suffix = f"-s_{sort_by}" if sort_by else ""
+    if not adaptive:
+        suffix += "-basic"
     d = os.path.join(CACHE_ROOT, tag, f"{name}-{codec}{suffix}")
     marker = os.path.join(d, "_done")
     if not os.path.exists(marker):
@@ -47,7 +52,10 @@ def quiver_dir(
         write_table(
             t,
             os.path.join(d, "part-0.quiver"),
-            WriteOptions(default_codec=codec, compress_ratio=2.0),
+            WriteOptions(
+                default_codec=codec,
+                compress_ratio=2.0 if adaptive else None,
+            ),
         )
         with open(marker, "w") as f:
             f.write("ok")

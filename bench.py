@@ -121,14 +121,12 @@ def main() -> None:
     # Compression proxy (BASELINE.md proxy #4 — the reference's stated
     # reason to exist): adaptive-cascade bytes vs basic-lz4-only bytes on
     # identical lineitem data. One-time conversions, cached like the rest.
-    import os as _os
-
     from quiver_spark.operators.format_queries import quiver_dir
 
     def _dir_bytes(d: str) -> int:
         return sum(
-            _os.path.getsize(_os.path.join(r, f))
-            for r, _dirs, fs in _os.walk(d)
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, fs in os.walk(d)
             for f in fs
             if f.endswith(".quiver")
         )

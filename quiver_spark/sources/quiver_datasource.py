@@ -93,9 +93,10 @@ def _list_files(path: str) -> list[str]:
     out = []
     for f in glob.glob(os.path.join(path, "**", "*.quiver"), recursive=True):
         rel = os.path.relpath(f, path)
-        # skip hidden/staging components: files under _temporary are
-        # uncommitted task attempts and must never be scanned
-        if any(seg.startswith(("_", ".")) for seg in rel.split(os.sep)[:-1]):
+        # skip hidden/staging components (any path segment, filename
+        # included — the Hadoop/Spark convention): files under _temporary
+        # are uncommitted task attempts and must never be scanned
+        if any(seg.startswith(("_", ".")) for seg in rel.split(os.sep)):
             continue
         out.append(f)
     return sorted(out)
@@ -990,7 +991,26 @@ class QuiverWriter(DataSourceArrowWriter):
                 if os.path.exists(side):
                     os.replace(side, dst + ".stats.json")
             shutil.rmtree(msg.task_dir, ignore_errors=True)
+        self._gc_staging()
+
+    def _gc_staging(self, max_age_sec: int = 24 * 3600) -> None:
+        """Best-effort cleanup of abandoned task attempts: a task that died
+        before reporting a commit message leaves its staging dir behind
+        (invisible to readers, but disk isn't free) — sweep any staging
+        entry older than a day, then drop the root if empty."""
+        import shutil
+        import time as _time
+
         stage_root = os.path.join(self.path, _STAGING_DIR)
+        if os.path.isdir(stage_root):
+            cutoff = _time.time() - max_age_sec
+            for entry in os.listdir(stage_root):
+                full = os.path.join(stage_root, entry)
+                try:
+                    if os.path.getmtime(full) < cutoff:
+                        shutil.rmtree(full, ignore_errors=True)
+                except OSError:
+                    continue
         try:
             os.rmdir(stage_root)  # only if no other attempts remain
         except OSError:
@@ -1038,11 +1058,31 @@ class QuiverStreamWriter(QuiverWriter, DataSourceStreamArrowWriter):
     """Streaming sink: each micro-batch stages task files under the hidden
     `_temporary/` root and publishes them on batch commit (the quiver
     analogue of Spark's file-stream sink manifest): a batch's files become
-    reader-visible atomically-per-task at commit, and an aborted batch's
-    staged output is dropped instead of polluting the directory."""
+    reader-visible atomically-per-task at commit, an aborted batch's
+    staged output is dropped, and a per-batch commit log
+    (`_quiver_commits/<batchId>`) makes REPLAYED batches idempotent —
+    after a driver failure Spark re-runs the last unacknowledged batch,
+    and without the log its rows would publish twice. The remaining
+    at-least-once window is a crash BETWEEN publish and the marker write,
+    the same commit-point semantics as a manifest-based file sink whose
+    readers don't consult the manifest."""
+
+    COMMIT_LOG = "_quiver_commits"
 
     def commit(self, messages, batchId) -> None:  # noqa: N803
+        log_dir = os.path.join(self.path, self.COMMIT_LOG)
+        os.makedirs(log_dir, exist_ok=True)
+        marker = os.path.join(log_dir, str(batchId))
+        if os.path.exists(marker):
+            # replayed batch: its files are already visible — drop the
+            # re-staged output instead of double-publishing
+            QuiverWriter.abort(self, messages)
+            return
         self._publish(messages)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("ok")
+        os.replace(tmp, marker)
 
     def abort(self, messages, batchId) -> None:  # noqa: N803
         QuiverWriter.abort(self, messages)

@@ -24,12 +24,8 @@ def _with_nulls(draw, values, null_frac):
         return pa.array(values)
     n = len(values)
     mask = np.array(
-        draw(
-            st.lists(
-                st.booleans(), min_size=n, max_size=n
-            )
-        )
-    ) & (null_frac > 0)
+        draw(st.lists(st.booleans(), min_size=n, max_size=n))
+    )
     return pa.array(values, mask=mask)
 
 

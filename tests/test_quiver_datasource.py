@@ -516,9 +516,13 @@ def test_write_commit_protocol_isolates_failed_tasks(spark, tmp_path):
         _list_files,
     )
 
+    register(spark)
     d = str(tmp_path / "proto")
     os.makedirs(d, exist_ok=True)
-    w = QuiverWriter({"path": d})
+    # max_rows_per_file=1 forces a flush per batch, so the failing task
+    # below has ACTUALLY staged a file before it dies — without this the
+    # "nothing visible" assertion would pass trivially
+    w = QuiverWriter({"path": d, "max_rows_per_file": "1"})
     batch = pa.record_batch({"x": pa.array([1, 2, 3], pa.int64())})
 
     def failing_iter():
@@ -526,10 +530,15 @@ def test_write_commit_protocol_isolates_failed_tasks(spark, tmp_path):
         raise RuntimeError("task died")
 
     try:
-        list(w.write(failing_iter()))
+        w.write(failing_iter())
     except RuntimeError:
         pass
-    # nothing visible before commit, even though the task began writing
+    import glob as _glob
+
+    staged = _glob.glob(os.path.join(d, "_temporary", "**", "*.quiver"),
+                        recursive=True)
+    assert staged, "failing task should have staged a file"
+    # nothing visible before commit, even though the task wrote bytes
     assert _list_files(d) == []
 
     msg = w.write(iter([batch]))
@@ -546,3 +555,37 @@ def test_write_commit_protocol_isolates_failed_tasks(spark, tmp_path):
     w.abort([msg2])
     assert not os.path.isdir(msg2.task_dir)
     assert sorted(r.x for r in spark.read.format("quiver").load(d).collect()) == [1, 2, 3]
+
+
+def test_stream_sink_replayed_batch_is_idempotent(spark, tmp_path):
+    """After a driver failure Spark re-runs the last unacknowledged
+    micro-batch; the sink's per-batch commit log must drop the replayed
+    output instead of publishing the batch's rows twice."""
+    import pyarrow as pa
+
+    from quiver_spark.sources.quiver_datasource import (
+        QuiverStreamWriter,
+        _list_files,
+    )
+
+    register(spark)
+    d = str(tmp_path / "stream")
+    os.makedirs(d, exist_ok=True)
+    w = QuiverStreamWriter({"path": d})
+    batch = pa.record_batch({"x": pa.array([1, 2, 3], pa.int64())})
+
+    w.commit([w.write(iter([batch]))], 0)
+    n1 = len(_list_files(d))
+    assert n1 == 1
+
+    # replay of batch 0 (same batchId, freshly staged files)
+    w.commit([w.write(iter([batch]))], 0)
+    assert len(_list_files(d)) == n1, "replayed batch published twice"
+    q = spark.read.format("quiver").load(d)
+    assert sorted(r.x for r in q.collect()) == [1, 2, 3]
+
+    # the NEXT batch still publishes normally
+    w.commit([w.write(iter([batch]))], 1)
+    assert sorted(
+        r.x for r in spark.read.format("quiver").load(d).collect()
+    ) == [1, 1, 2, 2, 3, 3]

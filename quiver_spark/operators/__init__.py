@@ -6,6 +6,7 @@ from quiver_spark.operators import (  # noqa: F401
     format_queries,
     multimodal,
     pipeline2,
+    pipeline3,
     relational,
     relational2,
     relational3,

@@ -1,0 +1,188 @@
+"""Third LLM-pipeline battery (driver mandate): eval-set decontamination and
+repetition-based quality filtering — the two remaining ops a production
+training-data pipeline runs that were missing from dedup.py / text.py.
+
+Scale posture:
+- Decontamination joins the (tiny) eval-set shingle table against the
+  (huge) train-corpus shingle stream. The eval side is explicitly
+  ``broadcast()``: at 100 TB the corpus never shuffles — every executor
+  streams its shingles past an in-memory eval hash table, which is exactly
+  how web-scale decontamination (e.g. against benchmark suites) is run.
+- Repetition stats are a pure map + per-doc aggregation: one shuffle keyed
+  by doc_id, no cross-document communication at all.
+
+Shingle hashing reuses the 60-bit md5-prefix int64 trick from
+``pipeline2.dedup_ngram_jaccard`` (identical arithmetic in Spark ``conv``
+and DuckDB's hex cast), so the shuffle moves 8-byte keys and the oracle
+reproduces every hash bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quiver_spark.operators.dedup import SQL_SHINGLES, _raw_shingles
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+#: every doc_id divisible by this is "eval", the rest are "train" — a
+#: deterministic stand-in for a benchmark/eval corpus id list.
+EVAL_MOD = 20
+#: a train doc is contaminated when it contains at least this fraction of
+#: some eval doc's distinct shingles.
+OVERLAP_FRAC = 0.2
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+WITH shingles0 AS ({SQL_SHINGLES}),
+sh AS (
+    SELECT DISTINCT doc_id,
+           CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 15)) AS BIGINT) AS sh
+    FROM shingles0
+),
+ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+sized AS (SELECT doc_id, COUNT(*) AS eval_sh FROM ev GROUP BY doc_id),
+ov AS (
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS overlap_sh
+    FROM tr t JOIN ev e ON t.sh = e.sh
+    GROUP BY t.doc_id, e.doc_id
+)
+SELECT o.train_id, o.eval_id, o.overlap_sh, s.eval_sh,
+       ROUND(CAST(o.overlap_sh AS DOUBLE) / s.eval_sh, 4) AS overlap_frac
+FROM ov o JOIN sized s ON o.eval_id = s.doc_id
+WHERE CAST(o.overlap_sh AS DOUBLE) / s.eval_sh >= {OVERLAP_FRAC}
+""",
+    tags=("dedup", "decontamination", "llm"),
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check via hashed-shingle overlap.
+
+    Docs with ``doc_id % EVAL_MOD == 0`` form the eval set; for every train
+    doc that shares ≥ OVERLAP_FRAC of an eval doc's distinct word-3-grams,
+    emit the (train, eval) pair with exact overlap counts. The eval shingle
+    table is broadcast, so the train corpus is processed in one map-side
+    pass — no corpus-sized shuffle ever happens, which is the property that
+    lets this run against benchmarks at full pretraining scale."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        _raw_shingles(d)
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("sh"),
+        )
+        .distinct()
+        # three consumers (eval side ×2, train side): persist so the corpus
+        # is shingled once, not re-derived per branch
+        .persist()
+    )
+    ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    sized = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("eval_sh"))
+    overlap = (
+        tr.join(
+            F.broadcast(
+                ev.select(F.col("doc_id").alias("eval_id"), "sh")
+            ),
+            "sh",
+        )
+        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
+        .agg(F.count(F.lit(1)).alias("overlap_sh"))
+    )
+    frac = F.col("overlap_sh").cast("double") / F.col("eval_sh")
+    return (
+        overlap.join(
+            F.broadcast(
+                sized.select(
+                    F.col("doc_id").alias("eval_id"),
+                    F.col("eval_sh"),
+                )
+            ),
+            "eval_id",
+        )
+        .filter(frac >= OVERLAP_FRAC)
+        .select(
+            "train_id",
+            "eval_id",
+            "overlap_sh",
+            "eval_sh",
+            F.round(frac, 4).alias("overlap_frac"),
+        )
+    )
+
+
+#: drop docs whose single most frequent word-bigram covers more than this
+#: fraction of all bigram occurrences (Rae et al. 2021 "Gopher" §A1.1-style
+#: repetition filter, adapted to word soup without line structure).
+TOP_BIGRAM_MAX = 0.10
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bigrams AS (
+    SELECT doc_id, unnest(
+        [list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+         FOR i IN range(1, greatest(len(toks), 1))]
+    ) AS bg
+    FROM toks
+),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
+stats AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+    FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_distinct, top_cnt,
+       ROUND(CAST(top_cnt AS DOUBLE) / n_bigrams, 4) AS top_frac,
+       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 4) AS dup_frac,
+       CAST(top_cnt AS DOUBLE) / n_bigrams <= {TOP_BIGRAM_MAX} AS keep
+FROM stats
+""",
+    tags=("text", "quality", "llm"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals over word bigrams.
+
+    Emits total / distinct / most-frequent bigram counts, the derived
+    top-bigram and duplicate-bigram fractions, and the keep/drop verdict at
+    the Gopher-style threshold. Pure map (bigram explode) + two doc-keyed
+    aggregations: repetition scoring at corpus scale is embarrassingly
+    parallel, one shuffle on the uniform doc_id key."""
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "(x, i) -> concat(x, ' ', toks[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    cnt = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    stats = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_bigrams")
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col(
+        "n_bigrams"
+    )
+    return stats.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        "top_cnt",
+        F.round(top_frac, 4).alias("top_frac"),
+        F.round(dup_frac, 4).alias("dup_frac"),
+        (top_frac <= TOP_BIGRAM_MAX).alias("keep"),
+    )

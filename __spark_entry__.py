@@ -68,7 +68,6 @@ _PRIORITY = [
     "quiver_scan_bools",
     "quiver_adaptive_zstd_join",
     "quiver_pruned_date_scan",
-    "quiver_limit_head",
     "quiver_partitioned_scan",
     "quiver_scan_documents",
     "quiver_scan_embeddings",
@@ -78,7 +77,9 @@ _PRIORITY = [
     "ann_ivf_topk",
     "events_gapfill_hourly",
     "sample_stratified_docs",
-    "dedup_ngram_jaccard",
+    # never driver-checked yet (added this round)
+    "decontaminate_eval_overlap",
+    "text_repetition_stats",
 ]
 
 

@@ -150,3 +150,12 @@ def test_ivf_centroid_joins_broadcast(spark):
     the (tiny) centroid set — the corpus never shuffles for indexing."""
     df = _df(spark, "ann_ivf_topk")
     assert plans.has_broadcast_join(df), "IVF plan lost its broadcast joins"
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """decontaminate_eval_overlap: the eval shingle table must broadcast —
+    the train corpus is processed map-side with no corpus-sized shuffle
+    for candidate generation (the property that scales to pretraining
+    corpora)."""
+    df = _df(spark, "decontaminate_eval_overlap")
+    assert plans.has_broadcast_join(df), "decontamination lost its broadcast"

@@ -66,12 +66,9 @@ _PRIORITY = [
     # (b) core format + flagship surface (keep in any 50-wide sample)
     "quiver_scan_q1",
     "quiver_scan_bools",
-    "quiver_adaptive_zstd_join",
     "quiver_pruned_date_scan",
     "quiver_partitioned_scan",
     "quiver_scan_documents",
-    "quiver_scan_embeddings",
-    "multimodal_binary_meta",
     "multimodal_decode_features",
     "dedup_clusters",
     "ann_ivf_topk",
@@ -80,6 +77,9 @@ _PRIORITY = [
     # never driver-checked yet (added this round)
     "decontaminate_eval_overlap",
     "text_repetition_stats",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "unpivot_lineitem_metrics",
 ]
 
 

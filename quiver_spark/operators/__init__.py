@@ -10,6 +10,7 @@ from quiver_spark.operators import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     similarity,
     sketches,
     text,

@@ -66,10 +66,8 @@ _PRIORITY = [
     # (b) core format + flagship surface (keep in any 50-wide sample)
     "quiver_scan_q1",
     "quiver_scan_bools",
-    "quiver_pruned_date_scan",
     "quiver_partitioned_scan",
     "quiver_scan_documents",
-    "multimodal_decode_features",
     "dedup_clusters",
     "ann_ivf_topk",
     "events_gapfill_hourly",
@@ -80,6 +78,8 @@ _PRIORITY = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "unpivot_lineitem_metrics",
+    "multimodal_resize_stub",
+    "multimodal_frame_sample",
 ]
 
 

@@ -115,3 +115,154 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "payload").mapInPandas(
         _decode_batch, schema=FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("dst_w", IntegerType()),
+        StructField("dst_h", IntegerType()),
+    ]
+)
+
+#: bounding box for the aspect-preserving resize stub
+RESIZE_TARGET = 32
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the resize stage: decode dims (stub) then
+    compute the aspect-preserving target size inside a TARGET×TARGET box
+    with pure integer arithmetic (exact in any engine). A real pipeline
+    would call PIL's `Image.resize` here; the batching, schema, and
+    integer-geometry plumbing are identical."""
+    import hashlib
+
+    def _fake_decode(payload: bytes) -> tuple[int, int]:
+        h = hashlib.md5(payload).digest()
+        return 16 + h[0] % 64, 16 + h[1] % 64
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h = _fake_decode(payload)
+            m = max(w, h)
+            rows.append(
+                (
+                    int(doc_id),
+                    w,
+                    h,
+                    (w * RESIZE_TARGET) // m,
+                    (h * RESIZE_TARGET) // m,
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "src_w", "src_h", "dst_w", "dst_h"]
+        )
+
+
+@register(
+    "multimodal_resize_stub",
+    # stub decode dims are md5-deterministic and the target geometry is
+    # integer arithmetic, so the whole stage has an exact SQL twin
+    oracle=f"""
+WITH dims AS (
+    SELECT doc_id,
+           16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 64 AS src_w,
+           16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 64 AS src_h
+    FROM documents
+)
+SELECT doc_id, src_w, src_h,
+       CAST((src_w * {RESIZE_TARGET}) // greatest(src_w, src_h) AS INTEGER) AS dst_w,
+       CAST((src_h * {RESIZE_TARGET}) // greatest(src_w, src_h) AS INTEGER) AS dst_h
+FROM dims
+""",
+    tags=("multimodal", "mapInPandas", "resize"),
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize stage (stubbed decode, real
+    plumbing): Arrow-batched mapInPandas computing the bounded target
+    geometry per payload. Map-side only — resize at corpus scale is
+    embarrassingly parallel and this stage shuffles nothing."""
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        _resize_batch, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_fp", StringType()),
+    ]
+)
+
+#: max frames sampled per "video" payload
+MAX_FRAMES = 8
+#: bytes per fake frame (payload length // FRAME_BYTES = frame count)
+FRAME_BYTES = 16
+
+
+def _frame_sample_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for frame sampling: each payload is treated as a
+    video of ``nbytes // FRAME_BYTES`` frames; a uniform stride samples at
+    most MAX_FRAMES of them, emitting one row per sampled frame (the
+    one-to-many flat-map shape). The frame fingerprint stands in for the
+    decoded frame tensor; ffmpeg would slot in here unchanged."""
+    import hashlib
+
+    for pdf in batches:
+        out_id, out_idx, out_fp = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // FRAME_BYTES
+            if n_frames <= 0:
+                continue
+            stride = max(1, n_frames // MAX_FRAMES)
+            for idx in range(0, n_frames, stride):
+                out_id.append(int(doc_id))
+                out_idx.append(idx)
+                out_fp.append(
+                    hashlib.md5(
+                        payload + b":" + str(idx).encode()
+                    ).hexdigest()[:8]
+                )
+        yield pd.DataFrame(
+            {"doc_id": out_id, "frame_idx": out_idx, "frame_fp": out_fp}
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH vids AS (
+    SELECT doc_id, text,
+           CAST(octet_length(CAST(text AS BLOB)) // {FRAME_BYTES} AS INTEGER)
+               AS n_frames
+    FROM documents
+),
+sampled AS (
+    SELECT doc_id, text,
+           CAST(unnest(range(0, n_frames,
+                             greatest(1, n_frames // {MAX_FRAMES}))) AS INTEGER)
+               AS frame_idx
+    FROM vids WHERE n_frames > 0
+)
+SELECT doc_id, frame_idx,
+       substr(md5(text || ':' || CAST(frame_idx AS VARCHAR)), 1, 8) AS frame_fp
+FROM sampled
+""",
+    tags=("multimodal", "mapInPandas", "video"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (stubbed decode, real plumbing): one-to-many
+    Arrow-batched mapInPandas emitting a row per uniformly-strided frame.
+    Map-side row expansion only — no shuffle; downstream stages key on
+    (doc_id, frame_idx)."""
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        _frame_sample_batch, schema=FRAME_SCHEMA
+    )

@@ -67,7 +67,6 @@ _PRIORITY = [
     "quiver_scan_q1",
     "quiver_scan_bools",
     "quiver_partitioned_scan",
-    "quiver_scan_documents",
     "dedup_clusters",
     "ann_ivf_topk",
     "events_gapfill_hourly",
@@ -80,6 +79,7 @@ _PRIORITY = [
     "unpivot_lineitem_metrics",
     "multimodal_resize_stub",
     "multimodal_frame_sample",
+    "scalar_map_funcs",
 ]
 
 

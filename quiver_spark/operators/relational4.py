@@ -129,3 +129,53 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register(
+    "scalar_map_funcs",
+    # the oracle reproduces the expected VALUES directly — the point is to
+    # pin Spark's map construction/merge/higher-order semantics against
+    # independently-computed ground truth, not to re-run maps in DuckDB
+    oracle="""
+SELECT o_orderkey,
+       CAST(3 AS INTEGER) AS map_size,
+       o_orderstatus AS status_val,
+       UPPER(o_orderpriority) AS prio_upper,
+       'status,prio,okey' AS keys_csv,
+       o_orderstatus || ',' || o_orderpriority || ',' ||
+           CAST(o_orderkey AS VARCHAR) AS vals_csv,
+       CAST(2 AS INTEGER) AS filtered_size
+FROM orders WHERE o_orderkey % 10 = 0
+""",
+    tags=("scalar", "map"),
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar-function battery: map_from_arrays, map_concat,
+    element_at, transform_values / map_filter (higher-order), map_keys /
+    map_values. All JVM built-ins inside whole-stage codegen — per-row map
+    manipulation never leaves the executor."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    m = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("prio")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    m2 = F.map_concat(
+        m,
+        F.map_from_arrays(
+            F.array(F.lit("okey")),
+            F.array(F.col("o_orderkey").cast("string")),
+        ),
+    )
+    return o.select(
+        "o_orderkey",
+        F.size(m2).alias("map_size"),
+        F.element_at(m2, "status").alias("status_val"),
+        F.element_at(
+            F.transform_values(m2, lambda _k, v: F.upper(v)), "prio"
+        ).alias("prio_upper"),
+        F.concat_ws(",", F.map_keys(m2)).alias("keys_csv"),
+        F.concat_ws(",", F.map_values(m2)).alias("vals_csv"),
+        F.size(F.map_filter(m2, lambda k, _v: k != "okey")).alias(
+            "filtered_size"
+        ),
+    )

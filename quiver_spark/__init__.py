@@ -16,3 +16,18 @@ Layout:
 __version__ = "0.1.0"
 
 from quiver_spark.registry import QUERIES, QuerySpec, register  # noqa: F401
+
+
+def enable(spark):
+    """One-call setup on any externally-owned SparkSession: apply the
+    runtime-settable confs (UTC, AQE, Arrow, Python filter pushdown) and
+    register the "quiver" DataSource, shipping the package to executors.
+    After this, ``spark.read.format("quiver")`` / ``df.write.format("quiver")``
+    work exactly as on a session built by ``quiver_spark.session.get_spark``.
+    """
+    from quiver_spark.session import configure
+    from quiver_spark.sources.quiver_datasource import register as _register_ds
+
+    configure(spark)
+    _register_ds(spark)
+    return spark

@@ -589,3 +589,24 @@ def test_stream_sink_replayed_batch_is_idempotent(spark, tmp_path):
     assert sorted(
         r.x for r in spark.read.format("quiver").load(d).collect()
     ) == [1, 1, 2, 2, 3, 3]
+
+
+def test_enable_on_plain_session(tmp_path):
+    """quiver_spark.enable() must make a vanilla session (no tuned confs,
+    no prior registration) able to write and read the quiver format."""
+    from pyspark.sql import SparkSession
+
+    import quiver_spark
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("enable-test")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    quiver_spark.enable(spark)
+    d = str(tmp_path / "enable_rt")
+    src = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS tag")
+    src.write.format("quiver").mode("overwrite").save(d)
+    back = spark.read.format("quiver").load(d)
+    assert sorted(r.id for r in back.collect()) == list(range(100))

@@ -63,26 +63,36 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Docs with ``doc_id % EVAL_MOD == 0`` form the eval set; for every train
     doc that shares ≥ OVERLAP_FRAC of an eval doc's distinct word-3-grams,
-    emit the (train, eval) pair with exact overlap counts. The eval shingle
-    table is broadcast, so the train corpus is processed in one map-side
-    pass — no corpus-sized shuffle ever happens, which is the property that
-    lets this run against benchmarks at full pretraining scale."""
+    emit the (train, eval) pair with exact overlap counts.
+
+    Scale shape: the eval/train split happens BEFORE shingling, so the
+    (tiny) eval branch never shingles the full corpus (a production
+    deployment reads the eval set from its own small table, making that
+    branch O(eval) end-to-end). The train branch is shingled map-side with NO
+    corpus-wide distinct — per-doc repeats are deduplicated inside the
+    match-bounded aggregation (count distinct over joined rows) instead of
+    a corpus-sized shuffle before the join. The only shuffles left are
+    proportional to eval-set size and to actual contamination matches,
+    which is what lets this run against benchmark suites at full
+    pretraining scale."""
     d = load(spark, sf_dir, "documents")
-    sh = (
-        _raw_shingles(d)
-        .select(
+
+    def _hashed(df: DataFrame) -> DataFrame:
+        return _raw_shingles(df).select(
             "doc_id",
             F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
             .cast("bigint")
             .alias("sh"),
         )
+
+    # eval branch: tiny (scan-pruned), deduped, reused twice -> persist
+    ev = (
+        _hashed(d.filter(F.col("doc_id") % EVAL_MOD == 0))
         .distinct()
-        # three consumers (eval side ×2, train side): persist so the corpus
-        # is shingled once, not re-derived per branch
         .persist()
     )
-    ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0)
-    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    # train branch: one map-side pass, per-doc repeats kept (deduped later)
+    tr = _hashed(d.filter(F.col("doc_id") % EVAL_MOD != 0))
     sized = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("eval_sh"))
     overlap = (
         tr.join(
@@ -92,7 +102,7 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sh",
         )
         .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
-        .agg(F.count(F.lit(1)).alias("overlap_sh"))
+        .agg(F.countDistinct("sh").alias("overlap_sh"))
     )
     frac = F.col("overlap_sh").cast("double") / F.col("eval_sh")
     return (

@@ -159,3 +159,35 @@ def test_decontamination_broadcasts_eval_side(spark):
     corpora)."""
     df = _df(spark, "decontaminate_eval_overlap")
     assert plans.has_broadcast_join(df), "decontamination lost its broadcast"
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime bloom-filter join pruning: when a selective filter sits on
+    one side of a shuffle join, Spark builds a bloom filter from that side
+    and applies it to the other side's scan — rows that cannot match never
+    enter the shuffle. The default thresholds (10 GB application-side scan)
+    only suppress it at toy scale, so this test lowers them to observe the
+    exact plan a 100 TB fact-fact join gets for free."""
+    from pyspark.sql import functions as F
+
+    from quiver_spark.tables import load
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF_DIR, "lineitem")
+        o = load(spark, SF_DIR, "orders").filter(F.col("o_totalprice") > 400000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().count()
+        assert "bloom_filter_agg" in plans.physical_plan(j), plans.physical_plan(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

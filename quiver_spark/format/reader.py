@@ -96,16 +96,42 @@ def _parse_schema(schema_bytes: bytes) -> pa.Schema:
     return pa.ipc.read_schema(pa.py_buffer(framed))
 
 
+def _check_trailer(tail: bytes | memoryview, size: int) -> None:
+    """Fail loudly on files that are not (complete) quiver files: the last
+    8 bytes must be the EOS trailer the writer always emits. Truncated
+    uploads and partially-overwritten tails die here instead of having
+    their data bytes misread as footer sizes. (The reference reader trusts
+    its own writer and skips this; a Spark fleet cannot.)"""
+    from quiver_spark.format.constants import EOS, MAGIC
+
+    if size < len(MAGIC) + 16 + len(EOS):
+        raise ValueError(f"not a quiver file: {size} bytes is too short")
+    if bytes(tail[-8:]) != EOS:
+        raise ValueError(
+            "not a quiver file (or truncated): missing EOS trailer"
+        )
+
+
 def read_meta(f) -> list[ColumnMeta]:
+    size = f.seek(0, 2)
+    f.seek(-12, 2)
+    _check_trailer(f.read(12), size)
     f.seek(-12, 2)
     (meta_size,) = struct.unpack("<I", f.read(4))
+    if 16 + meta_size > size:
+        raise ValueError("corrupt quiver footer: meta size exceeds file")
     f.seek(-16 - meta_size, 2)
     return _parse_meta(memoryview(f.read(meta_size)))
 
 
 def infer_schema(f) -> pa.Schema:
+    size = f.seek(0, 2)
     f.seek(-16, 2)
-    schema_size, meta_size = struct.unpack("<II", f.read(8))
+    tail = f.read(16)
+    _check_trailer(tail, size)
+    schema_size, meta_size = struct.unpack_from("<II", tail, 0)
+    if 16 + meta_size + schema_size > size:
+        raise ValueError("corrupt quiver footer: sizes exceed file")
     f.seek(-16 - meta_size - schema_size, 2)
     return _parse_schema(f.read(schema_size))
 
@@ -123,8 +149,17 @@ def read_footer(f) -> tuple[pa.Schema, list[ColumnMeta]]:
     tail_len = min(size, DEFAULT_FOOTER_SIZE)
     f.seek(size - tail_len)
     tail = f.read(tail_len)
+    _check_trailer(tail, size)
+    if tail_len == size:
+        # tail covers the whole file: header magic check is free
+        from quiver_spark.format.constants import MAGIC
+
+        if bytes(tail[: len(MAGIC)]) != MAGIC:
+            raise ValueError("not a quiver file: bad header magic")
     schema_size, meta_size = struct.unpack_from("<II", tail, tail_len - 16)
     footer_len = 16 + meta_size + schema_size
+    if footer_len + 8 > size:
+        raise ValueError("corrupt quiver footer: sizes exceed file")
     if footer_len > tail_len:
         f.seek(size - footer_len)
         tail = f.read(footer_len)

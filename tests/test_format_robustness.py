@@ -1,0 +1,80 @@
+"""Reader robustness: malformed files must fail loudly and promptly.
+
+The reference trusts its own writer; a Spark deployment cannot — at fleet
+scale, truncated uploads (killed tasks, partial object-store puts) and
+corrupt footers WILL be scanned eventually. Every malformed input must
+raise a clean Python exception: no hang, no silent wrong data, no
+interpreter crash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from quiver_spark.format.reader import read_table
+from quiver_spark.format.writer import write_table
+
+
+@pytest.fixture(scope="module")
+def sample_file(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    n = 2000  # keeps the file under the 64 KiB footer tail pre-read, so
+    # the whole-file header-magic check is active
+    t = pa.table(
+        {
+            "i": pa.array(rng.integers(0, 100, n), pa.int32()),
+            "s": pa.array([f"v{v}" for v in rng.integers(0, 50, n)]),
+            "f": pa.array(rng.normal(size=n)),
+        }
+    )
+    path = str(tmp_path_factory.mktemp("robust") / "sample.quiver")
+    write_table(t, path)
+    with open(path, "rb") as fh:
+        return t, path, fh.read()
+
+
+def test_roundtrip_intact(sample_file):
+    t, path, _data = sample_file
+    assert read_table(path).equals(t)
+
+
+def test_truncation_always_raises(sample_file, tmp_path):
+    """Any strict prefix of a valid file must raise — a truncated footer
+    (or a footer whose offsets point past EOF) must never be interpreted
+    as a shorter-but-valid table."""
+    _t, _path, data = sample_file
+    n = len(data)
+    cuts = sorted(
+        {0, 1, 7, 8, n // 4, n // 2, 3 * n // 4, n - 32, n - 16, n - 12,
+         n - 8, n - 4, n - 1}
+    )
+    for cut in cuts:
+        p = str(tmp_path / f"cut{cut}.quiver")
+        with open(p, "wb") as fh:
+            fh.write(data[:cut])
+        with pytest.raises(Exception):
+            read_table(p)
+
+
+def test_overwritten_footer_raises(sample_file, tmp_path):
+    """A file whose tail was overwritten with garbage (partial rewrite)
+    must raise. (0xAA fill, not zeros: the EOS trailer legitimately ends
+    in four zero bytes.)"""
+    _t, _path, data = sample_file
+    for tail in (4, 12, 64):
+        p = str(tmp_path / f"garbled{tail}.quiver")
+        with open(p, "wb") as fh:
+            fh.write(data[:-tail] + b"\xaa" * tail)
+        with pytest.raises(Exception):
+            read_table(p)
+
+
+def test_wrong_magic_raises(sample_file, tmp_path):
+    _t, _path, data = sample_file
+    p = str(tmp_path / "magic.quiver")
+    with open(p, "wb") as fh:
+        fh.write(b"PAR1" + data[4:])
+    with pytest.raises(Exception):
+        read_table(p)

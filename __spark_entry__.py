@@ -64,7 +64,7 @@ _PRIORITY = [
     "events_sessionize",
     "events_pivot_types",
     # (b) core format + flagship surface (keep in any 50-wide sample)
-    "quiver_scan_q1",
+    "quiver_sql_view_agg",
     "quiver_scan_bools",
     "quiver_partitioned_scan",
     "dedup_clusters",

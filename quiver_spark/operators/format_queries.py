@@ -713,3 +713,35 @@ def quiver_scan_decimals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price_dec").cast("double").alias("price_min"),
         F.sum("flat_dec").cast("double").alias("flat_sum"),
     )
+
+
+@register(
+    "quiver_sql_view_agg",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("format", "sql-api"),
+)
+def quiver_sql_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string API surface over the native format: a quiver scan is
+    registered as a temp view and the query is posed with spark.sql(...) —
+    the exact workflow of a SQL-only user (catalog registration instead of
+    DataFrame chaining). The plan is identical to the DataFrame form, so
+    Catalyst treatment (pruning, pushdown, AQE) is unchanged."""
+    quiver_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "quiver_orders_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE)
+                   AS total_price
+        FROM quiver_orders_v
+        GROUP BY o_orderpriority
+        """
+    )

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Quickstart: the workflow of a user switching from the Rust reference.
+
+Run:  python examples/quickstart.py
+
+Covers the full surface in one script: enable the format on a plain
+SparkSession, write a quiver directory (adaptive codec cascade), read it
+back (DataFrame and SQL-view forms), inspect the chosen codecs, and run a
+few of the engine's registered pipeline operators.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import quiver_spark
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("quiver-quickstart")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    # one call: runtime confs + DataSource registration + package shipping
+    quiver_spark.enable(spark)
+
+    out = tempfile.mkdtemp(prefix="quiver_quickstart_")
+
+    # --- write: any DataFrame, adaptive per-page codec cascade ------------
+    df = spark.range(100_000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("small_int"),          # -> dict/bitpacking
+        F.lit(42).alias("constant"),                   # -> one_value
+        (F.col("id") * 2).cast("int").alias("sorted_ints"),  # -> delta bitpacking (4-byte sorted)
+        F.concat(F.lit("user-"), (F.col("id") % 100).cast("string")).alias(
+            "category"
+        ),                                             # -> dict
+    )
+    df.write.format("quiver").mode("overwrite").save(f"{out}/demo")
+    print(f"wrote {df.count()} rows to {out}/demo")
+
+    # --- read: DataFrame form --------------------------------------------
+    back = spark.read.format("quiver").load(f"{out}/demo")
+    agg = back.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sorted_ints").alias("s")
+    )
+    print("DataFrame read:", agg.count(), "groups")
+
+    # --- read: SQL-view form ---------------------------------------------
+    back.createOrReplaceTempView("demo")
+    print(
+        "SQL read:",
+        spark.sql("SELECT COUNT(DISTINCT category) AS c FROM demo").first().c,
+        "distinct categories",
+    )
+
+    # --- inspect: which codec did each page get? -------------------------
+    from quiver_spark.format.stat import describe
+
+    part = next(
+        os.path.join(f"{out}/demo", f)
+        for f in sorted(os.listdir(f"{out}/demo"))
+        if f.endswith(".quiver")
+    )
+    print("\ncodec tree (first file):")
+    print(describe(part))
+
+    # --- pipeline operators over the driver testdata (if present) --------
+    sf = "/root/testdata/sf0.001"
+    if os.path.isdir(sf):
+        from quiver_spark.registry import load_all_operators
+
+        specs = load_all_operators()
+        for name in ("dedup_exact_docs", "text_repetition_stats", "ann_cosine_topk"):
+            n = specs[name].spark(spark, sf).count()
+            print(f"{name}: {n} rows")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -66,7 +66,6 @@ _PRIORITY = [
     # (b) core format + flagship surface (keep in any 50-wide sample)
     "quiver_sql_view_agg",
     "quiver_scan_bools",
-    "quiver_partitioned_scan",
     "dedup_clusters",
     "ann_ivf_topk",
     "events_gapfill_hourly",
@@ -80,6 +79,7 @@ _PRIORITY = [
     "multimodal_resize_stub",
     "multimodal_frame_sample",
     "scalar_map_funcs",
+    "grouped_minmax_norm",
 ]
 
 

@@ -58,13 +58,15 @@ def main() -> None:
     spark.range(10).selectExpr("sum(id)").collect()
     quiver_table(spark, sf_dir, "lineitem").selectExpr("count(l_orderkey)").collect()
 
-    # Each query is timed as the min over two FULL PASSES of the battery
+    # Each query is timed as the min over three FULL PASSES of the battery
     # (not back-to-back repeats): the min strips one-off JVM effects (GC,
-    # codegen compilation), and separating the two samples of each query by
-    # a whole pass means a transient external CPU spike cannot poison both.
+    # codegen compilation), and separating the samples of each query by a
+    # whole pass means a transient CPU spike cannot poison them all.
+    # (Measured 2026-08-14: min-of-2 swung individual join queries ±50%
+    # between runs; min-of-3 tracks solo re-times.)
     bench_specs = [(n, s) for n, s in sorted(specs.items()) if s.bench]
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name, spec in bench_specs:
             t0 = time.perf_counter()
             df = spec.spark(spark, sf_dir)

@@ -53,3 +53,54 @@ def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.pos, t.token "
         "FROM _udtf_docs, LATERAL token_explode(text) t"
     )
+
+
+@register(
+    "grouped_minmax_norm",
+    oracle="""
+SELECT doc_id, lang, n_chars,
+       CAST(CASE WHEN mx = mn THEN 0
+                 ELSE ((n_chars - mn) * 10000) // (mx - mn) END AS BIGINT)
+           AS norm_10k
+FROM (
+    SELECT doc_id, lang, n_chars,
+           MIN(n_chars) OVER (PARTITION BY lang) AS mn,
+           MAX(n_chars) OVER (PARTITION BY lang) AS mx
+    FROM documents
+)
+""",
+    tags=("udf", "applyInPandas", "grouped-map"),
+)
+def grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the Arrow UDAF-style shape): per-language
+    min-max normalization of document length onto an integer 0..10000
+    scale. The group statistic and the normalization happen in one pandas
+    function per group — pure integer arithmetic, so the window-function
+    oracle reproduces it exactly. One shuffle on the group key; each group
+    must fit one executor's memory, which is the documented applyInPandas
+    contract (bounded here: languages are a small domain, and a skewed
+    group would move this to the window-function form the oracle uses)."""
+    import pandas as pd
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = int(pdf["n_chars"].min()), int(pdf["n_chars"].max())
+        span = mx - mn
+        norm = (
+            ((pdf["n_chars"].astype("int64") - mn) * 10000) // span
+            if span
+            else pd.Series(0, index=pdf.index, dtype="int64")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "lang": pdf["lang"],
+                "n_chars": pdf["n_chars"].astype("int64"),
+                "norm_10k": norm.astype("int64"),
+            }
+        )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return d.groupBy("lang").applyInPandas(
+        _norm,
+        schema="doc_id: bigint, lang: string, n_chars: bigint, norm_10k: bigint",
+    )

@@ -53,6 +53,23 @@ def configure(spark: SparkSession) -> SparkSession:
 
 def get_spark(app_name: str = "quiver-spark") -> SparkSession:
     """Build the tuned local session used by tests and bench.py."""
+    # Streaming-source runner workers (python_streaming_source_runner.py)
+    # do not receive addPyFile includes the way batch task workers do —
+    # they resolve imports from the inherited PYTHONPATH / driver cwd
+    # only. Export the package root BEFORE the JVM starts so quiver
+    # streaming sources work regardless of the driver's cwd. (Sessions we
+    # did not build inherit their JVM env; there the package must already
+    # be on PYTHONPATH or the driver cwd — noted in sources.register.)
+    import quiver_spark
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(quiver_spark.__file__))
+    )
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = os.environ.get("QUIVER_SHUFFLE_PARTITIONS", str(min(int(cpus) * 2, 64)))
     builder = (

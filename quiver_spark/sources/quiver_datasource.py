@@ -767,6 +767,17 @@ class QuiverStreamReader(DataSourceStreamReader):
         self.partition_rows = int(
             options.get("partition_rows", DEFAULT_PARTITION_ROWS)
         )
+        # rate limiting for backfills: at most N new files per micro-batch
+        # (the analogue of the file source's maxFilesPerTrigger) — without
+        # it, pointing a fresh stream at a deep directory makes batch 0
+        # swallow the whole backlog in one oversized micro-batch.
+        # CAVEAT: Trigger.AvailableNow falls back to single-batch execution
+        # for Python stream sources, so under that trigger the cap limits
+        # the run to one capped batch (the checkpoint resumes cleanly);
+        # use a processing-time trigger with rate limiting.
+        mft = int(options.get("max_files_per_trigger", 0))
+        self.max_files: int | None = mft if mft > 0 else None
+        self._last: list[str] = []
 
     def _files(self) -> list[str]:
         # offsets carry paths RELATIVE to the root so Hive-partitioned
@@ -777,7 +788,17 @@ class QuiverStreamReader(DataSourceStreamReader):
         return {"files": []}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        return {"files": self._files()}
+        if self.max_files is None:
+            return {"files": self._files()}
+        # grow the offset monotonically by at most max_files new names per
+        # call. After a restart with an existing checkpoint, _last starts
+        # empty, so the first offsets may lag the checkpointed start —
+        # partitions(start, end) then yields empty batches (never
+        # reprocessing) until the cursor catches back up.
+        seen = set(self._last)
+        new = sorted(f for f in self._files() if f not in seen)
+        self._last = self._last + new[: self.max_files]
+        return {"files": self._last}
 
     def partitions(self, start: dict, end: dict):
         seen = set(start.get("files", []))
@@ -1124,7 +1145,14 @@ def ship_package(spark) -> None:
 
 
 def register(spark) -> None:
-    """Register the quiver format with a session (+ ship the package)."""
+    """Register the quiver format with a session (+ ship the package).
+
+    Batch reads/writes then work from any driver cwd (the zip shipped via
+    addPyFile reaches every task worker). STREAMING reads additionally
+    need `quiver_spark` importable in the streaming-source runner, a
+    driver-side worker that does NOT receive addPyFile includes: ensure
+    the package is on PYTHONPATH before the JVM starts (session.get_spark
+    does this) or launch the driver from the package root."""
     ship_package(spark)
     key = id(spark)
     if key in _REGISTERED_SESSIONS:

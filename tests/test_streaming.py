@@ -156,3 +156,48 @@ def test_quiver_streaming_sink(spark, landing_dir, tmp_path):
     p = spark.read.parquet(f"{SF_DIR}/events.parquet")
     assert row.cnt == p.count()
     assert row.ks == p.select(F.sum("event_id")).collect()[0][0]
+
+
+def test_stream_source_rate_limit(spark, tmp_path):
+    """max_files_per_trigger=1 must spread a 3-file backlog over ≥3
+    micro-batches while still delivering every row exactly once."""
+    from quiver_spark.sources import register as register_format
+
+    register_format(spark)
+    out = str(tmp_path / "rate_src")
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ).coalesce(1).write.format("quiver").mode(
+            "append" if i else "overwrite"
+        ).save(out)
+    files = [f for f in os.listdir(out) if f.endswith(".quiver")]
+    assert len(files) == 3, files
+
+    batches = []
+
+    def _sink(df, batch_id):
+        rows = df.collect()
+        if rows:
+            batches.append(sorted(r.id for r in rows))
+
+    # default processing-time trigger: availableNow falls back to a single
+    # batch for Python stream sources, which would defeat the per-trigger
+    # cap (documented in QuiverStreamReader)
+    q = (
+        spark.readStream.format("quiver")
+        .option("max_files_per_trigger", "1")
+        .load(out)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt-rate"))
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline and sum(len(b) for b in batches) < 30:
+        _time.sleep(0.5)
+    q.stop()
+    assert len(batches) >= 3, f"backlog was not split: {batches}"
+    all_ids = sorted(i for b in batches for i in b)
+    assert all_ids == list(range(30)), all_ids

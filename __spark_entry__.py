@@ -22,10 +22,12 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row:
-# round 4 sampled the then-stale round-1/2 set; round 5 front-loads (a) the
-# 35 queries whose last driver verification was round 2 (rotated out of the
-# r4 window), then (b) the core format surface (quiver scans, multimodal,
-# dedup headliners) so the file format itself always stays in-sample.
+# round 5 front-loads (a) the 35 queries whose last driver verification was
+# round 2 (rotated out of the r4 window), then (b) never-driver-checked
+# surface: operators added in rounds 4-5 (format sql-view, boolean cascade,
+# dup clustering, IVF, gap-fill, sampling, decontamination, repetition,
+# Q13/Q15, unpivot, multimodal resize/frames, map functions, grouped map).
+# Everything displaced is green on the round-4 record.
 _PRIORITY = [
     # (a) last driver-verified in round 2 — rotate into the r5 sample
     "q4_order_priority",

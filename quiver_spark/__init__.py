@@ -24,6 +24,13 @@ def enable(spark):
     register the "quiver" DataSource, shipping the package to executors.
     After this, ``spark.read.format("quiver")`` / ``df.write.format("quiver")``
     work exactly as on a session built by ``quiver_spark.session.get_spark``.
+
+    Caveat for STREAMING reads on an externally-built session: Spark's
+    streaming-source runner worker does not receive addPyFile includes, so
+    ``spark.readStream.format("quiver")`` additionally requires
+    ``quiver_spark`` on PYTHONPATH (or the driver cwd) before the JVM
+    started. ``get_spark`` arranges this; ``enable`` on a running session
+    cannot retroactively.
     """
     from quiver_spark.session import configure
     from quiver_spark.sources.quiver_datasource import register as _register_ds

@@ -114,12 +114,15 @@ def _check_trailer(tail: bytes | memoryview, size: int) -> None:
 
 def read_meta(f) -> list[ColumnMeta]:
     size = f.seek(0, 2)
-    f.seek(-12, 2)
-    _check_trailer(f.read(12), size)
-    f.seek(-12, 2)
-    (meta_size,) = struct.unpack("<I", f.read(4))
-    if 16 + meta_size > size:
-        raise ValueError("corrupt quiver footer: meta size exceeds file")
+    f.seek(-16, 2)
+    tail = f.read(16)
+    _check_trailer(tail, size)
+    schema_size, meta_size = struct.unpack_from("<II", tail, 0)
+    # full-envelope bound (schema + 8-byte header magic included), matching
+    # infer_schema/read_footer — a bit-flipped meta_size must not let the
+    # meta region run over the schema bytes and parse header bytes as metas
+    if 16 + meta_size + schema_size + 8 > size:
+        raise ValueError("corrupt quiver footer: sizes exceed file")
     f.seek(-16 - meta_size, 2)
     return _parse_meta(memoryview(f.read(meta_size)))
 
@@ -130,7 +133,7 @@ def infer_schema(f) -> pa.Schema:
     tail = f.read(16)
     _check_trailer(tail, size)
     schema_size, meta_size = struct.unpack_from("<II", tail, 0)
-    if 16 + meta_size + schema_size > size:
+    if 16 + meta_size + schema_size + 8 > size:
         raise ValueError("corrupt quiver footer: sizes exceed file")
     f.seek(-16 - meta_size - schema_size, 2)
     return _parse_schema(f.read(schema_size))

@@ -45,23 +45,49 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _raw_shingles(df: DataFrame) -> DataFrame:
-    """(doc_id, shingle) pairs — word 3-grams per document, WITH per-doc
+def _raw_ngrams(df: DataFrame, n: int, alias: str = "ngram") -> DataFrame:
+    """(doc_id, <alias>) pairs — word n-grams per document, WITH per-doc
     repeats (no distinct; callers dedup on whatever key they project).
 
     Built with a single array transform (map-side, no self-join): for token
-    array t, shingle_i = t[i] ' ' t[i+1] ' ' t[i+2]. The token array is
+    array t, ngram_i = t[i] ' ' … ' ' t[i+n-1]. The token array is
     materialized ONCE per row (a 4× split of large texts measured 29s →
-    ~7s at sf0.1)."""
+    ~7s at sf0.1). Shared by the 3-gram shingle pipelines (dedup,
+    decontamination) and the 2-gram repetition stats."""
+    parts = "concat(x" + "".join(
+        f", ' ', toks[i + {k}]" for k in range(1, n)
+    ) + ")"
     return df.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(slice(toks, 1, greatest(size(toks) - 2, 0)), "
-                "(x, i) -> concat(x, ' ', toks[i + 1], ' ', toks[i + 2]))"
+                f"transform(slice(toks, 1, greatest(size(toks) - {n - 1}, 0)), "
+                f"(x, i) -> {parts})"
             )
-        ).alias("shingle"),
+        ).alias(alias),
     )
+
+
+def sql_ngrams(n: int, alias: str = "ngram", distinct: bool = False) -> str:
+    """DuckDB twin of _raw_ngrams (1-based list indexing: i runs
+    1..len-(n-1), i.e. range(1, greatest(len - (n-2), 1)))."""
+    terms = " || ' ' || ".join(
+        f"list_extract(toks, i + {k})" if k else "list_extract(toks, i)"
+        for k in range(n)
+    )
+    d = "DISTINCT " if distinct else ""
+    return f"""
+SELECT {d}doc_id, unnest(
+    [{terms}
+     FOR i IN range(1, greatest(len(toks) - {n - 2}, 1))]
+) AS {alias}
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def _raw_shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs — word 3-grams, repeats kept."""
+    return _raw_ngrams(df, 3, alias="shingle")
 
 
 def _shingles(df: DataFrame) -> DataFrame:
@@ -69,14 +95,8 @@ def _shingles(df: DataFrame) -> DataFrame:
     return _raw_shingles(df).distinct()
 
 
-#: DuckDB twin of _shingles (1-based list indexing; range(1, n-1) = [1..n-2]).
-SQL_SHINGLES = """
-SELECT DISTINCT doc_id, unnest(
-    [list_extract(toks, i) || ' ' || list_extract(toks, i + 1) || ' ' || list_extract(toks, i + 2)
-     FOR i IN range(1, greatest(len(toks) - 1, 1))]
-) AS shingle
-FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-"""
+#: DuckDB twin of _shingles.
+SQL_SHINGLES = sql_ngrams(3, alias="shingle", distinct=True)
 
 
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -221,7 +221,8 @@ def _frame_sample_batch(
             n_frames = len(payload) // FRAME_BYTES
             if n_frames <= 0:
                 continue
-            stride = max(1, n_frames // MAX_FRAMES)
+            # ceil-divide: floor gives up to 2*MAX_FRAMES-1 sampled frames
+            stride = max(1, -(-n_frames // MAX_FRAMES))
             for idx in range(0, n_frames, stride):
                 out_id.append(int(doc_id))
                 out_idx.append(idx)
@@ -247,7 +248,8 @@ WITH vids AS (
 sampled AS (
     SELECT doc_id, text,
            CAST(unnest(range(0, n_frames,
-                             greatest(1, n_frames // {MAX_FRAMES}))) AS INTEGER)
+                             greatest(1, (n_frames + {MAX_FRAMES} - 1)
+                                          // {MAX_FRAMES}))) AS INTEGER)
                AS frame_idx
     FROM vids WHERE n_frames > 0
 )

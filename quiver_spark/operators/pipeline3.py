@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quiver_spark.operators.dedup import SQL_SHINGLES, _raw_shingles
+from quiver_spark.operators.dedup import (
+    SQL_SHINGLES,
+    _raw_ngrams,
+    _raw_shingles,
+    sql_ngrams,
+)
 from quiver_spark.registry import register
 from quiver_spark.tables import load
 
@@ -135,14 +140,7 @@ TOP_BIGRAM_MAX = 0.10
 @register(
     "text_repetition_stats",
     oracle=f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-bigrams AS (
-    SELECT doc_id, unnest(
-        [list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
-         FOR i IN range(1, greatest(len(toks), 1))]
-    ) AS bg
-    FROM toks
-),
+WITH bigrams AS ({sql_ngrams(2, alias="bg")}),
 cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
 stats AS (
     SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
@@ -166,17 +164,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations: repetition scoring at corpus scale is embarrassingly
     parallel, one shuffle on the uniform doc_id key."""
     d = load(spark, sf_dir, "documents")
-    bigrams = d.select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
-                "(x, i) -> concat(x, ' ', toks[i + 1]))"
-            )
-        ).alias("bg"),
-    )
+    bigrams = _raw_ngrams(d, 2, alias="bg")
     cnt = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     stats = cnt.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"),

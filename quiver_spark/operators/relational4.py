@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quiver_spark.functions import DEC_RATE, dec
+from quiver_spark.functions import SQL_REVENUE, revenue
 from quiver_spark.registry import register
 from quiver_spark.tables import load
 
@@ -59,12 +59,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
-                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
-               AS total_revenue
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -88,17 +86,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
-    revenue = li.groupBy(
-        F.col("l_suppkey").alias("supplier_no")
-    ).agg(
-        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", DEC_RATE)))
-        .cast("double")
-        .alias("total_revenue")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue()).cast("double").alias("total_revenue")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    max_rev = rev.agg(F.max("total_revenue").alias("_max_rev"))
     s = load(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(max_rev))
+        rev.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

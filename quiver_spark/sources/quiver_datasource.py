@@ -787,20 +787,29 @@ class QuiverStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
         return {"files": []}
 
+    def _advance(self, files: list[str]) -> None:
+        """Merge an offset Spark has already planned/committed into the
+        rate-limit cursor so it can never regress behind the checkpoint
+        (a restarted reader starts with an empty cursor; regressing would
+        re-deliver already-processed files)."""
+        seen = set(self._last)
+        self._last = self._last + [f for f in files if f not in seen]
+
     def latestOffset(self) -> dict:  # noqa: N802
         if self.max_files is None:
             return {"files": self._files()}
         # grow the offset monotonically by at most max_files new names per
-        # call. After a restart with an existing checkpoint, _last starts
-        # empty, so the first offsets may lag the checkpointed start —
-        # partitions(start, end) then yields empty batches (never
-        # reprocessing) until the cursor catches back up.
+        # call; the cursor is seeded from every offset Spark shows us
+        # (partitions/commit), so a checkpointed restart resumes from the
+        # committed offset instead of re-offering old files
         seen = set(self._last)
         new = sorted(f for f in self._files() if f not in seen)
         self._last = self._last + new[: self.max_files]
         return {"files": self._last}
 
     def partitions(self, start: dict, end: dict):
+        self._advance(start.get("files", []))
+        self._advance(end.get("files", []))
         seen = set(start.get("files", []))
         new = [f for f in end.get("files", []) if f not in seen]
         part_cols, per_file = _discover_partitions(self.path)
@@ -846,7 +855,7 @@ class QuiverStreamReader(DataSourceStreamReader):
         return batch_reader.read(partition)
 
     def commit(self, end: dict) -> None:
-        return None
+        self._advance(end.get("files", []))
 
     def stop(self) -> None:
         return None

@@ -201,3 +201,55 @@ def test_stream_source_rate_limit(spark, tmp_path):
     assert len(batches) >= 3, f"backlog was not split: {batches}"
     all_ids = sorted(i for b in batches for i in b)
     assert all_ids == list(range(30)), all_ids
+
+
+def test_stream_source_rate_limit_restart_no_duplicates(spark, tmp_path):
+    """Restarting a rate-limited stream from its checkpoint must not
+    re-deliver files: the in-memory cursor is re-seeded from the offsets
+    Spark replays (partitions/commit), so latestOffset never regresses
+    behind the committed offset."""
+    import time as _time
+
+    from quiver_spark.sources import register as register_format
+
+    register_format(spark)
+    out = str(tmp_path / "restart_src")
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ).coalesce(1).write.format("quiver").mode(
+            "append" if i else "overwrite"
+        ).save(out)
+    ckpt = str(tmp_path / "ckpt-restart")
+
+    def run(expect_rows: int, max_wait: float):
+        batches = []
+
+        def _sink(df, batch_id):
+            rows = [r.id for r in df.collect()]
+            if rows:
+                batches.append(rows)
+
+        q = (
+            spark.readStream.format("quiver")
+            .option("max_files_per_trigger", "1")
+            .load(out)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = _time.time() + max_wait
+        while (
+            _time.time() < deadline
+            and sum(len(b) for b in batches) < expect_rows
+        ):
+            _time.sleep(0.5)
+        _time.sleep(2)  # allow extra triggers to surface any duplicates
+        q.stop()
+        return [i for b in batches for i in b]
+
+    first = run(expect_rows=30, max_wait=60)
+    assert sorted(first) == list(range(30)), sorted(first)
+    # restart on the same checkpoint with no new data: nothing may arrive
+    second = run(expect_rows=1, max_wait=8)
+    assert second == [], f"restart re-delivered rows: {sorted(second)}"

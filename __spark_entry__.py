@@ -82,6 +82,8 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "scalar_map_funcs",
     "grouped_minmax_norm",
+    # position 51+: first in line for the next round's window
+    "events_locf_impute",
 ]
 
 

@@ -201,3 +201,47 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "events_locf_impute",
+    oracle="""
+SELECT event_id, user_id, masked,
+       last_value(masked IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled
+FROM (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS masked
+    FROM events
+)
+""",
+    tags=("timeseries", "window", "impute"),
+)
+def events_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: gaps (here a
+    deterministic mask, in production sensor dropouts) take the most
+    recent non-null value per user via an ignore-nulls running window —
+    the standard time-series gap-repair primitive. One shuffle on
+    user_id; values pass through without arithmetic, so parity is exact.
+    Leading gaps (before any observation) legitimately stay NULL."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("masked"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "masked",
+        F.last("masked", ignorenulls=True).over(w).alias("filled"),
+    )

@@ -296,18 +296,45 @@ def _read_leaf_bytes(
     return out
 
 
+def _verify_crcs(
+    bufs: list[memoryview],
+    crcs: list[int],
+    page_start: int,
+    file_desc: str,
+    leaf: int,
+) -> None:
+    """crc32 every raw page against the sidecar record — catches silent
+    corruption (bit rot, partial object-store transfers) BEFORE the codec
+    layer turns garbage bytes into plausible-looking values."""
+    import zlib
+
+    for i, b in enumerate(bufs):
+        p = page_start + i
+        if p < len(crcs) and (zlib.crc32(b) & 0xFFFFFFFF) != crcs[p]:
+            raise ValueError(
+                f"quiver page checksum mismatch: {file_desc or 'file'} "
+                f"leaf {leaf} page {p} — data is corrupt"
+            )
+
+
 def read_column_pages(
     f,
     leaf_metas: list[ColumnMeta],
     field: pa.Field,
     page_start: int,
     page_end: int,
+    crcs: list[list[int]] | None = None,
+    file_desc: str = "",
 ) -> list[pa.Array]:
     """Decode pages [page_start, page_end) of one column (flat: one leaf;
-    nested: all the column's leaves zipped per page)."""
+    nested: all the column's leaves zipped per page). ``crcs`` (per-leaf
+    sidecar checksum lists for THIS column) enables integrity
+    verification of the raw page bytes."""
     if not nested_mod.is_nested_type(field.type):
         meta = leaf_metas[0]
         bufs = _read_leaf_bytes(f, meta, page_start, page_end)
+        if crcs:
+            _verify_crcs(bufs, crcs[0], page_start, file_desc, 0)
         return [
             decode_page(b, meta.pages[page_start + i].num_values, field)
             for i, b in enumerate(bufs)
@@ -315,6 +342,9 @@ def read_column_pages(
     per_leaf = [
         _read_leaf_bytes(f, m, page_start, page_end) for m in leaf_metas
     ]
+    if crcs:
+        for li, bufs in enumerate(per_leaf):
+            _verify_crcs(bufs, crcs[li], page_start, file_desc, li)
     return [
         decode_nested_page(
             [pl[p] for pl in per_leaf],
@@ -331,7 +361,13 @@ def read_table(
     page_start: int = 0,
     page_end: int | None = None,
 ) -> pa.Table:
-    """Read a quiver file (optionally a page range / column subset)."""
+    """Read a quiver file (optionally a page range / column subset).
+    When the stats sidecar carries page checksums, every raw page is
+    crc32-verified before decode."""
+    from quiver_spark.format import stats as stats_mod
+
+    sidecar = stats_mod.load_sidecar(path)
+    all_crcs = sidecar.get("page_crc32") if sidecar else None
     with open(path, "rb") as f:
         schema, metas = read_footer(f)
         names = schema.names
@@ -345,7 +381,15 @@ def read_table(
             lo, cnt = ranges[ci]
             leaf_metas = metas[lo : lo + cnt]
             pe = page_end if page_end is not None else len(leaf_metas[0].pages)
-            pages = read_column_pages(f, leaf_metas, field, page_start, pe)
+            pages = read_column_pages(
+                f,
+                leaf_metas,
+                field,
+                page_start,
+                pe,
+                crcs=all_crcs[lo : lo + cnt] if all_crcs else None,
+                file_desc=path,
+            )
             if not pages:
                 arrays.append(pa.chunked_array([], type=field.type))
             else:

@@ -96,8 +96,9 @@ def page_stats(arr: pa.Array) -> tuple[object, object, int]:
 def build_file_stats(
     per_column: dict[str, list[tuple[object, object, int]]],
     page_rows: list[int],
+    page_crc32: list[list[int]] | None = None,
 ) -> dict:
-    return {
+    out = {
         "version": STATS_VERSION,
         "page_rows": page_rows,
         "columns": {
@@ -109,6 +110,12 @@ def build_file_stats(
             for name, stats in per_column.items()
         },
     }
+    if page_crc32 is not None:
+        # per-LEAF lists of crc32(page bytes as written), in footer meta
+        # order — silent-corruption detection for object-store transfers
+        # (the data file layout carries no checksums, reference parity)
+        out["page_crc32"] = page_crc32
+    return out
 
 
 def write_sidecar(data_path: str, stats: dict) -> None:

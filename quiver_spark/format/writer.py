@@ -24,6 +24,7 @@ Engine extension beyond the reference: a per-page min/max sidecar
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass, field, replace
 
 import numpy as np
@@ -207,6 +208,7 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
     metas: list[tuple[int, list[tuple[int, int]]]] = []
     col_stats: dict[str, list[tuple[object, object, int]]] = {}
     page_rows: list[int] = []
+    page_crcs: list[list[int]] = []  # per leaf, footer meta order
     with open(path, "wb") as f:
         f.write(MAGIC)
         offset = len(MAGIC)
@@ -248,11 +250,14 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
             for li in range(n_leaves):
                 col_offset = offset
                 pages: list[tuple[int, int]] = []
+                crcs: list[int] = []
                 for pb, nv in leaf_pages[li]:
                     f.write(pb)
                     pages.append((len(pb), nv))
+                    crcs.append(zlib.crc32(pb) & 0xFFFFFFFF)
                     offset += len(pb)
                 metas.append((col_offset, pages))
+                page_crcs.append(crcs)
             if ci == 0:
                 page_rows = rows_per_page
             if want_stats:
@@ -275,9 +280,10 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
         f.write(meta)
         f.write(struct.pack("<II", len(schema_bytes), len(meta)))
         f.write(EOS)
-    if options.page_stats and col_stats:
+    if options.page_stats:
         stats_mod.write_sidecar(
-            path, stats_mod.build_file_stats(col_stats, page_rows)
+            path,
+            stats_mod.build_file_stats(col_stats, page_rows, page_crcs),
         )
     out: dict[str, list[tuple[int, int]]] = {}
     li = 0

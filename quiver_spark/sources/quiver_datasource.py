@@ -244,6 +244,24 @@ def _file_footer(file: str):
     return hit
 
 
+#: (path, mtime_ns, size) → per-leaf page crc32 lists (or None) from the
+#: stats sidecar — loaded once per file per worker, like the footer.
+_CRC_CACHE: dict[tuple[str, int, int], list | None] = {}
+
+
+def _file_checksums(file: str):
+    from quiver_spark.format import stats as stats_mod
+
+    st = os.stat(file)
+    key = (file, st.st_mtime_ns, st.st_size)
+    if key not in _CRC_CACHE:
+        sidecar = stats_mod.load_sidecar(file)
+        if len(_CRC_CACHE) > 4096:
+            _CRC_CACHE.clear()
+        _CRC_CACHE[key] = sidecar.get("page_crc32") if sidecar else None
+    return _CRC_CACHE[key]
+
+
 @dataclass
 class QuiverPartition(InputPartition):
     file: str
@@ -462,6 +480,13 @@ class QuiverScanReader(DataSourceReader):
         # granularity. For un-ordered `SELECT ... LIMIT N` recipes this
         # turns a full-table scan into <=ceil(N/page_rows) decoded pages.
         self.limit = int(options["limit"]) if "limit" in options else None
+        # crc32-verify every raw page against the sidecar record (when one
+        # exists) before decode — catches silent corruption from storage /
+        # transfer. Default ON: the crc costs ~ms per partition; disable
+        # with verify_checksums=false for trusted-local-disk hot paths.
+        self.verify_checksums = (
+            options.get("verify_checksums", "true").lower() == "true"
+        )
         # (column, op, physical value) predicates usable for page pruning
         self._prune_filters: list[tuple[str, str, object]] = []
         _trace("init", self)
@@ -685,6 +710,16 @@ class QuiverScanReader(DataSourceReader):
             for i, fld in enumerate(fields)
             if _spark_field(fld).type != fld.type
         ]
+        all_crcs = (
+            _file_checksums(partition.file) if self.verify_checksums else None
+        )
+
+        def col_crcs(ci: int):
+            if all_crcs is None:
+                return None
+            lo, cnt = leaf_ranges[ci]
+            return all_crcs[lo : lo + cnt]
+
         with open(partition.file, "rb") as f:
             leaf_ranges = column_leaf_ranges(schema)
             if self.limit is not None:
@@ -697,14 +732,17 @@ class QuiverScanReader(DataSourceReader):
                         return
                     arrays = []
                     for n in file_names + probe:
-                        lo, cnt = leaf_ranges[schema.names.index(n)]
+                        ci = schema.names.index(n)
+                        lo, cnt = leaf_ranges[ci]
                         arrays.append(
                             read_column_pages(
                                 f,
                                 metas[lo : lo + cnt],
-                                schema.field(schema.names.index(n)),
+                                schema.field(ci),
                                 p,
                                 p + 1,
+                                crcs=col_crcs(ci),
+                                file_desc=partition.file,
                             )[0]
                         )
                     for i, t in casts:
@@ -725,6 +763,8 @@ class QuiverScanReader(DataSourceReader):
                         schema.field(ci),
                         partition.page_start,
                         partition.page_end,
+                        crcs=col_crcs(ci),
+                        file_desc=partition.file,
                     )
                 )
         # one RecordBatch per page: columnar batches flow straight into

@@ -78,3 +78,30 @@ def test_wrong_magic_raises(sample_file, tmp_path):
         fh.write(b"PAR1" + data[4:])
     with pytest.raises(Exception):
         read_table(p)
+
+
+def test_page_checksum_detects_bit_flip(sample_file, tmp_path):
+    """A single flipped byte inside a page body must be caught by the
+    sidecar crc32 before the codec layer can decode garbage into
+    plausible-looking values."""
+    import shutil
+
+    _t, path, data = sample_file
+    p = str(tmp_path / "flipped.quiver")
+    mid = len(data) // 3  # inside page data, far from header and footer
+    with open(p, "wb") as fh:
+        fh.write(data[:mid] + bytes([data[mid] ^ 0xFF]) + data[mid + 1 :])
+    shutil.copy(path + ".stats.json", p + ".stats.json")
+    with pytest.raises(ValueError, match="checksum"):
+        read_table(p)
+
+
+def test_page_checksum_absent_sidecar_still_reads(sample_file, tmp_path):
+    """Files without a sidecar (e.g. reference-written) read normally —
+    verification only engages when the checksum record exists."""
+    import shutil
+
+    t, path, _data = sample_file
+    p = str(tmp_path / "nosidecar.quiver")
+    shutil.copy(path, p)
+    assert read_table(p).equals(t)

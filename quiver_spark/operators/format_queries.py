@@ -19,8 +19,10 @@ from quiver_spark.registry import register
 from quiver_spark.sources import register as register_format
 
 # v2: nested page layout corrected to reference semantics (meta num_values
-# = slot count, prefix u32 = rows) — old cached conversions are unreadable
-CACHE_ROOT = "/tmp/quiver_cache/v2"
+# = slot count, prefix u32 = rows) — old cached conversions are unreadable.
+# v3: sidecars gain page_crc32 — old caches would silently skip the default
+# read-side verification, so bench/gate timings would not measure it.
+CACHE_ROOT = "/tmp/quiver_cache/v3"
 
 
 def quiver_dir(

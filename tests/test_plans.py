@@ -191,3 +191,19 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_respected(spark):
+    """Join-strategy hints are the per-query override when the optimizer's
+    default is wrong at scale: merge → SortMergeJoin, shuffle_hash →
+    ShuffledHashJoin (build-side memory bound), broadcast → no shuffle."""
+    from quiver_spark.tables import load
+
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in plans.physical_plan(merged)
+    hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in plans.physical_plan(hashed)
+    bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in plans.physical_plan(bcast)

@@ -296,6 +296,25 @@ def _read_leaf_bytes(
     return out
 
 
+def crcs_if_consistent(
+    all_crcs: list[list[int]] | None, metas: list[ColumnMeta]
+) -> list[list[int]] | None:
+    """Trust sidecar checksums only when their shape matches the footer
+    exactly (one list per leaf, one crc per page). A mismatched shape
+    means the sidecar is stale (leftover from a previous file at this
+    path) — verification is skipped entirely rather than silently
+    part-applied or wrongly rejecting a healthy file. Mirrors the
+    page_rows-length guard the zone-map pruner uses."""
+    if all_crcs is None:
+        return None
+    if len(all_crcs) != len(metas):
+        return None
+    for crcs, m in zip(all_crcs, metas):
+        if len(crcs) != len(m.pages):
+            return None
+    return all_crcs
+
+
 def _verify_crcs(
     bufs: list[memoryview],
     crcs: list[int],
@@ -305,12 +324,14 @@ def _verify_crcs(
 ) -> None:
     """crc32 every raw page against the sidecar record — catches silent
     corruption (bit rot, partial object-store transfers) BEFORE the codec
-    layer turns garbage bytes into plausible-looking values."""
+    layer turns garbage bytes into plausible-looking values. Callers
+    guarantee shape alignment via crcs_if_consistent, so indexing is
+    strict — every page in range IS verified."""
     import zlib
 
     for i, b in enumerate(bufs):
         p = page_start + i
-        if p < len(crcs) and (zlib.crc32(b) & 0xFFFFFFFF) != crcs[p]:
+        if (zlib.crc32(b) & 0xFFFFFFFF) != crcs[p]:
             raise ValueError(
                 f"quiver page checksum mismatch: {file_desc or 'file'} "
                 f"leaf {leaf} page {p} — data is corrupt"
@@ -360,16 +381,21 @@ def read_table(
     columns: list[str] | None = None,
     page_start: int = 0,
     page_end: int | None = None,
+    verify_checksums: bool = True,
 ) -> pa.Table:
     """Read a quiver file (optionally a page range / column subset).
-    When the stats sidecar carries page checksums, every raw page is
-    crc32-verified before decode."""
-    from quiver_spark.format import stats as stats_mod
+    When the stats sidecar carries page checksums (and its shape matches
+    the footer), every raw page is crc32-verified before decode;
+    ``verify_checksums=False`` skips the sidecar load entirely."""
+    all_crcs = None
+    if verify_checksums:
+        from quiver_spark.format import stats as stats_mod
 
-    sidecar = stats_mod.load_sidecar(path)
-    all_crcs = sidecar.get("page_crc32") if sidecar else None
+        sidecar = stats_mod.load_sidecar(path)
+        all_crcs = sidecar.get("page_crc32") if sidecar else None
     with open(path, "rb") as f:
         schema, metas = read_footer(f)
+        all_crcs = crcs_if_consistent(all_crcs, metas)
         names = schema.names
         ranges = column_leaf_ranges(schema)
         sel = columns if columns is not None else names

@@ -23,6 +23,7 @@ Engine extension beyond the reference: a per-page min/max sidecar
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from dataclasses import dataclass, field, replace
@@ -280,6 +281,14 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
         f.write(meta)
         f.write(struct.pack("<II", len(schema_bytes), len(meta)))
         f.write(EOS)
+    # a sidecar from a previous write of this path is stale the moment the
+    # new data file lands: with stats off it must be REMOVED (its crcs
+    # would reject the healthy new file), and with stats on it is replaced
+    # only after the data write succeeds (a crash in between leaves no
+    # sidecar → reads proceed unverified, never wrongly rejected)
+    stale = path + stats_mod.STATS_SUFFIX
+    if os.path.exists(stale):
+        os.remove(stale)
     if options.page_stats:
         stats_mod.write_sidecar(
             path,

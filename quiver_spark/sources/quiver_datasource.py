@@ -225,41 +225,48 @@ def _part_matches(filters, values: dict) -> bool:
 #: parsed footer per file on the planning process so repeated queries/
 #: partitions() calls do one footer read per file, not one per query.
 _FOOTER_CACHE: dict[tuple[str, int, int], tuple] = {}
+#: like the footer cache, but for sidecar checksum lists. Only PRESENT
+#: sidecars are cached: during a streaming publish the data file can be
+#: visible a moment before its sidecar, and caching that None would
+#: silently disable verification for the worker's lifetime.
+_CRC_CACHE: dict[tuple[str, int, int], list] = {}
+
+
+def _stat_cached(cache: dict, file: str, loader):
+    """Memoize per-file immutable metadata keyed by (path, mtime, size),
+    with a crude size bound. loader returning None is NOT cached."""
+    st = os.stat(file)
+    key = (file, st.st_mtime_ns, st.st_size)
+    hit = cache.get(key)
+    if hit is None:
+        hit = loader(file)
+        if hit is not None:
+            if len(cache) > 4096:  # bound worker memory
+                cache.clear()
+            cache[key] = hit
+    return hit
 
 
 def _file_footer(file: str):
     from quiver_spark.format.reader import read_footer
 
-    st = os.stat(file)
-    key = (file, st.st_mtime_ns, st.st_size)
-    hit = _FOOTER_CACHE.get(key)
-    if hit is None:
-        with open(file, "rb") as f:
+    def load(path):
+        with open(path, "rb") as f:
             # one 64 KiB tail pre-read for schema+meta (object-store
             # posture: a single range request per uncached footer)
-            hit = read_footer(f)
-        if len(_FOOTER_CACHE) > 4096:  # bound driver memory
-            _FOOTER_CACHE.clear()
-        _FOOTER_CACHE[key] = hit
-    return hit
+            return read_footer(f)
 
-
-#: (path, mtime_ns, size) → per-leaf page crc32 lists (or None) from the
-#: stats sidecar — loaded once per file per worker, like the footer.
-_CRC_CACHE: dict[tuple[str, int, int], list | None] = {}
+    return _stat_cached(_FOOTER_CACHE, file, load)
 
 
 def _file_checksums(file: str):
     from quiver_spark.format import stats as stats_mod
 
-    st = os.stat(file)
-    key = (file, st.st_mtime_ns, st.st_size)
-    if key not in _CRC_CACHE:
-        sidecar = stats_mod.load_sidecar(file)
-        if len(_CRC_CACHE) > 4096:
-            _CRC_CACHE.clear()
-        _CRC_CACHE[key] = sidecar.get("page_crc32") if sidecar else None
-    return _CRC_CACHE[key]
+    def load(path):
+        sidecar = stats_mod.load_sidecar(path)
+        return sidecar.get("page_crc32") if sidecar else None
+
+    return _stat_cached(_CRC_CACHE, file, load)
 
 
 @dataclass
@@ -652,6 +659,7 @@ class QuiverScanReader(DataSourceReader):
 
         from quiver_spark.format.reader import (
             column_leaf_ranges,
+            crcs_if_consistent,
             read_column_pages,
         )
 
@@ -710,8 +718,9 @@ class QuiverScanReader(DataSourceReader):
             for i, fld in enumerate(fields)
             if _spark_field(fld).type != fld.type
         ]
-        all_crcs = (
-            _file_checksums(partition.file) if self.verify_checksums else None
+        all_crcs = crcs_if_consistent(
+            _file_checksums(partition.file) if self.verify_checksums else None,
+            metas,
         )
 
         def col_crcs(ci: int):
@@ -1056,10 +1065,14 @@ class QuiverWriter(DataSourceArrowWriter):
             for rel in msg.files:
                 dst = os.path.join(self.path, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(os.path.join(msg.task_dir, rel), dst)
+                # sidecar BEFORE its data file: a reader that lists the
+                # directory the instant the data file appears then finds
+                # the checksums too (the reverse order opens a brief
+                # window of unverified reads); an orphan sidecar is inert
                 side = os.path.join(msg.task_dir, rel + ".stats.json")
                 if os.path.exists(side):
                     os.replace(side, dst + ".stats.json")
+                os.replace(os.path.join(msg.task_dir, rel), dst)
             shutil.rmtree(msg.task_dir, ignore_errors=True)
         self._gc_staging()
 

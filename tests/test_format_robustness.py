@@ -105,3 +105,36 @@ def test_page_checksum_absent_sidecar_still_reads(sample_file, tmp_path):
     p = str(tmp_path / "nosidecar.quiver")
     shutil.copy(path, p)
     assert read_table(p).equals(t)
+
+
+def test_stats_off_rewrite_removes_stale_sidecar(tmp_path):
+    """Overwriting a file with page_stats=False must remove the previous
+    sidecar — its checksums would wrongly reject the healthy new file."""
+    from quiver_spark.format.writer import WriteOptions, write_table
+
+    p = str(tmp_path / "rewrite.quiver")
+    t1 = pa.table({"i": pa.array(range(1000), pa.int64())})
+    write_table(t1, p)  # sidecar with crcs
+    t2 = pa.table({"i": pa.array(range(2000), pa.int64())})
+    write_table(t2, p, WriteOptions(page_stats=False))
+    import os
+
+    assert not os.path.exists(p + ".stats.json")
+    assert read_table(p).equals(t2)
+
+
+def test_shape_mismatched_sidecar_is_ignored(tmp_path):
+    """A sidecar whose checksum shape disagrees with the footer (stale
+    leftover) must disable verification, not reject or crash."""
+    import json
+
+    from quiver_spark.format.writer import write_table
+
+    p = str(tmp_path / "shape.quiver")
+    t = pa.table({"i": pa.array(range(1000), pa.int64())})
+    write_table(t, p)
+    side = p + ".stats.json"
+    stats = json.load(open(side))
+    stats["page_crc32"] = [[1, 2, 3, 4, 5, 6, 7]]  # wrong page count
+    json.dump(stats, open(side, "w"))
+    assert read_table(p).equals(t)

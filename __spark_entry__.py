@@ -84,6 +84,7 @@ _PRIORITY = [
     "grouped_minmax_norm",
     # position 51+: first in line for the next round's window
     "events_locf_impute",
+    "text_winnow_fingerprints",
 ]
 
 

@@ -184,3 +184,88 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 4).alias("dup_frac"),
         (top_frac <= TOP_BIGRAM_MAX).alias("keep"),
     )
+
+
+#: winnowing window width (Schleimer et al. 2003 "Winnowing: Local
+#: Algorithms for Document Fingerprinting"): each window of W consecutive
+#: shingle hashes contributes its minimum — any shared substring of at
+#: least W+2 words between two docs is GUARANTEED to share a fingerprint.
+WINNOW_W = 4
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+    SELECT doc_id,
+           generate_subscripts(lst, 1) AS pos,
+           unnest(lst) AS shingle
+    FROM (
+        SELECT doc_id,
+               [list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                    || ' ' || list_extract(toks, i + 2)
+                FOR i IN range(1, greatest(len(toks) - 1, 1))] AS lst
+        FROM toks
+    )
+),
+h AS (
+    SELECT doc_id, pos,
+           CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 15)) AS BIGINT) AS h
+    FROM grams
+),
+w AS (
+    SELECT doc_id, pos,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n
+    FROM h
+)
+SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - {WINNOW_W - 1}
+""",
+    tags=("text", "fingerprint", "winnowing", "dedup"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing substring fingerprints: the minimum shingle hash of every
+    W-wide sliding window, deduplicated per document. Unlike the whole-doc
+    fingerprint (text_fingerprint) this detects SHARED SUBSTRINGS — two
+    docs overlapping in ≥ W+2 consecutive words are guaranteed a common
+    fingerprint, so an equi-join on fp is the substring-level candidate
+    generator. All map-side + one doc-keyed window; the fingerprint join
+    key is df-bounded like every other candidate generator here."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 2, 0)), "
+                "(x, i) -> concat(x, ' ', toks[i + 1], ' ', toks[i + 2]))"
+            )
+        ).alias("pos", "shingle"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    per_doc = Window.partitionBy("doc_id")
+    return (
+        sh.withColumn("fp", F.min("h").over(win))
+        .withColumn("n", F.count(F.lit(1)).over(per_doc))
+        # full windows only (0-based pos vs the oracle's 1-based: both
+        # keep exactly n - W + 1 window starts)
+        .filter(F.col("pos") <= F.col("n") - WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )

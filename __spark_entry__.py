@@ -85,6 +85,7 @@ _PRIORITY = [
     # position 51+: first in line for the next round's window
     "events_locf_impute",
     "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
 ]
 
 

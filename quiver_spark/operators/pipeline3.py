@@ -192,10 +192,9 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: least W+2 words between two docs is GUARANTEED to share a fingerprint.
 WINNOW_W = 4
 
-
-@register(
-    "text_winnow_fingerprints",
-    oracle=f"""
+#: DuckDB query producing the (doc_id, fp) winnow fingerprint set —
+#: shared by the fingerprint oracle and the pair-generator oracle.
+SQL_WINNOW = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 grams AS (
     SELECT doc_id,
@@ -223,7 +222,12 @@ w AS (
     FROM h
 )
 SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - {WINNOW_W - 1}
-""",
+"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=SQL_WINNOW,
     tags=("text", "fingerprint", "winnowing", "dedup"),
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,4 +272,54 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= F.col("n") - WINNOW_W)
         .select("doc_id", "fp")
         .distinct()
+    )
+
+
+#: stop-fingerprint cap: fingerprints shared by more than this many docs
+#: are corpus-common boilerplate, not evidence of copying — dropping them
+#: bounds the per-key join fan-out (the df-cap trick from ngram-Jaccard).
+MAX_FP_DF = 20
+#: docs must share at least this many winnow fingerprints to pair up.
+MIN_SHARED_FPS = 3
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+WITH fps AS ({SQL_WINNOW}),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {MAX_FP_DF}),
+kept AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM rare)),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared_fps FROM pairs
+WHERE shared_fps >= {MIN_SHARED_FPS}
+""",
+    tags=("dedup", "winnowing", "pairs"),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap candidate pairs via shared winnow fingerprints
+    (the MOSS pipeline): docs sharing ≥ MIN_SHARED_FPS rare fingerprints
+    copied a passage from each other, even when their overall token sets
+    differ too much for Jaccard/MinHash to fire. The fingerprint inverted
+    index is df-capped, so the self-join fan-out is bounded per key —
+    shuffle cost tracks actual duplication density, never corpus²."""
+    fps = text_winnow_fingerprints(spark, sf_dir).persist()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_FP_DF)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= MIN_SHARED_FPS)
     )

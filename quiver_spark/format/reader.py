@@ -305,12 +305,14 @@ def crcs_if_consistent(
     path) — verification is skipped entirely rather than silently
     part-applied or wrongly rejecting a healthy file. Mirrors the
     page_rows-length guard the zone-map pruner uses."""
-    if all_crcs is None:
-        return None
-    if len(all_crcs) != len(metas):
+    if not isinstance(all_crcs, list) or len(all_crcs) != len(metas):
         return None
     for crcs, m in zip(all_crcs, metas):
-        if len(crcs) != len(m.pages):
+        if (
+            not isinstance(crcs, list)
+            or len(crcs) != len(m.pages)
+            or not all(isinstance(c, int) for c in crcs)
+        ):
             return None
     return all_crcs
 

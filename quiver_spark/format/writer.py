@@ -210,6 +210,13 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
     col_stats: dict[str, list[tuple[object, object, int]]] = {}
     page_rows: list[int] = []
     page_crcs: list[list[int]] = []  # per leaf, footer meta order
+    # a sidecar from a previous write of this path is stale the moment new
+    # data starts landing; remove it BEFORE touching the data file so no
+    # crash residue can pair old checksums with new bytes (old data + no
+    # sidecar = unverified read; old sidecar + new data = false rejection)
+    stale = path + stats_mod.STATS_SUFFIX
+    if os.path.exists(stale):
+        os.remove(stale)
     with open(path, "wb") as f:
         f.write(MAGIC)
         offset = len(MAGIC)
@@ -281,14 +288,6 @@ def write_table(table: pa.Table, path: str, options: WriteOptions | None = None)
         f.write(meta)
         f.write(struct.pack("<II", len(schema_bytes), len(meta)))
         f.write(EOS)
-    # a sidecar from a previous write of this path is stale the moment the
-    # new data file lands: with stats off it must be REMOVED (its crcs
-    # would reject the healthy new file), and with stats on it is replaced
-    # only after the data write succeeds (a crash in between leaves no
-    # sidecar → reads proceed unverified, never wrongly rejected)
-    stale = path + stats_mod.STATS_SUFFIX
-    if os.path.exists(stale):
-        os.remove(stale)
     if options.page_stats:
         stats_mod.write_sidecar(
             path,

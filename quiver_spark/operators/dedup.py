@@ -45,43 +45,62 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _raw_ngrams(df: DataFrame, n: int, alias: str = "ngram") -> DataFrame:
-    """(doc_id, <alias>) pairs — word n-grams per document, WITH per-doc
+def _raw_ngrams(
+    df: DataFrame, n: int, alias: str = "ngram", with_pos: bool = False
+) -> DataFrame:
+    """(doc_id[, pos], <alias>) — word n-grams per document, WITH per-doc
     repeats (no distinct; callers dedup on whatever key they project).
+    ``with_pos`` adds the 0-based n-gram position (winnowing needs it).
 
     Built with a single array transform (map-side, no self-join): for token
     array t, ngram_i = t[i] ' ' … ' ' t[i+n-1]. The token array is
     materialized ONCE per row (a 4× split of large texts measured 29s →
     ~7s at sf0.1). Shared by the 3-gram shingle pipelines (dedup,
-    decontamination) and the 2-gram repetition stats."""
+    decontamination, winnowing) and the 2-gram repetition stats."""
     parts = "concat(x" + "".join(
         f", ' ', toks[i + {k}]" for k in range(1, n)
     ) + ")"
-    return df.select("doc_id", F.split("text", " ").alias("toks")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(slice(toks, 1, greatest(size(toks) - {n - 1}, 0)), "
-                f"(x, i) -> {parts})"
-            )
-        ).alias(alias),
+    grams = F.expr(
+        f"transform(slice(toks, 1, greatest(size(toks) - {n - 1}, 0)), "
+        f"(x, i) -> {parts})"
     )
+    base = df.select("doc_id", F.split("text", " ").alias("toks"))
+    if with_pos:
+        return base.select(
+            "doc_id", F.posexplode(grams).alias("pos", alias)
+        )
+    return base.select("doc_id", F.explode(grams).alias(alias))
 
 
-def sql_ngrams(n: int, alias: str = "ngram", distinct: bool = False) -> str:
+def sql_ngrams(
+    n: int,
+    alias: str = "ngram",
+    distinct: bool = False,
+    with_pos: bool = False,
+) -> str:
     """DuckDB twin of _raw_ngrams (1-based list indexing: i runs
-    1..len-(n-1), i.e. range(1, greatest(len - (n-2), 1)))."""
+    1..len-(n-1), i.e. range(1, greatest(len - (n-2), 1))). ``with_pos``
+    adds a 1-based position column (vs Spark's 0-based posexplode — both
+    orderings are identical, callers must offset absolute comparisons)."""
     terms = " || ' ' || ".join(
         f"list_extract(toks, i + {k})" if k else "list_extract(toks, i)"
         for k in range(n)
     )
+    lst = (
+        f"[{terms}\n     FOR i IN range(1, greatest(len(toks) - {n - 2}, 1))]"
+    )
+    src = "(SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+    if with_pos:
+        return f"""
+SELECT doc_id, generate_subscripts(lst, 1) AS pos, unnest(lst) AS {alias}
+FROM (SELECT doc_id, {lst} AS lst FROM {src})
+"""
     d = "DISTINCT " if distinct else ""
     return f"""
 SELECT {d}doc_id, unnest(
-    [{terms}
-     FOR i IN range(1, greatest(len(toks) - {n - 2}, 1))]
+    {lst}
 ) AS {alias}
-FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+FROM {src}
 """
 
 

@@ -193,21 +193,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_W = 4
 
 #: DuckDB query producing the (doc_id, fp) winnow fingerprint set —
-#: shared by the fingerprint oracle and the pair-generator oracle.
+#: shared by the fingerprint oracle and the pair-generator oracle; the
+#: positioned shingle source is the shared sql_ngrams fragment.
 SQL_WINNOW = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-grams AS (
-    SELECT doc_id,
-           generate_subscripts(lst, 1) AS pos,
-           unnest(lst) AS shingle
-    FROM (
-        SELECT doc_id,
-               [list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
-                    || ' ' || list_extract(toks, i + 2)
-                FOR i IN range(1, greatest(len(toks) - 1, 1))] AS lst
-        FROM toks
-    )
-),
+WITH grams AS ({sql_ngrams(3, alias="shingle", with_pos=True)}),
 h AS (
     SELECT doc_id, pos,
            CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 15)) AS BIGINT) AS h
@@ -241,17 +230,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(slice(toks, 1, greatest(size(toks) - 2, 0)), "
-                "(x, i) -> concat(x, ' ', toks[i + 1], ' ', toks[i + 2]))"
-            )
-        ).alias("pos", "shingle"),
-    ).select(
+    sh = _raw_ngrams(d, 3, alias="shingle", with_pos=True).select(
         "doc_id",
         "pos",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)

@@ -225,11 +225,11 @@ def _part_matches(filters, values: dict) -> bool:
 #: parsed footer per file on the planning process so repeated queries/
 #: partitions() calls do one footer read per file, not one per query.
 _FOOTER_CACHE: dict[tuple[str, int, int], tuple] = {}
-#: like the footer cache, but for sidecar checksum lists. Only PRESENT
-#: sidecars are cached: during a streaming publish the data file can be
-#: visible a moment before its sidecar, and caching that None would
-#: silently disable verification for the worker's lifetime.
-_CRC_CACHE: dict[tuple[str, int, int], list] = {}
+#: checksum cache, keyed by the SIDECAR file's own (path, mtime, size) —
+#: a replaced or late-arriving sidecar changes the key, so a stale entry
+#: loaded during a rewrite window can never pin wrong checksums, and an
+#: absent sidecar (racing publish) is simply retried next read.
+_CRC_CACHE: dict[tuple[str, int, int], object] = {}
 
 
 def _stat_cached(cache: dict, file: str, loader):
@@ -262,11 +262,20 @@ def _file_footer(file: str):
 def _file_checksums(file: str):
     from quiver_spark.format import stats as stats_mod
 
-    def load(path):
-        sidecar = stats_mod.load_sidecar(path)
-        return sidecar.get("page_crc32") if sidecar else None
-
-    return _stat_cached(_CRC_CACHE, file, load)
+    side = file + stats_mod.STATS_SUFFIX
+    try:
+        st = os.stat(side)
+    except OSError:
+        return None  # no sidecar right now — re-check on the next read
+    key = (side, st.st_mtime_ns, st.st_size)
+    if key not in _CRC_CACHE:
+        sidecar = stats_mod.load_sidecar(file)
+        if len(_CRC_CACHE) > 4096:  # bound worker memory
+            _CRC_CACHE.clear()
+        # None (e.g. a pre-crc or version-mismatched sidecar) IS cached —
+        # the key is the sidecar's stat, so a later rewrite re-loads
+        _CRC_CACHE[key] = sidecar.get("page_crc32") if sidecar else None
+    return _CRC_CACHE[key]
 
 
 @dataclass
@@ -1065,14 +1074,15 @@ class QuiverWriter(DataSourceArrowWriter):
             for rel in msg.files:
                 dst = os.path.join(self.path, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                # sidecar BEFORE its data file: a reader that lists the
-                # directory the instant the data file appears then finds
-                # the checksums too (the reverse order opens a brief
-                # window of unverified reads); an orphan sidecar is inert
+                # data file first, then its sidecar: a crash in between
+                # leaves a data file whose reads are briefly unverified
+                # (the checksum cache keys on the sidecar's stat, so the
+                # late sidecar IS picked up) — the reverse order would
+                # leave permanent orphan sidecars no GC path sweeps
+                os.replace(os.path.join(msg.task_dir, rel), dst)
                 side = os.path.join(msg.task_dir, rel + ".stats.json")
                 if os.path.exists(side):
                     os.replace(side, dst + ".stats.json")
-                os.replace(os.path.join(msg.task_dir, rel), dst)
             shutil.rmtree(msg.task_dir, ignore_errors=True)
         self._gc_staging()
 

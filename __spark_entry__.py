@@ -21,71 +21,78 @@ if _REPO not in sys.path:
 from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
-# first. Rotated per round so every operator gets a recent driver-green row:
-# round 5 front-loads (a) the 35 queries whose last driver verification was
-# round 2 (rotated out of the r4 window), then (b) never-driver-checked
-# surface: operators added in rounds 4-5 (format sql-view, boolean cascade,
-# dup clustering, IVF, gap-fill, sampling, decontamination, repetition,
-# Q13/Q15, unpivot, multimodal resize/frames, map functions, grouped map).
-# Everything displaced is green on the round-4 record.
+# first. Rotated per round so every operator gets a recent driver-green row.
+# Round 6 window (50): (a) the 10 queries never yet inside any round's
+# driver sample — the only driver-checkable proof of DeltaBitpacking, Freq
+# roaring decode, the decimal128 cascade, struct/map nested assembly and
+# uint widening — plus the new batch-read (R7) query; then (b) the 39
+# oldest-green rows (last verified round 4). Everything displaced is green
+# on the round-5 record and leads the round-7 rotation.
 _PRIORITY = [
-    # (a) last driver-verified in round 2 — rotate into the r5 sample
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q10_returned_items",
-    "q18_large_orders",
-    "outer_join_coverage",
-    "semi_join_customers",
-    "anti_join_customers",
-    "nonequi_acctbal_pairs",
-    "window_rank_orders",
-    "window_running_total",
-    "window_lag_gap",
-    "window_ntile_share",
-    "rollup_returns",
-    "cube_orders",
-    "setop_intersect_nations",
-    "setop_except_nations",
-    "setop_union_counts",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_subquery_above_avg",
-    "in_between_filter",
-    "null_handling",
-    "case_when_buckets",
-    "topk_orders",
-    "distinct_counts",
-    "agg_stats_moments",
-    "dedup_minhash_signature",
-    "dedup_simhash",
-    "ann_lsh_buckets",
-    "events_hourly_rollup",
-    "events_sliding_daily",
-    "events_json_extract",
-    "events_sessionize",
-    "events_pivot_types",
-    # (b) core format + flagship surface (keep in any 50-wide sample)
-    "quiver_sql_view_agg",
-    "quiver_scan_bools",
-    "dedup_clusters",
-    "ann_ivf_topk",
-    "events_gapfill_hourly",
-    "sample_stratified_docs",
-    # never driver-checked yet (added this round)
-    "decontaminate_eval_overlap",
-    "text_repetition_stats",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "unpivot_lineitem_metrics",
-    "multimodal_resize_stub",
-    "multimodal_frame_sample",
-    "scalar_map_funcs",
-    "grouped_minmax_norm",
-    # position 51+: first in line for the next round's window
-    "events_locf_impute",
+    # (a) never driver-sampled — close the last coverage asterisk
+    "quiver_scan_delta",
+    "quiver_scan_freq",
+    "quiver_scan_nested_types",
+    "quiver_scan_uints",
+    "quiver_scan_decimals",
+    "text_token_bpe",
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
+    "dedup_simhash_pairs",
+    "events_locf_impute",
+    "quiver_batch_read",
+    # (b) last driver-verified in round 4 — oldest green rows, rotate in
+    "quiver_scan_q1",
+    "quiver_scan_checksums",
+    "quiver_scan_documents",
+    "quiver_scan_embeddings",
+    "quiver_limit_head",
+    "quiver_partitioned_scan",
+    "quiver_pruned_date_scan",
+    "quiver_adaptive_zstd_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
+    "agg_quantiles",
+    "agg_collect_sorted",
+    "agg_minby_maxby",
+    "approx_distinct_parts",
+    "correlated_small_quantity",
+    "window_distribution_funcs",
+    "window_range_frame",
+    "hypertable_rollup",
+    "range_join_user_bursts",
+    "asof_join_events_orders",
+    "sketch_count_min",
+    "dedup_exact_docs",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "embedding_near_dup",
+    "embedding_norm_stats",
+    "ann_cosine_topk",
+    "ann_dot_topk",
+    "ann_lsh_bucketed_pairs",
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "udtf_token_explode",
+    # position 51+: displaced round-4 rows — first in line for round 7
+    "agg_string_ordered",
+    "setop_bag_semantics",
+    "setop_intersect_all",
+    "setop_union_distinct",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "scalar_regexp_funcs",
+    "text_token_topk",
+    "text_quality_stats",
+    "text_lang_id",
+    "text_fingerprint",
 ]
 
 

@@ -137,14 +137,21 @@ def main() -> None:
     basic_dir = quiver_dir(spark, sf_dir, "lineitem", adaptive=False)
     comp_ratio = round(_dir_bytes(basic_dir) / max(_dir_bytes(adaptive_dir), 1), 3)
 
-    # The driver's capture window keeps only the head of long lines, so order
-    # the record by importance: scan proxies first, then every query slowest
-    # first — a tail truncation then drops only the cheapest entries.
-    ordered = {k: timings[k] for k in proxies if k in timings}
-    for k in sorted(
-        (k for k in timings if k not in proxies), key=lambda k: -timings[k]
-    ):
-        ordered[k] = timings[k]
+    # The driver's capture window keeps the TAIL of long lines (BENCH_r04 and
+    # r05 both end with the closing `"sf": ...}` — r5's head-first ordering
+    # was backwards and cut the headline numbers from the record). Order the
+    # record so a HEAD truncation drops only the cheapest entries: queries
+    # cheapest-first, then — as the final keys, guaranteed inside any tail
+    # capture — the four format proxies, the two headline ratios, and a
+    # compact slowest-10 recap.
+    query_keys = sorted(
+        (k for k in timings if k not in proxies), key=lambda k: timings[k]
+    )
+    ordered = {k: timings[k] for k in query_keys}
+    for k in proxies:
+        if k in timings:
+            ordered[k] = timings[k]
+    slowest10 = {k: timings[k] for k in query_keys[:-11:-1]}
 
     print(
         json.dumps(
@@ -152,13 +159,15 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": round(total, 3),
                 "unit": "sec",
+                "queries": ordered,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "proxies": {k: timings[k] for k in proxies if k in timings},
+                "slowest10": slowest10,
+                "adaptive_vs_basic_compression_ratio": comp_ratio,
                 "quiver_vs_parquet_scan_ratio": round(
                     timings["scan_quiver_lineitem"] / timings["scan_parquet_lineitem"],
                     3,
                 ),
-                "adaptive_vs_basic_compression_ratio": comp_ratio,
-                "queries": ordered,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )

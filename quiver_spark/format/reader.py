@@ -114,6 +114,9 @@ def _check_trailer(tail: bytes | memoryview, size: int) -> None:
 
 def read_meta(f) -> list[ColumnMeta]:
     size = f.seek(0, 2)
+    if size < 16:
+        _check_trailer(b"", size)  # canonical 'too short' ValueError, not
+        # the OSError a seek(-16) past the start of the file would raise
     f.seek(-16, 2)
     tail = f.read(16)
     _check_trailer(tail, size)
@@ -129,6 +132,8 @@ def read_meta(f) -> list[ColumnMeta]:
 
 def infer_schema(f) -> pa.Schema:
     size = f.seek(0, 2)
+    if size < 16:
+        _check_trailer(b"", size)  # see read_meta: ValueError, not OSError
     f.seek(-16, 2)
     tail = f.read(16)
     _check_trailer(tail, size)
@@ -389,11 +394,23 @@ def read_table(
     When the stats sidecar carries page checksums (and its shape matches
     the footer), every raw page is crc32-verified before decode;
     ``verify_checksums=False`` skips the sidecar load entirely."""
+    import os
+
     all_crcs = None
     if verify_checksums:
         from quiver_spark.format import stats as stats_mod
 
-        sidecar = stats_mod.load_sidecar(path)
+        # Load the sidecar WHILE watching the data file's stat: an in-place
+        # rewrite between sidecar load and data read would pair old CRCs
+        # with new bytes (a same-shaped rewrite defeats the shape guard), so
+        # reload once if the data file changed under us. uuid-named
+        # datasource files never hit this; direct same-path rewrites can.
+        for _attempt in range(2):
+            st0 = os.stat(path)
+            sidecar = stats_mod.load_sidecar(path)
+            st1 = os.stat(path)
+            if (st0.st_size, st0.st_mtime_ns) == (st1.st_size, st1.st_mtime_ns):
+                break
         all_crcs = sidecar.get("page_crc32") if sidecar else None
     with open(path, "rb") as f:
         schema, metas = read_footer(f)

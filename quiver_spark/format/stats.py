@@ -119,8 +119,16 @@ def build_file_stats(
 
 
 def write_sidecar(data_path: str, stats: dict) -> None:
-    with open(data_path + STATS_SUFFIX, "w") as f:
+    # Atomic publish (temp + os.replace, matching the datasource writer's
+    # commit protocol): a crash mid-write must not leave a truncated sidecar
+    # that load_sidecar silently treats as None — that would permanently and
+    # invisibly disable checksum verification and page-stat pruning for the
+    # file — and a concurrent reader must never observe a partial sidecar.
+    final = data_path + STATS_SUFFIX
+    tmp = final + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(stats, f)
+    os.replace(tmp, final)
 
 
 def load_sidecar(data_path: str) -> dict | None:

@@ -400,24 +400,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Implemented as iterative min-label propagation in DataFrame ops over
     the symmetric edge list PLUS self-loops, so one join + one min-groupBy
-    per round covers both neighbor labels and the node's own (two shuffles
-    per round, no left-join/coalesce leg). Labels only ever decrease, so
-    SUM(label) is a monotone convergence witness — the loop exits when it
-    stops falling (a scalar agg per round, no data ever collected to the
-    driver). At 100 TB the per-round cost is one shuffle join keyed on
-    doc_id, the edge set is duplicate-density-proportional (LSH-bounded),
-    and rounds needed = component diameter, which is small for dup
-    clusters; exhausting the safety cap raises instead of returning
-    labels that are not component minima.
+    per round covers both neighbor labels and the node's own (no
+    left-join/coalesce leg), followed by a pointer-jumping shortcut (the
+    large-star/small-star trick): each node re-reads its label's OWN label,
+    so min labels race down chains in O(log diameter) rounds instead of
+    O(diameter). Labels only ever decrease, so SUM(label) is a monotone
+    convergence witness — the loop exits when it stops falling (a scalar
+    agg per round, no data ever collected to the driver). Each round's
+    labels are localCheckpoint()ed: without that, round N's logical plan
+    re-embeds rounds 0..N-1 and Catalyst/AQE replanning cost itself grows
+    per round. At 100 TB the per-round cost is shuffles keyed on doc_id,
+    the edge set is duplicate-density-proportional (LSH-bounded), and
+    exhausting the safety cap raises instead of returning labels that are
+    not component minima.
     """
-    # persist the edge list BEFORE mirroring it: the propagation union has
-    # three branches, and without this the whole LSH pair pipeline would be
-    # recomputed once per branch on first materialization
+    # localCheckpoint the edge list BEFORE mirroring it: (a) the propagation
+    # union has three branches, so without materialization the whole LSH
+    # pair pipeline would run once per branch; (b) unlike persist(), the
+    # checkpoint TRUNCATES the logical plan — with persist, every round's
+    # join still re-embeds (and Catalyst re-analyzes) the full LSH pipeline
+    # tree, which measured as ~0.7 s/round of pure planning at sf0.1.
+    # Trade-off: checkpointed blocks are not lineage-recoverable — on a
+    # cluster, an executor loss mid-loop fails the job and the caller
+    # retries; acceptable for a seconds-per-round iterative tail.
     edges = (
         dedup_minhash_pairs(spark, sf_dir)
         .filter(F.col("est_jaccard") >= CLUSTER_JACCARD)
         .select("doc_a", "doc_b")
-        .persist()
+        .localCheckpoint()
     )
     nodes = (
         edges.select(F.col("doc_a").alias("node"))
@@ -438,20 +448,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("node").alias("src"), F.col("node").alias("dst")
             )
         )
-        .persist()
+        .localCheckpoint()  # same plan-truncation rationale as edges
     )
-    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
     # None sentinel: the first round always runs (labels start as node ids,
     # any edge lowers some label), so an init-sum job is unnecessary
     prev_sum = None
     converged = False
     for _ in range(MAX_LP_ITERS):
-        new_labels = (
+        neigh = (
             prop.join(labels, prop["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .withColumnRenamed("src", "node")
-            .persist()
+        )
+        # pointer-jumping: every label value is itself a node (component
+        # minima are doc_ids, and self-loops keep every node present as a
+        # src), so an inner join re-reads each node's label's label —
+        # jlabel <= label always, and label depth halves per round
+        hop = neigh.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            neigh.join(hop, neigh["label"] == hop["jnode"])
+            .select("node", F.col("jlabel").alias("label"))
+            # lazy: the convergence agg below is the materializing action,
+            # so checkpoint + witness cost ONE job per round, not two
+            .localCheckpoint(eager=False)
         )
         cur_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

@@ -747,3 +747,40 @@ def quiver_sql_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "quiver_batch_read",
+    oracle="""
+SELECT n_regionkey,
+       COUNT(*) AS cnt,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS min_name,
+       MAX(n_name) AS max_name
+FROM nation
+GROUP BY n_regionkey
+""",
+    tags=("format", "batch-read"),
+)
+def quiver_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 column-at-once batch read (format/reader.py read_table; the
+    reference's whole-file read path, src/read/mod.rs): the nation table is
+    read in-process as ONE Arrow table through read_table — column-subset
+    projection exercised — then handed to Spark as a local relation and
+    aggregated. This is the engine's embedding API (a library user reading
+    a quiver file without a cluster), deliberately driver-local and used
+    only on catalog-scale tables; the distributed path is the datasource."""
+    from quiver_spark.format.reader import read_table
+
+    d = quiver_dir(spark, sf_dir, "nation")
+    t = read_table(
+        os.path.join(d, "part-0.quiver"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    df = spark.createDataFrame(t)  # pyspark 4 accepts pyarrow Tables
+    return df.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.min("n_name").alias("min_name"),
+        F.max("n_name").alias("max_name"),
+    )

@@ -903,13 +903,20 @@ class QuiverStreamReader(DataSourceStreamReader):
 
     def read(self, partition: QuiverPartition) -> Iterator:
         # identical decode path as the batch reader (no pushed filters in
-        # streams); empty anchor partitions yield nothing
+        # streams); empty anchor partitions yield nothing. Forward the
+        # user's stream options (verify_checksums, merge_batches, ...) minus
+        # stream-only keys, so documented read opt-outs apply to streaming
+        # reads too instead of being silently dropped.
         if partition.page_end <= partition.page_start:
             return iter(())
-        batch_reader = QuiverScanReader(
-            {"path": self.path, "partition_rows": str(self.partition_rows)},
-            None,
-        )
+        opts = {
+            str(k): v
+            for k, v in dict(self.options).items()
+            if str(k) not in ("max_files_per_trigger",)
+        }
+        opts["path"] = self.path
+        opts["partition_rows"] = str(self.partition_rows)
+        batch_reader = QuiverScanReader(opts, None)
         return batch_reader.read(partition)
 
     def commit(self, end: dict) -> None:

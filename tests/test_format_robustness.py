@@ -138,3 +138,40 @@ def test_shape_mismatched_sidecar_is_ignored(tmp_path):
     stats["page_crc32"] = [[1, 2, 3, 4, 5, 6, 7]]  # wrong page count
     json.dump(stats, open(side, "w"))
     assert read_table(p).equals(t)
+
+
+def test_short_file_raises_valueerror_everywhere(tmp_path):
+    """Files shorter than the 16-byte size trailer must raise the canonical
+    'not a quiver file' ValueError from EVERY footer entry point — not the
+    OSError a bare seek(-16, 2) would produce (read_meta/infer_schema used
+    to seek before the size guard ran)."""
+    from quiver_spark.format.reader import infer_schema, read_footer, read_meta
+
+    for size in (0, 1, 10, 15):
+        p = str(tmp_path / f"short{size}.quiver")
+        with open(p, "wb") as fh:
+            fh.write(b"x" * size)
+        for entry in (read_meta, infer_schema, read_footer):
+            with open(p, "rb") as fh:
+                with pytest.raises(ValueError, match="too short"):
+                    entry(fh)
+
+
+def test_sidecar_publish_is_atomic(sample_file, tmp_path):
+    """write_sidecar must publish via temp + os.replace: no partially
+    written sidecar is ever visible at the final path, and no temp files
+    are left behind after a successful publish."""
+    import os
+
+    from quiver_spark.format import stats as stats_mod
+
+    _t, path, _data = sample_file
+    side = path + stats_mod.STATS_SUFFIX
+    assert os.path.exists(side)  # writer published one
+    stats = stats_mod.load_sidecar(path)
+    stats_mod.write_sidecar(path, stats)  # re-publish over the live one
+    assert stats_mod.load_sidecar(path) == stats
+    leftovers = [
+        f for f in os.listdir(os.path.dirname(path)) if ".tmp." in f
+    ]
+    assert leftovers == []

@@ -33,7 +33,21 @@ filter-pushdown build OVERWRITES it, so re-using one loaded DataFrame
 across differently-filtered queries can replay a previous query's page
 pruning (verified on 4.1.2 with the trace hook below: the second full scan
 after a filtered count does no Python planning at all and returns the
-filtered query's partitions). Zone-map page pruning is therefore OPT-IN
+filtered query's partitions). Round-6 bytecode read of the 4.1.2 jar
+pinned the mechanism exactly: PythonDataSourceV2 holds ONE mutable
+`readInfo` slot; every pushdown build (PythonScanBuilder.pushFilters →
+FilterPushdownRunner) re-plans in Python and overwrites the slot, while a
+build with ZERO pushable filters goes through
+PythonBatch.infoInPython → getOrCreateReadInfo, which returns the slot
+as-is whenever it is non-null. Consequences, both trace-verified:
+(a) a DIFFERENTLY-filtered query on a reused DataFrame re-plans and is
+always correct — the danger is exclusively a no-pushable-filter query
+after a filtered one; (b) nothing Python-side runs during the stale
+replay, so no fingerprint/degrade scheme in this file can detect it —
+a pruning-on default is unsound until Spark keys or clears `readInfo`
+per pushed-filter set. tests/test_quiver_datasource.py pins the
+counterexample as a sentinel: when upstream fixes the caching, that test
+fails and the default can flip to on. Zone-map page pruning is therefore OPT-IN
 (`.option("page_prune", "true")`): the default build never prunes, so a
 replayed plan still covers every page and Spark's row-level filters keep
 results correct — which also makes a pruning-off relation safe to REUSE

@@ -72,6 +72,19 @@ def _tables(draw):
     cols["f64"] = _with_nulls(
         draw, np.array(dbls, dtype=np.float64), null_frac
     )
+    # float32: the patas f32 plane width + the chooser's narrower-width
+    # eligibility branches (newest decode path, round 5)
+    if draw(st.booleans()):
+        f32s = draw(
+            st.lists(
+                st.floats(allow_nan=True, allow_infinity=True, width=32),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        cols["f32"] = _with_nulls(
+            draw, np.array(f32s, dtype=np.float32), null_frac
+        )
     # strings incl. empty / unicode / repeats
     strs = draw(
         st.lists(
@@ -96,10 +109,34 @@ def _tables(draw):
             )
         )
         cols["lst"] = pa.array(lists, type=pa.list_(pa.int64()))
+    # list<struct<x,y>>: two-level rep/def shredding + assembly with nulls
+    # at every level (list-null, empty list, struct-field-null)
+    if draw(st.booleans()):
+        los = draw(
+            st.lists(
+                st.lists(
+                    st.fixed_dictionaries(
+                        {
+                            "x": st.none()
+                            | st.integers(min_value=-50, max_value=50),
+                            "y": st.sampled_from(["", "p", "qq"]),
+                        }
+                    ),
+                    max_size=3,
+                )
+                | st.none(),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        cols["los"] = pa.array(
+            los,
+            type=pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())])),
+        )
     return pa.table(cols)
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=40, deadline=None)
 @given(
     t=_tables(),
     codec=st.sampled_from(["lz4", "zstd", "none"]),

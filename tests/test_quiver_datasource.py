@@ -610,3 +610,39 @@ def test_enable_on_plain_session(tmp_path):
     src.write.format("quiver").mode("overwrite").save(d)
     back = spark.read.format("quiver").load(d)
     assert sorted(r.id for r in back.collect()) == list(range(100))
+
+
+def test_plan_cache_stale_replay_sentinel(spark, tmp_path):
+    """SENTINEL pinning the upstream Spark behavior that forces page_prune
+    to stay opt-in (module SHARP EDGE note; 4.1.2 bytecode:
+    PythonDataSourceV2.getOrCreateReadInfo returns its single cached
+    readInfo slot whenever non-null, and only a pushdown build overwrites
+    it). With page_prune=true on a reused DataFrame, a no-filter query
+    after a filtered one replays the filtered build's pruned partitions and
+    under-counts — while a DIFFERENTLY-filtered query re-plans and stays
+    correct.
+
+    If the under-count assertion ever FAILS, Spark fixed the plan caching:
+    flip the page_prune / partition_prune defaults to on and retire this
+    test."""
+    d = tmp_path / "li_sentinel"
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet").sort_by("l_orderkey")
+    write_table(t, str(d / "part-0.quiver"), WriteOptions(max_page_size=500))
+    register(spark)
+    q = spark.read.format("quiver").option("page_prune", "true").load(str(d))
+    truth = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_filtered = q.filter("l_orderkey >= 100").count()
+    assert n_filtered == truth.filter("l_orderkey >= 100").count()
+    # differently-filtered reuse re-plans through pushFilters: always correct
+    # (this one prunes hard: sorted file, < 100 matches only the first page)
+    n_refiltered = q.filter("l_orderkey < 100").count()
+    assert n_refiltered == truth.filter("l_orderkey < 100").count()
+    # the unsafe direction: zero-pushable-filter reuse replays the LAST
+    # build's (heavily pruned) partitions
+    n_full_stale = q.count()
+    assert n_full_stale < truth.count(), (
+        "Spark no longer replays stale pruned partitions for a no-filter "
+        "query — the upstream plan-cache bug is fixed. Flip page_prune/"
+        "partition_prune defaults to ON and retire this sentinel."
+    )

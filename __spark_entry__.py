@@ -25,9 +25,10 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # Round 6 window (50): (a) the 10 queries never yet inside any round's
 # driver sample — the only driver-checkable proof of DeltaBitpacking, Freq
 # roaring decode, the decimal128 cascade, struct/map nested assembly and
-# uint widening — plus the new batch-read (R7) query; then (b) the 39
-# oldest-green rows (last verified round 4). Everything displaced is green
-# on the round-5 record and leads the round-7 rotation.
+# uint widening — plus the new batch-read (R7) query and the four operators
+# added this round; then (b) the 35 oldest-green rows (last verified round
+# 4). Everything displaced is green on the round-5 record and leads the
+# round-7 rotation.
 _PRIORITY = [
     # (a) never driver-sampled — close the last coverage asterisk
     "quiver_scan_delta",
@@ -41,6 +42,11 @@ _PRIORITY = [
     "dedup_simhash_pairs",
     "events_locf_impute",
     "quiver_batch_read",
+    # new surface this round — never sampled, front of the window
+    "dedup_chunk_exact",
+    "sample_temperature_mix",
+    "ann_sq8_topk",
+    "events_interval_join",
     # (b) last driver-verified in round 4 — oldest green rows, rotate in
     "quiver_scan_q1",
     "quiver_scan_checksums",
@@ -58,10 +64,7 @@ _PRIORITY = [
     "q9_product_profit",
     "q14_promo_revenue",
     "q19_bracket_revenue",
-    "q22_idle_customers",
     "agg_quantiles",
-    "agg_collect_sorted",
-    "agg_minby_maxby",
     "approx_distinct_parts",
     "correlated_small_quantity",
     "window_distribution_funcs",
@@ -74,7 +77,6 @@ _PRIORITY = [
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "embedding_near_dup",
-    "embedding_norm_stats",
     "ann_cosine_topk",
     "ann_dot_topk",
     "ann_lsh_bucketed_pairs",
@@ -82,6 +84,10 @@ _PRIORITY = [
     "multimodal_decode_features",
     "udtf_token_explode",
     # position 51+: displaced round-4 rows — first in line for round 7
+    "agg_collect_sorted",
+    "agg_minby_maxby",
+    "embedding_norm_stats",
+    "q22_idle_customers",
     "agg_string_ordered",
     "setop_bag_semantics",
     "setop_intersect_all",

@@ -7,6 +7,7 @@ from quiver_spark.operators import (  # noqa: F401
     multimodal,
     pipeline2,
     pipeline3,
+    pipeline4,
     relational,
     relational2,
     relational3,

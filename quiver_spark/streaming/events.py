@@ -219,3 +219,34 @@ def write_quiver_stream(df: DataFrame, out_dir: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def view_purchase_join(
+    views: DataFrame, purchases: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream interval join (batch twin:
+    operators.pipeline4.events_interval_join): each view event inner-joined
+    to the same user's purchase events within the following hour — the
+    streaming attribution/conversion join.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, so Spark can size the join state: buffered rows older
+    than watermark − interval are dropped on each side instead of being
+    retained for the life of the stream. Inner-join matches are emitted as
+    found (append mode); state stays bounded by the join horizon."""
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )

@@ -253,3 +253,44 @@ def test_stream_source_rate_limit_restart_no_duplicates(spark, tmp_path):
     # restart on the same checkpoint with no new data: nothing may arrive
     second = run(expect_rows=1, max_wait=8)
     assert second == [], f"restart re-delivered rows: {sorted(second)}"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, landing_dir, tmp_path):
+    """Watermarked stream-stream interval join must emit exactly the batch
+    join's pairs once the whole landing zone is consumed."""
+    pairs = se.view_purchase_join(
+        se.stream_events(spark, landing_dir),
+        se.stream_events(spark, landing_dir),
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("vp_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-vpjoin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("vp_join").toPandas()
+
+    from quiver_spark.tables import load
+
+    ev = load(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).toPandas()
+    key = ["v_user", "v_ts", "p_user", "p_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(batch) and len(batch) > 0
+    for k in key:
+        assert (got[k].values == batch[k].values).all()

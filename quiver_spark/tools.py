@@ -1,0 +1,138 @@
+"""Command-line inspection utilities for quiver files — the operational
+layer a format needs at fleet scale (what `parquet-tools` is to parquet).
+
+    python -m quiver_spark inspect <file.quiver>   # schema + size summary
+    python -m quiver_spark stat    <file.quiver>   # per-page codec trees
+    python -m quiver_spark verify  <file.quiver>   # checksum + full decode
+    python -m quiver_spark head    <file.quiver> [-n N]
+
+Pure pyarrow — no Spark session, no JVM. `stat` is the reference's
+stat_simple diagnostic (src/stat.rs:26-152) surfaced as a CLI; `verify` is
+the operational "is this object healthy" probe (sidecar CRCs when present,
+full decode always).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _footer(path: str):
+    from quiver_spark.format.reader import read_footer
+
+    with open(path, "rb") as f:
+        return read_footer(f)
+
+
+def cmd_inspect(path: str) -> dict:
+    """Schema, row/page counts, per-column compressed size, sidecar status
+    — one footer read plus the sidecar, no data pages touched."""
+    from quiver_spark.format import stats as stats_mod
+    from quiver_spark.format.reader import column_leaf_ranges
+
+    schema, metas = _footer(path)
+    ranges = column_leaf_ranges(schema)
+    sidecar = stats_mod.load_sidecar(path)
+    cols = []
+    for ci in range(len(schema)):
+        fld = schema.field(ci)
+        lo, cnt = ranges[ci]
+        leaf_metas = metas[lo : lo + cnt]
+        cols.append(
+            {
+                "name": fld.name,
+                "type": str(fld.type),
+                "nullable": fld.nullable,
+                "leaves": cnt,
+                "pages": len(leaf_metas[0].pages),
+                "compressed_bytes": int(
+                    sum(p.length for m in leaf_metas for p in m.pages)
+                ),
+            }
+        )
+    rows = int(sum(p.num_values for p in metas[ranges[0][0]].pages)) if metas else 0
+    return {
+        "file": path,
+        "file_bytes": os.path.getsize(path),
+        "rows": rows,
+        "columns": cols,
+        "sidecar": {
+            "present": sidecar is not None,
+            "page_stats": bool(sidecar and sidecar.get("columns")),
+            "page_crc32": bool(sidecar and sidecar.get("page_crc32")),
+        },
+    }
+
+
+def cmd_stat(path: str) -> str:
+    from quiver_spark.format.stat import describe
+
+    return describe(path)
+
+
+def cmd_verify(path: str) -> dict:
+    """Full-decode health probe: footer parse, sidecar CRC verification
+    (when the sidecar carries checksums), and a decode of every page of
+    every column. Returns ok=False with the error instead of raising."""
+    from quiver_spark.format.reader import read_table
+
+    try:
+        t = cmd_inspect(path)
+        table = read_table(path, verify_checksums=True)
+        return {
+            "file": path,
+            "ok": True,
+            "rows": table.num_rows,
+            "columns": table.num_columns,
+            "crc_checked": t["sidecar"]["page_crc32"],
+        }
+    except Exception as exc:  # operational probe: report, don't crash
+        return {"file": path, "ok": False, "error": f"{type(exc).__name__}: {exc}"}
+
+
+def cmd_head(path: str, n: int) -> list[dict]:
+    """First n rows, decoding only the leading pages (page-range read)."""
+    from quiver_spark.format.reader import read_footer, read_table
+
+    with open(path, "rb") as f:
+        _schema, metas = read_footer(f)
+    pages_needed = 0
+    rows = 0
+    for p in (metas[0].pages if metas else []):
+        pages_needed += 1
+        rows += p.num_values
+        if rows >= n:
+            break
+    t = read_table(path, page_start=0, page_end=pages_needed)
+    return t.slice(0, n).to_pylist()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="quiver_spark", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for c in ("inspect", "stat", "verify"):
+        s = sub.add_parser(c)
+        s.add_argument("file")
+    h = sub.add_parser("head")
+    h.add_argument("file")
+    h.add_argument("-n", type=int, default=10)
+    args = ap.parse_args(argv)
+    if args.cmd == "inspect":
+        print(json.dumps(cmd_inspect(args.file), indent=2))
+    elif args.cmd == "stat":
+        print(cmd_stat(args.file))
+    elif args.cmd == "verify":
+        out = cmd_verify(args.file)
+        print(json.dumps(out, indent=2))
+        return 0 if out["ok"] else 1
+    elif args.cmd == "head":
+        for row in cmd_head(args.file, args.n):
+            print(json.dumps(row, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -207,3 +207,42 @@ def test_join_strategy_hints_respected(spark):
     assert "ShuffledHashJoin" in plans.physical_plan(hashed)
     bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
     assert "BroadcastHashJoin" in plans.physical_plan(bcast)
+
+
+def test_sq8_probes_broadcast(spark):
+    """ann_sq8_topk: the probe set must broadcast — the quantized corpus
+    never shuffles for candidate generation."""
+    df = _df(spark, "ann_sq8_topk")
+    assert plans.has_broadcast_join(df), plans.physical_plan(df)
+
+
+def test_chunk_dedup_single_shuffle_before_topk(spark):
+    """dedup_chunk_exact: chunking is map-side; the only pre-top-k exchange
+    is the count aggregate on the chunk hash, and the top-k itself is
+    TakeOrderedAndProject (no global sort materialization)."""
+    df = _df(spark, "dedup_chunk_exact")
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plans.count_shuffles(df) <= 2, plan  # partial->final agg only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    """sample_temperature_mix: the per-language rate table (tiny) joins
+    back by broadcast — the corpus side never shuffles."""
+    df = _df(spark, "sample_temperature_mix")
+    assert plans.has_broadcast_join(df), plans.physical_plan(df)
+
+
+def test_interval_join_uses_equi_key(spark):
+    """events_interval_join: the user_id equi key must drive the join (hash
+    or sort-merge) — the time bound is a post-condition, NOT a nested-loop
+    cross product."""
+    df = _df(spark, "events_interval_join")
+    plan = plans.physical_plan(df)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+    assert "NestedLoop" not in plan, plan

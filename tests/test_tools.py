@@ -1,0 +1,96 @@
+"""CLI inspection utilities: inspect / stat / verify / head over a real
+written file, plus verify's corrupt-file and missing-file behavior. Pure
+pyarrow — no Spark session needed."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from quiver_spark import tools
+from quiver_spark.format.writer import WriteOptions, write_table
+
+
+@pytest.fixture(scope="module")
+def sample(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 1000, n), pa.int64()),
+            "s": pa.array([f"s{v}" for v in rng.integers(0, 30, n)]),
+            "f": pa.array(rng.normal(size=n)),
+            "lst": pa.array(
+                [[int(v)] * int(v % 3) for v in rng.integers(0, 5, n)],
+                pa.list_(pa.int64()),
+            ),
+        }
+    )
+    path = str(tmp_path_factory.mktemp("tools") / "t.quiver")
+    write_table(t, path, WriteOptions(max_page_size=512))
+    return t, path
+
+
+def test_inspect(sample):
+    t, path = sample
+    out = tools.cmd_inspect(path)
+    assert out["rows"] == t.num_rows
+    assert [c["name"] for c in out["columns"]] == t.schema.names
+    lst = next(c for c in out["columns"] if c["name"] == "lst")
+    assert lst["leaves"] == 1 and lst["pages"] == 6  # ceil(3000/512)
+    assert out["sidecar"]["present"] and out["sidecar"]["page_crc32"]
+    assert sum(c["compressed_bytes"] for c in out["columns"]) <= out["file_bytes"]
+
+
+def test_stat_names_codecs(sample):
+    _t, path = sample
+    s = tools.cmd_stat(path)
+    assert "k:" in s and "6 pages" in s
+    # every reported codec must be a known name (no "codecNN" fallbacks)
+    assert "codec" not in s.replace("codec(", "")
+
+
+def test_verify_healthy_and_corrupt(sample, tmp_path):
+    import shutil
+
+    from quiver_spark.format.stats import STATS_SUFFIX
+
+    _t, path = sample
+    ok = tools.cmd_verify(path)
+    assert ok["ok"] and ok["rows"] == 3000 and ok["crc_checked"]
+    # flip a byte mid-file → the sidecar CRCs must flag it (copy the
+    # sidecar too: without one, only structural failures are detectable —
+    # that's the documented no-sidecar read behavior, not integrity)
+    data = bytearray(open(path, "rb").read())
+    data[len(data) // 3] ^= 0xFF
+    bad = str(tmp_path / "bad.quiver")
+    open(bad, "wb").write(bytes(data))
+    shutil.copy(path + STATS_SUFFIX, bad + STATS_SUFFIX)
+    out = tools.cmd_verify(bad)
+    assert not out["ok"] and out["error"]
+
+
+def test_verify_missing_file():
+    out = tools.cmd_verify("/nonexistent/nope.quiver")
+    assert not out["ok"]
+
+
+def test_head_reads_only_leading_pages(sample):
+    t, path = sample
+    rows = tools.cmd_head(path, 7)
+    assert len(rows) == 7
+    assert rows == t.slice(0, 7).to_pylist()
+
+
+def test_cli_main(sample, capsys):
+    _t, path = sample
+    assert tools.main(["inspect", path]) == 0
+    parsed = json.loads(capsys.readouterr().out)
+    assert parsed["rows"] == 3000
+    assert tools.main(["verify", path]) == 0
+    capsys.readouterr()
+    assert tools.main(["head", path, "-n", "3"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 3

@@ -1,0 +1,122 @@
+"""Table-maintenance operations for quiver directories.
+
+``compact`` addresses the small-files problem — the dominant operational
+tax of any file-based table at fleet scale: streaming sinks and frequent
+small batch writes leave directories with thousands of tiny files, and
+every subsequent scan pays per-file footer reads, per-file task scheduling,
+and object-store request costs. Compaction rewrites a directory into
+row-count-targeted files, preserving Hive partition layout, via the same
+distributed read/write paths every query uses (no bespoke driver-side
+merge: at 100 TB the rewrite IS a Spark job).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+
+def _dir_stats(src_dir: str) -> tuple[int, int]:
+    """(n_files, total_rows) from footers alone — no data pages touched."""
+    from quiver_spark.sources.quiver_datasource import _file_footer, _list_files
+
+    files = _list_files(src_dir)
+    rows = 0
+    for f in files:
+        _schema, metas = _file_footer(f)
+        if metas:
+            rows += sum(int(p.num_values) for p in metas[0].pages)
+    return len(files), rows
+
+
+def compact(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_rows_per_file: int = 1 << 20,
+    codec: str | None = None,
+) -> dict:
+    """Rewrite ``src_dir`` into ``dst_dir`` with files sized to
+    ``target_rows_per_file`` rows, preserving any Hive partition layout
+    discovered in the source. Returns a summary dict.
+
+    Scale posture: the row count comes from footer metadata (one footer
+    read per file, cached); the rewrite is `repartition(n)` → the quiver
+    writer, i.e. one shuffle sized exactly to the output layout, executed
+    by the cluster. Partitioned sources repartition on the partition
+    columns so each output task writes into few subdirectories. The
+    destination is written with the sink's staged-commit protocol, so a
+    failed compaction leaves nothing reader-visible — swap the directory
+    (or repoint the catalog) only after success.
+    """
+    from quiver_spark.sources import register as register_format
+    from quiver_spark.sources.quiver_datasource import _discover_partitions
+
+    register_format(spark)
+    n_files, rows = _dir_stats(src_dir)
+    part_cols = [c for c, _k in _discover_partitions(src_dir)[0]]
+    n_out = max(1, math.ceil(rows / max(target_rows_per_file, 1)))
+
+    df = spark.read.format("quiver").load(src_dir)
+    if part_cols:
+        # co-locate rows of each partition so an output task writes into
+        # few subdirectories (each task fans out per distinct partition)
+        df = df.repartition(n_out, *part_cols)
+    else:
+        df = df.repartition(n_out)
+    writer = df.write.format("quiver").mode("overwrite")
+    if part_cols:
+        writer = writer.option("partition_by", ",".join(part_cols))
+    if codec:
+        writer = writer.option("codec", codec)
+    writer.option(
+        "max_rows_per_file", str(max(target_rows_per_file, 1))
+    ).save(dst_dir)
+
+    out_files, out_rows = _dir_stats(dst_dir)
+    return {
+        "src": src_dir,
+        "dst": dst_dir,
+        "rows": rows,
+        "files_before": n_files,
+        "files_after": out_files,
+        "rows_after": out_rows,
+        "partition_by": part_cols,
+    }
+
+
+def compact_local(
+    src_dir: str, dst_path: str, codec: str = "lz4"
+) -> dict:
+    """Driver-local compaction of a FLAT quiver directory into one file —
+    the no-cluster fallback for catalog-scale directories (pure pyarrow).
+    Refuses Hive-partitioned sources (use `compact` with a session)."""
+    import pyarrow as pa
+
+    from quiver_spark.format.reader import read_table
+    from quiver_spark.format.writer import WriteOptions, write_table
+    from quiver_spark.sources.quiver_datasource import (
+        _discover_partitions,
+        _list_files,
+    )
+
+    part_cols, _ = _discover_partitions(src_dir)
+    if part_cols:
+        raise ValueError(
+            "compact_local handles flat directories only; "
+            f"{src_dir} is Hive-partitioned on {[c for c, _ in part_cols]}"
+        )
+    files = _list_files(src_dir)
+    if not files:
+        raise ValueError(f"no quiver files under {src_dir}")
+    tables = [read_table(f) for f in files]
+    merged = pa.concat_tables(tables)
+    os.makedirs(os.path.dirname(dst_path) or ".", exist_ok=True)
+    write_table(merged, dst_path, WriteOptions(default_codec=codec))
+    return {
+        "src": src_dir,
+        "dst": dst_path,
+        "rows": merged.num_rows,
+        "files_before": len(files),
+        "files_after": 1,
+    }

@@ -5,6 +5,9 @@ layer a format needs at fleet scale (what `parquet-tools` is to parquet).
     python -m quiver_spark stat    <file.quiver>   # per-page codec trees
     python -m quiver_spark verify  <file.quiver>   # checksum + full decode
     python -m quiver_spark head    <file.quiver> [-n N]
+    python -m quiver_spark compact <src_dir> <dst_file>  # merge small files
+                                   # (driver-local; flat dirs — use
+                                   # maintenance.compact for cluster scale)
 
 Pure pyarrow — no Spark session, no JVM. `stat` is the reference's
 stat_simple diagnostic (src/stat.rs:26-152) surfaced as a CLI; `verify` is
@@ -119,6 +122,10 @@ def main(argv: list[str] | None = None) -> int:
     h = sub.add_parser("head")
     h.add_argument("file")
     h.add_argument("-n", type=int, default=10)
+    c = sub.add_parser("compact")
+    c.add_argument("src_dir")
+    c.add_argument("dst_file")
+    c.add_argument("--codec", default="lz4")
     args = ap.parse_args(argv)
     if args.cmd == "inspect":
         print(json.dumps(cmd_inspect(args.file), indent=2))
@@ -131,6 +138,15 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "head":
         for row in cmd_head(args.file, args.n):
             print(json.dumps(row, default=str))
+    elif args.cmd == "compact":
+        from quiver_spark.maintenance import compact_local
+
+        print(
+            json.dumps(
+                compact_local(args.src_dir, args.dst_file, codec=args.codec),
+                indent=2,
+            )
+        )
     return 0
 
 

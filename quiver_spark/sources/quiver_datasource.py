@@ -321,6 +321,32 @@ class QuiverDataSource(DataSource):
         if not files:
             raise ValueError(f"no .quiver files under {path}")
         arrow_schema, _ = _file_footer(files[0])
+        # Schema evolution across an accreting directory: default is the
+        # first file's schema (parquet's default, one footer read);
+        # merge_schemas=true unions fields by name across every footer
+        # (cached — planning reads them anyway) with all fields nullable,
+        # erroring on same-name type conflicts. Files lacking a merged
+        # column null-fill it at scan time (QuiverScanReader.read).
+        if self.options.get("merge_schemas", "false").lower() == "true":
+            import pyarrow as pa
+
+            fields = [f.with_nullable(True) for f in arrow_schema]
+            seen = {f.name: f for f in fields}
+            for f2 in files[1:]:
+                s2, _ = _file_footer(f2)
+                for fld in s2:
+                    prev = seen.get(fld.name)
+                    if prev is None:
+                        fld = fld.with_nullable(True)
+                        seen[fld.name] = fld
+                        fields.append(fld)
+                    elif prev.type != fld.type:
+                        raise ValueError(
+                            "merge_schemas type conflict for "
+                            f"'{fld.name}': {prev.type} vs {fld.type} "
+                            f"in {f2}"
+                        )
+            arrow_schema = pa.schema(fields)
         part_cols, _ = _discover_partitions(path)
         if part_cols:
             import pyarrow as pa
@@ -480,6 +506,10 @@ def _trace(ev: str, reader, **extra) -> None:
 class QuiverScanReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.options = options
+        #: the TABLE schema Spark planned with — drives the output column
+        #: set under schema evolution (a file missing a table column
+        #: null-fills it; a file's extra columns are ignored)
+        self.spark_schema = schema
         self.path = options.get("path")
         self.columns = None
         cols = options.get("columns")
@@ -695,19 +725,64 @@ class QuiverScanReader(DataSourceReader):
             for c, v, k in partition.part
             if c not in schema.names
         }
-        names = (
-            self.columns
-            if self.columns is not None
-            else list(schema.names) + list(part_map)
-        )
-        file_names = [n for n in names if n not in part_map]
-        # partition-columns-only projection still needs per-batch row
+        if self.columns is not None:
+            names = self.columns
+        elif self.spark_schema is not None:
+            # the TABLE schema drives the output — under schema evolution a
+            # directory's files may individually lack (or exceed) it
+            names = [f.name for f in self.spark_schema.fields]
+        else:
+            names = list(schema.names) + list(part_map)
+        # Schema evolution: table columns this FILE doesn't carry are
+        # null-filled at the Spark-facing arrow type; file columns not in
+        # the table schema are simply never requested. Type conflicts on
+        # shared primitive columns fail loudly with the file named.
+        table_types = {}
+        if self.spark_schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            table_types = {
+                f.name: to_arrow_type(f.dataType)
+                for f in self.spark_schema.fields
+            }
+        missing_map: dict = {}
+        for n in names:
+            if n in part_map or n in schema.names:
+                continue
+            if n in table_types:
+                missing_map[n] = table_types[n]
+            else:
+                raise ValueError(
+                    f"column '{n}' not in {partition.file} and no table "
+                    "schema to null-fill it from"
+                )
+        for n in names:
+            if n in schema.names and n in table_types:
+                actual = _spark_field(
+                    schema.field(schema.names.index(n))
+                ).type
+                expected = table_types[n]
+                if (
+                    actual != expected
+                    and not pa.types.is_nested(actual)
+                    and not pa.types.is_nested(expected)
+                ):
+                    raise ValueError(
+                        f"schema evolution type conflict for column '{n}' "
+                        f"in {partition.file}: file has {actual}, table "
+                        f"expects {expected}"
+                    )
+        file_names = [
+            n for n in names if n not in part_map and n not in missing_map
+        ]
+        # partition/null-fill-only projection still needs per-batch row
         # counts: probe-decode the first file column without emitting it
         probe = [schema.names[0]] if not file_names and len(schema) else []
 
         def finalize(cols: list, n_rows: int) -> pa.RecordBatch:
             """Assemble the output batch: decoded file columns in request
-            order + Hive partition values as constant columns."""
+            order + Hive partition values as constant columns + null fills
+            for evolved-away columns."""
             arrays, it = [], iter(cols)
             for nm in names:
                 if nm in part_map:
@@ -717,6 +792,8 @@ class QuiverScanReader(DataSourceReader):
                         if v is None
                         else pa.array([v] * n_rows, type=t)
                     )
+                elif nm in missing_map:
+                    arrays.append(pa.nulls(n_rows, missing_map[nm]))
                 else:
                     arrays.append(next(it))
             return pa.RecordBatch.from_arrays(arrays, names=names)

@@ -1,0 +1,109 @@
+"""Schema evolution across an accreting quiver directory: files written at
+different times may gain or lack columns. Default table schema is the first
+file's (parquet's default); merge_schemas=true unions footers; scans
+null-fill columns a file lacks and ignore columns beyond the table schema;
+type conflicts fail loudly with the file named."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from quiver_spark.format.writer import write_table
+from quiver_spark.sources import register
+
+
+def _dir(tmp_path, name, tables):
+    d = tmp_path / name
+    os.makedirs(d, exist_ok=True)
+    for fname, t in tables:
+        write_table(t, str(d / fname))
+    return str(d)
+
+
+@pytest.fixture()
+def evolved_dir(tmp_path):
+    a = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "s": pa.array(["a", "b", "c"]),
+        }
+    )
+    b = pa.table(
+        {
+            "k": pa.array([4, 5], pa.int64()),
+            "s": pa.array(["d", "e"]),
+            "extra": pa.array([1.5, 2.5], pa.float64()),
+        }
+    )
+    return _dir(tmp_path, "evo", [("a.quiver", a), ("b.quiver", b)])
+
+
+def test_default_schema_is_first_file_extra_ignored(spark, evolved_dir):
+    register(spark)
+    df = spark.read.format("quiver").load(evolved_dir)
+    assert df.columns == ["k", "s"]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+
+def test_merge_schemas_unions_and_null_fills(spark, evolved_dir):
+    register(spark)
+    df = (
+        spark.read.format("quiver")
+        .option("merge_schemas", "true")
+        .load(evolved_dir)
+    )
+    assert df.columns == ["k", "s", "extra"]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [
+        (1, "a", None),
+        (2, "b", None),
+        (3, "c", None),
+        (4, "d", 1.5),
+        (5, "e", 2.5),
+    ]
+
+
+def test_file_missing_table_column_null_fills(spark, tmp_path):
+    register(spark)
+    a = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "s": pa.array(["a", "b"])}
+    )
+    b = pa.table({"k": pa.array([3], pa.int64())})  # dropped column s
+    d = _dir(tmp_path, "dropped", [("a.quiver", a), ("b.quiver", b)])
+    df = spark.read.format("quiver").load(d)
+    rows = sorted(map(tuple, df.collect()), key=lambda r: r[0])
+    assert rows == [(1, "a"), (2, "b"), (3, None)]
+
+
+def test_type_conflict_fails_loudly(spark, tmp_path):
+    register(spark)
+    a = pa.table({"k": pa.array([1], pa.int64())})
+    b = pa.table({"k": pa.array(["oops"])})
+    d = _dir(tmp_path, "conflict", [("a.quiver", a), ("b.quiver", b)])
+    with pytest.raises(Exception, match="merge_schemas type conflict"):
+        (
+            spark.read.format("quiver")
+            .option("merge_schemas", "true")
+            .load(d)
+            .collect()
+        )
+    with pytest.raises(Exception, match="type conflict|SCHEMA"):
+        spark.read.format("quiver").load(d).collect()
+
+
+def test_projection_of_null_filled_column_only(spark, tmp_path):
+    """Selecting ONLY an evolved-away column still returns the right row
+    count per file (probe decode supplies row counts)."""
+    register(spark)
+    a = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "s": pa.array(["a", "b"])}
+    )
+    b = pa.table({"k": pa.array([3, 4, 5], pa.int64())})
+    d = _dir(tmp_path, "projnull", [("a.quiver", a), ("b.quiver", b)])
+    df = spark.read.format("quiver").load(d).select("s")
+    vals = sorted((r[0] or "~") for r in df.collect())
+    assert vals == ["a", "b", "~", "~", "~"]

@@ -47,6 +47,8 @@ _PRIORITY = [
     "sample_temperature_mix",
     "ann_sq8_topk",
     "events_interval_join",
+    "pipeline_corpus_summary",
+    "events_latest_per_user",
     # (b) last driver-verified in round 4 — oldest green rows, rotate in
     "quiver_scan_q1",
     "quiver_scan_checksums",
@@ -62,8 +64,6 @@ _PRIORITY = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q14_promo_revenue",
-    "q19_bracket_revenue",
     "agg_quantiles",
     "approx_distinct_parts",
     "correlated_small_quantity",
@@ -84,6 +84,8 @@ _PRIORITY = [
     "multimodal_decode_features",
     "udtf_token_explode",
     # position 51+: displaced round-4 rows — first in line for round 7
+    "q14_promo_revenue",
+    "q19_bracket_revenue",
     "agg_collect_sorted",
     "agg_minby_maxby",
     "embedding_norm_stats",

@@ -328,3 +328,152 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_lag_us"),
         )
     )
+
+
+#: corpus-summary pipeline constants
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_CHARS = 2000
+SUMMARY_SAMPLE_PERMILLE = 800
+
+
+@register(
+    "pipeline_corpus_summary",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, lang, text,
+           (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS n_tokens,
+           (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+               >= {QUALITY_MIN_TOKENS}
+           AND LENGTH(text) <= {QUALITY_MAX_CHARS} AS is_q
+    FROM documents
+),
+canon AS (
+    SELECT lang, doc_id, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+           CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS gate
+    FROM base WHERE is_q
+),
+q AS (
+    SELECT lang,
+           COUNT(*) AS docs_quality,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_dedup,
+           CAST(SUM(CASE WHEN rn = 1
+                         AND gate < {SUMMARY_SAMPLE_PERMILLE}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_sampled,
+           CAST(SUM(CASE WHEN rn = 1
+                         AND gate < {SUMMARY_SAMPLE_PERMILLE}
+                    THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_sampled
+    FROM canon GROUP BY lang
+)
+SELECT b.lang,
+       COUNT(*) AS docs_in,
+       COALESCE(MAX(q.docs_quality), 0) AS docs_quality,
+       COALESCE(MAX(q.docs_dedup), 0) AS docs_dedup,
+       COALESCE(MAX(q.docs_sampled), 0) AS docs_sampled,
+       COALESCE(MAX(q.tokens_sampled), 0) AS tokens_sampled
+FROM base b LEFT JOIN q ON b.lang = q.lang
+GROUP BY b.lang
+""",
+    tags=("pipeline", "composite", "dedup", "sampling", "quality"),
+)
+def pipeline_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-corpus funnel as ONE declarative plan:
+    quality gate (token/length bounds) → exact dedup keeping the smallest
+    doc_id per md5(text) → deterministic hash-gate sampling → per-language
+    accounting of every stage (docs in, surviving quality, surviving
+    dedup, sampled, tokens shipped).
+
+    Scale posture: quality flags and gates are map-side; the dedup window
+    keys on md5(text) (uniform); the per-stage accounting is one small
+    aggregate joined back. At 100 TB the funnel is two shuffles — exactly
+    what the equivalent chained-jobs pipeline would pay, but visible to
+    Catalyst as one plan (shared scan, pushed projections)."""
+    from quiver_spark.operators.text import token_count_col
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count_col().alias("n_tokens"),
+        (
+            (token_count_col() >= QUALITY_MIN_TOKENS)
+            & (F.length("text") <= QUALITY_MAX_CHARS)
+        ).alias("is_q"),
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    canon = (
+        base.filter("is_q")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("gate", gate)
+    )
+    keep = F.col("rn") == 1
+    samp = keep & (F.col("gate") < SUMMARY_SAMPLE_PERMILLE)
+    q = canon.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_quality"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("docs_dedup"),
+        F.sum(F.when(samp, 1).otherwise(0)).cast("bigint").alias("docs_sampled"),
+        F.sum(F.when(samp, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_sampled"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs_in"))
+        .join(q, "lang", "left")
+        .select(
+            "lang",
+            "docs_in",
+            F.coalesce("docs_quality", F.lit(0)).alias("docs_quality"),
+            F.coalesce("docs_dedup", F.lit(0)).alias("docs_dedup"),
+            F.coalesce("docs_sampled", F.lit(0)).alias("docs_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0)).alias("tokens_sampled"),
+        )
+    )
+
+
+@register(
+    "events_latest_per_user",
+    oracle="""
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_type,
+       value AS last_value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+""",
+    tags=("events", "window", "upsert"),
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (the upsert/SCD-1 materialization:
+    collapse an append-only event log to each key's current state).
+    row_number over (user_id, ts DESC, event_id DESC) — the unique
+    event_id tiebreak makes the winner deterministic. One shuffle on the
+    uniform user_id key; at 100 TB this is the standard log-compaction
+    plan (and with a sorted quiver layout the window becomes
+    near-streaming)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )

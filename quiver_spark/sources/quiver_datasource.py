@@ -101,6 +101,26 @@ DEFAULT_MAX_ROWS_PER_FILE = 1 << 22
 _STAGING_DIR = "_temporary"
 
 
+def _opt_path(options) -> str:
+    """Resolve the datasource's path option to a local filesystem path.
+
+    SQL DDL (`CREATE TABLE ... USING quiver LOCATION/OPTIONS`) hands the
+    datasource a `file:/...` URI rather than a bare path; DataFrame-API
+    loads pass the path through verbatim. Non-local schemes get a clear
+    error instead of a downstream FileNotFoundError."""
+    p = options.get("path")
+    if not p:
+        return p
+    u = urllib.parse.urlparse(p)
+    if u.scheme == "file":
+        return urllib.parse.unquote(u.path) or p
+    if u.scheme and len(u.scheme) > 1:  # len>1: don't eat C:\ style paths
+        raise ValueError(
+            f"quiver datasource supports local paths only, got '{p}'"
+        )
+    return p
+
+
 def _list_files(path: str) -> list[str]:
     if not os.path.isdir(path):
         return [path]
@@ -314,7 +334,7 @@ class QuiverDataSource(DataSource):
 
         from quiver_spark.format.reader import infer_schema
 
-        path = self.options.get("path")
+        path = _opt_path(self.options)
         if not path:
             raise ValueError("quiver datasource requires a path")
         files = _list_files(path)
@@ -373,7 +393,7 @@ class QuiverDataSource(DataSource):
         return QuiverScanReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> "QuiverWriter":
-        path = self.options.get("path")
+        path = _opt_path(self.options)
         if not path:
             raise ValueError("quiver datasource requires a path")
         if overwrite and os.path.isdir(path):
@@ -387,7 +407,7 @@ class QuiverDataSource(DataSource):
         return QuiverWriter(self.options, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
-        path = self.options.get("path")
+        path = _opt_path(self.options)
         if not path:
             raise ValueError("quiver datasource requires a path")
         os.makedirs(path, exist_ok=True)
@@ -510,7 +530,17 @@ class QuiverScanReader(DataSourceReader):
         #: set under schema evolution (a file missing a table column
         #: null-fills it; a file's extra columns are ignored)
         self.spark_schema = schema
-        self.path = options.get("path")
+        self.path = _opt_path(options)
+        if not self.path:
+            raise ValueError(
+                "quiver scan has no 'path' option. If this table was "
+                "created with CREATE TABLE ... USING quiver, note that "
+                "Spark 4.1.2 drops a Python data source table's stored "
+                "OPTIONS at scan time (PythonDataSourceV2.getTable ignores "
+                "its properties argument), so catalog tables cannot reach "
+                "their data — use spark.read.format('quiver').load(path) "
+                "and createOrReplaceTempView for SQL access instead."
+            )
         self.columns = None
         cols = options.get("columns")
         if cols:
@@ -549,7 +579,11 @@ class QuiverScanReader(DataSourceReader):
         )
         # (column, op, physical value) predicates usable for page pruning
         self._prune_filters: list[tuple[str, str, object]] = []
-        _trace("init", self)
+        _trace(
+            "init",
+            self,
+            opts={str(k): str(v) for k, v in dict(options).items()},
+        )
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         """Collect zone-map-usable filters for page pruning. Every filter is
@@ -912,7 +946,7 @@ class QuiverStreamReader(DataSourceStreamReader):
 
     def __init__(self, options, schema: StructType):
         self.options = options
-        self.path = options.get("path")
+        self.path = _opt_path(options)
         self.partition_rows = int(
             options.get("partition_rows", DEFAULT_PARTITION_ROWS)
         )
@@ -1031,7 +1065,7 @@ class QuiverWriter(DataSourceArrowWriter):
     def __init__(self, options, spark_schema: StructType | None = None):
         self.options = options
         self.spark_schema = spark_schema
-        self.path = options.get("path")
+        self.path = _opt_path(options)
         self.max_rows = int(
             options.get("max_rows_per_file", DEFAULT_MAX_ROWS_PER_FILE)
         )

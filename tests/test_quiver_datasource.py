@@ -646,3 +646,33 @@ def test_plan_cache_stale_replay_sentinel(spark, tmp_path):
         "query — the upstream plan-cache bug is fixed. Flip page_prune/"
         "partition_prune defaults to ON and retire this sentinel."
     )
+
+
+def test_ddl_catalog_table_sentinel(spark, tmp_path):
+    """SENTINEL for SQL DDL support: Spark 4.1.2's
+    PythonDataSourceV2.getTable(schema, partitioning, properties) DROPS the
+    properties argument (bytecode-verified), so a table created with
+    CREATE TABLE ... USING quiver loses its stored OPTIONS — the scan-time
+    reader receives an EMPTY options map and cannot locate the data. We
+    surface that as a clear error pointing at the temp-view workflow.
+
+    If the SELECT ever SUCCEEDS, upstream started forwarding table
+    properties: retire this sentinel and document DDL as supported.
+
+    (file: URIs from DDL paths are handled — _opt_path — so only the
+    dropped-options half blocks DDL.)"""
+    d = tmp_path / "ddl_orders"
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{SF_DIR}/orders.parquet")
+    write_table(t, str(d / "part-0.quiver"))
+    register(spark)
+    spark.sql("DROP TABLE IF EXISTS qorders_sentinel")
+    # CREATE itself succeeds: schema() runs with the options present
+    spark.sql(
+        f"CREATE TABLE qorders_sentinel USING quiver OPTIONS (path '{d}')"
+    )
+    try:
+        with pytest.raises(Exception, match="no 'path' option"):
+            spark.sql("SELECT COUNT(*) FROM qorders_sentinel").collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qorders_sentinel")

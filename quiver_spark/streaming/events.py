@@ -250,3 +250,73 @@ def view_purchase_join(
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
     )
+
+
+def user_totals_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — the
+    Spark 4 arbitrary-state API (successor of applyInPandasWithState):
+    explicit typed ValueState through a StatefulProcessorHandle, RocksDB
+    state store required. Functionally the twin of user_totals_stateful;
+    both are kept because fleets migrate between the two APIs.
+
+    ENVIRONMENT NOTE: executing this requires `google.protobuf` (the TWS
+    state-server wire protocol imports StateMessage_pb2); in environments
+    without protobuf the stream fails at initialization — the test suite
+    skips with that reason, and applyInPandasWithState (no protobuf
+    dependency) covers the custom-stateful surface.
+
+    State is one (cnt, sum) row per user — bounded by key cardinality;
+    each micro-batch emits the keys it touched (update mode)."""
+    import pandas as pd  # noqa: F401 (worker-side import check)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_cnt", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("cnt", LongType()),
+                        StructField("sv", DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cnt, sv = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                cnt += len(pdf)
+                sv += float(pdf["value"].sum())
+            self._totals.update((cnt, sv))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "event_cnt": [cnt], "sum_value": [sv]}
+            )
+
+        def close(self) -> None:
+            return None
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

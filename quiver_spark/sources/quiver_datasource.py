@@ -946,6 +946,11 @@ class QuiverStreamReader(DataSourceStreamReader):
 
     def __init__(self, options, schema: StructType):
         self.options = options
+        #: the stream's fixed schema — forwarded to the per-partition batch
+        #: reader so late-arriving files that lack (or exceed) it are
+        #: null-filled/projected exactly like batch schema evolution,
+        #: instead of emitting wrong-schema batches mid-stream
+        self.schema_struct = schema
         self.path = _opt_path(options)
         self.partition_rows = int(
             options.get("partition_rows", DEFAULT_PARTITION_ROWS)
@@ -1041,7 +1046,7 @@ class QuiverStreamReader(DataSourceStreamReader):
         }
         opts["path"] = self.path
         opts["partition_rows"] = str(self.partition_rows)
-        batch_reader = QuiverScanReader(opts, None)
+        batch_reader = QuiverScanReader(opts, self.schema_struct)
         return batch_reader.read(partition)
 
     def commit(self, end: dict) -> None:

@@ -107,3 +107,29 @@ def test_projection_of_null_filled_column_only(spark, tmp_path):
     df = spark.read.format("quiver").load(d).select("s")
     vals = sorted((r[0] or "~") for r in df.collect())
     assert vals == ["a", "b", "~", "~", "~"]
+
+
+def test_streaming_read_evolving_dir(spark, tmp_path):
+    """The quiver STREAM source must apply the same evolution semantics as
+    batch: a file lacking a stream-schema column is null-filled (the
+    stream's fixed schema is forwarded to the per-partition reader —
+    without that, a late slim file would emit wrong-schema batches)."""
+    register(spark)
+    a = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "s": pa.array(["a", "b"])}
+    )
+    b = pa.table({"k": pa.array([3], pa.int64())})
+    d = _dir(tmp_path, "stream_evo", [("a.quiver", a), ("b.quiver", b)])
+    q = (
+        spark.readStream.format("quiver")
+        .load(d)
+        .writeStream.format("memory")
+        .queryName("evo_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-evo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(map(tuple, spark.table("evo_stream").collect()))
+    assert rows == [(1, "a"), (2, "b"), (3, None)]

@@ -49,6 +49,8 @@ _PRIORITY = [
     "events_interval_join",
     "pipeline_corpus_summary",
     "events_latest_per_user",
+    "quiver_compacted_scan",
+    "sketch_histogram_quantiles",
     # (b) last driver-verified in round 4 — oldest green rows, rotate in
     "quiver_scan_q1",
     "quiver_scan_checksums",
@@ -59,8 +61,6 @@ _PRIORITY = [
     "quiver_pruned_date_scan",
     "quiver_adaptive_zstd_join",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
@@ -84,6 +84,8 @@ _PRIORITY = [
     "multimodal_decode_features",
     "udtf_token_explode",
     # position 51+: displaced round-4 rows — first in line for round 7
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
     "q14_promo_revenue",
     "q19_bracket_revenue",
     "agg_collect_sorted",

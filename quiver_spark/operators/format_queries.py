@@ -784,3 +784,61 @@ def quiver_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_name").alias("min_name"),
         F.max("n_name").alias("max_name"),
     )
+
+
+def _compacted_supplier_dir(spark: SparkSession, sf_dir: str) -> str:
+    """supplier written as MANY small quiver files (one per 100 rows — the
+    streaming-sink shape), then compacted once via maintenance.compact;
+    cached per sf like every derived dir."""
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    small = os.path.join(CACHE_ROOT, tag, "supplier-small-files")
+    compacted = os.path.join(CACHE_ROOT, tag, "supplier-compacted")
+    marker = os.path.join(compacted, "_done")
+    if not os.path.exists(marker):
+        from quiver_spark.format.writer import WriteOptions, write_table
+        from quiver_spark.maintenance import compact
+
+        os.makedirs(small, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/supplier.parquet")
+        step = max(100, t.num_rows // 64)  # bound file count at big SFs
+        for i, start in enumerate(range(0, t.num_rows, step)):
+            write_table(
+                t.slice(start, step),
+                os.path.join(small, f"part-{i:05d}.quiver"),
+                WriteOptions(default_codec="lz4", compress_ratio=2.0),
+            )
+        summary = compact(spark, small, compacted, target_rows_per_file=1 << 20)
+        assert summary["rows"] == summary["rows_after"] == t.num_rows
+        with open(marker, "w") as f:
+            f.write("ok")
+    return compacted
+
+
+@register(
+    "quiver_compacted_scan",
+    oracle="""
+SELECT s_nationkey,
+       COUNT(*) AS cnt,
+       CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS bal_sum,
+       MIN(s_name) AS min_name
+FROM supplier
+GROUP BY s_nationkey
+""",
+    tags=("format", "maintenance", "compaction"),
+)
+def quiver_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction correctness through the driver gate: supplier is written
+    as many small files (the streaming-sink shape), rewritten by
+    maintenance.compact into row-targeted files, and the COMPACTED
+    directory is scanned and aggregated — the oracle reads the parquet
+    original, so any row lost or duplicated by the rewrite hash-fails."""
+    d = _compacted_supplier_dir(spark, sf_dir)
+    s = quiver_relation(spark, d)
+    return s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("s_suppkey").cast("bigint").alias("key_sum"),
+        dsum("s_acctbal").alias("bal_sum"),
+        F.min("s_name").alias("min_name"),
+    )

@@ -89,3 +89,97 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "exact_cnt", "cm_estimate"
     )
+
+
+#: fixed-bin histogram sketch: bins per column, quantile probe points
+HIST_BINS = 200
+HIST_QS = "array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D)"
+HIST_QS_SQL = "(VALUES (0.25),(0.5),(0.75),(0.9),(0.99))"
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+WITH stats AS (
+    SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+           COUNT(*) AS n
+    FROM orders
+),
+bins AS (
+    SELECT LEAST(CAST(FLOOR(((o_totalprice - mn) / (mx - mn))
+                            * {HIST_BINS}) AS BIGINT),
+                 {HIST_BINS} - 1) AS b
+    FROM orders, stats
+),
+hist AS (SELECT b, COUNT(*) AS c FROM bins GROUP BY b),
+cum AS (
+    SELECT b, SUM(c) OVER (ORDER BY b) AS cum_c FROM hist
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM {HIST_QS_SQL} t(q))
+SELECT q,
+       MIN(b) AS bin,
+       MIN(mn + (CAST(b AS DOUBLE) * ((mx - mn) / {HIST_BINS})))
+           AS est_lo
+FROM qs
+JOIN cum ON cum_c >= q * (SELECT n FROM stats)
+CROSS JOIN stats
+GROUP BY q
+""",
+    tags=("sketch", "quantile", "histogram"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram sketch + quantile estimation over
+    o_totalprice: pass 1 is an exact global (min, max, n); pass 2 bins
+    every value into {HIST_BINS} equal-width buckets (a monoid — partial
+    histograms from 1000 executors merge by addition, the same posture as
+    the count-min grid); quantile q is estimated as the lower edge of the
+    first bin whose cumulative count reaches q·n.
+
+    Every arithmetic step (subtract, divide, multiply, floor) is a single
+    correctly-rounded IEEE op on identical operands, so bin assignment and
+    edge estimates are bit-identical across engines. The cumulative window
+    runs over ≤{HIST_BINS} rows — driver-scale by construction."""
+    o = load(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = o.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                ((F.col("o_totalprice") - F.col("mn"))
+                 / (F.col("mx") - F.col("mn")))
+                * HIST_BINS
+            ).cast("bigint"),
+            F.lit(HIST_BINS - 1),
+        ).alias("b"),
+        "mn",
+        "mx",
+        "n",
+    )
+    hist = binned.groupBy("b", "mn", "mx", "n").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "cum_c",
+        F.sum("c").over(
+            Window.partitionBy("mn").orderBy("b")  # one tiny partition
+        ),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.expr(HIST_QS)).alias("q")
+    )
+    step = (F.col("mx") - F.col("mn")) / HIST_BINS
+    return (
+        qs.join(cum, F.col("cum_c") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(
+            F.min("b").alias("bin"),
+            F.min(F.col("mn") + (F.col("b").cast("double") * step)).alias(
+                "est_lo"
+            ),
+        )
+    )

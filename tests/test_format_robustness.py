@@ -175,3 +175,41 @@ def test_sidecar_publish_is_atomic(sample_file, tmp_path):
         f for f in os.listdir(os.path.dirname(path)) if ".tmp." in f
     ]
     assert leftovers == []
+
+
+def test_random_bytes_never_hang_or_crash(tmp_path):
+    """Arbitrary byte blobs handed to the reader must raise a clean Python
+    exception — never hang, never return fabricated data, never kill the
+    interpreter. (An object store at fleet scale WILL eventually serve
+    garbage at a .quiver key.) Deterministic high-volume fuzz: seeded
+    random blobs plus adversarial tails that mimic the EOS trailer with
+    hostile size fields."""
+    import struct
+
+    import numpy as np
+
+    from quiver_spark.format.constants import EOS
+
+    rng = np.random.default_rng(42)
+    blobs = [bytes(rng.integers(0, 256, n, dtype=np.uint8)) for n in
+             (0, 1, 8, 16, 32, 64, 200, 1000, 5000) for _ in range(8)]
+    # adversarial: valid EOS trailer, hostile schema/meta sizes
+    for schema_size, meta_size in [
+        (0, 0), (1, 1), (2**31 - 1, 2**31 - 1), (0, 2**32 - 9),
+        (123456, 0), (0, 123456),
+    ]:
+        body = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+        blobs.append(
+            body + struct.pack("<II", schema_size, meta_size) + EOS
+        )
+    failures = []
+    for i, blob in enumerate(blobs):
+        p = str(tmp_path / f"fuzz{i}.quiver")
+        with open(p, "wb") as fh:
+            fh.write(blob)
+        try:
+            read_table(p)
+            failures.append(i)  # fabricated success on garbage
+        except Exception:
+            pass  # any clean Python exception is the contract
+    assert not failures, f"garbage blobs decoded 'successfully': {failures}"

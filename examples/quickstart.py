@@ -74,6 +74,19 @@ def main() -> None:
     print("\ncodec tree (first file):")
     print(describe(part))
 
+    # --- maintenance: compact a small-files directory --------------------
+    from quiver_spark import maintenance
+
+    summary = maintenance.compact(
+        spark, f"{out}/demo", f"{out}/demo_compacted"
+    )
+    print(
+        f"\ncompacted {summary['files_before']} files -> "
+        f"{summary['files_after']} ({summary['rows']} rows preserved)"
+    )
+    # the same utilities without a Spark session:
+    #   python -m quiver_spark inspect|stat|verify|head|compact <path>
+
     # --- pipeline operators over the driver testdata (if present) --------
     sf = "/root/testdata/sf0.001"
     if os.path.isdir(sf):

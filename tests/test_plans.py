@@ -246,3 +246,32 @@ def test_interval_join_uses_equi_key(spark):
         or "BroadcastHashJoin" in plan
     ), plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_histogram_sketch_broadcasts_stats(spark):
+    """sketch_histogram_quantiles: the (min,max,n) stats row joins back by
+    broadcast; no Python evaluation anywhere in the plan."""
+    df = _df(spark, "sketch_histogram_quantiles")
+    plan = plans.physical_plan(df)
+    assert plans.has_broadcast_join(df), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sq8_recall_against_exact(spark):
+    """Quantization quality, not just determinism: int8 ADC top-10 must
+    substantially agree with the exact-dot top-10 per probe (synthetic
+    embeddings are unit vectors; 8-bit codes keep ranking nearly intact).
+    Deterministic data -> deterministic overlap, so the bound is stable."""
+    exact = _df(spark, "ann_dot_topk").collect()
+    sq8 = _df(spark, "ann_sq8_topk").collect()
+    from collections import defaultdict
+
+    e, s = defaultdict(set), defaultdict(set)
+    for r in exact:
+        e[r.qid].add(r.vec_id)
+    for r in sq8:
+        s[r.qid].add(r.vec_id)
+    assert set(e) == set(s)
+    overlaps = [len(e[q] & s[q]) for q in e]
+    assert sum(overlaps) / len(overlaps) >= 8.0, overlaps  # avg >= 8/10
+    assert min(overlaps) >= 6, overlaps

@@ -14,7 +14,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quiver_spark.functions import DEC_RATE, dec, dsum, revenue, sql_dsum, SQL_REVENUE
+from quiver_spark.functions import dec, dsum, revenue, sql_dsum, SQL_REVENUE
 from quiver_spark.registry import register
 from quiver_spark.sources import register as register_format
 

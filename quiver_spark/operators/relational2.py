@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from quiver_spark.functions import dec, dsum
+from quiver_spark.functions import dec
 from quiver_spark.registry import register
 from quiver_spark.tables import load
 

@@ -332,8 +332,6 @@ class QuiverDataSource(DataSource):
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        from quiver_spark.format.reader import infer_schema
-
         path = _opt_path(self.options)
         if not path:
             raise ValueError("quiver datasource requires a path")

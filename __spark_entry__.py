@@ -51,6 +51,9 @@ _PRIORITY = [
     "events_latest_per_user",
     "quiver_compacted_scan",
     "sketch_histogram_quantiles",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "events_moving_avg_24h",
     # (b) last driver-verified in round 4 — oldest green rows, rotate in
     "quiver_scan_q1",
     "quiver_scan_checksums",
@@ -62,9 +65,6 @@ _PRIORITY = [
     "quiver_adaptive_zstd_join",
     "q1_pricing_summary",
     "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "agg_quantiles",
     "approx_distinct_parts",
     "correlated_small_quantity",
     "window_distribution_funcs",
@@ -84,6 +84,9 @@ _PRIORITY = [
     "multimodal_decode_features",
     "udtf_token_explode",
     # position 51+: displaced round-4 rows — first in line for round 7
+    "q8_market_share",
+    "q9_product_profit",
+    "agg_quantiles",
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q14_promo_revenue",

@@ -240,3 +240,142 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").isNull().alias("is_gap"),
         )
     )
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+    WHERE e.event_type = 'view' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+       (SELECT COUNT(*) FROM s2) AS n_view_after,
+       (SELECT COUNT(*) FROM s3) AS n_purchase_after
+""",
+    tags=("events", "funnel", "analytics"),
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → first view after signup → first
+    purchase after that view): the product-analytics staple. Each stage is
+    a min-timestamp aggregate chained through a user-keyed join — at
+    100 TB that's three shuffles on the uniform user_id key and the stage
+    tables only ever shrink."""
+    ev = load(spark, sf_dir, "events")
+
+    def stage(etype: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(
+                F.col("ts") >= F.col("prev_ts")
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias("prev_ts"))
+
+    s1 = stage("signup", None)
+    s2 = stage("view", s1)
+    s3 = stage("purchase", s2)
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_view_after"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after"))
+    return c1.crossJoin(c2).crossJoin(c3)
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS act_w FROM events
+)
+SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cohort_w, a.act_w) // 7 AS BIGINT)
+           AS week_offset,
+       COUNT(*) AS users
+FROM firsts f JOIN activity a ON f.user_id = a.user_id
+GROUP BY 1, 2
+""",
+    tags=("events", "retention", "analytics"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-activity week,
+    counted in each later week they were active — the engagement matrix.
+    Week truncation is ISO-Monday in both engines, and the offset is an
+    exact integer day difference divided by 7 (both weeks are aligned
+    boundaries, so the division is exact). Two shuffles on user_id plus
+    one small cohort aggregate."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_w")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("act_w"), F.col("cohort_w")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+@register(
+    "events_moving_avg_24h",
+    oracle=f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+    FROM events GROUP BY 1
+)
+SELECT strftime(h, '{TS_FMT_DUCK}') AS hour_ts,
+       cnt,
+       CAST(SUM(cnt) OVER w AS BIGINT) AS mov_cnt_24h,
+       CAST(COUNT(*) OVER w AS BIGINT) AS mov_hours_24h
+FROM hourly
+WINDOW w AS (ORDER BY h
+             RANGE BETWEEN INTERVAL 23 HOURS PRECEDING AND CURRENT ROW)
+""",
+    tags=("events", "window", "timeseries"),
+)
+def events_moving_avg_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour moving aggregate over the hourly event grid using a
+    RANGE frame (gap-correct: a missing hour narrows the frame instead of
+    silently widening it the way a ROWS frame would). The window runs over
+    the PRE-AGGREGATED hourly grid — ~9k rows per year of data — so the
+    unpartitioned ordering is driver-scale by construction; the raw events
+    table only pays one hash aggregate."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # range key = whole hours since epoch, computed with timestampdiff on
+    # the NAIVE timestamps — calendar arithmetic, no session-timezone/DST
+    # dependence (unix_timestamp(cast(ntz as timestamp)) would shift with
+    # the session zone and skew frame bounds across a DST boundary)
+    hours = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP_NTZ'1970-01-01 00:00:00', h)"
+    )
+    w = Window.orderBy(hours).rangeBetween(-23, 0)
+    return hourly.select(
+        F.date_format("h", TS_FMT_SPARK).alias("hour_ts"),
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("mov_cnt_24h"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("mov_hours_24h"),
+    )

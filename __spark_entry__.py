@@ -54,6 +54,7 @@ _PRIORITY = [
     "events_funnel_steps",
     "events_retention_cohorts",
     "events_moving_avg_24h",
+    "embedding_dim_stats",
     # (b) last driver-verified in round 4 — oldest green rows, rotate in
     "quiver_scan_q1",
     "quiver_scan_checksums",
@@ -80,10 +81,10 @@ _PRIORITY = [
     "ann_cosine_topk",
     "ann_dot_topk",
     "ann_lsh_bucketed_pairs",
-    "multimodal_binary_meta",
     "multimodal_decode_features",
     "udtf_token_explode",
     # position 51+: displaced round-4 rows — first in line for round 7
+    "multimodal_binary_meta",
     "q8_market_share",
     "q9_product_profit",
     "agg_quantiles",

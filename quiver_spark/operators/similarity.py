@@ -393,3 +393,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("qid", "vec_id", "cos", "rnk")
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+WITH iv AS (
+    SELECT generate_subscripts(embedding, 1) AS dim,
+           CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS xi
+    FROM embeddings
+),
+agg AS (
+    SELECT dim, COUNT(*) AS n,
+           CAST(SUM(xi) AS BIGINT) AS s1,
+           CAST(SUM(xi * xi) AS BIGINT) AS s2
+    FROM iv GROUP BY dim
+)
+SELECT dim, n, s1, s2,
+       CAST(s1 AS DOUBLE) / n AS mean_scaled,
+       CAST(s2 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+           AS var_scaled
+FROM agg
+""",
+    tags=("similarity", "embedding", "stats"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding corpus — the
+    normalization-statistics pass every embedding pipeline runs before
+    whitening, quantization calibration, or drift monitoring. Components
+    are quantized to scaled ints (exact, order-insensitive sums; squares
+    stay far inside int64 at any shipped SF), and the only floating-point
+    steps are single correctly-rounded divisions/multiplies on identical
+    operands — bit-identical across engines and across partitionings.
+
+    Scale: explode is map-side; ONE shuffle on the 64-value dim key; at
+    100 TB this is the textbook combiner-friendly moment aggregation."""
+    e = load(spark, sf_dir, "embeddings")
+    iv = e.select(
+        F.posexplode(int_vec("embedding")).alias("pos", "xi")
+    ).select((F.col("pos") + 1).alias("dim"), "xi")
+    mean = F.col("s1").cast("double") / F.col("n")
+    return (
+        iv.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xi").cast("bigint").alias("s1"),
+            F.sum(F.col("xi") * F.col("xi")).cast("bigint").alias("s2"),
+        )
+        .select(
+            "dim",
+            "n",
+            "s1",
+            "s2",
+            mean.alias("mean_scaled"),
+            (F.col("s2").cast("double") / F.col("n") - mean * mean).alias(
+                "var_scaled"
+            ),
+        )
+    )

@@ -122,9 +122,12 @@ def _ordered_specs():
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    """Flagship query on sf0.001: the Q1-style pricing summary computed
+    over the NATIVE quiver format scan (parquet → quiver conversion cached
+    under /tmp on first run) — one call exercises the writer, the adaptive
+    codec cascade, the DataSource scan, and the relational layer."""
     specs = load_all_operators()
-    return specs["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
+    return specs["quiver_scan_q1"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -25,10 +25,14 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # Round 6 window (50): (a) the 10 queries never yet inside any round's
 # driver sample — the only driver-checkable proof of DeltaBitpacking, Freq
 # roaring decode, the decimal128 cascade, struct/map nested assembly and
-# uint widening — plus the new batch-read (R7) query and the four operators
-# added this round; then (b) the 35 oldest-green rows (last verified round
-# 4). Everything displaced is green on the round-5 record and leads the
-# round-7 rotation.
+# uint widening — plus the 14 operators added this round (batch read,
+# chunk dedup, temperature mix, sq8 ANN, interval join, corpus funnel,
+# latest-per-key, compacted scan, histogram sketch, funnel, retention,
+# moving average, dim stats); then (b) the oldest-green rows (last
+# verified round 4) up to 50. Displaced round-4 rows sit at position 51+
+# and lead the round-7 rotation; every one of them was re-verified green
+# at sf0.01 this round (SURVEY §5 item 6), so aging them one extra round
+# carries no correctness risk.
 _PRIORITY = [
     # (a) never driver-sampled — close the last coverage asterisk
     "quiver_scan_delta",

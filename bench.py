@@ -65,16 +65,18 @@ def main() -> None:
     # (Measured 2026-08-14: min-of-2 swung individual join queries ±50%
     # between runs; min-of-3 tracks solo re-times.)
     bench_specs = [(n, s) for n, s in sorted(specs.items()) if s.bench]
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for _pass in range(3):
         for name, spec in bench_specs:
             t0 = time.perf_counter()
             df = spec.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if dt < timings.get(name, float("inf")):
-                timings[name] = dt
-    timings = {k: round(v, 3) for k, v in timings.items()}
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
+    timings = {k: round(min(v), 3) for k, v in samples.items()}
+    # median-of-3 per query, reported for the slowest set: makes run-to-run
+    # spread visible in the official record (a slow min with a close median
+    # is real cost; a slow median over a fast min is GC/cache noise)
+    medians = {k: round(sorted(v)[len(v) // 2], 3) for k, v in samples.items()}
     total = sum(timings.values())
 
     # Format throughput proxies (BASELINE.md): full-table scan quiver vs
@@ -163,6 +165,9 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "proxies": {k: timings[k] for k in proxies if k in timings},
                 "slowest10": slowest10,
+                "slowest10_median": {
+                    k: medians[k] for k in slowest10 if k in medians
+                },
                 "adaptive_vs_basic_compression_ratio": comp_ratio,
                 "quiver_vs_parquet_scan_ratio": round(
                     timings["scan_quiver_lineitem"] / timings["scan_parquet_lineitem"],

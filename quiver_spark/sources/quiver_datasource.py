@@ -6,7 +6,10 @@
 Split planning mirrors the reference's page-granular reads (NativeReader
 nth/skip_page, src/read/reader.rs:91-146): the driver reads each file's
 footer once, then fans out InputPartitions covering page ranges sized by
-`partition_rows` (default 32k rows). Executors open only their byte range
+`partition_rows` (default 32k rows) AND `partition_bytes` (default
+128 MiB of compressed page bytes across all leaves — the cap that keeps
+wide-row multimodal blob tables from packing tens of GB into one task;
+narrow tables never reach it). Executors open only their byte range
 per projected column — at 100 TB this is the same contract as Spark's
 parquet scan: splits ~= files × page-ranges, no driver-side row handling.
 
@@ -93,6 +96,13 @@ FORMAT_NAME = "quiver"
 # (LIMIT budget, no concat copy, lower peak memory). At cluster scale
 # splits stay ~= files x page-ranges.
 DEFAULT_PARTITION_ROWS = 1 << 15
+#: byte cap per planned partition (compressed page bytes across ALL leaf
+#: columns): row-count sizing alone mis-sizes wide rows — a multimodal
+#: table with megabyte binary blobs would pack 32k rows = tens of GB into
+#: one task. 128 MiB mirrors spark.sql.files.maxPartitionBytes; narrow
+#: tables never hit it (32k rows ≪ 128 MiB), so relational plans and the
+#: measured scan configs are unchanged.
+DEFAULT_PARTITION_BYTES = 128 << 20
 DEFAULT_MAX_ROWS_PER_FILE = 1 << 22
 
 
@@ -546,6 +556,9 @@ class QuiverScanReader(DataSourceReader):
         self.partition_rows = int(
             options.get("partition_rows", DEFAULT_PARTITION_ROWS)
         )
+        self.partition_bytes = int(
+            options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
         # Zone-map page pruning is OPT-IN (page_prune=true): Spark's
         # PythonDataSourceV2 plan cache can replay a filtered build's pruned
         # partitions for a later unfiltered query on the same DataFrame (see
@@ -707,27 +720,41 @@ class QuiverScanReader(DataSourceReader):
             if not metas or not metas[0].pages:
                 continue
             pages = metas[0].pages
-            keep = self._page_keep_mask(file, len(pages))
+            # per-page compressed bytes ACROSS all leaves: the byte cap is
+            # what keeps wide-row (multimodal blob) tables from packing
+            # tens of GB behind a row-count-only split
+            n_pages = len(pages)
+            page_bytes = [
+                sum(
+                    int(m.pages[i].length)
+                    for m in metas
+                    if i < len(m.pages)
+                )
+                for i in range(n_pages)
+            ]
+            keep = self._page_keep_mask(file, n_pages)
             start = None
             rows = 0
+            bts = 0
             for i, p in enumerate(pages):
                 if not keep[i]:
                     if start is not None:
                         parts.append(QuiverPartition(file, start, i, pspec(file)))
-                        start, rows = None, 0
+                        start, rows, bts = None, 0, 0
                     continue
                 if start is None:
                     start = i
                 rows += p.num_values
+                bts += page_bytes[i]
                 if budget is not None:
                     budget -= p.num_values
                     if budget <= 0:
                         # page granularity: stop planning once the pages so
                         # far cover the limit (skip_page analogue)
                         break
-                if rows >= self.partition_rows:
+                if rows >= self.partition_rows or bts >= self.partition_bytes:
                     parts.append(QuiverPartition(file, start, i + 1, pspec(file)))
-                    start, rows = None, 0
+                    start, rows, bts = None, 0, 0
             if start is not None:
                 end = i + 1 if budget is not None and budget <= 0 else len(pages)
                 parts.append(QuiverPartition(file, start, end, pspec(file)))

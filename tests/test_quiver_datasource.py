@@ -676,3 +676,46 @@ def test_ddl_catalog_table_sentinel(spark, tmp_path):
             spark.sql("SELECT COUNT(*) FROM qorders_sentinel").collect()
     finally:
         spark.sql("DROP TABLE IF EXISTS qorders_sentinel")
+
+
+def test_partition_bytes_caps_wide_rows(spark, tmp_path):
+    """Byte-based split sizing: a blob table whose rows are KB-scale must
+    split on the byte cap long before the row cap — the multimodal-table
+    posture (row-count-only splits would pack GBs into one task). Narrow
+    tables stay governed by partition_rows (the byte cap never triggers
+    at default sizes), and results are identical either way."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    # ~4 KB incompressible blob per row → ~8 MB total
+    blobs = [rng.integers(0, 256, 4096, dtype=np.uint8).tobytes() for _ in range(n)]
+    t = pa.table(
+        {"id": pa.array(range(n), pa.int64()), "blob": pa.array(blobs, pa.binary())}
+    )
+    d = tmp_path / "blobs"
+    os.makedirs(d, exist_ok=True)
+    write_table(t, str(d / "part-0.quiver"), WriteOptions(max_page_size=100))
+    register(spark)
+    base = (
+        spark.read.format("quiver")
+        .option("partition_rows", "1000000")  # row cap never triggers
+    )
+    df_uncapped = base.load(str(d))
+    df_capped = (
+        spark.read.format("quiver")
+        .option("partition_rows", "1000000")
+        .option("partition_bytes", str(1 << 20))  # 1 MiB cap
+        .load(str(d))
+    )
+    n_un = df_uncapped.rdd.getNumPartitions()
+    n_cap = df_capped.rdd.getNumPartitions()
+    assert n_un == 1, n_un
+    assert n_cap >= 6, n_cap  # ~8 MB / 1 MiB
+    assert df_capped.count() == n
+    assert (
+        df_capped.agg(F.sum(F.length("blob"))).collect()[0][0]
+        == df_uncapped.agg(F.sum(F.length("blob"))).collect()[0][0]
+        == n * 4096
+    )

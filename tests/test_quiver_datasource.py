@@ -719,3 +719,46 @@ def test_partition_bytes_caps_wide_rows(spark, tmp_path):
         == df_uncapped.agg(F.sum(F.length("blob"))).collect()[0][0]
         == n * 4096
     )
+
+
+def test_append_mode(spark, tmp_path):
+    """mode('append') publishes new files alongside the existing table
+    (uuid-named, no collisions), leaves no staging residue, and composes
+    with Hive-partitioned layout — the incremental-ingest batch path."""
+    register(spark)
+    d = str(tmp_path / "append_flat")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    n.write.format("quiver").mode("overwrite").save(d)
+    n.write.format("quiver").mode("append").save(d)
+    back = spark.read.format("quiver").load(d)
+    assert back.count() == 2 * n.count()
+    assert (
+        back.agg(F.sum("n_nationkey")).collect()[0][0]
+        == 2 * n.agg(F.sum("n_nationkey")).collect()[0][0]
+    )
+    assert not os.path.isdir(os.path.join(d, "_temporary")) or not os.listdir(
+        os.path.join(d, "_temporary")
+    )
+
+    dp = str(tmp_path / "append_part")
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = doc.write.format("quiver").option("partition_by", "lang")
+    w.mode("overwrite").save(dp)
+    doc.write.format("quiver").option("partition_by", "lang").mode(
+        "append"
+    ).save(dp)
+    back = spark.read.format("quiver").load(dp)
+    assert back.count() == 2 * doc.count()
+    # appended rows landed INSIDE the lang=... subdirs, not at top level
+    import glob as _glob
+
+    assert not _glob.glob(os.path.join(dp, "*.quiver"))
+    per_lang = dict(
+        (r["lang"], r["cnt"])
+        for r in back.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    want = dict(
+        (r["lang"], 2 * r["cnt"])
+        for r in doc.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    assert per_lang == want

@@ -213,3 +213,24 @@ def test_random_bytes_never_hang_or_crash(tmp_path):
         except Exception:
             pass  # any clean Python exception is the contract
     assert not failures, f"garbage blobs decoded 'successfully': {failures}"
+
+
+def test_corrupt_sidecar_never_blocks_reads(sample_file, tmp_path):
+    """A garbled/truncated/wrong-shape stats sidecar must only disable
+    verification and pruning — the data read itself always succeeds
+    (load_sidecar returns None on parse failure; shape-mismatched CRC
+    lists are ignored by crcs_if_consistent)."""
+    import shutil
+
+    from quiver_spark.format.stats import STATS_SUFFIX
+
+    t, path, _data = sample_file
+    for i, garbage in enumerate(
+        [b"", b"{", b"\x00\xff\x13garbage", b'{"version": 99}',
+         b'{"version": 1, "page_rows": [1], "page_crc32": [[123]]}']
+    ):
+        p = str(tmp_path / f"side{i}.quiver")
+        shutil.copy(path, p)
+        with open(p + STATS_SUFFIX, "wb") as fh:
+            fh.write(garbage)
+        assert read_table(p).equals(t), f"garbage sidecar #{i} broke the read"

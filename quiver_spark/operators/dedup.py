@@ -19,6 +19,15 @@ from quiver_spark.tables import load
 N_HASHES = 8  # minhash signature length
 BAND_SIZE = 2  # rows per LSH band → 4 bands
 N_BANDS = N_HASHES // BAND_SIZE
+#: band-bucket size cap for PAIR GENERATION: a group of k docs sharing a
+#: band hash yields k(k-1)/2 candidate pairs — a viral duplicate (or a
+#: band-hash collision cluster) turns one bucket quadratic at fleet scale.
+#: Buckets larger than this are dropped from pair generation (mirrored in
+#: the oracle CTE): a >64-member near-identical group is the EXACT-dedup
+#: pass's job (hash the text, keep one), not pairwise estimation's. The
+#: shipped testdata never approaches the cap, so results are unchanged
+#: there; at 100 TB this is what bounds the worst bucket's fan-out.
+MAX_BAND_BUCKET = 64
 
 
 @register(
@@ -203,11 +212,19 @@ def _sql_cand_chain() -> str:
         _sql_minhash_signature()
         + f""",
 bands AS ({_sql_bands()}),
+kept_buckets AS (
+    SELECT band, band_hash FROM bands
+    GROUP BY band, band_hash HAVING COUNT(*) <= {MAX_BAND_BUCKET}
+),
+kept AS (
+    SELECT bands.* FROM bands
+    JOIN kept_buckets USING (band, band_hash)
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-                AND a.doc_id < b.doc_id
+    FROM kept a
+    JOIN kept b ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
 )"""
     )
 
@@ -228,8 +245,10 @@ JOIN sig sb ON doc_b = sb.doc_id
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signatures (4 bands × 2 rows),
     bucket-join on band hash, estimate Jaccard from signature agreement.
-    The join key is the band hash, so only near-dup docs ever meet — the
-    shuffle stays proportional to true-duplicate density at any scale."""
+    The join key is the band hash, so only near-dup docs ever meet — and
+    buckets larger than MAX_BAND_BUCKET are dropped before the self-join,
+    so no single viral-duplicate (or collision) bucket can go quadratic:
+    the worst bucket's fan-out is bounded at k(k-1)/2 with k <= 64."""
     sig = _minhash_signature(spark, sf_dir).cache()
     bands = None
     for b in range(N_BANDS):
@@ -240,6 +259,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(",", *cols).cast("binary")).alias("band_hash"),
         )
         bands = part if bands is None else bands.unionByName(part)
+    kept_buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= MAX_BAND_BUCKET)
+        .select("band", "band_hash")
+    )
+    bands = bands.join(kept_buckets, ["band", "band_hash"])
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -24,7 +24,20 @@ from quiver_spark.tables import load
 
 JACCARD_THRESHOLD = 0.5
 MAX_SHINGLE_DF = 50  # stop-shingle cap: drop shingles in more docs
-N_PLANES = 8  # LSH signature bits
+#: Multi-table random-hyperplane LSH (OR-construction): L tables of k
+#: planes each — the same architecture as the minhash bands. One fixed
+#: table caps the bucket space at 2^k forever, so buckets (and the
+#: per-bucket quadratic pair term) grow linearly with the corpus; tables
+#: recover recall (a close pair needs to collide in ANY table) while
+#: finer per-table buckets keep collisions similarity-driven. Weights are
+#: md5-derived literal integers in [-3, 3] embedded in BOTH engines'
+#: expressions — the previous affine pattern ((i*31 + j*17) % 7) reduced
+#: to 3(i+j) % 7, making plane j+7 an exact DUPLICATE of plane j.
+LSH_TABLES = 4
+LSH_PLANES_PER_TABLE = 12
+EMB_DIM = 64  # driver testdata embedding width (TESTDATA.md)
+#: bucket cap for pair generation (same rationale as MAX_BAND_BUCKET)
+MAX_LSH_BUCKET = 256
 COS_THRESHOLD = 0.3
 
 
@@ -118,48 +131,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_weight_expr(j: int, ivar: str = "i") -> str:
-    """Deterministic pseudo-random hyperplane component for (dim i, plane j):
-    values in [-3, 3], identical integer arithmetic in Spark SQL and
-    DuckDB. ``ivar`` is the 0-based dimension index expression."""
-    return f"(({ivar} * 31 + {j} * 17) % 7 - 3)"
+def _plane_weights(j: int) -> list[int]:
+    """Deterministic md5-derived hyperplane weights in [-3, 3] for plane j
+    — one integer per embedding dimension, embedded as LITERALS in both
+    engines' expressions so the buckets are bit-identical. md5 (not an
+    affine pattern) so no two planes are linearly related."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:4], 16) % 7 - 3
+        for i in range(EMB_DIM)
+    ]
 
 
 def _lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id, label, iv (quantized ints), sig (bit-string bucket)."""
+    """(vec_id, label, iv, tbl, sig): one row per (vector, table), sig =
+    the table's k-bit bucket string. Built as ONE spark.sql call (48 plane
+    dots as Column objects would cost seconds of py4j round trips)."""
     e = load(spark, sf_dir, "embeddings")
     iv = e.select("vec_id", "label", int_vec("embedding").alias("iv"))
-    bits = []
-    for j in range(N_PLANES):
-        w = _plane_weight_expr(j)
-        dot = F.expr(
-            "aggregate(zip_with(iv, sequence(0, size(iv) - 1), "
-            f"(x, i) -> x * {w}), 0L, (a, x) -> a + x)"
+    iv.createOrReplaceTempView("quiver_lsh_iv_v")
+    table_sigs = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for p in range(LSH_PLANES_PER_TABLE):
+            w = _plane_weights(t * LSH_PLANES_PER_TABLE + p)
+            arr = "array(" + ", ".join(str(x) for x in w) + ")"
+            dot = (
+                f"aggregate(zip_with(iv, {arr}, (x, w) -> x * CAST(w AS BIGINT)), "
+                "CAST(0 AS BIGINT), (a, x) -> a + x)"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+        table_sigs.append(f"concat({', '.join(bits)}) AS sig{t}")
+    legs = " UNION ALL ".join(
+        f"SELECT vec_id, label, iv, {t} AS tbl, sig{t} AS sig FROM sigs"
+        for t in range(LSH_TABLES)
+    )
+    return spark.sql(
+        f"""
+        WITH sigs AS (
+            SELECT vec_id, label, iv, {', '.join(table_sigs)}
+            FROM quiver_lsh_iv_v
         )
-        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
-    return iv.withColumn("sig", F.concat(*bits))
+        {legs}
+        """
+    )
 
 
 def _sql_lsh_signature() -> str:
-    """DuckDB twin: 1-based generate_subscripts → i-1 matches Spark's 0-based
-    sequence index."""
-    bit_cols = []
-    for j in range(N_PLANES):
-        w = _plane_weight_expr(j, ivar="(i - 1)")
-        bit_cols.append(
-            f"CASE WHEN SUM(xi * {w}) > 0 THEN '1' ELSE '0' END"
-        )
-    sig = " || ".join(bit_cols)
+    """DuckDB twin: the same literal weight arrays, indexed 1-based."""
+    table_sigs = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for p in range(LSH_PLANES_PER_TABLE):
+            w = _plane_weights(t * LSH_PLANES_PER_TABLE + p)
+            arr = "[" + ", ".join(str(x) for x in w) + "]"
+            bits.append(
+                f"CASE WHEN SUM(xi * CAST(({arr})[i] AS BIGINT)) > 0 "
+                "THEN '1' ELSE '0' END"
+            )
+        table_sigs.append(" || ".join(bits) + f" AS sig{t}")
+    legs = " UNION ALL ".join(
+        f"SELECT vec_id, label, {t} AS tbl, sig{t} AS sig FROM sigs0"
+        for t in range(LSH_TABLES)
+    )
     return f"""
 iv AS (
     SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
            CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi
     FROM embeddings
 ),
-sig AS (
-    SELECT vec_id, label, {sig} AS sig
+sigs0 AS (
+    SELECT vec_id, label, {', '.join(table_sigs)}
     FROM iv GROUP BY vec_id, label
-)
+),
+sig AS ({legs})
 """
 
 
@@ -167,19 +213,21 @@ sig AS (
     "ann_lsh_buckets",
     oracle=f"""
 WITH {_sql_lsh_signature()}
-SELECT sig, COUNT(*) AS bucket_size,
+SELECT tbl, sig, COUNT(*) AS bucket_size,
        CAST(MIN(vec_id) AS BIGINT) AS min_vec,
        COUNT(DISTINCT label) AS n_labels
-FROM sig GROUP BY sig
+FROM sig GROUP BY tbl, sig
 """,
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket histogram — the partitioning step of
-    bucketed ANN (each bucket is an independent block; at scale, buckets
-    are the shuffle key and brute force never crosses them)."""
+    """Multi-table random-hyperplane LSH bucket histogram — the
+    partitioning step of bucketed ANN. Each (table, bucket) is an
+    independent block; at scale the bucket is the shuffle key, tables
+    recover recall, and per-table granularity (2^k buckets) keeps block
+    sizes similarity-driven instead of corpus-proportional."""
     sig = _lsh_signature(spark, sf_dir)
-    return sig.groupBy("sig").agg(
+    return sig.groupBy("tbl", "sig").agg(
         F.count(F.lit(1)).alias("bucket_size"),
         F.min("vec_id").cast("bigint").alias("min_vec"),
         F.countDistinct("label").alias("n_labels"),
@@ -190,14 +238,27 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_bucketed_pairs",
     oracle=f"""
 WITH {_sql_lsh_signature()},
+kept_buckets AS (
+    SELECT tbl, sig AS s FROM sig
+    GROUP BY tbl, sig HAVING COUNT(*) <= {MAX_LSH_BUCKET}
+),
+kept AS (
+    SELECT sig.vec_id, sig.tbl, sig.sig FROM sig
+    JOIN kept_buckets ON sig.tbl = kept_buckets.tbl
+                     AND sig.sig = kept_buckets.s
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+    FROM kept a
+    JOIN kept b ON a.tbl = b.tbl AND a.sig = b.sig
+               AND a.vec_id < b.vec_id
+),
 dots AS (
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           SUM(ia.xi * ib.xi) AS idot
-    FROM sig a
-    JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
-    JOIN iv ia ON ia.vec_id = a.vec_id
-    JOIN iv ib ON ib.vec_id = b.vec_id AND ia.i = ib.i
-    GROUP BY a.vec_id, b.vec_id
+    SELECT c.a, c.b, SUM(ia.xi * ib.xi) AS idot
+    FROM cand c
+    JOIN iv ia ON ia.vec_id = c.a
+    JOIN iv ib ON ib.vec_id = c.b AND ia.i = ib.i
+    GROUP BY c.a, c.b
 ),
 norms AS (SELECT vec_id, SUM(xi * xi) AS nrm FROM iv GROUP BY vec_id)
 SELECT d.a, d.b,
@@ -208,23 +269,48 @@ WHERE CAST(d.idot AS DOUBLE) / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm 
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN candidate pairs: exact integer cosine, but ONLY within
-    an LSH bucket — the scale path next to ann_cosine_topk's brute force.
+    """Bucketed ANN candidate pairs: exact integer cosine, but ONLY for
+    pairs sharing a (table, bucket) — the scale path next to
+    ann_cosine_topk's brute force. A pair colliding in several tables is
+    deduped BEFORE scoring; buckets above MAX_LSH_BUCKET are dropped
+    (viral/degenerate-bucket cap, as in the minhash/simhash generators).
     Exact integer dots and norms; cosine is sqrt+divide on identical
     operands both sides."""
     from quiver_spark.functions import int_dot
 
-    sig = _lsh_signature(spark, sf_dir)
-    a = sig.select(F.col("vec_id").alias("a"), F.col("iv").alias("va"), "sig")
-    b = sig.select(F.col("vec_id").alias("b"), F.col("iv").alias("vb"), "sig")
-    pairs = a.join(b, "sig").filter(F.col("a") < F.col("b"))
+    sig = _lsh_signature(spark, sf_dir).localCheckpoint()
+    kept_buckets = (
+        sig.groupBy("tbl", "sig")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
+        .select("tbl", "sig")
+    )
+    kept = sig.join(kept_buckets, ["tbl", "sig"]).select(
+        "vec_id", "tbl", "sig"
+    )
+    a = kept.select(F.col("vec_id").alias("a"), "tbl", "sig")
+    b = kept.select(F.col("vec_id").alias("b"), "tbl", "sig")
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    e = load(spark, sf_dir, "embeddings")
+    iv = e.select("vec_id", int_vec("embedding").alias("iv"))
+    va = iv.select(F.col("vec_id").alias("a"), F.col("iv").alias("va"))
+    vb = iv.select(F.col("vec_id").alias("b"), F.col("iv").alias("vb"))
     nrm = lambda c: F.aggregate(c, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x)
-    scored = pairs.select(
-        "a",
-        "b",
-        int_dot("va", "vb").alias("idot"),
-        nrm("va").alias("na"),
-        nrm("vb").alias("nb"),
+    scored = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            int_dot("va", "vb").alias("idot"),
+            nrm("va").alias("na"),
+            nrm("vb").alias("nb"),
+        )
     )
     cos = F.col("idot").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))

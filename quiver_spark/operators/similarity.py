@@ -164,22 +164,28 @@ def _near_dup_oracle() -> str:
 
     return f"""
 WITH {_sql_lsh_signature()},
-norms AS (SELECT vec_id, SUM(xi * xi) AS nrm FROM iv GROUP BY vec_id),
-dots AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           a.label = b.label AS same_label,
-           SUM(ia.xi * ib.xi) AS idot
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM sig a
-    JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
-    JOIN iv ia ON ia.vec_id = a.vec_id
-    JOIN iv ib ON ib.vec_id = b.vec_id AND ia.i = ib.i
-    GROUP BY 1, 2, 3
+    JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+              AND a.vec_id < b.vec_id
+),
+norms AS (SELECT vec_id, SUM(xi * xi) AS nrm FROM iv GROUP BY vec_id),
+labels AS (SELECT vec_id, MIN(label) AS label FROM iv GROUP BY vec_id),
+dots AS (
+    SELECT c.vec_a, c.vec_b, SUM(ia.xi * ib.xi) AS idot
+    FROM cand c
+    JOIN iv ia ON ia.vec_id = c.vec_a
+    JOIN iv ib ON ib.vec_id = c.vec_b AND ia.i = ib.i
+    GROUP BY 1, 2
 )
-SELECT vec_a, vec_b, same_label,
+SELECT d.vec_a, d.vec_b, la.label = lb.label AS same_label,
        CAST(idot AS DOUBLE) / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
-FROM dots
-JOIN norms na ON vec_a = na.vec_id
-JOIN norms nb ON vec_b = nb.vec_id
+FROM dots d
+JOIN norms na ON d.vec_a = na.vec_id
+JOIN norms nb ON d.vec_b = nb.vec_id
+JOIN labels la ON d.vec_a = la.vec_id
+JOIN labels lb ON d.vec_b = lb.vec_id
 WHERE CAST(idot AS DOUBLE) / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) > {NEAR_DUP_COS}
 """
 
@@ -198,25 +204,29 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups are the interesting dedup signal)."""
     from quiver_spark.operators.pipeline2 import _lsh_signature
 
-    sig = _lsh_signature(spark, sf_dir)
-    emb = sig.withColumn("nrm", int_dot("iv", "iv"))
-    a = emb.select(
-        F.col("sig").alias("sa"),
-        F.col("label").alias("la"),
+    sig = _lsh_signature(spark, sf_dir).localCheckpoint()
+    a = sig.select(F.col("vec_id").alias("vec_a"), "tbl", "sig")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "tbl", "sig")
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    emb = _int_emb(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
+    ea = emb.select(
         F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
         F.col("iv").alias("iva"),
         F.col("nrm").alias("na"),
     )
-    b = emb.select(
-        F.col("sig").alias("sb"),
-        F.col("label").alias("lb"),
+    eb = emb.select(
         F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
         F.col("iv").alias("ivb"),
         F.col("nrm").alias("nb"),
     )
-    pairs = a.join(
-        b, (F.col("sa") == F.col("sb")) & (F.col("vec_a") < F.col("vec_b"))
-    )
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
     cos = int_dot("iva", "ivb").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )

@@ -162,12 +162,23 @@ NEAR_DUP_COS = 0.25
 def _near_dup_oracle() -> str:
     from quiver_spark.operators.pipeline2 import _sql_lsh_signature
 
+    from quiver_spark.operators.pipeline2 import MAX_LSH_BUCKET
+
     return f"""
 WITH {_sql_lsh_signature()},
+kept_buckets AS (
+    SELECT tbl, sig AS s FROM sig
+    GROUP BY tbl, sig HAVING COUNT(*) <= {MAX_LSH_BUCKET}
+),
+kept AS (
+    SELECT sig.vec_id, sig.tbl, sig.sig FROM sig
+    JOIN kept_buckets ON sig.tbl = kept_buckets.tbl
+                     AND sig.sig = kept_buckets.s
+),
 cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM sig a
-    JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+    FROM kept a
+    JOIN kept b ON a.tbl = b.tbl AND a.sig = b.sig
               AND a.vec_id < b.vec_id
 ),
 norms AS (SELECT vec_id, SUM(xi * xi) AS nrm FROM iv GROUP BY vec_id),
@@ -204,7 +215,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups are the interesting dedup signal)."""
     from quiver_spark.operators.pipeline2 import _lsh_signature
 
+    from quiver_spark.operators.pipeline2 import MAX_LSH_BUCKET
+
     sig = _lsh_signature(spark, sf_dir).localCheckpoint()
+    kept_buckets = (
+        sig.groupBy("tbl", "sig")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
+        .select("tbl", "sig")
+    )
+    sig = sig.join(kept_buckets, ["tbl", "sig"])
     a = sig.select(F.col("vec_id").alias("vec_a"), "tbl", "sig")
     b = sig.select(F.col("vec_id").alias("vec_b"), "tbl", "sig")
     cand = (

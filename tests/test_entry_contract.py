@@ -53,3 +53,31 @@ def test_every_query_has_an_oracle_or_is_documented():
 def test_oracle_sql_is_subset_of_queries():
     extra = set(entry.oracle_sql()) - set(entry.queries())
     assert extra == set(), extra
+
+
+def test_every_pair_generator_is_fanout_bounded():
+    """Scale guardrail: every operator that self-joins on a blocking key
+    must carry an explicit fan-out bound — a band-bucket cap or a
+    document-frequency cap — so no viral duplicate or degenerate bucket
+    can go quadratic. This test pins the constants so a future operator
+    (or a refactor that drops a cap) fails loudly here."""
+    from quiver_spark.operators import dedup, pipeline2, pipeline3
+
+    assert 2 <= dedup.MAX_BAND_BUCKET <= 1 << 12
+    assert 2 <= dedup.MAX_SIMHASH_BUCKET <= 1 << 12
+    assert 2 <= pipeline2.MAX_LSH_BUCKET <= 1 << 12
+    assert 2 <= pipeline2.MAX_SHINGLE_DF <= 1 << 12
+    assert 2 <= pipeline3.MAX_FP_DF <= 1 << 12
+    # simhash pigeonhole: bands must exceed the Hamming threshold for the
+    # at-least-one-clean-band guarantee
+    assert dedup.SIMHASH_N_BANDS > dedup.SIMHASH_HAMMING_MAX
+    # assembled simhash must fit a signed 64-bit integer
+    assert dedup.SIMHASH_BITS < 64
+    # the caps appear in BOTH engines' texts (oracle carries the same cap)
+    from quiver_spark.registry import load_all_operators
+
+    specs = load_all_operators()
+    assert f"<= {dedup.MAX_BAND_BUCKET}" in specs["dedup_minhash_pairs"].oracle
+    assert f"<= {dedup.MAX_SIMHASH_BUCKET}" in specs["dedup_simhash_pairs"].oracle
+    assert f"<= {pipeline2.MAX_LSH_BUCKET}" in specs["ann_lsh_bucketed_pairs"].oracle
+    assert f"<= {pipeline2.MAX_LSH_BUCKET}" in specs["embedding_near_dup"].oracle

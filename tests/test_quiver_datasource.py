@@ -280,9 +280,14 @@ def test_spark_write_adaptive_options(spark, tmp_path):
     )
     q = spark.read.format("quiver").load(out)
     assert q.count() == p.count()
-    assert q.agg(F.sum("l_extendedprice")).collect() == p.agg(
-        F.sum("l_extendedprice")
+    # exact DECIMAL sum (registry determinism convention): a double SUM is
+    # partitioning-order-sensitive — quiver and parquet split the table
+    # differently, and at sf0.01 the IEEE accumulation orders visibly
+    # diverge in the 11th digit even though every row is identical
+    dec = lambda df: df.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
     ).collect()
+    assert dec(q) == dec(p)
 
 
 def test_hive_partitioned_write_read(spark, tmp_path):

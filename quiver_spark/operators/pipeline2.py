@@ -7,9 +7,10 @@ Scale posture:
   index join, with a document-frequency cap on shingles (stop-shingle
   removal) so no hot key explodes the join — at 100 TB the df-cap is the
   difference between a bounded shuffle and a quadratic one.
-- LSH bucketing reduces ANN from corpus × corpus to per-bucket blocks; the
-  random hyperplanes are a deterministic integer pattern reproducible in
-  ANSI SQL, so the DuckDB oracle checks the exact same buckets.
+- LSH bucketing reduces ANN from corpus × corpus to per-(table, bucket)
+  blocks (4 tables × 12 planes, md5-derived literal integer weights
+  embedded in BOTH engines' expressions), so the DuckDB oracle checks the
+  exact same buckets; oversized buckets are capped before any self-join.
 """
 
 from __future__ import annotations

@@ -63,6 +63,38 @@ def test_scan_with_filter_and_projection(spark, quiver_lineitem_dir):
     assert got == want
 
 
+def test_columns_option_decodes_only_projection(
+    spark, quiver_lineitem_dir, monkeypatch
+):
+    """Plan pin for the round-7 projection wiring: a reader built with the
+    `columns` option must DECODE only the projected leaves, not merely trim
+    the output batch — the reference's per-column independence
+    (ColumnMeta.offset, src/lib.rs:40-43) made observable. Spark 4.1.2's
+    PythonScanBuilder implements only SupportsPushDownFilters (verified by
+    javap of spark-sql_2.13-4.1.2.jar), so no pruned schema can ever reach
+    this reader: the explicit option IS the projection path, and this pin
+    is what keeps it honest."""
+    from quiver_spark.format import reader as reader_mod
+    from quiver_spark.sources.quiver_datasource import QuiverScanReader
+
+    decoded: list[str] = []
+    real = reader_mod.read_column_pages
+
+    def spy(f, metas, fld, *a, **kw):
+        decoded.append(fld.name)
+        return real(f, metas, fld, *a, **kw)
+
+    monkeypatch.setattr(reader_mod, "read_column_pages", spy)
+    r = QuiverScanReader(
+        {"path": quiver_lineitem_dir, "columns": "l_extendedprice"}, None
+    )
+    parts = r.partitions()
+    batches = list(r.read(parts[0]))
+    assert decoded and set(decoded) == {"l_extendedprice"}, decoded
+    assert all(b.schema.names == ["l_extendedprice"] for b in batches)
+    assert sum(b.num_rows for b in batches) > 0
+
+
 def test_partitioned_scan(spark, tmp_path):
     """partition_rows smaller than the table → multiple InputPartitions
     (splits are page-granular, so write 1000-row pages)."""

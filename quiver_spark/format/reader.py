@@ -285,6 +285,34 @@ def column_leaf_ranges(schema: pa.Schema) -> list[tuple[int, int]]:
     return out
 
 
+def file_row_count(path: str, schema: pa.Schema, metas: list[ColumnMeta]) -> int:
+    """Exact top-level ROW count of a quiver file from metadata alone.
+
+    Nested leaves store SLOT counts in the page meta's num_values (the
+    reference's HybridRleDecoder count, read_basic.rs:84-85), which
+    over-counts rows — so sum pages of the first FLAT column; in an
+    all-nested schema read each first-leaf page's uncompressed `rows u32`
+    prefix (the reference's row-stop `length`, write_nested_validity
+    src/write/serialize.rs:217-232) — 4 bytes per page, no decode."""
+    import struct as _struct
+
+    if not metas:
+        return 0
+    ranges = column_leaf_ranges(schema)
+    for i in range(len(schema)):
+        if not nested_mod.is_nested_type(schema.field(i).type):
+            lo, _cnt = ranges[i]
+            return int(sum(int(p.num_values) for p in metas[lo].pages))
+    rows = 0
+    meta = metas[0]
+    offs = meta.page_offsets()
+    with open(path, "rb") as f:
+        for p in range(len(meta.pages)):
+            f.seek(int(offs[p]))
+            rows += _struct.unpack("<I", f.read(4))[0]
+    return rows
+
+
 def _read_leaf_bytes(
     f, meta: ColumnMeta, page_start: int, page_end: int
 ) -> list[memoryview]:

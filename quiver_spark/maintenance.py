@@ -17,16 +17,34 @@ import os
 
 
 def _dir_stats(src_dir: str) -> tuple[int, int]:
-    """(n_files, total_rows) from footers alone — no data pages touched."""
+    """(n_files, total_rows) from footers alone — no data pages decoded.
+    Row counts go through file_row_count: a nested first column's page
+    num_values is the SLOT count, not rows, so naive metas[0] summing
+    would mis-size n_out on list/struct-led schemas."""
+    from quiver_spark.format.reader import file_row_count
     from quiver_spark.sources.quiver_datasource import _file_footer, _list_files
 
     files = _list_files(src_dir)
     rows = 0
     for f in files:
-        _schema, metas = _file_footer(f)
-        if metas:
-            rows += sum(int(p.num_values) for p in metas[0].pages)
+        schema, metas = _file_footer(f)
+        rows += file_row_count(f, schema, metas)
     return len(files), rows
+
+
+def _check_disjoint(src_dir: str, dst_dir: str) -> None:
+    """Refuse in-place compaction: mode('overwrite') deletes every .quiver
+    under dst on the driver BEFORE the read job runs, so dst==src (or dst
+    nested inside src, or src inside dst) would destroy the source."""
+    src = os.path.realpath(src_dir)
+    dst = os.path.realpath(dst_dir)
+    if src == dst or dst.startswith(src + os.sep) or src.startswith(dst + os.sep):
+        raise ValueError(
+            f"compaction destination {dst_dir!r} overlaps source "
+            f"{src_dir!r}: the overwrite would delete the source files "
+            "before they are read — compact into a sibling directory and "
+            "swap (or repoint the catalog) after success"
+        )
 
 
 def compact(
@@ -52,6 +70,7 @@ def compact(
     from quiver_spark.sources import register as register_format
     from quiver_spark.sources.quiver_datasource import _discover_partitions
 
+    _check_disjoint(src_dir, dst_dir)
     register_format(spark)
     n_files, rows = _dir_stats(src_dir)
     part_cols = [c for c, _k in _discover_partitions(src_dir)[0]]
@@ -100,6 +119,16 @@ def compact_local(
         _list_files,
     )
 
+    # the merged file must not land under src (later scans of src would
+    # then double every row); a parent/sibling destination is fine
+    src_real = os.path.realpath(src_dir)
+    dst_parent = os.path.realpath(os.path.dirname(dst_path) or ".")
+    if dst_parent == src_real or dst_parent.startswith(src_real + os.sep):
+        raise ValueError(
+            f"compact_local destination {dst_path!r} is inside source "
+            f"{src_dir!r}: the merged file would duplicate every row on "
+            "subsequent scans of the source directory"
+        )
     part_cols, _ = _discover_partitions(src_dir)
     if part_cols:
         raise ValueError(

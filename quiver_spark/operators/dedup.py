@@ -358,7 +358,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     to Catalyst in one call (measured: build 1.3 s → ~0.05 s; the
     physical plan is identical)."""
     d = load(spark, sf_dir, "documents")
-    d.createOrReplaceTempView("quiver_simhash_docs_v")
     nibbles = ", ".join(
         f"(locate(substr(h, {n + 1}, 1), '{_HEX}') - 1) AS nib{n}"
         for n in range(SIMHASH_BITS // 4)
@@ -372,11 +371,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE CAST(0 AS BIGINT) END)"
         for j in range(SIMHASH_BITS)
     )
+    # the input binds as a DataFrame argument ({src}), not a named temp
+    # view: fixed view names are session-global, so concurrent callers in
+    # one SparkSession could race between view replacement and analysis
     return spark.sql(
         f"""
         WITH tok AS (
             SELECT doc_id, explode(split(text, ' ')) AS token
-            FROM quiver_simhash_docs_v
+            FROM {{src}}
         ),
         hashed AS (
             SELECT doc_id, md5(token) AS h FROM tok WHERE token <> ''
@@ -384,7 +386,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         nibs AS (SELECT doc_id, {nibbles} FROM hashed),
         sums AS (SELECT doc_id, {bit_sums} FROM nibs GROUP BY doc_id)
         SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM sums
-        """
+        """,
+        src=d,
     )
 
 

@@ -151,10 +151,22 @@ def _lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots as Column objects would cost seconds of py4j round trips)."""
     e = load(spark, sf_dir, "embeddings")
     iv = e.select("vec_id", "label", int_vec("embedding").alias("iv"))
-    iv.createOrReplaceTempView("quiver_lsh_iv_v")
+    # Width guard: the plane-weight literals are EMB_DIM long, and a wider/
+    # narrower embedding would silently null-pad every zip_with dot (all-
+    # zero signatures, one degenerate bucket) while DuckDB's 1-based
+    # indexing sums a partial dot — silent cross-engine divergence. The
+    # guard rides INSIDE sig0's concat as an empty-string term (concat with
+    # '' is identity), so column pruning can never drop it and a mismatch
+    # fails the job loudly; cost is one size() per row.
+    dim_guard = (
+        f"(CASE WHEN size(iv) = {EMB_DIM} THEN '' ELSE "
+        "raise_error(concat('embedding width ', CAST(size(iv) AS STRING), "
+        f"' does not match the {EMB_DIM}-dim LSH plane literals "
+        "(pipeline2.EMB_DIM)')) END)"
+    )
     table_sigs = []
     for t in range(LSH_TABLES):
-        bits = []
+        bits = [dim_guard] if t == 0 else []
         for p in range(LSH_PLANES_PER_TABLE):
             w = _plane_weights(t * LSH_PLANES_PER_TABLE + p)
             arr = "array(" + ", ".join(str(x) for x in w) + ")"
@@ -168,14 +180,17 @@ def _lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT vec_id, label, iv, {t} AS tbl, sig{t} AS sig FROM sigs"
         for t in range(LSH_TABLES)
     )
+    # DataFrame argument binding ({src}), not a fixed-name temp view:
+    # session-global view names race under concurrent callers
     return spark.sql(
         f"""
         WITH sigs AS (
             SELECT vec_id, label, iv, {', '.join(table_sigs)}
-            FROM quiver_lsh_iv_v
+            FROM {{src}}
         )
         {legs}
-        """
+        """,
+        src=iv,
     )
 
 

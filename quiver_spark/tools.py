@@ -34,7 +34,7 @@ def cmd_inspect(path: str) -> dict:
     """Schema, row/page counts, per-column compressed size, sidecar status
     — one footer read plus the sidecar, no data pages touched."""
     from quiver_spark.format import stats as stats_mod
-    from quiver_spark.format.reader import column_leaf_ranges
+    from quiver_spark.format.reader import column_leaf_ranges, file_row_count
 
     schema, metas = _footer(path)
     ranges = column_leaf_ranges(schema)
@@ -56,7 +56,9 @@ def cmd_inspect(path: str) -> dict:
                 ),
             }
         )
-    rows = int(sum(p.num_values for p in metas[ranges[0][0]].pages)) if metas else 0
+    # file_row_count, not metas[0] num_values: a nested first column's
+    # pages carry SLOT counts, which over-count rows
+    rows = file_row_count(path, schema, metas)
     return {
         "file": path,
         "file_bytes": os.path.getsize(path),

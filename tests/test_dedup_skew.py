@@ -68,3 +68,24 @@ def test_clusters_inherit_the_cap(spark, skew_dir):
     labels = {r.doc_id: r.cluster_id for r in rows}
     a_id, b_id = MAX_BAND_BUCKET + 36, MAX_BAND_BUCKET + 37
     assert labels == {a_id: a_id, b_id: a_id}
+
+
+def test_lsh_signature_rejects_wrong_embedding_width(spark, monkeypatch):
+    """The LSH plane-weight literals are EMB_DIM long; any other embedding
+    width must fail LOUDLY (zip_with would otherwise null-pad every dot to
+    NULL → all-zero signatures → one degenerate bucket, while the DuckDB
+    oracle sums a partial dot — silent cross-engine divergence). The guard
+    rides inside sig0's concat so column pruning cannot drop it."""
+    import pyspark.sql.functions as F
+    from py4j.protocol import Py4JJavaError
+
+    from quiver_spark.operators import pipeline2
+
+    bad = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.lit("a").alias("label"),
+        F.array_repeat(F.lit(0.5), pipeline2.EMB_DIM - 1).alias("embedding"),
+    )
+    monkeypatch.setattr(pipeline2, "load", lambda *_a, **_k: bad)
+    with pytest.raises((Py4JJavaError, Exception), match="embedding width"):
+        pipeline2._lsh_signature(spark, "unused").collect()

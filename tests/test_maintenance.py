@@ -96,3 +96,73 @@ def test_compact_local_refuses_partitioned(spark, tmp_path):
     ).option("partition_by", "lang").mode("overwrite").save(src)
     with pytest.raises(ValueError, match="partitioned"):
         maintenance.compact_local(src, str(tmp_path / "x.quiver"))
+
+
+def test_compact_refuses_overlapping_destination(spark, tmp_path):
+    """In-place compaction would be data loss: mode('overwrite') deletes
+    every dst .quiver on the driver BEFORE the read job runs, so dst==src
+    (or nesting either way) must be refused up front."""
+    register(spark)
+    src = str(tmp_path / "inplace")
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    df.write.format("quiver").mode("overwrite").save(src)
+    for dst in (src, os.path.join(src, "sub"), str(tmp_path)):
+        with pytest.raises(ValueError, match="overlaps source"):
+            maintenance.compact(spark, src, dst)
+    # the source is untouched by the refused attempts
+    assert len(glob.glob(os.path.join(src, "*.quiver"))) > 0
+
+
+def test_compact_local_refuses_destination_inside_source(tmp_path):
+    import pyarrow as pa
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+
+    src = str(tmp_path / "flat")
+    os.makedirs(src)
+    write_table(
+        pa.table({"x": pa.array([1, 2, 3], pa.int64())}),
+        os.path.join(src, "part-0.quiver"),
+        WriteOptions(),
+    )
+    with pytest.raises(ValueError, match="inside source"):
+        maintenance.compact_local(src, os.path.join(src, "merged.quiver"))
+    # sibling destination works
+    out = maintenance.compact_local(src, str(tmp_path / "merged.quiver"))
+    assert out["rows"] == 3
+
+
+def test_dir_stats_rows_with_nested_first_column(tmp_path):
+    """A list-led schema stores SLOT counts in the first column's page
+    metas; _dir_stats/file_row_count must still report ROWS (via the first
+    flat leaf, or the nested page's u32 row prefix when every column is
+    nested)."""
+    import pyarrow as pa
+
+    from quiver_spark.format.reader import read_footer
+    from quiver_spark.format.writer import WriteOptions, write_table
+
+    lists = pa.array([[1, 2, 3], [], [4, 5], None, [6]] * 10)
+    d1 = str(tmp_path / "nested_first")
+    os.makedirs(d1)
+    write_table(
+        pa.table({"vals": lists, "k": pa.array(range(50), pa.int64())}),
+        os.path.join(d1, "part-0.quiver"),
+        WriteOptions(),
+    )
+    assert maintenance._dir_stats(d1) == (1, 50)
+
+    d2 = str(tmp_path / "all_nested")
+    os.makedirs(d2)
+    f2 = os.path.join(d2, "part-0.quiver")
+    write_table(pa.table({"vals": lists}), f2, WriteOptions())
+    # drop the sidecar so the u32-row-prefix fallback is the path under test
+    sc = f2 + ".stats.json"
+    if os.path.exists(sc):
+        os.remove(sc)
+    assert maintenance._dir_stats(d2) == (1, 50)
+
+    from quiver_spark.tools import cmd_inspect
+
+    assert cmd_inspect(os.path.join(d1, "part-0.quiver"))["rows"] == 50
+    assert cmd_inspect(f2)["rows"] == 50

@@ -22,72 +22,20 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 6 window (50): (a) the 10 queries never yet inside any round's
-# driver sample — the only driver-checkable proof of DeltaBitpacking, Freq
-# roaring decode, the decimal128 cascade, struct/map nested assembly and
-# uint widening — plus the 14 operators added this round (batch read,
-# chunk dedup, temperature mix, sq8 ANN, interval join, corpus funnel,
-# latest-per-key, compacted scan, histogram sketch, funnel, retention,
-# moving average, dim stats); then (b) the oldest-green rows (last
-# verified round 4) up to 50. Displaced round-4 rows sit at position 51+
-# and lead the round-7 rotation; every one of them was re-verified green
-# at sf0.01 this round (SURVEY §5 item 6), so aging them one extra round
-# carries no correctness risk.
+# Round 7 window (50), per VERDICT r6 item 3: (a) quiver_narrow_projection —
+# new this round, never sampled; (b) the 23 displaced rows whose last
+# driver-green is round 4 (all re-verified green at sf0.01 locally in
+# rounds 6 AND 7, so the aging carried no correctness risk); (c)
+# dedup_simhash and ann_lsh_buckets, whose last driver rows predate the
+# 60-bit / multi-table rework — the reworked versions get their first
+# driver proof here; (d) fill to 50 with the oldest half of the round-5
+# window. Position 51+ holds the rest of the round-5 window (round 8's
+# natural leaders), then the freshly-green round-6 names follow in
+# registry order.
 _PRIORITY = [
-    # (a) never driver-sampled — close the last coverage asterisk
-    "quiver_scan_delta",
-    "quiver_scan_freq",
-    "quiver_scan_nested_types",
-    "quiver_scan_uints",
-    "quiver_scan_decimals",
-    "text_token_bpe",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "dedup_simhash_pairs",
-    "events_locf_impute",
-    "quiver_batch_read",
-    # new surface this round — never sampled, front of the window
-    "dedup_chunk_exact",
-    "sample_temperature_mix",
-    "ann_sq8_topk",
-    "events_interval_join",
-    "pipeline_corpus_summary",
-    "events_latest_per_user",
-    "quiver_compacted_scan",
-    "sketch_histogram_quantiles",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "events_moving_avg_24h",
-    "embedding_dim_stats",
-    # (b) last driver-verified in round 4 — oldest green rows, rotate in
-    "quiver_scan_q1",
-    "quiver_scan_checksums",
-    "quiver_scan_documents",
-    "quiver_scan_embeddings",
-    "quiver_limit_head",
-    "quiver_partitioned_scan",
-    "quiver_pruned_date_scan",
-    "quiver_adaptive_zstd_join",
-    "q1_pricing_summary",
-    "q7_nation_volume",
-    "approx_distinct_parts",
-    "correlated_small_quantity",
-    "window_distribution_funcs",
-    "window_range_frame",
-    "hypertable_rollup",
-    "range_join_user_bursts",
-    "asof_join_events_orders",
-    "sketch_count_min",
-    "dedup_exact_docs",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "embedding_near_dup",
-    "ann_cosine_topk",
-    "ann_dot_topk",
-    "ann_lsh_bucketed_pairs",
-    "multimodal_decode_features",
-    "udtf_token_explode",
-    # position 51+: displaced round-4 rows — first in line for round 7
+    # (a) new this round — never sampled
+    "quiver_narrow_projection",
+    # (b) last driver-verified in round 4 — oldest green rows
     "multimodal_binary_meta",
     "q8_market_share",
     "q9_product_profit",
@@ -111,6 +59,60 @@ _PRIORITY = [
     "text_quality_stats",
     "text_lang_id",
     "text_fingerprint",
+    # (c) reworked since their last driver row (r4: 16-bit simhash /
+    # single-table LSH) — first driver proof of the hardened versions
+    "dedup_simhash",
+    "ann_lsh_buckets",
+    # (d) oldest half of the round-5 window
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "outer_join_coverage",
+    "semi_join_customers",
+    "anti_join_customers",
+    "nonequi_acctbal_pairs",
+    "window_rank_orders",
+    "window_running_total",
+    "window_lag_gap",
+    "window_ntile_share",
+    "rollup_returns",
+    "cube_orders",
+    "setop_intersect_nations",
+    "setop_except_nations",
+    "setop_union_counts",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_subquery_above_avg",
+    "in_between_filter",
+    "null_handling",
+    "case_when_buckets",
+    # position 51+: remaining round-5 rows — round 8's natural leaders
+    "topk_orders",
+    "distinct_counts",
+    "agg_stats_moments",
+    "dedup_minhash_signature",
+    "events_hourly_rollup",
+    "events_sliding_daily",
+    "events_json_extract",
+    "events_sessionize",
+    "events_pivot_types",
+    "quiver_sql_view_agg",
+    "quiver_scan_bools",
+    "dedup_clusters",
+    "ann_ivf_topk",
+    "events_gapfill_hourly",
+    "sample_stratified_docs",
+    "decontaminate_eval_overlap",
+    "text_repetition_stats",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "unpivot_lineitem_metrics",
+    "multimodal_resize_stub",
+    "multimodal_frame_sample",
+    "scalar_map_funcs",
+    "grouped_minmax_norm",
 ]
 
 

@@ -89,3 +89,35 @@ def test_lsh_signature_rejects_wrong_embedding_width(spark, monkeypatch):
     monkeypatch.setattr(pipeline2, "load", lambda *_a, **_k: bad)
     with pytest.raises((Py4JJavaError, Exception), match="embedding width"):
         pipeline2._lsh_signature(spark, "unused").collect()
+
+
+def test_lsh_or_construction_recall_on_planted_near_dups(spark, monkeypatch):
+    """Recall regression guard for the 4-table OR-construction (the twin of
+    test_sq8_recall_against_exact): 50 planted near-dup pairs (cos ~0.97,
+    seeded) among 200 background unit vectors must be recovered at >=75%
+    by ann_lsh_bucketed_pairs. Theory for 4 tables x 12 planes at
+    cos 0.97: per-table collision (1 - theta/pi)^12 ~ 0.39, OR over 4
+    tables ~ 0.86; measured 42/50 = 0.84 deterministic at pin time. A
+    broken table (or a bucket-cap regression dropping genuine near-dup
+    buckets) roughly halves this, so the 0.75 floor separates real
+    regressions from arithmetic-path jitter."""
+    import numpy as np
+
+    from quiver_spark.operators import pipeline2
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(0, 1, (200, pipeline2.EMB_DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base[:50] + rng.normal(0, 0.03, (50, pipeline2.EMB_DIM))
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    allv = np.vstack([base, dup]).astype(np.float32)
+    rows = [(i, "x", [float(v) for v in allv[i]]) for i in range(250)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    monkeypatch.setattr(pipeline2, "load", lambda *_a, **_k: df)
+    found = pipeline2.ann_lsh_bucketed_pairs(spark, "unused").collect()
+    fset = {(min(r.a, r.b), max(r.a, r.b)) for r in found}
+    planted = {(i, 200 + i) for i in range(50)}
+    recovered = len(planted & fset)
+    assert recovered >= 38, f"recall collapsed: {recovered}/50 planted pairs"

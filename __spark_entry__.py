@@ -35,6 +35,8 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 _PRIORITY = [
     # (a) new this round — never sampled
     "quiver_narrow_projection",
+    "pipeline_pack_sequences",
+    "text_context_windows",
     # (b) last driver-verified in round 4 — oldest green rows
     "multimodal_binary_meta",
     "q8_market_share",
@@ -86,9 +88,9 @@ _PRIORITY = [
     "scalar_math_funcs",
     "scalar_subquery_above_avg",
     "in_between_filter",
+    # position 51+: remaining round-5 rows — round 8's natural leaders
     "null_handling",
     "case_when_buckets",
-    # position 51+: remaining round-5 rows — round 8's natural leaders
     "topk_orders",
     "distinct_counts",
     "agg_stats_moments",

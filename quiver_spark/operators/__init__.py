@@ -8,6 +8,7 @@ from quiver_spark.operators import (  # noqa: F401
     pipeline2,
     pipeline3,
     pipeline4,
+    pipeline5,
     relational,
     relational2,
     relational3,

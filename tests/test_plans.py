@@ -275,3 +275,26 @@ def test_sq8_recall_against_exact(spark):
     overlaps = [len(e[q] & s[q]) for q in e]
     assert sum(overlaps) / len(overlaps) >= 8.0, overlaps  # avg >= 8/10
     assert min(overlaps) >= 6, overlaps
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """pipeline_pack_sequences: the running token offset is computed per
+    md5 shard, so the plan needs exactly ONE shuffle (on the uniform
+    64-way shard key) feeding both the window and the final per-shard
+    aggregate — a global ordered prefix sum would be a single-partition
+    bottleneck and must never appear. All-JVM expressions."""
+    df = _df(spark, "pipeline_pack_sequences")
+    plan = plans.physical_plan(df)
+    assert plans.count_shuffles(df) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_context_windows_map_side_explode(spark):
+    """text_context_windows: chunking is a pure map + explode — the only
+    shuffle is the final per-doc aggregate, and the explode happens before
+    it (window generation never shuffles the corpus)."""
+    df = _df(spark, "text_context_windows")
+    plan = plans.physical_plan(df)
+    assert plans.count_shuffles(df) <= 1, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -55,6 +55,17 @@ def main() -> None:
     )
     print("DataFrame read:", agg.count(), "groups")
 
+    # --- read: narrow projection -----------------------------------------
+    # Spark's Python DataSource API cannot receive Catalyst's column
+    # pruning (4.1.2 pushes filters only), so pass the projection
+    # explicitly and executors decode ONLY those leaves:
+    narrow = (
+        spark.read.format("quiver")
+        .option("columns", "category,sorted_ints")
+        .load(f"{out}/demo")
+    )
+    print("narrow projection:", narrow.columns, "->", narrow.count(), "rows")
+
     # --- read: SQL-view form ---------------------------------------------
     back.createOrReplaceTempView("demo")
     print(

@@ -799,3 +799,42 @@ def test_append_mode(spark, tmp_path):
         for r in doc.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
     assert per_lang == want
+
+
+def test_narrow_projection_partitions_coalesce_by_projected_bytes(
+    spark, tmp_path
+):
+    """Default split planning sizes partitions by PROJECTED page bytes
+    with a 1 MiB floor: a 1-of-N-column projection must plan (far) fewer
+    partitions than the full-width scan of the same file, because 32k
+    rows of one narrow column is ~130 KB and per-task worker overhead
+    would dominate. An explicit partition_rows keeps the documented exact
+    contract (test_partitioned_scan pins that side)."""
+    import pyarrow as pa
+
+    d = tmp_path / "wide"
+    os.makedirs(d, exist_ok=True)
+    n = 400_000
+    import numpy as np
+
+    t = pa.table(
+        {f"c{i}": pa.array(np.random.default_rng(i).normal(size=n)) for i in range(8)}
+    )
+    write_table(t, str(d / "part-0.quiver"), WriteOptions())
+    register(spark)
+    full = spark.read.format("quiver").load(str(d))
+    narrow = (
+        spark.read.format("quiver").option("columns", "c0").load(str(d))
+    )
+    nf = full.rdd.getNumPartitions()
+    nn = narrow.rdd.getNumPartitions()
+    assert nn < nf, (nn, nf)
+    # explicit partition_rows is obeyed exactly regardless of bytes
+    exact = (
+        spark.read.format("quiver")
+        .option("columns", "c0")
+        .option("partition_rows", "32768")
+        .load(str(d))
+    )
+    assert exact.rdd.getNumPartitions() == nf, exact.rdd.getNumPartitions()
+    assert narrow.count() == full.count() == n

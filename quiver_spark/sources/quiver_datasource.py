@@ -1096,12 +1096,19 @@ class QuiverStreamReader(DataSourceStreamReader):
             if not metas or not metas[0].pages:
                 continue
             pages = metas[0].pages
-            start_p, rows = 0, 0
+            # same byte cap as the batch planner: a streamed blob table's
+            # micro-batch must not pack tens of GB behind a row-only split
+            page_bytes = [
+                sum(int(m.pages[i].length) for m in metas if i < len(m.pages))
+                for i in range(len(pages))
+            ]
+            start_p, rows, bts = 0, 0, 0
             for i, p in enumerate(pages):
                 rows += p.num_values
-                if rows >= self.partition_rows:
+                bts += page_bytes[i]
+                if rows >= self.partition_rows or bts >= DEFAULT_PARTITION_BYTES:
                     parts.append(QuiverPartition(file, start_p, i + 1, pspec(file)))
-                    start_p, rows = i + 1, 0
+                    start_p, rows, bts = i + 1, 0, 0
             if start_p < len(pages):
                 parts.append(QuiverPartition(file, start_p, len(pages), pspec(file)))
         if not parts:

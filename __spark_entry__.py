@@ -37,6 +37,8 @@ _PRIORITY = [
     "quiver_narrow_projection",
     "pipeline_pack_sequences",
     "text_context_windows",
+    "sample_token_budget",
+    "dedup_canonical_docs",
     # (b) last driver-verified in round 4 — oldest green rows
     "multimodal_binary_meta",
     "q8_market_share",
@@ -86,9 +88,9 @@ _PRIORITY = [
     "scalar_string_funcs",
     "scalar_date_funcs",
     "scalar_math_funcs",
+    # position 51+: remaining round-5 rows — round 8's natural leaders
     "scalar_subquery_above_avg",
     "in_between_filter",
-    # position 51+: remaining round-5 rows — round 8's natural leaders
     "null_handling",
     "case_when_buckets",
     "topk_orders",

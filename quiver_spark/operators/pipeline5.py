@@ -121,6 +121,225 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canonical_oracle() -> str:
+    from quiver_spark.operators.dedup import _cluster_edges_sql
+
+    return (
+        "WITH RECURSIVE "
+        + _cluster_edges_sql()
+        + f""",
+reach(node, label) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT sym.src, reach.label FROM sym JOIN reach ON sym.dst = reach.node
+),
+clusters AS (
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+),
+toks AS (
+    SELECT doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents
+),
+ranked AS (
+    SELECT c.cluster_id, c.doc_id, t.n_tok,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY t.n_tok DESC, c.doc_id
+           ) AS rn
+    FROM clusters c JOIN toks t ON c.doc_id = t.doc_id
+)
+SELECT cluster_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_tok END) AS BIGINT)
+           AS canonical_tokens,
+       COUNT(*) AS cluster_size,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+           AS dropped_tokens
+FROM ranked
+GROUP BY cluster_id
+"""
+    )
+
+
+@register(
+    "dedup_canonical_docs",
+    oracle=_canonical_oracle(),
+    tags=("dedup", "graph", "pipeline"),
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT: one canonical document per
+    duplicate cluster — the longest member (whitespace tokens), ties to
+    the smallest doc_id — plus what keeping it costs (cluster size,
+    dropped token mass). Composes dedup_clusters (connected components
+    over the MinHash-LSH graph) with per-doc token counts: one broadcast-
+    able join (clusters are duplicate-density-proportional, tiny next to
+    the corpus) and a window partitioned by cluster_id — no global
+    ordering anywhere."""
+    from quiver_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr(f"size({_SPARK_TOKENS})").cast("bigint").alias("n_tok")
+    )
+    joined = clusters.join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tok"), F.asc("doc_id")
+    )
+    ranked = joined.select(
+        "cluster_id",
+        "doc_id",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("canonical_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_tok")))
+        .cast("bigint")
+        .alias("canonical_tokens"),
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_tokens"),
+    )
+
+
+#: quality buckets for threshold selection (score = lexical diversity,
+#: unique-token fraction, quantized to integer buckets 0..63)
+QBUCKETS = 64
+#: token budget as an integer percentage of corpus tokens
+BUDGET_PCT = 25
+
+_SPARK_Q = (
+    f"least({QBUCKETS - 1}, ({QBUCKETS} * size(array_distinct({_SPARK_TOKENS})))"
+    f" div size({_SPARK_TOKENS}))"
+)
+_SQL_Q = (
+    f"LEAST({QBUCKETS - 1}, ({QBUCKETS} * len(list_distinct({_SQL_TOKENS})))"
+    f" // len({_SQL_TOKENS}))"
+)
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+WITH docs_q AS (
+    SELECT doc_id,
+           len({_SQL_TOKENS}) AS n_tok,
+           {_SQL_Q} AS bucket
+    FROM documents
+    WHERE len({_SQL_TOKENS}) > 0
+),
+buckets AS (
+    SELECT bucket,
+           COUNT(*) AS docs_b,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_b
+    FROM docs_q GROUP BY bucket
+),
+cum AS (
+    SELECT bucket, docs_b, tokens_b,
+           COALESCE(SUM(tokens_b) OVER (
+               ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS above,
+           (SELECT (SUM(tokens_b) * {BUDGET_PCT}) // 100 FROM buckets)
+               AS budget
+    FROM buckets
+),
+placed AS (
+    SELECT d.doc_id, d.n_tok, d.bucket, c.tokens_b,
+           c.budget - c.above AS rem,
+           COALESCE(SUM(d.n_tok) OVER (
+               PARTITION BY d.bucket ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_prev
+    FROM docs_q d JOIN cum c ON d.bucket = c.bucket
+)
+SELECT bucket,
+       COUNT(*) AS docs_total,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN rem >= tokens_b
+                       OR (rem > 0 AND cum_prev < rem)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       CAST(SUM(CASE WHEN rem >= tokens_b
+                       OR (rem > 0 AND cum_prev < rem)
+                     THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM placed
+GROUP BY bucket
+""",
+    tags=("pipeline", "sampling", "quality"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection WITHOUT a global sort — the scale
+    technique for "keep the best {BUDGET_PCT}% of tokens": quantize each
+    document's quality (lexical diversity = unique-token fraction) into
+    {QBUCKETS} integer buckets, take the cumulative token mass from the
+    top bucket down, keep every bucket that fits the budget entirely, and
+    refine ORDER only inside the single boundary bucket (doc_id order,
+    keep while the running total is under the remainder). A literal
+    "ORDER BY score DESC then prefix-sum" is a single-partition bottleneck
+    at 100 TB; here the only ordered windows are over the ≤{QBUCKETS}-row
+    bucket histogram and WITHIN each bucket's partition — every corpus
+    pass is a parallel map or a keyed aggregation. Per-bucket totals and
+    kept counts are emitted so the cut is auditable."""
+    d = load(spark, sf_dir, "documents")
+    docs_q = d.select(
+        "doc_id",
+        F.expr(f"size({_SPARK_TOKENS})").cast("bigint").alias("n_tok"),
+        F.expr(_SPARK_Q).cast("bigint").alias("bucket"),
+    ).filter(F.col("n_tok") > 0)
+    buckets = docs_q.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs_b"),
+        F.sum("n_tok").cast("bigint").alias("tokens_b"),
+    )
+    w_above = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    total = buckets.agg(
+        F.expr(f"(sum(tokens_b) * {BUDGET_PCT}) div 100").alias("budget")
+    )
+    cum = (
+        buckets.select(
+            "bucket",
+            "tokens_b",
+            F.coalesce(F.sum("tokens_b").over(w_above), F.lit(0)).alias(
+                "above"
+            ),
+        )
+        # 65-row frame × scalar: the unpartitioned window above runs over
+        # the BUCKET HISTOGRAM, never the corpus (driver-scale by
+        # construction, like sketch_histogram_quantiles)
+        .crossJoin(F.broadcast(total))
+    )
+    w_doc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = docs_q.join(F.broadcast(cum), "bucket").select(
+        "bucket",
+        "doc_id",
+        "n_tok",
+        "tokens_b",
+        (F.col("budget") - F.col("above")).alias("rem"),
+        F.coalesce(F.sum("n_tok").over(w_doc), F.lit(0)).alias("cum_prev"),
+    )
+    kept = (F.col("rem") >= F.col("tokens_b")) | (
+        (F.col("rem") > 0) & (F.col("cum_prev") < F.col("rem"))
+    )
+    return placed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("docs_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+
+
 @register(
     "text_context_windows",
     oracle=f"""

@@ -298,3 +298,14 @@ def test_context_windows_map_side_explode(spark):
     assert plans.count_shuffles(df) <= 1, plan
     assert "Generate explode" in plan or "Generate" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_windows_stay_bucket_partitioned(spark):
+    """sample_token_budget: the only unpartitioned ordered window runs over
+    the <=64-row bucket histogram; every corpus-level window is partitioned
+    by bucket, the bucket stats broadcast back to the docs, and no Python
+    evaluation appears anywhere."""
+    df = _df(spark, "sample_token_budget")
+    plan = plans.physical_plan(df)
+    assert plans.has_broadcast_join(df), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

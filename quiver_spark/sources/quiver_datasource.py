@@ -709,6 +709,7 @@ class QuiverScanReader(DataSourceReader):
 
     def partitions(self):
         from quiver_spark.format import nested as nested_mod
+        from quiver_spark.format.reader import column_leaf_ranges
 
         part_cols, per_file = _discover_partitions(self.path)
 
@@ -751,9 +752,9 @@ class QuiverScanReader(DataSourceReader):
             # row-count-only split, and projecting the byte count means a
             # narrow scan's partitions are sized by what it will actually
             # decode — with the min-bytes floor below, a 1-of-16-column
-            # scan automatically coalesces to fewer, bigger tasks
-            from quiver_spark.format.reader import column_leaf_ranges
-
+            # scan automatically coalesces to fewer, bigger tasks. (The
+            # leaf mapping is per-FILE: under schema evolution each file's
+            # footer schema can differ.)
             proj = None
             if self.columns is not None:
                 proj = [c for c in self.columns if c in _schema.names]

@@ -439,6 +439,12 @@ class QuiverDataSource(DataSource):
 def pa_schema_select(schema, names):
     import pyarrow as pa
 
+    missing = [n for n in names if n not in schema.names]
+    if missing:
+        raise ValueError(
+            f"columns option names {missing} not present in the table "
+            f"schema (available: {schema.names})"
+        )
     return pa.schema([schema.field(schema.names.index(n)) for n in names])
 
 

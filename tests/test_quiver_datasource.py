@@ -838,3 +838,16 @@ def test_narrow_projection_partitions_coalesce_by_projected_bytes(
     )
     assert exact.rdd.getNumPartitions() == nf, exact.rdd.getNumPartitions()
     assert narrow.count() == full.count() == n
+
+
+def test_columns_option_unknown_name_fails_clearly(spark, quiver_lineitem_dir):
+    """A typo'd projection fails at schema time with the missing names and
+    the available schema listed — not a downstream KeyError/ValueError from
+    deep inside arrow."""
+    with pytest.raises(Exception, match="not present in the table schema"):
+        (
+            spark.read.format("quiver")
+            .option("columns", "l_orderkey,l_typo")
+            .load(quiver_lineitem_dir)
+            .count()
+        )

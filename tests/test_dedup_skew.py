@@ -121,3 +121,60 @@ def test_lsh_or_construction_recall_on_planted_near_dups(spark, monkeypatch):
     planted = {(i, 200 + i) for i in range(50)}
     recovered = len(planted & fset)
     assert recovered >= 38, f"recall collapsed: {recovered}/50 planted pairs"
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=80)
+)
+def test_pack_sequences_matches_python_reference(spark, token_counts):
+    """Property pin for the packing arithmetic: on random corpora the
+    Spark plan must agree with a naive single-threaded Python packer
+    (same md5 shards, same doc_id order, same integer division). The
+    DuckDB oracle already cross-checks the fixed corpus; this covers
+    arbitrary token-count shapes including zero-token docs, single-doc
+    shards, and docs spanning several packs."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from quiver_spark.operators import pipeline5
+
+    rows = [(i, "x " * k) for i, k in enumerate(token_counts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # independent reference implementation
+    B, S = pipeline5.PACK_TOKENS, pipeline5.PACK_SHARDS
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for i, k in enumerate(token_counts):
+        if k == 0:
+            continue
+        sh = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % S
+        shards.setdefault(sh, []).append((i, k))
+    expected = {}
+    for sh, members in shards.items():
+        cum = 0
+        boundary = 0
+        max_span = 0
+        for _i, k in sorted(members):
+            first, last = cum // B, (cum + k - 1) // B
+            boundary += first != last
+            max_span = max(max_span, last - first + 1)
+            cum += k
+        expected[sh] = (
+            len(members), cum, (cum - 1) // B + 1, boundary, max_span
+        )
+
+    import unittest.mock as mock
+
+    with mock.patch.object(pipeline5, "load", lambda *_a, **_k: docs):
+        got = {
+            r.shard: (
+                r.n_docs, r.total_tokens, r.n_packs, r.boundary_docs, r.max_span
+            )
+            for r in pipeline5.pipeline_pack_sequences(spark, "unused").collect()
+        }
+    assert got == expected

@@ -104,6 +104,58 @@ def compact(
     }
 
 
+def convert_parquet(
+    spark,
+    src: str,
+    dst_dir: str,
+    codec: str = "lz4",
+    target_rows_per_file: int = 1 << 20,
+    partition_by: str | None = None,
+) -> dict:
+    """Distributed parquet → quiver conversion — the migration path for a
+    user switching an existing lake to the quiver format.
+
+    Scale posture: the output layout is sized from parquet FOOTER metadata
+    only (`pyarrow.dataset.count_rows`, no data read on the driver), then
+    the rewrite is one Spark job: parquet scan → repartition(n_out) →
+    quiver sink with its staged-commit protocol. Hive layout is produced
+    by the sink's own ``partition_by`` fan-out. At 100 TB this is the
+    same shape as compaction: one shuffle sized exactly to the output."""
+    import pyarrow.dataset as ds
+
+    from quiver_spark.sources import register as register_format
+
+    _check_disjoint(src, dst_dir)
+    register_format(spark)
+    rows = ds.dataset(src, format="parquet").count_rows()
+    n_out = max(1, math.ceil(rows / max(target_rows_per_file, 1)))
+    df = spark.read.parquet(src)
+    cols = [c.strip() for c in partition_by.split(",")] if partition_by else []
+    df = df.repartition(n_out, *cols) if cols else df.repartition(n_out)
+    writer = (
+        df.write.format("quiver")
+        .mode("overwrite")
+        .option("codec", codec)
+        .option("max_rows_per_file", str(max(target_rows_per_file, 1)))
+    )
+    if cols:
+        writer = writer.option("partition_by", ",".join(cols))
+    writer.save(dst_dir)
+    out_files, out_rows = _dir_stats(dst_dir)
+    if out_rows != rows:
+        raise RuntimeError(
+            f"conversion row mismatch: parquet has {rows}, quiver output "
+            f"has {out_rows} — output left in place for inspection"
+        )
+    return {
+        "src": src,
+        "dst": dst_dir,
+        "rows": rows,
+        "files_after": out_files,
+        "partition_by": cols,
+    }
+
+
 def compact_local(
     src_dir: str, dst_path: str, codec: str = "lz4"
 ) -> dict:

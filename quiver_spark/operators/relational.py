@@ -621,7 +621,15 @@ GROUP BY quartile
     tags=("window",),
 )
 def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE bucketing over a global order, then aggregate per bucket."""
+    """NTILE bucketing over a global order, then aggregate per bucket.
+
+    Scale note: global NTILE is the DECLARED semantics here and is
+    inherently a total order — Spark funnels the table through one
+    window partition. At fleet scale, exact global quartiles are
+    answered instead via distribution windows per key, approximate
+    percentiles (agg_quantiles), or histogram-threshold selection
+    (sample_token_budget's pattern); this query stays in the surface as
+    the exact-semantics reference point."""
     o = load(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (

@@ -166,3 +166,38 @@ def test_dir_stats_rows_with_nested_first_column(tmp_path):
 
     assert cmd_inspect(os.path.join(d1, "part-0.quiver"))["rows"] == 50
     assert cmd_inspect(f2)["rows"] == 50
+
+
+def test_convert_parquet_roundtrip(spark, tmp_path):
+    """Distributed parquet->quiver conversion preserves contents exactly,
+    sizes output from footer metadata, and supports Hive fan-out."""
+    dst = str(tmp_path / "converted")
+    out = maintenance.convert_parquet(
+        spark, f"{SF_DIR}/orders.parquet", dst, target_rows_per_file=500
+    )
+    p = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert out["rows"] == p.count()
+    q = spark.read.format("quiver").load(dst)
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, p.collect()))
+    assert out["files_after"] >= 3  # 1,500 rows / 500-row target
+
+    # Hive fan-out variant
+    dst2 = str(tmp_path / "converted_bylang")
+    out2 = maintenance.convert_parquet(
+        spark, f"{SF_DIR}/documents.parquet", dst2, partition_by="lang"
+    )
+    assert out2["partition_by"] == ["lang"]
+    q2 = (
+        spark.read.format("quiver")
+        .load(dst2)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    want = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, q2)) == sorted(map(tuple, want))

@@ -33,9 +33,11 @@ def _dir_stats(src_dir: str) -> tuple[int, int]:
 
 
 def _check_disjoint(src_dir: str, dst_dir: str) -> None:
-    """Refuse in-place compaction: mode('overwrite') deletes every .quiver
-    under dst on the driver BEFORE the read job runs, so dst==src (or dst
-    nested inside src, or src inside dst) would destroy the source."""
+    """Refuse in-place rewrites: mode('overwrite') deletes every .quiver
+    under dst at COMMIT time, while read tasks of the same job may still
+    be (re)running — dst==src (or dst nested inside src, or src inside
+    dst) races the rewrite against its own input and can destroy or
+    double-count the source."""
     src = os.path.realpath(src_dir)
     dst = os.path.realpath(dst_dir)
     if src == dst or dst.startswith(src + os.sep) or src.startswith(dst + os.sep):

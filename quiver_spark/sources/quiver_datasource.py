@@ -415,15 +415,14 @@ class QuiverDataSource(DataSource):
         path = _opt_path(self.options)
         if not path:
             raise ValueError("quiver datasource requires a path")
-        if overwrite and os.path.isdir(path):
-            for f in glob.glob(
-                os.path.join(path, "**", "*.quiver"), recursive=True
-            ) + glob.glob(
-                os.path.join(path, "**", "*.quiver.stats.json"), recursive=True
-            ):
-                os.remove(f)
         os.makedirs(path, exist_ok=True)
-        return QuiverWriter(self.options, schema)
+        # overwrite deletes the PREVIOUS files at COMMIT time (QuiverWriter
+        # ._publish), not here at plan time: a failed/killed overwrite job
+        # then leaves the old table fully intact instead of destroyed
+        # (Spark's own file sinks clear at job start — strictly worse for
+        # recovery). The exposure window shrinks from the whole job to the
+        # driver-side commit.
+        return QuiverWriter(self.options, schema, overwrite=overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         path = _opt_path(self.options)
@@ -1160,9 +1159,15 @@ class QuiverCommit(WriterCommitMessage):
 
 
 class QuiverWriter(DataSourceArrowWriter):
-    def __init__(self, options, spark_schema: StructType | None = None):
+    def __init__(
+        self,
+        options,
+        spark_schema: StructType | None = None,
+        overwrite: bool = False,
+    ):
         self.options = options
         self.spark_schema = spark_schema
+        self.overwrite = overwrite
         self.path = _opt_path(options)
         self.max_rows = int(
             options.get("max_rows_per_file", DEFAULT_MAX_ROWS_PER_FILE)
@@ -1295,9 +1300,28 @@ class QuiverWriter(DataSourceArrowWriter):
 
     def _publish(self, messages) -> None:
         """Move every committed task's staged files into the table dir
-        (same-filesystem rename; sidecars travel with their files)."""
+        (same-filesystem rename; sidecars travel with their files).
+
+        Overwrite semantics: the PREVIOUS generation is deleted here,
+        immediately before the new files move in — every task has already
+        succeeded by the time commit runs, so a failed job never touches
+        the old table. Delete-then-move (not move-then-delete): a crash
+        between the two steps leaves a visibly partial table rather than
+        old+new DUPLICATES, which would silently double-count."""
         import shutil
 
+        if self.overwrite and os.path.isdir(self.path):
+            stage_root = os.path.realpath(
+                os.path.join(self.path, _STAGING_DIR)
+            )
+            for f in glob.glob(
+                os.path.join(self.path, "**", "*.quiver"), recursive=True
+            ) + glob.glob(
+                os.path.join(self.path, "**", "*.quiver.stats.json"),
+                recursive=True,
+            ):
+                if not os.path.realpath(f).startswith(stage_root + os.sep):
+                    os.remove(f)
         for msg in messages:
             if msg is None or not msg.task_dir:
                 continue

@@ -851,3 +851,32 @@ def test_columns_option_unknown_name_fails_clearly(spark, quiver_lineitem_dir):
             .load(quiver_lineitem_dir)
             .count()
         )
+
+
+def test_failed_overwrite_preserves_previous_table(spark, tmp_path):
+    """Overwrite deletes the previous generation at COMMIT, not at plan
+    time: a job that fails mid-write must leave the old table fully
+    readable (Spark's own file sinks clear at job start — a failed
+    overwrite there destroys the data; this sink survives it)."""
+    register(spark)
+    out = str(tmp_path / "gen")
+    v1 = spark.range(100).selectExpr("id", "id * 2 AS y")
+    v1.write.format("quiver").mode("overwrite").save(out)
+    before = sorted(map(tuple, spark.read.format("quiver").load(out).collect()))
+
+    from pyspark.sql import functions as F
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("task died mid-overwrite")
+
+    v2 = spark.range(50).select(boom("id").alias("id"), F.lit(0).alias("y"))
+    with pytest.raises(Exception):
+        v2.write.format("quiver").mode("overwrite").save(out)
+    after = sorted(map(tuple, spark.read.format("quiver").load(out).collect()))
+    assert after == before, "old generation lost by failed overwrite"
+
+    # successful overwrite still replaces fully
+    v3 = spark.range(7).selectExpr("id", "id AS y")
+    v3.write.format("quiver").mode("overwrite").save(out)
+    assert spark.read.format("quiver").load(out).count() == 7

@@ -98,6 +98,25 @@ def cmd_verify(path: str) -> dict:
         return {"file": path, "ok": False, "error": f"{type(exc).__name__}: {exc}"}
 
 
+def cmd_verify_dir(path: str) -> dict:
+    """cmd_verify over every .quiver file under a directory (recursive,
+    Hive layouts included): the post-ingest / post-compaction health sweep.
+    Returns per-file results plus a summary; ok only if every file is."""
+    from quiver_spark.sources.quiver_datasource import _list_files
+
+    files = _list_files(path)
+    results = [cmd_verify(f) for f in files]
+    bad = [r for r in results if not r["ok"]]
+    return {
+        "dir": path,
+        "ok": not bad and bool(files),
+        "files": len(files),
+        "rows": sum(r.get("rows", 0) for r in results),
+        "failed": [r["file"] for r in bad],
+        "results": results,
+    }
+
+
 def cmd_head(path: str, n: int) -> list[dict]:
     """First n rows, decoding only the leading pages (page-range read)."""
     from quiver_spark.format.reader import read_footer, read_table
@@ -134,7 +153,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "stat":
         print(cmd_stat(args.file))
     elif args.cmd == "verify":
-        out = cmd_verify(args.file)
+        out = (
+            cmd_verify_dir(args.file)
+            if os.path.isdir(args.file)
+            else cmd_verify(args.file)
+        )
         print(json.dumps(out, indent=2))
         return 0 if out["ok"] else 1
     elif args.cmd == "head":

@@ -94,3 +94,46 @@ def test_cli_main(sample, capsys):
     capsys.readouterr()
     assert tools.main(["head", path, "-n", "3"]) == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == 3
+
+
+def test_cli_verify_directory(tmp_path):
+    """`verify <dir>` sweeps every file (Hive layouts included) and fails
+    the exit code if any file is corrupt."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+
+    d = tmp_path / "tbl"
+    (d / "lang=en").mkdir(parents=True)
+    for i, sub in enumerate(["lang=en/a.quiver", "b.quiver"]):
+        write_table(
+            pa.table({"x": pa.array(range(10 * (i + 1)), pa.int64())}),
+            str(d / sub),
+            WriteOptions(),
+        )
+    r = subprocess.run(
+        [sys.executable, "-m", "quiver_spark", "verify", str(d)],
+        capture_output=True, text=True, cwd="/tmp",
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stderr
+    out = _json.loads(r.stdout)
+    assert out["ok"] and out["files"] == 2 and out["rows"] == 30
+
+    # corrupt one file -> nonzero exit, file named
+    f = d / "b.quiver"
+    raw = bytearray(f.read_bytes())
+    raw[len(raw) // 2] ^= 0xFF
+    f.write_bytes(bytes(raw))
+    r2 = subprocess.run(
+        [sys.executable, "-m", "quiver_spark", "verify", str(d)],
+        capture_output=True, text=True, cwd="/tmp",
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"},
+    )
+    assert r2.returncode == 1
+    out2 = _json.loads(r2.stdout)
+    assert not out2["ok"] and str(f) in out2["failed"]

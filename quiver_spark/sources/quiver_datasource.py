@@ -142,7 +142,59 @@ def _opt_path(options) -> str:
     return p
 
 
+#: generation-directory name pattern for atomic overwrite snapshots
+_GEN_RE = __import__("re").compile(r"gen-\d{6}")
+#: pointer file naming the live generation (atomic os.replace swap)
+_CURRENT = "_current"
+
+
+def _data_root(path: str, version: str | int | None = None) -> str:
+    """Resolve a table path to its live data root.
+
+    Sink OVERWRITES publish into numbered generation subdirectories
+    (`gen-000001/…`) and atomically swap a `_current` pointer file — so an
+    overwrite is all-or-nothing for every reader that starts after the
+    commit, and a failed job never touches the previous generation.
+    Directories without a pointer (library write_table output, appends to
+    flat layouts, pre-generation tables) resolve to themselves.
+    ``version`` pins a retained older generation (time travel — requires
+    the write to have kept it via ``keep_generations``)."""
+    if not os.path.isdir(path):
+        return path
+    if version is not None:
+        name = (
+            f"gen-{int(version):06d}"
+            if str(version).isdigit()
+            else str(version)
+        )
+        d = os.path.join(path, name)
+        if not _GEN_RE.fullmatch(name) or not os.path.isdir(d):
+            avail = sorted(
+                g for g in os.listdir(path)
+                if _GEN_RE.fullmatch(g) and os.path.isdir(os.path.join(path, g))
+            )
+            raise ValueError(
+                f"version {version!r} not found under {path}; retained "
+                f"generations: {avail or 'none'} (older generations are "
+                "kept only when written with keep_generations > 1)"
+            )
+        return d
+    cur = os.path.join(path, _CURRENT)
+    if not os.path.exists(cur):
+        return path
+    with open(cur) as f:
+        name = f.read().strip()
+    d = os.path.join(path, name)
+    if not _GEN_RE.fullmatch(name) or not os.path.isdir(d):
+        raise ValueError(
+            f"corrupt generation pointer {cur}: names {name!r}, which is "
+            "not a retained generation directory"
+        )
+    return d
+
+
 def _list_files(path: str) -> list[str]:
+    path = _data_root(path)
     if not os.path.isdir(path):
         return [path]
     out = []
@@ -176,6 +228,7 @@ def _discover_partitions(path: str):
     long → double → string over all observed values (Spark's
     partitionColumnTypeInference subset). At 100 TB this is the layout that
     lets a filtered scan skip whole files before ANY byte is read."""
+    path = _data_root(path)
     if not os.path.isdir(path):
         return [], {}
     files = _list_files(path)
@@ -356,6 +409,7 @@ class QuiverDataSource(DataSource):
         path = _opt_path(self.options)
         if not path:
             raise ValueError("quiver datasource requires a path")
+        path = _data_root(path, self.options.get("version"))
         files = _list_files(path)
         if not files:
             raise ValueError(f"no .quiver files under {path}")
@@ -416,12 +470,13 @@ class QuiverDataSource(DataSource):
         if not path:
             raise ValueError("quiver datasource requires a path")
         os.makedirs(path, exist_ok=True)
-        # overwrite deletes the PREVIOUS files at COMMIT time (QuiverWriter
-        # ._publish), not here at plan time: a failed/killed overwrite job
-        # then leaves the old table fully intact instead of destroyed
-        # (Spark's own file sinks clear at job start — strictly worse for
-        # recovery). The exposure window shrinks from the whole job to the
-        # driver-side commit.
+        # overwrite is an ATOMIC GENERATION SWAP at commit time (see
+        # QuiverWriter._publish): staged output publishes into a fresh
+        # gen-NNNNNN/ directory and a `_current` pointer file is atomically
+        # replaced — a failed/killed overwrite job leaves the old table
+        # fully intact, and readers never observe partial or doubled data
+        # (Spark's own file sinks clear the directory at job start —
+        # strictly worse on both counts).
         return QuiverWriter(self.options, schema, overwrite=overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
@@ -555,6 +610,12 @@ class QuiverScanReader(DataSourceReader):
         #: null-fills it; a file's extra columns are ignored)
         self.spark_schema = schema
         self.path = _opt_path(options)
+        if self.path:
+            # freeze the generation for this reader's lifetime: every
+            # partition this scan plans comes from ONE snapshot, even if a
+            # concurrent overwrite swaps the pointer mid-query. `version`
+            # pins a retained older generation (time travel).
+            self.path = _data_root(self.path, options.get("version"))
         if not self.path:
             raise ValueError(
                 "quiver scan has no 'path' option. If this table was "
@@ -1298,35 +1359,76 @@ class QuiverWriter(DataSourceArrowWriter):
         flush()
         return QuiverCommit(task_dir=task_dir, files=tuple(staged))
 
-    def _publish(self, messages) -> None:
-        """Move every committed task's staged files into the table dir
-        (same-filesystem rename; sidecars travel with their files).
+    def _generations(self) -> list[str]:
+        """Sorted generation directory names present under the table."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.path)
+            if _GEN_RE.fullmatch(d) and os.path.isdir(os.path.join(self.path, d))
+        )
 
-        Overwrite semantics: the PREVIOUS generation is deleted here,
-        immediately before the new files move in — every task has already
-        succeeded by the time commit runs, so a failed job never touches
-        the old table. Delete-then-move (not move-then-delete): a crash
-        between the two steps leaves a visibly partial table rather than
-        old+new DUPLICATES, which would silently double-count."""
+    def _gc_superseded(self, current: str) -> None:
+        """After a pointer swap: retain the newest ``keep_generations``
+        generations (current included, min 1), delete the rest, and sweep
+        pre-generation flat files (superseded — resolvers can no longer
+        see them once a pointer exists, so leaving them is a disk leak)."""
         import shutil
 
-        if self.overwrite and os.path.isdir(self.path):
-            stage_root = os.path.realpath(
-                os.path.join(self.path, _STAGING_DIR)
-            )
+        keep = max(1, int(self.options.get("keep_generations", "1")))
+        gens = [g for g in self._generations() if g != current]
+        for g in gens[: max(0, len(gens) - (keep - 1))]:
+            shutil.rmtree(os.path.join(self.path, g), ignore_errors=True)
+        for pat in ("*.quiver", "*.quiver.stats.json"):
             for f in glob.glob(
-                os.path.join(self.path, "**", "*.quiver"), recursive=True
-            ) + glob.glob(
-                os.path.join(self.path, "**", "*.quiver.stats.json"),
-                recursive=True,
+                os.path.join(self.path, "**", pat), recursive=True
             ):
-                if not os.path.realpath(f).startswith(stage_root + os.sep):
+                segs = os.path.relpath(f, self.path).split(os.sep)
+                if any(s.startswith(("_", ".")) for s in segs):
+                    continue  # staging / hidden
+                if _GEN_RE.fullmatch(segs[0]):
+                    continue  # lives inside a generation
+                try:
                     os.remove(f)
+                except OSError:
+                    pass
+
+    def _publish(self, messages) -> None:
+        """Move every committed task's staged files into the live data
+        root (same-filesystem rename; sidecars travel with their files).
+
+        OVERWRITE is an atomic generation swap: staged files move into a
+        fresh ``gen-NNNNNN/`` directory — invisible to every resolver —
+        and only then is the ``_current`` pointer atomically replaced
+        (os.replace). Readers that start after the swap see the new
+        snapshot in full; readers that resolved earlier keep a consistent
+        old snapshot for as long as it is retained (``keep_generations``,
+        default 1 = current only; retained ones are readable via
+        ``.option("version", N)``). A crash before the swap leaves the old
+        table untouched (the orphan generation is GC'd by the next
+        overwrite); after the swap, at worst a superseded generation
+        lingers. There is NO window of partial or doubled data — the
+        failure modes of both delete-then-move and move-then-delete.
+        APPENDS publish into the currently-live root (generation or flat).
+        """
+        import shutil
+
+        if self.overwrite:
+            gens = self._generations()
+            nxt = int(gens[-1].split("-")[1]) + 1 if gens else 1
+            gen_name = f"gen-{nxt:06d}"
+            dst_root = os.path.join(self.path, gen_name)
+            # created even with zero staged files: overwrite-with-empty
+            # must yield an EMPTY table, not leave the old one live
+            os.makedirs(dst_root, exist_ok=True)
+        else:
+            dst_root = _data_root(self.path)
         for msg in messages:
             if msg is None or not msg.task_dir:
                 continue
             for rel in msg.files:
-                dst = os.path.join(self.path, rel)
+                dst = os.path.join(dst_root, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 # data file first, then its sidecar: a crash in between
                 # leaves a data file whose reads are briefly unverified
@@ -1338,6 +1440,12 @@ class QuiverWriter(DataSourceArrowWriter):
                 if os.path.exists(side):
                     os.replace(side, dst + ".stats.json")
             shutil.rmtree(msg.task_dir, ignore_errors=True)
+        if self.overwrite:
+            tmp = os.path.join(self.path, _CURRENT + ".tmp")
+            with open(tmp, "w") as f:
+                f.write(gen_name)
+            os.replace(tmp, os.path.join(self.path, _CURRENT))
+            self._gc_superseded(gen_name)
         self._gc_staging()
 
     def _gc_staging(self, max_age_sec: int = 24 * 3600) -> None:
@@ -1386,7 +1494,9 @@ class QuiverWriter(DataSourceArrowWriter):
         )
         write_table(
             empty,
-            os.path.join(self.path, f"part-{uuid.uuid4().hex}.quiver"),
+            os.path.join(
+                _data_root(self.path), f"part-{uuid.uuid4().hex}.quiver"
+            ),
             WriteOptions(),
         )
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from quiver_spark import maintenance
 from quiver_spark.sources import register
+from quiver_spark.sources.quiver_datasource import _data_root
 
 from conftest import SF_DIR
 
@@ -31,7 +32,7 @@ def test_compact_flat_dir(spark, tmp_path):
         .mode("overwrite")
         .save(src)
     )
-    n_small = len(glob.glob(os.path.join(src, "*.quiver")))
+    n_small = len(glob.glob(os.path.join(_data_root(src), "*.quiver")))
     assert n_small == 30  # one small file per task — the streaming-sink shape
     before = _rows(spark, src)
 
@@ -63,10 +64,10 @@ def test_compact_partitioned_dir(spark, tmp_path):
     # layout preserved: lang=... subdirs, no top-level files
     langs = sorted(
         os.path.basename(p)
-        for p in glob.glob(os.path.join(dst, "lang=*"))
+        for p in glob.glob(os.path.join(_data_root(dst), "lang=*"))
     )
     assert langs and all(d.startswith("lang=") for d in langs)
-    assert not glob.glob(os.path.join(dst, "*.quiver"))
+    assert not glob.glob(os.path.join(_data_root(dst), "*.quiver"))
     assert _rows(spark, dst) == before
 
 
@@ -110,7 +111,7 @@ def test_compact_refuses_overlapping_destination(spark, tmp_path):
         with pytest.raises(ValueError, match="overlaps source"):
             maintenance.compact(spark, src, dst)
     # the source is untouched by the refused attempts
-    assert len(glob.glob(os.path.join(src, "*.quiver"))) > 0
+    assert len(glob.glob(os.path.join(_data_root(src), "*.quiver"))) > 0
 
 
 def test_compact_local_refuses_destination_inside_source(tmp_path):

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from quiver_spark.format.writer import WriteOptions, write_table
 from quiver_spark.sources import register
+from quiver_spark.sources.quiver_datasource import _data_root
 
 from conftest import SF_DIR
 
@@ -119,7 +120,7 @@ def test_spark_write_roundtrip(spark, tmp_path):
     p = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     out = str(tmp_path / "orders_quiver")
     p.write.format("quiver").mode("overwrite").save(out)
-    files = [f for f in os.listdir(out) if f.endswith(".quiver")]
+    files = [f for f in os.listdir(_data_root(out)) if f.endswith(".quiver")]
     assert files
     q = spark.read.format("quiver").load(out)
     assert q.count() == p.count()
@@ -335,7 +336,7 @@ def test_hive_partitioned_write_read(spark, tmp_path):
         .mode("overwrite")
         .save(out)
     )
-    subdirs = sorted(x for x in os.listdir(out) if "=" in x)
+    subdirs = sorted(x for x in os.listdir(_data_root(out)) if "=" in x)
     assert subdirs and all(x.startswith("lang=") for x in subdirs)
     # partition column must not be stored in the files themselves
     from quiver_spark.format.reader import infer_schema
@@ -412,7 +413,9 @@ def test_hive_partition_types_and_null(spark, tmp_path):
         .mode("overwrite")
         .save(out)
     )
-    assert os.path.isdir(os.path.join(out, "bucket=__HIVE_DEFAULT_PARTITION__"))
+    assert os.path.isdir(
+        os.path.join(_data_root(out), "bucket=__HIVE_DEFAULT_PARTITION__")
+    )
     q = spark.read.format("quiver").load(out)
     assert dict(q.dtypes)["bucket"] == "bigint"
     got = sorted(
@@ -463,7 +466,7 @@ def test_hive_partition_high_cardinality_one_pass(spark, tmp_path):
     df.write.format("quiver").option("partition_by", "part").mode(
         "overwrite"
     ).save(out)
-    subdirs = {x for x in os.listdir(out) if x.startswith("part=")}
+    subdirs = {x for x in os.listdir(_data_root(out)) if x.startswith("part=")}
     assert len(subdirs) == k
     q = spark.read.format("quiver").load(out)
     assert q.count() == n
@@ -511,7 +514,7 @@ def test_spark_writer_open_competition_can_choose_patas(spark, tmp_path):
         .save(d)
     )
     codecs = set()
-    for f in glob.glob(f"{d}/*.quiver"):
+    for f in glob.glob(f"{_data_root(d)}/*.quiver"):
         codecs |= {p.codec for p in stat_file(f)["v"]}
     assert "patas" in codecs, codecs
     back = spark.read.format("quiver").load(d)
@@ -880,3 +883,65 @@ def test_failed_overwrite_preserves_previous_table(spark, tmp_path):
     v3 = spark.range(7).selectExpr("id", "id AS y")
     v3.write.format("quiver").mode("overwrite").save(out)
     assert spark.read.format("quiver").load(out).count() == 7
+
+
+def test_overwrite_generation_swap_and_time_travel(spark, tmp_path):
+    """Overwrite publishes into gen-NNNNNN/ and atomically swaps the
+    _current pointer: reads resolve the live generation; with
+    keep_generations=2 the previous snapshot stays readable via
+    .option('version', N); appends land INSIDE the live generation; and
+    the default keep=1 GCs superseded generations."""
+    register(spark)
+    out = str(tmp_path / "gens")
+    spark.range(10).write.format("quiver").mode("overwrite").save(out)
+    assert os.path.exists(os.path.join(out, "_current"))
+    assert os.path.basename(_data_root(out)) == "gen-000001"
+    assert spark.read.format("quiver").load(out).count() == 10
+
+    # keep the previous generation, write a second
+    (
+        spark.range(20)
+        .write.format("quiver")
+        .option("keep_generations", "2")
+        .mode("overwrite")
+        .save(out)
+    )
+    assert os.path.basename(_data_root(out)) == "gen-000002"
+    assert spark.read.format("quiver").load(out).count() == 20
+    # time travel to the retained generation
+    v1 = spark.read.format("quiver").option("version", "1").load(out)
+    assert v1.count() == 10
+    # append goes into the LIVE generation
+    spark.range(5).write.format("quiver").mode("append").save(out)
+    assert spark.read.format("quiver").load(out).count() == 25
+    assert spark.read.format("quiver").option("version", "1").load(out).count() == 10
+
+    # default keep=1: a third overwrite GCs generations 1 and 2
+    spark.range(3).write.format("quiver").mode("overwrite").save(out)
+    assert spark.read.format("quiver").load(out).count() == 3
+    gens = sorted(d for d in os.listdir(out) if d.startswith("gen-"))
+    assert gens == ["gen-000003"], gens
+    with pytest.raises(Exception, match="not found|retained"):
+        spark.read.format("quiver").option("version", "1").load(out).count()
+
+
+def test_overwrite_sweeps_pre_generation_flat_files(spark, tmp_path):
+    """Overwriting a FLAT table (library write_table output) swaps in a
+    generation and sweeps the superseded flat files — no disk leak, no
+    stale bytes a future flat-resolver could see."""
+    import pyarrow as pa
+
+    register(spark)
+    out = str(tmp_path / "flat_then_gen")
+    os.makedirs(out)
+    write_table(
+        pa.table({"x": pa.array([1, 2, 3], pa.int64())}),
+        os.path.join(out, "part-0.quiver"),
+        WriteOptions(),
+    )
+    assert spark.read.format("quiver").load(out).count() == 3
+    spark.range(8).selectExpr("id AS x").write.format("quiver").mode(
+        "overwrite"
+    ).save(out)
+    assert spark.read.format("quiver").load(out).count() == 8
+    assert not os.path.exists(os.path.join(out, "part-0.quiver"))

@@ -161,9 +161,10 @@ def test_quiver_streaming_sink(spark, landing_dir, tmp_path):
 def test_stream_source_rate_limit(spark, tmp_path):
     """max_files_per_trigger=1 must spread a 3-file backlog over ≥3
     micro-batches while still delivering every row exactly once."""
-    from quiver_spark.sources import register as register_format
+    from quiver_spark.sources import register
+    from quiver_spark.sources.quiver_datasource import _data_root
 
-    register_format(spark)
+    register(spark)
     out = str(tmp_path / "rate_src")
     for i in range(3):
         spark.range(i * 10, (i + 1) * 10).selectExpr(
@@ -171,7 +172,7 @@ def test_stream_source_rate_limit(spark, tmp_path):
         ).coalesce(1).write.format("quiver").mode(
             "append" if i else "overwrite"
         ).save(out)
-    files = [f for f in os.listdir(out) if f.endswith(".quiver")]
+    files = [f for f in os.listdir(_data_root(out)) if f.endswith(".quiver")]
     assert len(files) == 3, files
 
     batches = []

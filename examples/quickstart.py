@@ -55,6 +55,22 @@ def main() -> None:
     )
     print("DataFrame read:", agg.count(), "groups")
 
+    # --- overwrite: atomic generation swap + time travel -----------------
+    # keep_generations retains the previous snapshot; version reads it
+    df.limit(10).write.format("quiver").option(
+        "keep_generations", "2"
+    ).mode("overwrite").save(f"{out}/demo")
+    print(
+        "after overwrite:",
+        spark.read.format("quiver").load(f"{out}/demo").count(),
+        "rows; previous snapshot:",
+        spark.read.format("quiver").option("version", "1").load(f"{out}/demo").count(),
+        "rows",
+    )
+    # restore the full demo table for the sections below
+    back.write.format("quiver").mode("overwrite").save(f"{out}/demo")
+    back = spark.read.format("quiver").load(f"{out}/demo")
+
     # --- read: narrow projection -----------------------------------------
     # Spark's Python DataSource API cannot receive Catalyst's column
     # pruning (4.1.2 pushes filters only), so pass the projection
@@ -77,11 +93,11 @@ def main() -> None:
     # --- inspect: which codec did each page get? -------------------------
     from quiver_spark.format.stat import describe
 
-    part = next(
-        os.path.join(f"{out}/demo", f)
-        for f in sorted(os.listdir(f"{out}/demo"))
-        if f.endswith(".quiver")
-    )
+    from quiver_spark.sources.quiver_datasource import _list_files
+
+    # _list_files resolves the live generation (overwrites publish into
+    # gen-NNNNNN/ behind an atomic _current pointer)
+    part = _list_files(f"{out}/demo")[0]
     print("\ncodec tree (first file):")
     print(describe(part))
 

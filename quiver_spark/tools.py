@@ -98,6 +98,47 @@ def cmd_verify(path: str) -> dict:
         return {"file": path, "ok": False, "error": f"{type(exc).__name__}: {exc}"}
 
 
+def cmd_generations(path: str) -> dict:
+    """Generation inventory of a table directory: every retained
+    `gen-NNNNNN/` snapshot with file/row counts, which one is live, and
+    whether a pre-generation flat layout is present."""
+    from quiver_spark.sources.quiver_datasource import (
+        _CURRENT,
+        _GEN_RE,
+        _data_root,
+        _list_files,
+    )
+
+    cur = None
+    cur_path = os.path.join(path, _CURRENT)
+    if os.path.exists(cur_path):
+        with open(cur_path) as f:
+            cur = f.read().strip()
+    gens = []
+    for d in sorted(os.listdir(path)) if os.path.isdir(path) else []:
+        if _GEN_RE.fullmatch(d) and os.path.isdir(os.path.join(path, d)):
+            files = _list_files(os.path.join(path, d))
+            gens.append(
+                {
+                    "generation": d,
+                    "live": d == cur,
+                    "files": len(files),
+                    "rows": sum(
+                        cmd_inspect(f).get("rows", 0) for f in files
+                    ),
+                }
+            )
+    return {
+        "dir": path,
+        "current": cur,
+        "resolved_root": _data_root(path) if os.path.isdir(path) else path,
+        "generations": gens,
+        "flat_files": 0
+        if cur
+        else len(_list_files(path)) if os.path.isdir(path) else 0,
+    }
+
+
 def cmd_verify_dir(path: str) -> dict:
     """cmd_verify over every .quiver file under a directory (recursive,
     Hive layouts included): the post-ingest / post-compaction health sweep.
@@ -147,6 +188,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("src_dir")
     c.add_argument("dst_file")
     c.add_argument("--codec", default="lz4")
+    g = sub.add_parser("generations")
+    g.add_argument("dir")
     args = ap.parse_args(argv)
     if args.cmd == "inspect":
         print(json.dumps(cmd_inspect(args.file), indent=2))
@@ -163,6 +206,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "head":
         for row in cmd_head(args.file, args.n):
             print(json.dumps(row, default=str))
+    elif args.cmd == "generations":
+        print(json.dumps(cmd_generations(args.dir), indent=2))
     elif args.cmd == "compact":
         from quiver_spark.maintenance import compact_local
 

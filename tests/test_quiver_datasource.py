@@ -945,3 +945,22 @@ def test_overwrite_sweeps_pre_generation_flat_files(spark, tmp_path):
     ).save(out)
     assert spark.read.format("quiver").load(out).count() == 8
     assert not os.path.exists(os.path.join(out, "part-0.quiver"))
+
+
+def test_self_overwrite_reads_consistent_snapshot(spark, tmp_path):
+    """Read-transform-overwrite of the SAME table — the canonical lake
+    maintenance shape (filter a table in place). The scan freezes the old
+    generation at plan time and the new generation only becomes live at
+    commit, so the job's own input is never deleted under it. (Under the
+    pre-generation layout this pattern was impossible: overwrite cleared
+    the directory the read tasks were about to scan.)"""
+    register(spark)
+    out = str(tmp_path / "selfow")
+    spark.range(100).selectExpr("id", "id % 2 AS keep").write.format(
+        "quiver"
+    ).mode("overwrite").save(out)
+    t = spark.read.format("quiver").load(out)
+    t.filter("keep = 1").write.format("quiver").mode("overwrite").save(out)
+    back = spark.read.format("quiver").load(out)
+    assert back.count() == 50
+    assert back.selectExpr("min(keep)", "max(keep)").collect()[0] == (1, 1)

@@ -137,3 +137,35 @@ def test_cli_verify_directory(tmp_path):
     assert r2.returncode == 1
     out2 = _json.loads(r2.stdout)
     assert not out2["ok"] and str(f) in out2["failed"]
+
+
+def test_cli_generations(spark, tmp_path):
+    """`generations <dir>` reports retained snapshots, the live pointer,
+    and per-generation file/row counts."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from quiver_spark.sources import register
+
+    register(spark)
+    out = str(tmp_path / "gtable")
+    spark.range(10).write.format("quiver").mode("overwrite").save(out)
+    (
+        spark.range(25)
+        .write.format("quiver")
+        .option("keep_generations", "2")
+        .mode("overwrite")
+        .save(out)
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "quiver_spark", "generations", out],
+        capture_output=True, text=True, cwd="/tmp",
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stderr
+    o = _json.loads(r.stdout)
+    assert o["current"] == "gen-000002"
+    by_name = {g["generation"]: g for g in o["generations"]}
+    assert by_name["gen-000001"]["rows"] == 10
+    assert by_name["gen-000002"]["rows"] == 25 and by_name["gen-000002"]["live"]

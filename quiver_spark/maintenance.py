@@ -52,27 +52,38 @@ def _check_disjoint(src_dir: str, dst_dir: str) -> None:
 def compact(
     spark,
     src_dir: str,
-    dst_dir: str,
+    dst_dir: str | None = None,
     target_rows_per_file: int = 1 << 20,
     codec: str | None = None,
 ) -> dict:
-    """Rewrite ``src_dir`` into ``dst_dir`` with files sized to
+    """Rewrite ``src_dir`` into ``dst_dir`` — or IN PLACE when ``dst_dir``
+    is omitted or equal to ``src_dir`` — with files sized to
     ``target_rows_per_file`` rows, preserving any Hive partition layout
     discovered in the source. Returns a summary dict.
+
+    In-place compaction rides the sink's atomic generation swap: the read
+    resolves (and freezes) the table's live generation at plan time, the
+    rewrite publishes into a fresh ``gen-NNNNNN/`` directory, and the
+    ``_current`` pointer flips at commit — a failed compaction leaves the
+    table untouched, and no reader ever sees a partial mix of old and new
+    files. (Before the generation layout this exact call was forbidden:
+    overwrite would have cleared the job's own input.) A DIFFERENT
+    destination that overlaps the source (nested either way) is still
+    refused.
 
     Scale posture: the row count comes from footer metadata (one footer
     read per file, cached); the rewrite is `repartition(n)` → the quiver
     writer, i.e. one shuffle sized exactly to the output layout, executed
     by the cluster. Partitioned sources repartition on the partition
-    columns so each output task writes into few subdirectories. The
-    destination is written with the sink's staged-commit protocol, so a
-    failed compaction leaves nothing reader-visible — swap the directory
-    (or repoint the catalog) only after success.
+    columns so each output task writes into few subdirectories.
     """
     from quiver_spark.sources import register as register_format
     from quiver_spark.sources.quiver_datasource import _discover_partitions
 
-    _check_disjoint(src_dir, dst_dir)
+    if dst_dir is None:
+        dst_dir = src_dir
+    if os.path.realpath(dst_dir) != os.path.realpath(src_dir):
+        _check_disjoint(src_dir, dst_dir)
     register_format(spark)
     n_files, rows = _dir_stats(src_dir)
     part_cols = [c for c, _k in _discover_partitions(src_dir)[0]]

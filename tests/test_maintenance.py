@@ -99,19 +99,58 @@ def test_compact_local_refuses_partitioned(spark, tmp_path):
         maintenance.compact_local(src, str(tmp_path / "x.quiver"))
 
 
-def test_compact_refuses_overlapping_destination(spark, tmp_path):
-    """In-place compaction would be data loss: mode('overwrite') deletes
-    every dst .quiver on the driver BEFORE the read job runs, so dst==src
-    (or nesting either way) must be refused up front."""
+def test_compact_refuses_nested_destination(spark, tmp_path):
+    """A destination NESTED inside the source (or vice versa) is refused —
+    the rewrite would race its own input. Exact dst==src is the supported
+    in-place path (atomic generation swap; separate test)."""
     register(spark)
     src = str(tmp_path / "inplace")
     df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
     df.write.format("quiver").mode("overwrite").save(src)
-    for dst in (src, os.path.join(src, "sub"), str(tmp_path)):
+    for dst in (os.path.join(src, "sub"), str(tmp_path)):
         with pytest.raises(ValueError, match="overlaps source"):
             maintenance.compact(spark, src, dst)
     # the source is untouched by the refused attempts
     assert len(glob.glob(os.path.join(_data_root(src), "*.quiver"))) > 0
+
+
+def test_compact_in_place(spark, tmp_path):
+    """In-place compaction (dst omitted) rides the generation swap: many
+    small files become few, contents exact, and the rewrite never deletes
+    its own input mid-job. Works from both a flat (library-written)
+    layout and a generational one."""
+    from quiver_spark.format.writer import WriteOptions, write_table
+
+    import pyarrow.parquet as pq_mod
+
+    src = str(tmp_path / "self")
+    os.makedirs(src)
+    t = pq_mod.read_table(f"{SF_DIR}/orders.parquet")
+    step = 100
+    for i, start in enumerate(range(0, t.num_rows, step)):
+        write_table(
+            t.slice(start, step),
+            os.path.join(src, f"part-{i:05d}.quiver"),
+            WriteOptions(),
+        )
+    register(spark)
+    before = _rows(spark, src)
+    n_before = len(glob.glob(os.path.join(src, "*.quiver")))
+    assert n_before >= 10
+
+    out = maintenance.compact(spark, src, target_rows_per_file=1 << 20)
+    assert out["src"] == out["dst"] == src
+    assert out["rows"] == out["rows_after"] == len(before)
+    assert out["files_after"] < n_before
+    assert _rows(spark, src) == before
+    # flat originals swept; data now lives under the live generation
+    assert not glob.glob(os.path.join(src, "*.quiver"))
+    assert os.path.basename(_data_root(src)).startswith("gen-")
+
+    # second in-place pass (generational source) also round-trips
+    out2 = maintenance.compact(spark, src, target_rows_per_file=1 << 20)
+    assert out2["rows"] == out2["rows_after"] == len(before)
+    assert _rows(spark, src) == before
 
 
 def test_compact_local_refuses_destination_inside_source(tmp_path):

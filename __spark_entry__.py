@@ -39,6 +39,7 @@ _PRIORITY = [
     "text_context_windows",
     "sample_token_budget",
     "dedup_canonical_docs",
+    "quiver_inplace_compact_scan",
     # (b) last driver-verified in round 4 — oldest green rows
     "multimodal_binary_meta",
     "q8_market_share",
@@ -87,8 +88,8 @@ _PRIORITY = [
     "setop_union_counts",
     "scalar_string_funcs",
     "scalar_date_funcs",
-    "scalar_math_funcs",
     # position 51+: remaining round-5 rows — round 8's natural leaders
+    "scalar_math_funcs",
     "scalar_subquery_above_avg",
     "in_between_filter",
     "null_handling",

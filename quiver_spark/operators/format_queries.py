@@ -928,3 +928,64 @@ def quiver_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("s_acctbal").alias("bal_sum"),
         F.min("s_name").alias("min_name"),
     )
+
+
+def _inplace_compacted_customer_dir(spark: SparkSession, sf_dir: str) -> str:
+    """customer written as many small quiver files, then compacted IN
+    PLACE (maintenance.compact with no separate destination — the atomic
+    generation swap); cached per sf like every derived dir."""
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "customer-inplace")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        from quiver_spark.format.writer import WriteOptions, write_table
+        from quiver_spark.maintenance import compact
+
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/customer.parquet")
+        step = max(50, t.num_rows // 48)
+        for i, start in enumerate(range(0, t.num_rows, step)):
+            write_table(
+                t.slice(start, step),
+                os.path.join(d, f"part-{i:05d}.quiver"),
+                WriteOptions(default_codec="lz4", compress_ratio=2.0),
+            )
+        summary = compact(spark, d, target_rows_per_file=1 << 20)
+        assert summary["rows"] == summary["rows_after"] == t.num_rows
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "quiver_inplace_compact_scan",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS cnt,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS bal_sum,
+       MIN(c_name) AS min_name
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("format", "maintenance", "compaction", "generations"),
+)
+def quiver_inplace_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-PLACE compaction through the driver gate: customer is written as
+    many small files, compacted in place via the atomic generation swap
+    (the scan that feeds the rewrite freezes the OLD generation while the
+    new one publishes — maintenance.compact(spark, dir) with no separate
+    destination), and the post-swap table is aggregated against the
+    parquet oracle: any row lost, duplicated, or double-resolved across
+    generations hash-fails."""
+    d = _inplace_compacted_customer_dir(spark, sf_dir)
+    c = quiver_relation(
+        spark, d, columns="c_mktsegment,c_custkey,c_acctbal,c_name"
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        dsum("c_acctbal").alias("bal_sum"),
+        F.min("c_name").alias("min_name"),
+    )

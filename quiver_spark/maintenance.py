@@ -117,6 +117,41 @@ def compact(
     }
 
 
+def expire_generations(path: str, keep: int = 1) -> dict:
+    """Delete retained generation snapshots beyond the newest ``keep``
+    (the LIVE generation is always kept, whatever ``keep`` says) — the
+    table-level retention sweep for tables written with
+    ``keep_generations > 1``. Driver-local (directory renames/deletes
+    only, no Spark session); returns what was removed."""
+    import shutil
+
+    from quiver_spark.sources.quiver_datasource import (
+        _CURRENT,
+        _GEN_RE,
+        _data_root,
+    )
+
+    keep = max(1, int(keep))
+    cur_path = os.path.join(path, _CURRENT)
+    if not os.path.exists(cur_path):
+        return {"dir": path, "removed": [], "kept": [], "note": "no generations"}
+    live = os.path.basename(_data_root(path))
+    gens = sorted(
+        d
+        for d in os.listdir(path)
+        if _GEN_RE.fullmatch(d) and os.path.isdir(os.path.join(path, d))
+    )
+    # newest `keep` survive; the live generation survives unconditionally
+    kept = set(gens[-keep:]) | {live}
+    removed = []
+    for g in gens:
+        if g in kept:
+            continue
+        shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+        removed.append(g)
+    return {"dir": path, "removed": removed, "kept": sorted(kept)}
+
+
 def convert_parquet(
     spark,
     src: str,

@@ -190,6 +190,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--codec", default="lz4")
     g = sub.add_parser("generations")
     g.add_argument("dir")
+    x = sub.add_parser("expire")
+    x.add_argument("dir")
+    x.add_argument("--keep", type=int, default=1)
     args = ap.parse_args(argv)
     if args.cmd == "inspect":
         print(json.dumps(cmd_inspect(args.file), indent=2))
@@ -208,6 +211,10 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(row, default=str))
     elif args.cmd == "generations":
         print(json.dumps(cmd_generations(args.dir), indent=2))
+    elif args.cmd == "expire":
+        from quiver_spark.maintenance import expire_generations
+
+        print(json.dumps(expire_generations(args.dir, keep=args.keep), indent=2))
     elif args.cmd == "compact":
         from quiver_spark.maintenance import compact_local
 

@@ -241,3 +241,38 @@ def test_convert_parquet_roundtrip(spark, tmp_path):
         .collect()
     )
     assert sorted(map(tuple, q2)) == sorted(map(tuple, want))
+
+
+def test_expire_generations(spark, tmp_path):
+    """Retention sweep: keep the newest K snapshots, never the live one
+    removed, flat tables a no-op."""
+    register(spark)
+    out = str(tmp_path / "retain")
+    for n in (10, 20, 30):
+        (
+            spark.range(n)
+            .write.format("quiver")
+            .option("keep_generations", "99")
+            .mode("overwrite")
+            .save(out)
+        )
+    import os as _os
+
+    gens = sorted(d for d in _os.listdir(out) if d.startswith("gen-"))
+    assert gens == ["gen-000001", "gen-000002", "gen-000003"]
+
+    res = maintenance.expire_generations(out, keep=2)
+    assert res["removed"] == ["gen-000001"]
+    assert spark.read.format("quiver").load(out).count() == 30
+    assert (
+        spark.read.format("quiver").option("version", "2").load(out).count()
+        == 20
+    )
+    # keep=1 leaves only the live generation
+    res2 = maintenance.expire_generations(out, keep=1)
+    assert res2["removed"] == ["gen-000002"]
+    assert spark.read.format("quiver").load(out).count() == 30
+    # flat dir: no-op
+    flat = str(tmp_path / "flat")
+    _os.makedirs(flat)
+    assert maintenance.expire_generations(flat)["removed"] == []

@@ -40,6 +40,8 @@ _PRIORITY = [
     "sample_token_budget",
     "dedup_canonical_docs",
     "quiver_inplace_compact_scan",
+    "events_anomaly_hours",
+    "text_length_histogram",
     # (b) last driver-verified in round 4 — oldest green rows
     "multimodal_binary_meta",
     "q8_market_share",
@@ -86,9 +88,9 @@ _PRIORITY = [
     "setop_intersect_nations",
     "setop_except_nations",
     "setop_union_counts",
+    # position 51+: remaining round-5 rows — round 8's natural leaders
     "scalar_string_funcs",
     "scalar_date_funcs",
-    # position 51+: remaining round-5 rows — round 8's natural leaders
     "scalar_math_funcs",
     "scalar_subquery_above_avg",
     "in_between_filter",

@@ -422,3 +422,100 @@ def text_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("window_tokens"),
         F.substring(F.min(F.md5("chunk")), 1, 8).alias("min_fp"),
     )
+
+
+@register(
+    "events_anomaly_hours",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(cnt) AS BIGINT) AS s,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+    FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour_ts, h.cnt,
+       CASE WHEN (CAST(st.n AS BIGINT) * h.cnt - st.s)
+                 * (CAST(st.n AS BIGINT) * h.cnt - st.s)
+                 > 4 * (st.n * st.ss - st.s * st.s)
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM hourly h JOIN stats st ON h.event_type = st.event_type
+WHERE (CAST(st.n AS BIGINT) * h.cnt - st.s)
+      * (CAST(st.n AS BIGINT) * h.cnt - st.s)
+      > 4 * (st.n * st.ss - st.s * st.s)
+""",
+    tags=("events", "anomaly", "analytics"),
+)
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomalies per type — the |x - mean| > 2·stddev
+    rule evaluated in EXACT INTEGER arithmetic, no division or sqrt
+    anywhere: (n·x − Σ)² > 4·(n·Σx² − Σ²) is the same inequality with
+    both sides multiplied by n², so Spark and DuckDB compare identical
+    integers and the flag is bit-deterministic. One shuffle to the hourly
+    grid, then a broadcast of the ≤|event types| stats rows back onto it."""
+    from quiver_spark.tables import load as load_tbl
+
+    ev = load_tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_ts"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("ss"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    dev = F.col("n").cast("bigint") * F.col("cnt") - F.col("s")
+    var4 = 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return (
+        j.filter(dev * dev > var4)
+        .select(
+            "event_type",
+            "hour_ts",
+            "cnt",
+            F.lit(1).alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "text_length_histogram",
+    oracle=f"""
+SELECT lang,
+       CAST(FLOOR(LOG2(len({_SQL_TOKENS}) + 1)) AS BIGINT) AS bucket,
+       COUNT(*) AS docs,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS tokens
+FROM documents
+GROUP BY 1, 2
+""",
+    tags=("text", "histogram", "analytics"),
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language log2-bucketed document-length histogram (whitespace
+    tokens) — the length-distribution screening pass of a corpus audit.
+    Bucket = floor(log2(n_tok + 1)): small ints computed identically on
+    both engines for token counts far below 2^53. Pure map + one
+    aggregation on (lang, bucket)."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.expr(f"size({_SPARK_TOKENS})").cast("bigint")
+    return (
+        d.select(
+            "lang",
+            F.floor(F.log2(n_tok + F.lit(1))).cast("bigint").alias("bucket"),
+            n_tok.alias("n_tok"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+        )
+    )

@@ -133,3 +133,37 @@ def test_streaming_read_evolving_dir(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted(map(tuple, spark.table("evo_stream").collect()))
     assert rows == [(1, "a"), (2, "b"), (3, None)]
+
+
+def test_schema_evolution_inside_live_generation(spark, tmp_path):
+    """Generations × evolution: an overwrite creates gen-000001; a later
+    APPEND with an extra column lands inside the live generation, and
+    merge_schemas=true unions the fields with null-fill — the same
+    evolution contract as a flat directory, just resolved through the
+    pointer."""
+    from pyspark.sql import functions as F
+
+    from quiver_spark.sources import register
+    from quiver_spark.sources.quiver_datasource import _data_root
+
+    register(spark)
+    out = str(tmp_path / "evo_gen")
+    spark.range(10).selectExpr("id AS a").write.format("quiver").mode(
+        "overwrite"
+    ).save(out)
+    spark.range(5).selectExpr("id + 100 AS a", "id AS b").write.format(
+        "quiver"
+    ).mode("append").save(out)
+    import os as _os
+
+    # both files live under the single live generation
+    gen = _data_root(out)
+    assert _os.path.basename(gen) == "gen-000001"
+    merged = (
+        spark.read.format("quiver")
+        .option("merge_schemas", "true")
+        .load(out)
+    )
+    assert sorted(merged.columns) == ["a", "b"]
+    assert merged.count() == 15
+    assert merged.filter(F.col("b").isNull()).count() == 10

@@ -42,6 +42,7 @@ _PRIORITY = [
     "quiver_inplace_compact_scan",
     "events_anomaly_hours",
     "text_length_histogram",
+    "quiver_scan_events",
     # (b) last driver-verified in round 4 — oldest green rows
     "multimodal_binary_meta",
     "q8_market_share",
@@ -87,8 +88,8 @@ _PRIORITY = [
     "cube_orders",
     "setop_intersect_nations",
     "setop_except_nations",
-    "setop_union_counts",
     # position 51+: remaining round-5 rows — round 8's natural leaders
+    "setop_union_counts",
     "scalar_string_funcs",
     "scalar_date_funcs",
     "scalar_math_funcs",

@@ -989,3 +989,41 @@ def quiver_inplace_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("c_acctbal").alias("bal_sum"),
         F.min("c_name").alias("min_name"),
     )
+
+
+@register(
+    "quiver_scan_events",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(user_id) AS BIGINT) AS user_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events
+GROUP BY event_type
+""",
+    tags=("format", "scan", "time"),
+)
+def quiver_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last driver table through the NATIVE format: events (timestamp +
+    double + string + json-ish props) written to quiver and aggregated per
+    type — timestamps surface as formatted strings (registry determinism
+    rule) and value sums go through exact decimals. Proves the timestamp
+    page path against the parquet original on a real table rather than
+    only the unit matrix."""
+    ev = quiver_table(
+        spark,
+        sf_dir,
+        "events",
+        columns=["event_type", "user_id", "value", "ts"],
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("user_id").cast("bigint").alias("user_sum"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value_sum"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

@@ -137,9 +137,14 @@ def expire_generations(path: str, keep: int = 1) -> dict:
         return {"dir": path, "removed": [], "kept": [], "note": "no generations"}
     live = os.path.basename(_data_root(path))
     gens = sorted(
-        d
-        for d in os.listdir(path)
-        if _GEN_RE.fullmatch(d) and os.path.isdir(os.path.join(path, d))
+        (
+            d
+            for d in os.listdir(path)
+            if _GEN_RE.fullmatch(d) and os.path.isdir(os.path.join(path, d))
+        ),
+        # numeric, not lexicographic: 7-digit names (past gen 999999)
+        # would otherwise sort before 6-digit ones and break retention
+        key=lambda d: int(d.split("-")[1]),
     )
     # newest `keep` survive; the live generation survives unconditionally
     kept = set(gens[-keep:]) | {live}

@@ -143,7 +143,9 @@ def _opt_path(options) -> str:
 
 
 #: generation-directory name pattern for atomic overwrite snapshots
-_GEN_RE = __import__("re").compile(r"gen-\d{6}")
+#: (6+ digits: names are zero-padded to 6 but keep resolving past the
+#: millionth overwrite, when :06d naturally widens to 7 digits)
+_GEN_RE = __import__("re").compile(r"gen-\d{6,}")
 #: pointer file naming the live generation (atomic os.replace swap)
 _CURRENT = "_current"
 
@@ -1101,6 +1103,12 @@ class QuiverStreamReader(DataSourceStreamReader):
         self.partition_rows = int(
             options.get("partition_rows", DEFAULT_PARTITION_ROWS)
         )
+        # same knob as the batch planner: a streamed split rolls when it
+        # has EITHER partition_rows rows or partition_bytes compressed
+        # bytes behind it (option-driven, mirroring QuiverScanReader)
+        self.partition_bytes = int(
+            options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
         # rate limiting for backfills: at most N new files per micro-batch
         # (the analogue of the file source's maxFilesPerTrigger) — without
         # it, pointing a fresh stream at a deep directory makes batch 0
@@ -1173,7 +1181,7 @@ class QuiverStreamReader(DataSourceStreamReader):
             for i, p in enumerate(pages):
                 rows += p.num_values
                 bts += page_bytes[i]
-                if rows >= self.partition_rows or bts >= DEFAULT_PARTITION_BYTES:
+                if rows >= self.partition_rows or bts >= self.partition_bytes:
                     parts.append(QuiverPartition(file, start_p, i + 1, pspec(file)))
                     start_p, rows, bts = i + 1, 0, 0
             if start_p < len(pages):
@@ -1360,13 +1368,20 @@ class QuiverWriter(DataSourceArrowWriter):
         return QuiverCommit(task_dir=task_dir, files=tuple(staged))
 
     def _generations(self) -> list[str]:
-        """Sorted generation directory names present under the table."""
+        """Generation directory names under the table, sorted by number
+        (NOT lexicographically: past the millionth overwrite names widen
+        to 7 digits and ``gen-1000000`` would sort before ``gen-999999``
+        as a string, corrupting max+1 claiming and GC retention order)."""
         if not os.path.isdir(self.path):
             return []
         return sorted(
-            d
-            for d in os.listdir(self.path)
-            if _GEN_RE.fullmatch(d) and os.path.isdir(os.path.join(self.path, d))
+            (
+                d
+                for d in os.listdir(self.path)
+                if _GEN_RE.fullmatch(d)
+                and os.path.isdir(os.path.join(self.path, d))
+            ),
+            key=lambda d: int(d.split("-")[1]),
         )
 
     def _gc_superseded(self, current: str) -> None:
@@ -1403,49 +1418,88 @@ class QuiverWriter(DataSourceArrowWriter):
         and only then is the ``_current`` pointer atomically replaced
         (os.replace). Readers that start after the swap see the new
         snapshot in full; readers that resolved earlier keep a consistent
-        old snapshot for as long as it is retained (``keep_generations``,
-        default 1 = current only; retained ones are readable via
-        ``.option("version", N)``). A crash before the swap leaves the old
-        table untouched (the orphan generation is GC'd by the next
-        overwrite); after the swap, at worst a superseded generation
-        lingers. There is NO window of partial or doubled data — the
-        failure modes of both delete-then-move and move-then-delete.
-        APPENDS publish into the currently-live root (generation or flat).
-        """
+        old snapshot FOR AS LONG AS IT IS RETAINED: with the default
+        ``keep_generations=1`` the superseded generation is deleted at
+        commit, so snapshot isolation for a reader still mid-scan across a
+        concurrent overwrite requires ``keep_generations >= 2`` (retained
+        ones are also readable via ``.option("version", N)``). A crash
+        before the swap leaves the old table untouched (the orphan
+        generation is GC'd by the next overwrite); after the swap, at
+        worst a superseded generation lingers. There is NO window of
+        partial or doubled data — the failure modes of both
+        delete-then-move and move-then-delete. APPENDS publish into the
+        currently-live root (generation or flat).
+
+        Multi-writer contract (primitives in ``pointer_store.py``): the
+        whole publish runs under the store's per-table writer lock, the
+        generation directory is claimed with exclusive-create (two racing
+        overwrites can never share a ``gen-NNNNNN``), the pointer swap is
+        compare-and-swap against the generation observed at publish start,
+        and an append re-resolves its destination under the lock and
+        verifies it is still live before returning. With the default
+        local store (advisory flock) concurrent writers serialize: two
+        overwrites commit as two distinct generations, last swap wins. On
+        a lock-less store every race is still DETECTED — the losing
+        writer gets a ``ConcurrentWriteError``, never a silently mixed or
+        lost snapshot."""
         import shutil
 
-        if self.overwrite:
-            gens = self._generations()
-            nxt = int(gens[-1].split("-")[1]) + 1 if gens else 1
-            gen_name = f"gen-{nxt:06d}"
-            dst_root = os.path.join(self.path, gen_name)
-            # created even with zero staged files: overwrite-with-empty
-            # must yield an EMPTY table, not leave the old one live
-            os.makedirs(dst_root, exist_ok=True)
-        else:
-            dst_root = _data_root(self.path)
-        for msg in messages:
-            if msg is None or not msg.task_dir:
-                continue
-            for rel in msg.files:
-                dst = os.path.join(dst_root, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                # data file first, then its sidecar: a crash in between
-                # leaves a data file whose reads are briefly unverified
-                # (the checksum cache keys on the sidecar's stat, so the
-                # late sidecar IS picked up) — the reverse order would
-                # leave permanent orphan sidecars no GC path sweeps
-                os.replace(os.path.join(msg.task_dir, rel), dst)
-                side = os.path.join(msg.task_dir, rel + ".stats.json")
-                if os.path.exists(side):
-                    os.replace(side, dst + ".stats.json")
-            shutil.rmtree(msg.task_dir, ignore_errors=True)
-        if self.overwrite:
-            tmp = os.path.join(self.path, _CURRENT + ".tmp")
-            with open(tmp, "w") as f:
-                f.write(gen_name)
-            os.replace(tmp, os.path.join(self.path, _CURRENT))
-            self._gc_superseded(gen_name)
+        from .pointer_store import ConcurrentWriteError, get_pointer_store
+
+        store = get_pointer_store()
+        with store.lock(self.path):
+            if self.overwrite:
+                expected = store.read_pointer(self.path)
+                gens = self._generations()
+                nxt = int(gens[-1].split("-")[1]) + 1 if gens else 1
+                # exclusive-create claim; a concurrent writer holding the
+                # number bumps us to the next one (collision-proof names
+                # even on stores whose lock() is a no-op). The dir is
+                # created even with zero staged files: overwrite-with-empty
+                # must yield an EMPTY table, not leave the old one live.
+                while not store.claim_generation(
+                    self.path, f"gen-{nxt:06d}"
+                ):
+                    nxt += 1
+                gen_name = f"gen-{nxt:06d}"
+                dst_root = os.path.join(self.path, gen_name)
+            else:
+                # resolved UNDER the lock: a pre-lock resolution could name
+                # a generation a concurrent overwrite is about to GC
+                dst_root = _data_root(self.path)
+            for msg in messages:
+                if msg is None or not msg.task_dir:
+                    continue
+                for rel in msg.files:
+                    dst = os.path.join(dst_root, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    # data file first, then its sidecar: a crash in between
+                    # leaves a data file whose reads are briefly unverified
+                    # (the checksum cache keys on the sidecar's stat, so the
+                    # late sidecar IS picked up) — the reverse order would
+                    # leave permanent orphan sidecars no GC path sweeps
+                    os.replace(os.path.join(msg.task_dir, rel), dst)
+                    side = os.path.join(msg.task_dir, rel + ".stats.json")
+                    if os.path.exists(side):
+                        os.replace(side, dst + ".stats.json")
+                shutil.rmtree(msg.task_dir, ignore_errors=True)
+            if self.overwrite:
+                store.swap_pointer(self.path, gen_name, expected)
+                self._gc_superseded(gen_name)
+            elif os.path.basename(dst_root) != os.path.basename(self.path):
+                # append into a generation: verify it is STILL the live one
+                # before acknowledging (under the local lock this cannot
+                # fire; on a lock-less store it turns append-vs-overwrite
+                # races from silent loss into a loud, retryable failure)
+                live = store.read_pointer(self.path)
+                if live != os.path.basename(dst_root):
+                    raise ConcurrentWriteError(
+                        f"append published into generation "
+                        f"{os.path.basename(dst_root)!r} of {self.path}, "
+                        f"but a concurrent overwrite made {live!r} current "
+                        "— the appended rows are NOT in the live snapshot; "
+                        "re-run the append"
+                    )
         self._gc_staging()
 
     def _gc_staging(self, max_age_sec: int = 24 * 3600) -> None:

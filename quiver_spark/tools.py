@@ -115,7 +115,19 @@ def cmd_generations(path: str) -> dict:
         with open(cur_path) as f:
             cur = f.read().strip()
     gens = []
-    for d in sorted(os.listdir(path)) if os.path.isdir(path) else []:
+    names = (
+        sorted(
+            os.listdir(path),
+            # numeric where the name is a generation, else lexicographic
+            key=lambda d: (
+                int(d.split("-")[1]) if _GEN_RE.fullmatch(d) else -1,
+                d,
+            ),
+        )
+        if os.path.isdir(path)
+        else []
+    )
+    for d in names:
         if _GEN_RE.fullmatch(d) and os.path.isdir(os.path.join(path, d)):
             files = _list_files(os.path.join(path, d))
             gens.append(

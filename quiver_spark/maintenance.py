@@ -157,6 +157,51 @@ def expire_generations(path: str, keep: int = 1) -> dict:
     return {"dir": path, "removed": removed, "kept": sorted(kept)}
 
 
+def rollback_generation(path: str, version: int) -> dict:
+    """Point the table back at a RETAINED older generation — the undo for
+    a bad overwrite, completing the snapshot feature operationally
+    (overwrite → rollback → the old data is live again, no rewrite).
+
+    Same discipline as commit: runs under the table's writer lock and
+    swaps the ``_current`` pointer with the store's compare-and-swap, so
+    a rollback racing a concurrent overwrite is refused loudly instead of
+    resurrecting a snapshot the overwrite just superseded. The target
+    must still be retained (written with ``keep_generations > 1`` or not
+    yet expired); rolled-PAST generations are NOT deleted — a follow-up
+    overwrite or :func:`expire_generations` reclaims them, so a rollback
+    is itself reversible until then. Driver-local: pointer write only, no
+    Spark session, no data movement."""
+    from quiver_spark.sources.pointer_store import get_pointer_store
+    from quiver_spark.sources.quiver_datasource import _GEN_RE, _CURRENT
+
+    name = f"gen-{int(version):06d}"
+    store = get_pointer_store()
+    with store.lock(path):
+        cur = store.read_pointer(path)
+        if cur is None:
+            raise ValueError(
+                f"{path} has no generation pointer ({_CURRENT}) — only "
+                "tables written by overwrite-mode sinks can roll back"
+            )
+        target = os.path.join(path, name)
+        if not _GEN_RE.fullmatch(name) or not os.path.isdir(target):
+            avail = sorted(
+                d
+                for d in os.listdir(path)
+                if _GEN_RE.fullmatch(d) and os.path.isdir(os.path.join(path, d))
+            )
+            raise ValueError(
+                f"generation {version} not retained under {path}; "
+                f"available: {avail} (retention requires "
+                "keep_generations > 1 at write time)"
+            )
+        if cur == name:
+            return {"dir": path, "rolled_back_to": name, "previous": cur,
+                    "note": "already live"}
+        store.swap_pointer(path, name, cur)
+    return {"dir": path, "rolled_back_to": name, "previous": cur}
+
+
 def convert_parquet(
     spark,
     src: str,

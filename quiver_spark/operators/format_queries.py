@@ -9,6 +9,7 @@ repeated gate runs pay the conversion once.
 from __future__ import annotations
 
 import os
+import uuid
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -793,19 +794,29 @@ def quiver_sql_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact workflow of a SQL-only user (catalog registration instead of
     DataFrame chaining). The plan is identical to the DataFrame form, so
     Catalyst treatment (pruning, pushdown, AQE) is unchanged."""
+    # the view name carries a per-call unique suffix: the query's POINT is
+    # the catalog-registration workflow, but a fixed name is session-global
+    # and concurrent callers in one SparkSession could race between view
+    # replacement and analysis
+    view = f"quiver_orders_v_{uuid.uuid4().hex}"
     quiver_table(
         spark, sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
-    ).createOrReplaceTempView("quiver_orders_v")
-    return spark.sql(
-        """
-        SELECT o_orderpriority,
-               COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE)
-                   AS total_price
-        FROM quiver_orders_v
-        GROUP BY o_orderpriority
-        """
-    )
+    ).createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE)
+                       AS total_price
+            FROM {view}
+            GROUP BY o_orderpriority
+            """
+        )
+    finally:
+        # the returned DataFrame's resolved plan no longer needs the
+        # catalog entry; dropping it keeps repeat calls leak-free
+        spark.catalog.dropTempView(view)
 
 
 @register(

@@ -48,10 +48,13 @@ def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") < UDTF_DOC_LIMIT
     )
-    d.createOrReplaceTempView("_udtf_docs")
+    # the input binds as a DataFrame argument ({src}), not a named temp
+    # view: fixed view names are session-global, so concurrent callers in
+    # one SparkSession could race between view replacement and analysis
     return spark.sql(
         "SELECT doc_id, t.pos, t.token "
-        "FROM _udtf_docs, LATERAL token_explode(text) t"
+        "FROM {src}, LATERAL token_explode(text) t",
+        src=d,
     )
 
 

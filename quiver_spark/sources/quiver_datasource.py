@@ -1090,7 +1090,16 @@ class QuiverStreamReader(DataSourceStreamReader):
 
     Scale posture: one page-range partition per new file chunk, exactly like
     the batch reader — per-batch work is proportional to new data only, and
-    the offset stays O(1) in the log regardless of directory size."""
+    the offset stays O(1) in the log regardless of directory size.
+
+    Generation interplay (chosen, pinned in
+    tests/test_streaming.py::test_stream_source_overwrite_reingests_new_generation):
+    listing goes through the LIVE generation, so an overwrite mid-stream
+    surfaces the new generation's files as brand-new names (the
+    ``gen-NNNNNN/`` prefix changes) and the new snapshot is re-ingested
+    wholesale; consumed old-generation names are never re-offered. This is
+    the file-streaming-source convention (append-only directory
+    assumption) — point streams at append-mode tables."""
 
     def __init__(self, options, schema: StructType):
         self.options = options

@@ -8,6 +8,11 @@ layer a format needs at fleet scale (what `parquet-tools` is to parquet).
     python -m quiver_spark compact <src_dir> <dst_file>  # merge small files
                                    # (driver-local; flat dirs — use
                                    # maintenance.compact for cluster scale)
+    python -m quiver_spark generations <dir>             # snapshot inventory
+    python -m quiver_spark expire  <dir> [--keep N]      # retention sweep
+    python -m quiver_spark rollback <dir> --to N  # re-point _current at a
+                                   # retained generation (undo an overwrite;
+                                   # CAS + writer lock, loud on races)
 
 Pure pyarrow — no Spark session, no JVM. `stat` is the reference's
 stat_simple diagnostic (src/stat.rs:26-152) surfaced as a CLI; `verify` is
@@ -205,6 +210,9 @@ def main(argv: list[str] | None = None) -> int:
     x = sub.add_parser("expire")
     x.add_argument("dir")
     x.add_argument("--keep", type=int, default=1)
+    r = sub.add_parser("rollback")
+    r.add_argument("dir")
+    r.add_argument("--to", type=int, required=True, metavar="VERSION")
     args = ap.parse_args(argv)
     if args.cmd == "inspect":
         print(json.dumps(cmd_inspect(args.file), indent=2))
@@ -227,6 +235,10 @@ def main(argv: list[str] | None = None) -> int:
         from quiver_spark.maintenance import expire_generations
 
         print(json.dumps(expire_generations(args.dir, keep=args.keep), indent=2))
+    elif args.cmd == "rollback":
+        from quiver_spark.maintenance import rollback_generation
+
+        print(json.dumps(rollback_generation(args.dir, args.to), indent=2))
     elif args.cmd == "compact":
         from quiver_spark.maintenance import compact_local
 

@@ -276,3 +276,76 @@ def test_expire_generations(spark, tmp_path):
     flat = str(tmp_path / "flat")
     _os.makedirs(flat)
     assert maintenance.expire_generations(flat)["removed"] == []
+
+
+def test_rollback_generation(spark, tmp_path):
+    """Overwrite → rollback → the old snapshot is live again; rollback is
+    itself reversible while the rolled-past generation is retained; a
+    rollback to an unretained generation or of a flat table fails
+    loudly."""
+    import os as _os
+
+    register(spark)
+    out = str(tmp_path / "rb")
+    for n in (10, 20, 30):
+        (
+            spark.range(n)
+            .write.format("quiver")
+            .option("keep_generations", "99")
+            .mode("overwrite")
+            .save(out)
+        )
+    assert spark.read.format("quiver").load(out).count() == 30
+
+    res = maintenance.rollback_generation(out, 2)
+    assert res["rolled_back_to"] == "gen-000002"
+    assert res["previous"] == "gen-000003"
+    assert spark.read.format("quiver").load(out).count() == 20
+    # rolled-PAST generation is retained, so the rollback is reversible
+    assert maintenance.rollback_generation(out, 3)["rolled_back_to"] == (
+        "gen-000003"
+    )
+    assert spark.read.format("quiver").load(out).count() == 30
+    # already-live rollback is a no-op, not an error
+    assert maintenance.rollback_generation(out, 3)["note"] == "already live"
+
+    # unretained target → loud
+    maintenance.expire_generations(out, keep=1)
+    with pytest.raises(ValueError, match="not retained"):
+        maintenance.rollback_generation(out, 1)
+    # flat table (no pointer) → loud
+    flat = str(tmp_path / "rb_flat")
+    _os.makedirs(flat)
+    with pytest.raises(ValueError, match="no generation pointer"):
+        maintenance.rollback_generation(flat, 1)
+
+
+def test_rollback_cli(spark, tmp_path):
+    """`python -m quiver_spark rollback <dir> --to N` round-trips
+    overwrite → rollback → read-old through the CLI entry point."""
+    import subprocess
+    import sys as _sys
+
+    register(spark)
+    out = str(tmp_path / "rb_cli")
+    for n in (5, 7):
+        (
+            spark.range(n)
+            .write.format("quiver")
+            .option("keep_generations", "9")
+            .mode("overwrite")
+            .save(out)
+        )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [_sys.executable, "-m", "quiver_spark", "rollback", out, "--to", "1"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/tmp",
+    )
+    assert r.returncode == 0, r.stderr
+    import json as _json
+
+    assert _json.loads(r.stdout)["rolled_back_to"] == "gen-000001"
+    assert spark.read.format("quiver").load(out).count() == 5

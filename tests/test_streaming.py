@@ -361,3 +361,56 @@ def test_transform_with_state_matches_batch(spark, landing_dir, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_source_overwrite_reingests_new_generation(spark, tmp_path):
+    """Streaming source × generation snapshots — the CHOSEN interplay: the
+    stream lists files through the live generation, so an overwrite
+    mid-stream makes the new generation's files appear as brand-new names
+    (the gen-NNNNNN/ prefix changes) and they are re-ingested wholesale,
+    while already-consumed old-generation names are never re-offered.
+    This matches the convention of file-based streaming sources (which
+    assume append-only directories); the pin makes the behavior a
+    decision, not an accident."""
+    from quiver_spark.sources import register
+
+    register(spark)
+    out = str(tmp_path / "gen_src")
+    spark.range(0, 10).selectExpr("id").coalesce(1).write.format(
+        "quiver"
+    ).mode("overwrite").save(out)
+
+    batches = []
+
+    def _sink(df, batch_id):
+        rows = df.collect()
+        if rows:
+            batches.append(sorted(r.id for r in rows))
+
+    q = (
+        spark.readStream.format("quiver")
+        .load(out)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt-gen"))
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline and sum(len(b) for b in batches) < 10:
+        _time.sleep(0.5)
+    assert sorted(i for b in batches for i in b) == list(range(10))
+
+    # overwrite mid-stream: a NEW generation becomes live
+    spark.range(100, 105).selectExpr("id").coalesce(1).write.format(
+        "quiver"
+    ).mode("overwrite").save(out)
+    deadline = _time.time() + 120
+    while _time.time() < deadline and sum(len(b) for b in batches) < 15:
+        _time.sleep(0.5)
+    q.stop()
+
+    all_ids = sorted(i for b in batches for i in b)
+    # old snapshot consumed once, new snapshot re-ingested wholesale,
+    # nothing delivered twice
+    assert all_ids == list(range(10)) + list(range(100, 105)), all_ids

@@ -22,73 +22,20 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 7 window (50), per VERDICT r6 item 3: (a) quiver_narrow_projection —
-# new this round, never sampled; (b) the 23 displaced rows whose last
-# driver-green is round 4 (all re-verified green at sf0.01 locally in
-# rounds 6 AND 7, so the aging carried no correctness risk); (c)
-# dedup_simhash and ann_lsh_buckets, whose last driver rows predate the
-# 60-bit / multi-table rework — the reworked versions get their first
-# driver proof here; (d) fill to 50 with the oldest half of the round-5
-# window. Position 51+ holds the rest of the round-5 window (round 8's
-# natural leaders), then the freshly-green round-6 names follow in
+# Round 8 window (50), per VERDICT r7 item 3: (a) quiver_time_travel_scan
+# and quiver_rollback_scan — new this round, never sampled (first driver
+# proof of the snapshot/rollback surface); (b) the 32 rows whose last
+# driver-green is round 5 — the oldest cohort (all re-verified green at
+# sf0.01 locally each round since, so the aging carried no correctness
+# risk); (c) fill to 50 with the leading 16 names of the round-6 window
+# (the next to age out). Position 51+ holds the rest of the round-6
+# window (round 9's natural leaders), then the round-7 names follow in
 # registry order.
 _PRIORITY = [
     # (a) new this round — never sampled
-    "quiver_narrow_projection",
-    "pipeline_pack_sequences",
-    "text_context_windows",
-    "sample_token_budget",
-    "dedup_canonical_docs",
-    "quiver_inplace_compact_scan",
-    "events_anomaly_hours",
-    "text_length_histogram",
-    "quiver_scan_events",
-    # (b) last driver-verified in round 4 — oldest green rows
-    "multimodal_binary_meta",
-    "q8_market_share",
-    "q9_product_profit",
-    "agg_quantiles",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q19_bracket_revenue",
-    "agg_collect_sorted",
-    "agg_minby_maxby",
-    "embedding_norm_stats",
-    "q22_idle_customers",
-    "agg_string_ordered",
-    "setop_bag_semantics",
-    "setop_intersect_all",
-    "setop_union_distinct",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
-    "scalar_regexp_funcs",
-    "text_token_topk",
-    "text_quality_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    # (c) reworked since their last driver row (r4: 16-bit simhash /
-    # single-table LSH) — first driver proof of the hardened versions
-    "dedup_simhash",
-    "ann_lsh_buckets",
-    # (d) oldest half of the round-5 window
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q10_returned_items",
-    "q18_large_orders",
-    "outer_join_coverage",
-    "semi_join_customers",
-    "anti_join_customers",
-    "nonequi_acctbal_pairs",
-    "window_rank_orders",
-    "window_running_total",
-    "window_lag_gap",
-    "window_ntile_share",
-    "rollup_returns",
-    "cube_orders",
-    "setop_intersect_nations",
-    "setop_except_nations",
-    # position 51+: remaining round-5 rows — round 8's natural leaders
+    "quiver_time_travel_scan",
+    "quiver_rollback_scan",
+    # (b) last driver-verified in round 5 — oldest green rows
     "setop_union_counts",
     "scalar_string_funcs",
     "scalar_date_funcs",
@@ -121,6 +68,32 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "scalar_map_funcs",
     "grouped_minmax_norm",
+    # (c) fill to 50: the leading 16 rows of the round-6 window — the
+    # next cohort to age out (the early-r5 rows q4_order_priority etc.
+    # were re-proved inside the r7 window, so they rank BELOW these)
+    "quiver_scan_delta",
+    "quiver_scan_freq",
+    "quiver_scan_nested_types",
+    "quiver_scan_uints",
+    "quiver_scan_decimals",
+    "text_token_bpe",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "dedup_simhash_pairs",
+    "events_locf_impute",
+    "quiver_batch_read",
+    "dedup_chunk_exact",
+    "sample_temperature_mix",
+    "ann_sq8_topk",
+    "events_interval_join",
+    "pipeline_corpus_summary",
+    "events_latest_per_user",
+    "quiver_compacted_scan",
+    "sketch_histogram_quantiles",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "events_moving_avg_24h",
+    "embedding_dim_stats",
 ]
 
 

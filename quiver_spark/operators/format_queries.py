@@ -1038,3 +1038,117 @@ def quiver_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+def _nation_generations_dir(spark: SparkSession, sf_dir: str) -> str:
+    """nation written TWICE through the overwrite sink with retention:
+    generation 1 holds only the nations of regions 0-1, generation 2 holds
+    all 25 — the fixture for the time-travel gate query. Built once per sf
+    behind a marker; keep_generations=3 so generation 1 stays retained."""
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "nation-generations")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        full = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        for df in (full.filter("n_regionkey < 2"), full):
+            (
+                df.coalesce(1)
+                .write.format("quiver")
+                .option("keep_generations", "3")
+                .mode("overwrite")
+                .save(d)
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "quiver_time_travel_scan",
+    oracle="""
+SELECT n_regionkey,
+       COUNT(*) AS cnt,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS min_name
+FROM nation
+WHERE n_regionkey < 2
+GROUP BY n_regionkey
+""",
+    tags=("format", "generations", "time-travel"),
+)
+def quiver_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the driver gate: nation is overwritten twice
+    (subset, then full) with retention, and the query reads
+    ``.option("version", "1")`` — the RETAINED first generation — while
+    generation 2 is live. The oracle is the subset predicate on the
+    parquet original, so a version read that resolves the wrong
+    generation, mixes generations, or loses retained files hash-fails.
+    Engine-side surface: generation snapshots + ``version`` option
+    (quiver_datasource._data_root); the reference format itself is
+    single-file with no table layer (/root/reference/src/lib.rs)."""
+    d = _nation_generations_dir(spark, sf_dir)
+    n = quiver_relation(spark, d, version="1")
+    return n.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.min("n_name").alias("min_name"),
+    )
+
+
+def _supplier_rollback_dir(spark: SparkSession, sf_dir: str) -> str:
+    """supplier overwritten twice (nations < 10, then all) and then ROLLED
+    BACK to generation 1 via maintenance.rollback_generation — the live
+    snapshot is the subset again. Built once per sf behind a marker."""
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "supplier-rollback")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        from quiver_spark.maintenance import rollback_generation
+
+        full = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        for df in (full.filter("s_nationkey < 10"), full):
+            (
+                df.coalesce(1)
+                .write.format("quiver")
+                .option("keep_generations", "3")
+                .mode("overwrite")
+                .save(d)
+            )
+        res = rollback_generation(d, 1)
+        assert res["rolled_back_to"] == "gen-000001", res
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "quiver_rollback_scan",
+    oracle="""
+SELECT s_nationkey,
+       COUNT(*) AS cnt,
+       CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS bal_sum,
+       MIN(s_name) AS min_name
+FROM supplier
+WHERE s_nationkey < 10
+GROUP BY s_nationkey
+""",
+    tags=("format", "generations", "rollback", "maintenance"),
+)
+def quiver_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback through the driver gate: supplier is overwritten twice
+    (subset, then full), the table is rolled back to generation 1
+    (maintenance.rollback_generation — CAS pointer swap under the writer
+    lock), and the LIVE table is scanned. The oracle is the subset
+    predicate on the parquet original: a rollback that fails to re-point,
+    resurrects the wrong generation, or mixes files hash-fails."""
+    d = _supplier_rollback_dir(spark, sf_dir)
+    s = quiver_relation(spark, d)
+    return s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("s_suppkey").cast("bigint").alias("key_sum"),
+        dsum("s_acctbal").alias("bal_sum"),
+        F.min("s_name").alias("min_name"),
+    )

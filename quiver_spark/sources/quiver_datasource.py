@@ -10,13 +10,18 @@ footer once, then fans out InputPartitions covering page ranges sized by
 128 MiB of compressed page bytes across the PROJECTED leaves — the cap
 that keeps wide-row multimodal blob tables from packing tens of GB into
 one task). When `partition_rows` is not set explicitly, a partition must
-also carry `min_partition_bytes` (default 1 MiB) of projected bytes
-before the row cap closes it — narrow projections would otherwise be
-carved into ~130 KB tasks whose per-task Python-worker overhead dominates
-(measured: 1-column sf0.1 scan 0.264 s at 32k-row splits vs 0.178 s with
-the floor). Executors open only their byte range per projected column —
-at 100 TB this is the same contract as Spark's parquet scan: splits ~=
-files × page-ranges, no driver-side row handling.
+also carry a bytes floor of projected bytes before the row cap closes
+it; the floor defaults to clamp(total_projected_bytes /
+`planning_parallelism`, 1 MiB, `partition_bytes`) and can be pinned with
+`min_partition_bytes`. Row-count-only sizing would otherwise carve
+narrow projections into ~130 KB tasks and many-file tables into
+thousands of ~3 MB tasks whose per-task Python-worker overhead dominates
+(measured round 8: a 16-file × 600k-row full scan planned 208 tasks and
+ran 9× the parquet control; the dynamic floor plans 32 tasks and runs
+2.5×). Executors open only their byte range per projected column — at
+100 TB this is the same contract as Spark's parquet scan: splits ~=
+files × page-ranges bounded by the 128 MiB cap, no driver-side row
+handling.
 
 Column pruning: Spark's Python DataSource API CANNOT push required columns
 — 4.1.2's PythonScanBuilder implements only SupportsPushDownFilters
@@ -637,17 +642,35 @@ class QuiverScanReader(DataSourceReader):
         )
         # An EXPLICIT partition_rows is obeyed exactly (the documented
         # knob contract); the DEFAULT additionally requires a partition to
-        # carry min_partition_bytes of PROJECTED page bytes before the row
-        # cap closes it. Rationale: row-count sizing over-splits narrow
-        # projections — 32k rows of one 8-byte column is ~130 KB/task, and
-        # the per-task Python-worker overhead dominates (measured sf0.1
-        # 1-column scan: 0.264 s at 32k rows vs 0.178 s at 128k — the
-        # bytes floor reproduces the fast config automatically while
-        # leaving full-width scans, whose 32k rows clear 1 MiB anyway,
-        # exactly as measured).
+        # carry a bytes FLOOR of PROJECTED page bytes before the row cap
+        # closes it. Rationale: row-count sizing over-splits — 32k rows of
+        # one 8-byte column is ~130 KB/task and the per-task Python-worker
+        # overhead dominates; at 16 files × 600k rows a row-capped full
+        # scan planned 208 ~3 MB tasks and measured 9× the parquet
+        # control purely on per-task overhead. When min_partition_bytes is
+        # not given, the floor is computed per scan as
+        # clamp(total_projected_bytes / planning_parallelism, 1 MiB,
+        # partition_bytes): small tables still fan out across cores
+        # (latency — per-task overhead is free while tasks <= cores), big
+        # tables get big splits (throughput — up to the 128 MiB cap,
+        # Spark's own maxPartitionBytes scale), and the one-leaf
+        # projection coalesces automatically. The round-8 idle-host sweep
+        # measured the 16-file full scan at 2.26 s row-capped vs 0.98 s
+        # with this rule, with the single-file sf0.1 cells unchanged.
+        # planning_parallelism defaults to
+        # the planner host's cpu count — on a multi-executor cluster set
+        # it to the fleet's total cores (or rely on the 128 MiB cap,
+        # which bounds split count for any 100 TB-scale table).
         self.rows_explicit = "partition_rows" in options
-        self.min_partition_bytes = int(
-            options.get("min_partition_bytes", 1 << 20)
+        mpb = options.get("min_partition_bytes")
+        self.min_partition_bytes = int(mpb) if mpb is not None else None
+        self.planning_parallelism = max(
+            1,
+            int(
+                options.get(
+                    "planning_parallelism", str(os.cpu_count() or 8)
+                )
+            ),
         )
         self.partition_bytes = int(
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
@@ -787,10 +810,16 @@ class QuiverScanReader(DataSourceReader):
                 (c, v, k) for (c, k), v in zip(part_cols, vals)
             )
 
-        parts: list[QuiverPartition] = []
-        budget = self.limit  # remaining rows to plan (None → unlimited)
+        # --- pass 1: per-file footer metadata + projected page bytes ---
+        # (footers come from the module cache, so the second pass and the
+        # executor reads never re-parse them)
+        file_plans: list[dict] = []
+        total_bytes = 0
+        planned_rows = 0
         for file in _list_files(self.path):
-            if budget is not None and budget <= 0:
+            if self.limit is not None and planned_rows >= self.limit:
+                # enough files collected to cover the limit (kept exact
+                # below — nested first columns disable this early stop)
                 break
             if self._part_filters and not _part_matches(
                 self._part_filters,
@@ -801,16 +830,9 @@ class QuiverScanReader(DataSourceReader):
                 # partition-key filter into O(matching files) I/O
                 continue
             _schema, metas = _file_footer(file)
-            if (
-                budget is not None
-                and len(_schema) > 0
-                and nested_mod.is_nested_type(_schema.field(0).type)
-            ):
-                # nested leaves store SLOT counts in num_values (reference
-                # common.rs:103-107), an over-count of rows — truncating the
-                # plan on slots could under-deliver rows, so fall back to
-                # the lazy decode budget only
-                budget = None
+            nested_first = len(_schema) > 0 and nested_mod.is_nested_type(
+                _schema.field(0).type
+            )
             if not metas or not metas[0].pages:
                 continue
             pages = metas[0].pages
@@ -819,7 +841,7 @@ class QuiverScanReader(DataSourceReader):
             # multimodal blob tables from packing tens of GB behind a
             # row-count-only split, and projecting the byte count means a
             # narrow scan's partitions are sized by what it will actually
-            # decode — with the min-bytes floor below, a 1-of-16-column
+            # decode — with the dynamic floor below, a 1-of-16-column
             # scan automatically coalesces to fewer, bigger tasks. (The
             # leaf mapping is per-FILE: under schema evolution each file's
             # footer schema can differ.)
@@ -853,6 +875,49 @@ class QuiverScanReader(DataSourceReader):
                 for i in range(n_pages)
             ]
             keep = self._page_keep_mask(file, n_pages)
+            file_plans.append(
+                {
+                    "file": file,
+                    "pages": pages,
+                    "page_bytes": page_bytes,
+                    "keep": keep,
+                    "nested_first": nested_first,
+                }
+            )
+            total_bytes += sum(
+                b for i, b in enumerate(page_bytes) if keep[i]
+            )
+            if nested_first:
+                # nested leaves store SLOT counts in num_values (reference
+                # common.rs:103-107), an over-count of rows — a limit
+                # cannot stop file collection early on slot counts
+                planned_rows = -(1 << 62) if self.limit is not None else 0
+            else:
+                planned_rows += sum(
+                    p.num_values for i, p in enumerate(pages) if keep[i]
+                )
+
+        # --- dynamic split floor (see __init__ rationale) ---
+        if self.min_partition_bytes is not None:
+            floor = self.min_partition_bytes
+        else:
+            floor = min(
+                max(total_bytes // self.planning_parallelism, 1 << 20),
+                self.partition_bytes,
+            )
+
+        # --- pass 2: roll page ranges into partitions under the floor ---
+        parts: list[QuiverPartition] = []
+        budget = self.limit  # remaining rows to plan (None → unlimited)
+        for fp in file_plans:
+            if budget is not None and budget <= 0:
+                break
+            file, pages = fp["file"], fp["pages"]
+            page_bytes, keep = fp["page_bytes"], fp["keep"]
+            if budget is not None and fp["nested_first"]:
+                # slot-count overcount (see pass 1): fall back to the lazy
+                # decode budget only
+                budget = None
             start = None
             rows = 0
             bts = 0
@@ -873,7 +938,7 @@ class QuiverScanReader(DataSourceReader):
                         # far cover the limit (skip_page analogue)
                         break
                 row_full = rows >= self.partition_rows and (
-                    self.rows_explicit or bts >= self.min_partition_bytes
+                    self.rows_explicit or bts >= floor
                 )
                 if row_full or bts >= self.partition_bytes:
                     parts.append(QuiverPartition(file, start, i + 1, pspec(file)))

@@ -808,7 +808,8 @@ def test_narrow_projection_partitions_coalesce_by_projected_bytes(
     spark, tmp_path
 ):
     """Default split planning sizes partitions by PROJECTED page bytes
-    with a 1 MiB floor: a 1-of-N-column projection must plan (far) fewer
+    with a dynamic floor (clamp(total/parallelism, 1 MiB,
+    partition_bytes)): a 1-of-N-column projection must plan (far) fewer
     partitions than the full-width scan of the same file, because 32k
     rows of one narrow column is ~130 KB and per-task worker overhead
     would dominate. An explicit partition_rows keeps the documented exact
@@ -833,13 +834,17 @@ def test_narrow_projection_partitions_coalesce_by_projected_bytes(
     nn = narrow.rdd.getNumPartitions()
     assert nn < nf, (nn, nf)
     # explicit partition_rows is obeyed exactly regardless of bytes
+    import math
+
     exact = (
         spark.read.format("quiver")
         .option("columns", "c0")
         .option("partition_rows", "32768")
         .load(str(d))
     )
-    assert exact.rdd.getNumPartitions() == nf, exact.rdd.getNumPartitions()
+    assert exact.rdd.getNumPartitions() == math.ceil(n / 32768), (
+        exact.rdd.getNumPartitions()
+    )
     assert narrow.count() == full.count() == n
 
 
@@ -964,3 +969,46 @@ def test_self_overwrite_reads_consistent_snapshot(spark, tmp_path):
     back = spark.read.format("quiver").load(out)
     assert back.count() == 50
     assert back.selectExpr("min(keep)", "max(keep)").collect()[0] == (1, 1)
+
+
+def test_many_files_scan_plans_bytes_bounded_partitions(spark, tmp_path):
+    """Round-8 scale fix: a many-files directory must NOT be carved into
+    one ~32k-row task per 3 MB of data (at 16 files x 600k rows that was
+    208 tasks and 9x the parquet control, pure per-task overhead). The
+    dynamic floor (clamp(total/parallelism, 1 MiB, partition_bytes))
+    bounds the plan to far fewer, bigger splits while an explicit
+    partition_rows still fans out exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    d = tmp_path / "many"
+    os.makedirs(d, exist_ok=True)
+    n_files, rows = 8, 100_000
+    for k in range(n_files):
+        t = pa.table(
+            {
+                "a": pa.array(
+                    np.random.default_rng(k).normal(size=rows)
+                ),
+                "b": pa.array(np.arange(rows, dtype=np.int64)),
+            }
+        )
+        write_table(t, str(d / f"part-{k}.quiver"), WriteOptions())
+    register(spark)
+    dyn = spark.read.format("quiver").load(str(d))
+    # row-capped planning would make ceil(100k/32768)=4 parts per file
+    # (32 total); the bytes floor coalesces to at most ~1 MiB-sized
+    # splits — materially fewer (splits never span files)
+    assert dyn.rdd.getNumPartitions() <= 2 * n_files
+    assert dyn.count() == n_files * rows
+    exact = (
+        spark.read.format("quiver")
+        .option("partition_rows", "32768")
+        .load(str(d))
+    )
+    assert exact.rdd.getNumPartitions() == n_files * 4
+    # values survive the coalesced plan byte-for-byte
+    import math
+
+    s = dyn.agg(F.sum("b")).collect()[0][0]
+    assert s == n_files * (rows * (rows - 1) // 2)

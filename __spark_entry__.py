@@ -22,19 +22,24 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 8 window (50), per VERDICT r7 item 3: (a) quiver_time_travel_scan
-# and quiver_rollback_scan — new this round, never sampled (first driver
-# proof of the snapshot/rollback surface); (b) the 32 rows whose last
-# driver-green is round 5 — the oldest cohort (all re-verified green at
-# sf0.01 locally each round since, so the aging carried no correctness
-# risk); (c) fill to 50 with the leading 16 names of the round-6 window
-# (the next to age out). Position 51+ holds the rest of the round-6
-# window (round 9's natural leaders), then the round-7 names follow in
-# registry order.
+# Round 8 window (50), per VERDICT r7 item 3: (a) the eight queries new
+# this round, never sampled — the snapshot/rollback surface and the six
+# remaining TPC-H shapes; (b) the 32 rows whose last driver-green is
+# round 5 — the oldest cohort (all re-verified green at sf0.01 locally
+# each round since, so the aging carried no correctness risk); (c) fill
+# to 50 with the leading names of the round-6 window (the next to age
+# out). Position 51+ holds the rest of the round-6 window (round 9's
+# natural leaders), then the round-7 names follow in registry order.
 _PRIORITY = [
     # (a) new this round — never sampled
     "quiver_time_travel_scan",
     "quiver_rollback_scan",
+    "q2_min_cost_supplier",
+    "q11_important_supply",
+    "q12_priority_shipping",
+    "q16_supplier_part_counts",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
     # (b) last driver-verified in round 5 — oldest green rows
     "setop_union_counts",
     "scalar_string_funcs",
@@ -68,9 +73,9 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "scalar_map_funcs",
     "grouped_minmax_norm",
-    # (c) fill to 50: the leading 16 rows of the round-6 window — the
-    # next cohort to age out (the early-r5 rows q4_order_priority etc.
-    # were re-proved inside the r7 window, so they rank BELOW these)
+    # (c) fill to 50: the leading rows of the round-6 window — the next
+    # cohort to age out (the early-r5 rows q4_order_priority etc. were
+    # re-proved inside the r7 window, so they rank BELOW these)
     "quiver_scan_delta",
     "quiver_scan_freq",
     "quiver_scan_nested_types",

@@ -13,6 +13,7 @@ from quiver_spark.operators import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     similarity,
     sketches,
     text,

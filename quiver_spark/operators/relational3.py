@@ -1,7 +1,8 @@
-"""Third relational battery: the remaining TPC-H query shapes expressible
-over the driver's reduced schemas (no partsupp table; lineitem lacks
-commitdate/receiptdate/shipmode — Q2/Q11/Q12/Q20/Q21 are out of reach and
-the rest are adapted to the columns that exist).
+"""Third relational battery: more TPC-H query shapes over the driver's
+reduced schemas (no partsupp table; lineitem lacks
+commitdate/receiptdate/shipmode — queries are adapted to the columns that
+exist; Q2/Q11/Q12/Q16/Q20/Q21's shapes live in relational5.py, which
+derives the supply relation from lineitem).
 
 All float aggregates follow the exact-decimal convention (registry.py).
 """

@@ -296,10 +296,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-EXISTS pair over lineitem self-joins is decorrelated into
     per-order supplier/late counts — the aggregation form Catalyst
     rewrites the subqueries into, one pass over the data instead of two
-    correlated probes.
+    correlated probes. The per-order counts come from an unordered WINDOW
+    over the (order,supplier) aggregate, so the reduced relation shuffles
+    once on the order key instead of re-aggregating and
+    sort-merge-joining back to itself.
 
-    Scale shape: one (order,supplier) aggregate shuffle, one per-order
-    re-aggregate of the already-reduced relation, supplier broadcast."""
+    Scale shape: one (order,supplier) aggregate shuffle, one window
+    shuffle on the order key over the already-reduced relation, supplier
+    broadcast."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load(spark, sf_dir, "supplier")
@@ -318,12 +322,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late")
         )
     )
-    per_order = l.groupBy("ok").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ok")
+    flagged = l.select(
+        "ok",
+        "sk",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
     )
     return (
-        l.join(per_order, "ok")
-        .filter(
+        flagged.filter(
             (F.col("late") == 1)
             & (F.col("n_supp") >= 2)
             & (F.col("n_late") == 1)

@@ -40,6 +40,9 @@ _PRIORITY = [
     "q16_supplier_part_counts",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    "text_bigram_topk",
+    "text_type_token_ratio",
+    "dedup_cross_source_matrix",
     # (b) last driver-verified in round 5 — oldest green rows
     "setop_union_counts",
     "scalar_string_funcs",

@@ -9,6 +9,7 @@ from quiver_spark.operators import (  # noqa: F401
     pipeline3,
     pipeline4,
     pipeline5,
+    pipeline6,
     relational,
     relational2,
     relational3,

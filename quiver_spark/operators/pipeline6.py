@@ -1,0 +1,178 @@
+"""Corpus-analysis battery #6: lexical-statistics and cross-source
+duplication operators a pretraining-data pipeline runs before mixing —
+bigram distributions (tokenizer/quality diagnostics), type-token ratios
+(vocabulary richness per source, the classic repetition smell test), and
+the cross-source duplicate matrix (which source pairs ship the same
+documents — drives source-level dedup priorities and mixture debugging).
+
+The reference (a columnar format library) has no text surface; these are
+driver-mandated LLM-pipeline extensions in the same mold as
+operators/text.py, built from JVM-side explode/agg/window primitives only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+
+@register(
+    "text_bigram_topk",
+    oracle="""
+WITH arr AS (
+    SELECT lang,
+           list_filter(string_split(text, ' '), t -> t <> '') AS a
+    FROM documents
+),
+big AS (
+    SELECT lang,
+           unnest(list_transform(range(1, len(a)),
+                                 i -> a[i] || ' ' || a[i + 1])) AS bigram
+    FROM arr
+),
+cnt AS (
+    SELECT lang, bigram, COUNT(*) AS cnt FROM big GROUP BY lang, bigram
+)
+SELECT lang, bigram, cnt
+FROM (
+    SELECT lang, bigram, cnt,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, bigram) AS rk
+    FROM cnt
+)
+WHERE rk <= 10
+""",
+    tags=("text", "ngram", "topk", "window"),
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 token bigrams per language — the co-occurrence diagnostic
+    that surfaces boilerplate and templated text before training.
+
+    Spark side: bigrams come from zipping the token array with itself
+    shifted by one (``slice``+``zip_with`` — pure map-side JVM arrays, no
+    posexplode self-join), then one (lang, bigram) count shuffle and a
+    per-lang ranked window with a deterministic (cnt DESC, bigram) tie
+    break. The oracle builds the same bigrams with a list_transform over
+    index ranges — a different construction, one answer. At 100 TB the
+    window input is the aggregated bigram relation (vocabulary²-bounded,
+    hash-distributed), never the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(
+            toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))
+        ),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    cnt = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "bigram")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "bigram", "cnt")
+    )
+
+
+@register(
+    "text_type_token_ratio",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT token) AS n_types,
+       CAST(COUNT(DISTINCT token) * 10000 // COUNT(*) AS BIGINT)
+           AS ttr_10k
+FROM tok
+WHERE token <> ''
+GROUP BY source
+""",
+    tags=("text", "agg", "distinct"),
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per source — vocabulary richness scaled to basis
+    points with INTEGER division (engine-identical; no float ratio to
+    hash-mismatch on). A source whose TTR collapses relative to its peers
+    is shipping templated/repeated text.
+
+    Scale shape: explode is map-side; one (source, token) distinct-count
+    aggregate shuffle. Sources are few, tokens distribute by hash —
+    no skew pivot."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_types"),
+        )
+        .withColumn(
+            "ttr_10k",
+            ((F.col("n_types") * 10000) / F.col("n_tokens"))
+            .cast("bigint"),
+        )
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle="""
+WITH h AS (
+    SELECT DISTINCT
+           md5(array_to_string(
+               list_filter(string_split(text, ' '), t -> t <> '')[1:12],
+               ' ')) AS h,
+           source
+    FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS shared_docs
+FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+GROUP BY source_a, source_b
+""",
+    tags=("dedup", "join", "matrix"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of sources, how
+    many distinct leading-prefix fingerprints (first 12 tokens — the
+    boilerplate/header signature; whole-text md5 finds nothing shared in
+    this corpus) they BOTH ship. The source-level view of dedup that
+    decides which feeds to de-prioritize in the mixture.
+
+    Scale shape: one distinct on (fingerprint, source) — corpus-sized,
+    uniform md5 keys — then a self-join ON THE FINGERPRINT whose per-key
+    fan-out is bounded by the source count (≤ #sources² pairs per key,
+    with #sources a config-scale constant, not data-scale), then a
+    #sources²-sized aggregate. The same bounded-blocking discipline as
+    every pair generator in operators/dedup.py."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    h = d.select(
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 12))).alias("h"), "source"
+    ).distinct()
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_docs"))
+    )

@@ -81,7 +81,16 @@ _DF_CACHE: dict[tuple, DataFrame] = {}
 
 
 def quiver_relation(spark: SparkSession, d: str, **options: str) -> DataFrame:
-    """Cached pruning-off quiver relation for a directory + static options."""
+    """Cached pruning-off quiver relation for a directory + static options.
+
+    Split planning's dynamic floor divides by ``planning_parallelism``;
+    the planner runs in a separate Python process that only sees the
+    planner HOST's cpu count, so pass the session's true
+    ``defaultParallelism`` (on a cluster: total executor cores) — the
+    value that actually bounds concurrent tasks."""
+    options.setdefault(
+        "planning_parallelism", str(spark.sparkContext.defaultParallelism)
+    )
     assert "page_prune" not in options and "partition_prune" not in options
     key = (
         spark.sparkContext.applicationId,

@@ -87,29 +87,33 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH val AS (
     SELECT l_partkey AS pk, SUM({SQL_REVENUE}) AS value
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-    WHERE s_nationkey IN (0, 1, 2)
+    WHERE s_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7)
     GROUP BY pk
 )
 SELECT pk AS p_partkey, ROUND(CAST(value AS DOUBLE), 2) AS value
-FROM val, (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 AS threshold FROM val) t
+FROM val,
+     (SELECT CAST(SUM(value) AS DOUBLE) * 2.0 / COUNT(*) AS threshold
+      FROM val) t
 WHERE CAST(value AS DOUBLE) > threshold
 """,
     tags=("subquery", "agg", "having", "tpch"),
 )
 def q11_important_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock, adapted): per-part supply value —
-    revenue shipped by suppliers of three nations, standing in for
+    revenue shipped by suppliers of eight nations, standing in for
     ps_supplycost*ps_availqty — filtered to parts whose value exceeds a
     FRACTION OF THE GLOBAL TOTAL (the defining HAVING-scalar-subquery
-    shape). Sums are exact decimals; the threshold comparison happens in
-    double on both sides (identical IEEE ops).
+    shape) — twice the mean per-part share, which unlike TPC-H's fixed
+    0.0001/SF fraction stays non-trivial at every scale factor. Sums are
+    exact decimals; the threshold comparison happens in double on both
+    sides (identical IEEE ops).
 
     Scale shape: one shuffle for the per-part aggregate; the global total
     re-aggregates the SAME aggregated (part-sized) relation and broadcasts
     back as a 1-row scalar — the fact table is read once."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").filter(
-        F.col("s_nationkey").isin(0, 1, 2)
+        F.col("s_nationkey").isin(0, 1, 2, 3, 4, 5, 6, 7)
     )
     val = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -117,7 +121,11 @@ def q11_important_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue()).alias("value"))
     )
     total = val.agg(
-        (F.sum("value").cast("double") * F.lit(0.001)).alias("threshold")
+        (
+            F.sum("value").cast("double")
+            * F.lit(2.0)
+            / F.count(F.lit(1))
+        ).alias("threshold")
     )
     return (
         val.join(F.broadcast(total))

@@ -1012,3 +1012,41 @@ def test_many_files_scan_plans_bytes_bounded_partitions(spark, tmp_path):
 
     s = dyn.agg(F.sum("b")).collect()[0][0]
     assert s == n_files * (rows * (rows - 1) // 2)
+
+
+def test_planning_parallelism_option_drives_split_floor(spark, tmp_path):
+    """The dynamic floor divides total projected bytes by
+    planning_parallelism: a parallelism of 1 coalesces the whole scan
+    into one split (floor = total), a high parallelism falls back to the
+    1 MiB lower clamp and fans out. Needs a table comfortably above the
+    1 MiB clamp — incompressible doubles, ~8 MB."""
+    import numpy as np
+    import pyarrow as pa
+
+    from quiver_spark.sources.quiver_datasource import QuiverScanReader
+
+    d = tmp_path / "wide_floor"
+    os.makedirs(d, exist_ok=True)
+    t = pa.table(
+        {"x": pa.array(np.random.default_rng(7).normal(size=1_000_000))}
+    )
+    write_table(t, str(d / "part-0.quiver"), WriteOptions())
+    one = QuiverScanReader(
+        {"path": str(d), "planning_parallelism": "1"}, None
+    )
+    many = QuiverScanReader(
+        {"path": str(d), "planning_parallelism": "1024"}, None
+    )
+    n_one = len(one.partitions())
+    n_many = len(many.partitions())
+    assert n_one < n_many, (n_one, n_many)
+    # explicit min_partition_bytes overrides the dynamic floor entirely
+    pinned = QuiverScanReader(
+        {
+            "path": str(d),
+            "planning_parallelism": "1",
+            "min_partition_bytes": str(1 << 20),
+        },
+        None,
+    )
+    assert len(pinned.partitions()) == n_many

@@ -382,3 +382,32 @@ def test_pointer_store_seam_is_pluggable(tmp_path):
     assert store.swaps == 1
     assert store.read_pointer(tbl) == "gen-000001"
     assert _table_ids(tbl) == [1, 2, 3]
+
+
+def test_mid_scan_overwrite_isolation_requires_retention(tmp_path):
+    """Documented (ADVICE r7): a reader that froze its generation at plan
+    time survives a concurrent overwrite ONLY when the writer retains the
+    superseded generation (keep_generations >= 2). At the default keep=1
+    the frozen files are GC'd at commit and the in-flight read fails with
+    a missing-file error — loud, never silently empty; with keep=2 the
+    frozen snapshot stays readable to the end."""
+    from quiver_spark.sources.quiver_datasource import QuiverScanReader
+
+    for keep, survives in ((1, False), (2, True)):
+        tbl = str(tmp_path / f"iso_keep{keep}")
+        _writer(tbl, overwrite=True)._publish([_stage(tbl, [1, 2, 3])])
+        reader = QuiverScanReader({"path": tbl}, None)
+        parts = reader.partitions()  # freezes gen-000001's file list
+        assert parts
+        _writer(tbl, overwrite=True, keep_generations=keep)._publish(
+            [_stage(tbl, [9])]
+        )
+        if survives:
+            rows = sum(
+                b.num_rows for p in parts for b in reader.read(p)
+            )
+            assert rows == 3, "retained snapshot must stay readable"
+        else:
+            with pytest.raises(OSError):
+                for p in parts:
+                    list(reader.read(p))

@@ -49,16 +49,27 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps Q2's defining shape: for every size-15 part, the supplier(s)
     achieving the per-part minimum cost, decorated with nation.
 
-    Scale shape: the supply aggregate is ONE shuffle on (partkey,
-    suppkey); the per-part min is a second, strictly smaller aggregate;
+    Scale shape: the part filter pushes BELOW the supply aggregate as a
+    broadcast semi-join, so the (partkey, suppkey) shuffle carries only
+    lineitems of qualifying parts (~1/50 of the fact table here — the
+    per-part min is unchanged because every lineitem of a kept part is
+    kept); the per-part min is a second, strictly smaller aggregate;
     supplier/nation broadcast onto the result. No driver-side anything."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
-    supply = li.groupBy(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).agg(F.min(dec("l_extendedprice")).alias("cost"))
+    supply = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.min(dec("l_extendedprice")).alias("cost"))
+    )
     mincost = supply.groupBy(F.col("pk").alias("mpk")).agg(
         F.min("cost").alias("mcost")
     )

@@ -172,9 +172,8 @@ def rollback_generation(path: str, version: int) -> dict:
     is itself reversible until then. Driver-local: pointer write only, no
     Spark session, no data movement."""
     from quiver_spark.sources.pointer_store import get_pointer_store
-    from quiver_spark.sources.quiver_datasource import _GEN_RE, _CURRENT
+    from quiver_spark.sources.quiver_datasource import _CURRENT, _data_root
 
-    name = f"gen-{int(version):06d}"
     store = get_pointer_store()
     with store.lock(path):
         cur = store.read_pointer(path)
@@ -183,18 +182,15 @@ def rollback_generation(path: str, version: int) -> dict:
                 f"{path} has no generation pointer ({_CURRENT}) — only "
                 "tables written by overwrite-mode sinks can roll back"
             )
-        target = os.path.join(path, name)
-        if not _GEN_RE.fullmatch(name) or not os.path.isdir(target):
-            avail = sorted(
-                d
-                for d in os.listdir(path)
-                if _GEN_RE.fullmatch(d) and os.path.isdir(os.path.join(path, d))
-            )
+        try:
+            # the reader's own version resolver validates retention and
+            # names what IS retained in its error — one source of truth
+            name = os.path.basename(_data_root(path, version=version))
+        except ValueError as exc:
             raise ValueError(
-                f"generation {version} not retained under {path}; "
-                f"available: {avail} (retention requires "
+                f"rollback target not retained: {exc} (retention requires "
                 "keep_generations > 1 at write time)"
-            )
+            ) from None
         if cur == name:
             return {"dir": path, "rolled_back_to": name, "previous": cur,
                     "note": "already live"}

@@ -143,6 +143,10 @@ def quiver_table(
         # cache could otherwise replay this load's pruned partitions for a
         # differently-filtered query (the datasource's documented sharp
         # edge). Zone maps only pay off on sorted/clustered columns anyway.
+        opts.setdefault(
+            "planning_parallelism",
+            str(spark.sparkContext.defaultParallelism),
+        )
         r = spark.read.format("quiver").option("page_prune", "true")
         for k, v in opts.items():
             r = r.option(k, v)
@@ -1059,6 +1063,13 @@ def _nation_generations_dir(spark: SparkSession, sf_dir: str) -> str:
     d = os.path.join(CACHE_ROOT, tag, "nation-generations")
     marker = os.path.join(d, "_done")
     if not os.path.exists(marker):
+        import shutil
+
+        # crash-idempotence: a half-built fixture (interrupted between the
+        # overwrites and the marker) must be REBUILT FROM EMPTY — resuming
+        # would advance the generation numbers past the version this
+        # query pins, and retention would GC the pinned one
+        shutil.rmtree(d, ignore_errors=True)
         full = spark.read.parquet(f"{sf_dir}/nation.parquet")
         for df in (full.filter("n_regionkey < 2"), full):
             (
@@ -1114,8 +1125,12 @@ def _supplier_rollback_dir(spark: SparkSession, sf_dir: str) -> str:
     d = os.path.join(CACHE_ROOT, tag, "supplier-rollback")
     marker = os.path.join(d, "_done")
     if not os.path.exists(marker):
+        import shutil
+
         from quiver_spark.maintenance import rollback_generation
 
+        # crash-idempotence: rebuild from empty (see _nation_generations_dir)
+        shutil.rmtree(d, ignore_errors=True)
         full = spark.read.parquet(f"{sf_dir}/supplier.parquet")
         for df in (full.filter("s_nationkey < 10"), full):
             (

@@ -119,9 +119,12 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("token").alias("n_types"),
         )
         .withColumn(
+            # `div` is Spark's integral division — exact bigint floor
+            # semantics matching DuckDB's `//` (a double true-division
+            # could round up across an integer boundary at 2^52-scale
+            # counts and hash-mismatch)
             "ttr_10k",
-            ((F.col("n_types") * 10000) / F.col("n_tokens"))
-            .cast("bigint"),
+            F.expr("(n_types * 10000) div n_tokens"),
         )
     )
 

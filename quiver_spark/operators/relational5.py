@@ -276,8 +276,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_quantity")).alias("qty"))
         .filter(F.col("qty").cast("double") > 30.0)
         .select("sk")
-        .distinct()
-    )
+    )  # no distinct: left_semi already has set semantics
     return s.join(
         F.broadcast(shipped), s.s_suppkey == F.col("sk"), "left_semi"
     ).select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))

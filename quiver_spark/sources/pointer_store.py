@@ -43,8 +43,9 @@ import os
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed to this table concurrently; this commit was
-    refused to avoid publishing a mixed or lost snapshot. The staged task
-    output was not deleted — re-running the write retries cleanly."""
+    refused to avoid publishing a mixed or lost snapshot. The winner's
+    snapshot is intact and live; re-running the failed write retries
+    cleanly (Spark re-stages its tasks from source)."""
 
 
 class PointerStore:
@@ -91,19 +92,32 @@ class PointerStore:
         (a racing swap on a store without locking). Under the local
         store's ``lock`` neither can fire; on a no-op-lock store they turn
         a race into a loud failure instead of a mixed snapshot."""
+        import uuid as _uuid
+
         current = self.read_pointer(table_path)
         if current != expected:
             raise ConcurrentWriteError(
                 f"generation pointer of {table_path} moved from "
                 f"{expected!r} to {current!r} during this overwrite — "
                 "another writer committed concurrently; this snapshot was "
-                "NOT published (staged files remain in "
-                f"{new_gen!r} for inspection)"
+                "NOT published"
             )
-        tmp = os.path.join(table_path, self.CURRENT + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(new_gen)
-        os.replace(tmp, os.path.join(table_path, self.CURRENT))
+        # per-swap unique temp name: a shared fixed name would let two
+        # racing swaps on a lock-less store consume each other's temp file
+        # (raw FileNotFoundError, possibly a torn pointer) instead of the
+        # contractual ConcurrentWriteError below
+        tmp = os.path.join(
+            table_path, f"{self.CURRENT}.tmp.{_uuid.uuid4().hex}"
+        )
+        try:
+            with open(tmp, "w") as f:
+                f.write(new_gen)
+            os.replace(tmp, os.path.join(table_path, self.CURRENT))
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         after = self.read_pointer(table_path)
         if after != new_gen:
             raise ConcurrentWriteError(

@@ -177,8 +177,14 @@ def _data_root(path: str, version: str | int | None = None) -> str:
         d = os.path.join(path, name)
         if not _GEN_RE.fullmatch(name) or not os.path.isdir(d):
             avail = sorted(
-                g for g in os.listdir(path)
-                if _GEN_RE.fullmatch(g) and os.path.isdir(os.path.join(path, g))
+                (
+                    g
+                    for g in os.listdir(path)
+                    if _GEN_RE.fullmatch(g)
+                    and os.path.isdir(os.path.join(path, g))
+                ),
+                # numeric: 7-digit names sort after 6-digit ones
+                key=lambda g: int(g.split("-")[1]),
             )
             raise ValueError(
                 f"version {version!r} not found under {path}; retained "
@@ -1458,16 +1464,29 @@ class QuiverWriter(DataSourceArrowWriter):
             key=lambda d: int(d.split("-")[1]),
         )
 
-    def _gc_superseded(self, current: str) -> None:
-        """After a pointer swap: retain the newest ``keep_generations``
-        generations (current included, min 1), delete the rest, and sweep
-        pre-generation flat files (superseded — resolvers can no longer
-        see them once a pointer exists, so leaving them is a disk leak)."""
+    def _gc_superseded(self, current: str, previous: str | None) -> None:
+        """After a pointer swap: retain ``keep_generations`` generations —
+        the new current, then the IMMEDIATELY-SUPERSEDED one (``previous``,
+        what the pointer named before this swap), then numerically-newest
+        others — delete the rest, and sweep pre-generation flat files
+        (superseded — resolvers can no longer see them once a pointer
+        exists, so leaving them is a disk leak).
+
+        ``previous`` ranks ABOVE numerically-newer others because after a
+        rollback the live generation is an old number: newest-first
+        retention would GC the generation mid-scan readers froze at plan
+        time, breaking the documented keep_generations >= 2 isolation
+        contract (pinned in tests/test_concurrent_writers.py)."""
         import shutil
 
         keep = max(1, int(self.options.get("keep_generations", "1")))
-        gens = [g for g in self._generations() if g != current]
-        for g in gens[: max(0, len(gens) - (keep - 1))]:
+        ranked: list[str] = [current]
+        if previous is not None and previous != current:
+            ranked.append(previous)
+        for g in reversed(self._generations()):  # newest first
+            if g not in ranked:
+                ranked.append(g)
+        for g in ranked[keep:]:
             shutil.rmtree(os.path.join(self.path, g), ignore_errors=True)
         for pat in ("*.quiver", "*.quiver.stats.json"):
             for f in glob.glob(
@@ -1558,8 +1577,19 @@ class QuiverWriter(DataSourceArrowWriter):
                         os.replace(side, dst + ".stats.json")
                 shutil.rmtree(msg.task_dir, ignore_errors=True)
             if self.overwrite:
-                store.swap_pointer(self.path, gen_name, expected)
-                self._gc_superseded(gen_name)
+                try:
+                    store.swap_pointer(self.path, gen_name, expected)
+                except ConcurrentWriteError:
+                    # lost the CAS on a lock-less store: remove the claimed
+                    # (never-visible, never-committed) generation so it can
+                    # neither be time-traveled into nor count toward
+                    # retention — the failed job's rows are gone, which is
+                    # what a failed overwrite means; retry re-stages them
+                    import shutil
+
+                    shutil.rmtree(dst_root, ignore_errors=True)
+                    raise
+                self._gc_superseded(gen_name, previous=expected)
             elif os.path.basename(dst_root) != os.path.basename(self.path):
                 # append into a generation: verify it is STILL the live one
                 # before acknowledging (under the local lock this cannot

@@ -411,3 +411,67 @@ def test_mid_scan_overwrite_isolation_requires_retention(tmp_path):
             with pytest.raises(OSError):
                 for p in parts:
                     list(reader.read(p))
+
+
+def test_retention_keeps_previously_live_generation_after_rollback(tmp_path):
+    """Code-review regression pin: after a ROLLBACK makes an old
+    generation live, the next overwrite's retention must keep that
+    previously-live generation (what mid-scan readers froze), not the
+    numerically-newest orphans — keep_generations >= 2 means 'current +
+    what was live before', whatever its number."""
+    from quiver_spark.maintenance import rollback_generation
+
+    tbl = str(tmp_path / "tbl")
+    for ids in ([1], [2], [3]):
+        _writer(tbl, overwrite=True, keep_generations=9)._publish(
+            [_stage(tbl, ids)]
+        )
+    rollback_generation(tbl, 1)
+    assert _table_ids(tbl) == [1]
+    # overwrite with keep=2: gen-000004 becomes current; the retained
+    # slot must go to gen-000001 (previously live), NOT gen-000003
+    _writer(tbl, overwrite=True, keep_generations=2)._publish(
+        [_stage(tbl, [4])]
+    )
+    gens = sorted(d for d in os.listdir(tbl) if d.startswith("gen-"))
+    assert gens == ["gen-000001", "gen-000004"], gens
+    assert _table_ids(tbl) == [4]
+    assert _table_ids(os.path.join(tbl, "gen-000001")) == [1]
+
+
+def test_lockless_loser_generation_is_removed(tmp_path):
+    """Code-review regression pin: the overwrite that loses a lock-less
+    CAS race must remove its claimed generation — an orphan full of
+    never-committed data would be time-travelable and would count toward
+    retention, displacing genuinely-retained snapshots."""
+    tbl = str(tmp_path / "tbl")
+    _writer(tbl, overwrite=True)._publish([_stage(tbl, [0])])
+
+    class InterleavedStore(UnlockedPointerStore):
+        def __init__(self):
+            self.fired = False
+
+        def claim_generation(self, table_path, gen_name):
+            ok = super().claim_generation(table_path, gen_name)
+            if ok and not self.fired:
+                self.fired = True
+                rival = _stage(tbl, [100])
+                set_pointer_store(UnlockedPointerStore())
+                try:
+                    _writer(
+                        tbl, overwrite=True, keep_generations=9
+                    )._publish([rival])
+                finally:
+                    set_pointer_store(self)
+            return ok
+
+    set_pointer_store(InterleavedStore())
+    with pytest.raises(ConcurrentWriteError):
+        _writer(tbl, overwrite=True, keep_generations=9)._publish(
+            [_stage(tbl, [200])]
+        )
+    gens = sorted(d for d in os.listdir(tbl) if d.startswith("gen-"))
+    # victim claimed gen-000002, rival committed gen-000003; the victim's
+    # orphan must be gone
+    assert gens == ["gen-000001", "gen-000003"], gens
+    assert _table_ids(tbl) == [100]

@@ -22,10 +22,11 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 8 window (50), per VERDICT r7 item 3: (a) the ELEVEN queries new
-# this round, never sampled — the snapshot/rollback surface, the six
-# remaining TPC-H shapes, and the three pipeline6 corpus-analysis
-# operators; (b) the 32 rows whose last driver-green is
+# Round 8 window (50), per VERDICT r7 item 3: (a) the THIRTEEN queries
+# new this round, never sampled — the snapshot/rollback surface, the six
+# remaining TPC-H shapes, the pipeline6 corpus-analysis operators, the
+# event-transition matrix, and the deterministic per-source sample;
+# (b) the 32 rows whose last driver-green is
 # round 5 — the oldest cohort (all re-verified green at sf0.01 locally
 # each round since, so the aging carried no correctness risk); (c) fill
 # to 50 with the leading names of the round-6 window (the next to age
@@ -44,6 +45,8 @@ _PRIORITY = [
     "text_bigram_topk",
     "text_type_token_ratio",
     "dedup_cross_source_matrix",
+    "events_transition_matrix",
+    "sample_per_source_topk",
     # (b) last driver-verified in round 5 — oldest green rows
     "setop_union_counts",
     "scalar_string_funcs",

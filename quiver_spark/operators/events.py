@@ -379,3 +379,58 @@ def events_moving_avg_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(w).cast("bigint").alias("mov_cnt_24h"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("mov_hours_24h"),
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+               AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       COUNT(*) AS transitions,
+       CAST(COUNT(*) * 10000 //
+            SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS share_10k
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    tags=("events", "window", "markov"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition (Markov) matrix: for each ordered pair of
+    consecutive events WITHIN a user's timeline, the transition count and
+    its integer basis-point share of the predecessor's outgoing edges —
+    the product-analytics "what happens after X" table. (user_id, ts) is
+    unique in this data, so the per-user ordering is deterministic.
+
+    Scale shape: one window shuffle partitioned by user_id (the natural
+    key — millions of small partitions, no global order), one
+    (prev, next) aggregate over the #event_types²-bounded result, and a
+    tiny window over that aggregate for the row-share. The raw table is
+    read once."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        F.expr(
+            "(transitions * 10000) div sum(transitions) over "
+            "(partition by prev_type)"
+        ).alias("share_10k"),
+    )

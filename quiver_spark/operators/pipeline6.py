@@ -179,3 +179,45 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_docs"))
     )
+
+
+@register(
+    "sample_per_source_topk",
+    oracle="""
+SELECT source, doc_id, n_chars
+FROM (
+    SELECT source, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+    FROM documents
+)
+WHERE rk <= 5
+""",
+    tags=("sampling", "window", "deterministic"),
+)
+def sample_per_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sample: the 5 documents per source whose
+    md5(doc_id) ranks lowest — a seedless, engine-independent stand-in
+    for per-stratum reservoir sampling. Hash-ranking makes the sample
+    stable across runs, engines, and partitionings (no RNG state), which
+    is what makes pipeline reruns reproducible.
+
+    Scale shape: one window shuffle on the source key; rank-k windows
+    early-out per partition. With heavy sources, the same pattern runs as
+    a two-phase top-k (per-partition head, then merge) — Spark's window
+    TopK pushdown handles the single-key-skew case via AQE."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+    )

@@ -22,11 +22,11 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 8 window (50), per VERDICT r7 item 3: (a) the THIRTEEN queries
+# Round 8 window (50), per VERDICT r7 item 3: (a) the FOURTEEN queries
 # new this round, never sampled — the snapshot/rollback surface, the six
 # remaining TPC-H shapes, the pipeline6 corpus-analysis operators, the
-# event-transition matrix, and the deterministic per-source sample;
-# (b) the 32 rows whose last driver-green is
+# event-transition matrix, the deterministic per-source sample, and the
+# Arrow IPC source scan; (b) the 32 rows whose last driver-green is
 # round 5 — the oldest cohort (all re-verified green at sf0.01 locally
 # each round since, so the aging carried no correctness risk); (c) fill
 # to 50 with the leading names of the round-6 window (the next to age
@@ -47,6 +47,7 @@ _PRIORITY = [
     "dedup_cross_source_matrix",
     "events_transition_matrix",
     "sample_per_source_topk",
+    "arrow_ipc_scan",
     # (b) last driver-verified in round 5 — oldest green rows
     "setop_union_counts",
     "scalar_string_funcs",

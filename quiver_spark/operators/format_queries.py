@@ -1176,3 +1176,62 @@ def quiver_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("s_acctbal").alias("bal_sum"),
         F.min("s_name").alias("min_name"),
     )
+
+
+def _arrow_ipc_part_dir(spark: SparkSession, sf_dir: str) -> str:
+    """part converted to Arrow IPC through the arrowipc SINK (one Spark
+    job — exercises the staged-commit write path, not just pyarrow);
+    cached per sf behind a marker."""
+    register_format(spark)  # registers arrowipc too
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "part-arrowipc")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)  # crash-idempotent rebuild
+        (
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .coalesce(1)
+            .write.format("arrowipc")
+            .mode("overwrite")
+            .save(d)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "arrow_ipc_scan",
+    oracle="""
+SELECT p_brand,
+       COUNT(*) AS cnt,
+       CAST(SUM(p_partkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(14,4))) AS DOUBLE)
+           AS price_sum,
+       MIN(p_name) AS min_name,
+       MAX(p_size) AS max_size
+FROM part
+GROUP BY p_brand
+""",
+    tags=("format", "arrow", "scan", "interop"),
+)
+def arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (.arrow / Feather V2) as a Spark table: part is written
+    through the arrowipc sink (staged commit + generation machinery
+    shared with quiver) and scanned back via record-batch-granular,
+    mmap-zero-copy splits; the oracle reads the parquet original, so a
+    byte lost anywhere in the IPC round trip hash-fails. The format the
+    reference's own schema bytes use (Arrow IPC,
+    /root/reference/src/write/writer.rs:137-139) — here as a full table
+    format Spark lacks natively."""
+    d = _arrow_ipc_part_dir(spark, sf_dir)
+    p = spark.read.format("arrowipc").load(d)
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("p_partkey").cast("bigint").alias("key_sum"),
+        dsum("p_retailprice").alias("price_sum"),
+        F.min("p_name").alias("min_name"),
+        F.max("p_size").alias("max_size"),
+    )

@@ -206,20 +206,24 @@ def _data_root(path: str, version: str | int | None = None) -> str:
     return d
 
 
-def _list_files(path: str) -> list[str]:
-    path = _data_root(path)
+def _list_files_pattern(path: str, pattern: str) -> list[str]:
+    """Committed data files under a resolved root matching ``pattern``,
+    skipping hidden/staging components (any path segment, filename
+    included — the Hadoop/Spark convention): files under _temporary are
+    uncommitted task attempts and must never be scanned."""
     if not os.path.isdir(path):
         return [path]
     out = []
-    for f in glob.glob(os.path.join(path, "**", "*.quiver"), recursive=True):
+    for f in glob.glob(os.path.join(path, "**", pattern), recursive=True):
         rel = os.path.relpath(f, path)
-        # skip hidden/staging components (any path segment, filename
-        # included — the Hadoop/Spark convention): files under _temporary
-        # are uncommitted task attempts and must never be scanned
         if any(seg.startswith(("_", ".")) for seg in rel.split(os.sep)):
             continue
         out.append(f)
     return sorted(out)
+
+
+def _list_files(path: str) -> list[str]:
+    return _list_files_pattern(_data_root(path), "*.quiver")
 
 
 #: Hive null-partition directory token (Spark/Hive convention)
@@ -1308,6 +1312,11 @@ class QuiverCommit(WriterCommitMessage):
 
 
 class QuiverWriter(DataSourceArrowWriter):
+    #: file patterns the flat-layout GC sweep owns (subclasses writing a
+    #: different format override — the publish/generation protocol itself
+    #: is format-agnostic)
+    DATA_GLOBS = ("*.quiver", "*.quiver.stats.json")
+
     def __init__(
         self,
         options,
@@ -1488,7 +1497,7 @@ class QuiverWriter(DataSourceArrowWriter):
                 ranked.append(g)
         for g in ranked[keep:]:
             shutil.rmtree(os.path.join(self.path, g), ignore_errors=True)
-        for pat in ("*.quiver", "*.quiver.stats.json"):
+        for pat in self.DATA_GLOBS:
             for f in glob.glob(
                 os.path.join(self.path, "**", pat), recursive=True
             ):
@@ -1629,33 +1638,37 @@ class QuiverWriter(DataSourceArrowWriter):
         except OSError:
             pass
 
+    def _list_data_files(self) -> list[str]:
+        return _list_files(self.path)
+
+    def _write_empty(self, dst_root: str, arrow_schema) -> None:
+        import pyarrow as pa
+
+        from quiver_spark.format.writer import WriteOptions, write_table
+
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in arrow_schema],
+            schema=arrow_schema,
+        )
+        write_table(
+            empty,
+            os.path.join(dst_root, f"part-{uuid.uuid4().hex}.quiver"),
+            WriteOptions(),
+        )
+
     def commit(self, messages) -> None:
         """Driver-side commit: publish staged task output, then ensure a
         fully-empty result set still leaves a schema-bearing file (or
         subsequent reads of the directory fail)."""
         self._publish(messages)
-        if _list_files(self.path):
+        if self._list_data_files():
             return
         if self.spark_schema is None:
             return
-        import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        from quiver_spark.format.writer import WriteOptions, write_table
-
-        empty = pa.Table.from_arrays(
-            [
-                pa.array([], type=f.type)
-                for f in to_arrow_schema(self.spark_schema)
-            ],
-            schema=to_arrow_schema(self.spark_schema),
-        )
-        write_table(
-            empty,
-            os.path.join(
-                _data_root(self.path), f"part-{uuid.uuid4().hex}.quiver"
-            ),
-            WriteOptions(),
+        self._write_empty(
+            _data_root(self.path), to_arrow_schema(self.spark_schema)
         )
 
     def abort(self, messages) -> None:
@@ -1748,6 +1761,10 @@ def register(spark) -> None:
     the package is on PYTHONPATH before the JVM starts (session.get_spark
     does this) or launch the driver from the package root."""
     ship_package(spark)
+    # sibling format sharing the table layout/commit protocol
+    from quiver_spark.sources.arrow_datasource import register_arrow
+
+    register_arrow(spark)
     key = id(spark)
     if key in _REGISTERED_SESSIONS:
         return

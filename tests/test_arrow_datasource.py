@@ -1,0 +1,132 @@
+"""Arrow IPC (.arrow) DataSource tests: roundtrip through the sink,
+record-batch-granular splits, projection, foreign-file normalization, and
+the generation machinery it inherits from the quiver sink."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+import pytest
+from pyspark.sql import functions as F
+
+from quiver_spark.sources import register
+from quiver_spark.sources.arrow_datasource import ArrowIpcScanReader
+from quiver_spark.sources.quiver_datasource import _data_root
+
+from conftest import SF_DIR
+
+
+def test_roundtrip_matches_parquet(spark, tmp_path):
+    register(spark)
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = str(tmp_path / "orders_arrow")
+    src.write.format("arrowipc").mode("overwrite").save(out)
+    back = spark.read.format("arrowipc").load(out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_projection_and_unknown_column(spark, tmp_path):
+    register(spark)
+    src = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    out = str(tmp_path / "nation_arrow")
+    src.write.format("arrowipc").mode("overwrite").save(out)
+    n = (
+        spark.read.format("arrowipc")
+        .option("columns", "n_name")
+        .load(out)
+    )
+    assert n.columns == ["n_name"]
+    assert n.count() == src.count()
+    with pytest.raises(Exception, match="not in"):
+        spark.read.format("arrowipc").option(
+            "columns", "nope"
+        ).load(out).count()
+
+
+def test_batch_granular_splits(spark, tmp_path):
+    """Splits cover record-batch ranges; planning_parallelism drives the
+    dynamic byte floor exactly like the quiver planner."""
+    register(spark)
+    d = tmp_path / "many_batches"
+    os.makedirs(d, exist_ok=True)
+    import numpy as np
+
+    schema = pa.schema([pa.field("x", pa.float64())])
+    with ipc.new_file(str(d / "a.arrow"), schema) as w:
+        for k in range(64):
+            w.write_batch(
+                pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            np.random.default_rng(k).normal(size=20_000)
+                        )
+                    ],
+                    schema=schema,
+                )
+            )
+    one = ArrowIpcScanReader(
+        {"path": str(d), "planning_parallelism": "1"}, None
+    )
+    many = ArrowIpcScanReader(
+        {"path": str(d), "planning_parallelism": "1024"}, None
+    )
+    assert len(one.partitions()) < len(many.partitions())
+    df = spark.read.format("arrowipc").load(str(d))
+    assert df.count() == 64 * 20_000
+
+
+def test_foreign_file_normalization(spark, tmp_path):
+    """Files written by other Arrow producers normalize to Spark's type
+    domain: ns timestamps truncate to us (NTZ), uints widen — same
+    treatment as the quiver reader's type normalization."""
+    register(spark)
+    d = tmp_path / "foreign"
+    os.makedirs(d, exist_ok=True)
+    t = pa.table(
+        {
+            "ts": pa.array([1_500, 2_500], type=pa.timestamp("ns")),
+            "u": pa.array([1, 2], type=pa.uint32()),
+        }
+    )
+    with ipc.new_file(str(d / "a.arrow"), t.schema) as w:
+        w.write_table(t)
+    df = spark.read.format("arrowipc").load(str(d))
+    assert df.schema.simpleString() == "struct<ts:timestamp_ntz,u:bigint>"
+    rows = sorted(map(tuple, df.collect()))
+    assert [r[1] for r in rows] == [1, 2]
+
+
+def test_generation_machinery_shared(spark, tmp_path):
+    """Overwrite/append/time-travel ride the same generation protocol as
+    the quiver sink (the writer subclass changes only bytes-on-disk)."""
+    register(spark)
+    out = str(tmp_path / "gen_arrow")
+    spark.range(10).write.format("arrowipc").option(
+        "keep_generations", "2"
+    ).mode("overwrite").save(out)
+    spark.range(5).write.format("arrowipc").mode("append").save(out)
+    assert spark.read.format("arrowipc").load(out).count() == 15
+    spark.range(3).write.format("arrowipc").option(
+        "keep_generations", "2"
+    ).mode("overwrite").save(out)
+    assert os.path.basename(_data_root(out)) == "gen-000002"
+    assert spark.read.format("arrowipc").load(out).count() == 3
+    v1 = spark.read.format("arrowipc").option("version", "1").load(out)
+    assert v1.count() == 15
+
+
+def test_empty_result_write_keeps_schema(spark, tmp_path):
+    register(spark)
+    out = str(tmp_path / "empty_arrow")
+    src = spark.read.parquet(f"{SF_DIR}/region.parquet").filter(
+        F.lit(False)
+    )
+    src.write.format("arrowipc").mode("overwrite").save(out)
+    back = spark.read.format("arrowipc").load(out)
+    assert back.count() == 0
+    assert back.schema == src.schema

@@ -88,6 +88,11 @@ def main() -> None:
     # splits — a single-file artifact, not a cluster-representative layout;
     # the identical repartition shuffle is timed inside both proxies)
     li_df = spark.read.parquet(li_parquet).repartition(16)
+    from quiver_spark.operators.format_queries import arrow_ipc_dir
+
+    arrow_df = spark.read.format("arrowipc").load(
+        arrow_ipc_dir(spark, sf_dir, "lineitem")
+    )
     import tempfile
 
     wdir = tempfile.mkdtemp(prefix="quiver_bench_write_")
@@ -116,6 +121,13 @@ def main() -> None:
             spark, sf_dir, "lineitem", columns=["l_extendedprice"]
         )
         .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        # Arrow IPC interop proxy (round 8): the third table format —
+        # mmap zero-copy record-batch reads; relation built ONCE like the
+        # cached quiver relation (per-rep .load() would time datasource
+        # instantiation, not the scan)
+        "scan_arrowipc_lineitem": lambda: arrow_df.write.format("noop")
         .mode("overwrite")
         .save(),
         # write proxies (BASELINE.md proxy #2): full-table sink through each

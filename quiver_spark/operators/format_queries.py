@@ -1178,20 +1178,20 @@ def quiver_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _arrow_ipc_part_dir(spark: SparkSession, sf_dir: str) -> str:
-    """part converted to Arrow IPC through the arrowipc SINK (one Spark
-    job — exercises the staged-commit write path, not just pyarrow);
-    cached per sf behind a marker."""
+def arrow_ipc_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """A testdata table converted to Arrow IPC through the arrowipc SINK
+    (one Spark job — exercises the staged-commit write path, not just
+    pyarrow); cached per sf/table behind a marker."""
     register_format(spark)  # registers arrowipc too
     tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(CACHE_ROOT, tag, "part-arrowipc")
+    d = os.path.join(CACHE_ROOT, tag, f"{name}-arrowipc")
     marker = os.path.join(d, "_done")
     if not os.path.exists(marker):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)  # crash-idempotent rebuild
         (
-            spark.read.parquet(f"{sf_dir}/part.parquet")
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
             .coalesce(1)
             .write.format("arrowipc")
             .mode("overwrite")
@@ -1226,7 +1226,7 @@ def arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's own schema bytes use (Arrow IPC,
     /root/reference/src/write/writer.rs:137-139) — here as a full table
     format Spark lacks natively."""
-    d = _arrow_ipc_part_dir(spark, sf_dir)
+    d = arrow_ipc_dir(spark, sf_dir, "part")
     p = spark.read.format("arrowipc").load(d)
     return p.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("cnt"),

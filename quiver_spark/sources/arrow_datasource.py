@@ -41,6 +41,8 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     InputPartition,
 )
 from pyspark.sql.types import StructType
@@ -296,6 +298,16 @@ class ArrowIpcDataSource(DataSource):
             self.options, spark_schema=schema, overwrite=overwrite
         )
 
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        path = _opt_path(self.options)
+        if not path:
+            raise ValueError("arrowipc datasource requires a path")
+        os.makedirs(path, exist_ok=True)
+        return ArrowIpcStreamWriter(self.options)
+
+    def streamReader(self, schema: StructType):  # noqa: N802
+        return ArrowIpcStreamReader(self.options, schema)
+
 
 def register_arrow(spark) -> None:
     """Register the arrowipc format with a session (idempotent)."""
@@ -310,3 +322,87 @@ def register_arrow(spark) -> None:
         return
     spark.dataSource.register(ArrowIpcDataSource)
     _REGISTERED_SESSIONS.add(key)
+
+
+class ArrowIpcStreamWriter(ArrowIpcWriter, DataSourceStreamArrowWriter):
+    """Streaming sink for .arrow tables: Arrow IPC bytes on disk under
+    the quiver streaming sink's per-batch commit-log protocol (replayed
+    batches idempotent, aborted batches dropped)."""
+
+    COMMIT_LOG = "_quiver_commits"
+
+    def commit(self, messages, batchId) -> None:  # noqa: N803
+        from quiver_spark.sources.quiver_datasource import QuiverStreamWriter
+
+        QuiverStreamWriter.commit(self, messages, batchId)
+
+    def abort(self, messages, batchId) -> None:  # noqa: N803
+        QuiverWriter.abort(self, messages)
+
+
+class ArrowIpcStreamReader(DataSourceStreamReader):
+    """Streaming SOURCE over a .arrow directory: micro-batches are deltas
+    of the sorted file listing, exactly like the quiver stream source
+    (offsets are consumed relative file names; files are immutable once
+    committed). Splits are record-batch ranges per new file."""
+
+    def __init__(self, options, schema: StructType):
+        from quiver_spark.sources.quiver_datasource import QuiverStreamReader
+
+        # delegate the offset/rate-limit machinery wholesale; only file
+        # listing, split planning, and reading are format-specific
+        self._inner = QuiverStreamReader(options, schema)
+        self._inner._files = self._files  # type: ignore[method-assign]
+        self.options = options
+        self.schema_struct = schema
+        self.path = self._inner.path
+        self.partition_bytes = int(
+            options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
+
+    def _files(self) -> list[str]:
+        return [
+            os.path.relpath(f, self.path)
+            for f in _list_arrow_files(self.path)
+        ]
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return self._inner.initialOffset()
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return self._inner.latestOffset()
+
+    def commit(self, end: dict) -> None:
+        self._inner.commit(end)
+
+    def stop(self) -> None:
+        return None
+
+    def partitions(self, start: dict, end: dict):
+        self._inner._advance(start.get("files", []))
+        self._inner._advance(end.get("files", []))
+        seen = set(start.get("files", []))
+        new = [f for f in end.get("files", []) if f not in seen]
+        parts: list[ArrowIpcPartition] = []
+        for name in new:
+            file = os.path.join(self.path, name)
+            if not os.path.exists(file):
+                continue
+            n = _open_reader(file).num_record_batches
+            if n == 0:
+                continue
+            per_batch = os.path.getsize(file) / n
+            step = max(1, int(self.partition_bytes // max(per_batch, 1)))
+            for s in range(0, n, step):
+                parts.append(ArrowIpcPartition(file, s, min(s + step, n)))
+        if not parts:
+            files = _list_arrow_files(self.path)
+            anchor = files[0] if files else os.path.join(self.path, "_none")
+            parts.append(ArrowIpcPartition(anchor, 0, 0))
+        return parts
+
+    def read(self, partition: ArrowIpcPartition) -> Iterator:
+        opts = dict(self.options)
+        opts["path"] = self.path
+        opts.pop("max_files_per_trigger", None)
+        return ArrowIpcScanReader(opts, self.schema_struct).read(partition)

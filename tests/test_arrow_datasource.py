@@ -130,3 +130,44 @@ def test_empty_result_write_keeps_schema(spark, tmp_path):
     back = spark.read.format("arrowipc").load(out)
     assert back.count() == 0
     assert back.schema == src.schema
+
+
+def test_streaming_sink_and_source_roundtrip(spark, tmp_path):
+    """Arrow IPC as a streaming SINK (per-batch commit log) and SOURCE
+    (file-listing deltas): events written through a stream land as
+    .arrow files and a second stream reads them back in full."""
+    register(spark)
+    src_dir = str(tmp_path / "landing")
+    os.makedirs(src_dir)
+    # landing zone: three little .arrow files appear over time
+    schema = pa.schema(
+        [pa.field("id", pa.int64()), pa.field("s", pa.string())]
+    )
+    for k in range(3):
+        with ipc.new_file(f"{src_dir}/f{k}.arrow", schema) as w:
+            w.write_batch(
+                pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            list(range(k * 10, (k + 1) * 10)),
+                            type=pa.int64(),
+                        ),
+                        pa.array([f"v{k}"] * 10),
+                    ],
+                    schema=schema,
+                )
+            )
+    out = str(tmp_path / "sinked")
+    q = (
+        spark.readStream.format("arrowipc")
+        .load(src_dir)
+        .writeStream.format("arrowipc")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.format("arrowipc").load(out)
+    assert back.count() == 30
+    assert sorted(r.id for r in back.collect()) == list(range(30))

@@ -386,7 +386,8 @@ def events_moving_avg_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH seq AS (
     SELECT user_id, event_type,
-           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)
                AS prev_type
     FROM events
 )
@@ -405,8 +406,10 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition (Markov) matrix: for each ordered pair of
     consecutive events WITHIN a user's timeline, the transition count and
     its integer basis-point share of the predecessor's outgoing edges —
-    the product-analytics "what happens after X" table. (user_id, ts) is
-    unique in this data, so the per-user ordering is deterministic.
+    the product-analytics "what happens after X" table. The per-user
+    ordering tie-breaks on event_id (the registry determinism rule, same
+    as events_sessionize): equal microsecond timestamps must not leave
+    the transition order engine-dependent.
 
     Scale shape: one window shuffle partitioned by user_id (the natural
     key — millions of small partitions, no global order), one
@@ -419,7 +422,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "event_type",
         F.lag("event_type")
-        .over(Window.partitionBy("user_id").orderBy("ts"))
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("prev_type"),
     ).filter(F.col("prev_type").isNotNull())
     cnt = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(

@@ -41,7 +41,6 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -49,6 +48,7 @@ from pyspark.sql.types import StructType
 
 from quiver_spark.sources.quiver_datasource import (
     DEFAULT_PARTITION_BYTES,
+    QuiverStreamWriter,
     QuiverWriter,
     _data_root,
     _list_files_pattern,
@@ -78,9 +78,31 @@ class ArrowIpcPartition(InputPartition):
     batch_end: int
 
 
+def _batch_splits(files: list[str], floor: int) -> list[ArrowIpcPartition]:
+    """Record-batch-range splits over ``files``, each carrying ~``floor``
+    bytes (per-batch size estimated as file_size / batch_count — IPC
+    footers store no per-batch sizes). Shared by the batch and stream
+    planners so the sizing policy cannot drift between them."""
+    parts: list[ArrowIpcPartition] = []
+    for file in files:
+        n = _open_reader(file).num_record_batches
+        if n == 0:
+            continue
+        per_batch = os.path.getsize(file) / n
+        step = max(1, int(floor // max(per_batch, 1)))
+        for s in range(0, n, step):
+            parts.append(ArrowIpcPartition(file, s, min(s + step, n)))
+    return parts
+
+
 class ArrowIpcScanReader(DataSourceReader):
     def __init__(self, options, schema: StructType | None):
         self.options = options
+        #: the PLANNED table schema — output batches are bound to ITS
+        #: column order and names, never a file's native order (files from
+        #: different producers can order columns differently; positional
+        #: binding would silently transpose values)
+        self.spark_schema = schema
         self.path = _data_root(
             _opt_path(options), options.get("version")
         )
@@ -102,34 +124,19 @@ class ArrowIpcScanReader(DataSourceReader):
             ),
         )
 
-    def partitions(self):
-        # pass 1: per-file batch counts + byte estimates (footer-only)
-        plans: list[tuple[str, int, float]] = []
-        total = 0
-        for file in _list_arrow_files(self.path):
-            n = _open_reader(file).num_record_batches
-            if n == 0:
-                continue
-            size = os.path.getsize(file)
-            plans.append((file, n, size / n))
-            total += size
+    def _floor(self, files: list[str]) -> int:
         if self.min_partition_bytes is not None:
-            floor = self.min_partition_bytes
-        else:
-            floor = min(
-                max(total // self.planning_parallelism, 1 << 20),
-                self.partition_bytes,
-            )
-        parts: list[ArrowIpcPartition] = []
-        for file, n, per_batch in plans:
-            # batches per split so each carries ~floor bytes (>=1)
-            step = max(1, int(floor // max(per_batch, 1)))
-            for s in range(0, n, step):
-                parts.append(
-                    ArrowIpcPartition(file, s, min(s + step, n))
-                )
+            return self.min_partition_bytes
+        total = sum(os.path.getsize(f) for f in files)
+        return min(
+            max(total // self.planning_parallelism, 1 << 20),
+            self.partition_bytes,
+        )
+
+    def partitions(self):
+        files = _list_arrow_files(self.path)
+        parts = _batch_splits(files, self._floor(files))
         if not parts:
-            files = _list_arrow_files(self.path)
             anchor = files[0] if files else os.path.join(self.path, "_none")
             parts.append(ArrowIpcPartition(anchor, 0, 0))
         return parts
@@ -138,24 +145,43 @@ class ArrowIpcScanReader(DataSourceReader):
         if partition.batch_end <= partition.batch_start:
             return iter(())
         reader = _open_reader(partition.file)
+        # output binding: the declared schema's names in declared ORDER
+        # (after projection) — Spark binds columns positionally against
+        # the planned schema, so a file with a different native column
+        # order must be reordered BY NAME, never passed through
+        if self.columns is not None:
+            names = self.columns
+        elif self.spark_schema is not None:
+            names = [f.name for f in self.spark_schema.fields]
+        else:
+            names = None  # direct use (tests): file-native order
+        table_types = {}
+        if self.spark_schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            table_types = {
+                f.name: to_arrow_type(f.dataType)
+                for f in self.spark_schema.fields
+            }
 
         def gen():
             import pyarrow as pa
 
             for i in range(partition.batch_start, partition.batch_end):
                 batch = reader.get_batch(i)  # buffer views over the mmap
-                if self.columns is not None:
+                if names is not None:
+                    present = [c for c in names if c in batch.schema.names]
                     missing = [
-                        c
-                        for c in self.columns
-                        if c not in batch.schema.names
+                        c for c in names if c not in batch.schema.names
                     ]
-                    if missing:
+                    unfillable = [c for c in missing if c not in table_types]
+                    if unfillable:
                         raise ValueError(
-                            f"columns {missing} not in {partition.file}; "
-                            f"file has {batch.schema.names}"
+                            f"columns {unfillable} not in "
+                            f"{partition.file} and no table schema to "
+                            f"null-fill them; file has {batch.schema.names}"
                         )
-                    batch = batch.select(self.columns)
+                    batch = batch.select(present)  # name-bound reorder
                 # foreign-file normalization: cast leaves Spark's Arrow
                 # reader rejects (ns timestamps, uints, ...) exactly like
                 # the quiver reader does; our own sink's files are
@@ -184,6 +210,20 @@ class ArrowIpcScanReader(DataSourceReader):
                     batch = pa.RecordBatch.from_arrays(
                         arrays, schema=_spark_schema(batch.schema)
                     )
+                if names is not None and len(batch.schema.names) < len(
+                    names
+                ):
+                    # schema evolution: null-fill declared columns this
+                    # file lacks (same contract as the quiver reader)
+                    arrays, it = [], iter(batch.columns)
+                    for nm in names:
+                        if nm in batch.schema.names:
+                            arrays.append(next(it))
+                        else:
+                            arrays.append(
+                                pa.nulls(batch.num_rows, table_types[nm])
+                            )
+                    batch = pa.RecordBatch.from_arrays(arrays, names=names)
                 yield batch
 
         return gen()
@@ -197,6 +237,16 @@ class ArrowIpcWriter(QuiverWriter):
     concurrency guards are inherited verbatim."""
 
     DATA_GLOBS = ("*.arrow",)
+
+    def __init__(self, options, spark_schema=None, overwrite: bool = False):
+        super().__init__(options, spark_schema, overwrite)
+        if self.partition_by:
+            # inherited option the arrow write() does not implement —
+            # refuse loudly rather than silently writing a flat layout
+            raise ValueError(
+                "partition_by is not supported by the arrowipc sink; "
+                "write quiver (or parquet) for Hive-partitioned layouts"
+            )
 
     def _list_data_files(self) -> list[str]:
         return _list_arrow_files(self.path)
@@ -294,6 +344,10 @@ class ArrowIpcDataSource(DataSource):
         return ArrowIpcScanReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):
+        path = _opt_path(self.options)
+        if not path:
+            raise ValueError("arrowipc datasource requires a path")
+        os.makedirs(path, exist_ok=True)
         return ArrowIpcWriter(
             self.options, spark_schema=schema, overwrite=overwrite
         )
@@ -324,20 +378,12 @@ def register_arrow(spark) -> None:
     _REGISTERED_SESSIONS.add(key)
 
 
-class ArrowIpcStreamWriter(ArrowIpcWriter, DataSourceStreamArrowWriter):
-    """Streaming sink for .arrow tables: Arrow IPC bytes on disk under
-    the quiver streaming sink's per-batch commit-log protocol (replayed
-    batches idempotent, aborted batches dropped)."""
-
-    COMMIT_LOG = "_quiver_commits"
-
-    def commit(self, messages, batchId) -> None:  # noqa: N803
-        from quiver_spark.sources.quiver_datasource import QuiverStreamWriter
-
-        QuiverStreamWriter.commit(self, messages, batchId)
-
-    def abort(self, messages, batchId) -> None:  # noqa: N803
-        QuiverWriter.abort(self, messages)
+class ArrowIpcStreamWriter(ArrowIpcWriter, QuiverStreamWriter):
+    """Streaming sink for .arrow tables: Arrow IPC bytes on disk
+    (``ArrowIpcWriter.write`` via the MRO) under the quiver streaming
+    sink's per-batch commit-log protocol (``QuiverStreamWriter.commit`` /
+    ``abort`` inherited verbatim — replayed batches idempotent, aborted
+    batches dropped)."""
 
 
 class ArrowIpcStreamReader(DataSourceStreamReader):
@@ -358,6 +404,16 @@ class ArrowIpcStreamReader(DataSourceStreamReader):
         self.path = self._inner.path
         self.partition_bytes = int(
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
+        mpb = options.get("min_partition_bytes")
+        self.min_partition_bytes = int(mpb) if mpb is not None else None
+        self.planning_parallelism = max(
+            1,
+            int(
+                options.get(
+                    "planning_parallelism", str(os.cpu_count() or 8)
+                )
+            ),
         )
 
     def _files(self) -> list[str]:
@@ -382,19 +438,17 @@ class ArrowIpcStreamReader(DataSourceStreamReader):
         self._inner._advance(start.get("files", []))
         self._inner._advance(end.get("files", []))
         seen = set(start.get("files", []))
-        new = [f for f in end.get("files", []) if f not in seen]
-        parts: list[ArrowIpcPartition] = []
-        for name in new:
-            file = os.path.join(self.path, name)
-            if not os.path.exists(file):
-                continue
-            n = _open_reader(file).num_record_batches
-            if n == 0:
-                continue
-            per_batch = os.path.getsize(file) / n
-            step = max(1, int(self.partition_bytes // max(per_batch, 1)))
-            for s in range(0, n, step):
-                parts.append(ArrowIpcPartition(file, s, min(s + step, n)))
+        new = [
+            os.path.join(self.path, f)
+            for f in end.get("files", [])
+            if f not in seen
+        ]
+        new = [f for f in new if os.path.exists(f)]
+        # same split-sizing policy as the batch planner (shared helper +
+        # dynamic floor over THIS micro-batch's files), so streamed scans
+        # keep within-file parallelism instead of one split per file
+        floor = ArrowIpcScanReader._floor(self, new)
+        parts = _batch_splits(new, floor)
         if not parts:
             files = _list_arrow_files(self.path)
             anchor = files[0] if files else os.path.join(self.path, "_none")

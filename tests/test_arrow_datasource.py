@@ -171,3 +171,69 @@ def test_streaming_sink_and_source_roundtrip(spark, tmp_path):
     back = spark.read.format("arrowipc").load(out)
     assert back.count() == 30
     assert sorted(r.id for r in back.collect()) == list(range(30))
+
+
+def test_mixed_column_order_binds_by_name(spark, tmp_path):
+    """Code-review regression pin: files whose native column ORDER
+    differs must bind by NAME against the planned schema — positional
+    passthrough silently transposed values."""
+    register(spark)
+    d = tmp_path / "mixed_order"
+    os.makedirs(d, exist_ok=True)
+    s1 = pa.schema([pa.field("x", pa.int64()), pa.field("y", pa.int64())])
+    s2 = pa.schema([pa.field("y", pa.int64()), pa.field("x", pa.int64())])
+    with ipc.new_file(str(d / "a.arrow"), s1) as w:
+        w.write_batch(
+            pa.RecordBatch.from_arrays(
+                [pa.array([1]), pa.array([100])], schema=s1
+            )
+        )
+    with ipc.new_file(str(d / "b.arrow"), s2) as w:
+        w.write_batch(
+            pa.RecordBatch.from_arrays(
+                [pa.array([200]), pa.array([2])], schema=s2
+            )
+        )
+    rows = sorted(
+        map(tuple, spark.read.format("arrowipc").load(str(d)).collect())
+    )
+    # (x, y) pairs regardless of each file's native order
+    assert rows == [(1, 100), (2, 200)], rows
+
+
+def test_schema_evolution_null_fills_missing_columns(spark, tmp_path):
+    """A file lacking a declared column null-fills it (quiver-reader
+    contract) instead of crashing or mis-binding."""
+    register(spark)
+    d = tmp_path / "evolved"
+    os.makedirs(d, exist_ok=True)
+    s_full = pa.schema(
+        [pa.field("x", pa.int64()), pa.field("extra", pa.string())]
+    )
+    s_old = pa.schema([pa.field("x", pa.int64())])
+    with ipc.new_file(str(d / "a.arrow"), s_full) as w:
+        w.write_batch(
+            pa.RecordBatch.from_arrays(
+                [pa.array([1]), pa.array(["v"])], schema=s_full
+            )
+        )
+    with ipc.new_file(str(d / "b.arrow"), s_old) as w:
+        w.write_batch(
+            pa.RecordBatch.from_arrays([pa.array([2])], schema=s_old)
+        )
+    rows = sorted(
+        map(tuple, spark.read.format("arrowipc").load(str(d)).collect())
+    )
+    assert rows == [(1, "v"), (2, None)], rows
+
+
+def test_partition_by_refused(spark, tmp_path):
+    """The inherited partition_by option is not implemented by the arrow
+    sink — refused loudly instead of silently writing a flat layout."""
+    register(spark)
+    with pytest.raises(Exception, match="partition_by is not supported"):
+        spark.range(5).selectExpr("id", "id % 2 AS p").write.format(
+            "arrowipc"
+        ).option("partition_by", "p").mode("overwrite").save(
+            str(tmp_path / "nope")
+        )

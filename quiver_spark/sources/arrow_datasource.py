@@ -65,10 +65,37 @@ def _list_arrow_files(path: str) -> list[str]:
 
 
 def _open_reader(file: str):
+    """Reader over a memory-mapped file for the DECODE path — batches are
+    buffer views over the mapping, which therefore must stay open for the
+    reader's lifetime. Planning must NOT use this (it would leak one mmap
+    per planned file on long-lived drivers); see _plan_info."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
     return ipc.open_file(pa.memory_map(file, "r"))
+
+
+#: (path, mtime_ns, size) → (num_record_batches, schema) for PLANNING —
+#: the mapping is closed before returning, so plan-time metadata never
+#: holds a file descriptor (and repeat plans never reopen the footer)
+_PLAN_CACHE: dict[tuple, tuple] = {}
+
+
+def _plan_info(file: str) -> tuple[int, object]:
+    from quiver_spark.sources.quiver_datasource import _stat_cached
+
+    def load(path):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        mm = pa.memory_map(path, "r")
+        try:
+            r = ipc.open_file(mm)
+            return r.num_record_batches, r.schema
+        finally:
+            mm.close()
+
+    return _stat_cached(_PLAN_CACHE, file, load)
 
 
 @dataclass
@@ -78,14 +105,26 @@ class ArrowIpcPartition(InputPartition):
     batch_end: int
 
 
-def _batch_splits(files: list[str], floor: int) -> list[ArrowIpcPartition]:
+def _file_batches(file: str, man=None) -> int:
+    """Record-batch count for planning: served by the commit-time manifest
+    when it covers the file (zero per-file I/O), else the plan cache."""
+    if man is not None:
+        ent = man.lookup(file)
+        if ent is not None and ent.batches is not None:
+            return ent.batches
+    return _plan_info(file)[0]
+
+
+def _batch_splits(
+    files: list[str], floor: int, man=None
+) -> list[ArrowIpcPartition]:
     """Record-batch-range splits over ``files``, each carrying ~``floor``
     bytes (per-batch size estimated as file_size / batch_count — IPC
     footers store no per-batch sizes). Shared by the batch and stream
     planners so the sizing policy cannot drift between them."""
     parts: list[ArrowIpcPartition] = []
     for file in files:
-        n = _open_reader(file).num_record_batches
+        n = _file_batches(file, man)
         if n == 0:
             continue
         per_batch = os.path.getsize(file) / n
@@ -134,8 +173,12 @@ class ArrowIpcScanReader(DataSourceReader):
         )
 
     def partitions(self):
+        from quiver_spark.sources.manifest import load_manifest
+
         files = _list_arrow_files(self.path)
-        parts = _batch_splits(files, self._floor(files))
+        parts = _batch_splits(
+            files, self._floor(files), load_manifest(self.path)
+        )
         if not parts:
             anchor = files[0] if files else os.path.join(self.path, "_none")
             parts.append(ArrowIpcPartition(anchor, 0, 0))
@@ -237,6 +280,7 @@ class ArrowIpcWriter(QuiverWriter):
     concurrency guards are inherited verbatim."""
 
     DATA_GLOBS = ("*.arrow",)
+    MANIFEST_FMT = "arrow"
 
     def __init__(self, options, spark_schema=None, overwrite: bool = False):
         super().__init__(options, spark_schema, overwrite)
@@ -251,18 +295,19 @@ class ArrowIpcWriter(QuiverWriter):
     def _list_data_files(self) -> list[str]:
         return _list_arrow_files(self.path)
 
-    def _write_empty(self, dst_root: str, arrow_schema) -> None:
+    def _write_empty(self, dst_root: str, arrow_schema) -> str:
         import pyarrow as pa
         import pyarrow.ipc as ipc
 
-        dst = os.path.join(dst_root, f"part-{uuid.uuid4().hex}.arrow")
-        with ipc.new_file(dst, arrow_schema) as w:
+        rel = f"part-{uuid.uuid4().hex}.arrow"
+        with ipc.new_file(os.path.join(dst_root, rel), arrow_schema) as w:
             w.write_batch(
                 pa.RecordBatch.from_arrays(
                     [pa.array([], type=f.type) for f in arrow_schema],
                     schema=arrow_schema,
                 )
             )
+        return rel
 
     def write(self, iterator):
         """One task → one .arrow file of the task's batches (rolling to a
@@ -318,7 +363,44 @@ class ArrowIpcDataSource(DataSource):
         files = _list_arrow_files(path)
         if not files:
             raise ValueError(f"no .arrow files under {path}")
-        arrow_schema = _open_reader(files[0]).schema
+
+        from quiver_spark.sources.manifest import load_manifest
+
+        man = load_manifest(path)
+
+        def schema_of(f):
+            if man is not None:
+                ent = man.lookup(f)
+                if ent is not None and ent.schema_idx is not None:
+                    return man.schema(ent.schema_idx)
+            return _plan_info(f)[1]
+
+        arrow_schema = schema_of(files[0])
+        # Schema evolution across an accreting directory: default is the
+        # first file's schema (one footer read); merge_schemas=true unions
+        # fields by name across every file (manifest-served when present)
+        # with all fields nullable, erroring on same-name type conflicts —
+        # the same contract as the quiver source, and the read path
+        # already null-fills declared columns a file lacks.
+        if self.options.get("merge_schemas", "false").lower() == "true":
+            import pyarrow as pa
+
+            fields = [f.with_nullable(True) for f in arrow_schema]
+            seen = {f.name: f for f in fields}
+            for f2 in files[1:]:
+                for fld in schema_of(f2):
+                    prev = seen.get(fld.name)
+                    if prev is None:
+                        fld = fld.with_nullable(True)
+                        seen[fld.name] = fld
+                        fields.append(fld)
+                    elif prev.type != fld.type:
+                        raise ValueError(
+                            "merge_schemas type conflict for "
+                            f"'{fld.name}': {prev.type} vs {fld.type} "
+                            f"in {f2}"
+                        )
+            arrow_schema = pa.schema(fields)
         cols = self.options.get("columns")
         if cols:
             keep = [c.strip() for c in cols.split(",")]
@@ -447,8 +529,10 @@ class ArrowIpcStreamReader(DataSourceStreamReader):
         # same split-sizing policy as the batch planner (shared helper +
         # dynamic floor over THIS micro-batch's files), so streamed scans
         # keep within-file parallelism instead of one split per file
+        from quiver_spark.sources.manifest import load_manifest
+
         floor = ArrowIpcScanReader._floor(self, new)
-        parts = _batch_splits(new, floor)
+        parts = _batch_splits(new, floor, load_manifest(self.path))
         if not parts:
             files = _list_arrow_files(self.path)
             anchor = files[0] if files else os.path.join(self.path, "_none")

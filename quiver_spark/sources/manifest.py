@@ -1,0 +1,400 @@
+"""Commit-time file manifest — O(1) plan-time metadata for quiver/arrow
+tables.
+
+Problem (measured round 6, diagnosed round 8): ``partitions()`` reads every
+file's footer (and stats sidecar) sequentially in the spawned Python
+planner process. A 1,000-small-file directory costs ~8.4 s to PLAN versus
+0.58 s for the JVM parquet reader over the same files; at 100 TB (~800k
+files at the 128 MiB split cap) planning is O(files) sequential I/O — the
+one genuine scale-killer left in the read path. The reference format's own
+footer exists precisely to make planning read-once per file
+(/root/reference/src/read/reader.rs:168-225), and its async path pre-reads
+a 64 KiB tail to save object-store round trips (:33,180-213); this module
+applies the same economy at DIRECTORY level: the sink's generation commit
+is an atomic publish point that already knows every file it just moved, so
+it writes ONE manifest file describing all of them, and the planner reads
+that single file instead of N footers.
+
+Contents, per data file (relative path):
+
+* ``size`` / ``mtime_ns`` — staleness guard; a lookup whose stat disagrees
+  falls back to reading the real footer (so out-of-band rewrites degrade
+  to correct-but-slower, never to wrong answers);
+* quiver entries: the parsed footer (schema via a deduplicated Arrow-IPC
+  schema table; per-leaf page ``(length, num_values)`` lists + offsets)
+  and the full stats sidecar (zone maps + crc32) inline;
+* arrowipc entries: the record-batch count + the schema table index.
+
+Atomicity: the manifest is written with write-temp + ``os.replace`` INSIDE
+the generation directory before the pointer swap (overwrite) or under the
+table writer lock (append), so readers either see a complete manifest or
+none — never a torn one. It is strictly an accelerator: every consumer
+falls back to per-file footer reads for files it does not list (library
+``write_table`` output, appends from older writers), and
+``quiver-tools manifest rebuild`` regenerates it for such directories.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import json
+import os
+
+MANIFEST_NAME = "_manifest.json.gz"
+MANIFEST_VERSION = 1
+
+#: formats a manifest entry can describe (the two sink formats sharing the
+#: generation/commit protocol)
+FMT_QUIVER = "quiver"
+FMT_ARROW = "arrow"
+
+
+def _schema_b64(schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
+
+
+def _schema_from_b64(s: str):
+    import pyarrow as pa
+
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(s)))
+
+
+def _encode_metas(metas) -> list:
+    """ColumnMeta list → compact JSON: [[offset, [l0,n0,l1,n1,...]], ...]."""
+    out = []
+    for m in metas:
+        flat: list[int] = []
+        for p in m.pages:
+            flat.append(int(p.length))
+            flat.append(int(p.num_values))
+        out.append([int(m.offset), flat])
+    return out
+
+
+def _decode_metas(raw: list):
+    from quiver_spark.format.reader import ColumnMeta, PageMeta
+
+    metas = []
+    for offset, flat in raw:
+        pages = tuple(
+            PageMeta(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)
+        )
+        metas.append(ColumnMeta(offset, pages))
+    return metas
+
+
+class ManifestEntry:
+    __slots__ = ("size", "mtime_ns", "fmt", "schema_idx", "_metas_raw",
+                 "_metas", "sidecar", "batches")
+
+    def __init__(self, raw: dict):
+        self.size = raw["size"]
+        self.mtime_ns = raw["mtime_ns"]
+        self.fmt = raw["fmt"]
+        self.schema_idx = raw.get("schema")
+        self._metas_raw = raw.get("metas")
+        self._metas = None  # decoded lazily: partition pruning may skip
+        self.sidecar = raw.get("sidecar")
+        self.batches = raw.get("batches")
+
+    def metas(self):
+        if self._metas is None and self._metas_raw is not None:
+            self._metas = _decode_metas(self._metas_raw)
+        return self._metas
+
+
+class Manifest:
+    """Parsed manifest for one data root. Schemas decode lazily (one table
+    typically shares a single schema across every file)."""
+
+    def __init__(self, root: str, raw: dict):
+        self.root = root
+        self._schemas_raw: list[str] = raw.get("schemas", [])
+        self._schemas: list = [None] * len(self._schemas_raw)
+        self.entries: dict[str, ManifestEntry] = {
+            rel: ManifestEntry(e) for rel, e in raw.get("files", {}).items()
+        }
+
+    def schema(self, idx: int):
+        if self._schemas[idx] is None:
+            self._schemas[idx] = _schema_from_b64(self._schemas_raw[idx])
+        return self._schemas[idx]
+
+    def lookup(self, file: str) -> ManifestEntry | None:
+        """Entry for an absolute file path, validated against the file's
+        current stat — a mismatch (out-of-band rewrite, clock-skewed copy)
+        returns None so the caller reads the real footer instead."""
+        rel = os.path.relpath(file, self.root)
+        ent = self.entries.get(rel)
+        if ent is None:
+            return None
+        try:
+            st = os.stat(file)
+        except OSError:
+            return None
+        if st.st_size != ent.size or st.st_mtime_ns != ent.mtime_ns:
+            return None
+        return ent
+
+    def footer(self, file: str):
+        """(arrow schema, ColumnMeta list) for a quiver file, or None when
+        the manifest cannot serve it (absent/stale/wrong-format entry)."""
+        ent = self.lookup(file)
+        if ent is None or ent.fmt != FMT_QUIVER or ent.schema_idx is None:
+            return None
+        return self.schema(ent.schema_idx), ent.metas()
+
+
+#: (manifest path, mtime_ns, size) → Manifest. Planner processes are
+#: short-lived but Spark reuses Python workers; the cache makes repeat
+#: queries on one table parse the manifest once per process.
+_MANIFEST_CACHE: dict[tuple, Manifest] = {}
+
+
+def manifest_path(root: str) -> str:
+    return os.path.join(root, MANIFEST_NAME)
+
+
+def load_manifest(root: str) -> Manifest | None:
+    """Parsed manifest of a resolved data root, or None when absent or
+    unreadable (corrupt manifests degrade to footer reads, loudly never)."""
+    p = manifest_path(root)
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    key = (p, st.st_mtime_ns, st.st_size)
+    man = _MANIFEST_CACHE.get(key)
+    if man is None:
+        try:
+            raw = _load_raw(root)
+        except (OSError, ValueError, json.JSONDecodeError):
+            return None
+        if raw is None or raw.get("version") != MANIFEST_VERSION:
+            return None
+        if len(_MANIFEST_CACHE) > 8:  # bound planner memory
+            _MANIFEST_CACHE.clear()
+        man = _MANIFEST_CACHE[key] = Manifest(root, raw)
+    return man
+
+
+def _load_raw(root: str) -> dict | None:
+    p = manifest_path(root)
+    if not os.path.exists(p):
+        return None
+    with gzip.open(p, "rt", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _write_raw(root: str, raw: dict) -> None:
+    """Atomic publish: write-temp + os.replace, the same discipline as the
+    generation pointer — a crash mid-write can never leave a torn manifest
+    (readers see the previous one or none)."""
+    import uuid
+
+    p = manifest_path(root)
+    tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+    try:
+        with gzip.open(tmp, "wt", encoding="utf-8") as f:
+            json.dump(raw, f, separators=(",", ":"))
+        os.replace(tmp, p)
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def remove_manifest(root: str) -> None:
+    try:
+        os.unlink(manifest_path(root))
+    except OSError:
+        pass
+
+
+def _build_one(root: str, rel: str, fmt: str) -> tuple[str, dict] | None:
+    """One file's manifest entry (read its footer/sidecar now, so no
+    planner ever has to again). None for unreadable files — they simply
+    stay manifest-absent and plan via the fallback path."""
+    full = os.path.join(root, rel)
+    try:
+        st = os.stat(full)
+        entry: dict = {
+            "size": st.st_size,
+            "mtime_ns": st.st_mtime_ns,
+            "fmt": fmt,
+        }
+        if fmt == FMT_QUIVER:
+            from quiver_spark.format import stats as stats_mod
+            from quiver_spark.format.reader import read_footer
+
+            with open(full, "rb") as f:
+                schema, metas = read_footer(f)
+            entry["schema_b64"] = _schema_b64(schema)
+            entry["metas"] = _encode_metas(metas)
+            entry["sidecar"] = stats_mod.load_sidecar(full)
+        elif fmt == FMT_ARROW:
+            import pyarrow as pa
+            import pyarrow.ipc as ipc
+
+            mm = pa.memory_map(full, "r")
+            try:
+                r = ipc.open_file(mm)
+                entry["batches"] = r.num_record_batches
+                entry["schema_b64"] = _schema_b64(r.schema)
+            finally:
+                mm.close()  # planning must not leak the mapping
+        else:
+            return None
+        return rel, entry
+    except (OSError, ValueError):
+        return None
+
+
+def build_entries(root: str, rels: list[str], fmt: str) -> dict[str, dict]:
+    """Raw entries for ``rels`` (paths relative to ``root``), footers read
+    through a thread pool — commit-time I/O over N new files is bounded by
+    parallel reads, not N sequential round trips."""
+    if not rels:
+        return {}
+    out: dict[str, dict] = {}
+    if len(rels) == 1:
+        built = [_build_one(root, rels[0], fmt)]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(rels))) as pool:
+            built = list(
+                pool.map(lambda r: _build_one(root, r, fmt), rels)
+            )
+    for item in built:
+        if item is not None:
+            out[item[0]] = item[1]
+    return out
+
+
+def _intern_schemas(raw: dict, entries: dict[str, dict]) -> None:
+    """Move per-entry schema bytes into the manifest-level dedup table
+    (a table's files overwhelmingly share one schema — at 800k files the
+    table costs one string instead of 800k copies)."""
+    schemas: list[str] = raw.setdefault("schemas", [])
+    index = {s: i for i, s in enumerate(schemas)}
+    for entry in entries.values():
+        b64 = entry.pop("schema_b64", None)
+        if b64 is None:
+            continue
+        i = index.get(b64)
+        if i is None:
+            i = len(schemas)
+            schemas.append(b64)
+            index[b64] = i
+        entry["schema"] = i
+
+
+def update_manifest(root: str, rels: list[str], fmt: str) -> None:
+    """Merge entries for newly-published files into the root's manifest
+    (creating it if absent) and publish atomically. Callers hold the table
+    writer lock (sink commit) or own the directory (maintenance rebuild),
+    so read-merge-write here cannot interleave with another updater."""
+    try:
+        raw = _load_raw(root)
+    except (OSError, ValueError, json.JSONDecodeError):
+        raw = None  # corrupt/legacy manifest: rebuild from this commit on
+    if raw is None or raw.get("version") != MANIFEST_VERSION:
+        raw = {"version": MANIFEST_VERSION, "schemas": [], "files": {}}
+    entries = build_entries(root, rels, fmt)
+    _intern_schemas(raw, entries)
+    raw["files"].update(entries)
+    _write_raw(root, raw)
+
+
+def rebuild_manifest(root: str) -> dict:
+    """Regenerate the manifest for an existing data root from scratch —
+    the migration path for directories written by the library
+    (``write_table``) or by pre-manifest sinks. Returns a summary."""
+    from quiver_spark.sources.quiver_datasource import _list_files_pattern
+
+    raw = {"version": MANIFEST_VERSION, "schemas": [], "files": {}}
+    counts = {}
+    for fmt, pattern in ((FMT_QUIVER, "*.quiver"), (FMT_ARROW, "*.arrow")):
+        rels = [
+            os.path.relpath(f, root)
+            for f in _list_files_pattern(root, pattern)
+            if os.path.isfile(f)
+        ]
+        entries = build_entries(root, rels, fmt)
+        _intern_schemas(raw, entries)
+        raw["files"].update(entries)
+        counts[fmt] = len(entries)
+    _write_raw(root, raw)
+    return {
+        "root": root,
+        "files": len(raw["files"]),
+        "schemas": len(raw["schemas"]),
+        **counts,
+    }
+
+
+def verify_manifest(root: str) -> dict:
+    """Cross-check the manifest against the directory's actual files:
+    stat drift, footer mismatches, sidecar drift, and unlisted data files.
+    Read-only; returns a report dict (``ok`` plus itemized lists)."""
+    from quiver_spark.format import stats as stats_mod
+    from quiver_spark.format.reader import read_footer
+    from quiver_spark.sources.quiver_datasource import _list_files_pattern
+
+    report = {
+        "root": root,
+        "ok": True,
+        "checked": 0,
+        "stale": [],      # stat mismatch (entry ignored by planners)
+        "mismatched": [], # stat matches but footer/sidecar differs (BAD)
+        "unlisted": [],   # data files the manifest doesn't cover
+        "missing": [],    # entries whose file is gone
+    }
+    man = load_manifest(root)
+    if man is None:
+        report["ok"] = False
+        report["error"] = f"no readable manifest under {root}"
+        return report
+    listed = set(man.entries)
+    on_disk: set[str] = set()
+    for pattern in ("*.quiver", "*.arrow"):
+        for f in _list_files_pattern(root, pattern):
+            on_disk.add(os.path.relpath(f, root))
+    report["unlisted"] = sorted(on_disk - listed)
+    report["missing"] = sorted(listed - on_disk)
+    for rel in sorted(listed & on_disk):
+        full = os.path.join(root, rel)
+        ent = man.lookup(full)
+        if ent is None:
+            report["stale"].append(rel)
+            continue
+        report["checked"] += 1
+        if ent.fmt == FMT_QUIVER:
+            with open(full, "rb") as f:
+                schema, metas = read_footer(f)
+            if (
+                schema != man.schema(ent.schema_idx)
+                or _encode_metas(metas) != _encode_metas(ent.metas())
+            ):
+                report["mismatched"].append(rel)
+            elif stats_mod.load_sidecar(full) != ent.sidecar:
+                report["mismatched"].append(rel)
+        elif ent.fmt == FMT_ARROW:
+            import pyarrow as pa
+            import pyarrow.ipc as ipc
+
+            mm = pa.memory_map(full, "r")
+            try:
+                r = ipc.open_file(mm)
+                if (
+                    r.num_record_batches != ent.batches
+                    or r.schema != man.schema(ent.schema_idx)
+                ):
+                    report["mismatched"].append(rel)
+            finally:
+                mm.close()
+    report["ok"] = not (report["mismatched"] or report["missing"])
+    return report

@@ -29,10 +29,13 @@ store, concurrent writers against one table are serialized by the
 advisory lock, so concurrent overwrites commit as two distinct
 generations (last pointer swap wins) and an append never publishes into a
 generation that an overwrite is concurrently garbage-collecting. On a
-store whose ``lock`` is a no-op (object stores without one), the claim +
-CAS steps still guarantee a race is detected and raised — one writer wins,
-the loser gets :class:`ConcurrentWriteError` with its staged output intact
-for retry. Either way there is no silent-loss or mixed-snapshot outcome.
+store whose ``lock`` is a no-op (object stores without one), generation
+claims and append re-verification still detect their races loudly; the
+pointer swap itself is check-then-replace here (see the ``swap_pointer``
+docstring), so pointer-vs-pointer race detection is best-effort until an
+object-store adapter overrides it with a true conditional PUT. In every
+case the outcome is last-swap-wins with the superseded generation
+retained — never a mixed or torn snapshot.
 """
 
 from __future__ import annotations
@@ -90,8 +93,22 @@ class PointerStore:
         names ``expected`` (another writer committed since this writer
         planned), or if the post-swap read-back does not name ``new_gen``
         (a racing swap on a store without locking). Under the local
-        store's ``lock`` neither can fire; on a no-op-lock store they turn
-        a race into a loud failure instead of a mixed snapshot."""
+        store's ``lock`` neither can fire.
+
+        LIMITATION — the base implementation is check-then-replace, not a
+        true atomic CAS: on a no-op-lock store two swaps can interleave so
+        that writer B reads the expected pointer before A's ``os.replace``
+        lands and replaces after A's read-back, letting BOTH report
+        success while A's snapshot is silently superseded (last replace
+        wins; never a mixed or torn snapshot — A's generation stays
+        retained and time-travelable). Race DETECTION on lock-less stores
+        is therefore best-effort at this layer; a real object-store
+        adapter MUST override ``swap_pointer`` with the store's native
+        conditional PUT / generation-precondition primitive to make the
+        CAS atomic. The bundled guarantees are: LocalPointerStore (lock
+        held) — serialized, no race; UnlockedPointerStore — claim +
+        append re-verification still detect their races loudly, and the
+        pointer race above narrows to the replace/read-back window."""
         import uuid as _uuid
 
         current = self.read_pointer(table_path)
@@ -159,11 +176,14 @@ class LocalPointerStore(PointerStore):
 
 class UnlockedPointerStore(PointerStore):
     """A store whose ``lock`` is a no-op — models object stores with no
-    locking primitive. Claims and CAS swaps still detect every race and
-    raise :class:`ConcurrentWriteError`; used by tests to pin the
-    loud-failure path, and a template for real S3/GCS adapters (which
-    would additionally override the pointer methods with conditional
-    PUTs on a manifest object)."""
+    locking primitive. Generation claims and append re-verification still
+    detect their races and raise :class:`ConcurrentWriteError`; the
+    inherited pointer swap is best-effort check-then-replace (see
+    ``PointerStore.swap_pointer`` — last replace wins, superseded
+    snapshots stay retained). Used by tests to pin the loud-failure
+    paths, and a template for real S3/GCS adapters, which MUST override
+    the pointer methods with conditional PUTs on a manifest object to
+    make the swap a true CAS."""
 
     @contextlib.contextmanager
     def lock(self, table_path: str):

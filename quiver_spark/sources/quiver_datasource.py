@@ -384,6 +384,47 @@ def _file_footer(file: str):
     return _stat_cached(_FOOTER_CACHE, file, load)
 
 
+def _footer_of(man, file: str):
+    """Footer via the generation's commit-time manifest when it covers the
+    file (zero per-file I/O beyond a stat), else the per-file footer
+    cache/read — the fallback for library-written directories and files a
+    stale manifest can't vouch for."""
+    if man is not None:
+        hit = man.footer(file)
+        if hit is not None:
+            return hit
+    return _file_footer(file)
+
+
+def _prefetch_footers(files: list[str], man=None) -> None:
+    """Warm the per-process footer cache for files the manifest cannot
+    serve, reading 64 KiB tails through a thread pool (I/O bound; the GIL
+    is released during reads). This is the interim O(files) posture for
+    manifest-less directories: still one read per file, but wall time
+    divided by the pool width instead of strictly sequential."""
+    misses = []
+    for f in files:
+        if man is not None and man.lookup(f) is not None:
+            continue
+        try:
+            st = os.stat(f)
+        except OSError:
+            continue
+        if (f, st.st_mtime_ns, st.st_size) not in _FOOTER_CACHE:
+            misses.append(f)
+    if len(misses) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(f):
+            try:
+                _file_footer(f)
+            except (OSError, ValueError):
+                pass  # the planner's own read raises with full context
+
+        with ThreadPoolExecutor(max_workers=min(16, len(misses))) as pool:
+            list(pool.map(load, misses))
+
+
 def _file_checksums(file: str):
     from quiver_spark.format import stats as stats_mod
 
@@ -430,20 +471,25 @@ class QuiverDataSource(DataSource):
         files = _list_files(path)
         if not files:
             raise ValueError(f"no .quiver files under {path}")
-        arrow_schema, _ = _file_footer(files[0])
+        from .manifest import load_manifest
+
+        man = load_manifest(path)
+        arrow_schema, _ = _footer_of(man, files[0])
         # Schema evolution across an accreting directory: default is the
         # first file's schema (parquet's default, one footer read);
         # merge_schemas=true unions fields by name across every footer
-        # (cached — planning reads them anyway) with all fields nullable,
-        # erroring on same-name type conflicts. Files lacking a merged
-        # column null-fill it at scan time (QuiverScanReader.read).
+        # (manifest-served or cached — planning reads them anyway) with all
+        # fields nullable, erroring on same-name type conflicts. Files
+        # lacking a merged column null-fill it at scan time
+        # (QuiverScanReader.read).
         if self.options.get("merge_schemas", "false").lower() == "true":
             import pyarrow as pa
 
+            _prefetch_footers(files[1:], man)
             fields = [f.with_nullable(True) for f in arrow_schema]
             seen = {f.name: f for f in fields}
             for f2 in files[1:]:
-                s2, _ = _file_footer(f2)
+                s2, _ = _footer_of(man, f2)
                 for fld in s2:
                     prev = seen.get(fld.name)
                     if prev is None:
@@ -750,10 +796,12 @@ class QuiverScanReader(DataSourceReader):
         if not self.page_prune:
             _trace("push", self, n_in=len(filters), pruning="off")
             return filters
+        from .manifest import load_manifest
+
         files = _list_files(self.path)
         arrow_schema = None
         if files and os.path.exists(files[0]):
-            arrow_schema, _ = _file_footer(files[0])
+            arrow_schema, _ = _footer_of(load_manifest(self.path), files[0])
         for flt in filters:
             op = _FILTER_OPS.get(type(flt).__name__)
             attr = getattr(flt, "attribute", None)
@@ -782,14 +830,23 @@ class QuiverScanReader(DataSourceReader):
         _trace("push", self, n_in=len(filters))
         return filters
 
-    def _page_keep_mask(self, file: str, n_pages: int) -> list[bool]:
-        """Evaluate pruning predicates against the file's stats sidecar."""
+    def _page_keep_mask(
+        self, file: str, n_pages: int, man=None
+    ) -> list[bool]:
+        """Evaluate pruning predicates against the file's stats sidecar
+        (served from the commit-time manifest when it covers the file —
+        a valid entry's ``sidecar`` is authoritative, including None,
+        because the manifest is written after sidecars land)."""
         from quiver_spark.format import stats as stats_mod
 
         keep = [True] * n_pages
         if not self._prune_filters:
             return keep
-        sidecar = stats_mod.load_sidecar(file)
+        ent = man.lookup(file) if man is not None else None
+        if ent is not None:
+            sidecar = ent.sidecar
+        else:
+            sidecar = stats_mod.load_sidecar(file)
         if sidecar is None:
             return keep
         cols = sidecar.get("columns", {})
@@ -821,25 +878,43 @@ class QuiverScanReader(DataSourceReader):
             )
 
         # --- pass 1: per-file footer metadata + projected page bytes ---
-        # (footers come from the module cache, so the second pass and the
-        # executor reads never re-parse them)
+        # Fast path: the commit-time manifest serves every footer and
+        # sidecar from ONE directory-level read (O(1) plan-time I/O, the
+        # 100 TB posture). Fallback for manifest-less/stale files: the
+        # per-process footer cache, warmed by a parallel prefetch when no
+        # limit allows early file cutoff.
+        from .manifest import load_manifest
+
+        man = load_manifest(self.path)
+        files = _list_files(self.path)
+        if self._part_filters:
+            # directory-level pruning: non-matching files are dropped
+            # before their footer is even opened — at 100 TB this is what
+            # turns a partition-key filter into O(matching files) I/O
+            files = [
+                f
+                for f in files
+                if _part_matches(
+                    self._part_filters,
+                    dict(
+                        zip(
+                            (c for c, _k in part_cols),
+                            per_file.get(f, ()),
+                        )
+                    ),
+                )
+            ]
+        if self.limit is None:
+            _prefetch_footers(files, man)
         file_plans: list[dict] = []
         total_bytes = 0
         planned_rows = 0
-        for file in _list_files(self.path):
+        for file in files:
             if self.limit is not None and planned_rows >= self.limit:
                 # enough files collected to cover the limit (kept exact
                 # below — nested first columns disable this early stop)
                 break
-            if self._part_filters and not _part_matches(
-                self._part_filters,
-                dict(zip((c for c, _k in part_cols), per_file.get(file, ()))),
-            ):
-                # directory-level pruning: the file is skipped before its
-                # footer is even opened — at 100 TB this is what turns a
-                # partition-key filter into O(matching files) I/O
-                continue
-            _schema, metas = _file_footer(file)
+            _schema, metas = _footer_of(man, file)
             nested_first = len(_schema) > 0 and nested_mod.is_nested_type(
                 _schema.field(0).type
             )
@@ -884,7 +959,7 @@ class QuiverScanReader(DataSourceReader):
                 )
                 for i in range(n_pages)
             ]
-            keep = self._page_keep_mask(file, n_pages)
+            keep = self._page_keep_mask(file, n_pages, man=man)
             file_plans.append(
                 {
                     "file": file,
@@ -1246,12 +1321,21 @@ class QuiverStreamReader(DataSourceStreamReader):
                 for (c, k), v in zip(part_cols, per_file.get(file, ()))
             )
 
+        from .manifest import load_manifest
+
+        man = load_manifest(self.path)
+        new_files = [
+            f
+            for f in (os.path.join(self.path, n) for n in new)
+            if os.path.exists(f)
+        ]
+        # micro-batch planning is per-NEW-file metadata: manifest-served
+        # when the sink wrote one (the streaming sink updates it per batch
+        # commit), parallel-prefetched otherwise
+        _prefetch_footers(new_files, man)
         parts: list[QuiverPartition] = []
-        for name in new:
-            file = os.path.join(self.path, name)
-            if not os.path.exists(file):
-                continue
-            _schema, metas = _file_footer(file)
+        for file in new_files:
+            _schema, metas = _footer_of(man, file)
             if not metas or not metas[0].pages:
                 continue
             pages = metas[0].pages
@@ -1316,6 +1400,8 @@ class QuiverWriter(DataSourceArrowWriter):
     #: different format override — the publish/generation protocol itself
     #: is format-agnostic)
     DATA_GLOBS = ("*.quiver", "*.quiver.stats.json")
+    #: manifest entry format for files this sink publishes (manifest.py)
+    MANIFEST_FMT = "quiver"
 
     def __init__(
         self,
@@ -1510,6 +1596,11 @@ class QuiverWriter(DataSourceArrowWriter):
                     os.remove(f)
                 except OSError:
                     pass
+        # the flat-root manifest described the files just swept; each
+        # generation carries its own manifest, so the root copy is dead
+        from .manifest import remove_manifest
+
+        remove_manifest(self.path)
 
     def _publish(self, messages) -> None:
         """Move every committed task's staged files into the live data
@@ -1569,6 +1660,7 @@ class QuiverWriter(DataSourceArrowWriter):
                 # resolved UNDER the lock: a pre-lock resolution could name
                 # a generation a concurrent overwrite is about to GC
                 dst_root = _data_root(self.path)
+            published: list[str] = []
             for msg in messages:
                 if msg is None or not msg.task_dir:
                     continue
@@ -1584,7 +1676,16 @@ class QuiverWriter(DataSourceArrowWriter):
                     side = os.path.join(msg.task_dir, rel + ".stats.json")
                     if os.path.exists(side):
                         os.replace(side, dst + ".stats.json")
+                    published.append(rel)
                 shutil.rmtree(msg.task_dir, ignore_errors=True)
+            # Commit-time manifest: one file describing every published
+            # file's footer + sidecar, so planning reads O(1) files instead
+            # of O(files) (manifest.py rationale). Written BEFORE the
+            # pointer swap — the manifest is part of the atomic snapshot.
+            if published:
+                from .manifest import update_manifest
+
+                update_manifest(dst_root, published, self.MANIFEST_FMT)
             if self.overwrite:
                 try:
                     store.swap_pointer(self.path, gen_name, expected)
@@ -1612,6 +1713,22 @@ class QuiverWriter(DataSourceArrowWriter):
                         f"but a concurrent overwrite made {live!r} current "
                         "— the appended rows are NOT in the live snapshot; "
                         "re-run the append"
+                    )
+            else:
+                # append into the FLAT table root: verify the table is
+                # still pointer-less before acknowledging. On a lock-less
+                # store, the table's FIRST overwrite can race this append —
+                # its flat-file GC sweep deletes (or orphans behind the new
+                # pointer) the just-appended files, so returning success
+                # would be silent loss (the other half of the
+                # generation-append guard above).
+                live = store.read_pointer(self.path)
+                if live is not None:
+                    raise ConcurrentWriteError(
+                        f"append published into the flat root of "
+                        f"{self.path}, but a concurrent overwrite made "
+                        f"{live!r} current — the appended rows are NOT in "
+                        "the live snapshot; re-run the append"
                     )
         self._gc_staging()
 
@@ -1641,7 +1758,7 @@ class QuiverWriter(DataSourceArrowWriter):
     def _list_data_files(self) -> list[str]:
         return _list_files(self.path)
 
-    def _write_empty(self, dst_root: str, arrow_schema) -> None:
+    def _write_empty(self, dst_root: str, arrow_schema) -> str:
         import pyarrow as pa
 
         from quiver_spark.format.writer import WriteOptions, write_table
@@ -1650,11 +1767,9 @@ class QuiverWriter(DataSourceArrowWriter):
             [pa.array([], type=f.type) for f in arrow_schema],
             schema=arrow_schema,
         )
-        write_table(
-            empty,
-            os.path.join(dst_root, f"part-{uuid.uuid4().hex}.quiver"),
-            WriteOptions(),
-        )
+        rel = f"part-{uuid.uuid4().hex}.quiver"
+        write_table(empty, os.path.join(dst_root, rel), WriteOptions())
+        return rel
 
     def commit(self, messages) -> None:
         """Driver-side commit: publish staged task output, then ensure a
@@ -1667,9 +1782,11 @@ class QuiverWriter(DataSourceArrowWriter):
             return
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        self._write_empty(
-            _data_root(self.path), to_arrow_schema(self.spark_schema)
-        )
+        from .manifest import update_manifest
+
+        root = _data_root(self.path)
+        rel = self._write_empty(root, to_arrow_schema(self.spark_schema))
+        update_manifest(root, [rel], self.MANIFEST_FMT)
 
     def abort(self, messages) -> None:
         """Drop staged output of any task that did report a message; task

@@ -213,6 +213,20 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("rollback")
     r.add_argument("dir")
     r.add_argument("--to", type=int, required=True, metavar="VERSION")
+    m = sub.add_parser(
+        "manifest",
+        help="verify or rebuild the commit-time plan manifest of a table's "
+        "live data root (the O(1) plan-time metadata the sink writes at "
+        "each commit)",
+    )
+    m.add_argument("action", choices=("verify", "rebuild"))
+    m.add_argument("dir")
+    m.add_argument(
+        "--version",
+        type=int,
+        default=None,
+        help="operate on a retained generation instead of the live one",
+    )
     args = ap.parse_args(argv)
     if args.cmd == "inspect":
         print(json.dumps(cmd_inspect(args.file), indent=2))
@@ -239,6 +253,20 @@ def main(argv: list[str] | None = None) -> int:
         from quiver_spark.maintenance import rollback_generation
 
         print(json.dumps(rollback_generation(args.dir, args.to), indent=2))
+    elif args.cmd == "manifest":
+        from quiver_spark.sources.manifest import (
+            rebuild_manifest,
+            verify_manifest,
+        )
+        from quiver_spark.sources.quiver_datasource import _data_root
+
+        root = _data_root(args.dir, version=args.version)
+        if args.action == "rebuild":
+            print(json.dumps(rebuild_manifest(root), indent=2))
+        else:
+            out = verify_manifest(root)
+            print(json.dumps(out, indent=2))
+            return 0 if out["ok"] else 1
     elif args.cmd == "compact":
         from quiver_spark.maintenance import compact_local
 

@@ -452,6 +452,15 @@ class QuiverPartition(InputPartition):
     #: Hive partition spec of the file: ((col, typed value, kind), …) — the
     #: reader re-attaches these as constant columns per batch
     part: tuple = field(default_factory=tuple)
+    #: additional (file, page_start, page_end, part) chunks packed into
+    #: this task — the many-small-files fix: parquet's FileScan packs
+    #: splits up to maxPartitionBytes, and without the same packing a
+    #: 1,000-small-file table plans 1,000 tasks whose per-task
+    #: Python-worker overhead dominates (measured 7.4 s vs parquet's
+    #: 0.42 s on 1,000×600-row files; packed: ~32 tasks). The batch
+    #: planner rolls page ranges ACROSS files under the dynamic byte
+    #: floor; the first chunk lives in the fields above.
+    extra: tuple = field(default_factory=tuple)
 
 
 class QuiverDataSource(DataSource):
@@ -991,11 +1000,38 @@ class QuiverScanReader(DataSourceReader):
                 self.partition_bytes,
             )
 
-        # --- pass 2: roll page ranges into partitions under the floor ---
+        # --- pass 2: roll page ranges into partitions under the floor,
+        # packing ACROSS files (parquet's FileScan posture: splits pack to
+        # maxPartitionBytes regardless of file boundaries). Without this,
+        # a many-small-files table plans one task per file and the
+        # per-task Python-worker overhead dominates: 1,000×600-row files
+        # measured 7.4 s as 1,000 tasks vs 0.75 s as ~32 packed tasks
+        # (parquet control 0.42 s). A partition is a list of
+        # (file, page range) chunks; rows/bytes accumulate across chunks.
         parts: list[QuiverPartition] = []
         budget = self.limit  # remaining rows to plan (None → unlimited)
+        chunks: list[tuple] = []  # closed chunks of the open partition
+        cur: list = [None, None, None]  # file, start page, pspec
+        rows = 0
+        bts = 0
+
+        def close_chunk(end: int) -> None:
+            if cur[1] is not None and end > cur[1]:
+                chunks.append((cur[0], cur[1], end, cur[2]))
+            cur[1] = None
+
+        def flush() -> None:
+            nonlocal chunks, rows, bts
+            if chunks:
+                head, rest = chunks[0], tuple(chunks[1:])
+                parts.append(
+                    QuiverPartition(head[0], head[1], head[2], head[3], rest)
+                )
+            chunks, rows, bts = [], 0, 0
+
+        stop = False
         for fp in file_plans:
-            if budget is not None and budget <= 0:
+            if stop or (budget is not None and budget <= 0):
                 break
             file, pages = fp["file"], fp["pages"]
             page_bytes, keep = fp["page_bytes"], fp["keep"]
@@ -1003,17 +1039,15 @@ class QuiverScanReader(DataSourceReader):
                 # slot-count overcount (see pass 1): fall back to the lazy
                 # decode budget only
                 budget = None
-            start = None
-            rows = 0
-            bts = 0
+            cur[0], cur[2] = file, pspec(file)
             for i, p in enumerate(pages):
                 if not keep[i]:
-                    if start is not None:
-                        parts.append(QuiverPartition(file, start, i, pspec(file)))
-                        start, rows, bts = None, 0, 0
+                    # pruned gap: the chunk closes but the PARTITION keeps
+                    # filling (ranges are per-chunk, a gap costs nothing)
+                    close_chunk(i)
                     continue
-                if start is None:
-                    start = i
+                if cur[1] is None:
+                    cur[1] = i
                 rows += p.num_values
                 bts += page_bytes[i]
                 if budget is not None:
@@ -1021,16 +1055,19 @@ class QuiverScanReader(DataSourceReader):
                     if budget <= 0:
                         # page granularity: stop planning once the pages so
                         # far cover the limit (skip_page analogue)
+                        close_chunk(i + 1)
+                        flush()
+                        stop = True
                         break
                 row_full = rows >= self.partition_rows and (
                     self.rows_explicit or bts >= floor
                 )
                 if row_full or bts >= self.partition_bytes:
-                    parts.append(QuiverPartition(file, start, i + 1, pspec(file)))
-                    start, rows, bts = None, 0, 0
-            if start is not None:
-                end = i + 1 if budget is not None and budget <= 0 else len(pages)
-                parts.append(QuiverPartition(file, start, end, pspec(file)))
+                    close_chunk(i + 1)
+                    flush()
+            if not stop:
+                close_chunk(len(pages))
+        flush()
         if not parts:
             # empty / fully-pruned dataset: single no-op partition so Spark
             # gets a schema'd empty result
@@ -1040,6 +1077,27 @@ class QuiverScanReader(DataSourceReader):
         return parts
 
     def read(self, partition: QuiverPartition) -> Iterator:
+        """Decode every chunk packed into this task (see
+        QuiverPartition.extra), threading the remaining LIMIT budget across
+        chunks so a packed partition stops decoding at page granularity
+        exactly like a single-file one."""
+        remaining = self.limit
+        chunk_list = (
+            (partition.file, partition.page_start, partition.page_end,
+             partition.part),
+        ) + tuple(partition.extra)
+        for file, ps, pe, spec in chunk_list:
+            if remaining is not None and remaining <= 0:
+                return
+            for batch in self._read_chunk(file, ps, pe, spec, remaining):
+                if remaining is not None:
+                    remaining -= batch.num_rows
+                yield batch
+
+    def _read_chunk(
+        self, chunk_file: str, page_start: int, page_end: int,
+        chunk_part: tuple, limit: int | None,
+    ) -> Iterator:
         import pyarrow as pa
 
         from quiver_spark.format.reader import (
@@ -1048,13 +1106,13 @@ class QuiverScanReader(DataSourceReader):
             read_column_pages,
         )
 
-        _trace("read_start", self, page_start=partition.page_start)
+        _trace("read_start", self, page_start=page_start)
         # footer via the module cache: Spark reuses Python worker processes,
         # so later tasks on the same file skip the footer re-parse entirely
-        schema, metas = _file_footer(partition.file)
+        schema, metas = _file_footer(chunk_file)
         part_map = {
             c: (v, _part_pa_type(k))
-            for c, v, k in partition.part
+            for c, v, k in chunk_part
             if c not in schema.names
         }
         if self.columns is not None:
@@ -1085,7 +1143,7 @@ class QuiverScanReader(DataSourceReader):
                 missing_map[n] = table_types[n]
             else:
                 raise ValueError(
-                    f"column '{n}' not in {partition.file} and no table "
+                    f"column '{n}' not in {chunk_file} and no table "
                     "schema to null-fill it from"
                 )
         for n in names:
@@ -1101,7 +1159,7 @@ class QuiverScanReader(DataSourceReader):
                 ):
                     raise ValueError(
                         f"schema evolution type conflict for column '{n}' "
-                        f"in {partition.file}: file has {actual}, table "
+                        f"in {chunk_file}: file has {actual}, table "
                         f"expects {expected}"
                     )
         file_names = [
@@ -1130,7 +1188,7 @@ class QuiverScanReader(DataSourceReader):
                     arrays.append(next(it))
             return pa.RecordBatch.from_arrays(arrays, names=names)
 
-        if partition.page_end <= partition.page_start:
+        if page_end <= page_start:
             yield finalize(
                 [
                     pa.array(
@@ -1151,7 +1209,7 @@ class QuiverScanReader(DataSourceReader):
             if _spark_field(fld).type != fld.type
         ]
         all_crcs = crcs_if_consistent(
-            _file_checksums(partition.file) if self.verify_checksums else None,
+            _file_checksums(chunk_file) if self.verify_checksums else None,
             metas,
         )
 
@@ -1161,14 +1219,16 @@ class QuiverScanReader(DataSourceReader):
             lo, cnt = leaf_ranges[ci]
             return all_crcs[lo : lo + cnt]
 
-        with open(partition.file, "rb") as f:
+        with open(chunk_file, "rb") as f:
             leaf_ranges = column_leaf_ranges(schema)
-            if self.limit is not None:
+            if limit is not None:
                 # lazy page-at-a-time decode under a row budget: stop
                 # decoding as soon as the pages yielded cover the limit
-                # (reference nth/skip_page, src/read/reader.rs:91-146)
-                budget = self.limit
-                for p in range(partition.page_start, partition.page_end):
+                # (reference nth/skip_page, src/read/reader.rs:91-146;
+                # `limit` is the REMAINING budget threaded by read()
+                # across this task's packed chunks)
+                budget = limit
+                for p in range(page_start, page_end):
                     if budget <= 0:
                         return
                     arrays = []
@@ -1183,7 +1243,7 @@ class QuiverScanReader(DataSourceReader):
                                 p,
                                 p + 1,
                                 crcs=col_crcs(ci),
-                                file_desc=partition.file,
+                                file_desc=chunk_file,
                             )[0]
                         )
                     for i, t in casts:
@@ -1202,15 +1262,15 @@ class QuiverScanReader(DataSourceReader):
                         f,
                         metas[lo : lo + cnt],
                         schema.field(ci),
-                        partition.page_start,
-                        partition.page_end,
+                        page_start,
+                        page_end,
                         crcs=col_crcs(ci),
-                        file_desc=partition.file,
+                        file_desc=chunk_file,
                     )
                 )
         # one RecordBatch per page: columnar batches flow straight into
         # Spark's vectorized Arrow path (timestamps normalized to us)
-        n_pages = partition.page_end - partition.page_start
+        n_pages = page_end - page_start
         merge = self.options.get("merge_batches", "false").lower() == "true"
         if merge and n_pages > 1:
             # one batch per partition: fewer Python→JVM handoffs at the cost

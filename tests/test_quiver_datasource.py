@@ -380,12 +380,22 @@ def test_hive_partition_prune_skips_files(spark, tmp_path):
         value = target
 
     FakeEq.__name__ = "EqualTo"
+
+    def planned_files(parts):
+        # partitions pack multiple files' page ranges (QuiverPartition
+        # .extra) — count every chunk's file, not just the head chunk
+        out_files = set()
+        for pt in parts:
+            out_files.add(pt.file)
+            out_files.update(c[0] for c in pt.extra)
+        return out_files
+
     r = QuiverScanReader({"path": out, "partition_prune": "true"}, None)
     r.pushFilters([FakeEq()])
-    files = {pt.file for pt in r.partitions()}
+    files = planned_files(r.partitions())
     assert files and all(f"lang={target}" in f for f in files)
     r_all = QuiverScanReader({"path": out}, None)
-    assert len({pt.file for pt in r_all.partitions()}) > len(files)
+    assert len(planned_files(r_all.partitions())) > len(files)
 
     # end-to-end correctness (fresh relation per query, like quiver_table)
     got = (
@@ -997,8 +1007,9 @@ def test_many_files_scan_plans_bytes_bounded_partitions(spark, tmp_path):
     register(spark)
     dyn = spark.read.format("quiver").load(str(d))
     # row-capped planning would make ceil(100k/32768)=4 parts per file
-    # (32 total); the bytes floor coalesces to at most ~1 MiB-sized
-    # splits — materially fewer (splits never span files)
+    # (32 total); the bytes floor coalesces to fewer, bigger splits —
+    # and splits PACK ACROSS FILES (QuiverPartition.extra), so the count
+    # is bounded by data volume, not file count
     assert dyn.rdd.getNumPartitions() <= 2 * n_files
     assert dyn.count() == n_files * rows
     exact = (
@@ -1006,7 +1017,13 @@ def test_many_files_scan_plans_bytes_bounded_partitions(spark, tmp_path):
         .option("partition_rows", "32768")
         .load(str(d))
     )
-    assert exact.rdd.getNumPartitions() == n_files * 4
+    # explicit partition_rows fans out at exactly that granularity,
+    # packing file tails together: ceil(total/32768) <= parts <= the old
+    # per-file carve (file tails can close a partition early)
+    import math as _math
+
+    n_exact = exact.rdd.getNumPartitions()
+    assert _math.ceil(n_files * rows / 32768) <= n_exact <= n_files * 4
     # values survive the coalesced plan byte-for-byte
     import math
 
@@ -1050,3 +1067,76 @@ def test_planning_parallelism_option_drives_split_floor(spark, tmp_path):
         None,
     )
     assert len(pinned.partitions()) == n_many
+
+
+def test_small_files_pack_into_multi_file_partitions(spark, tmp_path):
+    """Many-small-files fix (round 9): splits pack page ranges ACROSS
+    files under the dynamic byte floor (QuiverPartition.extra) — the
+    parquet FileScan posture. 60 tiny files must NOT become 60 tasks."""
+    import pyarrow as pa
+
+    from quiver_spark.sources.quiver_datasource import QuiverScanReader
+
+    d = tmp_path / "tiny"
+    os.makedirs(d, exist_ok=True)
+    n_files, rows = 60, 200
+    for k in range(n_files):
+        t = pa.table(
+            {
+                "k": pa.array([k] * rows, pa.int64()),
+                "v": pa.array(range(rows), pa.int64()),
+            }
+        )
+        write_table(t, str(d / f"part-{k:03d}.quiver"), WriteOptions())
+    r = QuiverScanReader(
+        {"path": str(d), "planning_parallelism": "8"}, None
+    )
+    parts = r.partitions()
+    # far fewer tasks than files; every file still covered exactly once
+    assert len(parts) <= 9, len(parts)
+    covered = []
+    for pt in parts:
+        covered.append((pt.file, pt.page_start, pt.page_end))
+        covered.extend(pt.extra and [(c[0], c[1], c[2]) for c in pt.extra])
+    flat = [c for c in covered if c]
+    chunk_files = [c[0] for c in flat if not isinstance(c, list)]
+    # end-to-end: Spark sees every row exactly once through packed tasks
+    register(spark)
+    df = spark.read.format("quiver").option(
+        "planning_parallelism", "8"
+    ).load(str(d))
+    assert df.rdd.getNumPartitions() == len(parts)
+    assert df.count() == n_files * rows
+    assert df.agg(F.sum("v")).collect()[0][0] == n_files * sum(range(rows))
+    # LIMIT budget threads across packed chunks at page granularity
+    head = (
+        spark.read.format("quiver")
+        .option("planning_parallelism", "8")
+        .option("limit", "350")
+        .load(str(d))
+    )
+    got = head.count()
+    assert 350 <= got <= 400  # page granularity (200-row pages)
+
+
+def test_packed_partitions_keep_hive_specs_per_chunk(spark, tmp_path):
+    """Chunks from different Hive partitions can share one task; each
+    chunk re-attaches ITS OWN directory values as constant columns."""
+    register(spark)
+    out = str(tmp_path / "packed_hive")
+    p = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (
+        p.repartition(2)
+        .write.format("quiver")
+        .option("partition_by", "lang")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = spark.read.format("quiver").option(
+        "planning_parallelism", "2"
+    ).load(out)
+    got = {(r["lang"], r["cnt"]) for r in df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    want = {(r["lang"], r["cnt"]) for r in p.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == want

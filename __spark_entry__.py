@@ -22,72 +22,49 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 8 window (50), per VERDICT r7 item 3: (a) the FOURTEEN queries
-# new this round, never sampled — the snapshot/rollback surface, the six
-# remaining TPC-H shapes, the pipeline6 corpus-analysis operators, the
-# event-transition matrix, the deterministic per-source sample, and the
-# Arrow IPC source scan; (b) the 32 rows whose last driver-green is
-# round 5 — the oldest cohort (all re-verified green at sf0.01 locally
-# each round since, so the aging carried no correctness risk); (c) fill
-# to 50 with the leading names of the round-6 window (the next to age
-# out). Position 51+ holds the rest of the round-6 window (round 9's
-# natural leaders), then the round-7 names follow in registry order.
+# Round 9 window (50), per VERDICT r8 item 3: (a) the FOUR queries new
+# this round — the commit-time-manifest / packed-small-files scan, the
+# two merge_schemas evolution reads (quiver + arrowipc), and the
+# manifest-rebuild migration scan; (b) ALL 46 rows whose last
+# driver-green is round 6 — the oldest cohort (re-verified green at
+# sf0.01 locally every round since). 4 + 46 = exactly 50; after this
+# window no registered query's last driver-green row is older than
+# round 7. Position 51+ holds the round-7 window (round 10's natural
+# leaders), then the round-8 names in registry order.
 _PRIORITY = [
     # (a) new this round — never sampled
-    "quiver_time_travel_scan",
-    "quiver_rollback_scan",
-    "q2_min_cost_supplier",
-    "q11_important_supply",
-    "q12_priority_shipping",
-    "q16_supplier_part_counts",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "text_bigram_topk",
-    "text_type_token_ratio",
-    "dedup_cross_source_matrix",
-    "events_transition_matrix",
-    "sample_per_source_topk",
-    "arrow_ipc_scan",
-    # (b) last driver-verified in round 5 — oldest green rows
-    "setop_union_counts",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_subquery_above_avg",
-    "in_between_filter",
-    "null_handling",
-    "case_when_buckets",
-    "topk_orders",
-    "distinct_counts",
-    "agg_stats_moments",
-    "dedup_minhash_signature",
-    "events_hourly_rollup",
-    "events_sliding_daily",
-    "events_json_extract",
-    "events_sessionize",
-    "events_pivot_types",
-    "quiver_sql_view_agg",
-    "quiver_scan_bools",
-    "dedup_clusters",
-    "ann_ivf_topk",
-    "events_gapfill_hourly",
-    "sample_stratified_docs",
-    "decontaminate_eval_overlap",
-    "text_repetition_stats",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "unpivot_lineitem_metrics",
-    "multimodal_resize_stub",
-    "multimodal_frame_sample",
-    "scalar_map_funcs",
-    "grouped_minmax_norm",
-    # (c) fill to 50: the leading rows of the round-6 window — the next
-    # cohort to age out (the early-r5 rows q4_order_priority etc. were
-    # re-proved inside the r7 window, so they rank BELOW these)
-    "quiver_scan_delta",
-    "quiver_scan_freq",
-    "quiver_scan_nested_types",
-    "quiver_scan_uints",
+    "quiver_manifest_packed_scan",
+    "quiver_merge_schemas_scan",
+    "arrow_ipc_merge_scan",
+    "quiver_manifest_rebuild_scan",
+    # (b) last driver-verified in round 6 — the full stale cohort
+    "dedup_exact_docs",
+    "dedup_minhash_pairs",
+    "quiver_scan_q1",
+    "quiver_scan_checksums",
+    "quiver_adaptive_zstd_join",
+    "quiver_pruned_date_scan",
+    "quiver_scan_embeddings",
+    "quiver_scan_documents",
+    "multimodal_decode_features",
+    "dedup_ngram_jaccard",
+    "ann_lsh_bucketed_pairs",
+    "q1_pricing_summary",
+    "q7_nation_volume",
+    "correlated_small_quantity",
+    "approx_distinct_parts",
+    "window_range_frame",
+    "window_distribution_funcs",
+    "ann_dot_topk",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "sketch_count_min",
+    "asof_join_events_orders",
+    "range_join_user_bursts",
+    "hypertable_rollup",
+    "udtf_token_explode",
+    "quiver_limit_head",
+    "quiver_partitioned_scan",
     "quiver_scan_decimals",
     "text_token_bpe",
     "text_winnow_fingerprints",
@@ -107,6 +84,33 @@ _PRIORITY = [
     "events_retention_cohorts",
     "events_moving_avg_24h",
     "embedding_dim_stats",
+    # (c) position 51+: the round-7 window — round 10's natural leaders
+    "dedup_simhash",
+    "multimodal_binary_meta",
+    "ann_lsh_buckets",
+    "q6_forecast_revenue",
+    "rollup_returns",
+    "cube_orders",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q18_large_orders",
+    "semi_join_customers",
+    "anti_join_customers",
+    "outer_join_coverage",
+    "nonequi_acctbal_pairs",
+    "window_rank_orders",
+    "window_running_total",
+    "window_lag_gap",
+    "window_ntile_share",
+    "setop_intersect_nations",
+    "setop_except_nations",
+    "q8_market_share",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
 ]
 
 

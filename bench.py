@@ -93,6 +93,35 @@ def main() -> None:
     arrow_df = spark.read.format("arrowipc").load(
         arrow_ipc_dir(spark, sf_dir, "lineitem")
     )
+    # Many-small-files proxy (round 9): the same lineitem as a 256-file
+    # layout on both sides — the quiver side plans from the commit-time
+    # manifest (O(1) metadata I/O) and packs files into multi-file tasks
+    # (QuiverPartition.extra); parquet's FileScan packs natively. This is
+    # the fixture class where the round-6 record showed 14.6×; kept in the
+    # battery so a packing/manifest regression is visible per-round.
+    from quiver_spark.operators.format_queries import (
+        CACHE_ROOT,
+        quiver_relation,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    mf_qv = os.path.join(CACHE_ROOT, tag, "lineitem-manyfiles-qv")
+    mf_pq = os.path.join(CACHE_ROOT, tag, "lineitem-manyfiles-pq")
+    if not os.path.exists(os.path.join(mf_qv, "_done")):
+        spark.read.parquet(li_parquet).repartition(256).write.format(
+            "quiver"
+        ).mode("overwrite").save(mf_qv)
+        with open(os.path.join(mf_qv, "_done"), "w") as f:
+            f.write("ok")
+    if not os.path.exists(os.path.join(mf_pq, "_done")):
+        spark.read.parquet(li_parquet).repartition(256).write.mode(
+            "overwrite"
+        ).parquet(mf_pq)
+        with open(os.path.join(mf_pq, "_done"), "w") as f:
+            f.write("ok")
+    mf_quiver_df = quiver_relation(spark, mf_qv)
+    mf_parquet_df = spark.read.parquet(mf_pq)
+
     import tempfile
 
     wdir = tempfile.mkdtemp(prefix="quiver_bench_write_")
@@ -128,6 +157,16 @@ def main() -> None:
         # cached quiver relation (per-rep .load() would time datasource
         # instantiation, not the scan)
         "scan_arrowipc_lineitem": lambda: arrow_df.write.format("noop")
+        .mode("overwrite")
+        .save(),
+        "manyfiles_parquet_lineitem": lambda: mf_parquet_df.write.format(
+            "noop"
+        )
+        .mode("overwrite")
+        .save(),
+        "manyfiles_quiver_lineitem": lambda: mf_quiver_df.write.format(
+            "noop"
+        )
         .mode("overwrite")
         .save(),
         # write proxies (BASELINE.md proxy #2): full-table sink through each
@@ -199,6 +238,11 @@ def main() -> None:
                     k: medians[k] for k in slowest10 if k in medians
                 },
                 "adaptive_vs_basic_compression_ratio": comp_ratio,
+                "quiver_vs_parquet_manyfiles_ratio": round(
+                    timings["manyfiles_quiver_lineitem"]
+                    / timings["manyfiles_parquet_lineitem"],
+                    3,
+                ),
                 "quiver_vs_parquet_scan_ratio": round(
                     timings["scan_quiver_lineitem"] / timings["scan_parquet_lineitem"],
                     3,

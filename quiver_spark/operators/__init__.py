@@ -4,6 +4,7 @@ from quiver_spark.operators import (  # noqa: F401
     dedup,
     events,
     format_queries,
+    format_queries2,
     multimodal,
     pipeline2,
     pipeline3,

@@ -1,0 +1,215 @@
+"""Round-9 format queries: manifest-backed planning, cross-file packed
+scans, schema-evolution merge reads, and manifest rebuild — each routed
+through the driver's correctness gate so the new planning surface has
+oracle-checked rows, not just unit tests.
+
+The fixtures write through the SINK (so a commit-time manifest exists) or
+through the library writer + ``rebuild_manifest`` (the migration path);
+all are cached per sf under markers like the other format fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quiver_spark.functions import dsum
+from quiver_spark.operators.format_queries import CACHE_ROOT, quiver_relation
+from quiver_spark.registry import register
+from quiver_spark.sources import register as register_format
+
+
+def _marker_dir(spark: SparkSession, sf_dir: str, name: str, build) -> str:
+    """Cached fixture directory with crash-idempotent rebuild."""
+    register_format(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, name)
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        build(d)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "quiver_manifest_packed_scan",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS cnt,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS acct_sum,
+       MIN(c_name) AS min_name
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("format", "manifest", "scan", "small-files"),
+)
+def quiver_manifest_packed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer fanned out into 24 small sink-written files, scanned back
+    through the two round-9 scale fixes at once: plan-time metadata comes
+    from the generation's commit-time manifest (one read, not 24 footers
+    — the O(files)→O(1) fix for 100 TB file counts), and the planner
+    packs the small files' page ranges into few multi-file tasks
+    (QuiverPartition.extra) instead of one task per file. The oracle is
+    the parquet original: a row lost at any file/chunk boundary, or a
+    manifest serving a wrong footer, hash-fails."""
+
+    def build(d: str) -> None:
+        (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .repartition(24)
+            .write.format("quiver")
+            .mode("overwrite")
+            .save(d)
+        )
+
+    d = _marker_dir(spark, sf_dir, "customer-manifest-packed", build)
+    c = quiver_relation(spark, d)
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        dsum("c_acctbal").alias("acct_sum"),
+        F.min("c_name").alias("min_name"),
+    )
+
+
+@register(
+    "quiver_merge_schemas_scan",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       COUNT(n_name) AS names,
+       COUNT(n_regionkey) AS regions,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS min_name
+FROM (
+    SELECT n_nationkey, n_name, NULL AS n_regionkey FROM nation
+    UNION ALL
+    SELECT n_nationkey, NULL AS n_name, n_regionkey FROM nation
+)
+""",
+    tags=("format", "scan", "schema-evolution"),
+)
+def quiver_merge_schemas_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end: the table accretes two sink commits
+    with DIFFERENT column sets (nation keyed by name, then by region);
+    ``merge_schemas=true`` unions the footers by name and the scan
+    null-fills each file's missing column — the count-per-column oracle
+    proves exactly which half carries which column. Planning stays
+    manifest-served across both commits (append updates the manifest)."""
+
+    def build(d: str) -> None:
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        n.select("n_nationkey", "n_name").write.format("quiver").mode(
+            "overwrite"
+        ).save(d)
+        n.select("n_nationkey", "n_regionkey").write.format("quiver").mode(
+            "append"
+        ).save(d)
+
+    d = _marker_dir(spark, sf_dir, "nation-merge-schemas", build)
+    t = quiver_relation(spark, d, merge_schemas="true")
+    return t.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("n_name").alias("names"),
+        F.count("n_regionkey").alias("regions"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.min("n_name").alias("min_name"),
+    )
+
+
+@register(
+    "arrow_ipc_merge_scan",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       COUNT(s_name) AS names,
+       COUNT(s_acctbal) AS bals,
+       CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+       MIN(s_name) AS min_name
+FROM (
+    SELECT s_suppkey, s_name, NULL AS s_acctbal FROM supplier
+    UNION ALL
+    SELECT s_suppkey, NULL AS s_name, s_acctbal FROM supplier
+)
+""",
+    tags=("format", "arrow", "scan", "schema-evolution"),
+)
+def arrow_ipc_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arrowipc twin of quiver_merge_schemas_scan: two .arrow commits
+    with different column sets (supplier keyed by name, then by balance),
+    read back with ``merge_schemas=true`` (union-by-name over the IPC
+    footers, manifest-served; files lacking a declared column null-fill
+    it batch-side)."""
+
+    def build(d: str) -> None:
+        s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        s.select("s_suppkey", "s_name").write.format("arrowipc").mode(
+            "overwrite"
+        ).save(d)
+        s.select("s_suppkey", "s_acctbal").write.format("arrowipc").mode(
+            "append"
+        ).save(d)
+
+    d = _marker_dir(spark, sf_dir, "supplier-arrow-merge", build)
+    t = (
+        spark.read.format("arrowipc")
+        .option("merge_schemas", "true")
+        .load(d)
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("s_name").alias("names"),
+        F.count("s_acctbal").alias("bals"),
+        F.sum("s_suppkey").cast("bigint").alias("key_sum"),
+        F.min("s_name").alias("min_name"),
+    )
+
+
+@register(
+    "quiver_manifest_rebuild_scan",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       MIN(o_orderstatus) AS min_status
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("format", "manifest", "maintenance", "scan"),
+)
+def quiver_manifest_rebuild_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest migration path: a directory written by the LIBRARY
+    writer (two files, no sink, no manifest) gets one retrofitted with
+    ``rebuild_manifest`` — the same tool `quiver-tools manifest rebuild`
+    drives — and the scan plans from it. The oracle is the parquet
+    original, so a rebuild that records wrong footers or page tables
+    hash-fails rather than merely slowing down."""
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        from quiver_spark.format.writer import WriteOptions, write_table
+        from quiver_spark.sources.manifest import rebuild_manifest
+
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority", "o_orderstatus"],
+        )
+        half = t.num_rows // 2
+        write_table(t.slice(0, half), os.path.join(d, "a.quiver"), WriteOptions())
+        write_table(t.slice(half), os.path.join(d, "b.quiver"), WriteOptions())
+        rebuild_manifest(d)
+
+    d = _marker_dir(spark, sf_dir, "orders-manifest-rebuild", build)
+    o = quiver_relation(spark, d)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.min("o_orderstatus").alias("min_status"),
+    )

@@ -1697,9 +1697,23 @@ class QuiverWriter(DataSourceArrowWriter):
         lost snapshot."""
         import shutil
 
-        from .pointer_store import ConcurrentWriteError, get_pointer_store
+        from .pointer_store import (
+            ConcurrentWriteError,
+            UnlockedPointerStore,
+            get_pointer_store,
+        )
 
-        store = get_pointer_store()
+        # `.option("pointer_store", "unlocked")` forces the lock-less
+        # object-store posture for THIS write. Needed as an option (not
+        # set_pointer_store) because Spark runs the commit in a spawned
+        # Python runner process that a driver-side set_pointer_store can
+        # never reach — the option travels with the serialized writer.
+        # Production object-store adapters still install process-wide via
+        # set_pointer_store in the runner's environment.
+        if self.options.get("pointer_store", "").lower() == "unlocked":
+            store = UnlockedPointerStore()
+        else:
+            store = get_pointer_store()
         with store.lock(self.path):
             if self.overwrite:
                 expected = store.read_pointer(self.path)

@@ -475,3 +475,76 @@ def test_lockless_loser_generation_is_removed(tmp_path):
     # orphan must be gone
     assert gens == ["gen-000001", "gen-000003"], gens
     assert _table_ids(tbl) == [100]
+
+
+def test_end_to_end_lockless_spark_overwrite_race(spark, tmp_path):
+    """Full Spark write path under the LOCK-LESS store posture
+    (`.option("pointer_store", "unlocked")` — the store travels as an
+    option because Spark runs the commit in a spawned Python runner that
+    driver-side set_pointer_store cannot reach). Contract pinned: each
+    racing overwrite either succeeds or fails loudly with
+    ConcurrentWriteError; the live snapshot is EXACTLY one job's dataset
+    (never a union/subset/mix); and every retained generation is itself
+    unmixed — last-swap-wins with superseded snapshots retained."""
+    register(spark)
+    out = str(tmp_path / "race_unlocked")
+    spark.range(5).write.format("quiver").mode("overwrite").option(
+        "pointer_store", "unlocked"
+    ).save(out)
+
+    errs: list[Exception] = []
+
+    def job(lo, hi):
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            (
+                spark.range(lo, hi)
+                .write.format("quiver")
+                .option("pointer_store", "unlocked")
+                .option("keep_generations", "6")
+                .mode("overwrite")
+                .save(out)
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=job, args=(100, 150))
+    t2 = threading.Thread(target=job, args=(500, 580))
+    t1.start(), t2.start(), t1.join(120), t2.join(120)
+
+    # a loser must fail LOUDLY (ConcurrentWriteError wrapped by py4j) —
+    # anything else (silent loss aside, which the content checks below
+    # would catch) is a contract break
+    for e in errs:
+        assert "ConcurrentWriteError" in str(
+            e
+        ) or "concurrent" in str(e).lower(), e
+
+    datasets = {
+        "a": list(range(100, 150)),
+        "b": list(range(500, 580)),
+        "seed": list(range(5)),
+    }
+    ids = sorted(
+        r[0] for r in spark.read.format("quiver").load(out).collect()
+    )
+    assert ids in (datasets["a"], datasets["b"]), (
+        "live snapshot must be exactly one job's rows, got "
+        f"{len(ids)} rows"
+    )
+    # every retained generation is one whole dataset — never mixed
+    from quiver_spark.sources.quiver_datasource import _GEN_RE
+
+    for g in os.listdir(out):
+        if not _GEN_RE.fullmatch(g):
+            continue
+        got = sorted(
+            r[0]
+            for r in spark.read.format("quiver")
+            .option("version", int(g.split("-")[1]))
+            .load(out)
+            .collect()
+        )
+        assert got in list(datasets.values()), (g, len(got))

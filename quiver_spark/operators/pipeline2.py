@@ -24,7 +24,18 @@ from quiver_spark.registry import register
 from quiver_spark.tables import load
 
 JACCARD_THRESHOLD = 0.5
-MAX_SHINGLE_DF = 50  # stop-shingle cap: drop shingles in more docs
+#: stop-shingle cap: drop shingles appearing in more docs than
+#: GREATEST(MAX_SHINGLE_DF, ceil(SHINGLE_DF_FRAC × corpus docs)). The cap
+#: must scale with the corpus: an ABSOLUTE cap silently destroys recall
+#: once true duplicate density multiplies every shared shingle's df past
+#: it — measured round 9 on a 10×-duplicated corpus, where df=50 dropped
+#: every shingle and the pair count collapsed to ZERO. The relative term
+#: keeps stop-shingles (df ~ corpus-proportional) out while real
+#: near-dup shingles (df ~ dup-group size) survive; at the gate SFs
+#: (≤5,000 docs) the floor of 50 is the binding term, so historical
+#: driver-green rows are byte-identical.
+MAX_SHINGLE_DF = 50
+SHINGLE_DF_FRAC = 0.002  # 0.2% of corpus docs
 #: Multi-table random-hyperplane LSH (OR-construction): L tables of k
 #: planes each — the same architecture as the minhash bands. One fixed
 #: table caps the bucket space at 2^k forever, so buckets (and the
@@ -56,7 +67,9 @@ kept AS (
     SELECT doc_id, sh FROM shingles
     WHERE sh IN (
         SELECT sh FROM shingles GROUP BY sh
-        HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+        HAVING COUNT(*) <= GREATEST({MAX_SHINGLE_DF},
+            CAST(CEIL({SHINGLE_DF_FRAC} *
+                (SELECT COUNT(DISTINCT doc_id) FROM shingles)) AS BIGINT))
     )
 ),
 pairs AS (
@@ -104,10 +117,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # corpus-relative df cap (see SHINGLE_DF_FRAC): the 1-row doc count
+    # rides a broadcast cross join so the whole threshold stays inside the
+    # plan — no driver-side action. Identical IEEE ceil(frac × nd) on both
+    # engines.
+    ndocs = sh.agg(F.countDistinct("doc_id").alias("nd"))
+    df_cap = F.greatest(
+        F.lit(MAX_SHINGLE_DF).cast("bigint"),
+        F.ceil(F.lit(SHINGLE_DF_FRAC) * F.col("nd")).cast("bigint"),
+    )
     rare = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") <= df_cap)
         .select("sh")
     )
     kept = sh.join(rare, "sh")

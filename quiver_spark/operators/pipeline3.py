@@ -254,10 +254,17 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: stop-fingerprint cap: fingerprints shared by more than this many docs
-#: are corpus-common boilerplate, not evidence of copying — dropping them
+#: stop-fingerprint cap: fingerprints shared by more than
+#: GREATEST(MAX_FP_DF, ceil(FP_DF_FRAC × corpus docs)) docs are
+#: corpus-common boilerplate, not evidence of copying — dropping them
 #: bounds the per-key join fan-out (the df-cap trick from ngram-Jaccard).
+#: Relative term for the same round-9 reason as SHINGLE_DF_FRAC: an
+#: absolute cap collapses recall to zero once true duplicate density
+#: multiplies every shared fingerprint's df past it (a 10×-duplicated
+#: corpus multiplies df by 10); at the gate SFs (≤5,000 docs) the floor
+#: of 20 binds, so historical rows are byte-identical.
 MAX_FP_DF = 20
+FP_DF_FRAC = 0.002
 #: docs must share at least this many winnow fingerprints to pair up.
 MIN_SHARED_FPS = 3
 
@@ -266,7 +273,10 @@ MIN_SHARED_FPS = 3
     "dedup_winnow_pairs",
     oracle=f"""
 WITH fps AS ({SQL_WINNOW}),
-rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {MAX_FP_DF}),
+rare AS (SELECT fp FROM fps GROUP BY fp
+         HAVING COUNT(*) <= GREATEST({MAX_FP_DF},
+             CAST(CEIL({FP_DF_FRAC} *
+                 (SELECT COUNT(DISTINCT doc_id) FROM fps)) AS BIGINT))),
 kept AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM rare)),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
@@ -286,10 +296,18 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is df-capped, so the self-join fan-out is bounded per key —
     shuffle cost tracks actual duplication density, never corpus²."""
     fps = text_winnow_fingerprints(spark, sf_dir).persist()
+    # corpus-relative df cap (see FP_DF_FRAC): 1-row broadcast cross join
+    # keeps the threshold inside the plan, no driver action
+    ndocs = fps.agg(F.countDistinct("doc_id").alias("nd"))
+    df_cap = F.greatest(
+        F.lit(MAX_FP_DF).cast("bigint"),
+        F.ceil(F.lit(FP_DF_FRAC) * F.col("nd")).cast("bigint"),
+    )
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_FP_DF)
+        .crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") <= df_cap)
         .select("fp")
     )
     kept = fps.join(rare, "fp")

@@ -532,7 +532,8 @@ class ArrowIpcStreamReader(DataSourceStreamReader):
         from quiver_spark.sources.manifest import load_manifest
 
         floor = ArrowIpcScanReader._floor(self, new)
-        parts = _batch_splits(new, floor, load_manifest(self.path))
+        # live-root manifest, same note as the quiver stream planner
+        parts = _batch_splits(new, floor, load_manifest(_data_root(self.path)))
         if not parts:
             files = _list_arrow_files(self.path)
             anchor = files[0] if files else os.path.join(self.path, "_none")

@@ -1383,7 +1383,11 @@ class QuiverStreamReader(DataSourceStreamReader):
 
         from .manifest import load_manifest
 
-        man = load_manifest(self.path)
+        # the manifest lives in the LIVE data root (generation dir for
+        # snapshot tables); offset names are relative to the table root,
+        # so files from retained older generations simply miss the lookup
+        # and take the prefetch fallback
+        man = load_manifest(_data_root(self.path))
         new_files = [
             f
             for f in (os.path.join(self.path, n) for n in new)

@@ -84,7 +84,15 @@ _PRIORITY = [
     "events_retention_cohorts",
     "events_moving_avg_24h",
     "embedding_dim_stats",
-    # (c) position 51+: the round-7 window — round 10's natural leaders
+    # (c) position 51+: the round-9 row-level DML trio (added AFTER the
+    # 50-slot window above was frozen to the judge-prescribed 4-new +
+    # 46-r6-stale rotation — displacing any stale row would leave it
+    # r6-old) — these lead round 10's window; this round their evidence
+    # is pytest (tests/test_rowlevel.py) + the local sf0.01 oracle sweep
+    "quiver_delete_scan",
+    "quiver_update_scan",
+    "quiver_merge_upsert_scan",
+    # then the round-7 window — round 10's natural continuation
     "dedup_simhash",
     "multimodal_binary_meta",
     "ann_lsh_buckets",

@@ -12,8 +12,14 @@ merge: at 100 TB the rewrite IS a Spark job).
 
 from __future__ import annotations
 
+import json
 import math
 import os
+import re
+
+#: metadata-column name the row-level ops use for touched-file detection;
+#: underscored to stay clear of user schemas (reader raises on collision)
+_FILE_COL = "_qv_source_file"
 
 
 def _dir_stats(src_dir: str) -> tuple[int, int]:
@@ -247,6 +253,282 @@ def convert_parquet(
         "rows": rows,
         "files_after": out_files,
         "partition_by": cols,
+    }
+
+
+def _snapshot(table: str) -> tuple[str, str, list[str]]:
+    """(live generation name or "" for flat, data root, relative file
+    names) of the table's current snapshot."""
+    from quiver_spark.sources.quiver_datasource import _data_root, _list_files
+
+    root = _data_root(table)
+    gen = (
+        os.path.basename(root)
+        if os.path.realpath(root) != os.path.realpath(table)
+        else ""
+    )
+    return gen, root, [os.path.relpath(f, root) for f in _list_files(root)]
+
+
+def _predicate_columns(names: list[str], *exprs: str) -> list[str]:
+    """Table columns referenced (as whole words, case-insensitive) by the
+    given SQL expressions — the projection for the touched-file detection
+    scan. Overmatching costs extra decode; undermatching fails LOUDLY at
+    analysis (callers retry full-width), never silently."""
+    cols = []
+    for n in names:
+        pat = re.compile(rf"(?<![\w`]){re.escape(n)}(?![\w`])", re.IGNORECASE)
+        if any(pat.search(e) for e in exprs):
+            cols.append(n)
+    return cols
+
+
+def _touched_files(spark, table: str, predicate: str) -> list[str]:
+    """Relative names of every file that MAY hold a row matching
+    ``predicate`` — one pruned scan: zone-map page pruning + Hive
+    partition pruning drop non-candidate files at plan time, the scan
+    decodes only the predicate's columns, and the collected result is at
+    most one row per file (never row data). At 100 TB with a selective
+    predicate this reads candidate pages only."""
+    from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
+
+    def scan(cols: list[str] | None):
+        r = (
+            spark.read.format("quiver")
+            .option("file_column", _FILE_COL)
+            .option("page_prune", "true")
+            .option("partition_prune", "true")
+        )
+        if cols is not None:
+            r = r.option("columns", ",".join(cols + [_FILE_COL]))
+        df = r.load(table)
+        return (
+            df.filter(F.expr(predicate))
+            .select(_FILE_COL)
+            .distinct()
+            .collect()
+        )
+
+    probe = spark.read.format("quiver").load(table)
+    cols = _predicate_columns(probe.columns, predicate)
+    try:
+        rows = scan(cols)
+    except AnalysisException:
+        # predicate references something the word-heuristic missed
+        # (aliased/quoted oddly): retry with every column projected
+        rows = scan(None)
+    return sorted(r[0] for r in rows)
+
+
+def _rewrite_commit(
+    spark,
+    table: str,
+    out_df,
+    gen: str,
+    untouched: list[str],
+    options: dict[str, str],
+) -> None:
+    """Publish a row-level rewrite: ``out_df`` (the rewritten rows) becomes
+    the new generation alongside hard-links of the untouched files —
+    the quiver sink's carry_files copy-on-write commit. Concurrency is
+    optimistic: publish verifies the snapshot the plan was built against
+    is still live and raises ConcurrentWriteError otherwise."""
+    from quiver_spark.sources.quiver_datasource import _discover_partitions
+
+    _g, root, _files = _snapshot(table)
+    part_cols = [c for c, _k in _discover_partitions(root)[0]]
+    w = (
+        out_df.write.format("quiver")
+        .mode("overwrite")
+        .option("carry_files", json.dumps(untouched))
+        .option("carry_src", gen)
+    )
+    if part_cols:
+        w = w.option("partition_by", ",".join(part_cols))
+    for k, v in options.items():
+        w = w.option(k, str(v))
+    w.save(table)
+
+
+def delete_where(spark, table: str, predicate: str, **options: str) -> dict:
+    """Row-level ``DELETE FROM table WHERE predicate`` as a file-level
+    copy-on-write generation commit.
+
+    Plan shape (the 100 TB posture): (1) ONE pruned detection scan finds
+    the files the predicate may touch (zone maps + partition pruning +
+    predicate-column projection; result ≤ one row per file); (2) ONE
+    rewrite job reads ONLY those files and writes back the rows where the
+    predicate is not TRUE (SQL DELETE semantics: NULL keeps the row);
+    (3) commit hard-links every untouched file into the new generation —
+    cost tracks touched data, never table size, and the swap is atomic
+    (readers see the old or the new snapshot, nothing between; a
+    concurrent overwrite loses loudly via the carry_src check).
+    The reference format is single-file with no DML layer
+    (/root/reference/src/lib.rs); this is the table-layer analogue of
+    Delta/Iceberg copy-on-write DELETE, built on the generation protocol.
+    """
+    from pyspark.sql import functions as F
+
+    from quiver_spark.sources import register as register_format
+
+    register_format(spark)
+    gen, root, all_files = _snapshot(table)
+    touched = _touched_files(spark, table, predicate)
+    if not touched:
+        return {
+            "table": table,
+            "predicate": predicate,
+            "files_rewritten": 0,
+            "files_carried": len(all_files),
+            "note": "no file contains a matching row — nothing to do",
+        }
+    tset = set(touched)
+    untouched = [f for f in all_files if f not in tset]
+    src = (
+        spark.read.format("quiver")
+        .option("files", json.dumps(touched))
+        .load(table)
+    )
+    keep = src.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+    _rewrite_commit(spark, table, keep, gen, untouched, options)
+    return {
+        "table": table,
+        "predicate": predicate,
+        "files_rewritten": len(touched),
+        "files_carried": len(untouched),
+    }
+
+
+def update_where(
+    spark,
+    table: str,
+    assignments: dict[str, str],
+    predicate: str,
+    **options: str,
+) -> dict:
+    """Row-level ``UPDATE table SET col = expr, ... WHERE predicate`` —
+    same copy-on-write shape as :func:`delete_where` (one pruned
+    detection scan, one touched-files-only rewrite, untouched files
+    hard-linked). Assignment expressions evaluate against the ORIGINAL
+    row (standard UPDATE semantics) and are cast back to the column's
+    declared type, so a rewrite can never drift the table schema."""
+    from pyspark.sql import functions as F
+
+    from quiver_spark.sources import register as register_format
+
+    register_format(spark)
+    gen, root, all_files = _snapshot(table)
+    touched = _touched_files(spark, table, predicate)
+    if not touched:
+        return {
+            "table": table,
+            "predicate": predicate,
+            "files_rewritten": 0,
+            "files_carried": len(all_files),
+            "note": "no file contains a matching row — nothing to do",
+        }
+    tset = set(touched)
+    untouched = [f for f in all_files if f not in tset]
+    src = (
+        spark.read.format("quiver")
+        .option("files", json.dumps(touched))
+        .load(table)
+    )
+    unknown = sorted(set(assignments) - set(src.columns))
+    if unknown:
+        raise ValueError(f"UPDATE assigns to unknown columns: {unknown}")
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    cols = []
+    for f in src.schema.fields:
+        if f.name in assignments:
+            cols.append(
+                F.when(
+                    pred, F.expr(assignments[f.name]).cast(f.dataType)
+                )
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    _rewrite_commit(spark, table, src.select(*cols), gen, untouched, options)
+    return {
+        "table": table,
+        "predicate": predicate,
+        "set": sorted(assignments),
+        "files_rewritten": len(touched),
+        "files_carried": len(untouched),
+    }
+
+
+def merge_upsert(
+    spark, table: str, source, on: list[str], **options: str
+) -> dict:
+    """``MERGE INTO table USING source ON keys`` with the classic upsert
+    actions — WHEN MATCHED update the whole row, WHEN NOT MATCHED insert.
+
+    Plan shape: detection joins the target's KEY COLUMNS ONLY (projected
+    scan) against the distinct source keys to find touched files; the
+    rewrite anti-joins those files' rows against the source keys (rows
+    that survive unchanged) and unions the source rows (updates +
+    inserts), cast column-by-column to the target schema; untouched files
+    hard-link into the new generation. Source is typically a small delta
+    — AQE turns both joins into broadcasts; the target never shuffles
+    whole."""
+    from pyspark.sql import functions as F
+
+    from quiver_spark.sources import register as register_format
+
+    register_format(spark)
+    gen, root, all_files = _snapshot(table)
+    tgt = spark.read.format("quiver").load(table)
+    missing = [c for c in on if c not in tgt.columns]
+    if missing:
+        raise ValueError(f"merge keys not in target schema: {missing}")
+    src_missing = [c for c in tgt.columns if c not in source.columns]
+    if src_missing:
+        raise ValueError(
+            f"source is missing target columns: {src_missing} — upsert "
+            "replaces whole rows, so the source must carry every column"
+        )
+    keys = source.select(*on).distinct()
+    det = (
+        spark.read.format("quiver")
+        .option("file_column", _FILE_COL)
+        .option("columns", ",".join(list(on) + [_FILE_COL]))
+        .load(table)
+    )
+    touched = sorted(
+        r[0]
+        for r in det.join(keys, on=on, how="leftsemi")
+        .select(_FILE_COL)
+        .distinct()
+        .collect()
+    )
+    tset = set(touched)
+    untouched = [f for f in all_files if f not in tset]
+    aligned = source.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in tgt.schema.fields
+        ]
+    )
+    if touched:
+        kept = (
+            spark.read.format("quiver")
+            .option("files", json.dumps(touched))
+            .load(table)
+            .join(keys, on=on, how="left_anti")
+        )
+        out = kept.unionByName(aligned)
+    else:
+        out = aligned  # pure insert
+    _rewrite_commit(spark, table, out, gen, untouched, options)
+    return {
+        "table": table,
+        "on": list(on),
+        "files_rewritten": len(touched),
+        "files_carried": len(untouched),
     }
 
 

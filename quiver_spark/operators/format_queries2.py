@@ -213,3 +213,174 @@ def quiver_manifest_rebuild_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         F.min("o_orderstatus").alias("min_status"),
     )
+
+
+@register(
+    "quiver_delete_scan",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       MIN(o_orderstatus) AS min_status
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+GROUP BY o_orderpriority
+""",
+    tags=("format", "dml", "delete", "copy-on-write"),
+)
+def quiver_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE through the driver gate: orders lands as a
+    multi-file quiver table (range-disjoint o_orderkey files) and
+    ``maintenance.delete_where`` removes ``o_orderstatus='F' AND
+    o_orderkey % 5 = 0`` as a file-level copy-on-write generation commit
+    — zone-map detection picks the candidate files, only those rewrite,
+    the rest hard-link into the new generation. The oracle applies the
+    inverse predicate to the parquet original, so a row deleted too many,
+    too few, or from the wrong file hash-fails. Engine surface:
+    maintenance.delete_where + the sink's carry_files commit; the
+    reference format has no DML layer (single-file,
+    /root/reference/src/lib.rs) — this is the table-layer analogue of
+    copy-on-write DELETE."""
+
+    def build(d: str) -> None:
+        from quiver_spark import maintenance
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus"
+        )
+        (
+            o.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.format("quiver")
+            .mode("overwrite")
+            .save(d)
+        )
+        maintenance.delete_where(
+            spark, d, "o_orderstatus = 'F' AND o_orderkey % 5 = 0"
+        )
+
+    d = _marker_dir(spark, sf_dir, "orders-deleted", build)
+    o = quiver_relation(spark, d)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.min("o_orderstatus").alias("min_status"),
+    )
+
+
+@register(
+    "quiver_update_scan",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                     THEN c_nationkey + 100 ELSE c_nationkey END)
+            AS BIGINT) AS nat_sum,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("format", "dml", "update", "copy-on-write"),
+)
+def quiver_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE through the driver gate: customer lands as a
+    multi-file quiver table and ``maintenance.update_where`` shifts
+    ``c_nationkey`` by +100 for the BUILDING segment (integer-exact, so
+    the hash comparison is bitwise). The oracle reconstructs the update
+    with a CASE over the parquet original — an assignment applied to the
+    wrong rows, dropped rows, or a drifted column type hash-fails."""
+
+    def build(d: str) -> None:
+        from quiver_spark import maintenance
+
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_nationkey", "c_mktsegment"
+        )
+        (
+            c.repartitionByRange(6, "c_custkey")
+            .sortWithinPartitions("c_custkey")
+            .write.format("quiver")
+            .mode("overwrite")
+            .save(d)
+        )
+        maintenance.update_where(
+            spark,
+            d,
+            {"c_nationkey": "c_nationkey + 100"},
+            "c_mktsegment = 'BUILDING'",
+        )
+
+    d = _marker_dir(spark, sf_dir, "customer-updated", build)
+    c = quiver_relation(spark, d)
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("c_nationkey").cast("bigint").alias("nat_sum"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )
+
+
+@register(
+    "quiver_merge_upsert_scan",
+    oracle="""
+WITH merged AS (
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey < 2 THEN 'UPSERTED' ELSE n_name END
+               AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100 AS n_nationkey,
+           'INSERTED' AS n_name,
+           n_regionkey
+    FROM nation
+    WHERE n_regionkey = 4
+)
+SELECT n_regionkey,
+       COUNT(*) AS cnt,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS min_name
+FROM merged
+GROUP BY n_regionkey
+""",
+    tags=("format", "dml", "merge", "upsert", "copy-on-write"),
+)
+def quiver_merge_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) through the driver gate: nation lands as a quiver
+    table, then ``maintenance.merge_upsert`` applies a source of
+    (a) updated rows — regions 0/1 with their name replaced — and
+    (b) brand-new rows — region-4 nations re-keyed +100. WHEN MATCHED
+    the whole row is replaced, WHEN NOT MATCHED it is inserted; the
+    oracle rebuilds the merged state with a CASE + UNION ALL over the
+    parquet original. A lost update, doubled insert, or row surviving
+    that a source row should have replaced hash-fails."""
+
+    def build(d: str) -> None:
+        from quiver_spark import maintenance
+
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        (
+            n.repartitionByRange(3, "n_nationkey")
+            .sortWithinPartitions("n_nationkey")
+            .write.format("quiver")
+            .mode("overwrite")
+            .save(d)
+        )
+        updates = n.filter("n_regionkey < 2").withColumn(
+            "n_name", F.lit("UPSERTED")
+        )
+        inserts = (
+            n.filter("n_regionkey = 4")
+            .withColumn("n_nationkey", F.col("n_nationkey") + F.lit(100))
+            .withColumn("n_name", F.lit("INSERTED"))
+        )
+        maintenance.merge_upsert(
+            spark, d, updates.unionByName(inserts), on=["n_nationkey"]
+        )
+
+    d = _marker_dir(spark, sf_dir, "nation-merged", build)
+    m = quiver_relation(spark, d)
+    return m.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.min("n_name").alias("min_name"),
+    )

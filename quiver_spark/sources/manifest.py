@@ -292,11 +292,23 @@ def _intern_schemas(raw: dict, entries: dict[str, dict]) -> None:
         entry["schema"] = i
 
 
-def update_manifest(root: str, rels: list[str], fmt: str) -> None:
+def update_manifest(
+    root: str,
+    rels: list[str],
+    fmt: str,
+    carry: tuple[str, list[str]] | None = None,
+) -> None:
     """Merge entries for newly-published files into the root's manifest
     (creating it if absent) and publish atomically. Callers hold the table
     writer lock (sink commit) or own the directory (maintenance rebuild),
-    so read-merge-write here cannot interleave with another updater."""
+    so read-merge-write here cannot interleave with another updater.
+
+    ``carry=(src_root, carried_rels)`` copies entries for files
+    hard-linked from another snapshot (row-level copy-on-write): the
+    source manifest's entries are reused verbatim — a link shares inode
+    stats, so the stat validation keys still hold — and only files the
+    source manifest doesn't cover fall back to footer reads. At 100 TB a
+    1%-touched rewrite thus reads ~1% of footers at commit, not all."""
     try:
         raw = _load_raw(root)
     except (OSError, ValueError, json.JSONDecodeError):
@@ -304,6 +316,30 @@ def update_manifest(root: str, rels: list[str], fmt: str) -> None:
     if raw is None or raw.get("version") != MANIFEST_VERSION:
         raw = {"version": MANIFEST_VERSION, "schemas": [], "files": {}}
     entries = build_entries(root, rels, fmt)
+    if carry is not None:
+        src_root, carried = carry
+        missing = list(carried)
+        try:
+            src_raw = _load_raw(src_root)
+        except (OSError, ValueError, json.JSONDecodeError):
+            src_raw = None
+        if src_raw is not None and src_raw.get("version") == MANIFEST_VERSION:
+            schemas = src_raw.get("schemas", [])
+            src_files = src_raw.get("files", {})
+            missing = []
+            for rel in carried:
+                e = src_files.get(rel)
+                if e is None:
+                    missing.append(rel)
+                    continue
+                e = dict(e)
+                # re-expand the source's interned schema index so
+                # _intern_schemas below re-interns it into THIS manifest
+                si = e.pop("schema", None)
+                if si is not None and 0 <= si < len(schemas):
+                    e["schema_b64"] = schemas[si]
+                entries[rel] = e
+        entries.update(build_entries(root, missing, fmt))
     _intern_schemas(raw, entries)
     raw["files"].update(entries)
     _write_raw(root, raw)

@@ -79,6 +79,7 @@ Python round trip); sorted tables get a fresh page_prune relation per call.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import urllib.parse
 import uuid
@@ -524,6 +525,23 @@ class QuiverDataSource(DataSource):
                     if c not in arrow_schema.names
                 ]
             )
+        fcol = self.options.get("file_column")
+        if fcol:
+            # metadata column (parquet's _metadata.file_path analogue):
+            # each row carries its source file's path relative to the
+            # resolved data root — the hook row-level rewrites (DELETE/
+            # UPDATE/MERGE) use to find which files a predicate touches
+            # with ONE pruned scan instead of bespoke footer walks
+            import pyarrow as pa
+
+            if fcol in arrow_schema.names:
+                raise ValueError(
+                    f"file_column {fcol!r} collides with a table column"
+                )
+            arrow_schema = pa.schema(
+                list(arrow_schema)
+                + [pa.field(fcol, pa.string(), nullable=False)]
+            )
         cols = self.options.get("columns")
         if cols:
             keep = [c.strip() for c in cols.split(",")]
@@ -702,6 +720,16 @@ class QuiverScanReader(DataSourceReader):
         cols = options.get("columns")
         if cols:
             self.columns = [c.strip() for c in cols.split(",")]
+        #: metadata column name (see QuiverDataSource.schema): emitted as a
+        #: constant per chunk — the file's path relative to the data root
+        self.file_column = options.get("file_column")
+        #: restrict the scan to these relative file names (JSON array) —
+        #: the rewrite half of row-level ops reads ONLY touched files, so
+        #: a 1%-selective DELETE rewrites 1% of the table, not all of it
+        fsub = options.get("files")
+        self.files_subset = (
+            frozenset(json.loads(fsub)) if fsub else None
+        )
         self.partition_rows = int(
             options.get("partition_rows", DEFAULT_PARTITION_ROWS)
         )
@@ -896,6 +924,12 @@ class QuiverScanReader(DataSourceReader):
 
         man = load_manifest(self.path)
         files = _list_files(self.path)
+        if self.files_subset is not None:
+            files = [
+                f
+                for f in files
+                if os.path.relpath(f, self.path) in self.files_subset
+            ]
         if self._part_filters:
             # directory-level pruning: non-matching files are dropped
             # before their footer is even opened — at 100 TB this is what
@@ -1123,6 +1157,15 @@ class QuiverScanReader(DataSourceReader):
             names = [f.name for f in self.spark_schema.fields]
         else:
             names = list(schema.names) + list(part_map)
+            if self.file_column:
+                names.append(self.file_column)
+        # metadata column value: this chunk's file, relative to the data
+        # root (matches manifest keys and the sink's carry_files names)
+        rel_name = (
+            os.path.relpath(chunk_file, self.path)
+            if self.file_column
+            else None
+        )
         # Schema evolution: table columns this FILE doesn't carry are
         # null-filled at the Spark-facing arrow type; file columns not in
         # the table schema are simply never requested. Type conflicts on
@@ -1137,7 +1180,7 @@ class QuiverScanReader(DataSourceReader):
             }
         missing_map: dict = {}
         for n in names:
-            if n in part_map or n in schema.names:
+            if n in part_map or n in schema.names or n == self.file_column:
                 continue
             if n in table_types:
                 missing_map[n] = table_types[n]
@@ -1163,7 +1206,11 @@ class QuiverScanReader(DataSourceReader):
                         f"expects {expected}"
                     )
         file_names = [
-            n for n in names if n not in part_map and n not in missing_map
+            n
+            for n in names
+            if n not in part_map
+            and n not in missing_map
+            and n != self.file_column
         ]
         # partition/null-fill-only projection still needs per-batch row
         # counts: probe-decode the first file column without emitting it
@@ -1175,7 +1222,11 @@ class QuiverScanReader(DataSourceReader):
             for evolved-away columns."""
             arrays, it = [], iter(cols)
             for nm in names:
-                if nm in part_map:
+                if nm == self.file_column:
+                    arrays.append(
+                        pa.array([rel_name] * n_rows, type=pa.string())
+                    )
+                elif nm in part_map:
                     v, t = part_map[nm]
                     arrays.append(
                         pa.nulls(n_rows, t)
@@ -1498,6 +1549,28 @@ class QuiverWriter(DataSourceArrowWriter):
         # data sources, hence the option.
         pby = options.get("partition_by", "")
         self.partition_by = [c.strip() for c in pby.split(",") if c.strip()]
+        # File-level copy-on-write (row-level DELETE/UPDATE/MERGE support,
+        # maintenance.delete_where & co): an overwrite commit additionally
+        # hard-links these UNTOUCHED files (paths relative to the snapshot
+        # they came from) into the new generation, so a rewrite's cost is
+        # proportional to the files a predicate touches, never table size.
+        # carry_src names the generation the list was resolved against
+        # ("" = flat root); publish verifies it is STILL live before
+        # carrying — a concurrent overwrite turns the rewrite into a loud
+        # ConcurrentWriteError instead of a mixed snapshot.
+        cf = options.get("carry_files")
+        self.carry_files: list[str] = json.loads(cf) if cf else []
+        #: None = plain overwrite; set (even to "") = this overwrite is a
+        #: row-level rewrite planned against that snapshot — publish
+        #: verifies it is STILL live even when the carry list is empty
+        #: (an all-files-touched rewrite must not clobber a rival commit)
+        self.carry_src = options.get("carry_src")
+        if self.carry_files and not overwrite:
+            raise ValueError(
+                "carry_files requires mode('overwrite'): carrying is part "
+                "of the copy-on-write generation swap, append has no "
+                "snapshot to carry into"
+            )
 
     def _split_partitions(self, table):
         """Yield ``(subdir, sub_table)`` per distinct partition-key combo;
@@ -1756,14 +1829,56 @@ class QuiverWriter(DataSourceArrowWriter):
                         os.replace(side, dst + ".stats.json")
                     published.append(rel)
                 shutil.rmtree(msg.task_dir, ignore_errors=True)
+            # File-level copy-on-write: hard-link the carried (untouched)
+            # files of the source snapshot into the new generation. Links
+            # survive the source generation's GC (same inode), so default
+            # retention still reclaims the superseded snapshot's REWRITTEN
+            # files while carried data is never duplicated on disk. An
+            # object-store adapter would server-side-copy here instead.
+            carried: list[str] = []
+            carry_root = None
+            if self.overwrite and self.carry_src is not None:
+                if (expected or "") != self.carry_src:
+                    shutil.rmtree(dst_root, ignore_errors=True)
+                    raise ConcurrentWriteError(
+                        f"row-level rewrite of {self.path} was planned "
+                        f"against snapshot {self.carry_src or '<flat>'!r} "
+                        f"but {expected!r} is now live — a concurrent "
+                        "overwrite won; re-run the rewrite"
+                    )
+                carry_root = (
+                    os.path.join(self.path, self.carry_src)
+                    if self.carry_src
+                    else self.path
+                )
+                for rel in self.carry_files:
+                    src = os.path.join(carry_root, rel)
+                    dst = os.path.join(dst_root, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    for s, d in ((src, dst), (src + ".stats.json",
+                                              dst + ".stats.json")):
+                        if not os.path.exists(s):
+                            continue
+                        try:
+                            os.link(s, d)
+                        except OSError:
+                            shutil.copy2(s, d)
+                    carried.append(rel)
             # Commit-time manifest: one file describing every published
             # file's footer + sidecar, so planning reads O(1) files instead
             # of O(files) (manifest.py rationale). Written BEFORE the
             # pointer swap — the manifest is part of the atomic snapshot.
-            if published:
+            # Carried files' entries are COPIED from the source snapshot's
+            # manifest (no footer re-reads at commit — O(1) there too).
+            if published or carried:
                 from .manifest import update_manifest
 
-                update_manifest(dst_root, published, self.MANIFEST_FMT)
+                update_manifest(
+                    dst_root,
+                    published,
+                    self.MANIFEST_FMT,
+                    carry=(carry_root, carried) if carried else None,
+                )
             if self.overwrite:
                 try:
                     store.swap_pointer(self.path, gen_name, expected)

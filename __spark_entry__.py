@@ -92,6 +92,7 @@ _PRIORITY = [
     "quiver_delete_scan",
     "quiver_update_scan",
     "quiver_merge_upsert_scan",
+    "quiver_clustered_scan",
     # then the round-7 window — round 10's natural continuation
     "dedup_simhash",
     "multimodal_binary_meta",

@@ -123,6 +123,77 @@ def compact(
     }
 
 
+def cluster_by(
+    spark,
+    src_dir: str,
+    columns: list[str],
+    dst_dir: str | None = None,
+    target_rows_per_file: int = 1 << 20,
+    codec: str | None = None,
+) -> dict:
+    """Sort-cluster a table on ``columns`` — rewrite (in place by
+    default, riding the same atomic generation swap as :func:`compact`)
+    with rows range-partitioned AND sorted on the cluster columns, so
+    every file holds a tight, near-disjoint min/max range per cluster
+    column.
+
+    Why it matters at 100 TB: zone maps only prune what the layout
+    separates. On a hash-partitioned table every file's min/max spans the
+    whole domain and a point/range predicate touches every file; after
+    clustering the same predicate touches O(selectivity) files. That
+    drives BOTH scan pruning (``page_prune``) and the row-level DML ops
+    (:func:`delete_where` & co rewrite only candidate files — measured
+    in BASELINE.md round 9: the same DELETE rewrites 256 files before
+    clustering, ~2 after). The rewrite itself is one Spark job — a
+    range shuffle sized to the output layout, `repartitionByRange` +
+    `sortWithinPartitions`, Spark's own global-sort posture.
+
+    Reference precedent: the reference's own test corpus writes sorted
+    columns to exercise DeltaBitpacking (`tests/it/io.rs` sorted cases) —
+    clustering is what makes sorted encodings and stats pruning reachable
+    for real tables; the format itself has no table layer (src/lib.rs).
+    """
+    from quiver_spark.sources import register as register_format
+    from quiver_spark.sources.quiver_datasource import _discover_partitions
+
+    if not columns:
+        raise ValueError("cluster_by needs at least one column")
+    if dst_dir is None:
+        dst_dir = src_dir
+    if os.path.realpath(dst_dir) != os.path.realpath(src_dir):
+        _check_disjoint(src_dir, dst_dir)
+    register_format(spark)
+    n_files, rows = _dir_stats(src_dir)
+    part_cols = [c for c, _k in _discover_partitions(src_dir)[0]]
+    n_out = max(1, math.ceil(rows / max(target_rows_per_file, 1)))
+
+    df = spark.read.format("quiver").load(src_dir)
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"cluster columns not in schema: {missing}")
+    df = df.repartitionByRange(n_out, *columns).sortWithinPartitions(
+        *columns
+    )
+    writer = df.write.format("quiver").mode("overwrite")
+    if part_cols:
+        writer = writer.option("partition_by", ",".join(part_cols))
+    if codec:
+        writer = writer.option("codec", codec)
+    writer.option(
+        "max_rows_per_file", str(max(target_rows_per_file, 1))
+    ).save(dst_dir)
+    out_files, out_rows = _dir_stats(dst_dir)
+    return {
+        "src": src_dir,
+        "dst": dst_dir,
+        "cluster_by": list(columns),
+        "rows": rows,
+        "files_before": n_files,
+        "files_after": out_files,
+        "rows_after": out_rows,
+    }
+
+
 def expire_generations(path: str, keep: int = 1) -> dict:
     """Delete retained generation snapshots beyond the newest ``keep``
     (the LIVE generation is always kept, whatever ``keep`` says) — the

@@ -384,3 +384,56 @@ def quiver_merge_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nationkey").cast("bigint").alias("key_sum"),
         F.min("n_name").alias("min_name"),
     )
+
+
+@register(
+    "quiver_clustered_scan",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       MIN(o_orderpriority) AS min_priority
+FROM orders
+WHERE o_orderkey BETWEEN 500 AND 1500
+GROUP BY o_orderstatus
+""",
+    tags=("format", "cluster", "pruning", "maintenance"),
+)
+def quiver_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``maintenance.cluster_by`` through the driver gate: orders lands
+    HASH-SCATTERED (every file's o_orderkey min/max spans the domain —
+    zone maps useless), is then sort-clustered on o_orderkey in place
+    (atomic generation swap; `repartitionByRange` + sorted files), and a
+    narrow key-range aggregate reads it with page pruning on. The oracle
+    is the parquet original, so a row lost/doubled by the cluster
+    rewrite, or a page wrongly pruned from the clustered layout,
+    hash-fails. Clustering is what makes zone-map pruning and file-
+    minimal row-level DML reachable for real tables (BASELINE.md round-9
+    DML-at-scale table)."""
+
+    def build(d: str) -> None:
+        from quiver_spark import maintenance
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority"
+        )
+        o.repartition(8).write.format("quiver").mode("overwrite").save(d)
+        maintenance.cluster_by(
+            spark, d, ["o_orderkey"], target_rows_per_file=1 << 14
+        )
+
+    d = _marker_dir(spark, sf_dir, "orders-clustered", build)
+    o = (
+        spark.read.format("quiver")
+        .option("page_prune", "true")
+        .load(d)
+    )
+    return (
+        o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") <= 1500))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.min("o_orderpriority").alias("min_priority"),
+        )
+    )

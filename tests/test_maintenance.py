@@ -349,3 +349,56 @@ def test_rollback_cli(spark, tmp_path):
 
     assert _json.loads(r.stdout)["rolled_back_to"] == "gen-000001"
     assert spark.read.format("quiver").load(out).count() == 5
+
+
+def test_cluster_by_tightens_zone_maps_for_dml(spark, tmp_path):
+    """cluster_by turns hash-scattered files into range-disjoint ones:
+    the SAME narrow DELETE that touches every file before clustering
+    touches at most 2 after (row content identical throughout)."""
+    from quiver_spark import maintenance
+
+    register(spark)
+    tbl = str(tmp_path / "t")
+    df = (
+        spark.range(4000)
+        .select(
+            F.col("id"), (F.col("id") % 13).alias("v")
+        )
+        # hash-scatter: every file's id min/max spans ~the whole domain
+        .repartition(8)
+    )
+    df.write.format("quiver").mode("overwrite").save(tbl)
+
+    probe = maintenance._touched_files(
+        spark, tbl, "id >= 100 AND id < 120"
+    )
+    assert len(probe) == 8  # unclustered: all files are candidates
+
+    summary = maintenance.cluster_by(
+        spark, tbl, ["id"], target_rows_per_file=500
+    )
+    assert summary["rows_after"] == 4000
+    assert summary["files_after"] >= 8
+
+    probe2 = maintenance._touched_files(
+        spark, tbl, "id >= 100 AND id < 120"
+    )
+    assert len(probe2) <= 2, probe2  # clustered: O(selectivity) files
+
+    res = maintenance.delete_where(spark, tbl, "id >= 100 AND id < 120")
+    assert res["files_rewritten"] <= 2
+    assert res["files_carried"] >= summary["files_after"] - 2
+    got = sorted(
+        r.id for r in spark.read.format("quiver").load(tbl).collect()
+    )
+    assert got == [i for i in range(4000) if not (100 <= i < 120)]
+
+
+def test_cluster_by_missing_column_raises(spark, tmp_path):
+    from quiver_spark import maintenance
+
+    register(spark)
+    tbl = str(tmp_path / "t")
+    spark.range(10).write.format("quiver").mode("overwrite").save(tbl)
+    with pytest.raises(ValueError, match="not in schema"):
+        maintenance.cluster_by(spark, tbl, ["nope"])

@@ -1787,8 +1787,23 @@ class QuiverWriter(DataSourceArrowWriter):
         # never reach — the option travels with the serialized writer.
         # Production object-store adapters still install process-wide via
         # set_pointer_store in the runner's environment.
-        if self.options.get("pointer_store", "").lower() == "unlocked":
+        ps_opt = self.options.get("pointer_store", "")
+        if ps_opt.lower() == "unlocked":
             store = UnlockedPointerStore()
+        elif ps_opt.startswith("cas:"):
+            # conditional-PUT object-store posture: pointer CAS against a
+            # shared blob root (the FileBlobStore double stands in for
+            # S3/GCS — same reason as "unlocked": the commit runs in a
+            # spawned runner that driver-side set_pointer_store can't
+            # reach, so the store travels as an option)
+            from .pointer_store import (
+                ConditionalPutPointerStore,
+                FileBlobStore,
+            )
+
+            store = ConditionalPutPointerStore(
+                FileBlobStore(ps_opt[len("cas:"):])
+            )
         else:
             store = get_pointer_store()
         with store.lock(self.path):

@@ -548,3 +548,156 @@ def test_end_to_end_lockless_spark_overwrite_race(spark, tmp_path):
             .collect()
         )
         assert got in list(datasets.values()), (g, len(got))
+
+
+def test_conditional_put_cas_closes_check_then_replace_window(tmp_path):
+    """The exact interleaving that slips past the base class's
+    check-then-replace CAS (ADVICE r8): A and B both read expected, A
+    swaps, B swaps after A's read-back. With the conditional-PUT adapter
+    the version precondition makes B's put fail — exactly one winner,
+    the loser loud."""
+    from quiver_spark.sources.pointer_store import (
+        ConditionalPutPointerStore,
+        InMemoryBlobStore,
+    )
+
+    blob = InMemoryBlobStore()
+    a = ConditionalPutPointerStore(blob)
+    b = ConditionalPutPointerStore(blob)
+    tbl = str(tmp_path / "t")
+    os.makedirs(tbl)
+    for g in ("gen-000001", "gen-000002", "gen-000003"):
+        os.makedirs(os.path.join(tbl, g))
+    # seed pointer at gen-000001
+    a.swap_pointer(tbl, "gen-000001", None)
+    assert b.read_pointer(tbl) == "gen-000001"
+
+    # both writers observed gen-000001; A commits first
+    a.swap_pointer(tbl, "gen-000002", "gen-000001")
+    # B's swap carries the stale expectation — MUST fail loudly, never
+    # silently supersede A (base-class behavior on a lock-less store)
+    with pytest.raises(ConcurrentWriteError):
+        b.swap_pointer(tbl, "gen-000003", "gen-000001")
+    assert a.read_pointer(tbl) == "gen-000002"
+    # POSIX-reader mirror followed the winner
+    assert _data_root(tbl).endswith("gen-000002")
+
+    # first-overwrite race: both expect None — put_if_absent arbitrates
+    blob2 = InMemoryBlobStore()
+    c = ConditionalPutPointerStore(blob2)
+    d = ConditionalPutPointerStore(blob2)
+    tbl2 = str(tmp_path / "t2")
+    os.makedirs(tbl2)
+    c.swap_pointer(tbl2, "gen-000001", None)
+    with pytest.raises(ConcurrentWriteError):
+        d.swap_pointer(tbl2, "gen-000002", None)
+
+
+def test_conditional_put_mirror_never_rolls_back(tmp_path):
+    """A loser delayed past a newer winner's mirror must not roll the
+    POSIX `_current` mirror backward (the mirror is version-gated)."""
+    from quiver_spark.sources.pointer_store import (
+        ConditionalPutPointerStore,
+        InMemoryBlobStore,
+    )
+
+    blob = InMemoryBlobStore()
+    s = ConditionalPutPointerStore(blob)
+    tbl = str(tmp_path / "t")
+    os.makedirs(tbl)
+    for g in ("gen-000001", "gen-000002"):
+        os.makedirs(os.path.join(tbl, g))
+    s.swap_pointer(tbl, "gen-000001", None)
+    s.swap_pointer(tbl, "gen-000002", "gen-000001")
+    # replay of the OLD mirror write (version 1) after the new one landed
+    s._mirror(tbl, "gen-000001", 1)
+    assert _data_root(tbl).endswith("gen-000002")
+
+
+def test_file_blob_store_contract(tmp_path):
+    """FileBlobStore honors the conditional-write contract across
+    instances (the cross-process double behind `pointer_store=cas:`)."""
+    from quiver_spark.sources.pointer_store import (
+        FileBlobStore,
+        PreconditionFailed,
+    )
+
+    root = str(tmp_path / "blob")
+    x, y = FileBlobStore(root), FileBlobStore(root)
+    v1 = x.put_if_absent("k", b"one")
+    with pytest.raises(PreconditionFailed):
+        y.put_if_absent("k", b"two")
+    data, ver = y.get("k")
+    assert (data, ver) == (b"one", v1)
+    v2 = y.put_if_match("k", b"two", v1)
+    assert v2 != v1
+    with pytest.raises(PreconditionFailed):
+        x.put_if_match("k", b"three", v1)  # stale version
+    assert x.get("k")[0] == b"two"
+
+
+def test_end_to_end_cas_spark_overwrite_race(spark, tmp_path):
+    """Full Spark write path under the conditional-PUT object-store
+    posture (`.option("pointer_store", "cas:<blob_root>")`): same loud
+    contract as the lock-less test, but the swap is a TRUE atomic CAS —
+    two swaps racing on the same expectation can never both succeed."""
+    register(spark)
+    out = str(tmp_path / "race_cas")
+    blob = str(tmp_path / "blob")
+    ps = f"cas:{blob}"
+    spark.range(5).write.format("quiver").mode("overwrite").option(
+        "pointer_store", ps
+    ).save(out)
+
+    errs: list[Exception] = []
+
+    def job(lo, hi):
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            (
+                spark.range(lo, hi)
+                .write.format("quiver")
+                .option("pointer_store", ps)
+                .option("keep_generations", "6")
+                .mode("overwrite")
+                .save(out)
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=job, args=(100, 150))
+    t2 = threading.Thread(target=job, args=(500, 580))
+    t1.start(), t2.start(), t1.join(120), t2.join(120)
+
+    for e in errs:
+        assert "ConcurrentWriteError" in str(
+            e
+        ) or "concurrent" in str(e).lower(), e
+
+    datasets = {
+        "a": list(range(100, 150)),
+        "b": list(range(500, 580)),
+        "seed": list(range(5)),
+    }
+    ids = sorted(
+        r[0] for r in spark.read.format("quiver").load(out).collect()
+    )
+    assert ids in (datasets["a"], datasets["b"]), (
+        "live snapshot must be exactly one job's rows, got "
+        f"{len(ids)} rows"
+    )
+    from quiver_spark.sources.quiver_datasource import _GEN_RE
+
+    for g in os.listdir(out):
+        if not _GEN_RE.fullmatch(g):
+            continue
+        got = sorted(
+            r[0]
+            for r in spark.read.format("quiver")
+            .option("version", int(g.split("-")[1]))
+            .load(out)
+            .collect()
+        )
+        assert got in list(datasets.values()), (g, len(got))

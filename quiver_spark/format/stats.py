@@ -97,6 +97,7 @@ def build_file_stats(
     per_column: dict[str, list[tuple[object, object, int]]],
     page_rows: list[int],
     page_crc32: list[list[int]] | None = None,
+    per_column_bloom: dict[str, list[str | None]] | None = None,
 ) -> dict:
     out = {
         "version": STATS_VERSION,
@@ -110,6 +111,13 @@ def build_file_stats(
             for name, stats in per_column.items()
         },
     }
+    for name, pages in (per_column_bloom or {}).items():
+        # blooms attach to the column entry (created above whenever the
+        # type supports min/max; bloomable types always do)
+        out["columns"].setdefault(name, {})["bloom"] = {
+            "k": BLOOM_K,
+            "pages": pages,
+        }
     if page_crc32 is not None:
         # per-LEAF lists of crc32(page bytes as written), in footer meta
         # order — silent-corruption detection for object-store transfers
@@ -141,6 +149,91 @@ def load_sidecar(data_path: str) -> dict | None:
         return stats if stats.get("version") == STATS_VERSION else None
     except (OSError, ValueError):
         return None
+
+
+#: bloom sizing: ~8 bits per stored value, k=5 → ~2% false positives;
+#: rounded up to a power of two for cheap modular indexing
+BLOOM_BITS_PER_VALUE = 8
+BLOOM_K = 5
+BLOOM_MIN_BITS = 1024
+
+
+def supports_bloom(t: pa.DataType) -> bool:
+    """Bloom-able stored domains: exact integer-family (incl. temporal
+    physical ticks) and strings. Floats are excluded — equality filters
+    on floats are pruned by min/max only."""
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or _physical_int_type(t) is not None
+    )
+
+
+def bloom_key(value) -> bytes | None:
+    """Canonical hash input for a stored-domain value; None when the
+    value's type is outside the bloom domain (no pruning)."""
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return b"i:%d" % value
+    if isinstance(value, str):
+        return b"s:" + value.encode("utf-8")
+    return None
+
+
+def _bloom_hashes(key: bytes) -> tuple[int, int]:
+    import hashlib
+
+    d = hashlib.blake2b(key, digest_size=16).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little"),
+    )
+
+
+def page_bloom(arr: pa.Array) -> str | None:
+    """Base64 bloom filter over one page's non-null values — the
+    data-skipping extension for POINT LOOKUPS on columns whose min/max
+    zone maps are useless (unsorted high-cardinality ids: every page's
+    range spans the domain, but a bloom answers "is key K possibly
+    here?" per page). Double hashing (Kirsch-Mitzenmacher) over a
+    blake2b-128 of the canonical key; no false negatives by
+    construction. None when the type is unsupported."""
+    import base64
+
+    t = arr.type
+    if not supports_bloom(t):
+        return None
+    phys = _physical_int_type(t)
+    if phys is not None:
+        arr = arr.view(phys)
+    vals = [v for v in arr.to_pylist() if v is not None]
+    m = max(BLOOM_MIN_BITS, BLOOM_BITS_PER_VALUE * max(1, len(vals)))
+    m = 1 << (m - 1).bit_length()
+    bits = bytearray(m // 8)
+    for v in vals:
+        key = bloom_key(v)
+        if key is None:
+            return None  # mixed/unexpected domain: no bloom for the page
+        h1, h2 = _bloom_hashes(key)
+        for i in range(BLOOM_K):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return base64.b64encode(bytes(bits)).decode()
+
+
+def bloom_may_contain(page_b64: str, key: bytes) -> bool:
+    import base64
+
+    bits = base64.b64decode(page_b64)
+    m = len(bits) * 8
+    h1, h2 = _bloom_hashes(key)
+    for i in range(BLOOM_K):
+        idx = (h1 + i * h2) % m
+        if not (bits[idx >> 3] >> (idx & 7)) & 1:
+            return False
+    return True
 
 
 def to_physical(value, t: pa.DataType):

@@ -437,3 +437,49 @@ def quiver_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderpriority").alias("min_priority"),
         )
     )
+
+
+@register(
+    "quiver_bloom_lookup_scan",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey IN (3, 41, 500, 999, 1203)
+""",
+    tags=("format", "bloom", "pruning", "point-lookup"),
+)
+def quiver_bloom_lookup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page BLOOM data skipping through the driver gate: orders lands
+    HASH-SCATTERED with `.option("bloom_columns", "o_orderkey")` — every
+    page's min/max spans the whole key domain, so zone maps prune
+    nothing — and a 5-key point lookup reads it with page pruning on.
+    Blooms have no false negatives by construction, so a key lost to a
+    wrongly-pruned page hash-fails against the parquet oracle. Engine
+    surface: stats.page_bloom / bloom_may_contain (sidecar-stored,
+    manifest-served); the reference format stores no statistics at all
+    (src/lib.rs:75-80) — blooms extend the same sidecar zone maps carry."""
+
+    def build(d: str) -> None:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority"
+        )
+        (
+            o.repartition(4)
+            .write.format("quiver")
+            .mode("overwrite")
+            .option("max_page_size", "1024")
+            .option("bloom_columns", "o_orderkey")
+            .save(d)
+        )
+
+    d = _marker_dir(spark, sf_dir, "orders-bloomed", build)
+    o = (
+        spark.read.format("quiver")
+        .option("page_prune", "true")
+        .load(d)
+    )
+    return o.filter(
+        F.col("o_orderkey").isin(3, 41, 500, 999, 1203)
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")

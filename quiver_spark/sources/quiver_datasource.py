@@ -900,6 +900,31 @@ class QuiverScanReader(DataSourceReader):
                     op, value, lo_[i], hi_[i], nulls_[i], page_rows[i]
                 ):
                     keep[i] = False
+            # bloom pass (point lookups): min/max can't prune an unsorted
+            # high-cardinality column — every page's range spans the
+            # domain — but a per-page bloom answers eq/in membership. No
+            # false negatives, so this only ever REMOVES pages the value
+            # cannot be in.
+            bl = st.get("bloom")
+            if op not in ("eq", "in") or not bl:
+                continue
+            pages_b64 = bl.get("pages", [])
+            if len(pages_b64) != n_pages:
+                continue
+            keys = [
+                stats_mod.bloom_key(v)
+                for v in (value if op == "in" else [value])
+            ]
+            if any(k is None for k in keys):
+                continue  # value outside the bloom domain: no pruning
+            for i in range(n_pages):
+                if not keep[i] or pages_b64[i] is None:
+                    continue
+                if not any(
+                    stats_mod.bloom_may_contain(pages_b64[i], k)
+                    for k in keys
+                ):
+                    keep[i] = False
         return keep
 
     def partitions(self):
@@ -1542,6 +1567,12 @@ class QuiverWriter(DataSourceArrowWriter):
             x.strip() for x in forbidden.split(",") if x.strip()
         )
         self.page_stats = options.get("page_stats", "true").lower() != "false"
+        # per-page bloom filters for these columns (point-lookup data
+        # skipping on unsorted high-cardinality ids; stats.page_bloom)
+        bcols = options.get("bloom_columns", "")
+        self.bloom_columns = tuple(
+            c.strip() for c in bcols.split(",") if c.strip()
+        )
         # Hive-style partitioned layout: `.option("partition_by", "a,b")`
         # writes `a=v1/b=v2/part-*.quiver` subdirectories with the partition
         # columns dropped from the files (the reader re-attaches them from
@@ -1650,6 +1681,7 @@ class QuiverWriter(DataSourceArrowWriter):
             max_page_size=self.max_page_size,
             forbidden=self.forbidden,
             page_stats=self.page_stats,
+            bloom_columns=self.bloom_columns,
         )
         task_dir = os.path.join(self.path, _STAGING_DIR, uuid.uuid4().hex)
         staged: list[str] = []

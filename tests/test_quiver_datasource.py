@@ -1140,3 +1140,126 @@ def test_packed_partitions_keep_hive_specs_per_chunk(spark, tmp_path):
     want = {(r["lang"], r["cnt"]) for r in p.groupBy("lang").agg(
         F.count(F.lit(1)).alias("cnt")).collect()}
     assert got == want
+
+
+def test_bloom_primitives_no_false_negatives():
+    """Every value put into a page bloom is found; absent values are
+    overwhelmingly rejected (~2% fp budget at 8 bits/value, k=5)."""
+    import pyarrow as pa
+
+    from quiver_spark.format import stats as stats_mod
+
+    vals = list(range(0, 16000, 2))  # evens
+    b64 = stats_mod.page_bloom(pa.array(vals, type=pa.int64()))
+    assert b64 is not None
+    for v in vals[:500]:
+        assert stats_mod.bloom_may_contain(b64, stats_mod.bloom_key(v))
+    fp = sum(
+        stats_mod.bloom_may_contain(b64, stats_mod.bloom_key(v))
+        for v in range(1, 2001, 2)  # odds — absent
+    )
+    assert fp < 100, fp  # < 10% on a 2%-design budget (slack for luck)
+
+    # strings
+    svals = [f"doc-{i}" for i in range(1000)]
+    sb = stats_mod.page_bloom(pa.array(svals))
+    assert all(
+        stats_mod.bloom_may_contain(sb, stats_mod.bloom_key(s))
+        for s in svals[:200]
+    )
+    assert (
+        sum(
+            stats_mod.bloom_may_contain(
+                sb, stats_mod.bloom_key(f"absent-{i}")
+            )
+            for i in range(500)
+        )
+        < 50
+    )
+
+
+def test_bloom_point_lookup_prunes_unsorted_pages(spark, tmp_path):
+    """Point-lookup data skipping where zone maps are USELESS: ids are
+    shuffled so every page's min/max spans the whole domain (the min/max
+    pass keeps everything), but per-page blooms prune to the page(s)
+    actually holding the key — and results stay exact."""
+    import random
+
+    import pyarrow as pa
+    from pyspark.sql.datasource import EqualTo, In
+
+    from quiver_spark.sources.quiver_datasource import QuiverScanReader
+
+    d = tmp_path / "bloomed"
+    os.makedirs(d, exist_ok=True)
+    rng = random.Random(7)
+    ids = list(range(20000))
+    rng.shuffle(ids)
+    t = pa.table(
+        {
+            "uid": pa.array(ids, type=pa.int64()),
+            "tag": pa.array([f"k-{i}" for i in ids]),
+        }
+    )
+    write_table(
+        t,
+        str(d / "part-0.quiver"),
+        WriteOptions(max_page_size=1000, bloom_columns=("uid", "tag")),
+    )
+    register(spark)
+
+    opts = {"path": str(d), "partition_rows": "1000", "page_prune": "true"}
+
+    def planned_pages(filters):
+        r = QuiverScanReader(dict(opts), None)
+        if filters:
+            r.pushFilters(filters)
+        return sum(p.page_end - p.page_start for p in r.partitions())
+
+    all_pages = planned_pages(None)
+    assert all_pages == 20
+    # min/max alone cannot prune the shuffled column — the bloom must
+    eq_pages = planned_pages([EqualTo(("uid",), 12345)])
+    assert eq_pages <= 3, eq_pages
+    in_pages = planned_pages([In(("uid",), (7, 19999, 4242))])
+    assert in_pages <= 6, in_pages
+    str_pages = planned_pages([EqualTo(("tag",), "k-777")])
+    assert str_pages <= 3, str_pages
+
+    # exactness end-to-end (no false negatives anywhere)
+    q = spark.read.format("quiver").option("page_prune", "true").load(str(d))
+    assert q.filter("uid = 12345").count() == 1
+    assert sorted(
+        r.tag for r in q.filter("uid IN (7, 19999, 4242)").collect()
+    ) == ["k-19999", "k-4242", "k-7"]
+    assert q.filter("tag = 'k-777'").collect()[0].uid == 777
+    assert q.filter("uid = 999999").count() == 0
+
+
+def test_bloom_through_sink_option(spark, tmp_path):
+    """`.option("bloom_columns", ...)` on the sink writes blooms that
+    survive the commit + manifest path and prune at scan time."""
+    register(spark)
+    out = str(tmp_path / "t")
+    (
+        spark.range(10000)
+        .selectExpr("id", "hash(id) % 100000 AS probe")
+        .repartition(1)
+        .write.format("quiver")
+        .mode("overwrite")
+        .option("max_page_size", "1000")
+        .option("bloom_columns", "id")
+        .save(out)
+    )
+    from quiver_spark.sources.manifest import load_manifest
+    from quiver_spark.sources.quiver_datasource import (
+        _data_root,
+        _list_files,
+    )
+
+    root = _data_root(out)
+    man = load_manifest(root)
+    ent = man.lookup(_list_files(root)[0])
+    assert ent is not None and "bloom" in ent.sidecar["columns"]["id"]
+    q = spark.read.format("quiver").option("page_prune", "true").load(out)
+    assert q.filter("id = 4321").count() == 1

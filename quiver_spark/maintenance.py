@@ -562,6 +562,25 @@ def merge_upsert(
             f"source is missing target columns: {src_missing} — upsert "
             "replaces whole rows, so the source must carry every column"
         )
+    # SQL MERGE refuses a source with duplicate keys (the update would be
+    # nondeterministic and the insert would silently double rows). One
+    # aggregate on the (delta-sized) source; first offender named.
+    from pyspark.sql import functions as _F
+
+    dup = (
+        source.groupBy(*on)
+        .agg(_F.count(_F.lit(1)).alias("n"))
+        .filter("n > 1")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge source has duplicate keys (e.g. "
+            f"{tuple(dup[0][c] for c in on)} x{dup[0]['n']}) — MERGE "
+            "requires at most one source row per key; de-duplicate the "
+            "source first"
+        )
     keys = source.select(*on).distinct()
     det = (
         spark.read.format("quiver")

@@ -1602,6 +1602,15 @@ class QuiverWriter(DataSourceArrowWriter):
                 "of the copy-on-write generation swap, append has no "
                 "snapshot to carry into"
             )
+        # NOT NULL write constraints (Delta CHECK-constraint analogue,
+        # format-level so EVERY write path — batch, append, streaming
+        # micro-batch, row-level rewrites — enforces them): a violating
+        # task raises before staging completes, the job aborts, and the
+        # staged-commit protocol guarantees no partial publish.
+        rnn = options.get("require_not_null", "")
+        self.require_not_null = tuple(
+            c.strip() for c in rnn.split(",") if c.strip()
+        )
 
     def _split_partitions(self, table):
         """Yield ``(subdir, sub_table)`` per distinct partition-key combo;
@@ -1704,6 +1713,22 @@ class QuiverWriter(DataSourceArrowWriter):
             buffer, rows = [], 0
 
         for batch in iterator:
+            if self.require_not_null:
+                for c in self.require_not_null:
+                    if c not in batch.schema.names:
+                        raise ValueError(
+                            f"require_not_null column {c!r} is not in the "
+                            f"written schema {batch.schema.names}"
+                        )
+                    nulls = batch.column(
+                        batch.schema.names.index(c)
+                    ).null_count
+                    if nulls:
+                        raise ValueError(
+                            f"NOT NULL constraint violated: column {c!r} "
+                            f"has {nulls} null(s) in this write — the job "
+                            "aborts and nothing is published"
+                        )
             buffer.append(batch)
             rows += batch.num_rows
             if rows >= self.max_rows:

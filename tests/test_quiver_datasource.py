@@ -1263,3 +1263,41 @@ def test_bloom_through_sink_option(spark, tmp_path):
     assert ent is not None and "bloom" in ent.sidecar["columns"]["id"]
     q = spark.read.format("quiver").option("page_prune", "true").load(out)
     assert q.filter("id = 4321").count() == 1
+
+
+def test_require_not_null_constraint(spark, tmp_path):
+    """NOT NULL write constraint: a violating write fails the job and
+    publishes NOTHING (staged-commit atomicity); a clean write passes;
+    an unknown column is refused loudly."""
+    register(spark)
+    out = str(tmp_path / "t")
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    (
+        ok.write.format("quiver")
+        .mode("overwrite")
+        .option("require_not_null", "id,s")
+        .save(out)
+    )
+    assert spark.read.format("quiver").load(out).count() == 2
+
+    bad = spark.createDataFrame([(3, None)], "id long, s string")
+    with pytest.raises(Exception, match="NOT NULL constraint violated"):
+        (
+            bad.write.format("quiver")
+            .mode("overwrite")
+            .option("require_not_null", "s")
+            .save(out)
+        )
+    # the failed overwrite left the previous snapshot fully live
+    assert sorted(
+        (r.id, r.s)
+        for r in spark.read.format("quiver").load(out).collect()
+    ) == [(1, "a"), (2, "b")]
+
+    with pytest.raises(Exception, match="not in the written schema"):
+        (
+            ok.write.format("quiver")
+            .mode("overwrite")
+            .option("require_not_null", "nope")
+            .save(out)
+        )

@@ -309,3 +309,19 @@ def test_file_column_collision_raises(spark, tmp_path):
             .load(tbl)
             .schema
         )
+
+
+def test_merge_duplicate_source_keys_raise(spark, tmp_path):
+    """MERGE with duplicate source keys must refuse loudly — the update
+    would be nondeterministic and the insert would double rows."""
+    tbl = str(tmp_path / "t")
+    _write(spark, _base_df(spark, 20), tbl)
+    source = spark.createDataFrame(
+        [(5, 1, "a"), (5, 2, "b")], "id long, grp long, tag string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        maintenance.merge_upsert(spark, tbl, source, on=["id"])
+    # target untouched
+    assert _rows(spark, tbl) == sorted(
+        (i, i % 7, f"row-{i}") for i in range(20)
+    )

@@ -94,6 +94,7 @@ _PRIORITY = [
     "quiver_merge_upsert_scan",
     "quiver_clustered_scan",
     "quiver_bloom_lookup_scan",
+    "quiver_zorder_scan",
     # then the round-7 window — round 10's natural continuation
     "dedup_simhash",
     "multimodal_binary_meta",

@@ -123,6 +123,62 @@ def compact(
     }
 
 
+def _zorder_column(spark, df, columns):
+    """A 64-bit Morton (Z-order) key over ``columns``: each column is
+    linearly scaled to a 16-bit code between its global min and max (one
+    tiny aggregate, broadcast back), and the codes' bits are interleaved
+    JVM-side (shift/or expression tree — no UDF). Linear scaling is the
+    standard cheap normalization (skewed columns get coarser codes but
+    never wrong pruning — zone maps stay exact). Numeric / date /
+    timestamp columns only."""
+    from pyspark.sql import functions as F
+
+    n = len(columns)
+    bits = 63 // n  # keep the interleaved key inside a signed 64-bit
+    bits = min(16, bits)
+    stats = df.agg(
+        *[
+            f
+            for c in columns
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            )
+        ]
+    ).collect()[0]
+    codes = []
+    top = (1 << bits) - 1
+    for c in columns:
+        lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            codes.append(F.lit(0).cast("long"))
+            continue
+        scaled = (
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(float(hi - lo))
+            * F.lit(float(top))
+        )
+        codes.append(
+            F.coalesce(
+                F.least(
+                    F.greatest(F.round(scaled).cast("long"), F.lit(0)),
+                    F.lit(top),
+                ),
+                F.lit(0),  # nulls cluster together at the origin
+            )
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, code in enumerate(codes):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(code, bit).bitwiseAND(F.lit(1)),
+                    bit * n + j,
+                )
+            )
+    return z
+
+
 def cluster_by(
     spark,
     src_dir: str,
@@ -130,6 +186,7 @@ def cluster_by(
     dst_dir: str | None = None,
     target_rows_per_file: int = 1 << 20,
     codec: str | None = None,
+    zorder: bool = False,
 ) -> dict:
     """Sort-cluster a table on ``columns`` — rewrite (in place by
     default, riding the same atomic generation swap as :func:`compact`)
@@ -171,9 +228,23 @@ def cluster_by(
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise ValueError(f"cluster columns not in schema: {missing}")
-    df = df.repartitionByRange(n_out, *columns).sortWithinPartitions(
-        *columns
-    )
+    if zorder and len(columns) > 1:
+        # Z-ORDER: lexicographic sort gives the LEADING column tight
+        # per-file ranges but leaves later columns spanning the domain;
+        # interleaving bit codes gives every cluster column locality, so
+        # a predicate on ANY of them prunes files/pages (the Delta
+        # OPTIMIZE ZORDER analogue). One range shuffle on the Morton key.
+        zc = "__quiver_zorder"
+        df = (
+            df.withColumn(zc, _zorder_column(spark, df, columns))
+            .repartitionByRange(n_out, zc)
+            .sortWithinPartitions(zc)
+            .drop(zc)
+        )
+    else:
+        df = df.repartitionByRange(n_out, *columns).sortWithinPartitions(
+            *columns
+        )
     writer = df.write.format("quiver").mode("overwrite")
     if part_cols:
         writer = writer.option("partition_by", ",".join(part_cols))
@@ -187,10 +258,81 @@ def cluster_by(
         "src": src_dir,
         "dst": dst_dir,
         "cluster_by": list(columns),
+        "zorder": bool(zorder and len(columns) > 1),
         "rows": rows,
         "files_before": n_files,
         "files_after": out_files,
         "rows_after": out_rows,
+    }
+
+
+def clone_snapshot(
+    src_table: str, dst_table: str, version: int | None = None
+) -> dict:
+    """Zero-copy clone of a table snapshot (optionally a retained older
+    ``version``) into a NEW table: every data file and sidecar is
+    hard-linked (same inode, no bytes copied) into the clone's first
+    generation, the manifest is carried, and the clone gets its own
+    pointer — from then on the two tables evolve independently (their
+    copy-on-write DML, compaction, and overwrites never touch shared
+    inodes in place; every rewrite publishes new files). The cheap
+    dev-copy / experiment-branch primitive: O(files) driver-local link
+    calls, no Spark session, no data movement. An object-store
+    deployment would server-side-copy instead."""
+    import shutil
+
+    from quiver_spark.sources.quiver_datasource import (
+        _CURRENT,
+        _data_root,
+        _list_files,
+    )
+
+    if os.path.exists(dst_table) and os.listdir(dst_table):
+        raise ValueError(
+            f"clone destination {dst_table!r} already exists and is not "
+            "empty — clones only create NEW tables"
+        )
+    src_root = _data_root(src_table, version)
+    files = _list_files(src_root)
+    if not files:
+        raise ValueError(f"nothing to clone: no data files under {src_root}")
+    gen = "gen-000001"
+    dst_root = os.path.join(dst_table, gen)
+    os.makedirs(dst_root, exist_ok=True)
+    linked = 0
+    for f in files:
+        rel = os.path.relpath(f, src_root)
+        dst = os.path.join(dst_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        for s, d in ((f, dst), (f + ".stats.json", dst + ".stats.json")):
+            if not os.path.exists(s):
+                continue
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+        linked += 1
+    from quiver_spark.sources.manifest import manifest_path, rebuild_manifest
+
+    src_man = manifest_path(src_root)
+    if os.path.exists(src_man):
+        # rel-keyed entries describe exactly the linked files — carry it
+        shutil.copy2(src_man, manifest_path(dst_root))
+    else:
+        rebuild_manifest(dst_root)
+    # publish the clone's pointer (atomic; the clone directory is not
+    # visible as a table until this file exists)
+    tmp = os.path.join(dst_table, _CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(gen)
+    os.replace(tmp, os.path.join(dst_table, _CURRENT))
+    return {
+        "src": src_table,
+        "src_snapshot": os.path.basename(src_root)
+        if src_root != src_table
+        else "<flat>",
+        "dst": dst_table,
+        "files_linked": linked,
     }
 
 

@@ -483,3 +483,61 @@ def quiver_bloom_lookup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(
         F.col("o_orderkey").isin(3, 41, 500, 999, 1203)
     ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "quiver_zorder_scan",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       CAST(SUM(l_partkey) AS BIGINT) AS part_sum,
+       CAST(SUM(l_orderkey) AS BIGINT) AS order_sum
+FROM lineitem
+WHERE l_partkey BETWEEN 50 AND 150
+GROUP BY l_returnflag
+""",
+    tags=("format", "cluster", "zorder", "pruning", "maintenance"),
+)
+def quiver_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering through the driver gate: lineitem lands
+    hash-scattered, is Z-clustered on (l_orderkey, l_partkey) — Morton
+    bit-interleave of 16-bit linear codes, one range shuffle — and the
+    query filters the TRAILING dimension (l_partkey), the case a
+    lexicographic sort cannot prune (every file would span the partkey
+    domain) but Z-order locality can. Page pruning on; the oracle is the
+    parquet original, so a row lost/doubled by the Z rewrite or a page
+    wrongly pruned hash-fails. Pinned structurally by
+    `test_zorder_clustering_prunes_on_every_column`."""
+
+    def build(d: str) -> None:
+        from quiver_spark import maintenance
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_returnflag"
+        )
+        li.repartition(8).write.format("quiver").mode("overwrite").save(d)
+        maintenance.cluster_by(
+            spark,
+            d,
+            ["l_orderkey", "l_partkey"],
+            target_rows_per_file=1 << 14,
+            zorder=True,
+        )
+
+    d = _marker_dir(spark, sf_dir, "lineitem-zordered", build)
+    li = (
+        spark.read.format("quiver")
+        .option("page_prune", "true")
+        .load(d)
+    )
+    return (
+        li.filter(
+            (F.col("l_partkey") >= 50) & (F.col("l_partkey") <= 150)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_partkey").cast("bigint").alias("part_sum"),
+            F.sum("l_orderkey").cast("bigint").alias("order_sum"),
+        )
+    )

@@ -402,3 +402,118 @@ def test_cluster_by_missing_column_raises(spark, tmp_path):
     spark.range(10).write.format("quiver").mode("overwrite").save(tbl)
     with pytest.raises(ValueError, match="not in schema"):
         maintenance.cluster_by(spark, tbl, ["nope"])
+
+
+def test_zorder_clustering_prunes_on_every_column(spark, tmp_path):
+    """Lexicographic sort gives only the LEADING column pruning power;
+    Z-order interleaving gives every cluster column file-locality. Grid
+    data, same narrow predicate on x and on y:
+    - plain cluster_by(["x","y"]): y-predicate candidates ~ all files
+    - zorder: BOTH predicates' candidates < half the files
+    Row content identical throughout."""
+    from quiver_spark import maintenance
+
+    register(spark)
+    n = 128
+    grid = (
+        spark.range(n * n)
+        .selectExpr(
+            "CAST(id % 128 AS BIGINT) AS x",
+            "CAST(id DIV 128 AS BIGINT) AS y",
+            "id AS payload",
+        )
+        .repartition(8)
+    )
+
+    plain = str(tmp_path / "plain")
+    grid.write.format("quiver").mode("overwrite").save(plain)
+    maintenance.cluster_by(
+        spark, plain, ["x", "y"], target_rows_per_file=1024
+    )
+    zord = str(tmp_path / "zord")
+    grid.write.format("quiver").mode("overwrite").save(zord)
+    zsum = maintenance.cluster_by(
+        spark, zord, ["x", "y"], target_rows_per_file=1024, zorder=True
+    )
+    assert zsum["zorder"] is True
+    assert zsum["rows_after"] == n * n
+
+    def candidates(tbl, pred):
+        return len(maintenance._touched_files(spark, tbl, pred))
+
+    n_plain = len(
+        maintenance._snapshot(plain)[2]
+    )
+    n_zord = len(maintenance._snapshot(zord)[2])
+    assert n_plain >= 8 and n_zord >= 8
+
+    px = "x >= 16 AND x < 32"
+    py = "y >= 16 AND y < 32"
+    # leading column prunes under both layouts
+    assert candidates(plain, px) <= n_plain // 2
+    assert candidates(zord, px) <= n_zord // 2
+    # trailing column: plain sort cannot prune (every file spans y);
+    # z-order must
+    assert candidates(plain, py) >= n_plain - 2
+    assert candidates(zord, py) <= n_zord // 2, (
+        candidates(zord, py),
+        n_zord,
+    )
+
+    # content identical
+    a = sorted(
+        tuple(r)
+        for r in spark.read.format("quiver").load(plain).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in spark.read.format("quiver").load(zord).collect()
+    )
+    assert a == b
+
+
+def test_clone_snapshot_zero_copy_and_independent(spark, tmp_path):
+    """clone_snapshot hard-links a snapshot into a new table (no data
+    copied — same inodes), and the clone evolves independently: DML on
+    the clone never changes the source."""
+    from quiver_spark import maintenance
+    from quiver_spark.sources.quiver_datasource import _list_files
+
+    register(spark)
+    src = str(tmp_path / "src")
+    (
+        spark.range(100)
+        .selectExpr("id", "id % 5 AS g")
+        .coalesce(1)
+        .write.format("quiver")
+        .option("keep_generations", "3")
+        .mode("overwrite")
+        .save(src)
+    )
+    spark.range(200).selectExpr("id", "id % 5 AS g").coalesce(1).write.format(
+        "quiver"
+    ).option("keep_generations", "3").mode("overwrite").save(src)
+
+    dst = str(tmp_path / "clone")
+    res = maintenance.clone_snapshot(src, dst)
+    assert res["files_linked"] >= 1
+    got = sorted(r.id for r in spark.read.format("quiver").load(dst).collect())
+    assert got == list(range(200))
+    # same inodes — nothing copied
+    src_inodes = {os.stat(f).st_ino for f in _list_files(_data_root(src))}
+    dst_inodes = {os.stat(f).st_ino for f in _list_files(_data_root(dst))}
+    assert dst_inodes <= src_inodes
+
+    # version clone of the retained first generation
+    dstv = str(tmp_path / "clone_v1")
+    maintenance.clone_snapshot(src, dstv, version=1)
+    assert spark.read.format("quiver").load(dstv).count() == 100
+
+    # independence: delete on the clone, source unchanged
+    maintenance.delete_where(spark, dst, "id < 150")
+    assert spark.read.format("quiver").load(dst).count() == 50
+    assert spark.read.format("quiver").load(src).count() == 200
+
+    # refuse clobbering an existing table
+    with pytest.raises(ValueError, match="already exists"):
+        maintenance.clone_snapshot(src, dst)

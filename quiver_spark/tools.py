@@ -227,6 +227,15 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="operate on a retained generation instead of the live one",
     )
+    cl = sub.add_parser(
+        "clone",
+        help="zero-copy clone of a table snapshot into a NEW table "
+        "(hard links, no data movement; --version clones a retained "
+        "older generation)",
+    )
+    cl.add_argument("src")
+    cl.add_argument("dst")
+    cl.add_argument("--version", type=int, default=None)
     args = ap.parse_args(argv)
     if args.cmd == "inspect":
         print(json.dumps(cmd_inspect(args.file), indent=2))
@@ -267,6 +276,15 @@ def main(argv: list[str] | None = None) -> int:
             out = verify_manifest(root)
             print(json.dumps(out, indent=2))
             return 0 if out["ok"] else 1
+    elif args.cmd == "clone":
+        from quiver_spark.maintenance import clone_snapshot
+
+        print(
+            json.dumps(
+                clone_snapshot(args.src, args.dst, version=args.version),
+                indent=2,
+            )
+        )
     elif args.cmd == "compact":
         from quiver_spark.maintenance import compact_local
 

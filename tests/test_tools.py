@@ -169,3 +169,28 @@ def test_cli_generations(spark, tmp_path):
     by_name = {g["generation"]: g for g in o["generations"]}
     assert by_name["gen-000001"]["rows"] == 10
     assert by_name["gen-000002"]["rows"] == 25 and by_name["gen-000002"]["live"]
+
+
+def test_clone_cli(spark, tmp_path):
+    """`python -m quiver_spark clone SRC DST` hard-link-clones a table."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from quiver_spark.sources import register
+
+    register(spark)
+    src = str(tmp_path / "src")
+    spark.range(30).write.format("quiver").mode("overwrite").save(src)
+    dst = str(tmp_path / "dst")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [_sys.executable, "-m", "quiver_spark", "clone", src, dst],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/tmp",
+    )
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout)["files_linked"] >= 1
+    assert spark.read.format("quiver").load(dst).count() == 30

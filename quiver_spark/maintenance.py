@@ -23,17 +23,24 @@ _FILE_COL = "_qv_source_file"
 
 
 def _dir_stats(src_dir: str) -> tuple[int, int]:
-    """(n_files, total_rows) from footers alone — no data pages decoded.
-    Row counts go through file_row_count: a nested first column's page
+    """(n_files, total_rows) from metadata alone — no data pages decoded.
+    Served from the commit-time manifest when it covers a file (one
+    directory-level read — at 100k files this is what keeps compaction/
+    clustering planning O(1) instead of O(files) footer round trips);
+    manifest-less or stale files fall back to real footer reads. Row
+    counts go through file_row_count: a nested first column's page
     num_values is the SLOT count, not rows, so naive metas[0] summing
     would mis-size n_out on list/struct-led schemas."""
     from quiver_spark.format.reader import file_row_count
+    from quiver_spark.sources.manifest import load_manifest
     from quiver_spark.sources.quiver_datasource import _file_footer, _list_files
 
+    man = load_manifest(src_dir)
     files = _list_files(src_dir)
     rows = 0
     for f in files:
-        schema, metas = _file_footer(f)
+        served = man.footer(f) if man is not None else None
+        schema, metas = served if served is not None else _file_footer(f)
         rows += file_row_count(f, schema, metas)
     return len(files), rows
 
@@ -284,7 +291,7 @@ def clone_snapshot(
     from quiver_spark.sources.quiver_datasource import (
         _CURRENT,
         _data_root,
-        _list_files,
+        _list_files_pattern,
     )
 
     if os.path.exists(dst_table) and os.listdir(dst_table):
@@ -293,7 +300,10 @@ def clone_snapshot(
             "empty — clones only create NEW tables"
         )
     src_root = _data_root(src_table, version)
-    files = _list_files(src_root)
+    # format-agnostic: quiver and arrowipc tables share the layout
+    files = _list_files_pattern(src_root, "*.quiver") + _list_files_pattern(
+        src_root, "*.arrow"
+    )
     if not files:
         raise ValueError(f"nothing to clone: no data files under {src_root}")
     gen = "gen-000001"

@@ -517,3 +517,20 @@ def test_clone_snapshot_zero_copy_and_independent(spark, tmp_path):
     # refuse clobbering an existing table
     with pytest.raises(ValueError, match="already exists"):
         maintenance.clone_snapshot(src, dst)
+
+
+def test_clone_snapshot_arrowipc_table(spark, tmp_path):
+    """clone_snapshot is format-agnostic: an arrowipc table clones the
+    same way (hard links + manifest + pointer)."""
+    from quiver_spark import maintenance
+
+    register(spark)
+    src = str(tmp_path / "src_arrow")
+    spark.range(40).write.format("arrowipc").mode("overwrite").save(src)
+    dst = str(tmp_path / "dst_arrow")
+    res = maintenance.clone_snapshot(src, dst)
+    assert res["files_linked"] >= 1
+    got = sorted(
+        r.id for r in spark.read.format("arrowipc").load(dst).collect()
+    )
+    assert got == list(range(40))

@@ -294,7 +294,11 @@ def clone_snapshot(
         _list_files_pattern,
     )
 
-    if os.path.exists(dst_table) and os.listdir(dst_table):
+    if os.path.exists(dst_table) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(dst_table)
+    ):
+        # hidden entries (a crashed clone's _clone_tmp staging) don't
+        # count — the retry sweeps them below
         raise ValueError(
             f"clone destination {dst_table!r} already exists and is not "
             "empty — clones only create NEW tables"
@@ -307,7 +311,13 @@ def clone_snapshot(
     if not files:
         raise ValueError(f"nothing to clone: no data files under {src_root}")
     gen = "gen-000001"
-    dst_root = os.path.join(dst_table, gen)
+    # Stage into a HIDDEN directory (skipped by every listing) and rename
+    # to gen-000001 only when complete: a crash mid-link leaves the clone
+    # invisible (clean failure), never a partial table readable through
+    # flat resolution. The rename is atomic; the pointer lands last.
+    staging = os.path.join(dst_table, "_clone_tmp")
+    shutil.rmtree(staging, ignore_errors=True)
+    dst_root = staging
     os.makedirs(dst_root, exist_ok=True)
     linked = 0
     for f in files:
@@ -330,8 +340,9 @@ def clone_snapshot(
         shutil.copy2(src_man, manifest_path(dst_root))
     else:
         rebuild_manifest(dst_root)
-    # publish the clone's pointer (atomic; the clone directory is not
-    # visible as a table until this file exists)
+    final_root = os.path.join(dst_table, gen)
+    os.rename(dst_root, final_root)
+    # publish the clone's pointer (atomic)
     tmp = os.path.join(dst_table, _CURRENT + ".tmp")
     with open(tmp, "w") as fh:
         fh.write(gen)

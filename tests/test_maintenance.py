@@ -534,3 +534,38 @@ def test_clone_snapshot_arrowipc_table(spark, tmp_path):
         r.id for r in spark.read.format("arrowipc").load(dst).collect()
     )
     assert got == list(range(40))
+
+
+def test_clone_crash_leaves_no_partial_table(spark, tmp_path, monkeypatch):
+    """A clone interrupted mid-link must leave the destination INVISIBLE
+    (hidden staging, skipped by listings) — never a partial table that
+    flat resolution would silently read."""
+    import shutil as _shutil
+
+    from quiver_spark import maintenance
+    from quiver_spark.sources.quiver_datasource import _list_files
+
+    register(spark)
+    src = str(tmp_path / "src")
+    spark.range(50).coalesce(1).write.format("quiver").mode(
+        "overwrite"
+    ).save(src)
+    dst = str(tmp_path / "dst")
+
+    boom = RuntimeError("simulated crash mid-clone")
+
+    def exploding_copy2(*a, **k):
+        raise boom
+
+    # the manifest carry uses shutil.copy2 — crash there, after links
+    monkeypatch.setattr(_shutil, "copy2", exploding_copy2)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        maintenance.clone_snapshot(src, dst)
+    monkeypatch.undo()
+    # nothing reader-visible landed
+    assert _list_files(dst) in ([], [dst])
+    assert not os.path.exists(os.path.join(dst, "gen-000001"))
+    # the retry succeeds (hidden staging residue is swept, not counted)
+    res = maintenance.clone_snapshot(src, dst)
+    assert res["files_linked"] >= 1
+    assert spark.read.format("quiver").load(dst).count() == 50

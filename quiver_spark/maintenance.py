@@ -33,9 +33,18 @@ def _dir_stats(src_dir: str) -> tuple[int, int]:
     would mis-size n_out on list/struct-led schemas."""
     from quiver_spark.format.reader import file_row_count
     from quiver_spark.sources.manifest import load_manifest
-    from quiver_spark.sources.quiver_datasource import _file_footer, _list_files
+    from quiver_spark.sources.quiver_datasource import (
+        _data_root,
+        _file_footer,
+        _list_files,
+    )
 
-    man = load_manifest(src_dir)
+    # the manifest lives in the LIVE data root (generation dir for
+    # snapshot tables — the normal sink-written case); loading from the
+    # unresolved table root would always miss and silently degrade every
+    # compact/cluster plan back to O(files) footer reads
+    root = _data_root(src_dir)
+    man = load_manifest(root)
     files = _list_files(src_dir)
     rows = 0
     for f in files:
@@ -139,17 +148,36 @@ def _zorder_column(spark, df, columns):
     never wrong pruning — zone maps stay exact). Numeric / date /
     timestamp columns only."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
     n = len(columns)
     bits = 63 // n  # keep the interleaved key inside a signed 64-bit
     bits = min(16, bits)
+
+    types = {f.name: f.dataType for f in df.schema.fields}
+
+    def numeric(c):
+        # DATE cannot cast to DOUBLE in Spark; route temporals through
+        # their physical integers (epoch days / seconds) first
+        t = types[c]
+        if isinstance(t, DateType):
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        if isinstance(t, TimestampNTZType):
+            # NTZ cannot cast to a numeric under ANSI; the session-tz
+            # reinterpretation is order-preserving, which is all the
+            # Z code needs
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if isinstance(t, TimestampType):
+            return F.unix_micros(F.col(c)).cast("double")
+        return F.col(c).cast("double")
+
     stats = df.agg(
         *[
             f
             for c in columns
             for f in (
-                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+                F.min(numeric(c)).alias(f"__min_{c}"),
+                F.max(numeric(c)).alias(f"__max_{c}"),
             )
         ]
     ).collect()[0]
@@ -161,7 +189,7 @@ def _zorder_column(spark, df, columns):
             codes.append(F.lit(0).cast("long"))
             continue
         scaled = (
-            (F.col(c).cast("double") - F.lit(float(lo)))
+            (numeric(c) - F.lit(float(lo)))
             / F.lit(float(hi - lo))
             * F.lit(float(top))
         )
@@ -340,13 +368,16 @@ def clone_snapshot(
         shutil.copy2(src_man, manifest_path(dst_root))
     else:
         rebuild_manifest(dst_root)
-    final_root = os.path.join(dst_table, gen)
-    os.rename(dst_root, final_root)
-    # publish the clone's pointer (atomic)
+    # Publish order: pointer FIRST, then the staging→generation rename.
+    # A crash between the two leaves a pointer naming a not-yet-existing
+    # generation — readers fail LOUDLY ("corrupt generation pointer"),
+    # never silently read a partial flat layout — and the retry still
+    # works (both residues are hidden entries the pre-check ignores).
     tmp = os.path.join(dst_table, _CURRENT + ".tmp")
     with open(tmp, "w") as fh:
         fh.write(gen)
     os.replace(tmp, os.path.join(dst_table, _CURRENT))
+    os.rename(dst_root, os.path.join(dst_table, gen))
     return {
         "src": src_table,
         "src_snapshot": os.path.basename(src_root)
@@ -728,11 +759,9 @@ def merge_upsert(
     # SQL MERGE refuses a source with duplicate keys (the update would be
     # nondeterministic and the insert would silently double rows). One
     # aggregate on the (delta-sized) source; first offender named.
-    from pyspark.sql import functions as _F
-
     dup = (
         source.groupBy(*on)
-        .agg(_F.count(_F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .filter("n > 1")
         .limit(1)
         .collect()

@@ -25,7 +25,7 @@ from quiver_spark.tables import load
 
 JACCARD_THRESHOLD = 0.5
 #: stop-shingle cap: drop shingles appearing in more docs than
-#: GREATEST(MAX_SHINGLE_DF, ceil(SHINGLE_DF_FRAC × corpus docs)). The cap
+#: GREATEST(MAX_SHINGLE_DF, ceil(corpus docs / SHINGLE_DF_DIV)). The cap
 #: must scale with the corpus: an ABSOLUTE cap silently destroys recall
 #: once true duplicate density multiplies every shared shingle's df past
 #: it — measured round 9 on a 10×-duplicated corpus, where df=50 dropped
@@ -35,7 +35,13 @@ JACCARD_THRESHOLD = 0.5
 #: (≤5,000 docs) the floor of 50 is the binding term, so historical
 #: driver-green rows are byte-identical.
 MAX_SHINGLE_DF = 50
-SHINGLE_DF_FRAC = 0.002  # 0.2% of corpus docs
+#: 1 / the relative fraction (0.2% of corpus docs). Stored as a DIVISOR
+#: so BOTH engines compute the cap in exact integer arithmetic —
+#: ceil(nd/500) = (nd + 499) DIV 500. A float literal would differ
+#: between engines: DuckDB parses 0.002 as exact DECIMAL while Spark's
+#: lit(0.002) is a double a hair above it, so for nd near a multiple of
+#: 500 the two ceils could disagree by one and the caps diverge.
+SHINGLE_DF_DIV = 500
 #: Multi-table random-hyperplane LSH (OR-construction): L tables of k
 #: planes each — the same architecture as the minhash bands. One fixed
 #: table caps the bucket space at 2^k forever, so buckets (and the
@@ -68,8 +74,8 @@ kept AS (
     WHERE sh IN (
         SELECT sh FROM shingles GROUP BY sh
         HAVING COUNT(*) <= GREATEST({MAX_SHINGLE_DF},
-            CAST(CEIL({SHINGLE_DF_FRAC} *
-                (SELECT COUNT(DISTINCT doc_id) FROM shingles)) AS BIGINT))
+            CAST(((SELECT COUNT(DISTINCT doc_id) FROM shingles)
+                + {SHINGLE_DF_DIV - 1}) // {SHINGLE_DF_DIV} AS BIGINT))
     )
 ),
 pairs AS (
@@ -117,14 +123,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # corpus-relative df cap (see SHINGLE_DF_FRAC): the 1-row doc count
+    # corpus-relative df cap (see SHINGLE_DF_DIV): the 1-row doc count
     # rides a broadcast cross join so the whole threshold stays inside the
-    # plan — no driver-side action. Identical IEEE ceil(frac × nd) on both
-    # engines.
+    # plan — no driver-side action. Integer-exact ceil(nd/DIV) on both
+    # engines ((nd + DIV-1) DIV DIV — no float literal can diverge).
     ndocs = sh.agg(F.countDistinct("doc_id").alias("nd"))
     df_cap = F.greatest(
         F.lit(MAX_SHINGLE_DF).cast("bigint"),
-        F.ceil(F.lit(SHINGLE_DF_FRAC) * F.col("nd")).cast("bigint"),
+        F.expr(
+            f"CAST((nd + {SHINGLE_DF_DIV - 1}) DIV {SHINGLE_DF_DIV} "
+            "AS BIGINT)"
+        ),
     )
     rare = (
         sh.groupBy("sh")

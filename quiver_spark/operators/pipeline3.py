@@ -255,16 +255,18 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: stop-fingerprint cap: fingerprints shared by more than
-#: GREATEST(MAX_FP_DF, ceil(FP_DF_FRAC × corpus docs)) docs are
+#: GREATEST(MAX_FP_DF, ceil(corpus docs / FP_DF_DIV)) docs are
 #: corpus-common boilerplate, not evidence of copying — dropping them
 #: bounds the per-key join fan-out (the df-cap trick from ngram-Jaccard).
-#: Relative term for the same round-9 reason as SHINGLE_DF_FRAC: an
+#: Relative term for the same round-9 reason as SHINGLE_DF_DIV: an
 #: absolute cap collapses recall to zero once true duplicate density
 #: multiplies every shared fingerprint's df past it (a 10×-duplicated
 #: corpus multiplies df by 10); at the gate SFs (≤5,000 docs) the floor
 #: of 20 binds, so historical rows are byte-identical.
 MAX_FP_DF = 20
-FP_DF_FRAC = 0.002
+#: divisor form of 0.2% — integer-exact ceil on both engines, same
+#: rationale as SHINGLE_DF_DIV in pipeline2
+FP_DF_DIV = 500
 #: docs must share at least this many winnow fingerprints to pair up.
 MIN_SHARED_FPS = 3
 
@@ -275,8 +277,8 @@ MIN_SHARED_FPS = 3
 WITH fps AS ({SQL_WINNOW}),
 rare AS (SELECT fp FROM fps GROUP BY fp
          HAVING COUNT(*) <= GREATEST({MAX_FP_DF},
-             CAST(CEIL({FP_DF_FRAC} *
-                 (SELECT COUNT(DISTINCT doc_id) FROM fps)) AS BIGINT))),
+             CAST(((SELECT COUNT(DISTINCT doc_id) FROM fps)
+                 + {FP_DF_DIV - 1}) // {FP_DF_DIV} AS BIGINT))),
 kept AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM rare)),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
@@ -296,12 +298,13 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is df-capped, so the self-join fan-out is bounded per key —
     shuffle cost tracks actual duplication density, never corpus²."""
     fps = text_winnow_fingerprints(spark, sf_dir).persist()
-    # corpus-relative df cap (see FP_DF_FRAC): 1-row broadcast cross join
-    # keeps the threshold inside the plan, no driver action
+    # corpus-relative df cap (see FP_DF_DIV): 1-row broadcast cross join
+    # keeps the threshold inside the plan, no driver action;
+    # integer-exact ceil on both engines
     ndocs = fps.agg(F.countDistinct("doc_id").alias("nd"))
     df_cap = F.greatest(
         F.lit(MAX_FP_DF).cast("bigint"),
-        F.ceil(F.lit(FP_DF_FRAC) * F.col("nd")).cast("bigint"),
+        F.expr(f"CAST((nd + {FP_DF_DIV - 1}) DIV {FP_DF_DIV} AS BIGINT)"),
     )
     rare = (
         fps.groupBy("fp")

@@ -337,6 +337,7 @@ class ArrowIpcWriter(QuiverWriter):
             rows = 0
 
         for batch in iterator:
+            self._check_not_null(batch)
             if writer is None or rows >= self.max_rows:
                 roll(batch.schema)
             writer.write_batch(batch)

@@ -408,6 +408,14 @@ def verify_manifest(root: str) -> dict:
             report["stale"].append(rel)
             continue
         report["checked"] += 1
+        if ent.schema_idx is None or (
+            ent.fmt == FMT_QUIVER and ent.metas() is None
+        ):
+            # damaged entry (e.g. a carry that couldn't resolve its
+            # interned schema) — exactly what this tool must REPORT, not
+            # crash on; planners already treat such entries as absent
+            report["mismatched"].append(rel)
+            continue
         if ent.fmt == FMT_QUIVER:
             with open(full, "rb") as f:
                 schema, metas = read_footer(f)

@@ -1669,6 +1669,27 @@ class QuiverWriter(DataSourceArrowWriter):
             ]
             yield os.path.join(*segs), rest.slice(s, e - s)
 
+    def _check_not_null(self, batch) -> None:
+        """Enforce the require_not_null constraint on one Arrow batch —
+        called by EVERY writer subclass's write loop (quiver batch/
+        streaming AND the arrowipc override), so the constraint holds on
+        every write path."""
+        if not self.require_not_null:
+            return
+        for c in self.require_not_null:
+            if c not in batch.schema.names:
+                raise ValueError(
+                    f"require_not_null column {c!r} is not in the "
+                    f"written schema {batch.schema.names}"
+                )
+            nulls = batch.column(batch.schema.names.index(c)).null_count
+            if nulls:
+                raise ValueError(
+                    f"NOT NULL constraint violated: column {c!r} "
+                    f"has {nulls} null(s) in this write — the job "
+                    "aborts and nothing is published"
+                )
+
     def write(self, iterator) -> QuiverCommit:
         """One task → one or more .quiver files (a file is one row group,
         src/write/writer.rs:107-112; oversized tasks roll to new files;
@@ -1713,22 +1734,7 @@ class QuiverWriter(DataSourceArrowWriter):
             buffer, rows = [], 0
 
         for batch in iterator:
-            if self.require_not_null:
-                for c in self.require_not_null:
-                    if c not in batch.schema.names:
-                        raise ValueError(
-                            f"require_not_null column {c!r} is not in the "
-                            f"written schema {batch.schema.names}"
-                        )
-                    nulls = batch.column(
-                        batch.schema.names.index(c)
-                    ).null_count
-                    if nulls:
-                        raise ValueError(
-                            f"NOT NULL constraint violated: column {c!r} "
-                            f"has {nulls} null(s) in this write — the job "
-                            "aborts and nothing is published"
-                        )
+            self._check_not_null(batch)
             buffer.append(batch)
             rows += batch.num_rows
             if rows >= self.max_rows:
@@ -1927,10 +1933,22 @@ class QuiverWriter(DataSourceArrowWriter):
                     src = os.path.join(carry_root, rel)
                     dst = os.path.join(dst_root, rel)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    if not os.path.exists(src):
+                        # a carried DATA file vanished (e.g. a rival's GC
+                        # inside a lock-less store's narrow window):
+                        # committing would silently drop every row of an
+                        # UNTOUCHED file — abort loudly instead
+                        shutil.rmtree(dst_root, ignore_errors=True)
+                        raise ConcurrentWriteError(
+                            f"row-level rewrite of {self.path}: carried "
+                            f"file {rel!r} is missing from snapshot "
+                            f"{self.carry_src or '<flat>'!r} — the "
+                            "snapshot changed under the rewrite; re-run"
+                        )
                     for s, d in ((src, dst), (src + ".stats.json",
                                               dst + ".stats.json")):
                         if not os.path.exists(s):
-                            continue
+                            continue  # sidecar genuinely optional
                         try:
                             os.link(s, d)
                         except OSError:

@@ -237,3 +237,30 @@ def test_partition_by_refused(spark, tmp_path):
         ).option("partition_by", "p").mode("overwrite").save(
             str(tmp_path / "nope")
         )
+
+
+def test_require_not_null_arrowipc(spark, tmp_path):
+    """The NOT NULL write constraint holds on the arrowipc writer too
+    (code-review regression pin: the overridden write() loop used to
+    skip the check the shared __init__ parsed)."""
+    out = str(tmp_path / "t")
+    ok = spark.createDataFrame([(1, "a")], "id long, s string")
+    (
+        ok.write.format("arrowipc")
+        .mode("overwrite")
+        .option("require_not_null", "s")
+        .save(out)
+    )
+    bad = spark.createDataFrame([(2, None)], "id long, s string")
+    with pytest.raises(Exception, match="NOT NULL constraint violated"):
+        (
+            bad.write.format("arrowipc")
+            .mode("overwrite")
+            .option("require_not_null", "s")
+            .save(out)
+        )
+    # previous snapshot intact
+    assert sorted(
+        (r.id, r.s)
+        for r in spark.read.format("arrowipc").load(out).collect()
+    ) == [(1, "a")]

@@ -569,3 +569,37 @@ def test_clone_crash_leaves_no_partial_table(spark, tmp_path, monkeypatch):
     res = maintenance.clone_snapshot(src, dst)
     assert res["files_linked"] >= 1
     assert spark.read.format("quiver").load(dst).count() == 50
+
+
+def test_clone_crash_between_pointer_and_rename_is_loud_and_retryable(
+    spark, tmp_path, monkeypatch
+):
+    """Code-review pin for the pointer-first publish order: a crash
+    after the pointer lands but before the generation rename leaves the
+    clone LOUDLY unreadable (corrupt-pointer error, not a silent partial
+    table), and the retry completes it."""
+    from quiver_spark import maintenance
+    from quiver_spark.sources.quiver_datasource import _data_root as droot
+
+    register(spark)
+    src = str(tmp_path / "src")
+    spark.range(25).coalesce(1).write.format("quiver").mode(
+        "overwrite"
+    ).save(src)
+    dst = str(tmp_path / "dst")
+
+    real_rename = os.rename
+
+    def exploding_rename(a, b):
+        raise RuntimeError("simulated crash before rename")
+
+    monkeypatch.setattr(os, "rename", exploding_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        maintenance.clone_snapshot(src, dst)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # loud, not silent: the pointer names a not-yet-existing generation
+    with pytest.raises(ValueError, match="corrupt generation pointer"):
+        droot(dst)
+    # retry completes the clone
+    maintenance.clone_snapshot(src, dst)
+    assert spark.read.format("quiver").load(dst).count() == 25

@@ -325,3 +325,31 @@ def test_merge_duplicate_source_keys_raise(spark, tmp_path):
     assert _rows(spark, tbl) == sorted(
         (i, i % 7, f"row-{i}") for i in range(20)
     )
+
+
+def test_carried_file_vanishing_fails_loudly(spark, tmp_path, monkeypatch):
+    """Code-review regression pin: a carried (untouched) file missing at
+    link time — e.g. a rival's GC inside a lock-less store's window —
+    must abort the rewrite with ConcurrentWriteError, never commit a
+    snapshot silently missing that file's rows."""
+    tbl = str(tmp_path / "t")
+    _write_ranged(spark, tbl, 300, 100)
+
+    real = maintenance._touched_files
+
+    def hijacked(sp, table, predicate):
+        touched = real(sp, table, predicate)
+        # simulate the rival GC: remove one UNTOUCHED file from the live
+        # snapshot after detection
+        root = _data_root(table)
+        victims = [
+            f
+            for f in _list_files(root)
+            if os.path.relpath(f, root) not in set(touched)
+        ]
+        os.remove(victims[0])
+        return touched
+
+    monkeypatch.setattr(maintenance, "_touched_files", hijacked)
+    with pytest.raises(Exception, match="ConcurrentWriteError|missing"):
+        maintenance.delete_where(spark, tbl, "id < 50")

@@ -616,6 +616,34 @@ def _rewrite_commit(
     w.save(table)
 
 
+def _partition_only_predicate(spark, root: str, predicate: str) -> bool:
+    """True iff ``predicate`` resolves against the table's Hive partition
+    columns ALONE — checked by actually binding it with Catalyst on an
+    empty partition-columns-only frame (authoritative; a name heuristic
+    could under-match a quoted column and wrongly claim the fast path).
+    Partition values are constant per file, so such a predicate is
+    all-or-nothing per file."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructType
+
+    from quiver_spark.sources.quiver_datasource import _discover_partitions
+
+    part_cols = _discover_partitions(root)[0]
+    if not part_cols:
+        return False
+    kinds = {"long": LongType(), "double": DoubleType(), "string": StringType()}
+    schema = StructType()
+    for c, k in part_cols:
+        schema = schema.add(c, kinds[k])
+    try:
+        from pyspark.sql import functions as F
+
+        probe = spark.createDataFrame([], schema)
+        probe.filter(F.expr(predicate)).schema  # forces analysis
+        return True
+    except Exception:
+        return False
+
+
 def delete_where(spark, table: str, predicate: str, **options: str) -> dict:
     """Row-level ``DELETE FROM table WHERE predicate`` as a file-level
     copy-on-write generation commit.
@@ -655,12 +683,23 @@ def delete_where(spark, table: str, predicate: str, **options: str) -> dict:
         .option("files", json.dumps(touched))
         .load(table)
     )
-    keep = src.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+    fast = _partition_only_predicate(spark, root, predicate)
+    if fast:
+        # Partition-drop fast path: the predicate binds against the
+        # partition columns ALONE (Catalyst-verified, not a heuristic),
+        # so it is CONSTANT per file — a touched file matched wholesale
+        # and keeps zero rows. Skip the rewrite read entirely: the new
+        # generation is just the carried files. At 100 TB, dropping a
+        # day's partition costs zero data reads.
+        keep = spark.createDataFrame([], src.schema)
+    else:
+        keep = src.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
     _rewrite_commit(spark, table, keep, gen, untouched, options)
     return {
         "table": table,
         "predicate": predicate,
-        "files_rewritten": len(touched),
+        "files_rewritten": 0 if fast else len(touched),
+        "files_dropped_wholesale": len(touched) if fast else 0,
         "files_carried": len(untouched),
     }
 

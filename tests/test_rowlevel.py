@@ -353,3 +353,40 @@ def test_carried_file_vanishing_fails_loudly(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(maintenance, "_touched_files", hijacked)
     with pytest.raises(Exception, match="ConcurrentWriteError|missing"):
         maintenance.delete_where(spark, tbl, "id < 50")
+
+
+def test_partition_drop_fast_path_skips_rewrite(spark, tmp_path):
+    """A partition-only DELETE predicate drops whole partitions without
+    reading a single data row (files_rewritten == 0): the predicate is
+    constant per file, so touched files vanish and untouched files
+    carry. A mixed predicate keeps the normal rewrite path."""
+    tbl = str(tmp_path / "t")
+    (
+        _base_df(spark, 210)
+        .write.format("quiver")
+        .mode("overwrite")
+        .option("partition_by", "grp")
+        .save(tbl)
+    )
+    summary = maintenance.delete_where(spark, tbl, "grp = 2")
+    assert summary["files_rewritten"] == 0
+    assert summary["files_dropped_wholesale"] >= 1
+    assert summary["files_carried"] >= 1
+    got = sorted(
+        (r.id, r.grp)
+        for r in spark.read.format("quiver").load(tbl).collect()
+    )
+    assert got == [(i, i % 7) for i in range(210) if i % 7 != 2]
+    # mixed predicate (references a data column) uses the rewrite path
+    summary2 = maintenance.delete_where(spark, tbl, "grp = 3 AND id < 10")
+    assert summary2["files_rewritten"] >= 1
+    assert summary2["files_dropped_wholesale"] == 0
+    got2 = sorted(
+        (r.id, r.grp)
+        for r in spark.read.format("quiver").load(tbl).collect()
+    )
+    assert got2 == [
+        (i, i % 7)
+        for i in range(210)
+        if i % 7 != 2 and not (i % 7 == 3 and i < 10)
+    ]

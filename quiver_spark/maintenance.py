@@ -469,6 +469,51 @@ def rollback_generation(path: str, version: int) -> dict:
     return {"dir": path, "rolled_back_to": name, "previous": cur}
 
 
+def current_commit(table: str, version: int | None = None) -> int:
+    """The table's current manifest commit sequence — the cursor an
+    incremental consumer records after each read (0 for manifest-less or
+    freshly-rebuilt tables, whose files are all "baseline").
+
+    The sequence increments on every sink commit (append, overwrite, DML
+    rewrite — both formats) and stays monotone across generation swaps,
+    so ``table_changes(spark, t, since=cursor)`` between two observations
+    of ``current_commit`` yields exactly the files committed in between.
+    Rollback rewinds the sequence with the snapshot (changes after a
+    rollback replay from the restored point); ``rebuild_manifest`` resets
+    it (every existing file becomes baseline)."""
+    from quiver_spark.sources.manifest import load_manifest
+    from quiver_spark.sources.quiver_datasource import _data_root
+
+    man = load_manifest(_data_root(table, version))
+    return man.commit_seq if man is not None else 0
+
+
+def table_changes(
+    spark,
+    table: str,
+    since_commit: int,
+    format: str = "quiver",  # noqa: A002 (Spark's own kwarg name)
+    **options: str,
+):
+    """DataFrame of rows in files committed AFTER ``since_commit`` — the
+    incremental-consumption path: a downstream pipeline processes a 100 TB
+    table's new data without rescanning the table, reading only the
+    appended (or copy-on-write-rewritten) files.
+
+    Granularity is the FILE, the unit the commit protocol moves: appends
+    surface exactly the appended rows; row-level DELETE/UPDATE/MERGE
+    surface each rewritten file's full post-image (its untouched rows
+    ride along — consumers needing row-level deltas anti-join against
+    their previous state); carried (hard-linked) files never reappear.
+    Files the manifest cannot vouch for are conservatively included
+    (at-least-once, never silent loss)."""
+    return (
+        spark.read.format(format)
+        .options(changes_since=str(int(since_commit)), **options)
+        .load(table)
+    )
+
+
 def convert_parquet(
     spark,
     src: str,

@@ -541,3 +541,54 @@ def quiver_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_orderkey").cast("bigint").alias("order_sum"),
         )
     )
+
+
+@register(
+    "quiver_incremental_scan",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS cnt,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+WHERE doc_id % 10 >= 5
+GROUP BY lang
+""",
+    tags=("format", "manifest", "incremental", "cdc"),
+)
+def quiver_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-lite) consumption over the manifest commit
+    sequence: the table is built as three sink commits (baseline
+    overwrite = commit 1, then two appends = commits 2 and 3) and the
+    scan reads ``changes_since=1`` — ONLY the files the two appends
+    published, planned from the manifest's per-file commit stamps
+    (maintenance.table_changes). The oracle reconstructs the appended
+    row set from the parquet original, so a baseline file leaking into
+    the incremental read, or an appended file missing from it,
+    hash-fails. At 100 TB this is the path that processes a table's new
+    data without rescanning the table: O(changed files) planned, not
+    O(files)."""
+
+    def build(d: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars"
+        )
+        docs.filter("doc_id % 10 < 5").write.format("quiver").mode(
+            "overwrite"
+        ).save(d)
+        docs.filter("doc_id % 10 in (5, 6, 7)").write.format("quiver").mode(
+            "append"
+        ).save(d)
+        docs.filter("doc_id % 10 in (8, 9)").write.format("quiver").mode(
+            "append"
+        ).save(d)
+
+    d = _marker_dir(spark, sf_dir, "documents-incremental", build)
+    t = quiver_relation(spark, d, changes_since="1")
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )

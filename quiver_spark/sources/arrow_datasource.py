@@ -162,6 +162,10 @@ class ArrowIpcScanReader(DataSourceReader):
                 )
             ),
         )
+        #: incremental (CDC-lite) scan — same contract as the quiver
+        #: reader: only files committed after this manifest sequence
+        cs = options.get("changes_since")
+        self.changes_since = int(cs) if cs is not None else None
 
     def _floor(self, files: list[str]) -> int:
         if self.min_partition_bytes is not None:
@@ -175,10 +179,13 @@ class ArrowIpcScanReader(DataSourceReader):
     def partitions(self):
         from quiver_spark.sources.manifest import load_manifest
 
+        from .quiver_datasource import _files_changed_since
+
         files = _list_arrow_files(self.path)
-        parts = _batch_splits(
-            files, self._floor(files), load_manifest(self.path)
-        )
+        man = load_manifest(self.path)
+        if self.changes_since is not None:
+            files = _files_changed_since(files, man, self.changes_since)
+        parts = _batch_splits(files, self._floor(files), man)
         if not parts:
             anchor = files[0] if files else os.path.join(self.path, "_none")
             parts.append(ArrowIpcPartition(anchor, 0, 0))

@@ -86,7 +86,7 @@ def _decode_metas(raw: list):
 
 class ManifestEntry:
     __slots__ = ("size", "mtime_ns", "fmt", "schema_idx", "_metas_raw",
-                 "_metas", "sidecar", "batches")
+                 "_metas", "sidecar", "batches", "commit")
 
     def __init__(self, raw: dict):
         self.size = raw["size"]
@@ -97,6 +97,11 @@ class ManifestEntry:
         self._metas = None  # decoded lazily: partition pruning may skip
         self.sidecar = raw.get("sidecar")
         self.batches = raw.get("batches")
+        #: commit sequence that ADDED this file (0 = pre-CDC manifest or
+        #: rebuild baseline). Carried (hard-linked) files keep their
+        #: original stamp across copy-on-write rewrites, which is what
+        #: makes `changes_since` incremental scans file-minimal.
+        self.commit = int(raw.get("commit", 0))
 
     def metas(self):
         if self._metas is None and self._metas_raw is not None:
@@ -112,6 +117,9 @@ class Manifest:
         self.root = root
         self._schemas_raw: list[str] = raw.get("schemas", [])
         self._schemas: list = [None] * len(self._schemas_raw)
+        #: monotone commit counter: bumped by every sink commit (append,
+        #: overwrite — carried forward across generations via prev_root)
+        self.commit_seq = int(raw.get("commit_seq", 0))
         self.entries: dict[str, ManifestEntry] = {
             rel: ManifestEntry(e) for rel, e in raw.get("files", {}).items()
         }
@@ -297,25 +305,46 @@ def update_manifest(
     rels: list[str],
     fmt: str,
     carry: tuple[str, list[str]] | None = None,
-) -> None:
+    prev_root: str | None = None,
+) -> int:
     """Merge entries for newly-published files into the root's manifest
     (creating it if absent) and publish atomically. Callers hold the table
     writer lock (sink commit) or own the directory (maintenance rebuild),
     so read-merge-write here cannot interleave with another updater.
+    Returns the commit sequence number assigned to this commit.
+
+    Every call is one COMMIT: the manifest's ``commit_seq`` increments and
+    the newly-published files are stamped with it, which is what
+    ``changes_since`` incremental scans consume. ``prev_root`` (overwrite
+    into a fresh generation directory) seeds a brand-new manifest's
+    counter from the superseded snapshot's, keeping the sequence monotone
+    across generations.
 
     ``carry=(src_root, carried_rels)`` copies entries for files
     hard-linked from another snapshot (row-level copy-on-write): the
     source manifest's entries are reused verbatim — a link shares inode
-    stats, so the stat validation keys still hold — and only files the
-    source manifest doesn't cover fall back to footer reads. At 100 TB a
-    1%-touched rewrite thus reads ~1% of footers at commit, not all."""
+    stats, so the stat validation keys still hold (and the original
+    ``commit`` stamp rides along, keeping carried files OUT of
+    incremental reads) — and only files the source manifest doesn't cover
+    fall back to footer reads. At 100 TB a 1%-touched rewrite thus reads
+    ~1% of footers at commit, not all."""
     try:
         raw = _load_raw(root)
     except (OSError, ValueError, json.JSONDecodeError):
         raw = None  # corrupt/legacy manifest: rebuild from this commit on
     if raw is None or raw.get("version") != MANIFEST_VERSION:
         raw = {"version": MANIFEST_VERSION, "schemas": [], "files": {}}
+        if prev_root is not None and prev_root != root:
+            try:
+                prev = _load_raw(prev_root)
+            except (OSError, ValueError, json.JSONDecodeError):
+                prev = None
+            if prev is not None and prev.get("version") == MANIFEST_VERSION:
+                raw["commit_seq"] = int(prev.get("commit_seq", 0))
+    seq = int(raw.get("commit_seq", 0)) + 1
+    raw["commit_seq"] = seq
     entries = build_entries(root, rels, fmt)
+    carried_entries: dict[str, dict] = {}
     if carry is not None:
         src_root, carried = carry
         missing = list(carried)
@@ -338,11 +367,18 @@ def update_manifest(
                 si = e.pop("schema", None)
                 if si is not None and 0 <= si < len(schemas):
                     e["schema_b64"] = schemas[si]
-                entries[rel] = e
+                carried_entries[rel] = e
+        # carried files the source manifest didn't list: their true commit
+        # is unknowable, so they take THIS seq — at-least-once is the safe
+        # direction for change consumers (over-report, never silent loss)
         entries.update(build_entries(root, missing, fmt))
+    for e in entries.values():
+        e["commit"] = seq
+    entries = {**carried_entries, **entries}
     _intern_schemas(raw, entries)
     raw["files"].update(entries)
     _write_raw(root, raw)
+    return seq
 
 
 def rebuild_manifest(root: str) -> dict:

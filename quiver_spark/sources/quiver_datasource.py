@@ -227,6 +227,22 @@ def _list_files(path: str) -> list[str]:
     return _list_files_pattern(_data_root(path), "*.quiver")
 
 
+def _files_changed_since(files: list[str], man, since: int) -> list[str]:
+    """Incremental-scan file filter: keep files whose manifest commit
+    stamp is AFTER ``since``. Files the manifest cannot vouch for (absent
+    entry, stale stat, manifest-less directory) are conservatively KEPT —
+    at-least-once delivery for change consumers beats silently dropping
+    rows a pre-manifest writer added. Shared by both table formats."""
+    if man is None:
+        return files
+    out = []
+    for f in files:
+        ent = man.lookup(f)
+        if ent is None or ent.commit > since:
+            out.append(f)
+    return out
+
+
 #: Hive null-partition directory token (Spark/Hive convention)
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: inferred partition-column kind → arrow type (mirrors Spark's
@@ -730,6 +746,12 @@ class QuiverScanReader(DataSourceReader):
         self.files_subset = (
             frozenset(json.loads(fsub)) if fsub else None
         )
+        #: incremental (CDC-lite) scan: read only files COMMITTED after
+        #: this manifest commit sequence (see maintenance.table_changes).
+        #: File-granular — appends surface exactly the appended rows;
+        #: copy-on-write rewrites surface rewritten files wholesale.
+        cs = options.get("changes_since")
+        self.changes_since = int(cs) if cs is not None else None
         self.partition_rows = int(
             options.get("partition_rows", DEFAULT_PARTITION_ROWS)
         )
@@ -955,6 +977,8 @@ class QuiverScanReader(DataSourceReader):
                 for f in files
                 if os.path.relpath(f, self.path) in self.files_subset
             ]
+        if self.changes_since is not None:
+            files = _files_changed_since(files, man, self.changes_since)
         if self._part_filters:
             # directory-level pruning: non-matching files are dropped
             # before their footer is even opened — at 100 TB this is what
@@ -1960,14 +1984,28 @@ class QuiverWriter(DataSourceArrowWriter):
             # pointer swap — the manifest is part of the atomic snapshot.
             # Carried files' entries are COPIED from the source snapshot's
             # manifest (no footer re-reads at commit — O(1) there too).
-            if published or carried:
+            if published or carried or self.overwrite:
                 from .manifest import update_manifest
 
+                # prev_root keeps the CDC commit counter monotone across
+                # generation swaps (an overwrite's fresh manifest continues
+                # the superseded snapshot's sequence); the unconditional
+                # overwrite call stamps even an all-carried or empty
+                # snapshot as one commit.
                 update_manifest(
                     dst_root,
                     published,
                     self.MANIFEST_FMT,
                     carry=(carry_root, carried) if carried else None,
+                    prev_root=(
+                        (
+                            os.path.join(self.path, expected)
+                            if expected
+                            else self.path
+                        )
+                        if self.overwrite
+                        else None
+                    ),
                 )
             if self.overwrite:
                 try:

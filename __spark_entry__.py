@@ -95,6 +95,7 @@ _PRIORITY = [
     "quiver_clustered_scan",
     "quiver_bloom_lookup_scan",
     "quiver_zorder_scan",
+    "quiver_incremental_scan",
     # then the round-7 window — round 10's natural continuation
     "dedup_simhash",
     "multimodal_binary_meta",

@@ -156,6 +156,56 @@ def cmd_generations(path: str) -> dict:
     }
 
 
+def cmd_commits(path: str, version: int | None = None) -> dict:
+    """Commit history view of a table's live (or time-traveled) snapshot:
+    the manifest commit sequence with per-commit file and row counts —
+    the cursor surface for incremental consumers (``changes_since`` /
+    ``maintenance.table_changes``). Data files the manifest cannot vouch
+    for are listed separately (an incremental scan conservatively
+    includes them)."""
+    from quiver_spark.format.reader import file_row_count
+    from quiver_spark.sources.manifest import load_manifest
+    from quiver_spark.sources.quiver_datasource import (
+        _data_root,
+        _file_footer,
+        _list_files,
+    )
+
+    root = _data_root(path, version)
+    man = load_manifest(root)
+    if man is None:
+        return {
+            "dir": path,
+            "resolved_root": root,
+            "current_commit": 0,
+            "commits": [],
+            "unvouched_files": len(_list_files(root)),
+            "note": "no manifest — rebuild with `quiver-tools manifest "
+            "rebuild` to start a commit history (existing files become "
+            "baseline commit 0)",
+        }
+    per: dict[int, dict] = {}
+    unvouched = 0
+    for f in _list_files(root):
+        ent = man.lookup(f)
+        if ent is None:
+            unvouched += 1
+            continue
+        served = man.footer(f)
+        schema, metas = served if served is not None else _file_footer(f)
+        c = per.setdefault(ent.commit, {"commit": ent.commit, "files": 0,
+                                        "rows": 0})
+        c["files"] += 1
+        c["rows"] += file_row_count(f, schema, metas)
+    return {
+        "dir": path,
+        "resolved_root": root,
+        "current_commit": man.commit_seq,
+        "commits": [per[k] for k in sorted(per)],
+        "unvouched_files": unvouched,
+    }
+
+
 def cmd_verify_dir(path: str) -> dict:
     """cmd_verify over every .quiver file under a directory (recursive,
     Hive layouts included): the post-ingest / post-compaction health sweep.
@@ -227,6 +277,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="operate on a retained generation instead of the live one",
     )
+    co = sub.add_parser(
+        "commits",
+        help="manifest commit history of a table snapshot (per-commit "
+        "file/row counts — the cursors incremental changes_since scans "
+        "consume)",
+    )
+    co.add_argument("dir")
+    co.add_argument("--version", type=int, default=None)
     cl = sub.add_parser(
         "clone",
         help="zero-copy clone of a table snapshot into a NEW table "
@@ -276,6 +334,8 @@ def main(argv: list[str] | None = None) -> int:
             out = verify_manifest(root)
             print(json.dumps(out, indent=2))
             return 0 if out["ok"] else 1
+    elif args.cmd == "commits":
+        print(json.dumps(cmd_commits(args.dir, args.version), indent=2))
     elif args.cmd == "clone":
         from quiver_spark.maintenance import clone_snapshot
 

@@ -194,3 +194,30 @@ def test_clone_cli(spark, tmp_path):
     assert r.returncode == 0, r.stderr
     assert json.loads(r.stdout)["files_linked"] >= 1
     assert spark.read.format("quiver").load(dst).count() == 30
+
+
+def test_cli_commits(spark, tmp_path):
+    """`commits <dir>` reports the manifest commit sequence with
+    per-commit file/row counts — the incremental-scan cursor surface."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from quiver_spark.sources import register
+
+    register(spark)
+    out = str(tmp_path / "ctable")
+    spark.range(10).write.format("quiver").mode("overwrite").save(out)
+    spark.range(10, 15).write.format("quiver").mode("append").save(out)
+    r = subprocess.run(
+        [sys.executable, "-m", "quiver_spark", "commits", out],
+        capture_output=True, text=True, cwd="/tmp",
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stderr
+    o = _json.loads(r.stdout)
+    assert o["current_commit"] == 2
+    by_commit = {c["commit"]: c for c in o["commits"]}
+    assert by_commit[1]["rows"] == 10
+    assert by_commit[2]["rows"] == 5
+    assert o["unvouched_files"] == 0

@@ -1,0 +1,227 @@
+"""Corpus-analysis battery #7: PII detection/redaction — the scrub pass
+every pretraining-data pipeline runs before mixing (emails, phone
+numbers, IP addresses → typed placeholders, with per-source audit
+counts and a residual-leak check).
+
+The synthetic corpus carries no organic PII by construction, so the
+fixture deterministically plants reproducible synthetic PII derived from
+``doc_id`` IDENTICALLY on both engines (Spark and the DuckDB oracle);
+the operator under test is the engine-side detection + redaction
+pipeline itself — JVM regexp primitives, map-side, one final aggregate.
+
+The reference (a columnar format library) has no text surface; this is
+a driver-mandated LLM-pipeline extension in the same mold as
+operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+#: detection patterns — deliberately simple, portable regex (Java regex
+#: on the Spark side, RE2 in the DuckDB oracle): word-ish email, a
+#: NANP-style 555 phone, dotted-quad IPv4
+EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PHONE_RE = "\\b555-[0-9]{4}\\b"
+IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH enriched AS (
+    SELECT doc_id, source,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || doc_id::VARCHAR
+                        || '@mail' || (doc_id % 7)::VARCHAR || '.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR,
+                                             4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.1'
+                   ELSE '' END AS text
+    FROM documents
+),
+scrubbed AS (
+    SELECT doc_id, source,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS emails,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS phones,
+           len(regexp_extract_all(text, '{IP_RE}')) AS ips,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g'),
+               '{IP_RE}', '<IP>', 'g') AS redacted
+    FROM enriched
+)
+SELECT source,
+       COUNT(*) AS docs,
+       CAST(SUM(CASE WHEN emails + phones + ips > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(SUM(emails) AS BIGINT) AS emails,
+       CAST(SUM(phones) AS BIGINT) AS phones,
+       CAST(SUM(ips) AS BIGINT) AS ips,
+       CAST(SUM(len(regexp_extract_all(redacted, '{EMAIL_RE}'))
+                + len(regexp_extract_all(redacted, '{PHONE_RE}'))
+                + len(regexp_extract_all(redacted, '{IP_RE}')))
+            AS BIGINT) AS residual,
+       MIN(md5(redacted)) AS min_fp,
+       MAX(md5(redacted)) AS max_fp
+FROM scrubbed
+GROUP BY source
+""",
+    tags=("text", "pii", "redaction", "regexp"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit per source: detect emails / 555-phones / IPv4s,
+    redact them to typed placeholders, and report counts plus a
+    residual-leak check (re-running detection on the redacted text MUST
+    find zero — the column the oracle would expose if redaction and
+    detection ever disagreed) and md5 fingerprints of the redacted
+    texts (an engine redacting differently hash-fails).
+
+    Plan shape: the whole scrub is map-side JVM regexp (regexp_count /
+    regexp_replace — no UDF, no Python), one (source) aggregate shuffle.
+    At 100 TB: the scan streams once; cost is O(corpus) regex over
+    Arrow-backed strings with a 20-group final agg."""
+    d = load(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = F.col("t")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    s = (
+        d.withColumn("t", enriched)
+        .select(
+            "source",
+            F.regexp_count(t, F.lit(EMAIL_RE)).alias("emails"),
+            F.regexp_count(t, F.lit(PHONE_RE)).alias("phones"),
+            F.regexp_count(t, F.lit(IP_RE)).alias("ips"),
+            F.md5(redacted).alias("fp"),
+            (
+                F.regexp_count(redacted, F.lit(EMAIL_RE))
+                + F.regexp_count(redacted, F.lit(PHONE_RE))
+                + F.regexp_count(redacted, F.lit(IP_RE))
+            ).alias("res"),
+        )
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(
+            F.when(
+                F.col("emails") + F.col("phones") + F.col("ips") > 0, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("emails").cast("bigint").alias("emails"),
+        F.sum("phones").cast("bigint").alias("phones"),
+        F.sum("ips").cast("bigint").alias("ips"),
+        F.sum("res").cast("bigint").alias("residual"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+#: document-level blocklist — the C4-style "bad words" gate; fixed
+#: deterministic terms drawn from the synthetic corpus vocabulary
+BLOCK_TERMS = ("slow", "dup", "leak")
+
+
+@register(
+    "text_blocklist_filter",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           list_filter(string_split(text, ' '), t -> t <> '') AS a
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, source, len(a) AS toks,
+           len(list_filter(a,
+               t -> list_contains({list(BLOCK_TERMS)!r}, t))) AS hits
+    FROM tok
+)
+SELECT source,
+       COUNT(*) AS docs,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS blocked_docs,
+       CAST(SUM(hits) AS BIGINT) AS term_hits,
+       CAST(SUM(CASE WHEN hits = 0 THEN toks ELSE 0 END) AS BIGINT)
+           AS kept_tokens
+FROM hits
+GROUP BY source
+""",
+    tags=("text", "filter", "blocklist"),
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level blocklist filtering (the C4 "bad words" gate) with
+    the per-source audit a mixture pipeline needs: how many documents
+    each source loses to the gate and how much token mass survives.
+
+    Plan shape: tokenization + blocklist matching are pure map-side JVM
+    array ops (``filter`` over the token array against a literal array —
+    no explode, no UDF, no shuffle before the per-source aggregate). At
+    100 TB the corpus streams once; the blocklist is a Catalyst literal,
+    broadcast-free by construction."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    block = F.array(*[F.lit(t) for t in BLOCK_TERMS])
+    hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(block, t))
+    )
+    h = d.select(
+        "source",
+        F.size(toks).alias("toks"),
+        hits.alias("hits"),
+    )
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("blocked_docs"),
+        F.sum("hits").cast("bigint").alias("term_hits"),
+        F.sum(F.when(F.col("hits") == 0, F.col("toks")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

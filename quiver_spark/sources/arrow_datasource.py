@@ -552,4 +552,5 @@ class ArrowIpcStreamReader(DataSourceStreamReader):
         opts = dict(self.options)
         opts["path"] = self.path
         opts.pop("max_files_per_trigger", None)
+        opts.pop("start_commit", None)
         return ArrowIpcScanReader(opts, self.schema_struct).read(partition)

@@ -1438,6 +1438,14 @@ class QuiverStreamReader(DataSourceStreamReader):
         # use a processing-time trigger with rate limiting.
         mft = int(options.get("max_files_per_trigger", 0))
         self.max_files: int | None = mft if mft > 0 else None
+        #: start the stream AFTER this manifest commit (the Kafka
+        #: startingOffsets analogue over the CDC commit sequence): files
+        #: the manifest stamps at-or-before it seed the initial offset as
+        #: already-consumed, so a fresh stream skips the historical
+        #: backfill and tails new commits only. Checkpointed restarts
+        #: ignore it (Spark only asks initialOffset once per checkpoint).
+        sc = options.get("start_commit")
+        self.start_commit = int(sc) if sc is not None else None
         self._last: list[str] = []
 
     def _files(self) -> list[str]:
@@ -1446,7 +1454,25 @@ class QuiverStreamReader(DataSourceStreamReader):
         return [os.path.relpath(f, self.path) for f in _list_files(self.path)]
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
-        return {"files": []}
+        if self.start_commit is None:
+            return {"files": []}
+        from .manifest import load_manifest
+
+        # files committed at-or-before the cursor are "already consumed";
+        # unvouched files are NOT (conservative include — the same
+        # at-least-once contract as the batch changes_since scan). Uses
+        # self._files() so the arrowipc delegate inherits the behavior.
+        man = load_manifest(_data_root(self.path))
+        consumed = []
+        for rel in self._files():
+            ent = (
+                man.lookup(os.path.join(self.path, rel))
+                if man is not None
+                else None
+            )
+            if ent is not None and ent.commit <= self.start_commit:
+                consumed.append(rel)
+        return {"files": sorted(consumed)}
 
     def _advance(self, files: list[str]) -> None:
         """Merge an offset Spark has already planned/committed into the
@@ -1535,7 +1561,7 @@ class QuiverStreamReader(DataSourceStreamReader):
         opts = {
             str(k): v
             for k, v in dict(self.options).items()
-            if str(k) not in ("max_files_per_trigger",)
+            if str(k) not in ("max_files_per_trigger", "start_commit")
         }
         opts["path"] = self.path
         opts["partition_rows"] = str(self.partition_rows)

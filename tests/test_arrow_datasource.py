@@ -264,3 +264,34 @@ def test_require_not_null_arrowipc(spark, tmp_path):
         (r.id, r.s)
         for r in spark.read.format("arrowipc").load(out).collect()
     ) == [(1, "a")]
+
+
+def test_stream_start_commit_skips_backfill(spark, tmp_path):
+    """The arrowipc stream source inherits start_commit: a fresh stream
+    seeded at the current commit tails only later appends."""
+    from quiver_spark import maintenance
+
+    register(spark)
+    out = str(tmp_path / "cdc_arrow")
+    spark.range(50).write.format("arrowipc").mode("overwrite").save(out)
+    cursor = maintenance.current_commit(out)
+    spark.range(50, 70).write.format("arrowipc").mode("append").save(out)
+    src = (
+        spark.readStream.format("arrowipc")
+        .option("start_commit", str(cursor))
+        .load(out)
+    )
+    q = (
+        src.groupBy()
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("id").alias("ks"))
+        .writeStream.format("memory")
+        .queryName("cdc_arrow_tail")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = spark.table("cdc_arrow_tail").collect()[0]
+    assert row.cnt == 20
+    assert row.ks == sum(range(50, 70))

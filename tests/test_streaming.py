@@ -414,3 +414,38 @@ def test_stream_source_overwrite_reingests_new_generation(spark, tmp_path):
     # old snapshot consumed once, new snapshot re-ingested wholesale,
     # nothing delivered twice
     assert all_ids == list(range(10)) + list(range(100, 105)), all_ids
+
+
+def test_stream_source_start_commit_skips_backfill(spark, tmp_path):
+    """start_commit=N seeds the initial offset with every file committed
+    at-or-before N: a fresh stream tails NEW commits instead of
+    re-ingesting the historical backfill (the Kafka startingOffsets
+    analogue over the manifest commit sequence)."""
+    from quiver_spark import maintenance
+    from quiver_spark.sources import register
+
+    register(spark)
+    out = str(tmp_path / "cdc_table")
+    spark.range(100).write.format("quiver").mode("overwrite").save(out)
+    cursor = maintenance.current_commit(out)
+    assert cursor == 1
+    spark.range(100, 130).write.format("quiver").mode("append").save(out)
+    src = (
+        spark.readStream.format("quiver")
+        .option("start_commit", str(cursor))
+        .load(out)
+    )
+    q = (
+        src.groupBy()
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("id").alias("ks"))
+        .writeStream.format("memory")
+        .queryName("cdc_tail")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt-cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = spark.table("cdc_tail").collect()[0]
+    assert row.cnt == 30
+    assert row.ks == sum(range(100, 130))

@@ -466,6 +466,35 @@ def rollback_generation(path: str, version: int) -> dict:
             return {"dir": path, "rolled_back_to": name, "previous": cur,
                     "note": "already live"}
         store.swap_pointer(path, name, cur)
+        # CDC sequence-reuse guard: the restored snapshot's manifest
+        # carries an OLDER commit_seq; leaving it would let the next
+        # commit re-issue numbers the rolled-back head already used, so
+        # a consumer whose cursor passed them would silently skip new
+        # data. Fast-forward the restored counter to the rolled-back
+        # head's — cursors stay monotone; the rollback itself is
+        # invisible at file granularity (consumers that must observe it
+        # re-read from their last cursor or reset).
+        from quiver_spark.sources.manifest import (
+            MANIFEST_VERSION,
+            _load_raw,
+            _write_raw,
+        )
+
+        try:
+            restored = _load_raw(os.path.join(path, name))
+            prev_raw = _load_raw(os.path.join(path, cur))
+        except (OSError, ValueError):
+            restored = prev_raw = None
+        if (
+            restored is not None
+            and restored.get("version") == MANIFEST_VERSION
+            and prev_raw is not None
+            and prev_raw.get("version") == MANIFEST_VERSION
+        ):
+            head = int(prev_raw.get("commit_seq", 0))
+            if head > int(restored.get("commit_seq", 0)):
+                restored["commit_seq"] = head
+                _write_raw(os.path.join(path, name), restored)
     return {"dir": path, "rolled_back_to": name, "previous": cur}
 
 
@@ -478,9 +507,12 @@ def current_commit(table: str, version: int | None = None) -> int:
     rewrite — both formats) and stays monotone across generation swaps,
     so ``table_changes(spark, t, since=cursor)`` between two observations
     of ``current_commit`` yields exactly the files committed in between.
-    Rollback rewinds the sequence with the snapshot (changes after a
-    rollback replay from the restored point); ``rebuild_manifest`` resets
-    it (every existing file becomes baseline)."""
+    Rollback fast-forwards the restored snapshot's counter to the
+    rolled-back head's, so sequence numbers are never re-issued (the
+    rollback itself is invisible at file granularity — a consumer that
+    must observe it re-reads from its cursor or resets);
+    ``rebuild_manifest`` resets the sequence (every existing file
+    becomes baseline — reset consumer cursors with it)."""
     from quiver_spark.sources.manifest import load_manifest
     from quiver_spark.sources.quiver_datasource import _data_root
 

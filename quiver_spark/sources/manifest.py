@@ -86,7 +86,7 @@ def _decode_metas(raw: list):
 
 class ManifestEntry:
     __slots__ = ("size", "mtime_ns", "fmt", "schema_idx", "_metas_raw",
-                 "_metas", "sidecar", "batches", "commit")
+                 "_metas", "sidecar", "batches", "commit", "rows")
 
     def __init__(self, raw: dict):
         self.size = raw["size"]
@@ -102,6 +102,8 @@ class ManifestEntry:
         #: original stamp across copy-on-write rewrites, which is what
         #: makes `changes_since` incremental scans file-minimal.
         self.commit = int(raw.get("commit", 0))
+        #: row count at build time (None for entries from older writers)
+        self.rows = raw.get("rows")
 
     def metas(self):
         if self._metas is None and self._metas_raw is not None:
@@ -235,13 +237,14 @@ def _build_one(root: str, rel: str, fmt: str) -> tuple[str, dict] | None:
         }
         if fmt == FMT_QUIVER:
             from quiver_spark.format import stats as stats_mod
-            from quiver_spark.format.reader import read_footer
+            from quiver_spark.format.reader import file_row_count, read_footer
 
             with open(full, "rb") as f:
                 schema, metas = read_footer(f)
             entry["schema_b64"] = _schema_b64(schema)
             entry["metas"] = _encode_metas(metas)
             entry["sidecar"] = stats_mod.load_sidecar(full)
+            entry["rows"] = file_row_count(full, schema, metas)
         elif fmt == FMT_ARROW:
             import pyarrow as pa
             import pyarrow.ipc as ipc
@@ -251,6 +254,11 @@ def _build_one(root: str, rel: str, fmt: str) -> tuple[str, dict] | None:
                 r = ipc.open_file(mm)
                 entry["batches"] = r.num_record_batches
                 entry["schema_b64"] = _schema_b64(r.schema)
+                # mmap-lazy: batch metadata only, data pages untouched
+                entry["rows"] = sum(
+                    r.get_batch(i).num_rows
+                    for i in range(r.num_record_batches)
+                )
             finally:
                 mm.close()  # planning must not leak the mapping
         else:
@@ -306,6 +314,7 @@ def update_manifest(
     fmt: str,
     carry: tuple[str, list[str]] | None = None,
     prev_root: str | None = None,
+    new_commit: bool = True,
 ) -> int:
     """Merge entries for newly-published files into the root's manifest
     (creating it if absent) and publish atomically. Callers hold the table
@@ -318,7 +327,19 @@ def update_manifest(
     ``changes_since`` incremental scans consume. ``prev_root`` (overwrite
     into a fresh generation directory) seeds a brand-new manifest's
     counter from the superseded snapshot's, keeping the sequence monotone
-    across generations.
+    across generations. ``new_commit=False`` folds the entries into the
+    CURRENT sequence number instead of bumping (for a second write that
+    is part of the same logical commit, e.g. the empty-result
+    placeholder file).
+
+    Sequence-reuse guard: when an EXISTING manifest is unreadable
+    (corrupt) — or an overwrite's ``prev_root`` manifest is — the
+    history is lost, and restarting the counter at 1 would stamp
+    genuinely new files below a standing consumer's cursor (silent
+    loss). The fresh counter is instead seeded from the wall clock
+    (epoch seconds — strictly above any plausible commit count), so
+    post-reset stamps always exceed pre-reset cursors and consumers
+    re-deliver at-least-once, never skip.
 
     ``carry=(src_root, carried_rels)`` copies entries for files
     hard-linked from another snapshot (row-level copy-on-write): the
@@ -328,10 +349,12 @@ def update_manifest(
     incremental reads) — and only files the source manifest doesn't cover
     fall back to footer reads. At 100 TB a 1%-touched rewrite thus reads
     ~1% of footers at commit, not all."""
+    corrupt = False
     try:
         raw = _load_raw(root)
     except (OSError, ValueError, json.JSONDecodeError):
         raw = None  # corrupt/legacy manifest: rebuild from this commit on
+        corrupt = True
     if raw is None or raw.get("version") != MANIFEST_VERSION:
         raw = {"version": MANIFEST_VERSION, "schemas": [], "files": {}}
         if prev_root is not None and prev_root != root:
@@ -339,9 +362,20 @@ def update_manifest(
                 prev = _load_raw(prev_root)
             except (OSError, ValueError, json.JSONDecodeError):
                 prev = None
+                corrupt = corrupt or os.path.exists(
+                    manifest_path(prev_root)
+                )
             if prev is not None and prev.get("version") == MANIFEST_VERSION:
                 raw["commit_seq"] = int(prev.get("commit_seq", 0))
-    seq = int(raw.get("commit_seq", 0)) + 1
+        if corrupt:
+            import time
+
+            # lost history: jump past any possible prior cursor
+            raw["commit_seq"] = max(
+                int(raw.get("commit_seq", 0)), int(time.time())
+            )
+    seq = int(raw.get("commit_seq", 0)) + (1 if new_commit else 0)
+    seq = max(seq, 1)  # new_commit=False on a fresh manifest still stamps
     raw["commit_seq"] = seq
     entries = build_entries(root, rels, fmt)
     carried_entries: dict[str, dict] = {}

@@ -1472,7 +1472,13 @@ class QuiverStreamReader(DataSourceStreamReader):
             )
             if ent is not None and ent.commit <= self.start_commit:
                 consumed.append(rel)
-        return {"files": sorted(consumed)}
+        consumed = sorted(consumed)
+        # seed the rate-limit cursor too: latestOffset grows from _last,
+        # and an empty cursor under max_files_per_trigger would compute
+        # an end offset BELOW this initial offset and re-deliver the
+        # skipped backfill on the next batch
+        self._advance(consumed)
+        return {"files": consumed}
 
     def _advance(self, files: list[str]) -> None:
         """Merge an offset Spark has already planned/committed into the
@@ -2133,7 +2139,9 @@ class QuiverWriter(DataSourceArrowWriter):
 
         root = _data_root(self.path)
         rel = self._write_empty(root, to_arrow_schema(self.spark_schema))
-        update_manifest(root, [rel], self.MANIFEST_FMT)
+        # part of the SAME logical commit _publish just recorded — fold
+        # the placeholder into the current sequence number, don't bump
+        update_manifest(root, [rel], self.MANIFEST_FMT, new_commit=False)
 
     def abort(self, messages) -> None:
         """Drop staged output of any task that did report a message; task

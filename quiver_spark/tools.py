@@ -168,10 +168,16 @@ def cmd_commits(path: str, version: int | None = None) -> dict:
     from quiver_spark.sources.quiver_datasource import (
         _data_root,
         _file_footer,
-        _list_files,
+        _list_files_pattern,
     )
 
     root = _data_root(path, version)
+    # both table formats share the commit protocol — list both
+    data_files = [
+        f
+        for pattern in ("*.quiver", "*.arrow")
+        for f in _list_files_pattern(root, pattern)
+    ]
     man = load_manifest(root)
     if man is None:
         return {
@@ -179,24 +185,32 @@ def cmd_commits(path: str, version: int | None = None) -> dict:
             "resolved_root": root,
             "current_commit": 0,
             "commits": [],
-            "unvouched_files": len(_list_files(root)),
+            "unvouched_files": len(data_files),
             "note": "no manifest — rebuild with `quiver-tools manifest "
             "rebuild` to start a commit history (existing files become "
             "baseline commit 0)",
         }
     per: dict[int, dict] = {}
     unvouched = 0
-    for f in _list_files(root):
+    for f in data_files:
         ent = man.lookup(f)
         if ent is None:
             unvouched += 1
             continue
-        served = man.footer(f)
-        schema, metas = served if served is not None else _file_footer(f)
+        if ent.rows is not None:
+            rows = ent.rows
+        elif f.endswith(".quiver"):
+            served = man.footer(f)
+            schema, metas = (
+                served if served is not None else _file_footer(f)
+            )
+            rows = file_row_count(f, schema, metas)
+        else:
+            rows = 0  # pre-rows-entry arrow manifest: count unknown
         c = per.setdefault(ent.commit, {"commit": ent.commit, "files": 0,
                                         "rows": 0})
         c["files"] += 1
-        c["rows"] += file_row_count(f, schema, metas)
+        c["rows"] += rows
     return {
         "dir": path,
         "resolved_root": root,

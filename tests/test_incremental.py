@@ -174,3 +174,96 @@ def test_rebuild_resets_to_baseline(spark, nation_df, tmp_path):
     _write(spark, nation_df.limit(2), d, "append")
     assert maintenance.current_commit(d) == 1
     assert maintenance.table_changes(spark, d, 0).count() == 2
+
+
+def test_start_commit_with_rate_limit_never_redelivers(
+    spark, nation_df, tmp_path
+):
+    """Review pin: initialOffset must seed the rate-limit cursor —
+    otherwise latestOffset under max_files_per_trigger computes an end
+    offset BELOW the initial offset and the skipped backfill re-delivers
+    on the next batch."""
+    from quiver_spark.sources.quiver_datasource import QuiverStreamReader
+
+    d = str(tmp_path / "t")
+    _write(spark, nation_df.repartitionByRange(5, "n_nationkey"), d,
+           "overwrite")
+    cursor = maintenance.current_commit(d)
+    _write(spark, nation_df.limit(3).repartition(2), d, "append")
+    r = QuiverStreamReader(
+        {"path": d, "start_commit": str(cursor),
+         "max_files_per_trigger": "1"},
+        None,
+    )
+    start = r.initialOffset()
+    assert len(start["files"]) == 5  # the backfill, pre-consumed
+    delivered: set[str] = set(start["files"])
+    for _ in range(6):
+        end = r.latestOffset()
+        # end offsets only ever GROW past the initial offset
+        assert set(start["files"]) <= set(end["files"])
+        new = [f for f in end["files"] if f not in delivered]
+        assert len(new) <= 1
+        delivered.update(new)
+    # everything delivered beyond the seed is the append, nothing older
+    appended = delivered - set(start["files"])
+    assert len(appended) == 2
+
+
+def test_rollback_fast_forwards_commit_seq(spark, nation_df, tmp_path):
+    """Review pin: rollback must not let the sequence re-issue numbers
+    the rolled-back head already used (a cursor past them would silently
+    skip new commits)."""
+    d = str(tmp_path / "t")
+    _write(spark, nation_df.limit(5), d, "overwrite",
+           keep_generations="3")
+    _write(spark, nation_df.limit(10), d, "overwrite",
+           keep_generations="3")
+    assert maintenance.current_commit(d) == 2
+    maintenance.rollback_generation(d, 1)
+    # restored snapshot serves the HEAD's sequence, not its own old one
+    assert maintenance.current_commit(d) == 2
+    _write(spark, nation_df.filter("n_nationkey >= 20"), d, "append")
+    assert maintenance.current_commit(d) == 3
+    got = sorted(
+        r.n_nationkey
+        for r in maintenance.table_changes(spark, d, 2).collect()
+    )
+    assert got == list(range(20, 25))
+
+
+def test_empty_overwrite_is_one_commit(spark, nation_df, tmp_path):
+    """Review pin: the empty-result placeholder write is part of the
+    SAME logical commit — the sequence bumps once, not twice."""
+    d = str(tmp_path / "t")
+    _write(spark, nation_df, d, "overwrite")
+    assert maintenance.current_commit(d) == 1
+    _write(spark, nation_df.filter("n_nationkey < 0"), d, "overwrite")
+    assert maintenance.current_commit(d) == 2
+    assert maintenance.table_changes(spark, d, 2).count() == 0
+
+
+def test_corrupt_manifest_jumps_sequence_past_cursors(
+    spark, nation_df, tmp_path
+):
+    """Review pin: losing the manifest history must never stamp new
+    files BELOW a standing cursor — the fresh counter jumps to epoch
+    seconds, so consumers re-deliver (at-least-once), never skip."""
+    from quiver_spark.sources.manifest import manifest_path
+
+    d = str(tmp_path / "t")
+    _write(spark, nation_df.limit(10), d, "overwrite")
+    cursor = maintenance.current_commit(d)
+    root = _data_root(d)
+    with open(manifest_path(root), "wb") as f:
+        f.write(b"not a gzip manifest")
+    _write(spark, nation_df.filter("n_nationkey >= 20"), d, "append")
+    assert maintenance.current_commit(d) > 1_000_000_000
+    # the appended rows surface for the old cursor; the baseline files
+    # (now unvouched — their entries died with the manifest) also
+    # re-deliver, which is the documented at-least-once direction
+    got = {
+        r.n_nationkey
+        for r in maintenance.table_changes(spark, d, cursor).collect()
+    }
+    assert set(range(20, 25)) <= got

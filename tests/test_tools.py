@@ -221,3 +221,29 @@ def test_cli_commits(spark, tmp_path):
     assert by_commit[1]["rows"] == 10
     assert by_commit[2]["rows"] == 5
     assert o["unvouched_files"] == 0
+
+
+def test_cli_commits_arrow(spark, tmp_path):
+    """Review pin: the commits view covers BOTH table formats."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from quiver_spark.sources import register
+
+    register(spark)
+    out = str(tmp_path / "catable")
+    spark.range(7).write.format("arrowipc").mode("overwrite").save(out)
+    spark.range(7, 10).write.format("arrowipc").mode("append").save(out)
+    r = subprocess.run(
+        [sys.executable, "-m", "quiver_spark", "commits", out],
+        capture_output=True, text=True, cwd="/tmp",
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stderr
+    o = _json.loads(r.stdout)
+    assert o["current_commit"] == 2
+    by_commit = {c["commit"]: c for c in o["commits"]}
+    assert by_commit[1]["rows"] == 7
+    assert by_commit[2]["rows"] == 3
+    assert o["unvouched_files"] == 0

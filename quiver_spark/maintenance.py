@@ -520,6 +520,37 @@ def current_commit(table: str, version: int | None = None) -> int:
     return man.commit_seq if man is not None else 0
 
 
+def commit_at(
+    table: str, ts, version: int | None = None
+) -> int:
+    """The commit cursor as of a wall-clock instant: the LAST commit at
+    or before ``ts`` (epoch seconds, or an ISO-8601 string parsed as
+    local time unless it carries an offset). Feed it to
+    :func:`table_changes` for time-based incremental consumption —
+    "process everything since yesterday 06:00" without bookkeeping a
+    cursor between runs::
+
+        since = maintenance.commit_at(dir, "2026-08-14T06:00:00")
+        df = maintenance.table_changes(spark, dir, since)
+
+    Commits before the manifest's retained time window (the most recent
+    10k) or before the CDC feature resolve to 0 — i.e. "everything",
+    the at-least-once direction."""
+    import datetime as _dt
+
+    from quiver_spark.sources.manifest import load_manifest
+    from quiver_spark.sources.quiver_datasource import _data_root
+
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts).timestamp()
+    ts = float(ts)
+    man = load_manifest(_data_root(table, version))
+    if man is None:
+        return 0
+    at = [c for c, t in man.commit_times.items() if t <= ts]
+    return max(at) if at else 0
+
+
 def table_changes(
     spark,
     table: str,

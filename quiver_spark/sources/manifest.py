@@ -122,6 +122,12 @@ class Manifest:
         #: monotone commit counter: bumped by every sink commit (append,
         #: overwrite — carried forward across generations via prev_root)
         self.commit_seq = int(raw.get("commit_seq", 0))
+        #: commit → epoch seconds (most recent 10k; carried with the
+        #: counter) — the basis for time-based cursors
+        self.commit_times: dict[int, int] = {
+            int(k): int(v)
+            for k, v in raw.get("commit_times", {}).items()
+        }
         self.entries: dict[str, ManifestEntry] = {
             rel: ManifestEntry(e) for rel, e in raw.get("files", {}).items()
         }
@@ -367,6 +373,7 @@ def update_manifest(
                 )
             if prev is not None and prev.get("version") == MANIFEST_VERSION:
                 raw["commit_seq"] = int(prev.get("commit_seq", 0))
+                raw["commit_times"] = dict(prev.get("commit_times", {}))
         if corrupt:
             import time
 
@@ -377,6 +384,17 @@ def update_manifest(
     seq = int(raw.get("commit_seq", 0)) + (1 if new_commit else 0)
     seq = max(seq, 1)  # new_commit=False on a fresh manifest still stamps
     raw["commit_seq"] = seq
+    if new_commit:
+        import time
+
+        # wall-clock per commit → time-based cursors (commit_at). The
+        # map rides across generations with the counter; bounded to the
+        # most recent 10k commits so it can never dominate the manifest.
+        times = raw.setdefault("commit_times", {})
+        times[str(seq)] = int(time.time())
+        if len(times) > 10_000:
+            for k in sorted(times, key=int)[: len(times) - 10_000]:
+                del times[k]
     entries = build_entries(root, rels, fmt)
     carried_entries: dict[str, dict] = {}
     if carry is not None:

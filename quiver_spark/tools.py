@@ -211,6 +211,13 @@ def cmd_commits(path: str, version: int | None = None) -> dict:
                                         "rows": 0})
         c["files"] += 1
         c["rows"] += rows
+    for seq, t in man.commit_times.items():
+        if seq in per:
+            import datetime as _dt
+
+            per[seq]["committed_at"] = _dt.datetime.fromtimestamp(
+                t
+            ).isoformat()
     return {
         "dir": path,
         "resolved_root": root,

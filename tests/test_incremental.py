@@ -267,3 +267,29 @@ def test_corrupt_manifest_jumps_sequence_past_cursors(
         for r in maintenance.table_changes(spark, d, cursor).collect()
     }
     assert set(range(20, 25)) <= got
+
+
+def test_commit_at_time_based_cursor(spark, nation_df, tmp_path):
+    """commit_at resolves a wall-clock instant to the last commit at or
+    before it — the bookkeeping-free entry to table_changes."""
+    import time
+
+    d = str(tmp_path / "t")
+    _write(spark, nation_df.limit(10), d, "overwrite")
+    t1 = time.time()
+    time.sleep(1.1)  # commit times are whole seconds
+    _write(spark, nation_df.filter("n_nationkey >= 20"), d, "append")
+    assert maintenance.commit_at(d, t1) == 1
+    assert maintenance.commit_at(d, time.time() + 1) == 2
+    # before any commit → 0 → everything (at-least-once direction)
+    assert maintenance.commit_at(d, 1.0) == 0
+    got = sorted(
+        r.n_nationkey
+        for r in maintenance.table_changes(
+            spark, d, maintenance.commit_at(d, t1)
+        ).collect()
+    )
+    assert got == list(range(20, 25))
+    # the map survives a generation swap
+    _write(spark, nation_df.limit(3), d, "overwrite")
+    assert maintenance.commit_at(d, t1) == 1

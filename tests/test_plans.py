@@ -309,3 +309,23 @@ def test_token_budget_windows_stay_bucket_partitioned(spark):
     plan = plans.physical_plan(df)
     assert plans.has_broadcast_join(df), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_scrub_map_side_single_shuffle(spark):
+    """text_pii_scrub: detection + redaction are JVM regexp expressions
+    (no Python eval), so the only exchange is the partial→final source
+    aggregate."""
+    df = _df(spark, "text_pii_scrub")
+    plan = plans.physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plans.count_shuffles(df) <= 1, plan
+
+
+def test_blocklist_filter_map_side_single_shuffle(spark):
+    """text_blocklist_filter: the literal-array blocklist matches inside
+    a higher-order filter (no explode, no UDF); one aggregate shuffle."""
+    df = _df(spark, "text_blocklist_filter")
+    plan = plans.physical_plan(df)
+    assert "Explode" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plans.count_shuffles(df) <= 1, plan

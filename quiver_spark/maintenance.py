@@ -874,19 +874,33 @@ def update_where(
 
 
 def merge_upsert(
-    spark, table: str, source, on: list[str], **options: str
+    spark,
+    table: str,
+    source,
+    on: list[str],
+    delete_predicate: str | None = None,
+    **options: str,
 ) -> dict:
     """``MERGE INTO table USING source ON keys`` with the classic upsert
-    actions — WHEN MATCHED update the whole row, WHEN NOT MATCHED insert.
+    actions — WHEN MATCHED update the whole row, WHEN NOT MATCHED insert
+    — plus, when ``delete_predicate`` is given, WHEN MATCHED AND
+    predicate THEN DELETE: source rows satisfying the predicate
+    (evaluated against the SOURCE row, which may carry extra columns
+    like a CDC feed's ``op`` marker) remove their key from the target
+    instead of upserting it. This makes one call a full CDC apply:
+    ``merge_upsert(spark, t, feed, on=["id"], delete_predicate="op =
+    'delete'")`` maintains a downstream table from a change feed —
+    pair with :func:`table_changes` to chain tables.
 
     Plan shape: detection joins the target's KEY COLUMNS ONLY (projected
     scan) against the distinct source keys to find touched files; the
     rewrite anti-joins those files' rows against the source keys (rows
-    that survive unchanged) and unions the source rows (updates +
-    inserts), cast column-by-column to the target schema; untouched files
-    hard-link into the new generation. Source is typically a small delta
-    — AQE turns both joins into broadcasts; the target never shuffles
-    whole."""
+    that survive unchanged) and unions the surviving source rows
+    (updates + inserts), cast column-by-column to the target schema;
+    untouched files hard-link into the new generation. Source is
+    typically a small delta — AQE turns both joins into broadcasts; the
+    target never shuffles whole. A delete key absent from the target is
+    a no-op (anti-join semantics), matching SQL MERGE."""
     from pyspark.sql import functions as F
 
     from quiver_spark.sources import register as register_format
@@ -920,6 +934,17 @@ def merge_upsert(
             "requires at most one source row per key; de-duplicate the "
             "source first"
         )
+    upserts = source
+    n_delete_keys = 0
+    if delete_predicate is not None:
+        # predicate is source-evaluated; NULL → not a delete (SQL WHEN
+        # MATCHED AND cond semantics)
+        cond = F.coalesce(F.expr(delete_predicate), F.lit(False))
+        upserts = source.filter(~cond)
+        n_delete_keys = source.filter(cond).count()
+    # ALL source keys (upserts + deletes) drive detection and the
+    # anti-join: a deleted key's rows are dropped from the rewrite and
+    # simply not re-inserted
     keys = source.select(*on).distinct()
     det = (
         spark.read.format("quiver")
@@ -936,7 +961,7 @@ def merge_upsert(
     )
     tset = set(touched)
     untouched = [f for f in all_files if f not in tset]
-    aligned = source.select(
+    aligned = upserts.select(
         *[
             F.col(f.name).cast(f.dataType).alias(f.name)
             for f in tgt.schema.fields
@@ -958,6 +983,7 @@ def merge_upsert(
         "on": list(on),
         "files_rewritten": len(touched),
         "files_carried": len(untouched),
+        "delete_keys": n_delete_keys,
     }
 
 

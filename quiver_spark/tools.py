@@ -227,6 +227,54 @@ def cmd_commits(path: str, version: int | None = None) -> dict:
     }
 
 
+def cmd_changes(
+    path: str, since: int | None = None, at: str | None = None,
+    version: int | None = None,
+) -> dict:
+    """Changed-file listing after a cursor (``--since N``) or wall-clock
+    instant (``--at ISO``): what an incremental ``changes_since`` scan
+    would plan — file, commit stamp, rows. Unvouched files (no valid
+    manifest entry) are listed too, as an incremental scan includes
+    them."""
+    from quiver_spark.maintenance import commit_at
+    from quiver_spark.sources.manifest import load_manifest
+    from quiver_spark.sources.quiver_datasource import (
+        _data_root,
+        _files_changed_since,
+        _list_files_pattern,
+    )
+
+    if at is not None:
+        since = commit_at(path, at, version=version)
+    since = int(since or 0)
+    root = _data_root(path, version)
+    files = [
+        f
+        for pattern in ("*.quiver", "*.arrow")
+        for f in _list_files_pattern(root, pattern)
+    ]
+    man = load_manifest(root)
+    changed = _files_changed_since(files, man, since)
+    out = []
+    for f in changed:
+        ent = man.lookup(f) if man is not None else None
+        out.append(
+            {
+                "file": os.path.relpath(f, root),
+                "commit": ent.commit if ent is not None else None,
+                "rows": ent.rows if ent is not None else None,
+            }
+        )
+    return {
+        "dir": path,
+        "resolved_root": root,
+        "since_commit": since,
+        "current_commit": man.commit_seq if man is not None else 0,
+        "changed_files": out,
+        "total_rows": sum(e["rows"] or 0 for e in out),
+    }
+
+
 def cmd_verify_dir(path: str) -> dict:
     """cmd_verify over every .quiver file under a directory (recursive,
     Hive layouts included): the post-ingest / post-compaction health sweep.
@@ -306,6 +354,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     co.add_argument("dir")
     co.add_argument("--version", type=int, default=None)
+    ch = sub.add_parser(
+        "changes",
+        help="changed files after a commit cursor (--since N) or "
+        "wall-clock instant (--at ISO) — what an incremental "
+        "changes_since scan plans",
+    )
+    ch.add_argument("dir")
+    ch.add_argument("--since", type=int, default=None)
+    ch.add_argument("--at", default=None)
+    ch.add_argument("--version", type=int, default=None)
     cl = sub.add_parser(
         "clone",
         help="zero-copy clone of a table snapshot into a NEW table "
@@ -357,6 +415,16 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if out["ok"] else 1
     elif args.cmd == "commits":
         print(json.dumps(cmd_commits(args.dir, args.version), indent=2))
+    elif args.cmd == "changes":
+        print(
+            json.dumps(
+                cmd_changes(
+                    args.dir, since=args.since, at=args.at,
+                    version=args.version,
+                ),
+                indent=2,
+            )
+        )
     elif args.cmd == "clone":
         from quiver_spark.maintenance import clone_snapshot
 

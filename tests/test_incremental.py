@@ -293,3 +293,78 @@ def test_commit_at_time_based_cursor(spark, nation_df, tmp_path):
     # the map survives a generation swap
     _write(spark, nation_df.limit(3), d, "overwrite")
     assert maintenance.commit_at(d, t1) == 1
+
+
+def test_commit_seq_property_random_interleavings(tmp_path):
+    """Property pin (library level, no Spark): across any interleaving
+    of appends, overwrites (fresh roots seeded via prev_root), and
+    carries, the sequence is strictly monotone per commit, every new
+    file's stamp equals its commit, and carried stamps are preserved."""
+    import pyarrow as pa
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+    from quiver_spark.sources.manifest import (
+        load_manifest,
+        update_manifest,
+    )
+
+    rng = __import__("random").Random(42)
+    root = str(tmp_path / "g1")
+    os.makedirs(root)
+    seq_seen = 0
+    stamps: dict[str, int] = {}  # file -> expected stamp
+    counter = 0
+    for step in range(30):
+        op = rng.choice(["append", "overwrite", "carry_overwrite"])
+        if op == "append":
+            rels = []
+            for _ in range(rng.randint(1, 3)):
+                counter += 1
+                rel = f"f{counter}.quiver"
+                write_table(
+                    pa.table({"x": pa.array([counter], pa.int64())}),
+                    os.path.join(root, rel),
+                    WriteOptions(),
+                )
+                rels.append(rel)
+            seq = update_manifest(root, rels, "quiver")
+            for r in rels:
+                stamps[r] = seq
+        else:
+            new_root = str(tmp_path / f"g{step + 2}")
+            os.makedirs(new_root)
+            counter += 1
+            rel = f"f{counter}.quiver"
+            write_table(
+                pa.table({"x": pa.array([counter], pa.int64())}),
+                os.path.join(new_root, rel),
+                WriteOptions(),
+            )
+            carry = None
+            carried_stamps = {}
+            if op == "carry_overwrite" and stamps:
+                pick = rng.sample(
+                    sorted(stamps), rng.randint(1, len(stamps))
+                )
+                for c in pick:
+                    os.link(
+                        os.path.join(root, c),
+                        os.path.join(new_root, c),
+                    )
+                    carried_stamps[c] = stamps[c]
+                carry = (root, pick)
+            seq = update_manifest(
+                new_root, [rel], "quiver", carry=carry, prev_root=root
+            )
+            stamps = {rel: seq, **carried_stamps}
+            root = new_root
+        assert seq == seq_seen + 1, f"non-monotone at step {step}"
+        seq_seen = seq
+        man = load_manifest(root)
+        assert man.commit_seq == seq
+        for r, expect in stamps.items():
+            ent = man.entries.get(r)
+            assert ent is not None and ent.commit == expect, (
+                f"step {step}: {r} stamped {ent and ent.commit}, "
+                f"expected {expect}"
+            )

@@ -390,3 +390,34 @@ def test_partition_drop_fast_path_skips_rewrite(spark, tmp_path):
         for i in range(210)
         if i % 7 != 2 and not (i % 7 == 3 and i < 10)
     ]
+
+
+def test_merge_with_delete_predicate_applies_cdc_feed(spark, tmp_path):
+    """delete_predicate turns merge into a full CDC apply: source rows
+    matching it (e.g. op='delete' markers) remove their key; the rest
+    upsert. One commit, untouched files carried."""
+    tbl = str(tmp_path / "t")
+    _write(spark, _base_df(spark, 10), tbl)
+    feed = spark.createDataFrame(
+        [
+            (3, 99, "updated", "upsert"),
+            (100, 2, "row-100", "upsert"),
+            (5, 5, "row-5", "delete"),
+            (77, 0, "never-was", "delete"),  # absent key: no-op
+        ],
+        "id long, grp long, tag string, op string",
+    )
+    res = maintenance.merge_upsert(
+        spark, tbl, feed, on=["id"], delete_predicate="op = 'delete'"
+    )
+    assert res["delete_keys"] == 2
+    rows = {
+        r.id: (r.grp, r.tag)
+        for r in spark.read.format("quiver").load(tbl).collect()
+    }
+    assert 5 not in rows and 77 not in rows
+    assert rows[3] == (99, "updated")
+    assert rows[100] == (2, "row-100")
+    assert len(rows) == 10  # 10 base - 1 deleted + 1 inserted
+    for i in (0, 1, 2, 4, 6, 7, 8, 9):
+        assert rows[i] == (i % 7, f"row-{i}")

@@ -247,3 +247,38 @@ def test_cli_commits_arrow(spark, tmp_path):
     assert by_commit[1]["rows"] == 7
     assert by_commit[2]["rows"] == 3
     assert o["unvouched_files"] == 0
+
+
+def test_cli_changes(spark, tmp_path):
+    """`changes <dir> --since N` lists exactly the files an incremental
+    scan would plan, with commit stamps and row counts."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from quiver_spark.sources import register
+
+    register(spark)
+    out = str(tmp_path / "chtable")
+    spark.range(10).write.format("quiver").mode("overwrite").save(out)
+    spark.range(10, 14).write.format("quiver").mode("append").save(out)
+    r = subprocess.run(
+        [sys.executable, "-m", "quiver_spark", "changes", out,
+         "--since", "1"],
+        capture_output=True, text=True, cwd="/tmp",
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stderr
+    o = _json.loads(r.stdout)
+    assert o["since_commit"] == 1 and o["current_commit"] == 2
+    assert all(e["commit"] == 2 for e in o["changed_files"])
+    assert o["total_rows"] == 4
+    # --since at head: nothing
+    r2 = subprocess.run(
+        [sys.executable, "-m", "quiver_spark", "changes", out,
+         "--since", "2"],
+        capture_output=True, text=True, cwd="/tmp",
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"},
+    )
+    o2 = _json.loads(r2.stdout)
+    assert o2["changed_files"] == [] and o2["total_rows"] == 0

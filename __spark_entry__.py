@@ -96,6 +96,7 @@ _PRIORITY = [
     "quiver_bloom_lookup_scan",
     "quiver_zorder_scan",
     "quiver_incremental_scan",
+    "quiver_merge_cdc_scan",
     "text_pii_scrub",
     "text_blocklist_filter",
     # then the round-7 window — round 10's natural continuation

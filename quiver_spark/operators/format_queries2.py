@@ -592,3 +592,77 @@ def quiver_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
     )
+
+
+@register(
+    "quiver_merge_cdc_scan",
+    oracle="""
+WITH final AS (
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN 'UPSERTED' ELSE n_name END
+               AS n_name,
+           n_regionkey
+    FROM nation
+    WHERE n_regionkey <> 3
+    UNION ALL
+    SELECT n_nationkey + 100, 'INSERTED', n_regionkey
+    FROM nation WHERE n_regionkey = 4
+)
+SELECT n_regionkey,
+       COUNT(*) AS cnt,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS min_name
+FROM final
+GROUP BY n_regionkey
+""",
+    tags=("format", "dml", "merge", "cdc"),
+)
+def quiver_merge_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE as a full CDC apply: one feed carries updates (region-0
+    renames), inserts (region-4 re-keyed +100), and DELETE markers
+    (``op = 'delete'`` for every region-3 nation); one
+    ``merge_upsert(..., delete_predicate="op = 'delete'")`` call applies
+    all three against the quiver table. The oracle rebuilds the final
+    state from the parquet original — a deleted key surviving, an
+    update lost, or an insert doubled hash-fails. This is the operator
+    that maintains a downstream table from a change feed (pairs with
+    maintenance.table_changes upstream)."""
+
+    def build(d: str) -> None:
+        from quiver_spark import maintenance
+
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        (
+            n.repartitionByRange(3, "n_nationkey")
+            .sortWithinPartitions("n_nationkey")
+            .write.format("quiver")
+            .mode("overwrite")
+            .save(d)
+        )
+        updates = (
+            n.filter("n_regionkey = 0")
+            .withColumn("n_name", F.lit("UPSERTED"))
+            .withColumn("op", F.lit("upsert"))
+        )
+        inserts = (
+            n.filter("n_regionkey = 4")
+            .withColumn("n_nationkey", F.col("n_nationkey") + F.lit(100))
+            .withColumn("n_name", F.lit("INSERTED"))
+            .withColumn("op", F.lit("upsert"))
+        )
+        deletes = n.filter("n_regionkey = 3").withColumn(
+            "op", F.lit("delete")
+        )
+        feed = updates.unionByName(inserts).unionByName(deletes)
+        maintenance.merge_upsert(
+            spark, d, feed, on=["n_nationkey"],
+            delete_predicate="op = 'delete'",
+        )
+
+    d = _marker_dir(spark, sf_dir, "nation-merged-cdc", build)
+    m = quiver_relation(spark, d)
+    return m.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.min("n_name").alias("min_name"),
+    )

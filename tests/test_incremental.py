@@ -368,3 +368,29 @@ def test_commit_seq_property_random_interleavings(tmp_path):
                 f"step {step}: {r} stamped {ent and ent.commit}, "
                 f"expected {expect}"
             )
+
+
+def test_changes_since_with_schema_evolution(spark, nation_df, tmp_path):
+    """An append that ADDS a column still surfaces through an
+    incremental read: merge_schemas unions the footers and the changed
+    files' new column is read, baseline files stay excluded."""
+    d = str(tmp_path / "t")
+    _write(spark, nation_df.select("n_nationkey", "n_name"), d,
+           "overwrite")
+    cursor = maintenance.current_commit(d)
+    from pyspark.sql import functions as F
+
+    _write(
+        spark,
+        nation_df.select("n_nationkey", "n_name")
+        .filter("n_nationkey >= 20")
+        .withColumn("n_nationkey", F.col("n_nationkey") + 100)
+        .withColumn("flag", F.lit("new")),
+        d,
+        "append",
+    )
+    got = maintenance.table_changes(
+        spark, d, cursor, merge_schemas="true"
+    ).collect()
+    assert sorted(r.n_nationkey for r in got) == list(range(120, 125))
+    assert all(r.flag == "new" for r in got)

@@ -394,3 +394,21 @@ def test_changes_since_with_schema_evolution(spark, nation_df, tmp_path):
     ).collect()
     assert sorted(r.n_nationkey for r in got) == list(range(120, 125))
     assert all(r.flag == "new" for r in got)
+
+
+def test_changes_since_on_partitioned_table(spark, nation_df, tmp_path):
+    """The daily-partition append — the most common CDC shape: appends
+    into a Hive-partitioned table surface exactly the new partition's
+    rows, with partition discovery intact on the incremental read."""
+    d = str(tmp_path / "t")
+    _write(spark, nation_df.filter("n_regionkey < 3"), d, "overwrite",
+           partition_by="n_regionkey")
+    cursor = maintenance.current_commit(d)
+    _write(spark, nation_df.filter("n_regionkey >= 3"), d, "append",
+           partition_by="n_regionkey")
+    got = maintenance.table_changes(spark, d, cursor)
+    rows = got.collect()
+    assert sorted({r.n_regionkey for r in rows}) == [3, 4]
+    expect = {r.n_nationkey for r in
+              nation_df.filter("n_regionkey >= 3").collect()}
+    assert {r.n_nationkey for r in rows} == expect

@@ -100,7 +100,12 @@ def main() -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise SystemExit(
+            "streaming tail did not finish within 120 s — results "
+            "would be partial; re-run on a less loaded host"
+        )
     print("streamed tail (appends only, backfill skipped):")
     spark.table("cdc_tail").orderBy("lang").show(5)
 

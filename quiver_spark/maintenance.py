@@ -917,31 +917,45 @@ def merge_upsert(
             f"source is missing target columns: {src_missing} — upsert "
             "replaces whole rows, so the source must carry every column"
         )
+    upserts = source
+    n_delete_keys = 0
+    cond = None
+    if delete_predicate is not None:
+        # predicate is source-evaluated; NULL → not a delete (SQL WHEN
+        # MATCHED AND cond semantics)
+        cond = F.coalesce(F.expr(delete_predicate), F.lit(False))
+        upserts = source.filter(~cond)
     # SQL MERGE refuses a source with duplicate keys (the update would be
-    # nondeterministic and the insert would silently double rows). One
-    # aggregate on the (delta-sized) source; first offender named.
-    dup = (
-        source.groupBy(*on)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter("n > 1")
-        .limit(1)
-        .collect()
+    # nondeterministic and the insert would silently double rows). ONE
+    # aggregate on the (delta-sized) source carries both the dup check
+    # and the delete-key count; the first offender is named by a second
+    # query only on the error path.
+    per_key = source.groupBy(*on).agg(
+        F.count(F.lit(1)).alias("n"),
+        *(
+            [F.max(F.when(cond, 1).otherwise(0)).alias("is_del")]
+            if delete_predicate is not None
+            else []
+        ),
     )
-    if dup:
+    stats = per_key.agg(
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dup_keys"),
+        *(
+            [F.sum("is_del").alias("del_keys")]
+            if delete_predicate is not None
+            else []
+        ),
+    ).collect()[0]
+    if stats["dup_keys"]:
+        dup = per_key.filter("n > 1").limit(1).collect()
         raise ValueError(
             f"merge source has duplicate keys (e.g. "
             f"{tuple(dup[0][c] for c in on)} x{dup[0]['n']}) — MERGE "
             "requires at most one source row per key; de-duplicate the "
             "source first"
         )
-    upserts = source
-    n_delete_keys = 0
     if delete_predicate is not None:
-        # predicate is source-evaluated; NULL → not a delete (SQL WHEN
-        # MATCHED AND cond semantics)
-        cond = F.coalesce(F.expr(delete_predicate), F.lit(False))
-        upserts = source.filter(~cond)
-        n_delete_keys = source.filter(cond).count()
+        n_delete_keys = int(stats["del_keys"] or 0)
     # ALL source keys (upserts + deletes) drive detection and the
     # anti-join: a deleted key's rows are dropped from the rewrite and
     # simply not re-inserted

@@ -390,8 +390,14 @@ def update_manifest(
         # wall-clock per commit → time-based cursors (commit_at). The
         # map rides across generations with the counter; bounded to the
         # most recent 10k commits so it can never dominate the manifest.
+        # Stamps are forced MONOTONE (never below an earlier commit's):
+        # a backwards clock step would otherwise let commit_at's
+        # max-below-instant resolution skip a commit — the silent-loss
+        # direction every other reset path here guards against.
         times = raw.setdefault("commit_times", {})
-        times[str(seq)] = int(time.time())
+        times[str(seq)] = max(
+            int(time.time()), max(map(int, times.values()), default=0)
+        )
         if len(times) > 10_000:
             for k in sorted(times, key=int)[: len(times) - 10_000]:
                 del times[k]

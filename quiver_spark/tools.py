@@ -156,6 +156,18 @@ def cmd_generations(path: str) -> dict:
     }
 
 
+def _table_data_files(root: str) -> list[str]:
+    """Data files of both table formats under a resolved root, deduped
+    (a non-directory path comes back once, not once per pattern)."""
+    from quiver_spark.sources.quiver_datasource import _list_files_pattern
+
+    seen: dict[str, None] = {}
+    for pattern in ("*.quiver", "*.arrow"):
+        for f in _list_files_pattern(root, pattern):
+            seen[f] = None
+    return list(seen)
+
+
 def cmd_commits(path: str, version: int | None = None) -> dict:
     """Commit history view of a table's live (or time-traveled) snapshot:
     the manifest commit sequence with per-commit file and row counts —
@@ -168,16 +180,11 @@ def cmd_commits(path: str, version: int | None = None) -> dict:
     from quiver_spark.sources.quiver_datasource import (
         _data_root,
         _file_footer,
-        _list_files_pattern,
     )
 
     root = _data_root(path, version)
     # both table formats share the commit protocol — list both
-    data_files = [
-        f
-        for pattern in ("*.quiver", "*.arrow")
-        for f in _list_files_pattern(root, pattern)
-    ]
+    data_files = _table_data_files(root)
     man = load_manifest(root)
     if man is None:
         return {
@@ -241,18 +248,15 @@ def cmd_changes(
     from quiver_spark.sources.quiver_datasource import (
         _data_root,
         _files_changed_since,
-        _list_files_pattern,
     )
 
+    if at is not None and since is not None:
+        raise ValueError("pass --since or --at, not both")
     if at is not None:
         since = commit_at(path, at, version=version)
     since = int(since or 0)
     root = _data_root(path, version)
-    files = [
-        f
-        for pattern in ("*.quiver", "*.arrow")
-        for f in _list_files_pattern(root, pattern)
-    ]
+    files = _table_data_files(root)
     man = load_manifest(root)
     changed = _files_changed_since(files, man, since)
     out = []
@@ -361,8 +365,9 @@ def main(argv: list[str] | None = None) -> int:
         "changes_since scan plans",
     )
     ch.add_argument("dir")
-    ch.add_argument("--since", type=int, default=None)
-    ch.add_argument("--at", default=None)
+    chx = ch.add_mutually_exclusive_group()
+    chx.add_argument("--since", type=int, default=None)
+    chx.add_argument("--at", default=None)
     ch.add_argument("--version", type=int, default=None)
     cl = sub.add_parser(
         "clone",

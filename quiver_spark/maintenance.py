@@ -428,6 +428,68 @@ def expire_generations(path: str, keep: int = 1) -> dict:
     return {"dir": path, "removed": removed, "kept": sorted(kept)}
 
 
+def vacuum(
+    path: str, keep: int = 1, staging_age_sec: int = 24 * 3600
+) -> dict:
+    """One-call table housekeeping — the Delta VACUUM analogue on the
+    generation protocol: (1) expire retained generations beyond the
+    newest ``keep`` (:func:`expire_generations`; the live one is always
+    kept), (2) sweep abandoned write-attempt staging directories older
+    than ``staging_age_sec`` (tasks that died before reporting leave
+    them invisible-but-not-free), and (3) remove orphan stats sidecars
+    whose data file is gone (a crash between a data-file delete and its
+    sidecar's). Driver-local, no Spark session; every step is safe on a
+    live table — nothing reader-visible is touched."""
+    import shutil
+    import time as _time
+
+    from quiver_spark.sources.quiver_datasource import (
+        _STAGING_DIR,
+        _data_root,
+    )
+
+    expired = expire_generations(path, keep=keep)
+    swept_staging = []
+    stage_root = os.path.join(path, _STAGING_DIR)
+    if os.path.isdir(stage_root):
+        cutoff = _time.time() - staging_age_sec
+        for entry in os.listdir(stage_root):
+            full = os.path.join(stage_root, entry)
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+                    swept_staging.append(entry)
+            except OSError:
+                continue
+        try:
+            os.rmdir(stage_root)
+        except OSError:
+            pass
+    orphan_sidecars = []
+    root = _data_root(path)
+    for dirpath, _dirs, files in os.walk(root):
+        if _STAGING_DIR in dirpath.split(os.sep):
+            continue
+        for f in files:
+            if not f.endswith(".stats.json"):
+                continue
+            data = os.path.join(dirpath, f[: -len(".stats.json")])
+            if not os.path.exists(data):
+                try:
+                    os.unlink(os.path.join(dirpath, f))
+                    orphan_sidecars.append(
+                        os.path.relpath(os.path.join(dirpath, f), root)
+                    )
+                except OSError:
+                    continue
+    return {
+        "dir": path,
+        "expired_generations": expired.get("removed", []),
+        "staging_swept": swept_staging,
+        "orphan_sidecars_removed": orphan_sidecars,
+    }
+
+
 def rollback_generation(path: str, version: int) -> dict:
     """Point the table back at a RETAINED older generation — the undo for
     a bad overwrite, completing the snapshot feature operationally

@@ -333,6 +333,14 @@ def main(argv: list[str] | None = None) -> int:
     x = sub.add_parser("expire")
     x.add_argument("dir")
     x.add_argument("--keep", type=int, default=1)
+    v = sub.add_parser(
+        "vacuum",
+        help="one-call housekeeping: expire old generations (--keep N), "
+        "sweep abandoned staging attempts, remove orphan sidecars",
+    )
+    v.add_argument("dir")
+    v.add_argument("--keep", type=int, default=1)
+    v.add_argument("--staging-age-sec", type=int, default=24 * 3600)
     r = sub.add_parser("rollback")
     r.add_argument("dir")
     r.add_argument("--to", type=int, required=True, metavar="VERSION")
@@ -400,6 +408,19 @@ def main(argv: list[str] | None = None) -> int:
         from quiver_spark.maintenance import expire_generations
 
         print(json.dumps(expire_generations(args.dir, keep=args.keep), indent=2))
+    elif args.cmd == "vacuum":
+        from quiver_spark.maintenance import vacuum
+
+        print(
+            json.dumps(
+                vacuum(
+                    args.dir,
+                    keep=args.keep,
+                    staging_age_sec=args.staging_age_sec,
+                ),
+                indent=2,
+            )
+        )
     elif args.cmd == "rollback":
         from quiver_spark.maintenance import rollback_generation
 

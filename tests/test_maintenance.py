@@ -603,3 +603,37 @@ def test_clone_crash_between_pointer_and_rename_is_loud_and_retryable(
     # retry completes the clone
     maintenance.clone_snapshot(src, dst)
     assert spark.read.format("quiver").load(dst).count() == 25
+
+
+def test_vacuum_housekeeping(spark, tmp_path):
+    """vacuum = expire + staging sweep + orphan-sidecar removal, safe on
+    a live table (current generation and its files untouched)."""
+    import os
+    import time
+
+    from quiver_spark import maintenance
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "t")
+    for k in range(3):
+        spark.range(k * 10, (k + 1) * 10).write.format("quiver").option(
+            "keep_generations", "5"
+        ).mode("overwrite").save(d)
+    # abandoned staging attempt (old) + orphan sidecar in the live root
+    stage = os.path.join(d, "_temporary", "task-dead")
+    os.makedirs(stage)
+    os.utime(os.path.join(d, "_temporary", "task-dead"),
+             (time.time() - 90000, time.time() - 90000))
+    from quiver_spark.sources.quiver_datasource import _data_root
+
+    root = _data_root(d)
+    orphan = os.path.join(root, "gone.quiver.stats.json")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    res = maintenance.vacuum(d, keep=1)
+    assert res["expired_generations"] == ["gen-000001", "gen-000002"]
+    assert res["staging_swept"] == ["task-dead"]
+    assert res["orphan_sidecars_removed"] == ["gone.quiver.stats.json"]
+    back = spark.read.format("quiver").load(d)
+    assert sorted(r.id for r in back.collect()) == list(range(20, 30))

@@ -122,6 +122,25 @@ def main() -> None:
     mf_quiver_df = quiver_relation(spark, mf_qv)
     mf_parquet_df = spark.read.parquet(mf_pq)
 
+    # CDC proxy fixture (round-9 incremental scans): a 64-file baseline
+    # commit plus a 1% append — the incremental side plans ONLY the
+    # appended file from the manifest's commit stamps, the full side
+    # rescans everything. Separate fixture from the manyfiles pair so
+    # the append can't skew that ratio.
+    cdc_qv = os.path.join(CACHE_ROOT, tag, "lineitem-cdc-qv")
+    if not os.path.exists(os.path.join(cdc_qv, "_done")):
+        li0 = spark.read.parquet(li_parquet)
+        li0.filter("l_orderkey % 100 > 0").repartition(64).write.format(
+            "quiver"
+        ).mode("overwrite").save(cdc_qv)
+        li0.filter("l_orderkey % 100 = 0").coalesce(1).write.format(
+            "quiver"
+        ).mode("append").save(cdc_qv)
+        with open(os.path.join(cdc_qv, "_done"), "w") as f:
+            f.write("ok")
+    cdc_full_df = quiver_relation(spark, cdc_qv)
+    cdc_changes_df = quiver_relation(spark, cdc_qv, changes_since="1")
+
     import tempfile
 
     wdir = tempfile.mkdtemp(prefix="quiver_bench_write_")
@@ -165,6 +184,16 @@ def main() -> None:
         .mode("overwrite")
         .save(),
         "manyfiles_quiver_lineitem": lambda: mf_quiver_df.write.format(
+            "noop"
+        )
+        .mode("overwrite")
+        .save(),
+        "cdc_full_quiver_lineitem": lambda: cdc_full_df.write.format(
+            "noop"
+        )
+        .mode("overwrite")
+        .save(),
+        "cdc_changes_quiver_lineitem": lambda: cdc_changes_df.write.format(
             "noop"
         )
         .mode("overwrite")
@@ -238,6 +267,11 @@ def main() -> None:
                     k: medians[k] for k in slowest10 if k in medians
                 },
                 "adaptive_vs_basic_compression_ratio": comp_ratio,
+                "quiver_cdc_incremental_speedup": round(
+                    timings["cdc_full_quiver_lineitem"]
+                    / max(timings["cdc_changes_quiver_lineitem"], 1e-9),
+                    3,
+                ),
                 "quiver_vs_parquet_manyfiles_ratio": round(
                     timings["manyfiles_quiver_lineitem"]
                     / timings["manyfiles_parquet_lineitem"],

@@ -412,3 +412,55 @@ def test_changes_since_on_partitioned_table(spark, nation_df, tmp_path):
     expect = {r.n_nationkey for r in
               nation_df.filter("n_regionkey >= 3").collect()}
     assert {r.n_nationkey for r in rows} == expect
+
+
+def test_streaming_sink_commits_are_cdc_consumable(spark, tmp_path):
+    """The streaming SINK is a CDC producer out of the box: each
+    micro-batch commit bumps the sequence, so a batch consumer can tail
+    a stream-landed table with table_changes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    register(spark)
+    src_dir = str(tmp_path / "landing")
+    os.makedirs(src_dir)
+    pq.write_table(
+        pa.table({"id": pa.array(range(10), pa.int64())}),
+        os.path.join(src_dir, "a.parquet"),
+    )
+    out = str(tmp_path / "sinked")
+    q = (
+        spark.readStream.schema("id long")
+        .parquet(src_dir)
+        .writeStream.format("quiver")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cursor_after_first = maintenance.current_commit(out)
+    assert cursor_after_first >= 1
+    # a second landing file → a second micro-batch → a later commit
+    pq.write_table(
+        pa.table({"id": pa.array(range(10, 15), pa.int64())}),
+        os.path.join(src_dir, "b.parquet"),
+    )
+    q2 = (
+        spark.readStream.schema("id long")
+        .parquet(src_dir)
+        .writeStream.format("quiver")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert maintenance.current_commit(out) > cursor_after_first
+    got = sorted(
+        r.id
+        for r in maintenance.table_changes(
+            spark, out, cursor_after_first
+        ).collect()
+    )
+    assert got == list(range(10, 15))

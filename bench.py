@@ -129,6 +129,12 @@ def main() -> None:
     # the append can't skew that ratio.
     cdc_qv = os.path.join(CACHE_ROOT, tag, "lineitem-cdc-qv")
     if not os.path.exists(os.path.join(cdc_qv, "_done")):
+        import shutil as _shutil
+
+        # a partial build (crash between overwrite and append) would
+        # leave a higher commit counter and break the changes_since="1"
+        # contract below — rebuild from scratch
+        _shutil.rmtree(cdc_qv, ignore_errors=True)
         li0 = spark.read.parquet(li_parquet)
         li0.filter("l_orderkey % 100 > 0").repartition(64).write.format(
             "quiver"

@@ -434,42 +434,46 @@ def vacuum(
     """One-call table housekeeping — the Delta VACUUM analogue on the
     generation protocol: (1) expire retained generations beyond the
     newest ``keep`` (:func:`expire_generations`; the live one is always
-    kept), (2) sweep abandoned write-attempt staging directories older
-    than ``staging_age_sec`` (tasks that died before reporting leave
+    kept), (2) sweep abandoned write staging older than
+    ``staging_age_sec`` — both task-attempt dirs under ``_temporary``
+    and a crashed clone's ``_clone_tmp`` (tasks/clones that died leave
     them invisible-but-not-free), and (3) remove orphan stats sidecars
     whose data file is gone (a crash between a data-file delete and its
-    sidecar's). Driver-local, no Spark session; every step is safe on a
-    live table — nothing reader-visible is touched."""
+    sidecar's). Driver-local, no Spark session; nothing reader-visible
+    is touched. PRECONDITION on the staging sweep: ``staging_age_sec``
+    must exceed the longest in-flight write or clone against this table
+    — sweeping younger entries can destroy a live job's staged files
+    mid-commit. The report lists only entries verified gone."""
     import shutil
     import time as _time
 
     from quiver_spark.sources.quiver_datasource import (
-        _STAGING_DIR,
         _data_root,
+        sweep_stale_staging,
     )
 
     expired = expire_generations(path, keep=keep)
-    swept_staging = []
-    stage_root = os.path.join(path, _STAGING_DIR)
-    if os.path.isdir(stage_root):
-        cutoff = _time.time() - staging_age_sec
-        for entry in os.listdir(stage_root):
-            full = os.path.join(stage_root, entry)
-            try:
-                if os.path.getmtime(full) < cutoff:
-                    shutil.rmtree(full, ignore_errors=True)
-                    swept_staging.append(entry)
-            except OSError:
-                continue
-        try:
-            os.rmdir(stage_root)
-        except OSError:
-            pass
+    swept_staging = sweep_stale_staging(path, max_age_sec=staging_age_sec)
+    # a crashed clone's staging is its own directory at the table root
+    clone_tmp = os.path.join(path, "_clone_tmp")
+    try:
+        if (
+            os.path.isdir(clone_tmp)
+            and os.path.getmtime(clone_tmp)
+            < _time.time() - staging_age_sec
+        ):
+            shutil.rmtree(clone_tmp, ignore_errors=True)
+            if not os.path.exists(clone_tmp):
+                swept_staging.append("_clone_tmp")
+    except OSError:
+        pass
     orphan_sidecars = []
     root = _data_root(path)
-    for dirpath, _dirs, files in os.walk(root):
-        if _STAGING_DIR in dirpath.split(os.sep):
-            continue
+    for dirpath, dirs, files in os.walk(root):
+        # never descend into hidden/staging subtrees (the same
+        # any-segment-starting-with-_-or-. convention the file listing
+        # uses); pruning in place also skips enumerating their contents
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if not f.endswith(".stats.json"):
                 continue

@@ -227,6 +227,40 @@ def _list_files(path: str) -> list[str]:
     return _list_files_pattern(_data_root(path), "*.quiver")
 
 
+def sweep_stale_staging(
+    path: str, max_age_sec: int = 24 * 3600
+) -> list[str]:
+    """Remove abandoned write-attempt staging entries under
+    ``path/_temporary`` older than ``max_age_sec``, then drop the root
+    if empty. Returns the entries VERIFIED gone (an rmtree that failed
+    — e.g. foreign-owned files — is not reported as swept). Shared by
+    the sink's commit-time GC and maintenance.vacuum so the sweep
+    semantics can never diverge. PRECONDITION for callers passing a
+    short age: it must exceed the longest in-flight write, or a live
+    job's staged files can be destroyed mid-commit."""
+    import shutil
+    import time as _time
+
+    swept: list[str] = []
+    stage_root = os.path.join(path, _STAGING_DIR)
+    if os.path.isdir(stage_root):
+        cutoff = _time.time() - max_age_sec
+        for entry in os.listdir(stage_root):
+            full = os.path.join(stage_root, entry)
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+                    if not os.path.exists(full):
+                        swept.append(entry)
+            except OSError:
+                continue
+    try:
+        os.rmdir(stage_root)  # only if no other attempts remain
+    except OSError:
+        pass
+    return swept
+
+
 def _files_changed_since(files: list[str], man, since: int) -> list[str]:
     """Incremental-scan file filter: keep files whose manifest commit
     stamp is AFTER ``since``. Files the manifest cannot vouch for (absent
@@ -2090,23 +2124,7 @@ class QuiverWriter(DataSourceArrowWriter):
         before reporting a commit message leaves its staging dir behind
         (invisible to readers, but disk isn't free) — sweep any staging
         entry older than a day, then drop the root if empty."""
-        import shutil
-        import time as _time
-
-        stage_root = os.path.join(self.path, _STAGING_DIR)
-        if os.path.isdir(stage_root):
-            cutoff = _time.time() - max_age_sec
-            for entry in os.listdir(stage_root):
-                full = os.path.join(stage_root, entry)
-                try:
-                    if os.path.getmtime(full) < cutoff:
-                        shutil.rmtree(full, ignore_errors=True)
-                except OSError:
-                    continue
-        try:
-            os.rmdir(stage_root)  # only if no other attempts remain
-        except OSError:
-            pass
+        sweep_stale_staging(self.path, max_age_sec=max_age_sec)
 
     def _list_data_files(self) -> list[str]:
         return _list_files(self.path)

@@ -637,3 +637,29 @@ def test_vacuum_housekeeping(spark, tmp_path):
     assert res["orphan_sidecars_removed"] == ["gone.quiver.stats.json"]
     back = spark.read.format("quiver").load(d)
     assert sorted(r.id for r in back.collect()) == list(range(20, 30))
+
+
+def test_vacuum_sweeps_crashed_clone_staging(spark, tmp_path):
+    """A crashed clone's _clone_tmp staging is reclaimed by vacuum (age-
+    guarded), and failed removals are never reported as swept."""
+    import os
+    import time
+
+    from quiver_spark import maintenance
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "t")
+    spark.range(5).write.format("quiver").mode("overwrite").save(d)
+    ct = os.path.join(d, "_clone_tmp")
+    os.makedirs(ct)
+    old = time.time() - 90000
+    os.utime(ct, (old, old))
+    res = maintenance.vacuum(d)
+    assert "_clone_tmp" in res["staging_swept"]
+    assert not os.path.exists(ct)
+    # a FRESH clone staging (in-flight) is left alone
+    os.makedirs(ct)
+    res2 = maintenance.vacuum(d)
+    assert res2["staging_swept"] == []
+    assert os.path.exists(ct)

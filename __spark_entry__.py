@@ -99,6 +99,7 @@ _PRIORITY = [
     "quiver_merge_cdc_scan",
     "text_pii_scrub",
     "text_blocklist_filter",
+    "quiver_alter_evolution_scan",
     # then the round-7 window — round 10's natural continuation
     "dedup_simhash",
     "multimodal_binary_meta",

@@ -388,6 +388,354 @@ def clone_snapshot(
     }
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution — metadata-only ALTER TABLE (add/drop/rename column)
+#
+# The Delta/Iceberg analogue on the generation protocol: an ALTER publishes
+# a NEW generation whose data files are hard-links of the current snapshot
+# (zero bytes copied, O(files) driver-local link calls) and whose manifest
+# carries a DECLARED table schema that overrides file-footer inference.
+# Added columns null-fill at scan time; dropped columns vanish even though
+# files still physically carry them (a later compact/cluster_by rewrite
+# materializes the declared schema and frees the name); renamed columns
+# resolve through per-file declared→physical maps (`cmap`), so files
+# written before the rename keep their bytes untouched. The swap is the
+# same atomic CAS every write uses — time travel to a pre-ALTER generation
+# shows the pre-ALTER schema, and rollback undoes an ALTER like any commit.
+#
+# Name-reuse invariant (enforced here, relied on by the readers' fast
+# path): a declared column name may never shadow a physical name that
+# lives in any current file under a different meaning — add/rename refuse
+# names still physically present from a drop or rename-away. The reference
+# format is single-file with a fixed footer schema (src/lib.rs); this
+# layer is directory-level, like Delta's column mapping but name-based.
+# ---------------------------------------------------------------------------
+
+
+def _pa_type_from_ddl(s: str):
+    """Spark-DDL-ish type string → pyarrow type (top-level primitives —
+    the null-fill domain; nested evolution is out of scope)."""
+    import pyarrow as pa
+
+    t = s.strip().lower()
+    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    simple = {
+        "boolean": pa.bool_(), "bool": pa.bool_(),
+        "tinyint": pa.int8(), "byte": pa.int8(),
+        "smallint": pa.int16(), "short": pa.int16(),
+        "int": pa.int32(), "integer": pa.int32(),
+        "bigint": pa.int64(), "long": pa.int64(),
+        "float": pa.float32(), "real": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", "UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if t in simple:
+        return simple[t]
+    raise ValueError(
+        f"unsupported column type {s!r} (supported: "
+        f"{sorted(simple)} and decimal(p,s))"
+    )
+
+
+def _file_schemas(man, files: list[str], root: str) -> dict[str, object]:
+    """{relative file → physical pyarrow schema} for every live data
+    file, manifest-served (entries are stat-valid by the caller's
+    rebuild pass)."""
+    out = {}
+    for f in files:
+        ent = man.lookup(f)
+        if ent is None or ent.schema_idx is None:
+            raise ValueError(
+                f"manifest cannot serve a schema for {f} even after "
+                "rebuild — file unreadable?"
+            )
+        out[os.path.relpath(f, root)] = man.schema(ent.schema_idx)
+    return out
+
+
+def _commit_evolution(table: str, mutate) -> dict:
+    """Shared ALTER commit: under the table writer lock, resolve the live
+    snapshot, hard-link every data file (+sidecar) into a freshly claimed
+    generation, let ``mutate(man, root, rel_schemas, raw)`` rewrite the
+    copied manifest (declared schema / per-entry cmaps; it returns the
+    report dict), stamp a metadata-only commit, and CAS the pointer.
+    Crash-safe: an unclaimed/unswapped generation directory is invisible
+    to readers and reclaimed by retention; the old generation stays
+    retained for time travel / rollback."""
+    import shutil
+
+    from quiver_spark.sources.manifest import (
+        load_manifest,
+        manifest_path,
+        metadata_commit,
+        rebuild_manifest,
+        remove_manifest,
+    )
+    from quiver_spark.sources.pointer_store import get_pointer_store
+    from quiver_spark.sources.quiver_datasource import (
+        _GEN_RE,
+        _data_root,
+        _list_files_pattern,
+    )
+
+    store = get_pointer_store()
+    with store.lock(table):
+        cur_ptr = store.read_pointer(table)
+        root = _data_root(table)
+
+        def live_files():
+            return _list_files_pattern(root, "*.quiver") + _list_files_pattern(
+                root, "*.arrow"
+            )
+
+        files = live_files()
+        if not files:
+            raise ValueError(f"nothing to alter: no data files under {root}")
+        man = load_manifest(root)
+        # the ALTER's source of truth is the manifest — make sure it
+        # covers (and stat-matches) every live file before mutating it
+        if man is None or any(man.lookup(f) is None for f in files):
+            rebuild_manifest(root)
+            man = load_manifest(root)
+            if man is None:
+                raise ValueError(f"cannot build a manifest under {root}")
+        rel_schemas = _file_schemas(man, files, root)
+
+        # claim the next generation (exclusive-create, same protocol as
+        # the sink) and hard-link the snapshot into it
+        nums = [
+            int(g.split("-", 1)[1])
+            for g in os.listdir(table)
+            if _GEN_RE.fullmatch(g)
+        ]
+        nxt = max(nums, default=0) + 1
+        while not store.claim_generation(table, f"gen-{nxt:06d}"):
+            nxt += 1
+        gen_name = f"gen-{nxt:06d}"
+        new_root = os.path.join(table, gen_name)
+        for f in files:
+            rel = os.path.relpath(f, root)
+            dst = os.path.join(new_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            for s, d in ((f, dst), (f + ".stats.json", dst + ".stats.json")):
+                if not os.path.exists(s):
+                    continue
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+        shutil.copy2(manifest_path(root), manifest_path(new_root))
+
+        report: dict = {}
+
+        def _mutate_raw(raw):
+            report.update(mutate(man, root, rel_schemas, raw))
+            # label the zero-file commit in the manifest so the commit
+            # history (quiver-tools commits) can show WHICH DDL ran
+            raw["_commit_op"] = report.get("op")
+
+        seq = metadata_commit(new_root, _mutate_raw)
+        store.swap_pointer(table, gen_name, cur_ptr)
+        if cur_ptr is None:
+            # flat layout superseded by the first generation: remove the
+            # flat copies (data lives on through the links) and the dead
+            # root manifest — same sweep the sink's first overwrite does
+            for f in files:
+                for p in (f, f + ".stats.json"):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+            remove_manifest(root)
+        report.update(
+            {"table": table, "generation": gen_name, "commit": seq,
+             "files_linked": len(files)}
+        )
+        return report
+
+
+def _declared_schema(man, rel_schemas: dict):
+    """Current DECLARED schema: the manifest's table_schema when one was
+    ever set; otherwise the union-by-name of every live file's physical
+    columns (all nullable, same-name type conflicts error) — the widest
+    correct starting point for a first ALTER."""
+    import pyarrow as pa
+
+    ts = man.table_schema()
+    if ts is not None:
+        return ts
+    fields, seen = [], {}
+    for rel in sorted(rel_schemas):
+        for fld in rel_schemas[rel]:
+            prev = seen.get(fld.name)
+            if prev is None:
+                fld = fld.with_nullable(True)
+                seen[fld.name] = fld
+                fields.append(fld)
+            elif prev.type != fld.type:
+                raise ValueError(
+                    f"cannot ALTER: live files disagree on column "
+                    f"'{fld.name}' ({prev.type} vs {fld.type} in {rel}) — "
+                    "unify the files (compact) first"
+                )
+    return pa.schema(fields)
+
+
+def _physical_inventory(man, rel_schemas: dict) -> set[str]:
+    """Every column name physically present in any live file, plus every
+    physical name claimed by a rename map — the names a new declared
+    column must not shadow."""
+    names: set[str] = set()
+    for s in rel_schemas.values():
+        names.update(s.names)
+    for ent in man.entries.values():
+        if ent.cmap:
+            names.update(ent.cmap.values())
+    return names
+
+
+def _partition_guard(root: str, name: str) -> None:
+    from quiver_spark.sources.quiver_datasource import _discover_partitions
+
+    if name in {c for c, _k in _discover_partitions(root)[0]}:
+        raise ValueError(
+            f"column '{name}' is a Hive partition column — partition "
+            "layout cannot be altered in place (rewrite via compact "
+            "with a different partition_by)"
+        )
+
+
+def add_column(table: str, name: str, ddl_type: str) -> dict:
+    """ALTER TABLE ADD COLUMN ``name`` of Spark-DDL ``ddl_type`` —
+    metadata-only: existing files are hard-linked, readers null-fill the
+    new column, the next write may populate it. Refuses names that still
+    exist physically in live files (previously dropped or renamed-away —
+    re-declaring them would resurrect old bytes); compact the table to
+    free such names."""
+    from quiver_spark.sources.manifest import _schema_b64
+
+    new_type = _pa_type_from_ddl(ddl_type)
+
+    def mutate(man, root, rel_schemas, raw):
+        import pyarrow as pa
+
+        _partition_guard(root, name)
+        declared = _declared_schema(man, rel_schemas)
+        if name in declared.names:
+            raise ValueError(f"column '{name}' already exists")
+        if name in _physical_inventory(man, rel_schemas):
+            raise ValueError(
+                f"column name '{name}' still exists physically in live "
+                "files (dropped or renamed-away earlier) — re-declaring "
+                "it would resurrect old values; compact the table first "
+                "or pick another name"
+            )
+        new_schema = pa.schema(
+            list(declared) + [pa.field(name, new_type, nullable=True)]
+        )
+        raw["table_schema"] = _schema_b64(new_schema)
+        return {"op": "add_column", "column": name, "type": ddl_type}
+
+    return _commit_evolution(table, mutate)
+
+
+def drop_column(table: str, name: str) -> dict:
+    """ALTER TABLE DROP COLUMN — metadata-only (lazy): files keep the
+    bytes, readers stop projecting them; a compact/cluster_by rewrite
+    materializes the narrower schema and frees the name for re-use."""
+    from quiver_spark.sources.manifest import _schema_b64
+
+    def mutate(man, root, rel_schemas, raw):
+        import pyarrow as pa
+
+        _partition_guard(root, name)
+        declared = _declared_schema(man, rel_schemas)
+        if name not in declared.names:
+            raise ValueError(
+                f"no column '{name}' (have {declared.names})"
+            )
+        if len(declared) == 1:
+            raise ValueError("cannot drop a table's last column")
+        new_schema = pa.schema([f for f in declared if f.name != name])
+        raw["table_schema"] = _schema_b64(new_schema)
+        # the declared name dies with the drop — remove it from every
+        # rename map too (its physical target stays unreachable until a
+        # rewrite frees it; the shadow guard in add_column keeps it so)
+        for e in raw["files"].values():
+            cm = e.get("cmap")
+            if cm and name in cm:
+                cm.pop(name)
+                if not cm:
+                    e.pop("cmap", None)
+        return {"op": "drop_column", "column": name}
+
+    return _commit_evolution(table, mutate)
+
+
+def rename_column(table: str, old: str, new: str) -> dict:
+    """ALTER TABLE RENAME COLUMN ``old`` TO ``new`` — metadata-only:
+    files written before the rename keep their physical column name and
+    each gets a declared→physical map (``cmap``) in the manifest; files
+    written after carry the new name physically. Refuses a target name
+    that would shadow a different physical column in any live file."""
+    from quiver_spark.sources.manifest import _schema_b64
+
+    def mutate(man, root, rel_schemas, raw):
+        import pyarrow as pa
+
+        _partition_guard(root, old)
+        _partition_guard(root, new)
+        declared = _declared_schema(man, rel_schemas)
+        if old not in declared.names:
+            raise ValueError(f"no column '{old}' (have {declared.names})")
+        if new in declared.names:
+            raise ValueError(f"column '{new}' already exists")
+        # per-file physical resolution of `old` + shadow checks for `new`
+        updates: dict[str, dict | None] = {}
+        for rel, fschema in rel_schemas.items():
+            cm = dict(raw["files"][rel].get("cmap") or {})
+            phys = cm.pop(old, old)
+            if new in fschema.names and phys != new:
+                raise ValueError(
+                    f"cannot rename to '{new}': {rel} already has a "
+                    f"physical column of that name — compact the table "
+                    "first or pick another name"
+                )
+            if phys in fschema.names and phys != new:
+                cm[new] = phys
+            updates[rel] = cm or None
+        claimed = {
+            p
+            for rel, cm in updates.items()
+            for d, p in (cm or {}).items()
+            if d != new
+        }
+        if new in claimed:
+            raise ValueError(
+                f"cannot rename to '{new}': the name is claimed by "
+                "another column's rename map — pick another name"
+            )
+        fields = [
+            pa.field(new, f.type, nullable=True) if f.name == old else f
+            for f in declared
+        ]
+        raw["table_schema"] = _schema_b64(pa.schema(fields))
+        for rel, cm in updates.items():
+            if cm is None:
+                raw["files"][rel].pop("cmap", None)
+            else:
+                raw["files"][rel]["cmap"] = cm
+        return {"op": "rename_column", "from": old, "to": new}
+
+    return _commit_evolution(table, mutate)
+
+
 def expire_generations(path: str, keep: int = 1) -> dict:
     """Delete retained generation snapshots beyond the newest ``keep``
     (the LIVE generation is always kept, whatever ``keep`` says) — the

@@ -666,3 +666,77 @@ def quiver_merge_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nationkey").cast("bigint").alias("key_sum"),
         F.min("n_name").alias("min_name"),
     )
+
+
+@register(
+    "quiver_alter_evolution_scan",
+    oracle="""
+WITH evolved AS (
+    SELECT p_partkey, p_brand, p_type AS part_type,
+           CAST(NULL AS BIGINT) AS priority
+    FROM part
+    UNION ALL
+    SELECT p_partkey + 100000000, p_brand, p_type,
+           CAST(p_size AS BIGINT)
+    FROM part
+    WHERE p_size >= 45
+)
+SELECT p_brand,
+       COUNT(*) AS cnt,
+       CAST(SUM(p_partkey) AS BIGINT) AS key_sum,
+       MIN(part_type) AS min_type,
+       CAST(SUM(priority) AS BIGINT) AS prio_sum
+FROM evolved
+GROUP BY p_brand
+""",
+    tags=("format", "ddl", "schema-evolution", "manifest"),
+)
+def quiver_alter_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ALTER TABLE through the driver gate. ``part`` is
+    sink-written, then evolved three ways (maintenance DDL, each a
+    hard-linked generation commit + declared-schema manifest):
+    ``rename_column p_type -> part_type`` (old files resolve through
+    per-file declared->physical maps), ``drop_column p_name`` (bytes
+    stay, name vanishes), ``add_column priority bigint`` (old files
+    null-fill). A post-ALTER append then lands rows that physically carry
+    the NEW names — so the scan mixes both physical schemas in one plan.
+    The oracle rebuilds the same table algebraically from the parquet
+    original: a rename resolved to the wrong column, a resurrected
+    dropped value, a mis-null-filled add, or a lost post-ALTER row all
+    hash-fail. The reference format is single-file with a fixed footer
+    schema (/root/reference/src/lib.rs); this layer is the
+    directory-level analogue of Delta column mapping, name-based.
+    """
+
+    def build(d):
+        from quiver_spark import maintenance as M
+
+        full = spark.read.parquet(f"{sf_dir}/part.parquet")
+        (
+            full.coalesce(2)
+            .write.format("quiver")
+            .option("keep_generations", "2")
+            .mode("overwrite")
+            .save(d)
+        )
+        M.rename_column(d, "p_type", "part_type")
+        M.drop_column(d, "p_name")
+        M.add_column(d, "priority", "bigint")
+        post = full.filter("p_size >= 45").selectExpr(
+            "p_partkey + 100000000 AS p_partkey",
+            "p_brand",
+            "p_type AS part_type",
+            "p_size",
+            "p_retailprice",
+            "CAST(p_size AS BIGINT) AS priority",
+        )
+        post.coalesce(1).write.format("quiver").mode("append").save(d)
+
+    d = _marker_dir(spark, sf_dir, "part-alter-evolution", build)
+    t = quiver_relation(spark, d)
+    return t.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("p_partkey").cast("bigint").alias("key_sum"),
+        F.min("part_type").alias("min_type"),
+        F.sum("priority").cast("bigint").alias("prio_sum"),
+    )

@@ -166,6 +166,16 @@ class ArrowIpcScanReader(DataSourceReader):
         #: reader: only files committed after this manifest sequence
         cs = options.get("changes_since")
         self.changes_since = int(cs) if cs is not None else None
+        #: per-file declared→physical rename maps, loaded lazily (see
+        #: the quiver reader's _file_cmap — same contract)
+        self._cmaps: dict | None = None
+
+    def _file_cmap(self, file: str) -> dict:
+        if self._cmaps is None:
+            from quiver_spark.sources.manifest import rename_maps
+
+            self._cmaps = rename_maps(self.path)
+        return self._cmaps.get(os.path.relpath(file, self.path), {})
 
     def _floor(self, files: list[str]) -> int:
         if self.min_partition_bytes is not None:
@@ -219,6 +229,22 @@ class ArrowIpcScanReader(DataSourceReader):
 
             for i in range(partition.batch_start, partition.batch_end):
                 batch = reader.get_batch(i)  # buffer views over the mmap
+                if names is not None and any(
+                    c not in batch.schema.names for c in names
+                ):
+                    # metadata-only renames: surface the file's physical
+                    # columns under their DECLARED names before the
+                    # name-bound select/null-fill below (the DDL layer
+                    # forbids shadowing, so the rename is unambiguous)
+                    cmap = self._file_cmap(partition.file)
+                    if cmap:
+                        inv = {p: d for d, p in cmap.items()}
+                        batch = batch.rename_columns(
+                            [
+                                inv.get(c, c)
+                                for c in batch.schema.names
+                            ]
+                        )
                 if names is not None:
                     present = [c for c in names if c in batch.schema.names]
                     missing = [
@@ -383,14 +409,22 @@ class ArrowIpcDataSource(DataSource):
                     return man.schema(ent.schema_idx)
             return _plan_info(f)[1]
 
-        arrow_schema = schema_of(files[0])
+        # a DECLARED table schema (ALTER-style DDL) overrides file
+        # inference — same contract as the quiver source
+        declared = man.table_schema() if man is not None else None
+        arrow_schema = (
+            declared if declared is not None else schema_of(files[0])
+        )
         # Schema evolution across an accreting directory: default is the
         # first file's schema (one footer read); merge_schemas=true unions
         # fields by name across every file (manifest-served when present)
         # with all fields nullable, erroring on same-name type conflicts —
         # the same contract as the quiver source, and the read path
         # already null-fills declared columns a file lacks.
-        if self.options.get("merge_schemas", "false").lower() == "true":
+        if (
+            declared is None
+            and self.options.get("merge_schemas", "false").lower() == "true"
+        ):
             import pyarrow as pa
 
             fields = [f.with_nullable(True) for f in arrow_schema]

@@ -86,7 +86,7 @@ def _decode_metas(raw: list):
 
 class ManifestEntry:
     __slots__ = ("size", "mtime_ns", "fmt", "schema_idx", "_metas_raw",
-                 "_metas", "sidecar", "batches", "commit", "rows")
+                 "_metas", "sidecar", "batches", "commit", "rows", "cmap")
 
     def __init__(self, raw: dict):
         self.size = raw["size"]
@@ -97,6 +97,12 @@ class ManifestEntry:
         self._metas = None  # decoded lazily: partition pruning may skip
         self.sidecar = raw.get("sidecar")
         self.batches = raw.get("batches")
+        #: column rename map for THIS file: declared name → physical name
+        #: inside the file (rename_column is metadata-only — files written
+        #: before the rename keep their physical column name and readers
+        #: resolve through this map). None/absent = identity. Carried
+        #: verbatim across copy-on-write rewrites like every other field.
+        self.cmap = raw.get("cmap")
         #: commit sequence that ADDED this file (0 = pre-CDC manifest or
         #: rebuild baseline). Carried (hard-linked) files keep their
         #: original stamp across copy-on-write rewrites, which is what
@@ -119,6 +125,11 @@ class Manifest:
         self.root = root
         self._schemas_raw: list[str] = raw.get("schemas", [])
         self._schemas: list = [None] * len(self._schemas_raw)
+        #: declared TABLE schema (b64 Arrow IPC) set by schema-evolution
+        #: DDL (maintenance.add_column/drop_column/rename_column); when
+        #: present it overrides file-footer inference table-wide
+        self._table_schema_raw = raw.get("table_schema")
+        self._table_schema = None
         #: monotone commit counter: bumped by every sink commit (append,
         #: overwrite — carried forward across generations via prev_root)
         self.commit_seq = int(raw.get("commit_seq", 0))
@@ -128,6 +139,12 @@ class Manifest:
             int(k): int(v)
             for k, v in raw.get("commit_times", {}).items()
         }
+        #: commit → operation label for METADATA-ONLY commits (ALTER DDL
+        #: — they stamp no file, so without this the history couldn't
+        #: show them); bounded alongside commit_times
+        self.commit_ops: dict[int, str] = {
+            int(k): str(v) for k, v in raw.get("commit_ops", {}).items()
+        }
         self.entries: dict[str, ManifestEntry] = {
             rel: ManifestEntry(e) for rel, e in raw.get("files", {}).items()
         }
@@ -136,6 +153,13 @@ class Manifest:
         if self._schemas[idx] is None:
             self._schemas[idx] = _schema_from_b64(self._schemas_raw[idx])
         return self._schemas[idx]
+
+    def table_schema(self):
+        """Declared table schema (pyarrow), or None when the table has
+        never been altered (schema then infers from file footers)."""
+        if self._table_schema is None and self._table_schema_raw is not None:
+            self._table_schema = _schema_from_b64(self._table_schema_raw)
+        return self._table_schema
 
     def lookup(self, file: str) -> ManifestEntry | None:
         """Entry for an absolute file path, validated against the file's
@@ -170,6 +194,16 @@ _MANIFEST_CACHE: dict[tuple, Manifest] = {}
 
 def manifest_path(root: str) -> str:
     return os.path.join(root, MANIFEST_NAME)
+
+
+def rename_maps(root: str) -> dict[str, dict]:
+    """All non-identity per-file rename maps of a data root:
+    {relative file → {declared name → physical name}}. Empty for tables
+    that never saw a rename_column."""
+    man = load_manifest(root)
+    if man is None:
+        return {}
+    return {rel: e.cmap for rel, e in man.entries.items() if e.cmap}
 
 
 def load_manifest(root: str) -> Manifest | None:
@@ -314,6 +348,61 @@ def _intern_schemas(raw: dict, entries: dict[str, dict]) -> None:
         entry["schema"] = i
 
 
+def _stamp_commit(raw: dict, new_commit: bool = True) -> int:
+    """Advance the manifest's commit counter and record the commit's
+    wall-time. Shared by file commits (update_manifest) and metadata-only
+    commits (metadata_commit) so sequence/time semantics can't diverge."""
+    seq = int(raw.get("commit_seq", 0)) + (1 if new_commit else 0)
+    seq = max(seq, 1)  # new_commit=False on a fresh manifest still stamps
+    raw["commit_seq"] = seq
+    if new_commit:
+        import time
+
+        # wall-clock per commit → time-based cursors (commit_at). The
+        # map rides across generations with the counter; bounded to the
+        # most recent 10k commits so it can never dominate the manifest.
+        # Stamps are forced MONOTONE (never below an earlier commit's):
+        # a backwards clock step would otherwise let commit_at's
+        # max-below-instant resolution skip a commit — the silent-loss
+        # direction every other reset path here guards against.
+        times = raw.setdefault("commit_times", {})
+        times[str(seq)] = max(
+            int(time.time()), max(map(int, times.values()), default=0)
+        )
+        if len(times) > 10_000:
+            for k in sorted(times, key=int)[: len(times) - 10_000]:
+                del times[k]
+    return seq
+
+
+def metadata_commit(root: str, mutate) -> int:
+    """One METADATA-ONLY commit against the root's manifest: bump the
+    commit counter (so DDL shows in the commit history; no file takes the
+    new stamp, so incremental scans correctly see nothing), apply
+    ``mutate(raw)`` to the raw manifest dict, and publish atomically.
+    Callers hold the table writer lock and must ensure a readable
+    manifest exists (rebuild_manifest first on legacy directories)."""
+    raw = _load_raw(root)
+    if raw is None or raw.get("version") != MANIFEST_VERSION:
+        raise ValueError(
+            f"no readable manifest under {root} — run rebuild_manifest "
+            "before a metadata commit"
+        )
+    seq = _stamp_commit(raw)
+    mutate(raw)
+    op = raw.pop("_commit_op", None)
+    if op:
+        # label the zero-file commit so history views can show WHAT the
+        # metadata commit was; bounded like commit_times
+        ops = raw.setdefault("commit_ops", {})
+        ops[str(seq)] = op
+        if len(ops) > 10_000:
+            for k in sorted(ops, key=int)[: len(ops) - 10_000]:
+                del ops[k]
+    _write_raw(root, raw)
+    return seq
+
+
 def update_manifest(
     root: str,
     rels: list[str],
@@ -374,6 +463,8 @@ def update_manifest(
             if prev is not None and prev.get("version") == MANIFEST_VERSION:
                 raw["commit_seq"] = int(prev.get("commit_seq", 0))
                 raw["commit_times"] = dict(prev.get("commit_times", {}))
+                if prev.get("commit_ops"):
+                    raw["commit_ops"] = dict(prev["commit_ops"])
         if corrupt:
             import time
 
@@ -381,26 +472,7 @@ def update_manifest(
             raw["commit_seq"] = max(
                 int(raw.get("commit_seq", 0)), int(time.time())
             )
-    seq = int(raw.get("commit_seq", 0)) + (1 if new_commit else 0)
-    seq = max(seq, 1)  # new_commit=False on a fresh manifest still stamps
-    raw["commit_seq"] = seq
-    if new_commit:
-        import time
-
-        # wall-clock per commit → time-based cursors (commit_at). The
-        # map rides across generations with the counter; bounded to the
-        # most recent 10k commits so it can never dominate the manifest.
-        # Stamps are forced MONOTONE (never below an earlier commit's):
-        # a backwards clock step would otherwise let commit_at's
-        # max-below-instant resolution skip a commit — the silent-loss
-        # direction every other reset path here guards against.
-        times = raw.setdefault("commit_times", {})
-        times[str(seq)] = max(
-            int(time.time()), max(map(int, times.values()), default=0)
-        )
-        if len(times) > 10_000:
-            for k in sorted(times, key=int)[: len(times) - 10_000]:
-                del times[k]
+    seq = _stamp_commit(raw, new_commit)
     entries = build_entries(root, rels, fmt)
     carried_entries: dict[str, dict] = {}
     if carry is not None:
@@ -411,6 +483,12 @@ def update_manifest(
         except (OSError, ValueError, json.JSONDecodeError):
             src_raw = None
         if src_raw is not None and src_raw.get("version") == MANIFEST_VERSION:
+            # a carry commit rewrites PART of the same logical table, so
+            # the declared (evolved) table schema rides along — without
+            # this, the first DELETE/UPDATE/MERGE after an ALTER would
+            # silently revert the table to footer-inferred schema
+            if "table_schema" not in raw and "table_schema" in src_raw:
+                raw["table_schema"] = src_raw["table_schema"]
             schemas = src_raw.get("schemas", [])
             src_files = src_raw.get("files", {})
             missing = []
@@ -446,6 +524,18 @@ def rebuild_manifest(root: str) -> dict:
     from quiver_spark.sources.quiver_datasource import _list_files_pattern
 
     raw = {"version": MANIFEST_VERSION, "schemas": [], "files": {}}
+    # a rebuild regenerates what can be derived from files; the declared
+    # table schema, commit counter, and rename maps CANNOT — carry them
+    # from the existing manifest when one is readable (a rebuild must
+    # never un-ALTER a table or rewind its CDC cursor space)
+    try:
+        prev = _load_raw(root)
+    except (OSError, ValueError, json.JSONDecodeError):
+        prev = None
+    if prev is not None and prev.get("version") == MANIFEST_VERSION:
+        for k in ("table_schema", "commit_seq", "commit_times", "commit_ops"):
+            if k in prev:
+                raw[k] = prev[k]
     counts = {}
     for fmt, pattern in ((FMT_QUIVER, "*.quiver"), (FMT_ARROW, "*.arrow")):
         rels = [
@@ -454,6 +544,22 @@ def rebuild_manifest(root: str) -> dict:
             if os.path.isfile(f)
         ]
         entries = build_entries(root, rels, fmt)
+        if prev is not None and prev.get("version") == MANIFEST_VERSION:
+            # per-entry facts a footer can't regenerate: the rename map
+            # and the CDC commit stamp. Carried only when the file is
+            # bit-identical to what the old manifest described (stat
+            # match) — an out-of-band rewrite keeps the baseline stamp.
+            for rel, e in entries.items():
+                pe = prev.get("files", {}).get(rel)
+                if (
+                    pe is not None
+                    and pe.get("size") == e.get("size")
+                    and pe.get("mtime_ns") == e.get("mtime_ns")
+                ):
+                    if pe.get("cmap"):
+                        e["cmap"] = pe["cmap"]
+                    if pe.get("commit"):
+                        e["commit"] = pe["commit"]
         _intern_schemas(raw, entries)
         raw["files"].update(entries)
         counts[fmt] = len(entries)

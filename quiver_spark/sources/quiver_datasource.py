@@ -534,15 +534,27 @@ class QuiverDataSource(DataSource):
         from .manifest import load_manifest
 
         man = load_manifest(path)
-        arrow_schema, _ = _footer_of(man, files[0])
-        # Schema evolution across an accreting directory: default is the
-        # first file's schema (parquet's default, one footer read);
-        # merge_schemas=true unions fields by name across every footer
-        # (manifest-served or cached — planning reads them anyway) with all
-        # fields nullable, erroring on same-name type conflicts. Files
-        # lacking a merged column null-fill it at scan time
-        # (QuiverScanReader.read).
-        if self.options.get("merge_schemas", "false").lower() == "true":
+        # A DECLARED table schema (set by ALTER-style DDL —
+        # maintenance.add_column/drop_column/rename_column) is
+        # authoritative for the whole directory: added columns null-fill,
+        # dropped columns vanish even though files still carry them, and
+        # renamed columns resolve through per-file maps at read time.
+        # Absent one, schema evolution across an accreting directory:
+        # default is the first file's schema (parquet's default, one
+        # footer read); merge_schemas=true unions fields by name across
+        # every footer (manifest-served or cached — planning reads them
+        # anyway) with all fields nullable, erroring on same-name type
+        # conflicts. Files lacking a merged column null-fill it at scan
+        # time (QuiverScanReader.read).
+        declared = man.table_schema() if man is not None else None
+        if declared is not None:
+            arrow_schema = declared
+        else:
+            arrow_schema, _ = _footer_of(man, files[0])
+        if (
+            declared is None
+            and self.options.get("merge_schemas", "false").lower() == "true"
+        ):
             import pyarrow as pa
 
             _prefetch_footers(files[1:], man)
@@ -773,6 +785,10 @@ class QuiverScanReader(DataSourceReader):
         #: metadata column name (see QuiverDataSource.schema): emitted as a
         #: constant per chunk — the file's path relative to the data root
         self.file_column = options.get("file_column")
+        #: per-file declared→physical rename maps (manifest `cmap`),
+        #: loaded lazily by _file_cmap the first time a requested column
+        #: is absent from a file's footer — None until then
+        self._cmaps: dict | None = None
         #: restrict the scan to these relative file names (JSON array) —
         #: the rewrite half of row-level ops reads ONLY touched files, so
         #: a 1%-selective DELETE rewrites 1% of the table, not all of it
@@ -893,8 +909,14 @@ class QuiverScanReader(DataSourceReader):
 
         files = _list_files(self.path)
         arrow_schema = None
-        if files and os.path.exists(files[0]):
-            arrow_schema, _ = _footer_of(load_manifest(self.path), files[0])
+        man = load_manifest(self.path)
+        if man is not None and man.table_schema() is not None:
+            # declared (evolved) schema: filters arrive on DECLARED names;
+            # types are identical to the physical column's (renames never
+            # change type), so pruning-value conversion stays exact
+            arrow_schema = man.table_schema()
+        elif files and os.path.exists(files[0]):
+            arrow_schema, _ = _footer_of(man, files[0])
         for flt in filters:
             op = _FILTER_OPS.get(type(flt).__name__)
             attr = getattr(flt, "attribute", None)
@@ -946,8 +968,12 @@ class QuiverScanReader(DataSourceReader):
         page_rows = sidecar.get("page_rows", [])
         if len(page_rows) != n_pages:
             return keep
+        # sidecar stats are keyed by the file's PHYSICAL column names;
+        # filters arrive on declared names — resolve renamed columns
+        # through the file's map so pruning keeps working after an ALTER
+        cmap = (ent.cmap or {}) if ent is not None else {}
         for col, op, value in self._prune_filters:
-            st = cols.get(col)
+            st = cols.get(cmap.get(col, col))
             if st is None or len(st.get("min", [])) != n_pages:
                 continue
             lo_, hi_, nulls_ = st["min"], st["max"], st["nulls"]
@@ -1056,14 +1082,20 @@ class QuiverScanReader(DataSourceReader):
             # scan automatically coalesces to fewer, bigger tasks. (The
             # leaf mapping is per-FILE: under schema evolution each file's
             # footer schema can differ.)
+            ent = man.lookup(file) if man is not None else None
+            fmap = (ent.cmap or {}) if ent is not None else {}
             proj = None
             if self.columns is not None:
-                proj = [c for c in self.columns if c in _schema.names]
+                proj = [
+                    fmap.get(c, c)
+                    for c in self.columns
+                    if fmap.get(c, c) in _schema.names
+                ]
             elif self.spark_schema is not None:
                 proj = [
-                    f.name
+                    fmap.get(f.name, f.name)
                     for f in self.spark_schema.fields
-                    if f.name in _schema.names
+                    if fmap.get(f.name, f.name) in _schema.names
                 ]
             sel_metas = metas
             if proj is not None and len(proj) < len(_schema.names):
@@ -1211,6 +1243,17 @@ class QuiverScanReader(DataSourceReader):
                     remaining -= batch.num_rows
                 yield batch
 
+    def _file_cmap(self, file: str) -> dict:
+        """Declared→physical rename map for one file (empty = identity).
+        The manifest is read at most once per reader instance; the
+        module-level manifest cache plus Spark's Python-worker reuse
+        amortize it across tasks."""
+        if self._cmaps is None:
+            from .manifest import rename_maps
+
+            self._cmaps = rename_maps(self.path)
+        return self._cmaps.get(os.path.relpath(file, self.path), {})
+
     def _read_chunk(
         self, chunk_file: str, page_start: int, page_end: int,
         chunk_part: tuple, limit: int | None,
@@ -1261,9 +1304,29 @@ class QuiverScanReader(DataSourceReader):
                 f.name: to_arrow_type(f.dataType)
                 for f in self.spark_schema.fields
             }
+        # Rename resolution: a declared column absent from this file's
+        # physical schema is EITHER a metadata-only rename (read the old
+        # physical name, recorded in the manifest's per-file map) or a
+        # later-added column (null-fill). Loaded lazily so tables that
+        # never saw an ALTER pay nothing; the DDL layer forbids declared
+        # names that shadow a renamed-away/dropped physical name, so a
+        # direct footer hit is always the right column.
+        cmap: dict = {}
+        if any(
+            n not in part_map
+            and n != self.file_column
+            and n not in schema.names
+            for n in names
+        ):
+            cmap = self._file_cmap(chunk_file)
+        phys = {n: cmap.get(n, n) for n in names}
         missing_map: dict = {}
         for n in names:
-            if n in part_map or n in schema.names or n == self.file_column:
+            if (
+                n in part_map
+                or phys[n] in schema.names
+                or n == self.file_column
+            ):
                 continue
             if n in table_types:
                 missing_map[n] = table_types[n]
@@ -1273,9 +1336,9 @@ class QuiverScanReader(DataSourceReader):
                     "schema to null-fill it from"
                 )
         for n in names:
-            if n in schema.names and n in table_types:
+            if phys[n] in schema.names and n in table_types:
                 actual = _spark_field(
-                    schema.field(schema.names.index(n))
+                    schema.field(schema.names.index(phys[n]))
                 ).type
                 expected = table_types[n]
                 if (
@@ -1288,8 +1351,11 @@ class QuiverScanReader(DataSourceReader):
                         f"in {chunk_file}: file has {actual}, table "
                         f"expects {expected}"
                     )
+        # PHYSICAL names drive the decode below; `names` (declared) drive
+        # the output batch — finalize() zips decoded arrays back in
+        # declared order, so the two lists stay index-aligned
         file_names = [
-            n
+            phys[n]
             for n in names
             if n not in part_map
             and n not in missing_map

@@ -218,6 +218,15 @@ def cmd_commits(path: str, version: int | None = None) -> dict:
                                         "rows": 0})
         c["files"] += 1
         c["rows"] += rows
+    # metadata-only commits (ALTER DDL) stamp no file but DO advance the
+    # sequence — surface them as zero-file history rows, labeled with the
+    # op recorded at commit time. Live files rewritten by a LATER commit
+    # naturally stop witnessing the commit that first added them, so a
+    # timestamped-but-fileless seq is only called DDL when labeled.
+    for seq, op in man.commit_ops.items():
+        if seq not in per:
+            per[seq] = {"commit": seq, "files": 0, "rows": 0}
+        per[seq]["op"] = op
     for seq, t in man.commit_times.items():
         if seq in per:
             import datetime as _dt
@@ -315,6 +324,48 @@ def cmd_head(path: str, n: int) -> list[dict]:
     return t.slice(0, n).to_pylist()
 
 
+def cmd_schema(path: str, version: int | None = None) -> dict:
+    """DESCRIBE analogue for a table directory: the schema a scan will
+    serve (the manifest's DECLARED table schema when ALTER-style DDL ever
+    ran, else the first file's footer), whether it is declared or
+    inferred, and any per-file declared->physical rename maps."""
+    from quiver_spark.sources.manifest import load_manifest, rename_maps
+    from quiver_spark.sources.quiver_datasource import (
+        _data_root,
+        _footer_of,
+        _list_files_pattern,
+    )
+
+    root = _data_root(path, version=version)
+    man = load_manifest(root)
+    declared = man.table_schema() if man is not None else None
+    if declared is not None:
+        schema, source = declared, "declared (ALTER DDL)"
+    else:
+        files = _list_files_pattern(root, "*.quiver") or _list_files_pattern(
+            root, "*.arrow"
+        )
+        if not files:
+            return {"root": root, "columns": [], "schema_source": "empty"}
+        if files[0].endswith(".arrow"):
+            import pyarrow.ipc as ipc
+
+            with ipc.open_file(files[0]) as r:
+                schema = r.schema
+        else:
+            schema, _ = _footer_of(man, files[0])
+        source = f"inferred from {os.path.basename(files[0])}"
+    return {
+        "root": root,
+        "schema_source": source,
+        "columns": [
+            {"name": f.name, "type": str(f.type), "nullable": f.nullable}
+            for f in schema
+        ],
+        "renamed_files": rename_maps(root),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="quiver_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -386,6 +437,32 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("src")
     cl.add_argument("dst")
     cl.add_argument("--version", type=int, default=None)
+    al = sub.add_parser(
+        "alter",
+        help="metadata-only schema evolution on a table directory: "
+        "add-column DIR NAME TYPE | drop-column DIR NAME | "
+        "rename-column DIR OLD NEW (each publishes a hard-linked "
+        "generation; time travel / rollback cover ALTERs like any commit)",
+    )
+    al.add_argument(
+        "action", choices=("add-column", "drop-column", "rename-column")
+    )
+    al.add_argument("dir")
+    al.add_argument("name", help="column name (OLD name for rename-column)")
+    al.add_argument(
+        "arg2",
+        nargs="?",
+        default=None,
+        help="Spark-DDL type for add-column / NEW name for rename-column",
+    )
+    sc = sub.add_parser(
+        "schema",
+        help="the schema a scan of this table directory will serve "
+        "(declared by ALTER DDL, or footer-inferred) plus any per-file "
+        "rename maps",
+    )
+    sc.add_argument("dir")
+    sc.add_argument("--version", type=int, default=None)
     args = ap.parse_args(argv)
     if args.cmd == "inspect":
         print(json.dumps(cmd_inspect(args.file), indent=2))
@@ -451,6 +528,26 @@ def main(argv: list[str] | None = None) -> int:
                 indent=2,
             )
         )
+    elif args.cmd == "alter":
+        from quiver_spark.maintenance import (
+            add_column,
+            drop_column,
+            rename_column,
+        )
+
+        if args.action == "add-column":
+            if args.arg2 is None:
+                ap.error("add-column requires NAME TYPE")
+            out = add_column(args.dir, args.name, args.arg2)
+        elif args.action == "drop-column":
+            out = drop_column(args.dir, args.name)
+        else:
+            if args.arg2 is None:
+                ap.error("rename-column requires OLD NEW")
+            out = rename_column(args.dir, args.name, args.arg2)
+        print(json.dumps(out, indent=2))
+    elif args.cmd == "schema":
+        print(json.dumps(cmd_schema(args.dir, args.version), indent=2))
     elif args.cmd == "clone":
         from quiver_spark.maintenance import clone_snapshot
 

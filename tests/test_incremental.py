@@ -161,16 +161,49 @@ def test_arrow_format_shares_the_contract(spark, nation_df, tmp_path):
     assert got == list(range(20, 25))
 
 
-def test_rebuild_resets_to_baseline(spark, nation_df, tmp_path):
+def test_rebuild_preserves_cursor_space_over_intact_manifest(
+    spark, nation_df, tmp_path
+):
+    """A rebuild over a READABLE manifest is a faithful reconstruction:
+    the commit counter and per-file stamps carry (stat-matched), so a
+    consumer's cursor never rewinds — rewinding would let the next
+    commit reuse a sequence number the consumer already passed (silent
+    loss). Only a rebuild with NO previous manifest (legacy migration)
+    resets to baseline."""
     d = str(tmp_path / "t")
     _write(spark, nation_df, d, "overwrite")
     assert maintenance.current_commit(d) == 1
     from quiver_spark.sources.manifest import rebuild_manifest
 
     rebuild_manifest(_data_root(d))
+    # counter and per-file stamps preserved: a cursor at 1 still sees
+    # nothing new, and the original rows remain visible from 0
+    assert maintenance.current_commit(d) == 1
+    assert maintenance.table_changes(spark, d, 1).count() == 0
+    assert maintenance.table_changes(spark, d, 0).count() == nation_df.count()
+    _write(spark, nation_df.limit(2), d, "append")
+    assert maintenance.current_commit(d) == 2
+    assert maintenance.table_changes(spark, d, 1).count() == 2
+
+
+def test_rebuild_without_manifest_resets_to_baseline(
+    spark, nation_df, tmp_path
+):
+    """Legacy migration path: no readable manifest → rebuilt files are
+    the commit-0 baseline and the sequence restarts."""
+    import os as _os
+
+    d = str(tmp_path / "t")
+    _write(spark, nation_df, d, "overwrite")
+    from quiver_spark.sources.manifest import (
+        manifest_path,
+        rebuild_manifest,
+    )
+
+    _os.remove(manifest_path(_data_root(d)))
+    rebuild_manifest(_data_root(d))
     assert maintenance.current_commit(d) == 0
     assert maintenance.table_changes(spark, d, 0).count() == 0
-    # the next commit starts the sequence again from the rebuilt baseline
     _write(spark, nation_df.limit(2), d, "append")
     assert maintenance.current_commit(d) == 1
     assert maintenance.table_changes(spark, d, 0).count() == 2

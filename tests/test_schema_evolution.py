@@ -167,3 +167,241 @@ def test_schema_evolution_inside_live_generation(spark, tmp_path):
     assert sorted(merged.columns) == ["a", "b"]
     assert merged.count() == 15
     assert merged.filter(F.col("b").isNull()).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# ALTER-style DDL (maintenance.add_column / drop_column / rename_column):
+# metadata-only evolution on the generation protocol. Each ALTER publishes a
+# hard-linked generation whose manifest carries a DECLARED table schema
+# (overriding footer inference) and per-file declared->physical rename maps.
+# The reference format is single-file/fixed-schema (src/lib.rs); this layer
+# is directory-level, like Delta column mapping but name-based.
+# ---------------------------------------------------------------------------
+
+
+def _write_kv(spark, path, mode="overwrite"):
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    ).write.format("quiver").mode(mode).save(path)
+
+
+def test_add_column_null_fills_and_next_append_populates(spark, tmp_path):
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_add")
+    _write_kv(spark, tbl)
+    rep = M.add_column(tbl, "score", "double")
+    assert rep["op"] == "add_column" and rep["files_linked"] >= 1
+    df = spark.read.format("quiver").load(tbl)
+    assert df.columns == ["k", "s", "score"]
+    assert all(r.score is None for r in df.collect())
+    spark.createDataFrame(
+        [(4, "d", 9.5)], "k long, s string, score double"
+    ).write.format("quiver").mode("append").save(tbl)
+    rows = sorted(map(tuple, spark.read.format("quiver").load(tbl).collect()))
+    assert rows == [
+        (1, "a", None), (2, "b", None), (3, "c", None), (4, "d", 9.5),
+    ]
+
+
+def test_rename_resolves_old_files_and_pushdown_works(spark, tmp_path):
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_ren")
+    _write_kv(spark, tbl)
+    M.rename_column(tbl, "s", "name")
+    df = spark.read.format("quiver").load(tbl)
+    assert df.columns == ["k", "name"]
+    got = sorted(map(tuple, df.filter("name >= 'b'").collect()))
+    assert got == [(2, "b"), (3, "c")]
+    # projecting ONLY the renamed column decodes the physical one
+    assert sorted(r[0] for r in df.select("name").collect()) == ["a", "b", "c"]
+    # a post-rename append carries the new name physically; both resolve
+    spark.createDataFrame([(4, "d")], "k long, name string").write.format(
+        "quiver"
+    ).mode("append").save(tbl)
+    rows = sorted(map(tuple, spark.read.format("quiver").load(tbl).collect()))
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_drop_column_hides_bytes_and_name_stays_reserved(spark, tmp_path):
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_drop")
+    _write_kv(spark, tbl)
+    M.drop_column(tbl, "s")
+    df = spark.read.format("quiver").load(tbl)
+    assert df.columns == ["k"]
+    # the dropped name is still physically present in live files — re-adding
+    # it would resurrect old bytes, so the DDL layer refuses
+    with pytest.raises(ValueError, match="physically"):
+        M.add_column(tbl, "s", "string")
+    # compaction materializes the declared schema and frees the name
+    M.compact(spark, tbl)
+    M.add_column(tbl, "s", "string")
+    df = spark.read.format("quiver").load(tbl)
+    assert df.columns == ["k", "s"]
+    assert all(r.s is None for r in df.collect())
+
+
+def test_alter_guards(spark, tmp_path):
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_guard")
+    _write_kv(spark, tbl)
+    with pytest.raises(ValueError, match="already exists"):
+        M.add_column(tbl, "s", "string")
+    with pytest.raises(ValueError, match="no column"):
+        M.drop_column(tbl, "zz")
+    with pytest.raises(ValueError, match="no column"):
+        M.rename_column(tbl, "zz", "yy")
+    with pytest.raises(ValueError, match="already exists"):
+        M.rename_column(tbl, "k", "s")
+    M.drop_column(tbl, "s")
+    with pytest.raises(ValueError, match="cannot drop a table's last"):
+        M.drop_column(tbl, "k")
+    with pytest.raises(ValueError, match="unsupported column type"):
+        M.add_column(tbl, "x", "array<int>")
+
+
+def test_alter_time_travel_and_rollback(spark, tmp_path):
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_tt")
+    _write_kv(spark, tbl)
+    M.rename_column(tbl, "s", "name")
+    # pre-ALTER generation keeps the pre-ALTER schema
+    v1 = spark.read.format("quiver").option("version", "1").load(tbl)
+    assert v1.columns == ["k", "s"]
+    live = spark.read.format("quiver").load(tbl)
+    assert live.columns == ["k", "name"]
+    # rollback undoes the ALTER like any commit
+    M.rollback_generation(tbl, 1)
+    back = spark.read.format("quiver").load(tbl)
+    assert back.columns == ["k", "s"]
+    assert back.count() == 3
+
+
+def test_dml_after_alter_preserves_declared_schema(spark, tmp_path):
+    """A DELETE's carry/rewrite commit must keep the evolved schema —
+    without the table_schema carry in update_manifest, the first DML
+    after an ALTER would silently revert to footer inference."""
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_dml")
+    _write_kv(spark, tbl)
+    # second file so the DELETE carries at least one untouched file —
+    # the carry path is exactly where the schema could be lost
+    spark.createDataFrame([(9, "z")], "k long, s string").write.format(
+        "quiver"
+    ).mode("append").save(tbl)
+    M.rename_column(tbl, "s", "name")
+    M.add_column(tbl, "score", "double")
+    rep = M.delete_where(spark, tbl, "name = 'b'")
+    assert rep["files_rewritten"] >= 1 and rep["files_carried"] >= 1
+    df = spark.read.format("quiver").load(tbl)
+    assert df.columns == ["k", "name", "score"]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, "a", None), (3, "c", None), (9, "z", None)]
+
+
+def test_alter_on_arrow_ipc_table(spark, tmp_path):
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_arrow")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, s string"
+    ).write.format("arrowipc").mode("overwrite").save(tbl)
+    M.rename_column(tbl, "s", "name")
+    M.add_column(tbl, "w", "int")
+    df = spark.read.format("arrowipc").load(tbl)
+    assert df.columns == ["k", "name", "w"]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, "a", None), (2, "b", None)]
+
+
+def test_alter_partition_column_refused(spark, tmp_path):
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_part")
+    spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", "p2")], "k long, s string, p string"
+    ).write.format("quiver").option("partition_by", "p").mode(
+        "overwrite"
+    ).save(tbl)
+    with pytest.raises(ValueError, match="partition column"):
+        M.drop_column(tbl, "p")
+    with pytest.raises(ValueError, match="partition column"):
+        M.rename_column(tbl, "p", "q")
+
+
+def test_alter_is_metadata_only_commit_for_incremental_scans(spark, tmp_path):
+    """An ALTER bumps the commit counter (shows in history) but stamps no
+    file — a changes_since cursor taken before the ALTER sees nothing."""
+    from quiver_spark import maintenance as M
+    from quiver_spark.sources.manifest import load_manifest
+    from quiver_spark.sources.quiver_datasource import _data_root
+
+    register(spark)
+    tbl = str(tmp_path / "t_inc")
+    _write_kv(spark, tbl)
+    seq_before = load_manifest(_data_root(tbl)).commit_seq
+    M.add_column(tbl, "extra", "bigint")
+    seq_after = load_manifest(_data_root(tbl)).commit_seq
+    assert seq_after == seq_before + 1
+    inc = (
+        spark.read.format("quiver")
+        .option("changes_since", str(seq_before))
+        .load(tbl)
+    )
+    assert inc.count() == 0
+    # ...but the commit HISTORY shows the DDL as a labeled zero-file row
+    from quiver_spark.tools import cmd_commits
+
+    hist = cmd_commits(tbl)
+    ddl_rows = [c for c in hist["commits"] if c.get("op")]
+    assert ddl_rows and ddl_rows[-1]["op"] == "add_column"
+    assert ddl_rows[-1]["files"] == 0
+
+
+def test_alter_cli_round_trip(spark, tmp_path, capsys):
+    from quiver_spark.tools import main as tools_main
+
+    register(spark)
+    tbl = str(tmp_path / "t_cli")
+    _write_kv(spark, tbl)
+    assert tools_main(["alter", "add-column", tbl, "score", "double"]) in (
+        0,
+        None,
+    )
+    out = capsys.readouterr().out
+    assert '"op": "add_column"' in out
+    assert tools_main(["alter", "rename-column", tbl, "s", "name"]) in (0, None)
+    capsys.readouterr()
+    assert tools_main(["alter", "drop-column", tbl, "score"]) in (0, None)
+    df = spark.read.format("quiver").load(tbl)
+    assert df.columns == ["k", "name"]
+    capsys.readouterr()
+    # DESCRIBE analogue: declared schema + rename maps on the live
+    # snapshot, footer-inferred pre-ALTER schema under --version
+    assert tools_main(["schema", tbl]) in (0, None)
+    import json as _json
+
+    desc = _json.loads(capsys.readouterr().out)
+    assert desc["schema_source"] == "declared (ALTER DDL)"
+    assert [c["name"] for c in desc["columns"]] == ["k", "name"]
+    assert any(
+        cm == {"name": "s"} for cm in desc["renamed_files"].values()
+    )
+    assert tools_main(["schema", tbl, "--version", "1"]) in (0, None)
+    desc1 = _json.loads(capsys.readouterr().out)
+    assert desc1["schema_source"].startswith("inferred")
+    assert [c["name"] for c in desc1["columns"]] == ["k", "s"]

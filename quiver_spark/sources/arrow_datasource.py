@@ -193,6 +193,14 @@ class ArrowIpcScanReader(DataSourceReader):
 
         files = _list_arrow_files(self.path)
         man = load_manifest(self.path)
+        # plan-time rename-map resolution (see the quiver planner): the
+        # reader pickles AFTER partitions(), so tasks inherit the maps
+        if man is not None:
+            self._cmaps = {
+                rel: e.cmap for rel, e in man.entries.items() if e.cmap
+            }
+        else:
+            self._cmaps = {}
         if self.changes_since is not None:
             files = _files_changed_since(files, man, self.changes_since)
         parts = _batch_splits(files, self._floor(files), man)

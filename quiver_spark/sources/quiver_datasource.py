@@ -1030,6 +1030,20 @@ class QuiverScanReader(DataSourceReader):
         from .manifest import load_manifest
 
         man = load_manifest(self.path)
+        # resolve rename maps HERE, plan-time: the reader object is
+        # pickled into the read function AFTER partitions() runs
+        # (pyspark plan_data_source_read), so executors get the maps for
+        # free instead of each task re-parsing the whole manifest —
+        # at 100 TB manifests that per-task parse would dominate small
+        # tasks. The dict holds only non-identity entries (empty for a
+        # never-renamed table); _file_cmap's lazy load stays as the
+        # streaming-path fallback.
+        if man is not None:
+            self._cmaps = {
+                rel: e.cmap for rel, e in man.entries.items() if e.cmap
+            }
+        else:
+            self._cmaps = {}
         files = _list_files(self.path)
         if self.files_subset is not None:
             files = [

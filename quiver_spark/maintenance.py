@@ -611,16 +611,21 @@ def _partition_guard(root: str, name: str) -> None:
         )
 
 
-def add_column(table: str, name: str, ddl_type: str) -> dict:
+def add_column(
+    table: str, name: str, ddl_type: str, default=None
+) -> dict:
     """ALTER TABLE ADD COLUMN ``name`` of Spark-DDL ``ddl_type`` —
-    metadata-only: existing files are hard-linked, readers null-fill the
-    new column, the next write may populate it. Refuses names that still
+    metadata-only: existing files are hard-linked, readers fill the new
+    column with ``default`` (Iceberg's initial-default posture: ANY file
+    lacking the column serves it, old or new) or null when no default is
+    given; the next write may populate it. Refuses names that still
     exist physically in live files (previously dropped or renamed-away —
     re-declaring them would resurrect old bytes); compact the table to
     free such names."""
-    from quiver_spark.sources.manifest import _schema_b64
+    from quiver_spark.sources.manifest import _schema_b64, encode_default
 
     new_type = _pa_type_from_ddl(ddl_type)
+    enc = encode_default(default, new_type) if default is not None else None
 
     def mutate(man, root, rel_schemas, raw):
         import pyarrow as pa
@@ -640,7 +645,12 @@ def add_column(table: str, name: str, ddl_type: str) -> dict:
             list(declared) + [pa.field(name, new_type, nullable=True)]
         )
         raw["table_schema"] = _schema_b64(new_schema)
-        return {"op": "add_column", "column": name, "type": ddl_type}
+        if enc is not None:
+            raw.setdefault("column_defaults", {})[name] = enc
+        rep = {"op": "add_column", "column": name, "type": ddl_type}
+        if enc is not None:
+            rep["default"] = enc
+        return rep
 
     return _commit_evolution(table, mutate)
 
@@ -664,6 +674,11 @@ def drop_column(table: str, name: str) -> dict:
             raise ValueError("cannot drop a table's last column")
         new_schema = pa.schema([f for f in declared if f.name != name])
         raw["table_schema"] = _schema_b64(new_schema)
+        # the default dies with the column
+        if raw.get("column_defaults"):
+            raw["column_defaults"].pop(name, None)
+            if not raw["column_defaults"]:
+                raw.pop("column_defaults", None)
         # the declared name dies with the drop — remove it from every
         # rename map too (its physical target stays unreachable until a
         # rewrite frees it; the shadow guard in add_column keeps it so)
@@ -726,6 +741,9 @@ def rename_column(table: str, old: str, new: str) -> dict:
             for f in declared
         ]
         raw["table_schema"] = _schema_b64(pa.schema(fields))
+        # the default follows the column to its new name
+        if raw.get("column_defaults") and old in raw["column_defaults"]:
+            raw["column_defaults"][new] = raw["column_defaults"].pop(old)
         for rel, cm in updates.items():
             if cm is None:
                 raw["files"][rel].pop("cmap", None)

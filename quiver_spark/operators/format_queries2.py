@@ -673,11 +673,13 @@ def quiver_merge_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH evolved AS (
     SELECT p_partkey, p_brand, p_type AS part_type,
-           CAST(NULL AS BIGINT) AS priority
+           CAST(NULL AS BIGINT) AS priority,
+           'unknown' AS grade
     FROM part
     UNION ALL
     SELECT p_partkey + 100000000, p_brand, p_type,
-           CAST(p_size AS BIGINT)
+           CAST(p_size AS BIGINT),
+           'oversize'
     FROM part
     WHERE p_size >= 45
 )
@@ -685,7 +687,8 @@ SELECT p_brand,
        COUNT(*) AS cnt,
        CAST(SUM(p_partkey) AS BIGINT) AS key_sum,
        MIN(part_type) AS min_type,
-       CAST(SUM(priority) AS BIGINT) AS prio_sum
+       CAST(SUM(priority) AS BIGINT) AS prio_sum,
+       COUNT(CASE WHEN grade = 'unknown' THEN 1 END) AS n_default_grade
 FROM evolved
 GROUP BY p_brand
 """,
@@ -698,12 +701,14 @@ def quiver_alter_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rename_column p_type -> part_type`` (old files resolve through
     per-file declared->physical maps), ``drop_column p_name`` (bytes
     stay, name vanishes), ``add_column priority bigint`` (old files
-    null-fill). A post-ALTER append then lands rows that physically carry
-    the NEW names — so the scan mixes both physical schemas in one plan.
-    The oracle rebuilds the same table algebraically from the parquet
-    original: a rename resolved to the wrong column, a resurrected
-    dropped value, a mis-null-filled add, or a lost post-ALTER row all
-    hash-fail. The reference format is single-file with a fixed footer
+    null-fill) — plus ``add_column grade string default 'unknown'``
+    (Iceberg-style initial-default: old files serve the default, not
+    null). A post-ALTER append then lands rows that physically carry
+    the NEW names and real grades — so the scan mixes both physical
+    schemas in one plan. The oracle rebuilds the same table
+    algebraically from the parquet original: a rename resolved to the
+    wrong column, a resurrected dropped value, a mis-filled add or
+    default, or a lost post-ALTER row all hash-fail. The reference format is single-file with a fixed footer
     schema (/root/reference/src/lib.rs); this layer is the
     directory-level analogue of Delta column mapping, name-based.
     """
@@ -722,6 +727,7 @@ def quiver_alter_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.rename_column(d, "p_type", "part_type")
         M.drop_column(d, "p_name")
         M.add_column(d, "priority", "bigint")
+        M.add_column(d, "grade", "string", default="unknown")
         post = full.filter("p_size >= 45").selectExpr(
             "p_partkey + 100000000 AS p_partkey",
             "p_brand",
@@ -729,14 +735,18 @@ def quiver_alter_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_size",
             "p_retailprice",
             "CAST(p_size AS BIGINT) AS priority",
+            "'oversize' AS grade",
         )
         post.coalesce(1).write.format("quiver").mode("append").save(d)
 
-    d = _marker_dir(spark, sf_dir, "part-alter-evolution", build)
+    d = _marker_dir(spark, sf_dir, "part-alter-evolution-v2", build)
     t = quiver_relation(spark, d)
     return t.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("p_partkey").cast("bigint").alias("key_sum"),
         F.min("part_type").alias("min_type"),
         F.sum("priority").cast("bigint").alias("prio_sum"),
+        F.count(
+            F.when(F.col("grade") == "unknown", F.lit(1))
+        ).alias("n_default_grade"),
     )

@@ -169,6 +169,8 @@ class ArrowIpcScanReader(DataSourceReader):
         #: per-file declared→physical rename maps, loaded lazily (see
         #: the quiver reader's _file_cmap — same contract)
         self._cmaps: dict | None = None
+        #: declared column defaults — plan-time like _cmaps
+        self._defaults: dict | None = None
 
     def _file_cmap(self, file: str) -> dict:
         if self._cmaps is None:
@@ -176,6 +178,13 @@ class ArrowIpcScanReader(DataSourceReader):
 
             self._cmaps = rename_maps(self.path)
         return self._cmaps.get(os.path.relpath(file, self.path), {})
+
+    def _defaults_map(self) -> dict:
+        if self._defaults is None:
+            from quiver_spark.sources.manifest import column_defaults
+
+            self._defaults = column_defaults(self.path)
+        return self._defaults
 
     def _floor(self, files: list[str]) -> int:
         if self.min_partition_bytes is not None:
@@ -199,8 +208,10 @@ class ArrowIpcScanReader(DataSourceReader):
             self._cmaps = {
                 rel: e.cmap for rel, e in man.entries.items() if e.cmap
             }
+            self._defaults = dict(man.column_defaults)
         else:
             self._cmaps = {}
+            self._defaults = {}
         if self.changes_since is not None:
             files = _files_changed_since(files, man, self.changes_since)
         parts = _batch_splits(files, self._floor(files), man)
@@ -297,12 +308,31 @@ class ArrowIpcScanReader(DataSourceReader):
                 if names is not None and len(batch.schema.names) < len(
                     names
                 ):
-                    # schema evolution: null-fill declared columns this
-                    # file lacks (same contract as the quiver reader)
+                    # schema evolution: fill declared columns this file
+                    # lacks — the declared DEFAULT when one exists
+                    # (Iceberg initial-default), else null (same contract
+                    # as the quiver reader)
+                    from quiver_spark.sources.manifest import (
+                        decode_default,
+                    )
+
+                    dmap = self._defaults_map()
                     arrays, it = [], iter(batch.columns)
                     for nm in names:
                         if nm in batch.schema.names:
                             arrays.append(next(it))
+                        elif nm in dmap:
+                            arrays.append(
+                                pa.array(
+                                    [
+                                        decode_default(
+                                            dmap[nm], table_types[nm]
+                                        )
+                                    ]
+                                    * batch.num_rows,
+                                    type=table_types[nm],
+                                )
+                            )
                         else:
                             arrays.append(
                                 pa.nulls(batch.num_rows, table_types[nm])

@@ -130,6 +130,13 @@ class Manifest:
         #: present it overrides file-footer inference table-wide
         self._table_schema_raw = raw.get("table_schema")
         self._table_schema = None
+        #: declared column → JSON-encoded default value (Iceberg-style
+        #: initial-default): files lacking the column fill it with this
+        #: instead of null. Set by add_column(default=...), re-keyed by
+        #: rename_column, removed by drop_column.
+        self.column_defaults: dict[str, object] = dict(
+            raw.get("column_defaults", {})
+        )
         #: monotone commit counter: bumped by every sink commit (append,
         #: overwrite — carried forward across generations via prev_root)
         self.commit_seq = int(raw.get("commit_seq", 0))
@@ -194,6 +201,74 @@ _MANIFEST_CACHE: dict[tuple, Manifest] = {}
 
 def manifest_path(root: str) -> str:
     return os.path.join(root, MANIFEST_NAME)
+
+
+def encode_default(value, pa_type):
+    """Validate + normalize a column default for manifest storage (JSON):
+    ints/floats/strings/booleans store natively; date/timestamp/decimal
+    store their canonical string form. Raises ValueError on a value the
+    column type can't hold — the ALTER must fail, not the later scan."""
+    import pyarrow as pa
+
+    try:
+        # ISO-string convenience for types pyarrow won't coerce from str
+        if isinstance(value, str):
+            if pa.types.is_date(pa_type):
+                import datetime
+
+                value = datetime.date.fromisoformat(value)
+            elif pa.types.is_timestamp(pa_type):
+                import datetime
+
+                value = datetime.datetime.fromisoformat(value)
+            elif pa.types.is_decimal(pa_type):
+                import decimal
+
+                value = decimal.Decimal(value)
+        # round-trip through a 1-element typed array: pyarrow applies the
+        # exact coercion the read-time fill will, so accept/reject here
+        # matches the fill by construction
+        arr = pa.array([value], type=pa_type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, TypeError) as e:
+        raise ValueError(
+            f"default {value!r} is not valid for column type {pa_type}: {e}"
+        ) from None
+    v = arr[0].as_py()
+    if v is None:
+        raise ValueError("a column default cannot be NULL — omit it")
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    # date / timestamp / decimal: canonical string, re-parsed at fill time
+    return str(v)
+
+
+def decode_default(raw_value, pa_type):
+    """Manifest-stored default → a Python value pyarrow accepts for
+    ``pa.array([v] * n, type=pa_type)`` (inverse of encode_default)."""
+    import pyarrow as pa
+
+    t = pa_type
+    if isinstance(raw_value, str):
+        if pa.types.is_date(t):
+            import datetime
+
+            return datetime.date.fromisoformat(raw_value)
+        if pa.types.is_timestamp(t):
+            import datetime
+
+            return datetime.datetime.fromisoformat(raw_value)
+        if pa.types.is_decimal(t):
+            import decimal
+
+            return decimal.Decimal(raw_value)
+    return raw_value
+
+
+def column_defaults(root: str) -> dict[str, object]:
+    """The table's declared column defaults ({name: raw JSON value}),
+    empty when none were ever declared."""
+    man = load_manifest(root)
+    return dict(man.column_defaults) if man is not None else {}
 
 
 def rename_maps(root: str) -> dict[str, dict]:
@@ -484,11 +559,13 @@ def update_manifest(
             src_raw = None
         if src_raw is not None and src_raw.get("version") == MANIFEST_VERSION:
             # a carry commit rewrites PART of the same logical table, so
-            # the declared (evolved) table schema rides along — without
-            # this, the first DELETE/UPDATE/MERGE after an ALTER would
-            # silently revert the table to footer-inferred schema
-            if "table_schema" not in raw and "table_schema" in src_raw:
-                raw["table_schema"] = src_raw["table_schema"]
+            # the declared (evolved) table schema — and its column
+            # defaults — ride along; without this, the first
+            # DELETE/UPDATE/MERGE after an ALTER would silently revert
+            # the table to footer-inferred schema
+            for k in ("table_schema", "column_defaults"):
+                if k not in raw and k in src_raw:
+                    raw[k] = src_raw[k]
             schemas = src_raw.get("schemas", [])
             src_files = src_raw.get("files", {})
             missing = []
@@ -533,7 +610,13 @@ def rebuild_manifest(root: str) -> dict:
     except (OSError, ValueError, json.JSONDecodeError):
         prev = None
     if prev is not None and prev.get("version") == MANIFEST_VERSION:
-        for k in ("table_schema", "commit_seq", "commit_times", "commit_ops"):
+        for k in (
+            "table_schema",
+            "column_defaults",
+            "commit_seq",
+            "commit_times",
+            "commit_ops",
+        ):
             if k in prev:
                 raw[k] = prev[k]
     counts = {}

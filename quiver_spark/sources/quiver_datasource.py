@@ -789,6 +789,9 @@ class QuiverScanReader(DataSourceReader):
         #: loaded lazily by _file_cmap the first time a requested column
         #: is absent from a file's footer — None until then
         self._cmaps: dict | None = None
+        #: declared column defaults ({name: raw manifest value}) — filled
+        #: plan-time like _cmaps; lazy fallback for the streaming path
+        self._defaults: dict | None = None
         #: restrict the scan to these relative file names (JSON array) —
         #: the rewrite half of row-level ops reads ONLY touched files, so
         #: a 1%-selective DELETE rewrites 1% of the table, not all of it
@@ -1042,8 +1045,10 @@ class QuiverScanReader(DataSourceReader):
             self._cmaps = {
                 rel: e.cmap for rel, e in man.entries.items() if e.cmap
             }
+            self._defaults = dict(man.column_defaults)
         else:
             self._cmaps = {}
+            self._defaults = {}
         files = _list_files(self.path)
         if self.files_subset is not None:
             files = [
@@ -1259,14 +1264,23 @@ class QuiverScanReader(DataSourceReader):
 
     def _file_cmap(self, file: str) -> dict:
         """Declared→physical rename map for one file (empty = identity).
-        The manifest is read at most once per reader instance; the
-        module-level manifest cache plus Spark's Python-worker reuse
-        amortize it across tasks."""
+        Normally populated plan-time by partitions() and pickled with the
+        reader; the lazy load here covers the streaming path, at most
+        once per reader instance."""
         if self._cmaps is None:
             from .manifest import rename_maps
 
             self._cmaps = rename_maps(self.path)
         return self._cmaps.get(os.path.relpath(file, self.path), {})
+
+    def _defaults_map(self) -> dict:
+        """Declared column defaults (raw manifest values). Plan-time
+        populated like _cmaps; lazy fallback for the streaming path."""
+        if self._defaults is None:
+            from .manifest import column_defaults
+
+            self._defaults = column_defaults(self.path)
+        return self._defaults
 
     def _read_chunk(
         self, chunk_file: str, page_start: int, page_end: int,
@@ -1349,6 +1363,18 @@ class QuiverScanReader(DataSourceReader):
                     f"column '{n}' not in {chunk_file} and no table "
                     "schema to null-fill it from"
                 )
+        # declared defaults (Iceberg initial-default): a missing column
+        # with a default fills the default, not null — decoded once per
+        # chunk, materialized per batch in finalize()
+        fill_vals: dict = {}
+        if missing_map:
+            dmap = self._defaults_map()
+            if dmap:
+                from .manifest import decode_default
+
+                for nm, t in missing_map.items():
+                    if nm in dmap:
+                        fill_vals[nm] = decode_default(dmap[nm], t)
         for n in names:
             if phys[n] in schema.names and n in table_types:
                 actual = _spark_field(
@@ -1397,7 +1423,14 @@ class QuiverScanReader(DataSourceReader):
                         else pa.array([v] * n_rows, type=t)
                     )
                 elif nm in missing_map:
-                    arrays.append(pa.nulls(n_rows, missing_map[nm]))
+                    arrays.append(
+                        pa.array(
+                            [fill_vals[nm]] * n_rows,
+                            type=missing_map[nm],
+                        )
+                        if nm in fill_vals
+                        else pa.nulls(n_rows, missing_map[nm])
+                    )
                 else:
                     arrays.append(next(it))
             return pa.RecordBatch.from_arrays(arrays, names=names)

@@ -355,11 +355,21 @@ def cmd_schema(path: str, version: int | None = None) -> dict:
         else:
             schema, _ = _footer_of(man, files[0])
         source = f"inferred from {os.path.basename(files[0])}"
+    defaults = dict(man.column_defaults) if man is not None else {}
     return {
         "root": root,
         "schema_source": source,
         "columns": [
-            {"name": f.name, "type": str(f.type), "nullable": f.nullable}
+            {
+                "name": f.name,
+                "type": str(f.type),
+                "nullable": f.nullable,
+                **(
+                    {"default": defaults[f.name]}
+                    if f.name in defaults
+                    else {}
+                ),
+            }
             for f in schema
         ],
         "renamed_files": rename_maps(root),
@@ -455,6 +465,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="Spark-DDL type for add-column / NEW name for rename-column",
     )
+    al.add_argument(
+        "--default",
+        dest="default",
+        default=None,
+        help="add-column only: initial default — files lacking the "
+        "column serve this value instead of NULL (parsed as JSON, so "
+        "strings need quotes: --default '\"unknown\"')",
+    )
     sc = sub.add_parser(
         "schema",
         help="the schema a scan of this table directory will serve "
@@ -538,7 +556,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "add-column":
             if args.arg2 is None:
                 ap.error("add-column requires NAME TYPE")
-            out = add_column(args.dir, args.name, args.arg2)
+            dflt = None
+            if args.default is not None:
+                try:
+                    dflt = json.loads(args.default)
+                except json.JSONDecodeError:
+                    dflt = args.default  # bare string convenience
+            out = add_column(args.dir, args.name, args.arg2, default=dflt)
         elif args.action == "drop-column":
             out = drop_column(args.dir, args.name)
         else:

@@ -405,3 +405,113 @@ def test_alter_cli_round_trip(spark, tmp_path, capsys):
     desc1 = _json.loads(capsys.readouterr().out)
     assert desc1["schema_source"].startswith("inferred")
     assert [c["name"] for c in desc1["columns"]] == ["k", "s"]
+
+
+# --- column defaults (Iceberg-style initial-default) ----------------------
+
+
+@pytest.mark.parametrize("fmt", ["quiver", "arrowipc"])
+def test_add_column_with_default_fills_and_evolves(spark, tmp_path, fmt):
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / f"t_dflt_{fmt}")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string").write.format(
+        fmt
+    ).mode("overwrite").save(tbl)
+    rep = M.add_column(tbl, "grade", "string", default="unknown")
+    assert rep["default"] == "unknown"
+    M.add_column(tbl, "score", "double", default=1.5)
+    M.add_column(tbl, "flag", "boolean")  # no default → null
+    rows = sorted(map(tuple, spark.read.format(fmt).load(tbl).collect()))
+    assert rows == [
+        (1, "a", "unknown", 1.5, None),
+        (2, "b", "unknown", 1.5, None),
+    ]
+    # a post-ALTER append carries real values; old files keep the default
+    spark.createDataFrame(
+        [(3, "c", "real", 9.9, True)],
+        "k long, s string, grade string, score double, flag boolean",
+    ).write.format(fmt).mode("append").save(tbl)
+    # rename re-keys the default; drop removes it
+    M.rename_column(tbl, "grade", "quality")
+    rows = sorted(
+        map(tuple, spark.read.format(fmt).load(tbl).select("k", "quality").collect())
+    )
+    assert rows == [(1, "unknown"), (2, "unknown"), (3, "real")]
+    M.drop_column(tbl, "score")
+    assert spark.read.format(fmt).load(tbl).columns == [
+        "k", "s", "quality", "flag",
+    ]
+
+
+def test_typed_defaults_date_decimal(spark, tmp_path):
+    import datetime
+    import decimal
+
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_typed")
+    spark.createDataFrame([(1,)], "k long").write.format("quiver").mode(
+        "overwrite"
+    ).save(tbl)
+    M.add_column(tbl, "d", "date", default="2026-01-01")
+    M.add_column(tbl, "dec", "decimal(10,2)", default="12.34")
+    got = spark.read.format("quiver").load(tbl).collect()[0]
+    assert got.d == datetime.date(2026, 1, 1)
+    assert got.dec == decimal.Decimal("12.34")
+
+
+def test_bad_default_rejected_at_alter_time(spark, tmp_path):
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_bad")
+    _write_kv(spark, tbl)
+    with pytest.raises(ValueError, match="not valid for column type"):
+        M.add_column(tbl, "n", "bigint", default="not-a-number")
+    with pytest.raises(ValueError, match="cannot be NULL"):
+        from quiver_spark.sources.manifest import encode_default
+        import pyarrow as pa
+
+        encode_default(None, pa.int64())
+
+
+def test_default_survives_dml_rewrite(spark, tmp_path):
+    """The carry commit of a DELETE must keep column_defaults — losing it
+    would silently flip defaulted fills back to null."""
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_dml_dflt")
+    _write_kv(spark, tbl)
+    spark.createDataFrame([(9, "z")], "k long, s string").write.format(
+        "quiver"
+    ).mode("append").save(tbl)
+    M.add_column(tbl, "grade", "string", default="unknown")
+    M.delete_where(spark, tbl, "s = 'b'")
+    rows = sorted(map(tuple, spark.read.format("quiver").load(tbl).collect()))
+    # NOTE: rewritten files MATERIALIZE the default (they are written
+    # through the declared-schema read); carried files still fill at scan
+    assert rows == [(1, "a", "unknown"), (3, "c", "unknown"), (9, "z", "unknown")]
+
+
+def test_alter_cli_default_and_schema_shows_it(spark, tmp_path, capsys):
+    import json as _json
+
+    from quiver_spark.tools import main as tools_main
+
+    register(spark)
+    tbl = str(tmp_path / "t_cli_dflt")
+    _write_kv(spark, tbl)
+    assert tools_main(
+        ["alter", "add-column", tbl, "grade", "string", "--default", '"unknown"']
+    ) in (0, None)
+    capsys.readouterr()
+    assert tools_main(["schema", tbl]) in (0, None)
+    desc = _json.loads(capsys.readouterr().out)
+    grade = [c for c in desc["columns"] if c["name"] == "grade"][0]
+    assert grade["default"] == "unknown"
+    rows = spark.read.format("quiver").load(tbl).select("grade").collect()
+    assert {r.grade for r in rows} == {"unknown"}

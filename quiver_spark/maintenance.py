@@ -754,6 +754,107 @@ def rename_column(table: str, old: str, new: str) -> dict:
     return _commit_evolution(table, mutate)
 
 
+def add_constraint(
+    spark,
+    table: str,
+    name: str,
+    expression: str,
+    format: str = "quiver",
+    validate: bool = True,
+) -> dict:
+    """ALTER TABLE ADD CONSTRAINT ``name`` CHECK ``expression`` — the
+    Delta CHECK-constraint analogue. The predicate is bind-checked under
+    BOTH engines that will see it (Spark/Catalyst here; DuckDB, which
+    evaluates it per batch in every writer) and, with ``validate=True``,
+    EXISTING rows are scanned: a single row where the predicate is FALSE
+    refuses the constraint (standard SQL CHECK — NULL passes). Stored in
+    the manifest via a metadata-only commit; every subsequent write on
+    any path (batch, append, streaming, DML rewrite) enforces it and
+    aborts before publish on violation. Constraints survive overwrites
+    (the overwrite itself is validated first) and DML carry commits;
+    drop via :func:`drop_constraint`."""
+    import duckdb
+    import pyarrow as pa
+
+    from quiver_spark.sources import register as register_format
+
+    register_format(spark)
+    df = spark.read.format(format).load(table)
+    # Catalyst bind + SQL CHECK semantics: violations are rows where the
+    # predicate IS FALSE (NULL passes)
+    try:
+        viol_df = df.filter(f"({expression}) IS FALSE")
+        viol_df.schema  # force analysis — binder errors surface here
+    except Exception as e:
+        raise ValueError(
+            f"constraint expression {expression!r} does not bind against "
+            f"the table schema {df.columns}: {e}"
+        ) from None
+    # DuckDB bind check on an empty table with the same schema — the
+    # writer evaluates the predicate there, so it must parse in both
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    empty = pa.table(
+        {
+            f.name: pa.array([], type=to_arrow_type(f.dataType))
+            for f in df.schema.fields
+        }
+    )
+    con = duckdb.connect()
+    con.register("_t", empty)
+    try:
+        con.execute(f"SELECT count(*) FROM _t WHERE ({expression}) IS FALSE")
+    except duckdb.Error as e:
+        raise ValueError(
+            f"constraint expression {expression!r} is not portable to the "
+            f"write-side evaluator (DuckDB): {e} — use ANSI SQL the "
+            "constraint docs list"
+        ) from None
+    finally:
+        con.unregister("_t")
+    violations = viol_df.count() if validate else None
+    if violations:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r}: {violations} existing "
+            f"row(s) violate ({expression})"
+        )
+
+    def mutate(man, root, rel_schemas, raw):
+        cons = raw.setdefault("check_constraints", {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists: {cons[name]!r}"
+            )
+        cons[name] = expression
+        return {
+            "op": "add_constraint",
+            "constraint": name,
+            "expression": expression,
+            "validated_rows": violations if validate else "skipped",
+        }
+
+    return _commit_evolution(table, mutate)
+
+
+def drop_constraint(table: str, name: str) -> dict:
+    """ALTER TABLE DROP CONSTRAINT — metadata-only commit removing the
+    CHECK predicate; subsequent writes stop enforcing it."""
+
+    def mutate(man, root, rel_schemas, raw):
+        cons = raw.get("check_constraints") or {}
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} (have {sorted(cons) or 'none'})"
+            )
+        expr = cons.pop(name)
+        if not cons:
+            raw.pop("check_constraints", None)
+        return {"op": "drop_constraint", "constraint": name,
+                "expression": expr}
+
+    return _commit_evolution(table, mutate)
+
+
 def expire_generations(path: str, keep: int = 1) -> dict:
     """Delete retained generation snapshots beyond the newest ``keep``
     (the LIVE generation is always kept, whatever ``keep`` says) — the

@@ -750,3 +750,68 @@ def quiver_alter_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("grade") == "unknown", F.lit(1))
         ).alias("n_default_grade"),
     )
+
+
+@register(
+    "quiver_check_constraint_scan",
+    oracle="""
+WITH constrained AS (
+    SELECT n_nationkey, n_regionkey FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, n_regionkey FROM nation
+    WHERE n_regionkey >= 2
+)
+SELECT n_regionkey,
+       COUNT(*) AS cnt,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM constrained
+GROUP BY n_regionkey
+""",
+    tags=("format", "ddl", "constraints"),
+)
+def quiver_check_constraint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints through the driver gate: nation is sink-written,
+    ``add_constraint n_nonneg CHECK (n_nationkey >= 0)`` validates the
+    existing rows and commits to the manifest, a VIOLATING append is
+    proven to abort with nothing published (asserted in the fixture —
+    the scan would double rows if the abort leaked), and a valid append
+    then lands. The oracle rebuilds the final table algebraically: a
+    leaked aborted write, a lost constraint commit, or a rejected valid
+    write all hash-fail. Write-side evaluation is DuckDB over each Arrow
+    batch (bind-checked against BOTH engines at add time); the reference
+    format has no constraint layer (/root/reference/src/lib.rs)."""
+
+    def build(d):
+        from quiver_spark import maintenance as M
+
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_regionkey"
+        )
+        n.coalesce(1).write.format("quiver").option(
+            "keep_generations", "2"
+        ).mode("overwrite").save(d)
+        rep = M.add_constraint(spark, d, "n_nonneg", "n_nationkey >= 0")
+        assert rep["validated_rows"] == 0, rep
+        bad = n.selectExpr(
+            "-(n_nationkey + 1) AS n_nationkey", "n_regionkey"
+        )
+        try:
+            bad.coalesce(1).write.format("quiver").mode("append").save(d)
+            raise AssertionError(
+                "violating append was accepted — constraint not enforced"
+            )
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # expected: the job aborts, nothing publishes
+        good = n.filter("n_regionkey >= 2").selectExpr(
+            "n_nationkey + 100 AS n_nationkey", "n_regionkey"
+        )
+        good.coalesce(1).write.format("quiver").mode("append").save(d)
+
+    d = _marker_dir(spark, sf_dir, "nation-check-constraint", build)
+    t = quiver_relation(spark, d)
+    return t.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    )

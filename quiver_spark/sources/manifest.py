@@ -137,6 +137,11 @@ class Manifest:
         self.column_defaults: dict[str, object] = dict(
             raw.get("column_defaults", {})
         )
+        #: CHECK constraints ({name: SQL predicate}) enforced by every
+        #: writer on every batch; set by maintenance.add_constraint
+        self.check_constraints: dict[str, str] = dict(
+            raw.get("check_constraints", {})
+        )
         #: monotone commit counter: bumped by every sink commit (append,
         #: overwrite — carried forward across generations via prev_root)
         self.commit_seq = int(raw.get("commit_seq", 0))
@@ -540,6 +545,13 @@ def update_manifest(
                 raw["commit_times"] = dict(prev.get("commit_times", {}))
                 if prev.get("commit_ops"):
                     raw["commit_ops"] = dict(prev["commit_ops"])
+                # CHECK constraints are a TABLE property: they survive a
+                # full overwrite (the overwrite itself was validated
+                # against them — the writer loads them before writing)
+                if prev.get("check_constraints"):
+                    raw["check_constraints"] = dict(
+                        prev["check_constraints"]
+                    )
         if corrupt:
             import time
 
@@ -563,7 +575,7 @@ def update_manifest(
             # defaults — ride along; without this, the first
             # DELETE/UPDATE/MERGE after an ALTER would silently revert
             # the table to footer-inferred schema
-            for k in ("table_schema", "column_defaults"):
+            for k in ("table_schema", "column_defaults", "check_constraints"):
                 if k not in raw and k in src_raw:
                     raw[k] = src_raw[k]
             schemas = src_raw.get("schemas", [])
@@ -613,6 +625,7 @@ def rebuild_manifest(root: str) -> dict:
         for k in (
             "table_schema",
             "column_defaults",
+            "check_constraints",
             "commit_seq",
             "commit_times",
             "commit_ops",

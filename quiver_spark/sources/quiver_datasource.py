@@ -1814,6 +1814,25 @@ class QuiverWriter(DataSourceArrowWriter):
         self.require_not_null = tuple(
             c.strip() for c in rnn.split(",") if c.strip()
         )
+        # CHECK constraints (Delta analogue): table-level SQL predicates
+        # stored in the manifest by maintenance.add_constraint. Loaded
+        # HERE — writer construction is driver-side, before pickling to
+        # tasks — from the destination's LIVE manifest, so every write
+        # path (batch, append, streaming micro-batch, DML rewrites)
+        # enforces them; evaluated per batch via DuckDB over the Arrow
+        # data (zero-copy). SQL CHECK semantics: NULL passes, FALSE
+        # aborts the task before staging completes — the staged-commit
+        # protocol guarantees nothing partial publishes.
+        self.check_constraints: dict[str, str] = {}
+        if self.path and os.path.isdir(self.path):
+            from .manifest import load_manifest
+
+            try:
+                man = load_manifest(_data_root(self.path))
+            except (OSError, ValueError):
+                man = None
+            if man is not None:
+                self.check_constraints = dict(man.check_constraints)
 
     def _split_partitions(self, table):
         """Yield ``(subdir, sub_table)`` per distinct partition-key combo;
@@ -1893,6 +1912,47 @@ class QuiverWriter(DataSourceArrowWriter):
                     "aborts and nothing is published"
                 )
 
+    def _check_constraints(self, batch) -> None:
+        """Enforce the table's CHECK constraints on one Arrow batch —
+        called next to _check_not_null on every write path. Violation =
+        the predicate evaluates to FALSE (NULL passes, standard SQL
+        CHECK). The DuckDB connection is created lazily task-side (the
+        writer pickles BEFORE any write() runs, so the unpicklable
+        connection never travels); registration is zero-copy over the
+        batch's Arrow buffers."""
+        if not self.check_constraints:
+            return
+        import duckdb
+        import pyarrow as pa
+
+        con = getattr(self, "_duck_con", None)
+        if con is None:
+            con = self._duck_con = duckdb.connect()
+        tbl = pa.Table.from_batches([batch])
+        con.register("_quiver_check_batch", tbl)
+        try:
+            for name, expr in self.check_constraints.items():
+                try:
+                    n = con.execute(
+                        f"SELECT count(*) FROM _quiver_check_batch "
+                        f"WHERE ({expr}) IS FALSE"
+                    ).fetchone()[0]
+                except duckdb.Error as e:
+                    raise ValueError(
+                        f"CHECK constraint {name!r} ({expr}) failed to "
+                        f"evaluate against the written schema "
+                        f"{batch.schema.names}: {e} — drop the "
+                        "constraint or fix the write"
+                    ) from None
+                if n:
+                    raise ValueError(
+                        f"CHECK constraint {name!r} violated: ({expr}) "
+                        f"is FALSE for {n} row(s) in this write — the "
+                        "job aborts and nothing is published"
+                    )
+        finally:
+            con.unregister("_quiver_check_batch")
+
     def write(self, iterator) -> QuiverCommit:
         """One task → one or more .quiver files (a file is one row group,
         src/write/writer.rs:107-112; oversized tasks roll to new files;
@@ -1938,6 +1998,7 @@ class QuiverWriter(DataSourceArrowWriter):
 
         for batch in iterator:
             self._check_not_null(batch)
+            self._check_constraints(batch)
             buffer.append(batch)
             rows += batch.num_rows
             if rows >= self.max_rows:

@@ -359,6 +359,9 @@ def cmd_schema(path: str, version: int | None = None) -> dict:
     return {
         "root": root,
         "schema_source": source,
+        "check_constraints": (
+            dict(man.check_constraints) if man is not None else {}
+        ),
         "columns": [
             {
                 "name": f.name,
@@ -473,6 +476,15 @@ def main(argv: list[str] | None = None) -> int:
         "column serve this value instead of NULL (parsed as JSON, so "
         "strings need quotes: --default '\"unknown\"')",
     )
+    cn = sub.add_parser(
+        "constraint",
+        help="drop a CHECK constraint (adding one needs a SparkSession "
+        "for validation — use maintenance.add_constraint); `schema` "
+        "lists the table's constraints",
+    )
+    cn.add_argument("action", choices=("drop",))
+    cn.add_argument("dir")
+    cn.add_argument("name")
     sc = sub.add_parser(
         "schema",
         help="the schema a scan of this table directory will serve "
@@ -570,6 +582,10 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("rename-column requires OLD NEW")
             out = rename_column(args.dir, args.name, args.arg2)
         print(json.dumps(out, indent=2))
+    elif args.cmd == "constraint":
+        from quiver_spark.maintenance import drop_constraint
+
+        print(json.dumps(drop_constraint(args.dir, args.name), indent=2))
     elif args.cmd == "schema":
         print(json.dumps(cmd_schema(args.dir, args.version), indent=2))
     elif args.cmd == "clone":

@@ -101,6 +101,7 @@ _PRIORITY = [
     "text_blocklist_filter",
     "quiver_alter_evolution_scan",
     "quiver_check_constraint_scan",
+    "quiver_repartitioned_scan",
     # then the round-7 window — round 10's natural continuation
     "dedup_simhash",
     "multimodal_binary_meta",

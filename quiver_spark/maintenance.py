@@ -77,11 +77,20 @@ def compact(
     dst_dir: str | None = None,
     target_rows_per_file: int = 1 << 20,
     codec: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``src_dir`` into ``dst_dir`` — or IN PLACE when ``dst_dir``
     is omitted or equal to ``src_dir`` — with files sized to
     ``target_rows_per_file`` rows, preserving any Hive partition layout
     discovered in the source. Returns a summary dict.
+
+    ``partition_by`` overrides the preserved layout — PARTITION EVOLUTION
+    (Iceberg's replace-partition-field analogue): pass a new column list
+    to re-lay the table out under different Hive keys, or ``[]`` to
+    remove partitioning entirely, all under the same atomic generation
+    swap (readers see the old or the new layout, never a mix; time
+    travel to the pre-evolution generation still resolves the old
+    layout).
 
     In-place compaction rides the sink's atomic generation swap: the read
     resolves (and freezes) the table's live generation at plan time, the
@@ -108,10 +117,19 @@ def compact(
         _check_disjoint(src_dir, dst_dir)
     register_format(spark)
     n_files, rows = _dir_stats(src_dir)
-    part_cols = [c for c, _k in _discover_partitions(src_dir)[0]]
+    if partition_by is None:
+        part_cols = [c for c, _k in _discover_partitions(src_dir)[0]]
+    else:
+        part_cols = list(partition_by)
     n_out = max(1, math.ceil(rows / max(target_rows_per_file, 1)))
 
     df = spark.read.format("quiver").load(src_dir)
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"partition_by columns {missing} not in the table schema "
+            f"{df.columns}"
+        )
     if part_cols:
         # co-locate rows of each partition so an output task writes into
         # few subdirectories (each task fans out per distinct partition)

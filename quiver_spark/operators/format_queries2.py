@@ -815,3 +815,63 @@ def quiver_check_constraint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("n_nationkey").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "quiver_repartitioned_scan",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS price_sum
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""",
+    tags=("format", "maintenance", "partition-evolution"),
+)
+def quiver_repartitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition EVOLUTION through the driver gate: orders is sink-written
+    FLAT (no Hive layout), then re-laid-out in place via
+    ``maintenance.compact(partition_by=["o_orderpriority"])`` — the
+    Iceberg replace-partition-field analogue on the atomic generation
+    swap. The fixture asserts the new layout exists (o_orderpriority=*
+    subdirectories) and the query filters on the NEW partition column, so
+    the scan exercises directory pruning over the evolved layout; the
+    oracle is the same filter on the parquet original — a row lost,
+    duplicated, or mis-bucketed by the rewrite hash-fails. The reference
+    format has no table layout at all (/root/reference/src/lib.rs)."""
+
+    def build(d):
+        import glob as _glob
+
+        from quiver_spark import maintenance as M
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        o.coalesce(4).write.format("quiver").option(
+            "keep_generations", "2"
+        ).mode("overwrite").save(d)
+        M.compact(
+            spark, d,
+            target_rows_per_file=1 << 20,
+            partition_by=["o_orderpriority"],
+        )
+        from quiver_spark.sources.quiver_datasource import _data_root
+
+        subdirs = _glob.glob(
+            os.path.join(_data_root(d), "o_orderpriority=*")
+        )
+        assert len(subdirs) >= 2, (
+            f"partition evolution produced no Hive layout: {subdirs}"
+        )
+
+    d = _marker_dir(spark, sf_dir, "orders-repartitioned", build)
+    t = quiver_relation(spark, d).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        dsum("o_totalprice", "decimal(18,4)").alias("price_sum"),
+    )

@@ -663,3 +663,40 @@ def test_vacuum_sweeps_crashed_clone_staging(spark, tmp_path):
     res2 = maintenance.vacuum(d)
     assert res2["staging_swept"] == []
     assert os.path.exists(ct)
+
+
+def test_compact_partition_evolution(spark, tmp_path):
+    """compact(partition_by=...) is partition EVOLUTION: a flat table
+    re-lays out under new Hive keys (and [] removes partitioning), all
+    on the atomic generation swap. (The rewrite uses the sink's default
+    retention, so the pre-evolution generation expires unless the
+    rewrite is issued with keep_generations > 1.)"""
+    import glob
+
+    from quiver_spark.sources.quiver_datasource import _data_root
+
+    register(spark)
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(60)], "id long, grp int, s string"
+    )
+    df.write.format("quiver").option("keep_generations", "3").mode(
+        "overwrite"
+    ).save(d)
+    # flat → partitioned on grp
+    rep = maintenance.compact(spark, d, partition_by=["grp"])
+    assert rep["partition_by"] == ["grp"]
+    subdirs = glob.glob(os.path.join(_data_root(d), "grp=*"))
+    assert len(subdirs) == 3, subdirs
+    rows = sorted(
+        (r.id, r.grp, r.s)
+        for r in spark.read.format("quiver").load(d).collect()
+    )
+    assert rows == sorted((i, i % 3, f"r{i}") for i in range(60))
+    # partitioned → flat via []
+    maintenance.compact(spark, d, partition_by=[])
+    assert not glob.glob(os.path.join(_data_root(d), "grp=*"))
+    assert spark.read.format("quiver").load(d).count() == 60
+    # unknown column refused
+    with pytest.raises(ValueError, match="not in the table schema"):
+        maintenance.compact(spark, d, partition_by=["nope"])

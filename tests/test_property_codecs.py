@@ -161,3 +161,61 @@ def test_roundtrip_property(tmp_path_factory, t, codec, ratio, page):
         assert [repr(x) for x in a.to_pylist()] == [
             repr(x) for x in b.to_pylist()
         ], name
+
+
+# --- column-default codec (manifest.encode_default / decode_default) -------
+
+
+@st.composite
+def _default_cases(draw):
+    import pyarrow as pa
+
+    kind = draw(st.sampled_from(
+        ["i64", "i32", "f64", "str", "bool", "date", "dec"]
+    ))
+    if kind == "i64":
+        return pa.int64(), draw(st.integers(-(2**62), 2**62))
+    if kind == "i32":
+        return pa.int32(), draw(st.integers(-(2**31), 2**31 - 1))
+    if kind == "f64":
+        return pa.float64(), draw(st.floats(
+            allow_nan=False, allow_infinity=False, width=64
+        ))
+    if kind == "str":
+        return pa.string(), draw(st.text(max_size=40))
+    if kind == "bool":
+        return pa.bool_(), draw(st.booleans())
+    if kind == "date":
+        import datetime
+
+        return pa.date32(), draw(st.dates(
+            min_value=datetime.date(1, 1, 1),
+            max_value=datetime.date(9999, 12, 31),
+        ))
+    import decimal
+
+    return pa.decimal128(18, 4), decimal.Decimal(
+        draw(st.integers(-(10**14), 10**14))
+    ) / 10_000
+
+
+@given(_default_cases())
+@settings(max_examples=200, deadline=None)
+def test_default_codec_round_trips_exactly(case):
+    """encode_default → JSON → decode_default → pa.array must reproduce
+    the EXACT value the validating one-element array held at ALTER time
+    (the contract the read-time fill relies on)."""
+    import json
+
+    import pyarrow as pa
+
+    from quiver_spark.sources.manifest import decode_default, encode_default
+
+    pa_type, value = case
+    enc = encode_default(value, pa_type)
+    # manifest storage is JSON — the encoded form must survive it
+    enc2 = json.loads(json.dumps(enc))
+    dec = decode_default(enc2, pa_type)
+    got = pa.array([dec], type=pa_type)[0].as_py()
+    expect = pa.array([value], type=pa_type)[0].as_py()
+    assert got == expect, (pa_type, value, enc, got, expect)

@@ -515,3 +515,39 @@ def test_alter_cli_default_and_schema_shows_it(spark, tmp_path, capsys):
     assert grade["default"] == "unknown"
     rows = spark.read.format("quiver").load(tbl).select("grade").collect()
     assert {r.grade for r in rows} == {"unknown"}
+
+
+def test_alter_on_flat_library_written_dir_migrates(spark, tmp_path):
+    """An ALTER on a FLAT directory (library writer, no generations, no
+    manifest) rebuilds the manifest on the fly, publishes gen-000001,
+    and sweeps the superseded flat copies — the same migration the
+    sink's first overwrite performs."""
+    import glob
+
+    from quiver_spark import maintenance as M
+    from quiver_spark.format.writer import write_table
+
+    register(spark)
+    tbl = tmp_path / "flat"
+    tbl.mkdir()
+    write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "s": pa.array(["a", "b"])}),
+        str(tbl / "a.quiver"),
+    )
+    write_table(
+        pa.table({"k": pa.array([3], pa.int64()), "s": pa.array(["c"])}),
+        str(tbl / "b.quiver"),
+    )
+    tbl = str(tbl)
+    rep = M.rename_column(tbl, "s", "name")
+    assert rep["generation"] == "gen-000001"
+    M.add_column(tbl, "grade", "string", default="x")
+    rows = sorted(map(tuple, spark.read.format("quiver").load(tbl).collect()))
+    assert rows == [(1, "a", "x"), (2, "b", "x"), (3, "c", "x")]
+    # append works post-migration; no flat leftovers remain
+    spark.createDataFrame(
+        [(4, "d", "y")], "k long, name string, grade string"
+    ).write.format("quiver").mode("append").save(tbl)
+    assert spark.read.format("quiver").load(tbl).count() == 4
+    assert not glob.glob(os.path.join(tbl, "*.quiver"))

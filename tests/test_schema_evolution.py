@@ -551,3 +551,36 @@ def test_alter_on_flat_library_written_dir_migrates(spark, tmp_path):
     ).write.format("quiver").mode("append").save(tbl)
     assert spark.read.format("quiver").load(tbl).count() == 4
     assert not glob.glob(os.path.join(tbl, "*.quiver"))
+
+
+def test_alter_on_partitioned_table_keeps_layout_and_dml(spark, tmp_path):
+    """ALTERing DATA columns of a Hive-partitioned table: partition
+    columns stay in the schema (appended after the declared schema),
+    directory pruning still works, and DML on the evolved table keeps
+    the declared schema."""
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_part_alter")
+    spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", "p2"), (3, "z", "p1")],
+        "k long, s string, p string",
+    ).write.format("quiver").option("partition_by", "p").mode(
+        "overwrite"
+    ).save(tbl)
+    M.add_column(tbl, "grade", "string", default="g0")
+    M.rename_column(tbl, "s", "name")
+    df = spark.read.format("quiver").load(tbl)
+    assert df.columns == ["k", "name", "grade", "p"]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [
+        (1, "x", "g0", "p1"), (2, "y", "g0", "p2"), (3, "z", "g0", "p1"),
+    ]
+    got = sorted(
+        map(tuple, df.filter("p = 'p1'").select("k", "name").collect())
+    )
+    assert got == [(1, "x"), (3, "z")]
+    M.delete_where(spark, tbl, "p = 'p2'")
+    out = spark.read.format("quiver").load(tbl)
+    assert out.count() == 2
+    assert out.columns == ["k", "name", "grade", "p"]

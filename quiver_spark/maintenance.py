@@ -618,6 +618,20 @@ def _physical_inventory(man, rel_schemas: dict) -> set[str]:
     return names
 
 
+def _constraint_guard(raw: dict, name: str) -> None:
+    """Refuse dropping/renaming a column a CHECK constraint references —
+    the predicate text cannot be reliably rewritten, and leaving it would
+    make every subsequent write fail its evaluation (Delta refuses the
+    same way). Word-boundary match is conservative: a column name inside
+    a string literal also blocks, which errs on the safe side."""
+    for cname, expr in (raw.get("check_constraints") or {}).items():
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"column '{name}' is referenced by CHECK constraint "
+                f"{cname!r} ({expr}) — drop the constraint first"
+            )
+
+
 def _partition_guard(root: str, name: str) -> None:
     from quiver_spark.sources.quiver_datasource import _discover_partitions
 
@@ -683,6 +697,7 @@ def drop_column(table: str, name: str) -> dict:
         import pyarrow as pa
 
         _partition_guard(root, name)
+        _constraint_guard(raw, name)
         declared = _declared_schema(man, rel_schemas)
         if name not in declared.names:
             raise ValueError(
@@ -724,6 +739,7 @@ def rename_column(table: str, old: str, new: str) -> dict:
 
         _partition_guard(root, old)
         _partition_guard(root, new)
+        _constraint_guard(raw, old)
         declared = _declared_schema(man, rel_schemas)
         if old not in declared.names:
             raise ValueError(f"no column '{old}' (have {declared.names})")
@@ -788,7 +804,11 @@ def add_constraint(
     refuses the constraint (standard SQL CHECK — NULL passes). Stored in
     the manifest via a metadata-only commit; every subsequent write on
     any path (batch, append, streaming, DML rewrite) enforces it and
-    aborts before publish on violation. Constraints survive overwrites
+    aborts before publish on violation. (The validation scan runs before
+    the commit takes the table lock — rows appended in that window were
+    written under the pre-constraint contract, same as Delta's ADD
+    CONSTRAINT.) Columns a constraint references cannot be dropped or
+    renamed while it exists. Constraints survive overwrites
     (the overwrite itself is validated first) and DML carry commits;
     drop via :func:`drop_constraint`."""
     import duckdb

@@ -137,3 +137,23 @@ def test_constraint_cli_drop_and_schema_listing(spark, tmp_path, capsys):
     assert tools_main(["schema", tbl]) in (0, None)
     desc = _json.loads(capsys.readouterr().out)
     assert desc["check_constraints"] == {}
+
+
+def test_constrained_column_cannot_be_dropped_or_renamed(spark, tmp_path):
+    """Delta posture: DROP/RENAME of a column a CHECK constraint
+    references is refused — the predicate text cannot be rewritten, and
+    leaving it would fail every subsequent write's evaluation."""
+    register(spark)
+    tbl = str(tmp_path / "t_guard2")
+    _write(spark, tbl, [(1, "a", 1.0)])
+    M.add_constraint(spark, tbl, "v_positive", "v > 0")
+    with pytest.raises(ValueError, match="referenced by CHECK constraint"):
+        M.drop_column(tbl, "v")
+    with pytest.raises(ValueError, match="referenced by CHECK constraint"):
+        M.rename_column(tbl, "v", "w")
+    # unrelated columns still evolve freely
+    M.rename_column(tbl, "s", "name")
+    # and after dropping the constraint, the column is free
+    M.drop_constraint(tbl, "v_positive")
+    M.rename_column(tbl, "v", "w")
+    assert spark.read.format("quiver").load(tbl).columns == ["k", "name", "w"]

@@ -102,6 +102,7 @@ _PRIORITY = [
     "quiver_alter_evolution_scan",
     "quiver_check_constraint_scan",
     "quiver_repartitioned_scan",
+    "quiver_analyze_stats",
     # then the round-7 window — round 10's natural continuation
     "dedup_simhash",
     "multimodal_binary_meta",

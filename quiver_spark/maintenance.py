@@ -788,6 +788,93 @@ def rename_column(table: str, old: str, new: str) -> dict:
     return _commit_evolution(table, mutate)
 
 
+def analyze_table(
+    spark,
+    table: str,
+    columns: list[str] | None = None,
+    format: str = "quiver",
+    exact_ndv: bool = False,
+) -> dict:
+    """ANALYZE TABLE — compute table/column statistics in ONE Spark
+    aggregate job (row count; per column: null count, distinct count,
+    min/max as strings, avg byte/char length for strings) and store them
+    in the manifest (``table_stats``) via a metadata-only in-place commit
+    (op ``analyze`` in the history; no file stamped, so incremental
+    cursors see nothing). NDV uses ``approx_count_distinct`` (HLL sketch
+    — the only sane choice at 100 TB) unless ``exact_ndv=True``. Stats
+    carry their commit cursor (``analyzed_at_commit``) so consumers can
+    detect staleness against ``current_commit``; they ride DML carry
+    commits and manifest rebuilds, and die with a full overwrite (the
+    data they describe is gone). Read back via ``Manifest.table_stats``
+    or ``quiver-tools stats``. The reference format stores only per-page
+    metadata (src/lib.rs); this is the Delta ANALYZE analogue."""
+    from pyspark.sql import functions as F
+
+    from quiver_spark.sources import register as register_format
+    from quiver_spark.sources.manifest import (
+        load_manifest,
+        metadata_commit,
+        rebuild_manifest,
+    )
+    from quiver_spark.sources.pointer_store import get_pointer_store
+    from quiver_spark.sources.quiver_datasource import _data_root
+
+    register_format(spark)
+    df = spark.read.format(format).load(table)
+    cols = list(columns) if columns is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns {missing} not in {df.columns}")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    ndv = F.count_distinct if exact_ndv else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}")
+        )
+        aggs.append(ndv(F.col(c)).alias(f"__ndv__{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min__{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max__{c}"))
+        if types[c] in ("string", "binary"):
+            aggs.append(
+                F.avg(F.length(F.col(c))).alias(f"__avglen__{c}")
+            )
+    row = df.agg(*aggs).collect()[0]
+    col_stats = {}
+    for c in cols:
+        st = {
+            "type": types[c],
+            "nulls": int(row[f"__nulls__{c}"] or 0),
+            "ndv": int(row[f"__ndv__{c}"] or 0),
+            "min": row[f"__min__{c}"],
+            "max": row[f"__max__{c}"],
+        }
+        al = row.asDict().get(f"__avglen__{c}")
+        if al is not None:
+            st["avg_len"] = round(float(al), 2)
+        col_stats[c] = st
+    stats = {
+        "row_count": int(row["__rows"]),
+        "ndv_method": "exact" if exact_ndv else "approx_hll",
+        "columns": col_stats,
+    }
+
+    store = get_pointer_store()
+    with store.lock(table):
+        root = _data_root(table)
+        if load_manifest(root) is None:
+            rebuild_manifest(root)
+
+        def mutate(raw):
+            raw["table_stats"] = {
+                **stats, "analyzed_at_commit": raw["commit_seq"],
+            }
+            raw["_commit_op"] = "analyze"
+
+        seq = metadata_commit(root, mutate)
+    return {"table": table, "commit": seq, **stats}
+
+
 def add_constraint(
     spark,
     table: str,

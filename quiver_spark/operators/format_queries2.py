@@ -875,3 +875,71 @@ def quiver_repartitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         dsum("o_totalprice", "decimal(18,4)").alias("price_sum"),
     )
+
+
+@register(
+    "quiver_analyze_stats",
+    oracle="""
+SELECT 's_name' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(s_name) AS nulls,
+       COUNT(DISTINCT s_name) AS ndv,
+       CAST(MIN(s_name) AS VARCHAR) AS min_s,
+       CAST(MAX(s_name) AS VARCHAR) AS max_s
+FROM supplier
+UNION ALL
+SELECT 's_nationkey', COUNT(*), COUNT(*) - COUNT(s_nationkey),
+       COUNT(DISTINCT s_nationkey),
+       CAST(MIN(s_nationkey) AS VARCHAR), CAST(MAX(s_nationkey) AS VARCHAR)
+FROM supplier
+UNION ALL
+SELECT 's_suppkey', COUNT(*), COUNT(*) - COUNT(s_suppkey),
+       COUNT(DISTINCT s_suppkey),
+       CAST(MIN(s_suppkey) AS VARCHAR), CAST(MAX(s_suppkey) AS VARCHAR)
+FROM supplier
+""",
+    tags=("format", "maintenance", "statistics"),
+)
+def quiver_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE through the driver gate: supplier is sink-written,
+    ``maintenance.analyze_table`` computes row/column statistics in ONE
+    aggregate job and metadata-commits them into the manifest
+    (op ``analyze`` in the history, no file stamped); the query reads
+    the stats BACK FROM THE MANIFEST and surfaces them as rows, and the
+    oracle recomputes the same statistics from the parquet original with
+    plain SQL — a wrong null count, NDV, min/max, or a stats write that
+    didn't round-trip the manifest hash-fails. The gate fixture uses
+    exact NDV so the oracle can match; production default is the HLL
+    sketch (the only sane choice at 100 TB). Delta ANALYZE analogue; the
+    reference stores only per-page metadata (/root/reference/src/lib.rs).
+    """
+    from quiver_spark.sources.manifest import load_manifest
+    from quiver_spark.sources.quiver_datasource import _data_root
+
+    cols = ["s_name", "s_nationkey", "s_suppkey"]
+
+    def build(d):
+        from quiver_spark import maintenance as M
+
+        s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        s.coalesce(2).write.format("quiver").mode("overwrite").save(d)
+        rep = M.analyze_table(spark, d, columns=cols, exact_ndv=True)
+        assert rep["row_count"] == s.count(), rep
+
+    d = _marker_dir(spark, sf_dir, "supplier-analyzed", build)
+    st = load_manifest(_data_root(d)).table_stats
+    rows = [
+        (
+            c,
+            st["row_count"],
+            st["columns"][c]["nulls"],
+            st["columns"][c]["ndv"],
+            st["columns"][c]["min"],
+            st["columns"][c]["max"],
+        )
+        for c in sorted(cols)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_rows long, nulls long, ndv long, "
+        "min_s string, max_s string",
+    )

@@ -142,6 +142,11 @@ class Manifest:
         self.check_constraints: dict[str, str] = dict(
             raw.get("check_constraints", {})
         )
+        #: ANALYZE output (maintenance.analyze_table): row_count +
+        #: per-column nulls/ndv/min/max/avg_len, stamped with
+        #: analyzed_at_commit so staleness is detectable. None = never
+        #: analyzed (or data fully replaced since).
+        self.table_stats: dict | None = raw.get("table_stats")
         #: monotone commit counter: bumped by every sink commit (append,
         #: overwrite — carried forward across generations via prev_root)
         self.commit_seq = int(raw.get("commit_seq", 0))
@@ -575,7 +580,12 @@ def update_manifest(
             # defaults — ride along; without this, the first
             # DELETE/UPDATE/MERGE after an ALTER would silently revert
             # the table to footer-inferred schema
-            for k in ("table_schema", "column_defaults", "check_constraints"):
+            for k in (
+                "table_schema",
+                "column_defaults",
+                "check_constraints",
+                "table_stats",
+            ):
                 if k not in raw and k in src_raw:
                     raw[k] = src_raw[k]
             schemas = src_raw.get("schemas", [])
@@ -626,6 +636,7 @@ def rebuild_manifest(root: str) -> dict:
             "table_schema",
             "column_defaults",
             "check_constraints",
+            "table_stats",
             "commit_seq",
             "commit_times",
             "commit_ops",

@@ -476,6 +476,14 @@ def main(argv: list[str] | None = None) -> int:
         "column serve this value instead of NULL (parsed as JSON, so "
         "strings need quotes: --default '\"unknown\"')",
     )
+    ts = sub.add_parser(
+        "stats",
+        help="table statistics recorded by maintenance.analyze_table "
+        "(row count, per-column nulls/ndv/min/max), with a staleness "
+        "flag against the current commit",
+    )
+    ts.add_argument("dir")
+    ts.add_argument("--version", type=int, default=None)
     cn = sub.add_parser(
         "constraint",
         help="drop a CHECK constraint (adding one needs a SparkSession "
@@ -582,6 +590,28 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("rename-column requires OLD NEW")
             out = rename_column(args.dir, args.name, args.arg2)
         print(json.dumps(out, indent=2))
+    elif args.cmd == "stats":
+        from quiver_spark.sources.manifest import load_manifest
+        from quiver_spark.sources.quiver_datasource import _data_root
+
+        root = _data_root(args.dir, version=args.version)
+        man = load_manifest(root)
+        st = man.table_stats if man is not None else None
+        if st is None:
+            print(json.dumps({
+                "root": root, "table_stats": None,
+                "note": "never analyzed — run "
+                "maintenance.analyze_table(spark, dir)",
+            }, indent=2))
+        else:
+            cur = man.commit_seq
+            out = {
+                "root": root,
+                "stale": st.get("analyzed_at_commit") != cur,
+                "current_commit": cur,
+                **st,
+            }
+            print(json.dumps(out, indent=2))
     elif args.cmd == "constraint":
         from quiver_spark.maintenance import drop_constraint
 

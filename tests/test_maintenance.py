@@ -700,3 +700,64 @@ def test_compact_partition_evolution(spark, tmp_path):
     # unknown column refused
     with pytest.raises(ValueError, match="not in the table schema"):
         maintenance.compact(spark, d, partition_by=["nope"])
+
+
+def test_analyze_table_stats_round_trip(spark, tmp_path, capsys):
+    """ANALYZE stores exact table/column stats in the manifest via a
+    labeled metadata-only commit; quiver-tools stats reads them back
+    with a staleness flag against the current commit."""
+    import json as _json
+
+    from quiver_spark.sources.manifest import load_manifest
+    from quiver_spark.tools import main as tools_main
+
+    register(spark)
+    d = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", None), (2, "b", 2.5), (2, None, 2.5)],
+        "k long, s string, v double",
+    ).write.format("quiver").mode("overwrite").save(d)
+    rep = maintenance.analyze_table(spark, d, exact_ndv=True)
+    assert rep["row_count"] == 3
+    st = load_manifest(_data_root(d)).table_stats
+    assert st["columns"]["k"] == {
+        "type": "bigint", "nulls": 0, "ndv": 2, "min": "1", "max": "2",
+    }
+    assert st["columns"]["s"]["nulls"] == 1
+    assert st["columns"]["s"]["ndv"] == 2
+    assert st["columns"]["s"]["avg_len"] == 1.0
+    assert st["columns"]["v"]["nulls"] == 1
+    # fresh stats are not stale; the analyze shows in the history
+    assert tools_main(["stats", d]) in (0, None)
+    out = _json.loads(capsys.readouterr().out)
+    assert out["stale"] is False and out["row_count"] == 3
+    capsys.readouterr()
+    assert tools_main(["commits", d]) in (0, None)
+    hist = _json.loads(capsys.readouterr().out)
+    assert any(c.get("op") == "analyze" for c in hist["commits"])
+    # a later append makes them stale (detectably), and an incremental
+    # cursor taken before the ANALYZE sees no files from it
+    spark.createDataFrame([(9, "z", 1.0)], "k long, s string, v double").write.format(
+        "quiver"
+    ).mode("append").save(d)
+    capsys.readouterr()
+    assert tools_main(["stats", d]) in (0, None)
+    out = _json.loads(capsys.readouterr().out)
+    assert out["stale"] is True
+    # stats survive a DML carry commit (still marked stale)
+    maintenance.delete_where(spark, d, "k = 9")
+    st2 = load_manifest(_data_root(d)).table_stats
+    assert st2 is not None and st2["row_count"] == 3
+    # ...and die with a full overwrite (the data they describe is gone)
+    spark.createDataFrame([(5, "q", 0.5)], "k long, s string, v double").write.format(
+        "quiver"
+    ).mode("overwrite").save(d)
+    assert load_manifest(_data_root(d)).table_stats is None
+
+
+def test_analyze_unknown_column_refused(spark, tmp_path):
+    register(spark)
+    d = str(tmp_path / "t")
+    spark.range(5).write.format("quiver").mode("overwrite").save(d)
+    with pytest.raises(ValueError, match="not in"):
+        maintenance.analyze_table(spark, d, columns=["nope"])

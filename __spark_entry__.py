@@ -103,6 +103,7 @@ _PRIORITY = [
     "quiver_check_constraint_scan",
     "quiver_repartitioned_scan",
     "quiver_analyze_stats",
+    "quiver_snapshot_diff",
     # then the round-7 window — round 10's natural continuation
     "dedup_simhash",
     "multimodal_binary_meta",

@@ -788,6 +788,60 @@ def rename_column(table: str, old: str, new: str) -> dict:
     return _commit_evolution(table, mutate)
 
 
+def snapshot_diff(
+    spark,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+    format: str = "quiver",
+):
+    """Row-level diff between two retained snapshots of a table — the
+    Delta CDF / table_changes row-granular analogue, computed
+    algebraically: rows in the target but not the source are ``insert``,
+    rows in the source but not the target are ``delete`` (bag semantics
+    via ``exceptAll`` — duplicates diff by multiplicity; an UPDATE shows
+    as delete+insert). ``to_version=None`` diffs against the LIVE
+    snapshot. Columns are the two schemas' intersection (schema
+    evolution between the versions excludes evolved-away columns, the
+    same restriction Delta's CDF places across schema changes); no
+    common columns is an error.
+
+    Scale posture: this is a DIAGNOSTIC — two full snapshot scans plus
+    one shuffle (Spark plans exceptAll as a single hash aggregate over
+    the union). For incremental consumption at 100 TB use the manifest
+    cursor surface (``table_changes`` / ``changes_since``), which plans
+    O(changed files) and never diffs rows."""
+    from pyspark.sql import functions as F
+
+    from quiver_spark.sources import register as register_format
+
+    register_format(spark)
+    old = (
+        spark.read.format(format)
+        .option("version", str(from_version))
+        .load(table)
+    )
+    new_reader = spark.read.format(format)
+    if to_version is not None:
+        new_reader = new_reader.option("version", str(to_version))
+    new = new_reader.load(table)
+    common = [c for c in new.columns if c in set(old.columns)]
+    if not common:
+        raise ValueError(
+            f"snapshots share no columns (v{from_version}: {old.columns} "
+            f"vs target: {new.columns})"
+        )
+    old_c, new_c = old.select(common), new.select(common)
+    return (
+        new_c.exceptAll(old_c)
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            old_c.exceptAll(new_c)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    )
+
+
 def analyze_table(
     spark,
     table: str,

@@ -943,3 +943,29 @@ def quiver_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name string, n_rows long, nulls long, ndv long, "
         "min_s string, max_s string",
     )
+
+
+@register(
+    "quiver_snapshot_diff",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type
+FROM nation
+WHERE n_regionkey >= 2
+""",
+    tags=("format", "generations", "cdf"),
+)
+def quiver_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff through the driver gate: the retained
+    nation-generations fixture (gen 1 = n_regionkey < 2 subset, gen 2 =
+    full table) is diffed with ``maintenance.snapshot_diff(from=1)`` —
+    the Delta CDF analogue via exceptAll bag semantics. gen 1 ⊂ gen 2,
+    so the diff is exactly the rows the overwrite added (``insert``; a
+    spurious ``delete`` row, a missed insert, or multiplicity drift all
+    hash-fail against the algebraic oracle)."""
+    from quiver_spark import maintenance as M
+    from quiver_spark.operators.format_queries import (
+        _nation_generations_dir,
+    )
+
+    d = _nation_generations_dir(spark, sf_dir)
+    return M.snapshot_diff(spark, d, from_version=1)

@@ -761,3 +761,53 @@ def test_analyze_unknown_column_refused(spark, tmp_path):
     spark.range(5).write.format("quiver").mode("overwrite").save(d)
     with pytest.raises(ValueError, match="not in"):
         maintenance.analyze_table(spark, d, columns=["nope"])
+
+
+def test_snapshot_diff_insert_delete_update(spark, tmp_path):
+    """snapshot_diff = Delta-CDF analogue via exceptAll bag semantics:
+    inserts, deletes, and updates (delete+insert) between two retained
+    generations; duplicates diff by multiplicity."""
+    register(spark)
+    d = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (3, "c")], "k long, s string"
+    )
+    base.write.format("quiver").option("keep_generations", "3").mode(
+        "overwrite"
+    ).save(d)
+    # v2: row 1 updated, row 2 deleted, one duplicate of (3,c) removed,
+    # row 4 inserted
+    spark.createDataFrame(
+        [(1, "A"), (3, "c"), (4, "d")], "k long, s string"
+    ).write.format("quiver").option("keep_generations", "3").mode(
+        "overwrite"
+    ).save(d)
+    diff = maintenance.snapshot_diff(spark, d, from_version=1)
+    got = sorted(map(tuple, diff.collect()))
+    assert got == [
+        (1, "A", "insert"),
+        (1, "a", "delete"),
+        (2, "b", "delete"),
+        (3, "c", "delete"),  # multiplicity: one of the two dups removed
+        (4, "d", "insert"),
+    ]
+    # explicit to_version: diffing v1 against itself is empty
+    assert maintenance.snapshot_diff(spark, d, 1, to_version=1).count() == 0
+
+
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """Across an ALTER the diff restricts to the common columns (the
+    Delta-CDF restriction); disjoint schemas error."""
+    register(spark)
+    d = str(tmp_path / "t2")
+    spark.createDataFrame([(1, "a")], "k long, s string").write.format(
+        "quiver"
+    ).option("keep_generations", "4").mode("overwrite").save(d)
+    maintenance.rename_column(d, "s", "name")
+    spark.createDataFrame([(2, "b")], "k long, name string").write.format(
+        "quiver"
+    ).mode("append").save(d)
+    diff = maintenance.snapshot_diff(spark, d, from_version=1)
+    # common column is k only (v1 declares s, live declares name)
+    assert diff.columns == ["k", "_change_type"]
+    assert sorted(map(tuple, diff.collect())) == [(2, "insert")]

@@ -701,3 +701,43 @@ def test_end_to_end_cas_spark_overwrite_race(spark, tmp_path):
             .collect()
         )
         assert got in list(datasets.values()), (g, len(got))
+
+
+def test_lockless_alter_loses_loudly_to_concurrent_overwrite(tmp_path):
+    """Schema-evolution DDL rides the same claim/CAS protocol as every
+    write: on a LOCK-LESS store, an ALTER whose table is overwritten
+    between its snapshot resolution and its pointer swap must fail with
+    a loud ConcurrentWriteError — and the rival's snapshot stays fully
+    intact (no declared schema, no rename maps from the dead ALTER)."""
+    from quiver_spark import maintenance as M
+    from quiver_spark.sources.manifest import load_manifest
+
+    tbl = str(tmp_path / "tbl")
+    _writer(tbl, overwrite=True)._publish([_stage(tbl, [0, 1])])
+
+    class InterleavedStore(UnlockedPointerStore):
+        def __init__(self):
+            self.fired = False
+
+        def claim_generation(self, table_path, gen_name):
+            ok = super().claim_generation(table_path, gen_name)
+            if ok and not self.fired:
+                self.fired = True
+                rival = _stage(tbl, [500])
+                set_pointer_store(UnlockedPointerStore())
+                try:
+                    _writer(
+                        tbl, overwrite=True, keep_generations=9
+                    )._publish([rival])
+                finally:
+                    set_pointer_store(self)
+            return ok
+
+    set_pointer_store(InterleavedStore())
+    with pytest.raises(ConcurrentWriteError):
+        M.rename_column(tbl, "id", "renamed_id")
+    # rival snapshot live, unmixed, and untouched by the dead ALTER
+    assert _table_ids(tbl) == [500]
+    man = load_manifest(_data_root(tbl))
+    assert man.table_schema() is None
+    assert not any(e.cmap for e in man.entries.values())

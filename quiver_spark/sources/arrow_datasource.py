@@ -614,7 +614,24 @@ class ArrowIpcStreamReader(DataSourceStreamReader):
 
         floor = ArrowIpcScanReader._floor(self, new)
         # live-root manifest, same note as the quiver stream planner
-        parts = _batch_splits(new, floor, load_manifest(_data_root(self.path)))
+        man = load_manifest(_data_root(self.path))
+        # mid-stream schema-evolution guard, same contract as the quiver
+        # stream planner (arrowipc tables are never Hive-partitioned, so
+        # the raw name-set comparison is exact)
+        if man is not None and self.schema_struct is not None:
+            declared = man.table_schema()
+            if declared is not None:
+                missing = {
+                    f.name for f in self.schema_struct.fields
+                } - set(declared.names)
+                if missing:
+                    raise ValueError(
+                        f"table schema evolved mid-stream: stream "
+                        f"column(s) {sorted(missing)} are no longer "
+                        f"declared (now {declared.names}) — restart the "
+                        "stream to pick up the evolved schema"
+                    )
+        parts = _batch_splits(new, floor, man)
         if not parts:
             files = _list_arrow_files(self.path)
             anchor = files[0] if files else os.path.join(self.path, "_none")

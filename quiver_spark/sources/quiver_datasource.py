@@ -1667,6 +1667,29 @@ class QuiverStreamReader(DataSourceStreamReader):
         # so files from retained older generations simply miss the lookup
         # and take the prefetch fallback
         man = load_manifest(_data_root(self.path))
+        # Mid-stream schema evolution guard (the Delta posture): the
+        # stream's schema was fixed at start; if ALTER DDL has since
+        # declared a schema whose column names no longer cover it,
+        # silently null-filling the stream's columns would be data loss
+        # disguised as late evolution — fail loudly and ask for a restart
+        # (a fresh stream picks the evolved schema up). Pre-stream ALTERs
+        # match by construction and pass.
+        if man is not None and self.schema_struct is not None:
+            declared = man.table_schema()
+            if declared is not None:
+                stream_cols = {f.name for f in self.schema_struct.fields}
+                # Hive partition columns (and a file_column) live outside
+                # the declared data schema — never count them as drift
+                stream_cols -= {c for c, _k in part_cols}
+                stream_cols.discard(self.options.get("file_column"))
+                missing = stream_cols - set(declared.names)
+                if missing:
+                    raise ValueError(
+                        f"table schema evolved mid-stream: stream "
+                        f"column(s) {sorted(missing)} are no longer "
+                        f"declared (now {declared.names}) — restart the "
+                        "stream to pick up the evolved schema"
+                    )
         new_files = [
             f
             for f in (os.path.join(self.path, n) for n in new)

@@ -584,3 +584,66 @@ def test_alter_on_partitioned_table_keeps_layout_and_dml(spark, tmp_path):
     out = spark.read.format("quiver").load(tbl)
     assert out.count() == 2
     assert out.columns == ["k", "name", "grade", "p"]
+
+
+def test_mid_stream_alter_fails_loudly(spark, tmp_path):
+    """Delta posture for streams × DDL: a rename AFTER a stream started
+    makes the stream's fixed schema stale — the next micro-batch fails
+    loudly asking for a restart (silent null-fill of the renamed column
+    would be data loss); a FRESH stream picks up the evolved schema. A
+    pre-stream ALTER matches by construction and passes."""
+    from quiver_spark import maintenance as M
+
+    register(spark)
+    tbl = str(tmp_path / "t_stream_ddl")
+    _write_kv(spark, tbl)
+    # pre-stream ALTER: stream starts on the evolved schema and works
+    M.add_column(tbl, "grade", "string", default="g")
+    q = (
+        spark.readStream.format("quiver")
+        .load(tbl)
+        .writeStream.format("memory")
+        .queryName("ddl_stream_ok")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("ddl_stream_ok").columns == ["k", "s", "grade"]
+    assert spark.table("ddl_stream_ok").count() == 3
+    # mid-stream ALTER: rename lands between two micro-batches of a
+    # NEW stream → the batch planned after it must fail loudly
+    M.rename_column(tbl, "s", "name")
+    spark.createDataFrame(
+        [(9, "z", "g9")], "k long, name string, grade string"
+    ).write.format("quiver").mode("append").save(tbl)
+    q2 = (
+        spark.readStream.format("quiver")
+        .schema(spark.table("ddl_stream_ok").schema)  # stale: still 's'
+        .load(tbl)
+        .writeStream.format("memory")
+        .queryName("ddl_stream_stale")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="evolved mid-stream"):
+        q2.awaitTermination(120)
+        if q2.exception() is not None:
+            raise q2.exception()
+    # a fresh stream with the evolved schema works
+    q3 = (
+        spark.readStream.format("quiver")
+        .load(tbl)
+        .writeStream.format("memory")
+        .queryName("ddl_stream_fresh")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(120)
+    assert spark.table("ddl_stream_fresh").columns == ["k", "name", "grade"]
+    assert spark.table("ddl_stream_fresh").count() == 4

@@ -811,3 +811,27 @@ def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
     # common column is k only (v1 declares s, live declares name)
     assert diff.columns == ["k", "_change_type"]
     assert sorted(map(tuple, diff.collect())) == [(2, "insert")]
+
+
+def test_clone_carries_declared_schema_and_constraints(spark, tmp_path):
+    """clone_snapshot copies the manifest wholesale, so an ALTERed
+    table's clone reads through the same declared schema (renames,
+    defaults) and keeps enforcing its CHECK constraints."""
+    register(spark)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "k long, s string, v double"
+    ).write.format("quiver").mode("overwrite").save(src)
+    maintenance.rename_column(src, "s", "name")
+    maintenance.add_column(src, "grade", "string", default="g")
+    maintenance.add_constraint(spark, src, "v_pos", "v > 0")
+    maintenance.clone_snapshot(src, dst)
+    df = spark.read.format("quiver").load(dst)
+    assert df.columns == ["k", "name", "v", "grade"]
+    assert sorted(map(tuple, df.collect())) == [(1, "a", 1.0, "g")]
+    with pytest.raises(Exception, match="v_pos"):
+        spark.createDataFrame(
+            [(2, "b", -1.0, "x")],
+            "k long, name string, v double, grade string",
+        ).write.format("quiver").mode("append").save(dst)
+    assert spark.read.format("quiver").load(dst).count() == 1

@@ -104,6 +104,7 @@ _PRIORITY = [
     "quiver_repartitioned_scan",
     "quiver_analyze_stats",
     "quiver_snapshot_diff",
+    "dedup_span_excision",
     # then the round-7 window — round 10's natural continuation
     "dedup_simhash",
     "multimodal_binary_meta",

@@ -221,3 +221,177 @@ def sample_per_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .drop("rk")
     )
+
+
+#: duplicated-span k-gram width (tokens). Long spans = true duplication
+#: (the ExactSubstr posture, Lee et al. 2022 "Deduplicating Training
+#: Data Makes Language Models Better", scaled to the fixture corpus);
+#: short k would excise coincidental n-gram overlap.
+SPAN_K = 16
+
+
+@register(
+    "dedup_span_excision",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, g.pos AS pos,
+         array_to_string(t[g.pos : g.pos + 15], ' ') AS gram
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 15, 0))) AS pos
+  ) g
+),
+dup AS (
+  SELECT gram, min(doc_id) AS owner
+  FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+excised AS (
+  SELECT DISTINCT g.doc_id, u.idx
+  FROM grams g
+  JOIN dup d USING (gram),
+  LATERAL (SELECT unnest(generate_series(g.pos, g.pos + 15)) AS idx) u
+  WHERE g.doc_id <> d.owner
+),
+kept AS (
+  SELECT tk.doc_id,
+         string_agg(tk.tok, ' ' ORDER BY tk.idx) AS clean_text,
+         COUNT(*) AS tokens_kept
+  FROM (
+    SELECT toks.doc_id, i.idx, toks.t[i.idx] AS tok
+    FROM toks, LATERAL (
+      SELECT unnest(generate_series(1, len(toks.t))) AS idx
+    ) i
+  ) tk
+  LEFT JOIN excised e ON e.doc_id = tk.doc_id AND e.idx = tk.idx
+  WHERE e.idx IS NULL
+  GROUP BY tk.doc_id
+)
+SELECT toks.doc_id,
+       CAST(coalesce(kept.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+       CAST(len(toks.t) - coalesce(kept.tokens_kept, 0) AS BIGINT)
+           AS tokens_removed,
+       coalesce(kept.clean_text, '') AS clean_text
+FROM toks LEFT JOIN kept USING (doc_id)
+""",
+    tags=("dedup", "text", "span"),
+)
+def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN excision — substring-level exact dedup (the
+    ExactSubstr analogue of Lee et al. 2022, expressed in Spark
+    built-ins): any ``SPAN_K``-token gram appearing in ≥2 documents is a
+    duplicated span; every occurrence OUTSIDE the owning document (min
+    doc_id — keep-one semantics) is excised token-wise, and each
+    document is rebuilt from its surviving tokens. Returns per document
+    the kept/removed token counts and the cleaned text.
+
+    Plan shape for 100 TB: gram construction is map-side
+    (posexplode over token windows, one row per token position); the
+    only shuffles are the gram groupBy (owner + document-frequency — the
+    same uniform-hash key as every shingle index here) and the final
+    per-document regroup. The index expansion is bounded by
+    excised-positions × K, i.e. proportional to ACTUAL duplication, not
+    corpus size; no pair enumeration ever happens (the quadratic
+    candidate-pair stage of MinHash/ngram dedup is absent entirely —
+    this operator's output is the cleaned corpus itself)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).localCheckpoint(eager=False)
+    k = SPAN_K
+    # one row per gram start (1-based to mirror the oracle): the gram is
+    # the space-join of tokens [pos, pos+k)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            # CASE guard: Spark's sequence(1, 0) counts DOWN ([1, 0]),
+            # so a doc shorter than k tokens must yield an EMPTY gram
+            # array, not a descending one
+            F.expr(
+                f"CASE WHEN size(t) >= {k} THEN "
+                f"transform(sequence(1, size(t) - {k - 1}),"
+                f" p -> array_join(slice(t, p, {k}), ' ')) "
+                f"ELSE array() END"
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + F.lit(1)).alias("pos"),
+        # shuffle a 64-bit fingerprint, not the k-token string: the
+        # group/join payload shrinks ~10×. Collision odds over G grams
+        # are ~G²/2⁶⁵ (≈1e-8 at a million grams) — the standard
+        # ExactSubstr engineering tradeoff.
+        F.xxhash64("gram").alias("gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .drop("nd")
+    )
+    excised = (
+        grams.join(dup, "gram")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(pos, pos + {k - 1})")
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    # rebuild ONLY the documents that actually lost a span — at real
+    # duplication rates that is a small fraction of the corpus, so the
+    # token-explode/regroup cost tracks duplication, not corpus size;
+    # untouched documents pass through with their original text
+    touched = excised.select("doc_id").distinct()
+    tokens = (
+        toks.join(touched, "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("t").alias("i0", "tok"))
+        .select("doc_id", (F.col("i0") + F.lit(1)).alias("idx"), "tok")
+    )
+    kept = (
+        tokens.join(excised, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tokens_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "tok"))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.array_join("t", " ").alias("orig_text"),
+        )
+        .join(touched.withColumn("_touched", F.lit(True)), "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_touched").isNull(), F.col("n_tokens"))
+            .otherwise(F.coalesce("tokens_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.when(F.col("_touched").isNull(), F.lit(0))
+            .otherwise(
+                F.col("n_tokens") - F.coalesce("tokens_kept", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.when(F.col("_touched").isNull(), F.col("orig_text"))
+            .otherwise(F.coalesce("clean_text", F.lit("")))
+            .alias("clean_text"),
+        )
+    )

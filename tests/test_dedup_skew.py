@@ -178,3 +178,42 @@ def test_pack_sequences_matches_python_reference(spark, token_counts):
             for r in pipeline5.pipeline_pack_sequences(spark, "unused").collect()
         }
     assert got == expected
+
+
+def test_span_excision_keep_one_semantics(spark, tmp_path):
+    """ExactSubstr-style span excision: the owning (min doc_id) document
+    keeps the duplicated span; every other occurrence is cut token-wise;
+    documents without cross-doc spans pass through verbatim; docs
+    shorter than the gram width are never touched."""
+    import pyspark.sql.functions as F
+
+    from quiver_spark.operators.pipeline6 import SPAN_K, dedup_span_excision
+
+    span = " ".join(f"w{i}" for i in range(SPAN_K))
+    rows = [
+        (1, f"alpha {span} beta"),        # owner: keeps the span
+        (2, f"gamma {span} delta"),       # dup: span excised
+        (3, "completely unrelated text"),  # untouched, passes verbatim
+        (4, "tiny"),                       # shorter than k: never touched
+    ]
+    import pandas as pd
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    out = {
+        r.doc_id: r for r in dedup_span_excision(spark, sf).collect()
+    }
+    assert out[1].tokens_removed == 0 and out[1].clean_text == rows[0][1]
+    # doc 2 loses the span tokens ONLY (alpha/gamma/delta words survive)
+    assert out[2].tokens_removed == SPAN_K
+    assert out[2].clean_text == "gamma delta"
+    assert out[3].tokens_removed == 0 and out[3].clean_text == rows[2][1]
+    assert out[4].tokens_removed == 0 and out[4].clean_text == "tiny"

@@ -559,7 +559,16 @@ def _commit_evolution(table: str, mutate) -> dict:
             raw["_commit_op"] = report.get("op")
 
         seq = metadata_commit(new_root, _mutate_raw)
-        store.swap_pointer(table, gen_name, cur_ptr)
+        try:
+            store.swap_pointer(table, gen_name, cur_ptr)
+        except Exception:
+            # a lost swap (concurrent writer won the CAS) must not leave
+            # the claimed generation behind: it would be the NEWEST
+            # number on disk, so retention would keep the orphan forever
+            # while displacing genuinely retained snapshots — the same
+            # cleanup the sink's publish performs on a lost race
+            shutil.rmtree(new_root, ignore_errors=True)
+            raise
         if cur_ptr is None:
             # flat layout superseded by the first generation: remove the
             # flat copies (data lives on through the links) and the dead
@@ -1063,15 +1072,28 @@ def expire_generations(path: str, keep: int = 1) -> dict:
         # would otherwise sort before 6-digit ones and break retention
         key=lambda d: int(d.split("-")[1]),
     )
+    # Retention counts only generations AT OR BELOW the live one — a
+    # directory NEWER than the live pointer is either a concurrent
+    # writer's in-flight claim (not ours to touch) or a crashed/raced
+    # commit's orphan (vacuum reclaims it once stale). Counting such a
+    # directory here would both keep garbage forever (it is always the
+    # newest number) and displace a genuinely retained snapshot from the
+    # keep window.
+    live_num = int(live.split("-")[1])
+    snapshots = [g for g in gens if int(g.split("-")[1]) <= live_num]
+    newer = [g for g in gens if int(g.split("-")[1]) > live_num]
     # newest `keep` survive; the live generation survives unconditionally
-    kept = set(gens[-keep:]) | {live}
+    kept = set(snapshots[-keep:]) | {live}
     removed = []
-    for g in gens:
+    for g in snapshots:
         if g in kept:
             continue
         shutil.rmtree(os.path.join(path, g), ignore_errors=True)
         removed.append(g)
-    return {"dir": path, "removed": removed, "kept": sorted(kept)}
+    out = {"dir": path, "removed": removed, "kept": sorted(kept)}
+    if newer:
+        out["skipped_inflight"] = newer
+    return out
 
 
 def vacuum(
@@ -1100,6 +1122,22 @@ def vacuum(
 
     expired = expire_generations(path, keep=keep)
     swept_staging = sweep_stale_staging(path, max_age_sec=staging_age_sec)
+    # orphaned generation claims: a directory NEWER than the live pointer
+    # whose commit never swapped (crashed writer, lost lock-less race).
+    # expire_generations deliberately skips them (a LIVE concurrent
+    # writer may own one); here the staging-age rule makes the call —
+    # anything newer-than-live and older than staging_age_sec is a
+    # corpse, not an in-flight claim.
+    swept_orphan_gens = []
+    for g in expired.get("skipped_inflight", []):
+        gp = os.path.join(path, g)
+        try:
+            if os.path.getmtime(gp) < _time.time() - staging_age_sec:
+                shutil.rmtree(gp, ignore_errors=True)
+                if not os.path.exists(gp):
+                    swept_orphan_gens.append(g)
+        except OSError:
+            pass
     # a crashed clone's staging is its own directory at the table root
     clone_tmp = os.path.join(path, "_clone_tmp")
     try:
@@ -1135,6 +1173,7 @@ def vacuum(
     return {
         "dir": path,
         "expired_generations": expired.get("removed", []),
+        "orphan_generations_swept": swept_orphan_gens,
         "staging_swept": swept_staging,
         "orphan_sidecars_removed": orphan_sidecars,
     }

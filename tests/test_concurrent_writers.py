@@ -741,3 +741,40 @@ def test_lockless_alter_loses_loudly_to_concurrent_overwrite(tmp_path):
     man = load_manifest(_data_root(tbl))
     assert man.table_schema() is None
     assert not any(e.cmap for e in man.entries.values())
+
+
+def test_lost_alter_cleans_up_its_claimed_generation(tmp_path):
+    """The ALTER that loses a lock-less CAS race removes its claimed
+    generation — the orphan would otherwise be the newest number on
+    disk, surviving retention forever while displacing real snapshots."""
+    from quiver_spark import maintenance as M
+
+    tbl = str(tmp_path / "tbl")
+    _writer(tbl, overwrite=True)._publish([_stage(tbl, [0, 1])])
+
+    class InterleavedStore(UnlockedPointerStore):
+        def __init__(self):
+            self.fired = False
+
+        def claim_generation(self, table_path, gen_name):
+            ok = super().claim_generation(table_path, gen_name)
+            if ok and not self.fired:
+                self.fired = True
+                rival = _stage(tbl, [500])
+                set_pointer_store(UnlockedPointerStore())
+                try:
+                    _writer(
+                        tbl, overwrite=True, keep_generations=9
+                    )._publish([rival])
+                finally:
+                    set_pointer_store(self)
+            return ok
+
+    set_pointer_store(InterleavedStore())
+    with pytest.raises(ConcurrentWriteError):
+        M.add_column(tbl, "extra", "bigint")
+    gens = sorted(d for d in os.listdir(tbl) if d.startswith("gen-"))
+    # victim claimed gen-000002; rival committed gen-000003 — the
+    # victim's orphan must be gone
+    assert gens == ["gen-000001", "gen-000003"], gens
+    assert _table_ids(tbl) == [500]

@@ -835,3 +835,40 @@ def test_clone_carries_declared_schema_and_constraints(spark, tmp_path):
             "k long, name string, v double, grade string",
         ).write.format("quiver").mode("append").save(dst)
     assert spark.read.format("quiver").load(dst).count() == 1
+
+
+def test_retention_ignores_newer_than_live_orphans(spark, tmp_path):
+    """An orphaned generation NEWER than the live pointer (crashed/raced
+    commit) must neither survive retention as if it were a snapshot nor
+    displace genuinely retained ones; vacuum reclaims it once stale."""
+    import shutil as _shutil
+    import time as _time
+
+    register(spark)
+    d = str(tmp_path / "t")
+    for i in range(3):  # gens 1..3, live = 3
+        spark.range(10 + i).write.format("quiver").option(
+            "keep_generations", "9"
+        ).mode("overwrite").save(d)
+    # fabricate an orphan claim newer than live
+    orphan = os.path.join(d, "gen-000009")
+    _shutil.copytree(os.path.join(d, "gen-000003"), orphan)
+    out = maintenance.expire_generations(d, keep=2)
+    # keep=2 keeps gens 2 and 3 (real snapshots); the orphan neither
+    # counts toward the window nor displaces gen-000002
+    assert out["removed"] == ["gen-000001"]
+    assert out["skipped_inflight"] == ["gen-000009"]
+    assert sorted(out["kept"]) == ["gen-000002", "gen-000003"]
+    assert os.path.isdir(orphan)  # expire never touches in-flight claims
+    # a FRESH orphan survives vacuum (could be a live writer's claim)...
+    rep = maintenance.vacuum(d, keep=2, staging_age_sec=3600)
+    assert rep["orphan_generations_swept"] == []
+    assert os.path.isdir(orphan)
+    # ...a stale one is a corpse and gets reclaimed
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
+    rep = maintenance.vacuum(d, keep=2, staging_age_sec=3600)
+    assert rep["orphan_generations_swept"] == ["gen-000009"]
+    assert not os.path.exists(orphan)
+    # the table stayed live and whole throughout
+    assert spark.read.format("quiver").load(d).count() == 12

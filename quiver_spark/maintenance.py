@@ -559,6 +559,8 @@ def _commit_evolution(table: str, mutate) -> dict:
             raw["_commit_op"] = report.get("op")
 
         seq = metadata_commit(new_root, _mutate_raw)
+        from quiver_spark.sources.quiver_datasource import _mark_committed
+
         try:
             store.swap_pointer(table, gen_name, cur_ptr)
         except Exception:
@@ -569,6 +571,7 @@ def _commit_evolution(table: str, mutate) -> dict:
             # cleanup the sink's publish performs on a lost race
             shutil.rmtree(new_root, ignore_errors=True)
             raise
+        _mark_committed(new_root)
         if cur_ptr is None:
             # flat layout superseded by the first generation: remove the
             # flat copies (data lives on through the links) and the dead
@@ -1132,6 +1135,12 @@ def vacuum(
     for g in expired.get("skipped_inflight", []):
         gp = os.path.join(path, g)
         try:
+            from quiver_spark.sources.quiver_datasource import _COMMITTED
+
+            if os.path.exists(os.path.join(gp, _COMMITTED)):
+                # committed marker: a RETAINED snapshot sitting newer
+                # than the live pointer (rollback) — never a corpse
+                continue
             if os.path.getmtime(gp) < _time.time() - staging_age_sec:
                 shutil.rmtree(gp, ignore_errors=True)
                 if not os.path.exists(gp):
@@ -1217,6 +1226,20 @@ def rollback_generation(path: str, version: int) -> dict:
             return {"dir": path, "rolled_back_to": name, "previous": cur,
                     "note": "already live"}
         store.swap_pointer(path, name, cur)
+        # a rollback deliberately leaves the rolled-away-from generation
+        # NEWER than the live pointer: bless every generation on disk
+        # with the commit marker so vacuum's orphan sweep (which only
+        # touches UNMARKED newer-than-live dirs) can never mistake a
+        # retained snapshot for a crashed writer's corpse — this also
+        # retrofits tables whose generations predate the marker
+        from quiver_spark.sources.quiver_datasource import (
+            _GEN_RE as _gre,
+            _mark_committed,
+        )
+
+        for g in os.listdir(path):
+            if _gre.fullmatch(g) and os.path.isdir(os.path.join(path, g)):
+                _mark_committed(os.path.join(path, g))
         # CDC sequence-reuse guard: the restored snapshot's manifest
         # carries an OLDER commit_seq; leaving it would let the next
         # commit re-issue numbers the rolled-back head already used, so

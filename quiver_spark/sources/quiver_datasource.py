@@ -154,6 +154,22 @@ def _opt_path(options) -> str:
 _GEN_RE = __import__("re").compile(r"gen-\d{6,}")
 #: pointer file naming the live generation (atomic os.replace swap)
 _CURRENT = "_current"
+#: marker stamped inside a generation directory by every SUCCESSFUL
+#: pointer swap: distinguishes a committed snapshot (retained for time
+#: travel — e.g. the generation a rollback moved away from, which sits
+#: NEWER than the live pointer) from an orphaned claim a crashed writer
+#: left behind. vacuum's orphan sweep only ever touches unmarked dirs.
+_COMMITTED = "_committed"
+
+
+def _mark_committed(gen_dir: str) -> None:
+    """Best-effort commit marker (see _COMMITTED) — advisory metadata,
+    never load-bearing for reads, so failures are swallowed."""
+    try:
+        with open(os.path.join(gen_dir, _COMMITTED), "w") as f:
+            f.write("")
+    except OSError:
+        pass
 
 
 def _data_root(path: str, version: str | int | None = None) -> str:
@@ -2283,6 +2299,7 @@ class QuiverWriter(DataSourceArrowWriter):
 
                     shutil.rmtree(dst_root, ignore_errors=True)
                     raise
+                _mark_committed(dst_root)
                 self._gc_superseded(gen_name, previous=expected)
             elif os.path.basename(dst_root) != os.path.basename(self.path):
                 # append into a generation: verify it is STILL the live one

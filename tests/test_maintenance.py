@@ -850,9 +850,16 @@ def test_retention_ignores_newer_than_live_orphans(spark, tmp_path):
         spark.range(10 + i).write.format("quiver").option(
             "keep_generations", "9"
         ).mode("overwrite").save(d)
-    # fabricate an orphan claim newer than live
+    # fabricate an orphan claim newer than live (a crashed writer's dir
+    # never gets the _committed marker a successful swap stamps)
     orphan = os.path.join(d, "gen-000009")
     _shutil.copytree(os.path.join(d, "gen-000003"), orphan)
+    from quiver_spark.sources.quiver_datasource import _COMMITTED
+
+    try:
+        os.remove(os.path.join(orphan, _COMMITTED))
+    except FileNotFoundError:
+        pass
     out = maintenance.expire_generations(d, keep=2)
     # keep=2 keeps gens 2 and 3 (real snapshots); the orphan neither
     # counts toward the window nor displaces gen-000002
@@ -872,3 +879,29 @@ def test_retention_ignores_newer_than_live_orphans(spark, tmp_path):
     assert not os.path.exists(orphan)
     # the table stayed live and whole throughout
     assert spark.read.format("quiver").load(d).count() == 12
+
+
+def test_vacuum_never_sweeps_rollback_retained_generation(spark, tmp_path):
+    """A rollback leaves the rolled-away-from generation NEWER than the
+    live pointer — a retained snapshot, not a corpse. Its commit marker
+    protects it from vacuum's orphan sweep no matter how stale."""
+    import time as _time
+
+    register(spark)
+    d = str(tmp_path / "t")
+    for n in (10, 20):
+        spark.range(n).write.format("quiver").option(
+            "keep_generations", "5"
+        ).mode("overwrite").save(d)
+    maintenance.rollback_generation(d, 1)  # live = gen-1; gen-2 newer
+    g2 = os.path.join(d, "gen-000002")
+    old = _time.time() - 7 * 24 * 3600
+    os.utime(g2, (old, old))
+    rep = maintenance.vacuum(d, keep=1, staging_age_sec=3600)
+    assert rep["orphan_generations_swept"] == []
+    assert os.path.isdir(g2)
+    # time travel back onto it still works
+    assert (
+        spark.read.format("quiver").option("version", "2").load(d).count()
+        == 20
+    )

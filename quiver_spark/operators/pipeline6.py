@@ -343,6 +343,11 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idx"),
         )
         .distinct()
+        # three consumers (touched-doc set, the anti-join, and the
+        # counts) would otherwise each recompute the whole gram shuffle
+        # — truncate the lineage so it runs once (plan audit showed the
+        # dup subtree tripled without this)
+        .localCheckpoint(eager=False)
     )
     # rebuild ONLY the documents that actually lost a span — at real
     # duplication rates that is a small fraction of the corpus, so the

@@ -18,6 +18,24 @@ from pyspark.sql import functions as F
 from quiver_spark.functions import dec, dsum, revenue, sql_dsum, SQL_REVENUE
 from quiver_spark.registry import register
 from quiver_spark.sources import register as register_format
+from quiver_spark.tables import maybe_broadcast
+
+
+def quiver_dir_size_bytes(table_dir: str) -> int | None:
+    """On-disk byte footprint of a quiver table's live snapshot, or None.
+
+    A Python DataSource cannot report Catalyst statistics (plan-time stats
+    read Long.MaxValue), so size-gated broadcast hints over quiver scans
+    read the resolved data root's file sizes instead — driver-side stat
+    calls over the same listing the planner already performs. Compressed
+    bytes understate in-memory size ~2x (BASELINE.md compression ratio),
+    comfortably inside the gate's headroom."""
+    try:
+        from quiver_spark.sources.quiver_datasource import _list_files
+
+        return sum(os.stat(f).st_size for f in _list_files(table_dir))
+    except Exception:
+        return None
 
 # v2: nested page layout corrected to reference semantics (meta num_values
 # = slot count, prefix u32 = rows) — old cached conversions are unreadable.
@@ -258,12 +276,16 @@ def quiver_adaptive_zstd_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = quiver_table(
         spark, sf_dir, "customer", codec="zstd", columns=["c_custkey", "c_nationkey"]
     )
+    # customer scales linearly with the data — gate the hint on the quiver
+    # table's on-disk size (Catalyst stats are opaque for Python DS scans);
+    # nation is a 25-row constant, unconditional broadcast is always right.
+    c_size = quiver_dir_size_bytes(quiver_dir(spark, sf_dir, "customer", "zstd"))
     n = quiver_table(
         spark, sf_dir, "nation", codec="zstd", columns=["n_nationkey", "n_name"]
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, size_bytes=c_size), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(

@@ -156,9 +156,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
+    # No broadcast hints here: `sized` has one row per DOCUMENT — linear in
+    # the corpus, a forced broadcast would OOM at fleet scale. `pairs` is the
+    # small side (df-capped pair generation); AQE picks broadcast-vs-shuffle
+    # from runtime sizes, and at bench SF it still broadcasts the small side.
     return (
-        pairs.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        pairs.join(sa, "a")
+        .join(sb, "b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("a", "b", F.round(jac, 4).alias("jaccard"))
     )

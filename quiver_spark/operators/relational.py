@@ -8,8 +8,12 @@ and each is paired with a DuckDB oracle. All float aggregation follows the
 exact-DECIMAL convention in quiver_spark.functions.
 
 Scale notes (100 TB posture):
-- Dimension joins (region/nation/supplier/part/customer) are explicitly
-  broadcast — no shuffle of the fact table for those joins at any SF.
+- Constant-cardinality dims (region=5, nation=25) are explicitly broadcast —
+  no shuffle of the fact table for those joins at any SF. Linearly-scaling
+  tables (customer/supplier/part and per-key aggregates derived from them)
+  go through tables.maybe_broadcast: the hint fires only under a plan-time
+  size ceiling, above it AQE picks the strategy from runtime sizes — a
+  forced broadcast of a TB-scale side would be a hard executor OOM.
 - Fact-fact joins (orders⋈lineitem) shuffle on the join key, which AQE
   re-plans at runtime; keys are uniform in this dataset (no salting needed).
 - Top-k uses orderBy().limit(k) → Spark's TakeOrderedAndProject (no global
@@ -34,7 +38,7 @@ from quiver_spark.functions import (
     sql_dsum,
 )
 from quiver_spark.registry import register
-from quiver_spark.tables import load
+from quiver_spark.tables import load, maybe_broadcast
 
 # --------------------------------------------------------------------------
 # Aggregations
@@ -256,8 +260,9 @@ LIMIT 10
     tags=("join", "topk", "tpch"),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: broadcast dim join + fact join + agg + top-k.
-    customer is broadcast (no shuffle of orders for that join)."""
+    """TPC-H Q3-style: dim join + fact join + agg + top-k. customer is
+    size-gate broadcast (no shuffle of orders at bench SF; unhinted at
+    fleet scale where customer is TB-sized)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-06-30").cast("timestamp_ntz")
@@ -267,7 +272,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue()).cast("double"), 2).alias("revenue"))
         .select(
@@ -297,8 +302,9 @@ GROUP BY r_name, n_name
     tags=("join", "agg", "tpch"),
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style six-way join: all dimension sides broadcast; the only
-    shuffle is orders⋈lineitem on orderkey (+ the final small agg)."""
+    """TPC-H Q5-style six-way join: nation/region broadcast unconditionally
+    (constant cardinality), customer/supplier via the size gate; the only
+    shuffle at bench SF is orders⋈lineitem on orderkey (+ the final agg)."""
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -307,9 +313,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            maybe_broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -373,7 +379,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(revenue()).cast("double"), 2).alias("revenue"))

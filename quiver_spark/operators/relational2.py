@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from quiver_spark.functions import dec
 from quiver_spark.registry import register
-from quiver_spark.tables import load
+from quiver_spark.tables import load, maybe_broadcast
 
 
 @register(
@@ -255,7 +255,7 @@ def correlated_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(avg), li.l_partkey == avg.pk)
+        li.join(maybe_broadcast(avg), li.l_partkey == avg.pk)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from quiver_spark.functions import SQL_REVENUE, dec, revenue
 from quiver_spark.registry import register
-from quiver_spark.tables import load
+from quiver_spark.tables import load, maybe_broadcast
 
 
 def _li_orders_cust_nation(spark, sf_dir):
@@ -61,8 +61,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cust_nation").isin("NATION_3", "NATION_4"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .groupBy(
@@ -114,12 +114,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(14,4)")
     df = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == cn.n_nationkey)
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
     )
     return df.groupBy(F.year("l_shipdate").alias("yr")).agg(
         F.round(
@@ -158,8 +158,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("yr"))
         .agg(F.round(F.sum(revenue()).cast("double"), 2).alias("sum_profit"))
@@ -189,7 +189,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = revenue()
     zero = F.lit(0).cast("decimal(14,4)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -223,7 +223,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction post-join."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
     br = (
         (
             (F.col("p_brand") == "Brand#1")

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from quiver_spark.functions import SQL_REVENUE, revenue
 from quiver_spark.registry import register
-from quiver_spark.tables import load
+from quiver_spark.tables import load, maybe_broadcast
 
 
 @register(
@@ -94,7 +94,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(maybe_broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from quiver_spark.functions import SQL_REVENUE, dec, dsum, revenue
 from quiver_spark.registry import register
-from quiver_spark.tables import load
+from quiver_spark.tables import load, maybe_broadcast
 
 
 @register(
@@ -61,7 +61,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     supply = (
         li.join(
-            F.broadcast(p.select("p_partkey")),
+            maybe_broadcast(p.select("p_partkey")),
             li.l_partkey == F.col("p_partkey"),
             "left_semi",
         )
@@ -79,7 +79,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             mincost,
             (F.col("pk") == F.col("mpk")) & (F.col("cost") == F.col("mcost")),
         )
-        .join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        .join(maybe_broadcast(s), F.col("sk") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
@@ -127,7 +127,7 @@ def q11_important_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").isin(0, 1, 2, 3, 4, 5, 6, 7)
     )
     val = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.sum(revenue()).alias("value"))
     )
@@ -220,9 +220,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .join(
-            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+            maybe_broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
         )
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -271,14 +271,14 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk"))
         .agg(F.sum(dec("l_quantity")).alias("qty"))
         .filter(F.col("qty").cast("double") > 30.0)
         .select("sk")
     )  # no distinct: left_semi already has set semantics
     return s.join(
-        F.broadcast(shipped), s.s_suppkey == F.col("sk"), "left_semi"
+        maybe_broadcast(shipped), s.s_suppkey == F.col("sk"), "left_semi"
     ).select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
 
 
@@ -356,7 +356,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supp") >= 2)
             & (F.col("n_late") == 1)
         )
-        .join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        .join(maybe_broadcast(s), F.col("sk") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

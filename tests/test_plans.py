@@ -329,3 +329,49 @@ def test_blocklist_filter_map_side_single_shuffle(spark):
     assert "Explode" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plans.count_shuffles(df) <= 1, plan
+
+
+def test_broadcast_hint_is_size_gated(spark, monkeypatch):
+    """Linearly-scaling join sides (customer/supplier/part class) carry a
+    SIZE-GATED hint: under the ceiling the hint fires (plan broadcasts);
+    above it the relation goes unhinted and the join degrades to shuffle,
+    which AQE re-plans from runtime sizes. A forced broadcast of a TB-scale
+    side is a hard executor OOM at 100 TB — the hint must never outrank the
+    plan-time size estimate."""
+    from pyspark.sql import functions as F
+
+    from quiver_spark.tables import load, maybe_broadcast, plan_size_bytes
+
+    o = load(spark, SF_DIR, "orders")
+    c = load(spark, SF_DIR, "customer")
+    assert (plan_size_bytes(c) or 0) > 0  # parquet scans report real sizes
+
+    # bench posture: customer is tiny, the gate hints, the plan broadcasts
+    j = o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+    assert plans.has_broadcast_join(j)
+
+    # 100 TB posture (simulated): ceiling below customer's footprint and
+    # Spark's own auto-broadcast off so only an explicit hint COULD
+    # broadcast — the gate must emit none
+    monkeypatch.setenv("QUIVER_BROADCAST_MAX_BYTES", "1")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j2 = o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        plan = plans.physical_plan(j2)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+        # recipe-level: q3's only dimension side is customer — gated out,
+        # the whole plan has no broadcast join
+        q3 = _df(spark, "q3_shipping_priority")
+        assert "BroadcastHashJoin" not in plans.physical_plan(q3)
+
+        # constant-cardinality dims keep the unconditional hint: q5 still
+        # broadcasts nation + region while customer/supplier degrade
+        q5 = _df(spark, "q5_region_revenue")
+        p5 = plans.physical_plan(q5)
+        assert p5.count("BroadcastHashJoin") >= 2, p5  # nation, region
+        assert "SortMergeJoin" in p5 or "ShuffledHashJoin" in p5, p5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -22,90 +22,38 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 9 window (50), per VERDICT r8 item 3: (a) the FOUR queries new
-# this round — the commit-time-manifest / packed-small-files scan, the
-# two merge_schemas evolution reads (quiver + arrowipc), and the
-# manifest-rebuild migration scan; (b) ALL 46 rows whose last
-# driver-green is round 6 — the oldest cohort (re-verified green at
-# sf0.01 locally every round since). 4 + 46 = exactly 50; after this
-# window no registered query's last driver-green row is older than
-# round 7. Position 51+ holds the round-7 window (round 10's natural
-# leaders), then the round-8 names in registry order.
+# Round 10 window (50), per VERDICT r9 item 2: (a) the 16 rows the driver
+# has NEVER sampled (round-9 DML/DDL/constraint/ANALYZE/snapshot-diff/
+# incremental/CDC-merge/Z-order/bloom/clustering/PII/blocklist/
+# span-excision gates — judge-sweep green only); (b) the full 26-row
+# round-7-stale cohort, which covers most TPC-H recipes whose broadcast
+# hints were size-gated this round; (c) 8 round-8-green rows preferring
+# the rest of the migrated recipes. After this window every registered
+# query has at least one driver CORRECTNESS row and none is older than
+# round 8. Position 51+ falls back to registry order.
 _PRIORITY = [
-    # (a) new this round — never sampled
-    "quiver_manifest_packed_scan",
-    "quiver_merge_schemas_scan",
-    "arrow_ipc_merge_scan",
-    "quiver_manifest_rebuild_scan",
-    # (b) last driver-verified in round 6 — the full stale cohort
-    "dedup_exact_docs",
-    "dedup_minhash_pairs",
-    "quiver_scan_q1",
-    "quiver_scan_checksums",
-    "quiver_adaptive_zstd_join",
-    "quiver_pruned_date_scan",
-    "quiver_scan_embeddings",
-    "quiver_scan_documents",
-    "multimodal_decode_features",
-    "dedup_ngram_jaccard",
-    "ann_lsh_bucketed_pairs",
-    "q1_pricing_summary",
-    "q7_nation_volume",
-    "correlated_small_quantity",
-    "approx_distinct_parts",
-    "window_range_frame",
-    "window_distribution_funcs",
-    "ann_dot_topk",
-    "ann_cosine_topk",
-    "embedding_near_dup",
-    "sketch_count_min",
-    "asof_join_events_orders",
-    "range_join_user_bursts",
-    "hypertable_rollup",
-    "udtf_token_explode",
-    "quiver_limit_head",
-    "quiver_partitioned_scan",
-    "quiver_scan_decimals",
-    "text_token_bpe",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "dedup_simhash_pairs",
-    "events_locf_impute",
-    "quiver_batch_read",
-    "dedup_chunk_exact",
-    "sample_temperature_mix",
-    "ann_sq8_topk",
-    "events_interval_join",
-    "pipeline_corpus_summary",
-    "events_latest_per_user",
-    "quiver_compacted_scan",
-    "sketch_histogram_quantiles",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "events_moving_avg_24h",
-    "embedding_dim_stats",
-    # (c) position 51+: the round-9 row-level DML trio (added AFTER the
-    # 50-slot window above was frozen to the judge-prescribed 4-new +
-    # 46-r6-stale rotation — displacing any stale row would leave it
-    # r6-old) — these lead round 10's window; this round their evidence
-    # is pytest (tests/test_rowlevel.py) + the local sf0.01 oracle sweep
+    # (a) the 16 rows that have NEVER had a driver CORRECTNESS row (their
+    # only independent evidence is the round-9 judge sweep) — VERDICT r9
+    # item 2 puts them at positions 1-16
     "quiver_delete_scan",
     "quiver_update_scan",
     "quiver_merge_upsert_scan",
-    "quiver_clustered_scan",
-    "quiver_bloom_lookup_scan",
-    "quiver_zorder_scan",
-    "quiver_incremental_scan",
     "quiver_merge_cdc_scan",
-    "text_pii_scrub",
-    "text_blocklist_filter",
+    "quiver_clustered_scan",
+    "quiver_zorder_scan",
+    "quiver_bloom_lookup_scan",
     "quiver_alter_evolution_scan",
     "quiver_check_constraint_scan",
     "quiver_repartitioned_scan",
     "quiver_analyze_stats",
     "quiver_snapshot_diff",
+    "quiver_incremental_scan",
     "dedup_span_excision",
-    # then the round-7 window — round 10's natural continuation
+    "text_pii_scrub",
+    "text_blocklist_filter",
+    # (b) the oldest driver-green cohort (last sampled round 7) — includes
+    # most of the TPC-H recipes whose broadcast hints were size-gated this
+    # round, so the migrated plans get fresh driver rows
     "dedup_simhash",
     "multimodal_binary_meta",
     "ann_lsh_buckets",
@@ -132,6 +80,16 @@ _PRIORITY = [
     "q14_promo_revenue",
     "q19_bracket_revenue",
     "q22_idle_customers",
+    # (c) fill to 50 with round-8-green rows, preferring the remaining
+    # recipes the broadcast-gate migration touched
+    "q2_min_cost_supplier",
+    "q11_important_supply",
+    "q16_supplier_part_counts",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q15_top_supplier",
+    "q12_priority_shipping",
+    "quiver_time_travel_scan",
 ]
 
 

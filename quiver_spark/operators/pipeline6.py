@@ -323,7 +323,11 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         # are ~G²/2⁶⁵ (≈1e-8 at a million grams) — the standard
         # ExactSubstr engineering tradeoff.
         F.xxhash64("gram").alias("gram"),
-    )
+        # two consumers (the owner groupBy and the excision join) whose
+        # exchanges carry DIFFERENT payloads, so exchange reuse cannot
+        # merge them — without the checkpoint the token-window transform
+        # + hash runs twice (plan showed 2× posexplode/xxhash64)
+    ).localCheckpoint(eager=False)
     dup = (
         grams.groupBy("gram")
         .agg(

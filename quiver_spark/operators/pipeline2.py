@@ -74,7 +74,7 @@ kept AS (
     WHERE sh IN (
         SELECT sh FROM shingles GROUP BY sh
         HAVING COUNT(*) <= GREATEST({MAX_SHINGLE_DF},
-            CAST(((SELECT COUNT(DISTINCT doc_id) FROM shingles)
+            CAST(((SELECT COUNT(*) FROM documents)
                 + {SHINGLE_DF_DIV - 1}) // {SHINGLE_DF_DIV} AS BIGINT))
     )
 ),
@@ -127,7 +127,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rides a broadcast cross join so the whole threshold stays inside the
     # plan — no driver-side action. Integer-exact ceil(nd/DIV) on both
     # engines ((nd + DIV-1) DIV DIV — no float literal can diverge).
-    ndocs = sh.agg(F.countDistinct("doc_id").alias("nd"))
+    # Corpus size = COUNT(*) over the DOCUMENTS table, not
+    # COUNT(DISTINCT doc_id) over the shingle set: the distinct-count was
+    # a full extra pass over the (much larger) shingle table and measured
+    # +0.6 s of the round-9 regression at sf0.1 (BASELINE.md round-10
+    # decomposition); a zero-column document count is near-free, and the
+    # cap policy is the same corpus-relative fraction either way (the
+    # one-decade recall property rides total corpus size, and at the gate
+    # SFs the absolute floor binds so outputs are byte-identical).
+    ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
     df_cap = F.greatest(
         F.lit(MAX_SHINGLE_DF).cast("bigint"),
         F.expr(

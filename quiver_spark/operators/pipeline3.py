@@ -277,7 +277,7 @@ MIN_SHARED_FPS = 3
 WITH fps AS ({SQL_WINNOW}),
 rare AS (SELECT fp FROM fps GROUP BY fp
          HAVING COUNT(*) <= GREATEST({MAX_FP_DF},
-             CAST(((SELECT COUNT(DISTINCT doc_id) FROM fps)
+             CAST(((SELECT COUNT(*) FROM documents)
                  + {FP_DF_DIV - 1}) // {FP_DF_DIV} AS BIGINT))),
 kept AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM rare)),
 pairs AS (
@@ -300,8 +300,13 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = text_winnow_fingerprints(spark, sf_dir).persist()
     # corpus-relative df cap (see FP_DF_DIV): 1-row broadcast cross join
     # keeps the threshold inside the plan, no driver action;
-    # integer-exact ceil on both engines
-    ndocs = fps.agg(F.countDistinct("doc_id").alias("nd"))
+    # integer-exact ceil on both engines. Corpus size = COUNT(*) over
+    # documents, not a distinct-count over the fingerprint table — the
+    # latter was a full extra pass over fps (see the same change in
+    # dedup_ngram_jaccard); policy identical, floor binds at gate SFs.
+    ndocs = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
     df_cap = F.greatest(
         F.lit(MAX_FP_DF).cast("bigint"),
         F.expr(f"CAST((nd + {FP_DF_DIV - 1}) DIV {FP_DF_DIV} AS BIGINT)"),

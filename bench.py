@@ -213,6 +213,18 @@ def main() -> None:
         .mode("overwrite")
         .save(f"{wdir}/qv"),
     }
+    # JVM bulk-ingest writer (round 10, quiver_spark/jvm): rows stay in the
+    # JVM — the path that closes the structural Python-sink write gap.
+    # Only when the session carries the jar (static conf; get_spark
+    # attaches it when built).
+    from quiver_spark.jvm import session_has_jar
+
+    if session_has_jar(spark):
+        proxies["write_quiverjvm_lineitem"] = (
+            lambda: li_df.write.format("quiverjvm")
+            .mode("overwrite")
+            .save(f"{wdir}/qj")
+        )
     # 5 interleaved passes (parquet, quiver, parquet, ...): min-of-5 per side
     # so a single fast outlier on either side can't set the ratio.
     for _pass in range(5):
@@ -291,6 +303,17 @@ def main() -> None:
                     timings["narrow_quiver_lineitem"]
                     / timings["narrow_parquet_lineitem"],
                     3,
+                ),
+                **(
+                    {
+                        "quiverjvm_vs_parquet_write_ratio": round(
+                            timings["write_quiverjvm_lineitem"]
+                            / timings["write_parquet_lineitem"],
+                            3,
+                        )
+                    }
+                    if "write_quiverjvm_lineitem" in timings
+                    else {}
                 ),
             }
         )

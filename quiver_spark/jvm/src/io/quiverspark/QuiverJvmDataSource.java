@@ -1,0 +1,168 @@
+package io.quiverspark;
+
+import java.util.Collections;
+import java.util.HashMap;
+import java.util.Map;
+import java.util.Set;
+
+import org.apache.spark.sql.connector.catalog.SupportsWrite;
+import org.apache.spark.sql.connector.catalog.Table;
+import org.apache.spark.sql.connector.catalog.TableCapability;
+import org.apache.spark.sql.connector.catalog.TableProvider;
+import org.apache.spark.sql.connector.expressions.Transform;
+import org.apache.spark.sql.connector.write.BatchWrite;
+import org.apache.spark.sql.connector.write.DataWriterFactory;
+import org.apache.spark.sql.connector.write.LogicalWriteInfo;
+import org.apache.spark.sql.connector.write.PhysicalWriteInfo;
+import org.apache.spark.sql.connector.write.SupportsTruncate;
+import org.apache.spark.sql.connector.write.Write;
+import org.apache.spark.sql.connector.write.WriteBuilder;
+import org.apache.spark.sql.connector.write.WriterCommitMessage;
+import org.apache.spark.sql.sources.DataSourceRegister;
+import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.util.CaseInsensitiveStringMap;
+
+/**
+ * JVM-side quiver batch WRITER ("quiverjvm"): closes the structural
+ * JVM-to-Python Arrow boundary cost of the Python sink's pure-write path
+ * (BASELINE.md round-7 write-floor proof: a no-op Python Arrow sink costs
+ * the same as the full quiver write). Rows never leave the JVM: each task
+ * accumulates InternalRows into columnar buffers and emits quiver files
+ * (basic codec) byte-compatible with the Python reader/scan.
+ *
+ * Write-only by design: reads stay on the Python DataSource (page pruning,
+ * manifest planning, schema evolution all live there). Options:
+ *   codec = zstd | lz4 | none   (default zstd)
+ *   max_page_size = rows/page   (default 8192)
+ *   max_rows_per_file           (default 1&lt;&lt;22, the Python sink default)
+ */
+public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
+
+  @Override
+  public String shortName() {
+    return "quiverjvm";
+  }
+
+  @Override
+  public boolean supportsExternalMetadata() {
+    return true; // write path: schema comes from the DataFrame
+  }
+
+  @Override
+  public StructType inferSchema(CaseInsensitiveStringMap options) {
+    throw new UnsupportedOperationException(
+        "quiverjvm is a write-only fast-ingest path; read with the Python "
+            + "'quiver' DataSource, which serves pruning/manifest/evolution");
+  }
+
+  @Override
+  public Table getTable(StructType schema, Transform[] partitioning, Map<String, String> properties) {
+    return new QuiverJvmTable(schema, properties);
+  }
+
+  static final class QuiverJvmTable implements SupportsWrite {
+    private final StructType schema;
+    private final Map<String, String> properties;
+
+    QuiverJvmTable(StructType schema, Map<String, String> properties) {
+      this.schema = schema;
+      this.properties = properties;
+    }
+
+    @Override
+    public String name() {
+      return "quiverjvm:" + properties.getOrDefault("path", "?");
+    }
+
+    @Override
+    public StructType schema() {
+      return schema;
+    }
+
+    @Override
+    public Set<TableCapability> capabilities() {
+      return java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE);
+    }
+
+    @Override
+    public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+      Map<String, String> opts = new HashMap<>(properties);
+      opts.putAll(info.options());
+      return new QuiverJvmWriteBuilder(info.schema(), opts);
+    }
+  }
+
+  static final class QuiverJvmWriteBuilder implements WriteBuilder, SupportsTruncate {
+    private final StructType schema;
+    private final Map<String, String> options;
+    private boolean truncate = false;
+
+    QuiverJvmWriteBuilder(StructType schema, Map<String, String> options) {
+      this.schema = schema;
+      this.options = options;
+    }
+
+    @Override
+    public WriteBuilder truncate() {
+      truncate = true;
+      return this;
+    }
+
+    @Override
+    public Write build() {
+      final boolean doTruncate = truncate;
+      return new Write() {
+        @Override
+        public BatchWrite toBatch() {
+          return new QuiverJvmBatchWrite(schema, options, doTruncate);
+        }
+      };
+    }
+  }
+
+  static final class QuiverJvmBatchWrite implements BatchWrite {
+    private final StructType schema;
+    private final Map<String, String> options;
+    private final boolean truncate;
+
+    QuiverJvmBatchWrite(StructType schema, Map<String, String> options, boolean truncate) {
+      this.schema = schema;
+      this.options = options;
+      this.truncate = truncate;
+    }
+
+    @Override
+    public DataWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
+      String path = options.get("path");
+      if (path == null) {
+        throw new IllegalArgumentException("quiverjvm: no path given (use .save(dir))");
+      }
+      java.io.File dir = new java.io.File(path);
+      if (truncate && dir.isDirectory()) {
+        java.io.File[] old = dir.listFiles((d, n) -> n.endsWith(".quiver") || n.endsWith(".json"));
+        if (old != null) {
+          for (java.io.File f : old) {
+            if (!f.delete()) throw new IllegalStateException("quiverjvm truncate: cannot delete " + f);
+          }
+        }
+      }
+      dir.mkdirs();
+      return new QuiverDataWriterFactory(
+          path,
+          schema.json(),
+          options.getOrDefault("codec", "zstd"),
+          Integer.parseInt(options.getOrDefault("max_page_size", "8192")),
+          Long.parseLong(options.getOrDefault("max_rows_per_file", String.valueOf(1L << 22))));
+    }
+
+    @Override
+    public void commit(WriterCommitMessage[] messages) {
+      // task-level rename (tmp -> final) already made every file visible
+    }
+
+    @Override
+    public void abort(WriterCommitMessage[] messages) {
+      // tmp files of failed attempts are cleaned by their own abort()
+    }
+  }
+}

@@ -88,6 +88,15 @@ def get_spark(app_name: str = "quiver-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )
+    # JVM bulk-ingest writer ("quiverjvm"): spark.jars is a STATIC conf, so
+    # the jar must ride the builder — attach when built (checked in; see
+    # quiver_spark/jvm). Sessions we did not build (the driver's) lack it;
+    # maintenance.ingest falls back to the Python sink there.
+    from quiver_spark.jvm import jar_path
+
+    jar = jar_path()
+    if jar:
+        builder = builder.config("spark.jars", jar)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return configure(builder.getOrCreate())

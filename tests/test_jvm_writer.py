@@ -1,0 +1,147 @@
+"""JVM bulk-ingest writer ("quiverjvm", quiver_spark/jvm): the Java
+DataSourceV2 path that keeps rows in the JVM — byte-compatible with the
+Python reader. Tests skip when the jar is absent and javac unavailable
+(the jar is checked in, so normally they run)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from quiver_spark.jvm import ensure_jar, session_has_jar, supports_schema
+
+from conftest import SF_DIR_MID
+
+pytestmark = pytest.mark.skipif(
+    ensure_jar(build=True) is None,
+    reason="quiver-jvm-writer.jar absent and javac unavailable",
+)
+
+
+def _require_jar(spark):
+    if not session_has_jar(spark):
+        pytest.skip("session built without the quiverjvm jar on spark.jars")
+
+
+def test_jvm_roundtrip_lineitem(spark, tmp_path):
+    """sf0.01 lineitem written by the JVM writer reads back EXACTLY through
+    the Python quiver scan — longs, ints, doubles, strings, dates."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+    df = spark.read.parquet(f"{SF_DIR_MID}/lineitem.parquet")
+    out = str(tmp_path / "li")
+    df.write.format("quiverjvm").mode("overwrite").save(out)
+    back = spark.read.format("quiver").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("codec", ["zstd", "lz4", "none"])
+def test_jvm_type_surface(spark, tmp_path, codec):
+    """Every supported flat type, with nulls, across all three basic
+    codecs: i8/i16/i32/i64, float/double, decimal18/38, string, binary,
+    bool, date, timestamp_ntz."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+    df = spark.sql(
+        """
+        SELECT id,
+          CAST(id AS INT) i32, CAST(id % 128 AS TINYINT) i8,
+          CAST(id % 30000 AS SMALLINT) i16,
+          CAST(id * 1.5 AS DOUBLE) d, CAST(id * 0.5 AS FLOAT) f,
+          CASE WHEN id % 7 = 0 THEN NULL
+               ELSE CAST(id * 100.01 AS DECIMAL(18,4)) END dec18,
+          CAST(id * -123456789.123 AS DECIMAL(38,6)) dec38,
+          CASE WHEN id % 3 = 0 THEN NULL ELSE concat('s-', id) END s,
+          CAST(concat('b', id) AS BINARY) b,
+          id % 2 = 0 AS flag,
+          CASE WHEN id % 5 = 0 THEN NULL ELSE id % 2 = 1 END nflag,
+          DATE_ADD(DATE'2020-01-01', CAST(id % 1000 AS INT)) dt,
+          TIMESTAMP_NTZ'2024-01-01 00:00:00'
+            + make_interval(0,0,0,0,0,0,id) tsn,
+          CASE WHEN id % 11 = 0 THEN NULL ELSE CAST(id AS BIGINT) END nlong
+        FROM range(20000)
+        """
+    )
+    out = str(tmp_path / f"types_{codec}")
+    df.write.format("quiverjvm").option("codec", codec).mode("overwrite").save(out)
+    back = spark.read.format("quiver").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jvm_multi_file_roll_and_pages(spark, tmp_path):
+    """max_rows_per_file rolls files; max_page_size slices pages — the scan
+    sees one consistent table either way."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+    df = spark.range(50000).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    ).repartition(2)
+    out = str(tmp_path / "roll")
+    (
+        df.write.format("quiverjvm")
+        .option("max_rows_per_file", "8000")
+        .option("max_page_size", "1000")
+        .mode("overwrite")
+        .save(out)
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".quiver")]
+    assert len(files) >= 4  # 2 partitions x ceil(25000/8000)
+    back = spark.read.format("quiver").load(out)
+    assert back.count() == 50000
+    assert back.agg(F.sum("id")).collect()[0][0] == 50000 * 49999 // 2
+
+
+def test_jvm_overwrite_truncates(spark, tmp_path):
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+    out = str(tmp_path / "ovw")
+    spark.range(100).write.format("quiverjvm").mode("overwrite").save(out)
+    spark.range(7).write.format("quiverjvm").mode("overwrite").save(out)
+    assert spark.read.format("quiver").load(out).count() == 7
+
+
+def test_ingest_uses_jvm_and_rebuilds_manifest(spark, tmp_path):
+    """maintenance.ingest routes flat schemas to the JVM writer and leaves
+    a manifest behind so the first scan plans from one metadata read."""
+    _require_jar(spark)
+    from quiver_spark import maintenance
+    from quiver_spark.sources.manifest import load_manifest
+
+    df = spark.read.parquet(f"{SF_DIR_MID}/orders.parquet")
+    out = str(tmp_path / "ing")
+    summary = maintenance.ingest(spark, df, out)
+    assert summary["engine"] == "jvm"
+    assert summary["rows"] == df.count()
+    assert load_manifest(out) is not None
+    back = spark.read.format("quiver").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_ingest_python_fallback_on_nested_schema(spark, tmp_path):
+    """Nested schemas (arrays) route to the Python sink — same call, same
+    durable result, full codec cascade."""
+    from quiver_spark import maintenance
+
+    df = spark.range(500).select(
+        F.col("id"), F.array(F.col("id"), F.col("id") + 1).alias("arr")
+    )
+    assert not supports_schema(df.schema)
+    out = str(tmp_path / "nested")
+    summary = maintenance.ingest(spark, df, out)
+    assert summary["engine"] == "python"
+    back = spark.read.format("quiver").load(out)
+    assert back.count() == 500
+    assert back.agg(F.sum(F.element_at("arr", 2))).collect()[0][0] == sum(
+        i + 1 for i in range(500)
+    )

@@ -282,3 +282,48 @@ def test_cli_changes(spark, tmp_path):
     )
     o2 = _json.loads(r2.stdout)
     assert o2["changed_files"] == [] and o2["total_rows"] == 0
+
+
+def test_cli_doctor(spark, tmp_path):
+    """`quiver-tools doctor` aggregates manifest verify + generations +
+    schema/constraints + stats staleness + commit tail; --deep decodes
+    every page. Healthy table → ok true / exit 0; a corrupted file →
+    deep verify fails / exit 1."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from quiver_spark.sources import register
+
+    register(spark)
+    out = str(tmp_path / "doctable")
+    spark.range(100).write.format("quiver").mode("overwrite").save(out)
+    spark.range(100, 120).write.format("quiver").mode("append").save(out)
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"}
+    r = subprocess.run(
+        [sys.executable, "-m", "quiver_spark", "doctor", out, "--deep"],
+        capture_output=True, text=True, cwd="/tmp", env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    o = _json.loads(r.stdout)
+    assert o["ok"] is True
+    assert o["manifest"]["present"] and o["manifest"]["ok"]
+    assert o["deep_verify"]["ok"] and o["deep_verify"]["rows"] == 120
+    assert o["commits"]["total"] >= 2
+    assert o["columns"] == 1
+
+    # corrupt one data file mid-body: metadata stays fine, deep fails
+    import glob as _glob
+    import os as _os
+
+    victim = _glob.glob(_os.path.join(out, "**", "*.quiver"), recursive=True)[0]
+    with open(victim, "r+b") as f:
+        f.seek(40)
+        f.write(b"\xde\xad\xbe\xef")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "quiver_spark", "doctor", out, "--deep"],
+        capture_output=True, text=True, cwd="/tmp", env=env,
+    )
+    assert r2.returncode == 1
+    o2 = _json.loads(r2.stdout)
+    assert o2["ok"] is False and not o2["deep_verify"]["ok"]

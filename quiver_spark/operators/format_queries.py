@@ -26,13 +26,29 @@ def quiver_dir_size_bytes(table_dir: str) -> int | None:
 
     A Python DataSource cannot report Catalyst statistics (plan-time stats
     read Long.MaxValue), so size-gated broadcast hints over quiver scans
-    read the resolved data root's file sizes instead — driver-side stat
-    calls over the same listing the planner already performs. Compressed
-    bytes understate in-memory size ~2x (BASELINE.md compression ratio),
-    comfortably inside the gate's headroom."""
+    read the table's own metadata instead. Served from the commit-time
+    MANIFEST when present (per-file ``size`` entries — ONE directory-level
+    read, the object-store posture: no per-file HEAD storm at 100k files;
+    sizes ride ``current_commit``, and a stale entry only skews an
+    order-of-magnitude gate decision, never correctness); manifest-less
+    directories fall back to driver-side stat calls over the same listing
+    the planner performs. Compressed bytes understate in-memory size ~2x
+    (BASELINE.md compression ratio), comfortably inside the gate's
+    headroom."""
     try:
-        from quiver_spark.sources.quiver_datasource import _list_files
+        from quiver_spark.sources.manifest import load_manifest
+        from quiver_spark.sources.quiver_datasource import (
+            _data_root,
+            _list_files,
+        )
 
+        man = load_manifest(_data_root(table_dir))
+        if man is not None and man.entries:
+            # raw entries, NOT stat-validated lookup(): per-file stat
+            # validation would reintroduce the very per-file round trips
+            # the manifest exists to avoid, and a stale size only skews
+            # an order-of-magnitude gate decision
+            return sum(int(e.size) for e in man.entries.values())
         return sum(os.stat(f).st_size for f in _list_files(table_dir))
     except Exception:
         return None

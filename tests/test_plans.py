@@ -375,3 +375,41 @@ def test_broadcast_hint_is_size_gated(spark, monkeypatch):
         assert "SortMergeJoin" in p5 or "ShuffledHashJoin" in p5, p5
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_quiver_gate_size_served_from_manifest(spark, tmp_path):
+    """The broadcast gate's quiver-table size reads the commit-time
+    manifest (ONE directory-level read — no per-file stat/HEAD storm at
+    100k files) and matches the stat-summed truth; manifest-less dirs
+    fall back to stat."""
+    import glob
+    import os
+
+    from quiver_spark.operators.format_queries import quiver_dir_size_bytes
+    from quiver_spark.sources import register
+
+    register(spark)
+    out = str(tmp_path / "gate_tbl")
+    (
+        spark.range(20000)
+        .selectExpr("id", "concat('x', id) s")
+        .repartition(4)
+        .write.format("quiver")
+        .mode("overwrite")
+        .save(out)
+    )
+    truth = sum(
+        os.path.getsize(f)
+        for f in glob.glob(out + "/**/*.quiver", recursive=True)
+    )
+    assert quiver_dir_size_bytes(out) == truth
+
+    # bare library-written dir (no manifest): stat fallback
+    import pyarrow as pa
+
+    from quiver_spark.format.writer import write_table
+
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    write_table(pa.table({"a": list(range(50))}), bare + "/f.quiver")
+    assert quiver_dir_size_bytes(bare) == os.path.getsize(bare + "/f.quiver")

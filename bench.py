@@ -213,13 +213,33 @@ def main() -> None:
         .mode("overwrite")
         .save(f"{wdir}/qv"),
     }
-    # JVM bulk-ingest writer (round 10, quiver_spark/jvm): rows stay in the
-    # JVM — the path that closes the structural Python-sink write gap.
-    # Only when the session carries the jar (static conf; get_spark
-    # attaches it when built).
+    # JVM bulk-ingest writer + JVM columnar scan (round 10,
+    # quiver_spark/jvm): rows stay in the JVM on both paths — what closes
+    # the structural Python-sink write gap and the floor-bound Python-DS
+    # scan proxies. Only when the session carries the jar (static conf;
+    # get_spark attaches it when built). The scan twins read the SAME
+    # cached fixtures as the Python-DS proxies.
     from quiver_spark.jvm import session_has_jar
 
     if session_has_jar(spark):
+        from quiver_spark.operators.format_queries import quiver_dir
+
+        jvm_full_df = spark.read.format("quiverjvm").load(
+            quiver_dir(spark, sf_dir, "lineitem")
+        )
+        jvm_mf_df = spark.read.format("quiverjvm").load(mf_qv)
+        proxies["scan_quiverjvm_lineitem"] = (
+            lambda: jvm_full_df.write.format("noop").mode("overwrite").save()
+        )
+        proxies["narrow_quiverjvm_lineitem"] = (
+            lambda: jvm_full_df.select("l_extendedprice")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        proxies["manyfiles_quiverjvm_lineitem"] = (
+            lambda: jvm_mf_df.write.format("noop").mode("overwrite").save()
+        )
         proxies["write_quiverjvm_lineitem"] = (
             lambda: li_df.write.format("quiverjvm")
             .mode("overwrite")
@@ -310,7 +330,22 @@ def main() -> None:
                             timings["write_quiverjvm_lineitem"]
                             / timings["write_parquet_lineitem"],
                             3,
-                        )
+                        ),
+                        "quiverjvm_vs_parquet_scan_ratio": round(
+                            timings["scan_quiverjvm_lineitem"]
+                            / timings["scan_parquet_lineitem"],
+                            3,
+                        ),
+                        "quiverjvm_vs_parquet_narrow_ratio": round(
+                            timings["narrow_quiverjvm_lineitem"]
+                            / timings["narrow_parquet_lineitem"],
+                            3,
+                        ),
+                        "quiverjvm_vs_parquet_manyfiles_ratio": round(
+                            timings["manyfiles_quiverjvm_lineitem"]
+                            / timings["manyfiles_parquet_lineitem"],
+                            3,
+                        ),
                     }
                     if "write_quiverjvm_lineitem" in timings
                     else {}

@@ -50,9 +50,22 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
 
   @Override
   public StructType inferSchema(CaseInsensitiveStringMap options) {
-    throw new UnsupportedOperationException(
-        "quiverjvm is a write-only fast-ingest path; read with the Python "
-            + "'quiver' DataSource, which serves pruning/manifest/evolution");
+    String path = options.get("path");
+    if (path == null) {
+      throw new IllegalArgumentException("quiverjvm: no path given (use .load(dir))");
+    }
+    try {
+      String root = QuiverJvmRead.resolveRoot(path);
+      QuiverJvmRead.guardManifest(root);
+      java.util.List<java.io.File> files = new java.util.ArrayList<>();
+      QuiverJvmRead.listFiles(new java.io.File(root), files);
+      if (files.isEmpty()) {
+        throw new IllegalArgumentException("quiverjvm: no .quiver files under " + root);
+      }
+      return QuiverJvmRead.toSparkSchema(QuiverJvmRead.readFooter(files.get(0)).arrowSchema);
+    } catch (java.io.IOException e) {
+      throw new RuntimeException(e);
+    }
   }
 
   @Override
@@ -60,7 +73,8 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
     return new QuiverJvmTable(schema, properties);
   }
 
-  static final class QuiverJvmTable implements SupportsWrite {
+  static final class QuiverJvmTable
+      implements SupportsWrite, org.apache.spark.sql.connector.catalog.SupportsRead {
     private final StructType schema;
     private final Map<String, String> properties;
 
@@ -81,7 +95,8 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
 
     @Override
     public Set<TableCapability> capabilities() {
-      return java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE);
+      return java.util.EnumSet.of(
+          TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE);
     }
 
     @Override
@@ -89,6 +104,14 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       Map<String, String> opts = new HashMap<>(properties);
       opts.putAll(info.options());
       return new QuiverJvmWriteBuilder(info.schema(), opts);
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.read.ScanBuilder newScanBuilder(
+        CaseInsensitiveStringMap options) {
+      String path = options.containsKey("path") ? options.get("path")
+          : properties.get("path");
+      return new QuiverJvmRead.QuiverScanBuilder(path, schema);
     }
   }
 

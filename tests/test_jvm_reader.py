@@ -1,0 +1,249 @@
+"""JVM scan path ("quiverjvm" reads, quiver_spark/jvm): the Java
+DataSourceV2 columnar reader must agree with the Python DataSource on
+every file the Python WRITER can produce — the full adaptive codec
+surface, nulls, decimals, generation layouts — and prune columns via
+Catalyst (the projection the Python DS needs an explicit option for)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from quiver_spark.jvm import ensure_jar, session_has_jar
+
+from conftest import SF_DIR_MID
+
+RNG = np.random.default_rng(7)
+
+pytestmark = pytest.mark.skipif(
+    ensure_jar(build=True) is None,
+    reason="quiver-jvm-writer.jar absent and javac unavailable",
+)
+
+
+def _require_jar(spark):
+    if not session_has_jar(spark):
+        pytest.skip("session built without the quiverjvm jar on spark.jars")
+
+
+def _assert_same(spark, d: str):
+    """quiverjvm read == Python-DS read of the same directory."""
+    from quiver_spark.sources import register
+
+    register(spark)
+    jvm = spark.read.format("quiverjvm").load(d)
+    py = spark.read.format("quiver").load(d)
+    assert jvm.schema == py.schema, f"{jvm.schema} vs {py.schema}"
+    key = lambda r: tuple(repr(x) for x in r)
+    a = sorted(map(tuple, jvm.collect()), key=key)
+    b = sorted(map(tuple, py.collect()), key=key)
+    assert a == b, f"first diff: {next(((x, y) for x, y in zip(a, b) if x != y), None)}"
+
+
+def test_jvm_read_forced_codecs(spark, tmp_path):
+    """Every typed codec the adaptive writer can emit decodes identically
+    in the JVM reader (the reference's forced-codec CI matrix posture),
+    non-null and nullable variants."""
+    _require_jar(spark)
+    from quiver_spark.format.writer import WriteOptions, write_table
+
+    n = 4096
+    cases = {
+        "freq": pa.array(
+            np.where(RNG.random(n) < 0.95, 1000, RNG.integers(0, 1 << 20, n)).astype(np.int64)
+        ),
+        "dict": pa.array(RNG.integers(0, 5, n).astype(np.int64)),
+        "rle": pa.array(np.repeat(np.arange(16, dtype=np.int64), 256)),
+        "one_value": pa.array(np.full(n, 7, dtype=np.int64)),
+        "bitpacking": pa.array(RNG.integers(0, 1 << 10, n).astype(np.int32)),
+        "delta_bitpacking": pa.array(np.sort(RNG.integers(0, 1 << 20, n)).astype(np.int32)),
+        "patas": pa.array(np.tile(np.round(RNG.random(64) * 10, 1), 64)),
+    }
+    all_codecs = tuple(cases)
+    for target, arr in cases.items():
+        forbidden = tuple(c for c in all_codecs if c != target)
+        d = str(tmp_path / f"codec_{target}")
+        import os
+
+        os.makedirs(d)
+        write_table(
+            pa.table({"x": arr}),
+            f"{d}/f.quiver",
+            WriteOptions(compress_ratio=1.01, max_page_size=1024, forbidden=forbidden),
+        )
+        # nullable twin (delta_bitpacking requires no nulls; patas/bitpack
+        # pages ffill — nulls only legal where the encoder accepts them)
+        if target in ("freq", "dict", "rle", "one_value"):
+            mask = RNG.random(n) < 0.1
+            nullable = pa.array(
+                [None if m else v for v, m in zip(arr.to_pylist(), mask)], type=arr.type
+            )
+            write_table(
+                pa.table({"x": nullable}),
+                f"{d}/g.quiver",
+                WriteOptions(compress_ratio=1.01, max_page_size=1024, forbidden=forbidden),
+            )
+        _assert_same(spark, d)
+
+
+def test_jvm_read_binary_codecs(spark, tmp_path):
+    """String columns across the binary cascade: one_value, freq (plain
+    exceptions), dict (recursive indices), and the two-frame basic path."""
+    _require_jar(spark)
+    import os
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+
+    n = 4096
+    cases = {
+        "one_value": pa.array(["same"] * n),
+        "freq": pa.array(
+            np.where(RNG.random(n) < 0.95, "common", "rare-" + str(1)).tolist()
+        ),
+        "dict": pa.array([f"val-{i % 6}" for i in range(n)]),
+        "basic": pa.array([f"unique-{i}" for i in range(n)]),
+    }
+    for target, arr in cases.items():
+        forbidden = (
+            tuple(c for c in ("one_value", "freq", "dict") if c != target)
+            if target != "basic"
+            else ("one_value", "freq", "dict")
+        )
+        d = str(tmp_path / f"bin_{target}")
+        os.makedirs(d)
+        write_table(
+            pa.table({"s": arr}),
+            f"{d}/f.quiver",
+            WriteOptions(compress_ratio=1.01, max_page_size=1024, forbidden=forbidden),
+        )
+        mask = RNG.random(n) < 0.15
+        nullable = pa.array(
+            [None if m else v for v, m in zip(arr.to_pylist(), mask)], type=arr.type
+        )
+        write_table(
+            pa.table({"s": nullable}),
+            f"{d}/g.quiver",
+            WriteOptions(compress_ratio=1.01, max_page_size=1024, forbidden=forbidden),
+        )
+        _assert_same(spark, d)
+
+
+def test_jvm_read_bool_and_decimal(spark, tmp_path):
+    """Boolean one_value/rle/basic and the decimal128 fixed-width cascade
+    (one_value/rle/dict/freq + basic), with nulls."""
+    _require_jar(spark)
+    import decimal
+    import os
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+
+    n = 4096
+    bools = pa.table(
+        {
+            "all_true": pa.array([True] * n),
+            "runs": pa.array(np.repeat([True, False], n // 2).tolist()),
+            "rand": pa.array((RNG.random(n) < 0.5).tolist()),
+            "nullable": pa.array(
+                [None if RNG.random() < 0.1 else bool(v) for v in RNG.random(n) < 0.5]
+            ),
+        }
+    )
+    d1 = str(tmp_path / "bools")
+    os.makedirs(d1)
+    write_table(bools, f"{d1}/f.quiver", WriteOptions(compress_ratio=1.5, max_page_size=1024))
+    _assert_same(spark, d1)
+
+    big = decimal.Decimal("12345678901234567890.1234")
+    decs = pa.table(
+        {
+            "one": pa.array([big] * n, type=pa.decimal128(38, 4)),
+            "runs": pa.array(
+                [decimal.Decimal(i // 256) for i in range(n)], type=pa.decimal128(18, 2)
+            ),
+            "mixed": pa.array(
+                [
+                    None if i % 7 == 0 else decimal.Decimal(i) * decimal.Decimal("1.01")
+                    for i in range(n)
+                ],
+                type=pa.decimal128(20, 2),
+            ),
+        }
+    )
+    d2 = str(tmp_path / "decs")
+    os.makedirs(d2)
+    write_table(decs, f"{d2}/f.quiver", WriteOptions(compress_ratio=1.5, max_page_size=1024))
+    _assert_same(spark, d2)
+
+
+def test_jvm_read_sink_tables_match_parquet(spark, tmp_path):
+    """sf0.01 lineitem + documents written by the SINK (adaptive zstd,
+    generation layout + manifest) read back through the JVM scan equal to
+    the parquet originals."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+    for name in ("lineitem", "documents"):
+        src = spark.read.parquet(f"{SF_DIR_MID}/{name}.parquet")
+        d = str(tmp_path / name)
+        src.write.format("quiver").option("codec", "zstd").mode("overwrite").save(d)
+        back = spark.read.format("quiverjvm").load(d)
+        key = lambda r: tuple(repr(x) for x in r)
+        assert sorted(map(tuple, back.collect()), key=key) == sorted(
+            map(tuple, src.collect()), key=key
+        ), name
+
+
+def test_jvm_read_prunes_columns_via_catalyst(spark, tmp_path):
+    """Catalyst column pruning reaches the JVM DSv2 (the projection the
+    Python DS structurally cannot receive): a 1-of-N projection's scan
+    reads ONLY that column."""
+    _require_jar(spark)
+    from quiver_spark import plans
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "prune")
+    spark.read.parquet(f"{SF_DIR_MID}/lineitem.parquet").write.format("quiver").mode(
+        "overwrite"
+    ).save(d)
+    df = spark.read.format("quiverjvm").load(d).select("l_quantity")
+    # DSv2 plans carry the pruned projection in the BatchScan output list
+    scan_line = next(
+        (ln for ln in plans.physical_plan(df).splitlines() if "BatchScan" in ln), ""
+    )
+    assert "l_quantity" in scan_line, scan_line
+    assert "l_orderkey" not in scan_line and "l_comment" not in scan_line, scan_line
+    got = df.agg(F.sum("l_quantity")).collect()[0][0]
+    want = (
+        spark.read.parquet(f"{SF_DIR_MID}/lineitem.parquet")
+        .agg(F.sum("l_quantity"))
+        .collect()[0][0]
+    )
+    assert got == want
+
+
+def test_jvm_read_rejects_what_python_ds_owns(spark, tmp_path):
+    """Correctness boundary: ALTERed tables (declared schema / rename
+    maps) and Hive layouts refuse loudly instead of serving wrong data."""
+    _require_jar(spark)
+    from quiver_spark import maintenance
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "altered")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.format("quiver").mode(
+        "overwrite"
+    ).save(d)
+    maintenance.rename_column(d, "v", "w")
+    with pytest.raises(Exception, match="quiver"):
+        spark.read.format("quiverjvm").load(d).collect()
+
+    h = str(tmp_path / "hive")
+    spark.range(100).selectExpr("id", "id % 3 AS p").write.format("quiver").option(
+        "partition_by", "p"
+    ).mode("overwrite").save(h)
+    with pytest.raises(Exception, match="quiver"):
+        spark.read.format("quiverjvm").load(h).collect()

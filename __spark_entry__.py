@@ -32,6 +32,10 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # query has at least one driver CORRECTNESS row and none is older than
 # round 8. Position 51+ falls back to registry order.
 _PRIORITY = [
+    # (0) brand-new this round: the JVM fast path under the oracle for the
+    # first time (runtime ADD JAR in the driver's own plain session)
+    "quiverjvm_scan_agg",
+    "quiverjvm_ingest_roundtrip",
     # (a) the 16 rows that have NEVER had a driver CORRECTNESS row (their
     # only independent evidence is the round-9 judge sweep) — VERDICT r9
     # item 2 puts them at positions 1-16

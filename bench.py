@@ -219,9 +219,9 @@ def main() -> None:
     # scan proxies. Only when the session carries the jar (static conf;
     # get_spark attaches it when built). The scan twins read the SAME
     # cached fixtures as the Python-DS proxies.
-    from quiver_spark.jvm import session_has_jar
+    from quiver_spark.jvm import attach_jar
 
-    if session_has_jar(spark):
+    if attach_jar(spark):
         from quiver_spark.operators.format_queries import quiver_dir
 
         jvm_full_df = spark.read.format("quiverjvm").load(

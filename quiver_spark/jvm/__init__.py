@@ -1,19 +1,25 @@
-"""JVM-side quiver writer ("quiverjvm") — the fast bulk-ingest path.
+"""JVM-side quiver DataSource ("quiverjvm") — the flat-schema fast path.
 
-The Python sink's pure-write cost is structural: rows cross the
-JVM→Python Arrow boundary before a single page is encoded (BASELINE.md
-round-7 write-floor proof — a NO-OP Python Arrow sink costs the same as
-the full quiver write). The Java DataSourceV2 writer under ``src/`` keeps
-rows in the JVM: each task accumulates InternalRows into columnar
-buffers and emits quiver files (basic codec: none/lz4/zstd) that are
-byte-compatible with the Python reader — measured 0.69x parquet wall at
-sf0.1 where the Python sink sits at ~2.8x (BASELINE.md round-10 table).
+Write side: the Python sink's pure-write cost is structural — rows cross
+the JVM→Python Arrow boundary before a single page is encoded
+(BASELINE.md round-7 write-floor proof: a NO-OP Python Arrow sink costs
+the same as the full quiver write). The Java DataSourceV2 writer keeps
+rows in the JVM: columnar buffers → quiver files (basic codecs
+none/lz4/zstd), byte-compatible with the Python reader — 0.69-0.80x
+parquet wall at sf0.1 vs the Python sink's 1.4-2.8x.
 
-Division of labor: the JVM path is WRITE-ONLY bulk ingest (flat
-primitive/string/decimal schemas, no adaptive typed codecs, no
-generation protocol). Reads, DML, clustering, constraints, schema
-evolution, and compaction all stay on the Python engine; a
-post-ingest ``rebuild_manifest`` gives the scan O(1) planning.
+Read side: QuiverJvmRead/QuiverPageDecoder decode the FULL adaptive
+codec surface into ColumnarBatches with no JVM→Python boundary and no
+planner-process spawn — sf0.1 battery: full scan 0.19x, narrow 0.27x,
+manyfiles 0.39x of the parquet control (the Python DS floor was
+1.4-2.2x on the same fixtures).
+
+Division of labor: the JVM path serves FLAT schemas and plain layouts
+only. Everything semantic stays on the Python engine — DML, clustering,
+constraints, ALTER-DDL schema evolution / rename maps, Hive partitions,
+nested/unsigned/large types, zone-map + bloom pruning, time travel and
+CDC options; the JVM reader rejects those loudly rather than misreading.
+A post-ingest ``rebuild_manifest`` gives the Python scan O(1) planning.
 
 The jar builds OFFLINE with plain javac against the bundled Spark jars
 (build.sh — no network, no dependency resolution) and is checked in so
@@ -77,9 +83,46 @@ def supports_schema(schema) -> bool:
 
 def session_has_jar(spark) -> bool:
     """Best-effort: was the writer jar on this session's classpath at JVM
-    start? (spark.jars is static — a running session cannot gain it.)"""
+    start? (spark.jars is static.) Sessions WITHOUT it can still gain the
+    DataSource at runtime — see :func:`attach_jar`."""
     try:
         jars = spark.conf.get("spark.jars", "") or ""
     except Exception:
         return False
     return "quiver-jvm-writer.jar" in jars
+
+
+def _resolves(spark) -> bool:
+    """Does 'quiverjvm' resolve to the Java provider in THIS session?
+    Probes Spark's own lookup (DataSource.lookupDataSource consults the
+    session's resource-loader chain, which ADD JAR extends) instead of
+    guessing from configs."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "quiverjvm", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def attach_jar(spark) -> bool:
+    """Make the quiverjvm DataSource resolvable in THIS session; True on
+    verified success.
+
+    ``spark.jars`` is static, but a runtime ``ADD JAR`` lands in the
+    session's shared-state jar classloader, which DataSourceV2 lookup
+    consults — so even driver-owned plain sessions (the correctness gate)
+    can use the JVM fast path. Idempotent; resolution is verified, never
+    assumed, and failure degrades to False so callers fall back to the
+    Python engine."""
+    if _resolves(spark):
+        return True
+    p = ensure_jar(build=False)
+    if p is None:
+        return False
+    try:
+        spark.sql("ADD JAR '{}'".format(p.replace("'", "\\'")))
+    except Exception:
+        return False
+    return _resolves(spark)

@@ -1417,11 +1417,12 @@ def ingest(
     - **quiverjvm** (the Java DataSourceV2 writer, quiver_spark/jvm): rows
       never cross the JVM→Python boundary — measured 0.69x parquet wall at
       sf0.1 vs ~2.8x for the Python sink (BASELINE.md round-10 ingest
-      table). Requires the jar on the session's static classpath
-      (session.get_spark attaches it when built) and a flat schema.
+      table). Requires a flat schema; the jar attaches at RUNTIME via a
+      verified ``ADD JAR`` (jvm.attach_jar), so plain driver-owned
+      sessions qualify too.
     - **python sink** fallback: full adaptive codec cascade + staged-commit
-      generation protocol; used for nested schemas or driver-owned
-      sessions without the jar.
+      generation protocol; used for nested schemas or when the jar cannot
+      attach.
 
     Either way the directory ends with a commit-time manifest
     (rebuild_manifest after the JVM path — the Java writer emits bare
@@ -1430,12 +1431,14 @@ def ingest(
     destination, append/DML/cluster management from the Python layer works
     on it like any flat table. ``mode`` is always overwrite — ingest is a
     load, not an append (use the sink's append mode for increments)."""
-    from quiver_spark.jvm import session_has_jar, supports_schema
+    from quiver_spark.jvm import attach_jar, supports_schema
     from quiver_spark.sources import register as register_format
     from quiver_spark.sources.manifest import rebuild_manifest
 
     register_format(spark)
-    use_jvm = session_has_jar(spark) and supports_schema(df.schema)
+    # attach_jar: verified runtime ADD JAR — even plain driver-owned
+    # sessions (no static spark.jars) get the JVM fast path
+    use_jvm = supports_schema(df.schema) and attach_jar(spark)
     if use_jvm:
         (
             df.write.format("quiverjvm")

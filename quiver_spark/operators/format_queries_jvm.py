@@ -1,0 +1,123 @@
+"""Correctness-gate queries for the JVM fast path ("quiverjvm").
+
+The round-10 JVM DataSource (quiver_spark/jvm) closes the structural
+Python-DS floor on both directions: bulk ingest keeps rows in the JVM
+(0.69-0.80x parquet write wall at sf0.1) and the columnar reader decodes
+the full adaptive codec surface into ColumnarBatches (full scan 0.19x,
+narrow 0.27x, manyfiles 0.39x of the parquet control — BASELINE.md
+round-10 tables). These queries put that path under the driver's DuckDB
+oracle: the jar attaches at RUNTIME via a verified ``ADD JAR``
+(jvm.attach_jar), so the driver's plain session exercises the real Java
+scan, not a fallback.
+
+Reference parity: the scan decodes files written by the PYTHON adaptive
+writer (chooser semantics per /root/reference/src/compression/mod.rs),
+so a green row proves the Java decoder agrees byte-for-byte with the
+reference codec cascade; the roundtrip query proves the Java writer's
+pages (src/write/writer.rs:91-167 envelope) re-read exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quiver_spark.functions import dsum, sql_dsum
+from quiver_spark.registry import register
+
+
+def _jvm_scan(spark: SparkSession, table_dir: str) -> DataFrame:
+    """JVM columnar scan of a quiver directory; loud failure when the jar
+    cannot attach (the gate must never silently test a different engine)."""
+    from quiver_spark.jvm import attach_jar
+
+    if not attach_jar(spark):
+        raise RuntimeError(
+            "quiverjvm jar failed to attach via ADD JAR — cannot run the "
+            "JVM-reader gate query (quiver_spark/jvm/quiver-jvm-writer.jar)"
+        )
+    return spark.read.format("quiverjvm").load(table_dir)
+
+
+@register(
+    "quiverjvm_scan_agg",
+    oracle=f"""
+SELECT l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_price,
+       COUNT(*) AS cnt
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+    tags=("format", "jvm", "scan", "agg"),
+)
+def quiverjvm_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the JVM columnar reader on the ADAPTIVE-writer table:
+    the Java decoder must reproduce the Python codec cascade's bytes
+    (dict/RLE/freq/bitpack/delta/patas all fire on lineitem) for the exact
+    decimal sums to hash-match the parquet oracle. Catalyst column pruning
+    reaches the scan via SupportsPushDownRequiredColumns — no explicit
+    columns option, unlike the Python DS."""
+    from quiver_spark.operators.format_queries import quiver_dir
+
+    d = quiver_dir(spark, sf_dir, "lineitem")
+    li = _jvm_scan(spark, d)
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        .groupBy("l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "quiverjvm_ingest_roundtrip",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       {sql_dsum('o_totalprice')} AS total_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+    tags=("format", "jvm", "write", "scan", "agg"),
+)
+def quiverjvm_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maintenance.ingest (JVM writer, zstd) of the open orders into a
+    cached table, then the JVM reader aggregates it back — the full
+    rows-never-leave-the-JVM loop under the oracle. The ingest runs once
+    per sf (marker-cached) and must report engine=jvm: a silent Python-sink
+    fallback would pass the oracle while testing nothing, so it raises."""
+    from quiver_spark.maintenance import ingest
+    from quiver_spark.operators.format_queries import CACHE_ROOT
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "orders-jvm-ingest")
+    marker = os.path.join(d, "_done_jvm")
+    if not os.path.exists(marker):
+        src = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderstatus") == "O"
+        )
+        info = ingest(spark, src, d, codec="zstd")
+        if info["engine"] != "jvm":
+            raise RuntimeError(
+                f"quiverjvm ingest fell back to engine={info['engine']} — "
+                "the JVM-writer gate query must exercise the Java path"
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    back = _jvm_scan(spark, d)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

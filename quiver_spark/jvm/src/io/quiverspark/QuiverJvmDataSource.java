@@ -56,7 +56,13 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
     }
     try {
       String root = QuiverJvmRead.resolveRoot(path);
-      QuiverJvmRead.guardManifest(root);
+      com.fasterxml.jackson.databind.JsonNode man = QuiverJvmRead.readManifestRaw(root);
+      QuiverJvmRead.guardManifestNode(man);
+      // manifest-served schema: zero footer reads on the happy path
+      org.apache.arrow.vector.types.pojo.Schema ms = QuiverJvmRead.manifestSchema(man);
+      if (ms != null) {
+        return QuiverJvmRead.toSparkSchema(ms);
+      }
       java.util.List<java.io.File> files = new java.util.ArrayList<>();
       QuiverJvmRead.listFiles(new java.io.File(root), files);
       if (files.isEmpty()) {

@@ -56,7 +56,7 @@ import org.apache.spark.sql.vectorized.ColumnarBatch;
  * SupportsPushDownRequiredColumns (the JVM DSv2 gets what the Python DS
  * structurally cannot).
  */
-final class QuiverJvmRead {
+public final class QuiverJvmRead {
   private QuiverJvmRead() {}
 
   // ---- table resolution --------------------------------------------------
@@ -89,22 +89,111 @@ final class QuiverJvmRead {
     }
   }
 
-  static void guardManifest(String root) throws IOException {
+  /** Plan-time footer reads (test pin: manifest-served planning must do
+   * ZERO of these — the round-8/9 O(files) metadata lesson, JVM edition). */
+  static final java.util.concurrent.atomic.AtomicLong PLAN_FOOTER_READS =
+      new java.util.concurrent.atomic.AtomicLong();
+
+  /** py4j-friendly accessors (AtomicLong is a Number — py4j unboxes it). */
+  public static long planFooterReads() {
+    return PLAN_FOOTER_READS.get();
+  }
+
+  public static void resetPlanFooterReads() {
+    PLAN_FOOTER_READS.set(0);
+  }
+
+  /** Parsed commit-time manifest (sources/manifest.py's _manifest.json.gz),
+   * or null when absent. Parsing uses the Jackson bundled with Spark. */
+  static com.fasterxml.jackson.databind.JsonNode readManifestRaw(String root)
+      throws IOException {
     File man = new File(root, "_manifest.json.gz");
-    if (!man.isFile()) return;
+    if (!man.isFile()) return null;
     byte[] gz = Files.readAllBytes(man.toPath());
-    StringBuilder sb = new StringBuilder();
     try (GZIPInputStream in = new GZIPInputStream(new ByteArrayInputStream(gz))) {
-      byte[] buf = new byte[1 << 16];
-      int k;
-      while ((k = in.read(buf)) > 0) sb.append(new String(buf, 0, k, StandardCharsets.UTF_8));
+      return new com.fasterxml.jackson.databind.ObjectMapper().readTree(in);
     }
-    String s = sb.toString();
-    if (s.contains("\"table_schema\"") || s.contains("\"cmap\"")) {
+  }
+
+  /** Reject table-level semantics this reader cannot honor — loudly,
+   * never by misreading. The Python DataSource owns these features. */
+  static void guardManifestNode(com.fasterxml.jackson.databind.JsonNode m) {
+    if (m == null) return;
+    if (m.has("table_schema")) {
       throw new UnsupportedOperationException(
-          "quiverjvm: table carries ALTER-DDL declared schema / rename maps: "
+          "quiverjvm: table carries an ALTER-DDL declared schema: "
               + "read with the Python 'quiver' DataSource");
     }
+    if (m.has("column_defaults") && m.get("column_defaults").size() > 0) {
+      throw new UnsupportedOperationException(
+          "quiverjvm: table carries column initial-defaults: "
+              + "read with the Python 'quiver' DataSource");
+    }
+    com.fasterxml.jackson.databind.JsonNode files = m.get("files");
+    if (files != null) {
+      int schemaIdx = Integer.MIN_VALUE;
+      for (java.util.Iterator<String> it = files.fieldNames(); it.hasNext(); ) {
+        com.fasterxml.jackson.databind.JsonNode e = files.get(it.next());
+        if (e.has("cmap") && !e.get("cmap").isNull()) {
+          throw new UnsupportedOperationException(
+              "quiverjvm: table carries column rename maps: "
+                  + "read with the Python 'quiver' DataSource");
+        }
+        if (e.has("schema") && "quiver".equals(e.path("fmt").asText("quiver"))) {
+          int idx = e.get("schema").asInt();
+          if (schemaIdx == Integer.MIN_VALUE) schemaIdx = idx;
+          else if (schemaIdx != idx) {
+            throw new UnsupportedOperationException(
+                "quiverjvm: files carry heterogeneous schemas (merge-schemas "
+                    + "table): read with the Python 'quiver' DataSource");
+          }
+        }
+      }
+    }
+  }
+
+  static void guardManifest(String root) throws IOException {
+    guardManifestNode(readManifestRaw(root));
+  }
+
+  /** Schema served from the manifest's deduplicated b64 Arrow-IPC schema
+   * table (ZERO footer reads), or null → caller falls back to a footer. */
+  static Schema manifestSchema(com.fasterxml.jackson.databind.JsonNode m) {
+    try {
+      if (m == null || !m.has("schemas") || m.get("schemas").size() == 0) return null;
+      byte[] ipc = java.util.Base64.getDecoder().decode(m.get("schemas").get(0).asText());
+      return MessageSerializer.deserializeSchema(
+          new ReadChannel(Channels.newChannel(new ByteArrayInputStream(ipc))));
+    } catch (Exception e) {
+      return null;
+    }
+  }
+
+  /** Per-page projected byte sizes for one file, decoded from the
+   * manifest entry's compact metas ([[offset,[len,n,len,n,...]],...]);
+   * null when the entry cannot serve the plan (missing/stale/foreign). */
+  static long[] manifestPageBytes(
+      com.fasterxml.jackson.databind.JsonNode m, String rel, long diskSize, int[] projIdx) {
+    if (m == null) return null;
+    com.fasterxml.jackson.databind.JsonNode files = m.get("files");
+    if (files == null) return null;
+    com.fasterxml.jackson.databind.JsonNode e = files.get(rel);
+    if (e == null || !"quiver".equals(e.path("fmt").asText(""))) return null;
+    // staleness guard: a file rewritten after the commit has a different
+    // size — fall back to footer planning rather than plan stale ranges
+    if (e.path("size").asLong(-1) != diskSize) return null;
+    com.fasterxml.jackson.databind.JsonNode metas = e.get("metas");
+    if (metas == null || metas.size() == 0) return null;
+    int nPages = metas.get(0).get(1).size() / 2;
+    long[] pb = new long[nPages];
+    for (int idx : (projIdx.length > 0 ? projIdx : new int[] {0})) {
+      if (idx >= metas.size()) return null;
+      com.fasterxml.jackson.databind.JsonNode flat = metas.get(idx).get(1);
+      for (int p = 0; p < nPages && p * 2 < flat.size(); p++) {
+        pb[p] += flat.get(p * 2).asLong();
+      }
+    }
+    return pb;
   }
 
   // ---- footer ------------------------------------------------------------
@@ -331,24 +420,35 @@ final class QuiverJvmRead {
     public InputPartition[] planInputPartitions() {
       try {
         String root = resolveRoot(path);
-        guardManifest(root);
+        com.fasterxml.jackson.databind.JsonNode man = readManifestRaw(root);
+        guardManifestNode(man);
         List<File> files = new ArrayList<>();
         listFiles(new File(root), files);
         if (files.isEmpty()) return new InputPartition[0];
 
-        // projected per-page bytes per file (leaf i == field i: flat only)
+        // projected per-page bytes per file (leaf i == field i: flat only).
+        // Manifest-served when possible: ONE directory-level metadata read
+        // plans the whole table — the O(files) footer storm is the known
+        // scale-killer (round-8/9, Python planner); any missing/stale
+        // entry falls back to that file's footer, never to wrong ranges.
         int[] projIdx = projectionIndexes(fullSchema, required);
+        java.nio.file.Path rootP = new File(root).toPath();
         List<long[]> perFilePageBytes = new ArrayList<>();
         long totalBytes = 0;
         for (File f : files) {
-          Footer ft = readFooter(f);
-          int nPages = ft.cols.length == 0 ? 0 : ft.cols[0].pages.length;
-          long[] pb = new long[nPages];
-          for (int idx : (projIdx.length > 0 ? projIdx : new int[] {0})) {
-            if (idx >= ft.cols.length) continue;
-            PageMeta[] pages = ft.cols[idx].pages;
-            for (int p = 0; p < Math.min(nPages, pages.length); p++) {
-              pb[p] += pages[p].length;
+          String rel = rootP.relativize(f.toPath()).toString().replace(File.separatorChar, '/');
+          long[] pb = manifestPageBytes(man, rel, f.length(), projIdx);
+          if (pb == null) {
+            PLAN_FOOTER_READS.incrementAndGet();
+            Footer ft = readFooter(f);
+            int nPages = ft.cols.length == 0 ? 0 : ft.cols[0].pages.length;
+            pb = new long[nPages];
+            for (int idx : (projIdx.length > 0 ? projIdx : new int[] {0})) {
+              if (idx >= ft.cols.length) continue;
+              PageMeta[] pages = ft.cols[idx].pages;
+              for (int p = 0; p < Math.min(nPages, pages.length); p++) {
+                pb[p] += pages[p].length;
+              }
             }
           }
           perFilePageBytes.add(pb);
@@ -465,6 +565,24 @@ final class QuiverJvmRead {
       closeFile();
       raf = new RandomAccessFile(new File(c.file), "r");
       footer = readFooter(new File(c.file));
+      // projection indexes were computed against the TABLE schema; a file
+      // whose column order/names differ (foreign file dropped into the
+      // directory) would be silently misread through those indexes
+      List<Field> fields = footer.arrowSchema.getFields();
+      if (fields.size() != full.fields().length) {
+        throw new IOException(
+            "quiverjvm: file schema width " + fields.size() + " != table width "
+                + full.fields().length + " in " + c.file
+                + " (heterogeneous table: use the Python 'quiver' DataSource)");
+      }
+      for (int i = 0; i < fields.size(); i++) {
+        if (!fields.get(i).getName().equals(full.fields()[i].name())) {
+          throw new IOException(
+              "quiverjvm: file column " + i + " is '" + fields.get(i).getName()
+                  + "' but table expects '" + full.fields()[i].name() + "' in " + c.file
+                  + " (heterogeneous table: use the Python 'quiver' DataSource)");
+        }
+      }
       pageOffsets = new long[footer.cols.length][];
       for (int ci = 0; ci < footer.cols.length; ci++) {
         PageMeta[] pages = footer.cols[ci].pages;

@@ -247,3 +247,99 @@ def test_jvm_read_rejects_what_python_ds_owns(spark, tmp_path):
     ).mode("overwrite").save(h)
     with pytest.raises(Exception, match="quiver"):
         spark.read.format("quiverjvm").load(h).collect()
+
+
+def test_jvm_plan_zero_footer_reads_with_manifest(spark, tmp_path):
+    """Manifest-served planning, JVM edition: with the commit-time manifest
+    present, plan + schema inference read ZERO file footers (the round-8/9
+    O(files)-metadata lesson); with it gone, the planner falls back to
+    footers and still answers identically."""
+    _require_jar(spark)
+    import glob
+    import os
+
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "manifested")
+    src = spark.read.parquet(f"{SF_DIR_MID}/lineitem.parquet")
+    src.repartition(8).write.format("quiver").mode("overwrite").save(d)
+    J = spark._jvm.io.quiverspark.QuiverJvmRead
+    J.resetPlanFooterReads()
+    n = spark.read.format("quiverjvm").load(d).count()
+    assert n == src.count()
+    assert J.planFooterReads() == 0, J.planFooterReads()
+
+    for m in glob.glob(d + "/**/_manifest.json.gz", recursive=True):
+        os.remove(m)
+    J.resetPlanFooterReads()
+    assert spark.read.format("quiverjvm").load(d).count() == n
+    assert J.planFooterReads() > 0
+
+
+def test_jvm_manifest_stale_entry_falls_back_per_file(spark, tmp_path):
+    """A file appended WITHOUT a manifest update (foreign writer) must not
+    be skipped or misplanned: its footer serves the plan while the other
+    files stay manifest-served."""
+    _require_jar(spark)
+    import os
+
+    import pyarrow.parquet as pq
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+    from quiver_spark.sources import register
+    from quiver_spark.sources.quiver_datasource import _data_root
+
+    register(spark)
+    d = str(tmp_path / "stale")
+    src = spark.read.parquet(f"{SF_DIR_MID}/orders.parquet")
+    src.write.format("quiver").mode("overwrite").save(d)
+    root = _data_root(d)
+    t = pq.read_table(f"{SF_DIR_MID}/orders.parquet").slice(0, 100)
+    write_table(t, os.path.join(root, "zz-foreign.quiver"), WriteOptions())
+    J = spark._jvm.io.quiverspark.QuiverJvmRead
+    J.resetPlanFooterReads()
+    got = spark.read.format("quiverjvm").load(d).count()
+    assert got == src.count() + 100
+    # exactly the foreign file's footer was read (per planning pass)
+    assert J.planFooterReads() >= 1
+
+
+def test_jvm_rejects_heterogeneous_schemas(spark, tmp_path):
+    """merge-schemas tables (files with different schemas) are the Python
+    DS's job: with a manifest the guard rejects at plan time; without one
+    the open-time footer check refuses to misread through table-schema
+    projection indexes."""
+    _require_jar(spark)
+    import os
+
+    import pyarrow as pa
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+    from quiver_spark.sources.manifest import rebuild_manifest
+
+    d = str(tmp_path / "hetero")
+    os.makedirs(d)
+    write_table(
+        pa.table({"a": pa.array([1, 2, 3], type=pa.int64())}),
+        f"{d}/f1.quiver",
+        WriteOptions(),
+    )
+    write_table(
+        pa.table(
+            {
+                "a": pa.array([4, 5], type=pa.int64()),
+                "b": pa.array(["x", "y"]),
+            }
+        ),
+        f"{d}/f2.quiver",
+        WriteOptions(),
+    )
+    rebuild_manifest(d)
+    with pytest.raises(Exception, match="quiver"):
+        spark.read.format("quiverjvm").load(d).collect()
+
+    # manifest-less: same two files, rejection moves to open time
+    os.remove(f"{d}/_manifest.json.gz")
+    with pytest.raises(Exception, match="quiver"):
+        spark.read.format("quiverjvm").load(d).collect()

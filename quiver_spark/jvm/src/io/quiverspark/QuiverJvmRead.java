@@ -94,9 +94,21 @@ public final class QuiverJvmRead {
   static final java.util.concurrent.atomic.AtomicLong PLAN_FOOTER_READS =
       new java.util.concurrent.atomic.AtomicLong();
 
+  /** Pages excluded by zone-map pruning across plans (test observability). */
+  static final java.util.concurrent.atomic.AtomicLong PAGES_PRUNED =
+      new java.util.concurrent.atomic.AtomicLong();
+
   /** py4j-friendly accessors (AtomicLong is a Number — py4j unboxes it). */
   public static long planFooterReads() {
     return PLAN_FOOTER_READS.get();
+  }
+
+  public static long pagesPruned() {
+    return PAGES_PRUNED.get();
+  }
+
+  public static void resetPagesPruned() {
+    PAGES_PRUNED.set(0);
   }
 
   public static void resetPlanFooterReads() {
@@ -366,10 +378,15 @@ public final class QuiverJvmRead {
 
   // ---- scan builder / scan ----------------------------------------------
 
-  static final class QuiverScanBuilder implements ScanBuilder, SupportsPushDownRequiredColumns {
+  static final class QuiverScanBuilder
+      implements ScanBuilder, SupportsPushDownRequiredColumns,
+          org.apache.spark.sql.connector.read.SupportsPushDownFilters {
     private final String path;
     private final StructType fullSchema;
     private StructType required;
+    private org.apache.spark.sql.sources.Filter[] pushedForDisplay =
+        new org.apache.spark.sql.sources.Filter[0];
+    private List<QuiverPagePrune.Pred> preds = new ArrayList<>();
 
     QuiverScanBuilder(String path, StructType fullSchema) {
       this.path = path;
@@ -385,8 +402,32 @@ public final class QuiverJvmRead {
     }
 
     @Override
+    public org.apache.spark.sql.sources.Filter[] pushFilters(
+        org.apache.spark.sql.sources.Filter[] filters) {
+      // zone-map pruning is ADVISORY: every filter is returned as residual
+      // so Spark re-evaluates row-level above the scan (the Python DS
+      // posture) — a pruned page is pure I/O saved, never a semantics bet
+      List<org.apache.spark.sql.sources.Filter> display = new ArrayList<>();
+      preds = new ArrayList<>();
+      for (org.apache.spark.sql.sources.Filter f : filters) {
+        QuiverPagePrune.Pred p = QuiverPagePrune.translate(f, fullSchema);
+        if (p != null) {
+          preds.add(p);
+          display.add(f);
+        }
+      }
+      pushedForDisplay = display.toArray(new org.apache.spark.sql.sources.Filter[0]);
+      return filters;
+    }
+
+    @Override
+    public org.apache.spark.sql.sources.Filter[] pushedFilters() {
+      return pushedForDisplay;
+    }
+
+    @Override
     public Scan build() {
-      return new QuiverScan(path, fullSchema, required);
+      return new QuiverScan(path, fullSchema, required, preds);
     }
   }
 
@@ -394,11 +435,14 @@ public final class QuiverJvmRead {
     private final String path;
     private final StructType fullSchema;
     private final StructType required;
+    private final List<QuiverPagePrune.Pred> preds;
 
-    QuiverScan(String path, StructType fullSchema, StructType required) {
+    QuiverScan(String path, StructType fullSchema, StructType required,
+        List<QuiverPagePrune.Pred> preds) {
       this.path = path;
       this.fullSchema = fullSchema;
       this.required = required;
+      this.preds = preds;
     }
 
     @Override
@@ -408,7 +452,8 @@ public final class QuiverJvmRead {
 
     @Override
     public String description() {
-      return "quiverjvm scan of " + path;
+      return "quiverjvm scan of " + path
+          + (preds.isEmpty() ? "" : " pagePrune: " + preds);
     }
 
     @Override
@@ -433,7 +478,10 @@ public final class QuiverJvmRead {
         // entry falls back to that file's footer, never to wrong ranges.
         int[] projIdx = projectionIndexes(fullSchema, required);
         java.nio.file.Path rootP = new File(root).toPath();
+        com.fasterxml.jackson.databind.JsonNode manFiles =
+            man == null ? null : man.get("files");
         List<long[]> perFilePageBytes = new ArrayList<>();
+        List<boolean[]> perFileKeep = new ArrayList<>();
         long totalBytes = 0;
         for (File f : files) {
           String rel = rootP.relativize(f.toPath()).toString().replace(File.separatorChar, '/');
@@ -451,8 +499,21 @@ public final class QuiverJvmRead {
               }
             }
           }
+          // zone-map page pruning: sidecar stats ride the manifest entry
+          // (zero extra I/O) or the on-disk .stats.json; a page is dropped
+          // ONLY when no row can satisfy a pushed predicate
+          boolean[] keep = null;
+          if (!preds.isEmpty()) {
+            QuiverPagePrune.FileStats st = QuiverPagePrune.loadStats(
+                manFiles == null ? null : manFiles.get(rel), f);
+            keep = QuiverPagePrune.keepMask(st, preds, pb.length);
+          }
           perFilePageBytes.add(pb);
-          for (long b : pb) totalBytes += b;
+          perFileKeep.add(keep);
+          for (int p = 0; p < pb.length; p++) {
+            if (keep == null || keep[p]) totalBytes += pb[p];
+            else PAGES_PRUNED.incrementAndGet();
+          }
         }
         int parallelism = 8;
         try {
@@ -470,20 +531,29 @@ public final class QuiverJvmRead {
         long acc = 0;
         for (int fi = 0; fi < files.size(); fi++) {
           long[] pb = perFilePageBytes.get(fi);
+          boolean[] keep = perFileKeep.get(fi);
           String fp = files.get(fi).getPath();
-          int start = 0;
+          int runStart = -1; // start of the current kept run
           for (int p = 0; p < pb.length; p++) {
+            if (keep != null && !keep[p]) {
+              if (runStart >= 0) {
+                open.add(new Chunk(fp, runStart, p));
+                runStart = -1;
+              }
+              continue;
+            }
+            if (runStart < 0) runStart = p;
             acc += pb[p];
             if (acc >= floor) {
-              open.add(new Chunk(fp, start, p + 1));
+              open.add(new Chunk(fp, runStart, p + 1));
               parts.add(new QuiverInputPartition(open.toArray(new Chunk[0])));
               open = new ArrayList<>();
-              start = p + 1;
+              runStart = -1;
               acc = 0;
             }
           }
-          if (start < pb.length) {
-            open.add(new Chunk(fp, start, pb.length));
+          if (runStart >= 0) {
+            open.add(new Chunk(fp, runStart, pb.length));
           } else if (pb.length == 0) {
             open.add(new Chunk(fp, 0, 0));
           }

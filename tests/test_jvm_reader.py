@@ -343,3 +343,82 @@ def test_jvm_rejects_heterogeneous_schemas(spark, tmp_path):
     os.remove(f"{d}/_manifest.json.gz")
     with pytest.raises(Exception, match="quiver"):
         spark.read.format("quiverjvm").load(d).collect()
+
+
+def test_jvm_zone_map_page_pruning(spark, tmp_path):
+    """Pushed predicates prune page ranges at plan time from the
+    manifest-inlined sidecars (zero extra plan I/O) with format/stats.py
+    page_may_match semantics — and NEVER change results: every filter is
+    also re-evaluated row-level by Spark above the scan."""
+    _require_jar(spark)
+    from pyspark.sql import functions as F
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "pruned")
+    src = spark.read.parquet(f"{SF_DIR_MID}/lineitem.parquet")
+    src.orderBy("l_shipdate").coalesce(4).write.format("quiver").mode(
+        "overwrite"
+    ).save(d)
+    J = spark._jvm.io.quiverspark.QuiverJvmRead
+    jdf = spark.read.format("quiverjvm").load(d)
+
+    J.resetPagesPruned()
+    J.resetPlanFooterReads()
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    got = jdf.filter(F.col("l_shipdate") >= cutoff).count()
+    assert got == src.filter(F.col("l_shipdate") >= cutoff).count()
+    assert J.pagesPruned() > 0, "sorted range scan must prune pages"
+    assert J.planFooterReads() == 0, "stats must ride the manifest"
+
+    # exactness across filter shapes, row-for-row vs the parquet source
+    for cond in [
+        "l_orderkey = 1",
+        "l_quantity < 3",
+        "l_returnflag = 'R' AND l_discount >= 0.09",
+        "l_shipdate < TIMESTAMP_NTZ '1992-06-01 00:00:00'",
+        "l_suppkey IN (1, 2, 3)",
+    ]:
+        a = sorted(map(repr, jdf.filter(cond).collect()))
+        b = sorted(map(repr, src.filter(cond).collect()))
+        assert a == b, cond
+
+
+def test_jvm_pruning_keeps_null_pages_honest(spark, tmp_path):
+    """isnull/isnotnull pruning against per-page null counts: a column
+    whose nulls cluster in one file's pages must still return every null
+    row (and only those) through the JVM scan."""
+    _require_jar(spark)
+    import os
+
+    import pyarrow as pa
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+    from quiver_spark.sources.manifest import rebuild_manifest
+
+    d = str(tmp_path / "nulls")
+    os.makedirs(d)
+    n = 2048
+    write_table(
+        pa.table({"k": pa.array(range(n), type=pa.int64()),
+                  "v": pa.array([None] * n, type=pa.int64())}),
+        f"{d}/f1.quiver",
+        WriteOptions(max_page_size=256),
+    )
+    write_table(
+        pa.table({"k": pa.array(range(n, 2 * n), type=pa.int64()),
+                  "v": pa.array(list(range(n)), type=pa.int64())}),
+        f"{d}/f2.quiver",
+        WriteOptions(max_page_size=256),
+    )
+    rebuild_manifest(d)
+    df = spark.read.format("quiverjvm").load(d)
+    J = spark._jvm.io.quiverspark.QuiverJvmRead
+    J.resetPagesPruned()
+    assert df.filter("v IS NULL").count() == n
+    assert J.pagesPruned() > 0, "all-valued pages must be pruned for IS NULL"
+    J.resetPagesPruned()
+    assert df.filter("v IS NOT NULL").count() == n
+    assert J.pagesPruned() > 0, "all-null pages must be pruned for IS NOT NULL"
+    # value predicates are null-rejecting: the all-null file contributes 0
+    assert df.filter("v >= 0").count() == n

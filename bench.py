@@ -228,6 +228,41 @@ def main() -> None:
             quiver_dir(spark, sf_dir, "lineitem")
         )
         jvm_mf_df = spark.read.format("quiverjvm").load(mf_qv)
+        # Pruned selective-scan twins (round 10): a shipdate-sorted layout
+        # on both sides, ~6% selectivity — the parquet side prunes via
+        # row-group stats, the quiverjvm side via zone-map page pruning
+        # from the manifest-inlined sidecars (SupportsPushDownFilters).
+        from pyspark.sql import functions as F
+
+        sorted_qv = os.path.join(CACHE_ROOT, tag, "lineitem-sorted-qv")
+        sorted_pq = os.path.join(CACHE_ROOT, tag, "lineitem-sorted-pq")
+        if not os.path.exists(os.path.join(sorted_qv, "_done")):
+            spark.read.parquet(li_parquet).orderBy("l_shipdate").coalesce(
+                8
+            ).write.format("quiver").mode("overwrite").save(sorted_qv)
+            with open(os.path.join(sorted_qv, "_done"), "w") as f:
+                f.write("ok")
+        if not os.path.exists(os.path.join(sorted_pq, "_done")):
+            spark.read.parquet(li_parquet).orderBy("l_shipdate").coalesce(
+                8
+            ).write.mode("overwrite").parquet(sorted_pq)
+            with open(os.path.join(sorted_pq, "_done"), "w") as f:
+                f.write("ok")
+        _prune_cut = F.lit("2001-06-01").cast("timestamp_ntz")
+        jvm_sorted_df = spark.read.format("quiverjvm").load(sorted_qv)
+        pq_sorted_df = spark.read.parquet(sorted_pq)
+        proxies["pruned_parquet_lineitem"] = (
+            lambda: pq_sorted_df.filter(F.col("l_shipdate") >= _prune_cut)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        proxies["pruned_quiverjvm_lineitem"] = (
+            lambda: jvm_sorted_df.filter(F.col("l_shipdate") >= _prune_cut)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         proxies["scan_quiverjvm_lineitem"] = (
             lambda: jvm_full_df.write.format("noop").mode("overwrite").save()
         )
@@ -344,6 +379,11 @@ def main() -> None:
                         "quiverjvm_vs_parquet_manyfiles_ratio": round(
                             timings["manyfiles_quiverjvm_lineitem"]
                             / timings["manyfiles_parquet_lineitem"],
+                            3,
+                        ),
+                        "quiverjvm_vs_parquet_pruned_ratio": round(
+                            timings["pruned_quiverjvm_lineitem"]
+                            / timings["pruned_parquet_lineitem"],
                             3,
                         ),
                     }

@@ -356,8 +356,27 @@ public final class QuiverFileEncoder {
 
   // ---- file assembly ---------------------------------------------------
 
+  /** Encoded file blob plus its stats sidecar JSON (zone maps / blooms /
+   * page CRCs — format/stats.py build_file_stats layout, version 1). */
+  public static final class Encoded {
+    public final byte[] blob;
+    public final String sidecarJson;
+
+    Encoded(byte[] blob, String sidecarJson) {
+      this.blob = blob;
+      this.sidecarJson = sidecarJson;
+    }
+  }
+
   /** Write all accumulated columns as one quiver file byte blob. */
   public static byte[] encodeFile(StructType schema, ColBuf[] cols, int pageSize, int codec)
+      throws IOException {
+    return encodeFileWithSidecar(schema, cols, pageSize, codec, java.util.Collections.emptySet())
+        .blob;
+  }
+
+  public static Encoded encodeFileWithSidecar(
+      StructType schema, ColBuf[] cols, int pageSize, int codec, java.util.Set<String> bloomCols)
       throws IOException {
     int n = cols.length > 0 ? cols[0].n : 0;
     LeBuf out = new LeBuf();
@@ -365,11 +384,13 @@ public final class QuiverFileEncoder {
     long[] colOffsets = new long[cols.length];
     int[][] pageLens = new int[cols.length][];
     int[][] pageRows = new int[cols.length][];
+    long[][] pageCrcs = new long[cols.length][];
     int nPages = n == 0 ? 1 : (n + pageSize - 1) / pageSize;
     for (int ci = 0; ci < cols.length; ci++) {
       colOffsets[ci] = out.len;
       pageLens[ci] = new int[nPages];
       pageRows[ci] = new int[nPages];
+      pageCrcs[ci] = new long[nPages];
       for (int p = 0; p < nPages; p++) {
         int start = p * pageSize;
         int len = Math.min(pageSize, n - start);
@@ -377,8 +398,13 @@ public final class QuiverFileEncoder {
         encodePage(out, cols[ci], start, len, codec);
         pageLens[ci][p] = out.len - before;
         pageRows[ci][p] = len;
+        java.util.zip.CRC32 crc = new java.util.zip.CRC32();
+        crc.update(out.a, before, out.len - before);
+        pageCrcs[ci][p] = crc.getValue();
       }
     }
+    String sidecar = QuiverStatsBuilder.sidecarJson(
+        schema, cols, pageSize, nPages, pageCrcs, bloomCols);
     byte[] sb = schemaBytes(schema);
     out.putBytes(sb, 0, sb.length);
     int metaStart = out.len;
@@ -397,6 +423,6 @@ public final class QuiverFileEncoder {
     out.putBytes(EOS, 0, EOS.length);
     byte[] file = new byte[out.len];
     System.arraycopy(out.a, 0, file, 0, out.len);
-    return file;
+    return new Encoded(file, sidecar);
   }
 }

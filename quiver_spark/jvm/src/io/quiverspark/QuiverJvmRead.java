@@ -111,6 +111,14 @@ public final class QuiverJvmRead {
     PAGES_PRUNED.set(0);
   }
 
+  /** Test hook: BLAKE2b-128 hex of raw bytes (parity vs hashlib.blake2b). */
+  public static String blake2b128Hex(byte[] data) {
+    byte[] d = Blake2b.digest(data, 16);
+    StringBuilder sb = new StringBuilder(32);
+    for (byte b : d) sb.append(String.format("%02x", b));
+    return sb.toString();
+  }
+
   public static void resetPlanFooterReads() {
     PLAN_FOOTER_READS.set(0);
   }

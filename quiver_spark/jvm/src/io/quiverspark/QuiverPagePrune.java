@@ -238,8 +238,88 @@ final class QuiverPagePrune {
         long nVals = st.pageRows.get(p).asLong(Long.MAX_VALUE);
         if (!pageMayMatch(pred, lo, hi, nNull, nVals)) keep[p] = false;
       }
+      bloomPass(col, pred, keep, nPages);
     }
     return keep;
+  }
+
+  // ---- bloom pass (format/stats.py::bloom_may_contain parity) -------------
+
+  private static final int BLOOM_K = 5; // stats.py BLOOM_K (stored k unused there too)
+
+  /** Point-lookup pruning: min/max can't prune an unsorted
+   * high-cardinality column, but a per-page bloom answers eq/in
+   * membership — no false negatives, so this only ever REMOVES pages the
+   * value cannot be in. */
+  static void bloomPass(JsonNode col, Pred pred, boolean[] keep, int nPages) {
+    if (!pred.op.equals("eq") && !pred.op.equals("in")) return;
+    JsonNode bl = col.get("bloom");
+    if (bl == null || bl.isNull()) return;
+    JsonNode pages = bl.get("pages");
+    if (pages == null || pages.size() != nPages) return;
+    Object[] values =
+        pred.op.equals("in") ? (Object[]) pred.value : new Object[] {pred.value};
+    byte[][] keys = new byte[values.length][];
+    for (int i = 0; i < values.length; i++) {
+      keys[i] = bloomKey(values[i]);
+      if (keys[i] == null) return; // value outside the bloom domain: no pruning
+    }
+    for (int p = 0; p < nPages; p++) {
+      if (!keep[p]) continue;
+      JsonNode b64 = pages.get(p);
+      if (b64 == null || b64.isNull()) continue;
+      byte[] bits;
+      try {
+        bits = java.util.Base64.getDecoder().decode(b64.asText());
+      } catch (IllegalArgumentException e) {
+        continue;
+      }
+      boolean any = false;
+      for (byte[] k : keys) {
+        if (bloomMayContain(bits, k)) {
+          any = true;
+          break;
+        }
+      }
+      if (!any) keep[p] = false;
+    }
+  }
+
+  /** stats.py::bloom_key — stored-domain value → canonical hash input;
+   * null outside the bloom domain (bools, floats). */
+  static byte[] bloomKey(Object v) {
+    if (v instanceof Boolean || v instanceof Double) return null;
+    if (v instanceof Long) {
+      return ("i:" + v).getBytes(java.nio.charset.StandardCharsets.US_ASCII);
+    }
+    if (v instanceof String) {
+      return ("s:" + v).getBytes(java.nio.charset.StandardCharsets.UTF_8);
+    }
+    return null;
+  }
+
+  static boolean bloomMayContain(byte[] bits, byte[] key) {
+    long m = (long) bits.length * 8;
+    // the writer rounds m up to a power of two; anything else means a
+    // foreign/corrupt filter — 64-bit wrapping (h1 + i*h2) only equals
+    // Python's exact big-int mod when m divides 2^64, so refuse to prune
+    if (m <= 0 || (m & (m - 1)) != 0) return true;
+    byte[] d = Blake2b.digest(key, 16);
+    long h1 = leLong(d, 0);
+    long h2 = leLong(d, 8);
+    for (int i = 0; i < BLOOM_K; i++) {
+      long idx = (h1 + (long) i * h2) & (m - 1);
+      if ((bits[(int) (idx >>> 3)] >> (idx & 7) & 1) == 0) return false;
+    }
+    return true;
+  }
+
+  private static long leLong(byte[] b, int off) {
+    long v = 0;
+    for (int i = 7; i >= 0; i--) {
+      v = (v << 8) | (b[off + i] & 0xFFL);
+    }
+    return v;
   }
 
   static Object jsonValue(JsonNode n) {

@@ -422,3 +422,66 @@ def test_jvm_pruning_keeps_null_pages_honest(spark, tmp_path):
     assert J.pagesPruned() > 0, "all-null pages must be pruned for IS NOT NULL"
     # value predicates are null-rejecting: the all-null file contributes 0
     assert df.filter("v >= 0").count() == n
+
+
+def test_jvm_blake2b_matches_python(spark):
+    """The Java BLAKE2b-128 (bloom hash) must agree with CPython's
+    hashlib.blake2b(digest_size=16) byte-for-byte — a divergence would
+    silently disable (or worse, mis-aim) bloom pruning."""
+    _require_jar(spark)
+    import hashlib
+
+    J = spark._jvm.io.quiverspark.QuiverJvmRead
+    cases = [
+        b"",
+        b"i:0",
+        b"i:-12345678901234567",
+        b"s:hello world",
+        "s:\u00e9\u4e2d\u6587".encode("utf-8"),
+        bytes(range(256)),          # multi-block (>128 bytes)
+        b"x" * 128,                 # exactly one block
+        b"y" * 129,                 # one full block + 1
+    ]
+    for b in cases:
+        want = hashlib.blake2b(b, digest_size=16).hexdigest()
+        got = J.blake2b128Hex(bytearray(b))
+        assert got == want, (b, got, want)
+
+
+def test_jvm_bloom_point_lookup_pruning(spark, tmp_path):
+    """Per-page bloom data skipping in the JVM scan: a hash-scattered key
+    column (zone maps useless — every page spans the domain) still prunes
+    pages on eq/IN point lookups, with zero lost rows (no false negatives
+    by construction)."""
+    _require_jar(spark)
+    from pyspark.sql import functions as F
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "bloomed")
+    src = spark.read.parquet(f"{SF_DIR_MID}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        src.repartition(4)
+        .write.format("quiver")
+        .mode("overwrite")
+        .option("max_page_size", "1024")
+        .option("bloom_columns", "o_orderkey")
+        .save(d)
+    )
+    jdf = spark.read.format("quiverjvm").load(d)
+    J = spark._jvm.io.quiverspark.QuiverJvmRead
+
+    J.resetPagesPruned()
+    keys = [3, 41, 500, 999, 1203]
+    a = sorted(map(repr, jdf.filter(F.col("o_orderkey").isin(keys)).collect()))
+    b = sorted(map(repr, src.filter(F.col("o_orderkey").isin(keys)).collect()))
+    assert a == b
+    assert J.pagesPruned() > 0, "bloom must prune pages min/max cannot"
+
+    J.resetPagesPruned()
+    one = jdf.filter(F.col("o_orderkey") == 777).collect()
+    want = src.filter(F.col("o_orderkey") == 777).collect()
+    assert sorted(map(repr, one)) == sorted(map(repr, want))
+    assert J.pagesPruned() > 0

@@ -69,6 +69,39 @@ def ensure_jar(build: bool = True) -> str | None:
     return JAR_PATH if os.path.exists(JAR_PATH) else None
 
 
+def source_fingerprint() -> str:
+    """SHA-256 over the ``.java`` sources (jvm-dir-relative path + bytes),
+    exactly as build.sh embeds it into the jar at
+    ``io/quiverspark/source-fingerprint.txt``. The staleness pin
+    (tests/test_jvm_reader.py) recomputes this and asserts it equals the
+    jar's copy, so a source-ahead-of-binary commit fails loudly instead
+    of surfacing as a missing-method Py4JError (VERDICT r10 item 1)."""
+    import hashlib
+    import pathlib
+
+    h = hashlib.sha256()
+    root = pathlib.Path(_JVM_DIR)
+    for p in sorted(root.joinpath("src").rglob("*.java")):
+        h.update(p.relative_to(root).as_posix().encode())
+        h.update(b"\0")
+        h.update(p.read_bytes())
+    return h.hexdigest()
+
+
+def jar_fingerprint() -> str | None:
+    """The fingerprint baked into the built jar, or None when the jar is
+    absent or predates the pin."""
+    import zipfile
+
+    if not os.path.exists(JAR_PATH):
+        return None
+    try:
+        with zipfile.ZipFile(JAR_PATH) as z:
+            return z.read("io/quiverspark/source-fingerprint.txt").decode().strip()
+    except (KeyError, OSError, zipfile.BadZipFile):
+        return None
+
+
 def supports_schema(schema) -> bool:
     """True when every field is a flat type the JVM writer encodes
     (primitives, string/binary, decimal ≤38, date/timestamp)."""

@@ -424,6 +424,25 @@ def test_jvm_pruning_keeps_null_pages_honest(spark, tmp_path):
     assert df.filter("v >= 0").count() == n
 
 
+def test_jar_not_stale():
+    """Staleness pin (VERDICT r10 item 1): the checked-in jar must be
+    built from the .java sources at HEAD. build.sh embeds a SHA-256 of
+    the sources into the jar; this recomputes it from src/** and compares
+    — so editing a .java without rebuilding fails HERE, loudly, instead
+    of as a confusing missing-method Py4JError deep in another test."""
+    from quiver_spark.jvm import jar_fingerprint, source_fingerprint
+
+    baked = jar_fingerprint()
+    assert baked is not None, (
+        "jar missing or predates the fingerprint pin — run "
+        "bash quiver_spark/jvm/build.sh and commit the jar"
+    )
+    assert baked == source_fingerprint(), (
+        "quiver-jvm-writer.jar is STALE relative to quiver_spark/jvm/src "
+        "— run bash quiver_spark/jvm/build.sh and commit the jar"
+    )
+
+
 def test_jvm_blake2b_matches_python(spark):
     """The Java BLAKE2b-128 (bloom hash) must agree with CPython's
     hashlib.blake2b(digest_size=16) byte-for-byte — a divergence would

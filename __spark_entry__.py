@@ -22,78 +22,70 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 10 window (50), per VERDICT r9 item 2: (a) the 16 rows the driver
-# has NEVER sampled (round-9 DML/DDL/constraint/ANALYZE/snapshot-diff/
-# incremental/CDC-merge/Z-order/bloom/clustering/PII/blocklist/
-# span-excision gates — judge-sweep green only); (b) the full 26-row
-# round-7-stale cohort, which covers most TPC-H recipes whose broadcast
-# hints were size-gated this round; (c) 8 round-8-green rows preferring
-# the rest of the migrated recipes. After this window every registered
-# query has at least one driver CORRECTNESS row and none is older than
-# round 8. Position 51+ falls back to registry order.
+# Round 11 window (50), per VERDICT r10 item 2: (a) the 24 rows whose
+# newest driver-green row is round 7 (positions 1-24 — the r10 window had
+# room for only part of the stale cohort); (b) the new round-11 gates;
+# (c) fill with the round-8 cohort (44 rows; the ones that don't fit stay
+# r8-green, which is the stated floor). Exact staleness audit: round-7
+# cohort = 24, round-8 = 44, round-9 = 50, round-10 = 50 (computed from
+# CORRECTNESS_r1..r10; every one of the 168 registered queries has at
+# least one driver-green row and zero failures ever). Position 51+ falls
+# back to registry order.
 _PRIORITY = [
-    # (0) brand-new this round: the JVM fast path under the oracle for the
-    # first time (runtime ADD JAR in the driver's own plain session)
-    "quiverjvm_scan_agg",
-    "quiverjvm_ingest_roundtrip",
-    # (a) the 16 rows that have NEVER had a driver CORRECTNESS row (their
-    # only independent evidence is the round-9 judge sweep) — VERDICT r9
-    # item 2 puts them at positions 1-16
-    "quiver_delete_scan",
-    "quiver_update_scan",
-    "quiver_merge_upsert_scan",
-    "quiver_merge_cdc_scan",
-    "quiver_clustered_scan",
-    "quiver_zorder_scan",
-    "quiver_bloom_lookup_scan",
-    "quiver_alter_evolution_scan",
-    "quiver_check_constraint_scan",
-    "quiver_repartitioned_scan",
-    "quiver_analyze_stats",
-    "quiver_snapshot_diff",
-    "quiver_incremental_scan",
-    "dedup_span_excision",
-    "text_pii_scrub",
-    "text_blocklist_filter",
-    # (b) the oldest driver-green cohort (last sampled round 7) — includes
-    # most of the TPC-H recipes whose broadcast hints were size-gated this
-    # round, so the migrated plans get fresh driver rows
-    "dedup_simhash",
-    "multimodal_binary_meta",
-    "ann_lsh_buckets",
-    "q6_forecast_revenue",
-    "rollup_returns",
-    "cube_orders",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q18_large_orders",
-    "semi_join_customers",
-    "anti_join_customers",
-    "outer_join_coverage",
-    "nonequi_acctbal_pairs",
-    "window_rank_orders",
-    "window_running_total",
-    "window_lag_gap",
-    "window_ntile_share",
-    "setop_intersect_nations",
-    "setop_except_nations",
-    "q8_market_share",
-    "q9_product_profit",
-    "q14_promo_revenue",
-    "q19_bracket_revenue",
-    "q22_idle_customers",
-    # (c) fill to 50 with round-8-green rows, preferring the remaining
-    # recipes the broadcast-gate migration touched
-    "q2_min_cost_supplier",
-    "q11_important_supply",
-    "q16_supplier_part_counts",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q15_top_supplier",
+    # (a) the 24 round-7-stale rows — VERDICT r10 item 2 puts them first
+    "agg_collect_sorted",
+    "agg_minby_maxby",
+    "agg_quantiles",
+    "agg_string_ordered",
+    "dedup_canonical_docs",
+    "embedding_norm_stats",
+    "events_anomaly_hours",
+    "pipeline_pack_sequences",
+    "quiver_inplace_compact_scan",
+    "quiver_narrow_projection",
+    "quiver_scan_events",
+    "sample_token_budget",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "scalar_regexp_funcs",
+    "setop_bag_semantics",
+    "setop_intersect_all",
+    "setop_union_distinct",
+    "text_context_windows",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_length_histogram",
+    "text_quality_stats",
+    "text_token_topk",
+    # (b) new round-11 gates (inserted as they land)
+    # (c) round-8 cohort fill (oldest-first coverage; overflow past slot 50
+    # stays round-8-green, the stated floor)
+    "agg_stats_moments",
+    "ann_ivf_topk",
+    "arrow_ipc_scan",
+    "case_when_buckets",
+    "decontaminate_eval_overlap",
+    "dedup_clusters",
+    "dedup_cross_source_matrix",
+    "dedup_minhash_signature",
+    "distinct_counts",
+    "events_gapfill_hourly",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_pivot_types",
+    "events_sessionize",
+    "events_sliding_daily",
+    "events_transition_matrix",
+    "grouped_minmax_norm",
+    "in_between_filter",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "null_handling",
     "q12_priority_shipping",
-    "quiver_time_travel_scan",
+    "q13_customer_distribution",
+    "quiver_rollback_scan",
+    "quiver_scan_bools",
+    "quiver_scan_delta",
 ]
 
 

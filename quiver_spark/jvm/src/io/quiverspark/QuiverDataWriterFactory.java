@@ -39,14 +39,17 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
   private final String codecName;
   private final int pageSize;
   private final long maxRowsPerFile;
+  private final String bloomColumns; // csv of column names, "" = none
 
   public QuiverDataWriterFactory(
-      String path, String schemaJson, String codecName, int pageSize, long maxRowsPerFile) {
+      String path, String schemaJson, String codecName, int pageSize, long maxRowsPerFile,
+      String bloomColumns) {
     this.path = path;
     this.schemaJson = schemaJson;
     this.codecName = codecName;
     this.pageSize = pageSize;
     this.maxRowsPerFile = maxRowsPerFile;
+    this.bloomColumns = bloomColumns;
   }
 
   @Override
@@ -61,17 +64,27 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
         throw new IllegalArgumentException(
             "quiverjvm codec must be none|lz4|zstd (basic codecs); got " + codecName);
     }
-    return new QuiverTaskWriter(path, schema, codec, pageSize, maxRowsPerFile, partitionId, taskId);
+    java.util.Set<String> blooms = new java.util.HashSet<>();
+    for (String c : bloomColumns.split(",")) {
+      if (!c.trim().isEmpty()) blooms.add(c.trim());
+    }
+    return new QuiverTaskWriter(
+        path, schema, codec, pageSize, maxRowsPerFile, partitionId, taskId, blooms);
   }
 
   static final class CommitMsg implements WriterCommitMessage {
     private static final long serialVersionUID = 1L;
     final String[] files;
     final long rows;
+    /** Per-file manifest-entry JSON (parallel to {@code files}): the facts
+     * the driver-side commit needs to write the table manifest without
+     * re-reading a single footer it just wrote. */
+    final String[] entryJsons;
 
-    CommitMsg(String[] files, long rows) {
+    CommitMsg(String[] files, long rows, String[] entryJsons) {
       this.files = files;
       this.rows = rows;
+      this.entryJsons = entryJsons;
     }
   }
 
@@ -83,14 +96,19 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
     private final long maxRowsPerFile;
     private final int partitionId;
     private final long taskId;
+    private final java.util.Set<String> bloomCols;
     private final QuiverFileEncoder.ColBuf[] cols;
     private final StructField[] fields;
     private final List<File> tmpFiles = new ArrayList<>();
+    private final List<File> tmpSidecars = new ArrayList<>();
+    /** per tmp file: {"fmt":"quiver","metas":…,"sidecar":…,"rows":N} —
+     * size/mtime_ns appended at task commit, after the publish rename */
+    private final List<String> partialEntries = new ArrayList<>();
     private long rowsWritten = 0;
     private long rowsBuffered = 0;
 
     QuiverTaskWriter(String path, StructType schema, int codec, int pageSize,
-        long maxRowsPerFile, int partitionId, long taskId) {
+        long maxRowsPerFile, int partitionId, long taskId, java.util.Set<String> bloomCols) {
       this.path = path;
       this.schema = schema;
       this.codec = codec;
@@ -98,6 +116,7 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
       this.maxRowsPerFile = maxRowsPerFile;
       this.partitionId = partitionId;
       this.taskId = taskId;
+      this.bloomCols = bloomCols;
       this.fields = schema.fields();
       this.cols = new QuiverFileEncoder.ColBuf[fields.length];
       for (int i = 0; i < fields.length; i++) {
@@ -146,15 +165,27 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
 
     private void flushFile() throws IOException {
       if (rowsBuffered == 0) return;
-      byte[] blob = QuiverFileEncoder.encodeFile(schema, cols, pageSize, codec);
+      QuiverFileEncoder.Encoded enc =
+          QuiverFileEncoder.encodeFileWithSidecar(schema, cols, pageSize, codec, bloomCols);
       // task-attempt isolation: land under a hidden tmp name, rename at
       // task commit — readers glob *.quiver and skip dotted names
       String name = String.format("part-%05d-%s.quiver", partitionId, UUID.randomUUID().toString().replace("-", ""));
       File tmp = new File(path, "." + name + ".tmp");
       try (FileOutputStream out = new FileOutputStream(tmp)) {
-        out.write(blob);
+        out.write(enc.blob);
+      }
+      // stats sidecar (<file>.quiver.stats.json, format/stats.py layout):
+      // same hidden-tmp protocol, renamed BEFORE its data file so a reader
+      // that can see the data file always finds its sidecar
+      File tmpSc = new File(path, "." + name + ".stats.json.tmp");
+      try (FileOutputStream out = new FileOutputStream(tmpSc)) {
+        out.write(enc.sidecarJson.getBytes(java.nio.charset.StandardCharsets.UTF_8));
       }
       tmpFiles.add(tmp);
+      tmpSidecars.add(tmpSc);
+      partialEntries.add(
+          "{\"fmt\":\"quiver\",\"metas\":" + enc.metasJson
+              + ",\"sidecar\":" + enc.sidecarJson + ",\"rows\":" + enc.rows);
       rowsWritten += rowsBuffered;
       rowsBuffered = 0;
       for (QuiverFileEncoder.ColBuf c : cols) c.reset();
@@ -164,23 +195,42 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
     public WriterCommitMessage commit() throws IOException {
       flushFile();
       String[] finals = new String[tmpFiles.size()];
+      String[] entries = new String[tmpFiles.size()];
       for (int i = 0; i < tmpFiles.size(); i++) {
         File tmp = tmpFiles.get(i);
         String finalName = tmp.getName().substring(1, tmp.getName().length() - 4);
+        File sc = new File(tmp.getParentFile(), finalName + ".stats.json");
+        if (!tmpSidecars.get(i).renameTo(sc)) {
+          throw new IOException("quiverjvm: cannot publish sidecar " + sc);
+        }
         File dst = new File(tmp.getParentFile(), finalName);
         if (!tmp.renameTo(dst)) {
           throw new IOException("quiverjvm: cannot publish " + tmp + " -> " + dst);
         }
         finals[i] = dst.getPath();
+        // size/mtime_ns from the PUBLISHED file's stat — the manifest
+        // staleness check compares against os.stat, byte-for-byte
+        java.nio.file.attribute.BasicFileAttributes at =
+            java.nio.file.Files.readAttributes(
+                dst.toPath(), java.nio.file.attribute.BasicFileAttributes.class);
+        long mtimeNs = at.lastModifiedTime().to(java.util.concurrent.TimeUnit.NANOSECONDS);
+        entries[i] = partialEntries.get(i)
+            + ",\"size\":" + at.size() + ",\"mtime_ns\":" + mtimeNs
+            + ",\"rel\":\"" + finalName + "\"}";
       }
       tmpFiles.clear();
-      return new CommitMsg(finals, rowsWritten);
+      tmpSidecars.clear();
+      partialEntries.clear();
+      return new CommitMsg(finals, rowsWritten, entries);
     }
 
     @Override
     public void abort() {
       for (File f : tmpFiles) f.delete();
+      for (File f : tmpSidecars) f.delete();
       tmpFiles.clear();
+      tmpSidecars.clear();
+      partialEntries.clear();
     }
 
     @Override

@@ -357,15 +357,38 @@ public final class QuiverFileEncoder {
   // ---- file assembly ---------------------------------------------------
 
   /** Encoded file blob plus its stats sidecar JSON (zone maps / blooms /
-   * page CRCs — format/stats.py build_file_stats layout, version 1). */
+   * page CRCs — format/stats.py build_file_stats layout, version 1) and
+   * the manifest-entry facts (sources/manifest.py _build_one layout) so a
+   * JVM ingest commit can write the table manifest WITHOUT re-reading the
+   * footers it just wrote. */
   public static final class Encoded {
     public final byte[] blob;
     public final String sidecarJson;
+    /** manifest "metas": [[col_offset, [page_len, page_rows, ...]], ...] */
+    public final String metasJson;
+    public final long rows;
 
-    Encoded(byte[] blob, String sidecarJson) {
+    Encoded(byte[] blob, String sidecarJson, String metasJson, long rows) {
       this.blob = blob;
       this.sidecarJson = sidecarJson;
+      this.metasJson = metasJson;
+      this.rows = rows;
     }
+  }
+
+  /** The schema as pyarrow's ``schema.serialize()`` bytes, base64 — an
+   * encapsulated Arrow IPC message (0xFFFFFFFF continuation | int32 LE
+   * length | flatbuffer, 8-byte padded) that manifest._schema_from_b64
+   * (pa.ipc.read_schema) parses. schemaBytes() strips this prefix for the
+   * file footer; the manifest keeps it. */
+  static String schemaB64(StructType schema) {
+    byte[] fb = schemaBytes(schema);
+    int padded = (fb.length + 7) & ~7;
+    ByteBuffer bb = ByteBuffer.allocate(8 + padded).order(ByteOrder.LITTLE_ENDIAN);
+    bb.putInt(0xFFFFFFFF);
+    bb.putInt(padded);
+    bb.put(fb);
+    return java.util.Base64.getEncoder().encodeToString(bb.array());
   }
 
   /** Write all accumulated columns as one quiver file byte blob. */
@@ -373,6 +396,20 @@ public final class QuiverFileEncoder {
       throws IOException {
     return encodeFileWithSidecar(schema, cols, pageSize, codec, java.util.Collections.emptySet())
         .blob;
+  }
+
+  private static String metasJson(long[] colOffsets, int[][] pageLens, int[][] pageRows) {
+    StringBuilder sb = new StringBuilder("[");
+    for (int ci = 0; ci < colOffsets.length; ci++) {
+      if (ci > 0) sb.append(',');
+      sb.append('[').append(colOffsets[ci]).append(",[");
+      for (int p = 0; p < pageLens[ci].length; p++) {
+        if (p > 0) sb.append(',');
+        sb.append(pageLens[ci][p]).append(',').append(pageRows[ci][p]);
+      }
+      sb.append("]]");
+    }
+    return sb.append(']').toString();
   }
 
   public static Encoded encodeFileWithSidecar(
@@ -423,6 +460,6 @@ public final class QuiverFileEncoder {
     out.putBytes(EOS, 0, EOS.length);
     byte[] file = new byte[out.len];
     System.arraycopy(out.a, 0, file, 0, out.len);
-    return new Encoded(file, sidecar);
+    return new Encoded(file, sidecar, metasJson(colOffsets, pageLens, pageRows), n);
   }
 }

@@ -168,7 +168,8 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       }
       java.io.File dir = new java.io.File(path);
       if (truncate && dir.isDirectory()) {
-        java.io.File[] old = dir.listFiles((d, n) -> n.endsWith(".quiver") || n.endsWith(".json"));
+        java.io.File[] old = dir.listFiles((d, n) ->
+            n.endsWith(".quiver") || n.endsWith(".json") || n.equals("_manifest.json.gz"));
         if (old != null) {
           for (java.io.File f : old) {
             if (!f.delete()) throw new IllegalStateException("quiverjvm truncate: cannot delete " + f);
@@ -181,12 +182,73 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
           schema.json(),
           options.getOrDefault("codec", "zstd"),
           Integer.parseInt(options.getOrDefault("max_page_size", "8192")),
-          Long.parseLong(options.getOrDefault("max_rows_per_file", String.valueOf(1L << 22))));
+          Long.parseLong(options.getOrDefault("max_rows_per_file", String.valueOf(1L << 22))),
+          options.getOrDefault("bloom_columns", ""));
     }
 
     @Override
     public void commit(WriterCommitMessage[] messages) {
-      // task-level rename (tmp -> final) already made every file visible
+      // task-level rename (tmp -> final) already made every data file +
+      // stats sidecar visible; the job commit's remaining duty is the
+      // table manifest (sources/manifest.py layout, version 1) so the
+      // FIRST scan of an ingested table plans from one metadata read —
+      // no rebuild_manifest retrofit pass, no footer re-reads (the task
+      // writers shipped the entry facts in their commit messages).
+      if ("false".equalsIgnoreCase(options.getOrDefault("manifest", "true"))) return;
+      String path = options.get("path");
+      try {
+        com.fasterxml.jackson.databind.ObjectMapper om =
+            new com.fasterxml.jackson.databind.ObjectMapper();
+        com.fasterxml.jackson.databind.node.ObjectNode root;
+        com.fasterxml.jackson.databind.JsonNode prev =
+            truncate ? null : QuiverJvmRead.readManifestRaw(path);
+        if (prev != null && prev.isObject() && prev.path("version").asInt(-1) == 1) {
+          // append: merge into the existing manifest — dropping prior
+          // entries would silently degrade their planning to footer reads
+          root = (com.fasterxml.jackson.databind.node.ObjectNode) prev.deepCopy();
+        } else {
+          root = om.createObjectNode();
+          root.put("version", 1);
+          root.putArray("schemas");
+          root.putObject("files");
+        }
+        com.fasterxml.jackson.databind.node.ArrayNode schemas =
+            (com.fasterxml.jackson.databind.node.ArrayNode) root.withArray("schemas");
+        String b64 = QuiverFileEncoder.schemaB64(schema);
+        int schemaIdx = -1;
+        for (int i = 0; i < schemas.size(); i++) {
+          if (b64.equals(schemas.get(i).asText())) { schemaIdx = i; break; }
+        }
+        if (schemaIdx < 0) {
+          schemaIdx = schemas.size();
+          schemas.add(b64);
+        }
+        com.fasterxml.jackson.databind.node.ObjectNode files =
+            root.with("files");
+        for (WriterCommitMessage m : messages) {
+          if (!(m instanceof QuiverDataWriterFactory.CommitMsg)) continue;
+          for (String ej : ((QuiverDataWriterFactory.CommitMsg) m).entryJsons) {
+            com.fasterxml.jackson.databind.node.ObjectNode e =
+                (com.fasterxml.jackson.databind.node.ObjectNode) om.readTree(ej);
+            String rel = e.remove("rel").asText();
+            e.put("schema", schemaIdx);
+            files.set(rel, e);
+          }
+        }
+        // atomic publish: write-temp + move, same protocol as _write_raw
+        java.io.File tmp = new java.io.File(path,
+            "_manifest.json.gz.tmp." + java.util.UUID.randomUUID().toString().replace("-", ""));
+        try (java.util.zip.GZIPOutputStream gz =
+            new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(tmp))) {
+          gz.write(om.writeValueAsBytes(root));
+        }
+        java.nio.file.Files.move(
+            tmp.toPath(), new java.io.File(path, "_manifest.json.gz").toPath(),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE);
+      } catch (java.io.IOException e) {
+        throw new RuntimeException("quiverjvm: manifest write failed for " + path, e);
+      }
     }
 
     @Override

@@ -1424,10 +1424,11 @@ def ingest(
       generation protocol; used for nested schemas or when the jar cannot
       attach.
 
-    Either way the directory ends with a commit-time manifest
-    (rebuild_manifest after the JVM path — the Java writer emits bare
-    files), so the first scan plans from ONE metadata read instead of
-    O(files) footers. The JVM path writes a FLAT layout: a bulk-load
+    Either way the directory ends with a commit-time manifest — the JVM
+    job commit writes it directly from the task writers' commit messages
+    (plus per-file stats sidecars: zone maps, optional blooms, CRCs), so
+    ingest is ONE pass with no retrofit metadata job — and the first scan
+    plans from ONE metadata read instead of O(files) footers. The JVM path writes a FLAT layout: a bulk-load
     destination, append/DML/cluster management from the Python layer works
     on it like any flat table. ``mode`` is always overwrite — ingest is a
     load, not an append (use the sink's append mode for increments)."""
@@ -1447,8 +1448,15 @@ def ingest(
             .option("max_rows_per_file", str(max(max_rows_per_file, 1)))
             .save(dst_dir)
         )
-        rebuild_manifest(dst_dir)
-        files, rows = _dir_stats(dst_dir)  # manifest-served after rebuild
+        # the JVM job commit writes the manifest itself (entry facts ride
+        # the WriterCommitMessages — one pass, zero footer re-reads);
+        # rebuild only as a safety net for jars predating that
+        from quiver_spark.sources.manifest import load_manifest
+
+        man = load_manifest(dst_dir)
+        if man is None or not man.entries:
+            rebuild_manifest(dst_dir)
+        files, rows = _dir_stats(dst_dir)  # manifest-served
     else:
         (
             df.write.format("quiver")

@@ -504,3 +504,82 @@ def test_jvm_bloom_point_lookup_pruning(spark, tmp_path):
     want = src.filter(F.col("o_orderkey") == 777).collect()
     assert sorted(map(repr, one)) == sorted(map(repr, want))
     assert J.pagesPruned() > 0
+
+
+def test_jvm_ingest_one_pass_manifest_and_sidecars(spark, tmp_path):
+    """One-pass JVM ingest (VERDICT r10 item 3): the quiverjvm job commit
+    itself emits per-file stats sidecars AND the table manifest (entry
+    facts ride the WriterCommitMessages — no rebuild_manifest retrofit, no
+    footer re-reads). The resulting table must (a) plan with ZERO footer
+    reads on the JVM path, (b) zone-map- and bloom-prune pages, and (c)
+    read identically on the Python DS, whose planner validates each entry
+    against the file's exact size + mtime_ns stat."""
+    _require_jar(spark)
+    import os
+
+    from pyspark.sql import functions as F
+    from quiver_spark.sources import register
+    from quiver_spark.sources.manifest import load_manifest
+
+    register(spark)
+    d = str(tmp_path / "onepass")
+    src = spark.read.parquet(f"{SF_DIR_MID}/orders.parquet")
+    (
+        src.repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.format("quiverjvm")
+        .mode("overwrite")
+        .option("max_page_size", "1024")
+        .option("bloom_columns", "o_orderkey")
+        .save(d)
+    )
+    # the manifest exists IMMEDIATELY after the write — nothing rebuilt it
+    man = load_manifest(d)
+    assert man is not None and len(man.entries) == 4
+    for rel, e in man.entries.items():
+        assert man.lookup(os.path.join(d, rel)) is not None, (
+            "entry stat (size/mtime_ns) must match the published file"
+        )
+        assert e.rows and e.metas() and e.sidecar["version"] == 1
+        assert "bloom" in e.sidecar["columns"]["o_orderkey"]
+
+    J = spark._jvm.io.quiverspark.QuiverJvmRead
+    J.resetPlanFooterReads()
+    jdf = spark.read.format("quiverjvm").load(d)
+    assert jdf.count() == src.count()
+    assert J.planFooterReads() == 0, "ingest output must be manifest-served"
+
+    # zone maps (sorted o_orderdate) and blooms (scattered o_orderkey)
+    # both came from the JVM-written sidecars
+    J.resetPagesPruned()
+    cond = F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    assert jdf.filter(cond).count() == src.filter(cond).count()
+    assert J.pagesPruned() > 0
+    J.resetPagesPruned()
+    a = sorted(map(repr, jdf.filter("o_orderkey = 7").collect()))
+    assert a == sorted(map(repr, src.filter("o_orderkey = 7").collect()))
+    assert J.pagesPruned() > 0
+
+    # Python DS parity on the same directory
+    _assert_same(spark, d)
+
+
+def test_jvm_append_merges_manifest(spark, tmp_path):
+    """Appending via quiverjvm must MERGE into the existing manifest —
+    dropping prior entries would silently degrade their planning back to
+    footer reads."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+    from quiver_spark.sources.manifest import load_manifest
+
+    register(spark)
+    d = str(tmp_path / "appended")
+    src = spark.read.parquet(f"{SF_DIR_MID}/region.parquet")
+    src.coalesce(1).write.format("quiverjvm").mode("overwrite").save(d)
+    src.coalesce(1).write.format("quiverjvm").mode("append").save(d)
+    man = load_manifest(d)
+    assert man is not None and len(man.entries) == 2
+    J = spark._jvm.io.quiverspark.QuiverJvmRead
+    J.resetPlanFooterReads()
+    assert spark.read.format("quiverjvm").load(d).count() == 2 * src.count()
+    assert J.planFooterReads() == 0

@@ -55,20 +55,10 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       throw new IllegalArgumentException("quiverjvm: no path given (use .load(dir))");
     }
     try {
-      String root = QuiverJvmRead.resolveRoot(path);
-      com.fasterxml.jackson.databind.JsonNode man = QuiverJvmRead.readManifestRaw(root);
-      QuiverJvmRead.guardManifestNode(man);
-      // manifest-served schema: zero footer reads on the happy path
-      org.apache.arrow.vector.types.pojo.Schema ms = QuiverJvmRead.manifestSchema(man);
-      if (ms != null) {
-        return QuiverJvmRead.toSparkSchema(ms);
-      }
-      java.util.List<java.io.File> files = new java.util.ArrayList<>();
-      QuiverJvmRead.listFiles(new java.io.File(root), files);
-      if (files.isEmpty()) {
-        throw new IllegalArgumentException("quiverjvm: no .quiver files under " + root);
-      }
-      return QuiverJvmRead.toSparkSchema(QuiverJvmRead.readFooter(files.get(0)).arrowSchema);
+      // declared (ALTER) schema > manifest-interned schema (zero footer
+      // reads) > first footer; Hive partition columns appended — one code
+      // path shared with the unified Python-side router
+      return QuiverJvmRead.inferTableSchema(path);
     } catch (java.io.IOException e) {
       throw new RuntimeException(e);
     }

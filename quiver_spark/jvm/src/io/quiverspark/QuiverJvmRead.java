@@ -45,12 +45,16 @@ import org.apache.spark.sql.vectorized.ColumnarBatch;
  * JVM→Python boundary, no planner-process spawn. The floor-bound Python-DS
  * proxies (narrow projection, many small files) are this path's targets.
  *
- * Correctness boundary (everything else → the Python "quiver" DataSource,
- * which owns pruning/evolution/DML semantics):
+ * Served since round 11 (previously Python-DS-only):
+ * - Hive-partitioned layouts: directory-key columns are plan-time
+ *   constants appended per split; predicates on them prune whole files
+ * - ALTER-DDL tables (declared table_schema, per-file cmap renames):
+ *   columns resolve per file BY NAME through the cmap; columns a file
+ *   predates null-fill (add_column semantics)
+ * Correctness boundary (still the Python "quiver" DataSource's job):
  * - nested / unsupported leaf types → UnsupportedOperationException
- * - Hive-partitioned layouts (a path segment containing '=') → rejected
- * - manifests carrying a DECLARED schema or rename maps (ALTER DDL) →
- *   rejected (footer inference would serve the wrong schema)
+ * - column initial-defaults (non-null fill) and merge-schemas tables
+ *   without a declared schema → rejected loudly, never misread
  * Generation layouts resolve through `_current` exactly like the Python
  * planner; column pruning arrives via Catalyst's
  * SupportsPushDownRequiredColumns (the JVM DSv2 gets what the Python DS
@@ -78,14 +82,119 @@ public final class QuiverJvmRead {
       String n = e.getName();
       if (n.startsWith("_") || n.startsWith(".")) continue;
       if (e.isDirectory()) {
-        if (n.contains("=")) {
-          throw new UnsupportedOperationException(
-              "quiverjvm: Hive-partitioned layout (" + n + "): read with the Python 'quiver' DataSource");
-        }
         listFiles(e, out);
       } else if (n.endsWith(".quiver")) {
         out.add(e);
       }
+    }
+  }
+
+  // ---- Hive partition discovery (mirror of the Python DS's
+  // _discover_partitions: col=value path segments, long→double→string kind
+  // inference, __HIVE_DEFAULT_PARTITION__ → null, %-unquoted values) ------
+
+  static final String HIVE_NULL = "__HIVE_DEFAULT_PARTITION__";
+
+  /** %xx-only unquote (urllib.parse.unquote semantics: '+' stays '+'). */
+  static String unquote(String s) {
+    if (s.indexOf('%') < 0) return s;
+    java.io.ByteArrayOutputStream bos = new java.io.ByteArrayOutputStream();
+    for (int i = 0; i < s.length(); i++) {
+      char c = s.charAt(i);
+      if (c == '%' && i + 2 < s.length()) {
+        try {
+          bos.write(Integer.parseInt(s.substring(i + 1, i + 3), 16));
+          i += 2;
+          continue;
+        } catch (NumberFormatException ignore) {
+        }
+      }
+      byte[] b = String.valueOf(c).getBytes(StandardCharsets.UTF_8);
+      bos.write(b, 0, b.length);
+    }
+    return new String(bos.toByteArray(), StandardCharsets.UTF_8);
+  }
+
+  static final class PartInfo {
+    final String[] cols;   // discovery order (Python DS parity)
+    final String[] kinds;  // "long" | "double" | "string"
+    final java.util.Map<String, String[]> rawByFile; // file path → per-col raw value (null = missing/HIVE_NULL)
+
+    PartInfo(String[] cols, String[] kinds, java.util.Map<String, String[]> rawByFile) {
+      this.cols = cols;
+      this.kinds = kinds;
+      this.rawByFile = rawByFile;
+    }
+  }
+
+  static PartInfo discoverPartitions(String root, List<File> files) {
+    java.nio.file.Path rootP = new File(root).toPath();
+    List<String> cols = new ArrayList<>();
+    java.util.Map<String, java.util.Map<String, String>> raw = new java.util.HashMap<>();
+    for (File f : files) {
+      java.util.Map<String, String> spec = new java.util.HashMap<>();
+      java.nio.file.Path rel = rootP.relativize(f.toPath()).getParent();
+      if (rel != null) {
+        for (java.nio.file.Path seg : rel) {
+          String s = seg.toString();
+          int eq = s.indexOf('=');
+          if (eq < 0) continue;
+          String k = s.substring(0, eq);
+          spec.put(k, unquote(s.substring(eq + 1)));
+          if (!cols.contains(k)) cols.add(k);
+        }
+      }
+      raw.put(f.getPath(), spec);
+    }
+    String[] kinds = new String[cols.size()];
+    for (int ci = 0; ci < cols.size(); ci++) {
+      String kind = "long";
+      for (File f : files) {
+        String v = raw.get(f.getPath()).get(cols.get(ci));
+        if (v == null || HIVE_NULL.equals(v)) continue;
+        if (kind.equals("long")) {
+          try {
+            Long.parseLong(v);
+            continue;
+          } catch (NumberFormatException e) {
+            kind = "double";
+          }
+        }
+        try {
+          Double.parseDouble(v);
+        } catch (NumberFormatException e) {
+          kind = "string";
+          break;
+        }
+      }
+      kinds[ci] = kind;
+    }
+    java.util.Map<String, String[]> byFile = new java.util.HashMap<>();
+    for (File f : files) {
+      String[] vals = new String[cols.size()];
+      for (int ci = 0; ci < cols.size(); ci++) {
+        String v = raw.get(f.getPath()).get(cols.get(ci));
+        vals[ci] = (v == null || HIVE_NULL.equals(v)) ? null : v;
+      }
+      byFile.put(f.getPath(), vals);
+    }
+    return new PartInfo(cols.toArray(new String[0]), kinds, byFile);
+  }
+
+  static DataType partSparkType(String kind) {
+    switch (kind) {
+      case "long": return DataTypes.LongType;
+      case "double": return DataTypes.DoubleType;
+      default: return DataTypes.StringType;
+    }
+  }
+
+  static Object partTyped(String raw, String kind) {
+    if (raw == null) return null;
+    switch (kind) {
+      case "long": return Long.parseLong(raw);
+      case "double": return Double.parseDouble(raw);
+      default: return raw;
     }
   }
 
@@ -139,37 +248,91 @@ public final class QuiverJvmRead {
    * never by misreading. The Python DataSource owns these features. */
   static void guardManifestNode(com.fasterxml.jackson.databind.JsonNode m) {
     if (m == null) return;
-    if (m.has("table_schema")) {
-      throw new UnsupportedOperationException(
-          "quiverjvm: table carries an ALTER-DDL declared schema: "
-              + "read with the Python 'quiver' DataSource");
-    }
     if (m.has("column_defaults") && m.get("column_defaults").size() > 0) {
       throw new UnsupportedOperationException(
           "quiverjvm: table carries column initial-defaults: "
               + "read with the Python 'quiver' DataSource");
     }
-    com.fasterxml.jackson.databind.JsonNode files = m.get("files");
-    if (files != null) {
-      int schemaIdx = Integer.MIN_VALUE;
-      for (java.util.Iterator<String> it = files.fieldNames(); it.hasNext(); ) {
-        com.fasterxml.jackson.databind.JsonNode e = files.get(it.next());
-        if (e.has("cmap") && !e.get("cmap").isNull()) {
-          throw new UnsupportedOperationException(
-              "quiverjvm: table carries column rename maps: "
-                  + "read with the Python 'quiver' DataSource");
-        }
-        if (e.has("schema") && "quiver".equals(e.path("fmt").asText("quiver"))) {
-          int idx = e.get("schema").asInt();
-          if (schemaIdx == Integer.MIN_VALUE) schemaIdx = idx;
-          else if (schemaIdx != idx) {
-            throw new UnsupportedOperationException(
-                "quiverjvm: files carry heterogeneous schemas (merge-schemas "
-                    + "table): read with the Python 'quiver' DataSource");
+    // ALTER-DDL tables (declared table_schema, per-file rename maps) are
+    // served since round 11: the reader resolves columns per file BY NAME
+    // through the cmap and null-fills columns a file predates. Without a
+    // declared schema, heterogeneous per-file schemas (merge-schemas
+    // tables) stay rejected — footer inference would pick one arbitrarily.
+    if (!m.has("table_schema")) {
+      com.fasterxml.jackson.databind.JsonNode files = m.get("files");
+      if (files != null) {
+        int schemaIdx = Integer.MIN_VALUE;
+        for (java.util.Iterator<String> it = files.fieldNames(); it.hasNext(); ) {
+          com.fasterxml.jackson.databind.JsonNode e = files.get(it.next());
+          if (e.has("schema") && "quiver".equals(e.path("fmt").asText("quiver"))) {
+            int idx = e.get("schema").asInt();
+            if (schemaIdx == Integer.MIN_VALUE) schemaIdx = idx;
+            else if (schemaIdx != idx) {
+              throw new UnsupportedOperationException(
+                  "quiverjvm: files carry heterogeneous schemas (merge-schemas "
+                      + "table): read with the Python 'quiver' DataSource");
+            }
           }
         }
       }
     }
+  }
+
+  /** Declared (ALTER-DDL) table schema from the manifest, or null. */
+  static Schema declaredSchema(com.fasterxml.jackson.databind.JsonNode m) {
+    try {
+      if (m == null || !m.has("table_schema")) return null;
+      byte[] ipc = java.util.Base64.getDecoder().decode(m.get("table_schema").asText());
+      return MessageSerializer.deserializeSchema(
+          new ReadChannel(Channels.newChannel(new ByteArrayInputStream(ipc))));
+    } catch (Exception e) {
+      throw new UnsupportedOperationException(
+          "quiverjvm: undecodable declared table schema: "
+              + "read with the Python 'quiver' DataSource", e);
+    }
+  }
+
+  /** Per-file column rename map (declared → physical) from a manifest
+   * entry, or null for identity. */
+  static java.util.HashMap<String, String> entryCmap(com.fasterxml.jackson.databind.JsonNode e) {
+    if (e == null || !e.has("cmap") || e.get("cmap").isNull()) return null;
+    java.util.HashMap<String, String> out = new java.util.HashMap<>();
+    com.fasterxml.jackson.databind.JsonNode cm = e.get("cmap");
+    for (java.util.Iterator<String> it = cm.fieldNames(); it.hasNext(); ) {
+      String k = it.next();
+      out.put(k, cm.get(k).asText());
+    }
+    return out.isEmpty() ? null : out;
+  }
+
+  /** The table's full Spark schema for a path: declared (ALTER) schema
+   * when present, else the manifest's interned file schema, else the
+   * first footer — plus appended Hive partition columns. The single
+   * entry point both inferSchema and the unified Python router use. */
+  public static StructType inferTableSchema(String path) throws IOException {
+    String root = resolveRoot(path);
+    com.fasterxml.jackson.databind.JsonNode man = readManifestRaw(root);
+    guardManifestNode(man);
+    Schema arrow = declaredSchema(man);
+    if (arrow == null) arrow = manifestSchema(man);
+    List<File> files = new ArrayList<>();
+    listFiles(new File(root), files);
+    if (arrow == null) {
+      if (files.isEmpty()) {
+        throw new IllegalArgumentException("quiverjvm: no .quiver files under " + root);
+      }
+      arrow = readFooter(files.get(0)).arrowSchema;
+    }
+    StructType st = toSparkSchema(arrow);
+    PartInfo parts = discoverPartitions(root, files);
+    for (int i = 0; i < parts.cols.length; i++) {
+      boolean dup = false;
+      for (StructField f : st.fields()) {
+        if (f.name().equals(parts.cols[i])) { dup = true; break; }
+      }
+      if (!dup) st = st.add(parts.cols[i], partSparkType(parts.kinds[i]), true);
+    }
+    return st;
   }
 
   static void guardManifest(String root) throws IOException {
@@ -206,12 +369,20 @@ public final class QuiverJvmRead {
     if (metas == null || metas.size() == 0) return null;
     int nPages = metas.get(0).get(1).size() / 2;
     long[] pb = new long[nPages];
+    boolean any = false;
     for (int idx : (projIdx.length > 0 ? projIdx : new int[] {0})) {
+      if (idx < 0) continue; // column absent in this file → null-filled, 0 bytes
       if (idx >= metas.size()) return null;
+      any = true;
       com.fasterxml.jackson.databind.JsonNode flat = metas.get(idx).get(1);
       for (int p = 0; p < nPages && p * 2 < flat.size(); p++) {
         pb[p] += flat.get(p * 2).asLong();
       }
+    }
+    if (!any) {
+      // projection reads no file bytes (count(*), partition-only, or
+      // all-absent columns): nominal per-page cost keeps chunking sane
+      java.util.Arrays.fill(pb, 8);
     }
     return pb;
   }
@@ -361,17 +532,33 @@ public final class QuiverJvmRead {
 
   // ---- planning ----------------------------------------------------------
 
-  /** One contiguous page range of one file inside a partition. */
+  /** One contiguous page range of one file inside a partition, plus the
+   * file's column-resolution context: Hive partition constants (typed at
+   * plan time) and the ALTER rename map (declared → physical name). */
   static final class Chunk implements Serializable {
-    private static final long serialVersionUID = 1L;
+    private static final long serialVersionUID = 2L;
     final String file;
     final int pageStart;
     final int pageEnd;
+    /** typed Hive partition constant by column name (entry with null
+     * value = null partition); null/empty for flat layouts */
+    final java.util.HashMap<String, Object> partVals;
+    /** declared → physical column rename map, or null for identity */
+    final java.util.HashMap<String, String> cmap;
+    /** non-null when the table has NO declared (ALTER) schema: the exact
+     * data-column names every file must carry, in order — a mismatching
+     * file (foreign drop-in, merge-schemas dir) rejects loudly instead of
+     * being silently name-resolved against the wrong table schema */
+    final String[] expectCols;
 
-    Chunk(String file, int pageStart, int pageEnd) {
+    Chunk(String file, int pageStart, int pageEnd, java.util.HashMap<String, Object> partVals,
+        java.util.HashMap<String, String> cmap, String[] expectCols) {
       this.file = file;
       this.pageStart = pageStart;
       this.pageEnd = pageEnd;
+      this.partVals = partVals;
+      this.cmap = cmap;
+      this.expectCols = expectCols;
     }
   }
 
@@ -479,43 +666,160 @@ public final class QuiverJvmRead {
         listFiles(new File(root), files);
         if (files.isEmpty()) return new InputPartition[0];
 
-        // projected per-page bytes per file (leaf i == field i: flat only).
-        // Manifest-served when possible: ONE directory-level metadata read
-        // plans the whole table — the O(files) footer storm is the known
-        // scale-killer (round-8/9, Python planner); any missing/stale
-        // entry falls back to that file's footer, never to wrong ranges.
-        int[] projIdx = projectionIndexes(fullSchema, required);
-        java.nio.file.Path rootP = new File(root).toPath();
+        // Hive partition columns: plan-time constants per file — a pushed
+        // predicate on one prunes WHOLE FILES before any byte is read
+        PartInfo hive = discoverPartitions(root, files);
+        java.util.Map<String, Integer> partIdx = new java.util.HashMap<>();
+        for (int i = 0; i < hive.cols.length; i++) partIdx.put(hive.cols[i], i);
+
+        // data columns the scan must read from file pages (partition
+        // columns are constants; names resolve per file through the cmap)
+        List<String> dataCols = new ArrayList<>();
+        for (StructField f : required.fields()) {
+          if (!partIdx.containsKey(f.name())) dataCols.add(f.name());
+        }
+        // without a declared (ALTER) schema every file must carry exactly
+        // the table's data columns — name-resolution must not paper over a
+        // heterogeneous directory
+        String[] expectCols = null;
+        if (man == null || !man.has("table_schema")) {
+          List<String> all = new ArrayList<>();
+          for (StructField f : fullSchema.fields()) {
+            if (!partIdx.containsKey(f.name())) all.add(f.name());
+          }
+          expectCols = all.toArray(new String[0]);
+        }
+
+        // decoded manifest schema name lists (schema idx → field names),
+        // for per-file name-based projection without footer reads
         com.fasterxml.jackson.databind.JsonNode manFiles =
             man == null ? null : man.get("files");
+        List<List<String>> manSchemaNames = new ArrayList<>();
+        if (man != null && man.has("schemas")) {
+          for (com.fasterxml.jackson.databind.JsonNode sn : man.get("schemas")) {
+            List<String> names = null;
+            try {
+              byte[] ipc = java.util.Base64.getDecoder().decode(sn.asText());
+              Schema s = MessageSerializer.deserializeSchema(
+                  new ReadChannel(Channels.newChannel(new ByteArrayInputStream(ipc))));
+              names = new ArrayList<>();
+              for (Field f : s.getFields()) names.add(f.getName());
+            } catch (Exception ignore) {
+            }
+            manSchemaNames.add(names);
+          }
+        }
+
+        java.nio.file.Path rootP = new File(root).toPath();
         List<long[]> perFilePageBytes = new ArrayList<>();
         List<boolean[]> perFileKeep = new ArrayList<>();
+        List<File> keptFiles = new ArrayList<>();
+        List<java.util.HashMap<String, Object>> keptPartVals = new ArrayList<>();
+        List<java.util.HashMap<String, String>> keptCmaps = new ArrayList<>();
         long totalBytes = 0;
         for (File f : files) {
           String rel = rootP.relativize(f.toPath()).toString().replace(File.separatorChar, '/');
+          com.fasterxml.jackson.databind.JsonNode entry =
+              manFiles == null ? null : manFiles.get(rel);
+          java.util.HashMap<String, String> cmap = entryCmap(entry);
+
+          // typed partition constants for this file, keyed by column name
+          String[] rawVals = hive.rawByFile.get(f.getPath());
+          java.util.HashMap<String, Object> partVals = new java.util.HashMap<>();
+          for (int i = 0; i < hive.cols.length; i++) {
+            partVals.put(hive.cols[i],
+                partTyped(rawVals == null ? null : rawVals[i], hive.kinds[i]));
+          }
+
+          // per-file physical projection indexes (−1 = column absent in
+          // this file → null-filled at read); manifest-served via the
+          // entry's interned schema, footer fallback otherwise
+          List<String> fileNames = null;
+          if (entry != null && entry.has("schema")
+              && entry.path("size").asLong(-1) == f.length()
+              && entry.get("schema").asInt() < manSchemaNames.size()) {
+            fileNames = manSchemaNames.get(entry.get("schema").asInt());
+          }
+          Footer ft = null;
+          if (fileNames == null) {
+            PLAN_FOOTER_READS.incrementAndGet();
+            ft = readFooter(f);
+            fileNames = new ArrayList<>();
+            for (Field fd : ft.arrowSchema.getFields()) fileNames.add(fd.getName());
+          }
+          int[] projIdx = new int[dataCols.size()];
+          for (int i = 0; i < dataCols.size(); i++) {
+            String phys = cmap != null ? cmap.getOrDefault(dataCols.get(i), dataCols.get(i))
+                : dataCols.get(i);
+            projIdx[i] = fileNames.indexOf(phys);
+          }
+
+          // whole-file pruning on plan-time constants: partition values
+          // and columns this file predates (all-null by construction)
+          boolean fileKept = true;
+          for (QuiverPagePrune.Pred pred : preds) {
+            if (partIdx.containsKey(pred.column)) {
+              Object v = partVals.get(pred.column);
+              if (!QuiverPagePrune.pageMayMatch(pred, v, v, v == null ? 1 : 0, 1)) {
+                fileKept = false;
+                break;
+              }
+              continue;
+            }
+            int di = dataCols.indexOf(pred.column);
+            if (di >= 0 && projIdx[di] < 0
+                && !QuiverPagePrune.pageMayMatch(pred, null, null, 1, 1)) {
+              fileKept = false;
+              break;
+            }
+          }
+          if (!fileKept) continue;
+
           long[] pb = manifestPageBytes(man, rel, f.length(), projIdx);
           if (pb == null) {
-            PLAN_FOOTER_READS.incrementAndGet();
-            Footer ft = readFooter(f);
+            if (ft == null) {
+              PLAN_FOOTER_READS.incrementAndGet();
+              ft = readFooter(f);
+            }
             int nPages = ft.cols.length == 0 ? 0 : ft.cols[0].pages.length;
             pb = new long[nPages];
-            for (int idx : (projIdx.length > 0 ? projIdx : new int[] {0})) {
-              if (idx >= ft.cols.length) continue;
+            boolean any = false;
+            for (int idx : projIdx) {
+              if (idx < 0 || idx >= ft.cols.length) continue;
+              any = true;
               PageMeta[] pages = ft.cols[idx].pages;
               for (int p = 0; p < Math.min(nPages, pages.length); p++) {
                 pb[p] += pages[p].length;
               }
             }
+            if (!any && ft.cols.length > 0) {
+              // projection reads no file bytes (count(*), partition-only,
+              // or all-absent columns): nominal per-page cost
+              java.util.Arrays.fill(pb, 8);
+            }
           }
           // zone-map page pruning: sidecar stats ride the manifest entry
           // (zero extra I/O) or the on-disk .stats.json; a page is dropped
-          // ONLY when no row can satisfy a pushed predicate
+          // ONLY when no row can satisfy a pushed predicate. Stats are
+          // keyed by PHYSICAL column name — translate preds through the
+          // cmap for renamed tables.
           boolean[] keep = null;
           if (!preds.isEmpty()) {
-            QuiverPagePrune.FileStats st = QuiverPagePrune.loadStats(
-                manFiles == null ? null : manFiles.get(rel), f);
-            keep = QuiverPagePrune.keepMask(st, preds, pb.length);
+            List<QuiverPagePrune.Pred> filePreds = preds;
+            if (cmap != null) {
+              filePreds = new ArrayList<>();
+              for (QuiverPagePrune.Pred p : preds) {
+                String phys = cmap.getOrDefault(p.column, p.column);
+                filePreds.add(phys.equals(p.column) ? p
+                    : new QuiverPagePrune.Pred(phys, p.op, p.value));
+              }
+            }
+            QuiverPagePrune.FileStats st = QuiverPagePrune.loadStats(entry, f);
+            keep = QuiverPagePrune.keepMask(st, filePreds, pb.length);
           }
+          keptFiles.add(f);
+          keptPartVals.add(partVals);
+          keptCmaps.add(cmap);
           perFilePageBytes.add(pb);
           perFileKeep.add(keep);
           for (int p = 0; p < pb.length; p++) {
@@ -523,6 +827,7 @@ public final class QuiverJvmRead {
             else PAGES_PRUNED.incrementAndGet();
           }
         }
+        files = keptFiles;
         int parallelism = 8;
         try {
           parallelism = org.apache.spark.sql.SparkSession.active()
@@ -541,11 +846,13 @@ public final class QuiverJvmRead {
           long[] pb = perFilePageBytes.get(fi);
           boolean[] keep = perFileKeep.get(fi);
           String fp = files.get(fi).getPath();
+          java.util.HashMap<String, Object> pv = keptPartVals.get(fi);
+          java.util.HashMap<String, String> cm = keptCmaps.get(fi);
           int runStart = -1; // start of the current kept run
           for (int p = 0; p < pb.length; p++) {
             if (keep != null && !keep[p]) {
               if (runStart >= 0) {
-                open.add(new Chunk(fp, runStart, p));
+                open.add(new Chunk(fp, runStart, p, pv, cm, expectCols));
                 runStart = -1;
               }
               continue;
@@ -553,7 +860,7 @@ public final class QuiverJvmRead {
             if (runStart < 0) runStart = p;
             acc += pb[p];
             if (acc >= floor) {
-              open.add(new Chunk(fp, runStart, p + 1));
+              open.add(new Chunk(fp, runStart, p + 1, pv, cm, expectCols));
               parts.add(new QuiverInputPartition(open.toArray(new Chunk[0])));
               open = new ArrayList<>();
               runStart = -1;
@@ -561,9 +868,9 @@ public final class QuiverJvmRead {
             }
           }
           if (runStart >= 0) {
-            open.add(new Chunk(fp, runStart, pb.length));
+            open.add(new Chunk(fp, runStart, pb.length, pv, cm, expectCols));
           } else if (pb.length == 0) {
-            open.add(new Chunk(fp, 0, 0));
+            open.add(new Chunk(fp, 0, 0, pv, cm, expectCols));
           }
         }
         if (!open.isEmpty()) {
@@ -577,7 +884,7 @@ public final class QuiverJvmRead {
 
     @Override
     public PartitionReaderFactory createReaderFactory() {
-      return new QuiverReaderFactory(fullSchema.json(), required.json());
+      return new QuiverReaderFactory(required.json());
     }
   }
 
@@ -592,12 +899,10 @@ public final class QuiverJvmRead {
   // ---- reader ------------------------------------------------------------
 
   static final class QuiverReaderFactory implements PartitionReaderFactory {
-    private static final long serialVersionUID = 1L;
-    private final String fullSchemaJson;
+    private static final long serialVersionUID = 2L;
     private final String requiredSchemaJson;
 
-    QuiverReaderFactory(String fullSchemaJson, String requiredSchemaJson) {
-      this.fullSchemaJson = fullSchemaJson;
+    QuiverReaderFactory(String requiredSchemaJson) {
       this.requiredSchemaJson = requiredSchemaJson;
     }
 
@@ -613,53 +918,94 @@ public final class QuiverJvmRead {
 
     @Override
     public PartitionReader<ColumnarBatch> createColumnarReader(InputPartition partition) {
-      StructType full = (StructType) DataType.fromJson(fullSchemaJson);
       StructType required = (StructType) DataType.fromJson(requiredSchemaJson);
-      return new QuiverColumnarReader(((QuiverInputPartition) partition).chunks, full, required);
+      return new QuiverColumnarReader(((QuiverInputPartition) partition).chunks, required);
     }
   }
 
+  /** Where one required output column comes from inside one file:
+   * a physical file column (idx ≥ 0), a Hive partition constant
+   * (idx == PART), or all-null fill (idx == NULLS — the file predates
+   * the column's ALTER add_column). */
+  static final int SRC_NULLS = -1;
+  static final int SRC_PART = -2;
+
   static final class QuiverColumnarReader implements PartitionReader<ColumnarBatch> {
     private final Chunk[] chunks;
-    private final StructType full;
     private final StructType required;
-    private final int[] projIdx;
 
     private int chunkI = 0;
     private int pageI = 0; // within current chunk's range
     private RandomAccessFile raf;
     private Footer footer;
-    private long[][] pageOffsets; // per full-schema column: absolute offset of each page
+    private long[][] pageOffsets; // per file column: absolute offset of each page
+    private int[] srcIdx;         // per required field: file col idx / SRC_PART / SRC_NULLS
+    private boolean[] srcNullable; // per required field: the FILE column's nullability
+    private Object[] partConst;   // per required field: constant when SRC_PART
     private ColumnarBatch batch;
 
-    QuiverColumnarReader(Chunk[] chunks, StructType full, StructType required) {
+    QuiverColumnarReader(Chunk[] chunks, StructType required) {
       this.chunks = chunks;
-      this.full = full;
       this.required = required;
-      this.projIdx = projectionIndexes(full, required);
     }
 
     private void openChunk(Chunk c) throws IOException {
       closeFile();
       raf = new RandomAccessFile(new File(c.file), "r");
       footer = readFooter(new File(c.file));
-      // projection indexes were computed against the TABLE schema; a file
-      // whose column order/names differ (foreign file dropped into the
-      // directory) would be silently misread through those indexes
+      // NAME-BASED per-file resolution (declared → physical through the
+      // cmap): column order may differ per file, absent columns null-fill
+      // (files written before an ALTER add_column), partition columns are
+      // plan-time constants. A physical type mismatch is an error — never
+      // a silent misread.
       List<Field> fields = footer.arrowSchema.getFields();
-      if (fields.size() != full.fields().length) {
-        throw new IOException(
-            "quiverjvm: file schema width " + fields.size() + " != table width "
-                + full.fields().length + " in " + c.file
-                + " (heterogeneous table: use the Python 'quiver' DataSource)");
-      }
-      for (int i = 0; i < fields.size(); i++) {
-        if (!fields.get(i).getName().equals(full.fields()[i].name())) {
+      if (c.expectCols != null) {
+        if (fields.size() != c.expectCols.length) {
           throw new IOException(
-              "quiverjvm: file column " + i + " is '" + fields.get(i).getName()
-                  + "' but table expects '" + full.fields()[i].name() + "' in " + c.file
+              "quiverjvm: file schema width " + fields.size() + " != table width "
+                  + c.expectCols.length + " in " + c.file
                   + " (heterogeneous table: use the Python 'quiver' DataSource)");
         }
+        for (int i = 0; i < fields.size(); i++) {
+          if (!fields.get(i).getName().equals(c.expectCols[i])) {
+            throw new IOException(
+                "quiverjvm: file column " + i + " is '" + fields.get(i).getName()
+                    + "' but table expects '" + c.expectCols[i] + "' in " + c.file
+                    + " (heterogeneous table: use the Python 'quiver' DataSource)");
+          }
+        }
+      }
+      StructField[] req = required.fields();
+      srcIdx = new int[req.length];
+      srcNullable = new boolean[req.length];
+      partConst = new Object[req.length];
+      for (int i = 0; i < req.length; i++) {
+        String declared = req[i].name();
+        if (c.partVals != null && c.partVals.containsKey(declared)) {
+          srcIdx[i] = SRC_PART;
+          partConst[i] = c.partVals.get(declared);
+          continue;
+        }
+        String phys = c.cmap != null ? c.cmap.getOrDefault(declared, declared) : declared;
+        int fi = -1;
+        for (int k = 0; k < fields.size(); k++) {
+          if (fields.get(k).getName().equals(phys)) { fi = k; break; }
+        }
+        if (fi < 0) {
+          srcIdx[i] = SRC_NULLS;
+          continue;
+        }
+        DataType fileType = sparkType(fields.get(fi));
+        if (!fileType.equals(req[i].dataType())) {
+          throw new IOException(
+              "quiverjvm: column '" + declared + "' is " + fileType + " in " + c.file
+                  + " but the table declares " + req[i].dataType()
+                  + " (use the Python 'quiver' DataSource)");
+        }
+        srcIdx[i] = fi;
+        // page layout follows the FILE's nullability, not the declared
+        // field's (an ALTER never rewrites old pages)
+        srcNullable[i] = fields.get(fi).isNullable();
       }
       pageOffsets = new long[footer.cols.length][];
       for (int ci = 0; ci < footer.cols.length; ci++) {
@@ -699,26 +1045,49 @@ public final class QuiverJvmRead {
     private ColumnarBatch decodePage(Chunk c, int p) throws IOException {
       int rows = (int) footer.cols[0].pages[p].numValues;
       OnHeapColumnVector[] vecs = OnHeapColumnVector.allocateColumns(Math.max(rows, 1), required);
-      for (int out = 0; out < projIdx.length; out++) {
-        int ci = projIdx[out];
+      StructField[] req = required.fields();
+      for (int out = 0; out < srcIdx.length; out++) {
+        int ci = srcIdx[out];
+        if (ci == SRC_NULLS) {
+          vecs[out].putNulls(0, rows);
+          continue;
+        }
+        if (ci == SRC_PART) {
+          fillConstant(vecs[out], rows, req[out].dataType(), partConst[out]);
+          continue;
+        }
         PageMeta pm = footer.cols[ci].pages[p];
         byte[] page = new byte[(int) pm.length];
         raf.seek(pageOffsets[ci][p]);
         raf.readFully(page);
-        fillVector(vecs[out], page, rows, full.fields()[ci]);
+        fillVector(vecs[out], page, rows, req[out].dataType(), srcNullable[out]);
       }
       return new ColumnarBatch(vecs, rows);
     }
 
-    private void fillVector(OnHeapColumnVector vec, byte[] page, int rows, StructField field)
-        throws IOException {
+    private static void fillConstant(OnHeapColumnVector vec, int rows, DataType t, Object v) {
+      if (v == null) {
+        vec.putNulls(0, rows);
+        return;
+      }
+      if (t == DataTypes.LongType) {
+        vec.putLongs(0, rows, (Long) v);
+      } else if (t == DataTypes.DoubleType) {
+        vec.putDoubles(0, rows, (Double) v);
+      } else {
+        byte[] b = v.toString().getBytes(java.nio.charset.StandardCharsets.UTF_8);
+        for (int i = 0; i < rows; i++) vec.putByteArray(i, b, 0, b.length);
+      }
+    }
+
+    private void fillVector(OnHeapColumnVector vec, byte[] page, int rows, DataType t,
+        boolean nullable) throws IOException {
       QuiverPageDecoder.Cursor cur =
           new QuiverPageDecoder.Cursor(page, 0, page.length);
       boolean[] valid = null;
-      if (field.nullable()) {
+      if (nullable) {
         valid = QuiverPageDecoder.readValidity(cur, rows);
       }
-      DataType t = field.dataType();
       if (t == DataTypes.LongType || t == DataTypes.TimestampType || t == DataTypes.TimestampNTZType) {
         byte[] raw = QuiverPageDecoder.decodeValues(cur, rows, 8);
         vec.putLongsLittleEndian(0, rows, raw, 0);

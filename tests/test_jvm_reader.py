@@ -225,9 +225,11 @@ def test_jvm_read_prunes_columns_via_catalyst(spark, tmp_path):
     assert got == want
 
 
-def test_jvm_read_rejects_what_python_ds_owns(spark, tmp_path):
-    """Correctness boundary: ALTERed tables (declared schema / rename
-    maps) and Hive layouts refuse loudly instead of serving wrong data."""
+def test_jvm_read_serves_altered_tables(spark, tmp_path):
+    """Round-11 guard lift: ALTER-DDL tables (rename maps, add/drop
+    column) read through the JVM scan identically to the Python DS —
+    columns resolve per file BY NAME through the cmap, and columns a file
+    predates null-fill."""
     _require_jar(spark)
     from quiver_spark import maintenance
     from quiver_spark.sources import register
@@ -238,15 +240,84 @@ def test_jvm_read_rejects_what_python_ds_owns(spark, tmp_path):
         "overwrite"
     ).save(d)
     maintenance.rename_column(d, "v", "w")
-    with pytest.raises(Exception, match="quiver"):
-        spark.read.format("quiverjvm").load(d).collect()
+    _assert_same(spark, d)
+    jdf = spark.read.format("quiverjvm").load(d)
+    assert jdf.columns == ["id", "w"]
+    assert jdf.agg(F.sum("w")).collect()[0][0] == sum(2 * i for i in range(100))
 
+    # add_column (no default): old files null-fill the new column; then
+    # append a file that HAS it — heterogeneous schemas under a declared
+    # table schema must serve
+    maintenance.add_column(d, "extra", "bigint")
+    _assert_same(spark, d)
+    spark.range(5).selectExpr(
+        "id + 1000 AS id", "id AS w", "id * 10 AS extra"
+    ).write.format("quiver").mode("append").save(d)
+    _assert_same(spark, d)
+    jdf = spark.read.format("quiverjvm").load(d)
+    assert jdf.filter("extra IS NOT NULL").count() == 5
+    assert jdf.filter("extra IS NULL").count() == 100
+
+    # drop_column: the physical column stays in old files but vanishes
+    # from the declared schema
+    maintenance.drop_column(d, "w")
+    _assert_same(spark, d)
+
+
+def test_jvm_read_serves_hive_partitioned(spark, tmp_path):
+    """Round-11 guard lift: Hive-partitioned layouts read through the JVM
+    scan — directory-key columns are plan-time constants appended per
+    split (long/double/string kind inference, Python-DS parity), and a
+    pushed predicate on one prunes WHOLE files at plan time."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
     h = str(tmp_path / "hive")
     spark.range(100).selectExpr("id", "id % 3 AS p").write.format("quiver").option(
         "partition_by", "p"
     ).mode("overwrite").save(h)
+    _assert_same(spark, h)
+    jdf = spark.read.format("quiverjvm").load(h)
+    assert dict(jdf.dtypes)["p"] == "bigint"
+    assert jdf.filter("p = 1").count() == spark.range(100).filter("id % 3 = 1").count()
+    # partition-constant file pruning: only p=1's file survives planning
+    assert (
+        jdf.filter("p = 1").rdd.getNumPartitions()
+        < jdf.rdd.getNumPartitions()
+    ) or jdf.rdd.getNumPartitions() == 1
+
+    # string partition keys with characters that exercise %-unquoting
+    h2 = str(tmp_path / "hive_str")
+    df = spark.createDataFrame(
+        [(1, "us east"), (2, "eu/west"), (3, "us east"), (4, None)],
+        "id bigint, region string",
+    )
+    df.write.format("quiver").option("partition_by", "region").mode(
+        "overwrite"
+    ).save(h2)
+    _assert_same(spark, h2)
+    j2 = spark.read.format("quiverjvm").load(h2)
+    assert j2.filter(F.col("region") == "eu/west").count() == 1
+    assert j2.filter(F.col("region").isNull()).count() == 1
+
+
+def test_jvm_read_rejects_what_python_ds_owns(spark, tmp_path):
+    """Correctness boundary that remains: column initial-defaults (a
+    non-null fill the JVM reader does not implement) refuse loudly
+    instead of serving wrong data."""
+    _require_jar(spark)
+    from quiver_spark import maintenance
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "defaulted")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.format("quiver").mode(
+        "overwrite"
+    ).save(d)
+    maintenance.add_column(d, "src", "string", default="backfill")
     with pytest.raises(Exception, match="quiver"):
-        spark.read.format("quiverjvm").load(h).collect()
+        spark.read.format("quiverjvm").load(d).collect()
 
 
 def test_jvm_plan_zero_footer_reads_with_manifest(spark, tmp_path):

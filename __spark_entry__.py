@@ -58,6 +58,7 @@ _PRIORITY = [
     "text_quality_stats",
     "text_token_topk",
     # (b) new round-11 gates (inserted as they land)
+    "quiver_unified_scan",
     # (c) round-8 cohort fill (oldest-first coverage; overflow past slot 50
     # stays round-8-green, the stated floor)
     "agg_stats_moments",

@@ -7,3 +7,39 @@ from quiver_spark.sources.quiver_datasource import (  # noqa: F401
     register,
     ship_package,
 )
+
+
+def scan(spark, path: str, **options):
+    """Unified quiver scan — ONE entry point that routes to the fastest
+    engine able to serve the table correctly:
+
+    - **quiverjvm** (the Java DataSourceV2 columnar reader): flat schemas,
+      plain/generation/Hive layouts, ALTER-DDL rename/add/drop tables —
+      manifest-served planning, zone-map + bloom page pruning, Catalyst
+      column pruning, no JVM→Python boundary (sf0.1: 0.19-0.37x of the
+      parquet control vs the Python DS's ~1.4x planner-floor proxies).
+    - **python "quiver" DS** fallback: everything semantic the JVM reader
+      refuses — nested/unsigned/large types, column initial-defaults,
+      merge-schemas directories — plus ANY reader option (time travel,
+      CDC cursors, file_column, …), which only the Python DS implements.
+
+    Eligibility is probed against the REAL JVM guards (one driver-side
+    manifest read via QuiverJvmRead.inferTableSchema) — not a Python-side
+    re-implementation that could drift — and a failed probe or un-attachable
+    jar degrades silently to the Python DS: routing never changes results,
+    only the engine that produces them.
+    """
+    register(spark)
+    if not options:
+        from quiver_spark.jvm import attach_jar
+
+        if attach_jar(spark):
+            try:
+                spark._jvm.io.quiverspark.QuiverJvmRead.inferTableSchema(path)
+                return spark.read.format("quiverjvm").load(path)
+            except Exception:
+                pass  # guard refused (or probe failed): Python DS serves it
+    reader = spark.read.format("quiver")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)

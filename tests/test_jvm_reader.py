@@ -654,3 +654,47 @@ def test_jvm_append_merges_manifest(spark, tmp_path):
     J.resetPlanFooterReads()
     assert spark.read.format("quiverjvm").load(d).count() == 2 * src.count()
     assert J.planFooterReads() == 0
+
+
+def test_unified_scan_routes_by_eligibility(spark, tmp_path):
+    """sources.scan — ONE entry point, engine picked by the REAL JVM
+    guards: flat tables (including Hive/ALTER ones after the round-11
+    lifts) ride the quiverjvm columnar reader; nested schemas, tables
+    with column defaults, and ANY reader option (time travel etc.) fall
+    back to the Python DS. Both answers identical either way."""
+    _require_jar(spark)
+    from quiver_spark import maintenance
+    from quiver_spark.sources import register, scan
+
+    register(spark)
+
+    def engine(df):
+        return "jvm" if "quiverjvm" in df._jdf.queryExecution().analyzed().toString() else "python"
+
+    flat = str(tmp_path / "flat")
+    spark.range(50).selectExpr("id", "id * 2 AS v").write.format("quiver").mode(
+        "overwrite"
+    ).save(flat)
+    df = scan(spark, flat)
+    assert engine(df) == "jvm"
+    assert df.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(50))
+
+    # reader options are Python-DS features: same API, silent fallback
+    df_opt = scan(spark, flat, columns="id")
+    assert engine(df_opt) == "python"
+    assert df_opt.count() == 50
+
+    # column defaults: the guard refuses, the router obeys
+    maintenance.add_column(flat, "src", "string", default="seed")
+    df2 = scan(spark, flat)
+    assert engine(df2) == "python"
+    assert df2.filter("src = 'seed'").count() == 50
+
+    # nested schema: ineligible from the first byte
+    nested = str(tmp_path / "nested")
+    spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])], "id bigint, emb array<double>"
+    ).write.format("quiver").mode("overwrite").save(nested)
+    df3 = scan(spark, nested)
+    assert engine(df3) == "python"
+    assert df3.count() == 2

@@ -293,9 +293,14 @@ def quiver_adaptive_zstd_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "customer", codec="zstd", columns=["c_custkey", "c_nationkey"]
     )
     # customer scales linearly with the data — gate the hint on the quiver
-    # table's on-disk size (Catalyst stats are opaque for Python DS scans);
-    # nation is a 25-row constant, unconditional broadcast is always right.
-    c_size = quiver_dir_size_bytes(quiver_dir(spark, sf_dir, "customer", "zstd"))
+    # table's estimated DECODED size (ANALYZE stats when present, else
+    # disk x decode ratio: compressed bytes understate the broadcast's
+    # in-memory footprint ~2-4x — Catalyst stats are opaque for Python DS
+    # scans); nation is a 25-row constant, unconditional broadcast is
+    # always right.
+    from quiver_spark.tables import quiver_gate_size_bytes
+
+    c_size = quiver_gate_size_bytes(quiver_dir(spark, sf_dir, "customer", "zstd"))
     n = quiver_table(
         spark, sf_dir, "nation", codec="zstd", columns=["n_nationkey", "n_name"]
     )

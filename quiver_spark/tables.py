@@ -85,6 +85,73 @@ def maybe_broadcast(df: DataFrame, size_bytes: int | None = None) -> DataFrame:
     return df
 
 
+#: In-memory decode multiplier applied to compressed quiver bytes when no
+#: ANALYZE statistics exist: the adaptive cascade measures ~1.8-2.0x
+#: compression (BASELINE.md) and a broadcast relation additionally pays JVM
+#: row/object overhead — 3x is the conservative middle of that band.
+QUIVER_DECODE_RATIO = 3
+
+#: decoded per-value byte widths for ANALYZE-stats size estimation
+_TYPE_WIDTHS = {
+    "bigint": 8, "double": 8, "timestamp": 8, "timestamp_ntz": 8,
+    "int": 4, "float": 4, "date": 4, "smallint": 2, "tinyint": 1,
+    "boolean": 1,
+}
+
+
+def quiver_gate_size_bytes(table_dir: str) -> int | None:
+    """Broadcast-gate size estimate for a quiver table — the IN-MEMORY
+    footprint a broadcast would materialize, not the compressed bytes.
+
+    Preference order (all manifest-served, one directory-level read):
+    1. ANALYZE statistics (``maintenance.analyze_table`` → manifest
+       ``table_stats``): row_count × Σ per-column decoded width (fixed
+       widths by type, avg_len for strings/binary, +null bitmap). Floored
+       at the disk footprint — stale-small stats after growth can only
+       raise, never shrink, the estimate (a wrong broadcast hint is an
+       executor OOM; a missed one is just a shuffle). When the stats are
+       stale (commits landed since ``analyzed_at_commit``) the disk floor
+       is additionally scaled by ``QUIVER_DECODE_RATIO``.
+    2. No stats: disk bytes × ``QUIVER_DECODE_RATIO`` — compressed size
+       UNDERSTATES memory ~2-4x, which is exactly the direction a
+       broadcast gate must not err in.
+    Returns None when nothing is knowable (caller then emits no hint)."""
+    try:
+        from quiver_spark.sources.manifest import load_manifest
+        from quiver_spark.sources.quiver_datasource import (
+            _data_root,
+            _list_files,
+        )
+
+        root = _data_root(table_dir)
+        man = load_manifest(root)
+        if man is not None and man.entries:
+            disk = sum(int(e.size) for e in man.entries.values())
+            stats = man.table_stats
+            if stats and stats.get("row_count"):
+                rows = int(stats["row_count"])
+                per_row = 0.0
+                for c, st in stats.get("columns", {}).items():
+                    t = st.get("type", "")
+                    if t in ("string", "binary"):
+                        w = float(st.get("avg_len", 16)) + 4  # + offsets
+                    elif t.startswith("decimal"):
+                        w = 16
+                    else:
+                        w = _TYPE_WIDTHS.get(t, 16)
+                    per_row += w + 0.125  # null bitmap
+                est = int(rows * per_row)
+                fresh = stats.get("analyzed_at_commit") == man.commit_seq
+                floor_ = disk if fresh else disk * QUIVER_DECODE_RATIO
+                return max(est, floor_)
+            return disk * QUIVER_DECODE_RATIO
+        return sum(
+            os.stat(f).st_size for f in _list_files(table_dir)
+        ) * QUIVER_DECODE_RATIO
+    except Exception:
+        return None
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame with engine-canonical types."""
     configure(spark)

@@ -413,3 +413,52 @@ def test_quiver_gate_size_served_from_manifest(spark, tmp_path):
     os.makedirs(bare)
     write_table(pa.table({"a": list(range(50))}), bare + "/f.quiver")
     assert quiver_dir_size_bytes(bare) == os.path.getsize(bare + "/f.quiver")
+
+
+def test_analyze_stats_feed_broadcast_gate(spark, tmp_path):
+    """ANALYZE statistics drive the broadcast gate (VERDICT r10 item 6):
+    the gate sizes a quiver relation by its estimated DECODED footprint —
+    row_count x per-column widths from the manifest's table_stats — never
+    by compressed disk bytes alone. A table whose ANALYZE row count is
+    huge must NOT be hinted even when its directory is tiny, and absent
+    stats the disk size is scaled by the decode ratio instead of trusted
+    raw."""
+    import os
+
+    from quiver_spark import maintenance
+    from quiver_spark.sources import register
+    from quiver_spark.sources.manifest import metadata_commit
+    from quiver_spark.sources.quiver_datasource import _data_root
+    from quiver_spark.tables import (
+        BROADCAST_MAX_BYTES,
+        QUIVER_DECODE_RATIO,
+        quiver_gate_size_bytes,
+    )
+
+    register(spark)
+    d = str(tmp_path / "analyzed")
+    spark.range(5000).selectExpr("id", "concat('v', id) AS s").write.format(
+        "quiver"
+    ).mode("overwrite").save(d)
+
+    # no stats: disk bytes are scaled, never trusted raw
+    no_stats = quiver_gate_size_bytes(d)
+    from quiver_spark.operators.format_queries import quiver_dir_size_bytes
+
+    disk = quiver_dir_size_bytes(d)
+    assert no_stats == disk * QUIVER_DECODE_RATIO
+
+    # fresh ANALYZE: decoded estimate (rows x widths), floored at disk
+    maintenance.analyze_table(spark, d)
+    est = quiver_gate_size_bytes(d)
+    assert est >= disk
+    assert est < BROADCAST_MAX_BYTES  # 5000 rows: genuinely broadcastable
+
+    # a huge row count (as if the dir were one shard of a 100 TB table)
+    # must push the gate over the ceiling despite the tiny directory
+    def mutate(raw):
+        raw["table_stats"]["row_count"] = 20_000_000_000
+
+    metadata_commit(_data_root(d), mutate)
+    big = quiver_gate_size_bytes(d)
+    assert big is not None and big > BROADCAST_MAX_BYTES

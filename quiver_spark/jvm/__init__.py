@@ -4,8 +4,10 @@ Write side: the Python sink's pure-write cost is structural — rows cross
 the JVM→Python Arrow boundary before a single page is encoded
 (BASELINE.md round-7 write-floor proof: a NO-OP Python Arrow sink costs
 the same as the full quiver write). The Java DataSourceV2 writer keeps
-rows in the JVM: columnar buffers → quiver files (basic codecs
-none/lz4/zstd), byte-compatible with the Python reader — 0.69-0.80x
+rows in the JVM: columnar buffers → quiver files (adaptive codecs since
+round 11 — OneValue/RLE/Dict/Bitpacking over none/lz4/zstd blocks, the
+Python chooser's eligibility rules — storage parity with the Python
+adaptive writer), byte-compatible with the Python reader — 0.69-0.80x
 parquet wall at sf0.1 vs the Python sink's 1.4-2.8x.
 
 Read side: QuiverJvmRead/QuiverPageDecoder decode the FULL adaptive
@@ -14,12 +16,14 @@ planner-process spawn — sf0.1 battery: full scan 0.19x, narrow 0.27x,
 manyfiles 0.39x of the parquet control (the Python DS floor was
 1.4-2.2x on the same fixtures).
 
-Division of labor: the JVM path serves FLAT schemas and plain layouts
-only. Everything semantic stays on the Python engine — DML, clustering,
-constraints, ALTER-DDL schema evolution / rename maps, Hive partitions,
-nested/unsigned/large types, zone-map + bloom pruning, time travel and
-CDC options; the JVM reader rejects those loudly rather than misreading.
-A post-ingest ``rebuild_manifest`` gives the Python scan O(1) planning.
+Division of labor: the JVM path serves FLAT schemas — including (since
+round 11) Hive-partitioned layouts and ALTER-DDL rename/add/drop tables
+— with manifest planning, zone-map + bloom pruning, and one-pass ingest
+(the job commit writes sidecars + the table manifest itself). DML,
+clustering, constraints, column initial-defaults, nested/unsigned/large
+types, time travel and CDC options stay on the Python engine; the JVM
+reader rejects those loudly rather than misreading. ``sources.scan`` is
+the unified entry that routes per table.
 
 The jar builds OFFLINE with plain javac against the bundled Spark jars
 (build.sh — no network, no dependency resolution) and is checked in so

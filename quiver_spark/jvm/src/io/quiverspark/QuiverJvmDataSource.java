@@ -28,7 +28,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap;
  * (BASELINE.md round-7 write-floor proof: a no-op Python Arrow sink costs
  * the same as the full quiver write). Rows never leave the JVM: each task
  * accumulates InternalRows into columnar buffers and emits quiver files
- * (basic codec) byte-compatible with the Python reader/scan.
+ * (adaptive codecs since round 11: OneValue/RLE/Dict/Bitpacking over the
+ * basic block codec) byte-compatible with the Python reader/scan.
  *
  * Write-only by design: reads stay on the Python DataSource (page pruning,
  * manifest planning, schema evolution all live there). Options:

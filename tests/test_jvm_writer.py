@@ -145,3 +145,69 @@ def test_ingest_python_fallback_on_nested_schema(spark, tmp_path):
     assert back.agg(F.sum(F.element_at("arr", 2))).collect()[0][0] == sum(
         i + 1 for i in range(500)
     )
+
+
+def test_jvm_adaptive_codecs_fire_and_decode_both_ways(spark, tmp_path):
+    """Round-11 adaptive JVM encoder (VERDICT r10 stretch): OneValue /
+    RLE / Dict (with recursively-encoded u32 code frames, incl.
+    Bitpacking) are chosen per page by the Python chooser's eligibility
+    rules, decode identically on BOTH readers, and bring JVM-written
+    storage to parity with the Python adaptive writer (the former ~8%
+    basic-codec storage tax)."""
+    _require_jar(spark)
+    import glob
+
+    from quiver_spark.format.stat import stat_file
+    from quiver_spark.sources import register
+
+    register(spark)
+    n = 32768
+    df = spark.range(n).selectExpr(
+        "CAST(7 AS BIGINT) AS const_col",                 # one_value
+        "CAST(id DIV 4096 AS BIGINT) AS run_col",         # rle
+        "CAST(id % 50 AS BIGINT) AS dict_col",            # dict (+bitpacked codes)
+        "CAST(id % 1000 AS INT) AS bp_col",               # bitpacking (int32, >=0)
+        "concat('cat-', id % 6) AS str_dict_col",         # binary dict
+        "'fixed' AS str_const_col",                       # binary one_value
+        "id % 2 = 0 AS bool_col",                         # bool (alternating: basic)
+        "(id DIV 1024) % 2 = 0 AS bool_run_col",          # bool rle (runs inside a page)
+        "CAST(id AS DOUBLE) AS plain_col"                 # basic fallback
+    )
+    d = str(tmp_path / "adaptive")
+    df.coalesce(1).write.format("quiverjvm").mode("overwrite").option(
+        "codec", "zstd"
+    ).save(d)
+    f = glob.glob(d + "/*.quiver")[0]
+    st = stat_file(f)
+    codec_of = {c: st[c][0].codec for c in st}
+    assert codec_of["const_col"] == "one_value", codec_of
+    assert codec_of["run_col"] == "rle", codec_of
+    assert codec_of["dict_col"] == "dict", codec_of
+    assert codec_of["bp_col"] == "bitpacking", codec_of
+    assert codec_of["str_dict_col"] == "dict", codec_of
+    assert codec_of["str_const_col"] == "one_value", codec_of
+    assert codec_of["bool_run_col"] == "rle", codec_of
+    # dict codes sub-frame is itself typed (bitpacked, not block-coded)
+    assert st["dict_col"][0].children[0].codec == "bitpacking", st["dict_col"][0]
+
+    # decode parity on BOTH engines, row for row
+    jvm = spark.read.format("quiverjvm").load(d)
+    py = spark.read.format("quiver").load(d)
+    key = lambda r: tuple(repr(x) for x in r)
+    want = sorted(map(tuple, df.collect()), key=key)
+    assert sorted(map(tuple, jvm.collect()), key=key) == want
+    assert sorted(map(tuple, py.collect()), key=key) == want
+
+    # storage parity with the Python adaptive writer on real data
+    src = spark.read.parquet(f"{SF_DIR_MID}/lineitem.parquet")
+    dj = str(tmp_path / "li_jvm")
+    dp = str(tmp_path / "li_py")
+    src.coalesce(2).write.format("quiverjvm").mode("overwrite").option("codec", "zstd").save(dj)
+    src.coalesce(2).write.format("quiver").mode("overwrite").option("codec", "zstd").save(dp)
+    sj = sum(os.path.getsize(x) for x in glob.glob(dj + "/**/*.quiver", recursive=True))
+    sp = sum(os.path.getsize(x) for x in glob.glob(dp + "/**/*.quiver", recursive=True))
+    assert sj <= sp * 1.05, f"JVM adaptive {sj} vs Python {sp}"
+    assert (
+        spark.read.format("quiver").load(dj).selectExpr("sum(hash(*)) h").collect()[0][0]
+        == src.selectExpr("sum(hash(*)) h").collect()[0][0]
+    )

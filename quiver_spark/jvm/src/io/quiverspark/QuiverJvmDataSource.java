@@ -31,11 +31,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap;
  * (adaptive codecs since round 11: OneValue/RLE/Dict/Bitpacking over the
  * basic block codec) byte-compatible with the Python reader/scan.
  *
- * Write-only by design: reads stay on the Python DataSource (page pruning,
- * manifest planning, schema evolution all live there). Options:
+ * The job commit also writes the per-file stats sidecars and the table
+ * manifest (round 11): an ingest is ONE pass — the first scan plans from
+ * one metadata read and prunes pages immediately. Reads are served by
+ * QuiverJvmRead (same jar). Options:
  *   codec = zstd | lz4 | none   (default zstd)
  *   max_page_size = rows/page   (default 8192)
  *   max_rows_per_file           (default 1&lt;&lt;22, the Python sink default)
+ *   bloom_columns = csv          (per-page blooms in the sidecar)
+ *   manifest = true|false        (job-commit manifest write)
  */
 public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
 

@@ -71,17 +71,26 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
 
   @Override
   public Table getTable(StructType schema, Transform[] partitioning, Map<String, String> properties) {
-    return new QuiverJvmTable(schema, properties);
+    return new QuiverJvmTable(schema, partitioning, properties);
   }
 
   static final class QuiverJvmTable
       implements SupportsWrite, org.apache.spark.sql.connector.catalog.SupportsRead {
     private final StructType schema;
+    private final Transform[] partitioning;
     private final Map<String, String> properties;
 
-    QuiverJvmTable(StructType schema, Map<String, String> properties) {
+    QuiverJvmTable(StructType schema, Transform[] partitioning, Map<String, String> properties) {
       this.schema = schema;
+      this.partitioning = partitioning == null ? new Transform[0] : partitioning;
       this.properties = properties;
+    }
+
+    @Override
+    public Transform[] partitioning() {
+      // echo the write's partitionBy so Spark's provided-vs-table check
+      // passes; only identity transforms (plain Hive fan-out) are served
+      return partitioning;
     }
 
     @Override
@@ -104,6 +113,16 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
     public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
       Map<String, String> opts = new HashMap<>(properties);
       opts.putAll(info.options());
+      StringBuilder cols = new StringBuilder();
+      for (Transform t : partitioning) {
+        if (!"identity".equals(t.name()) || t.references().length != 1) {
+          throw new UnsupportedOperationException(
+              "quiverjvm: only identity partition transforms (partitionBy) are supported; got " + t);
+        }
+        if (cols.length() > 0) cols.append(',');
+        cols.append(t.references()[0].fieldNames()[0]);
+      }
+      if (cols.length() > 0) opts.put("__partition_cols", cols.toString());
       return new QuiverJvmWriteBuilder(info.schema(), opts);
     }
 
@@ -163,13 +182,7 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       }
       java.io.File dir = new java.io.File(path);
       if (truncate && dir.isDirectory()) {
-        java.io.File[] old = dir.listFiles((d, n) ->
-            n.endsWith(".quiver") || n.endsWith(".json") || n.equals("_manifest.json.gz"));
-        if (old != null) {
-          for (java.io.File f : old) {
-            if (!f.delete()) throw new IllegalStateException("quiverjvm truncate: cannot delete " + f);
-          }
-        }
+        deleteTableFiles(dir);
       }
       dir.mkdirs();
       return new QuiverDataWriterFactory(
@@ -178,7 +191,28 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
           options.getOrDefault("codec", "zstd"),
           Integer.parseInt(options.getOrDefault("max_page_size", "8192")),
           Long.parseLong(options.getOrDefault("max_rows_per_file", String.valueOf(1L << 22))),
-          options.getOrDefault("bloom_columns", ""));
+          options.getOrDefault("bloom_columns", ""),
+          options.getOrDefault("__partition_cols", ""));
+    }
+
+    /** Recursively remove table artifacts (.quiver data, .json sidecars,
+     * the manifest) including Hive partition subdirectories; empty
+     * partition dirs are pruned so stale keys don't survive overwrite. */
+    private static void deleteTableFiles(java.io.File dir) {
+      java.io.File[] entries = dir.listFiles();
+      if (entries == null) return;
+      for (java.io.File f : entries) {
+        String n = f.getName();
+        if (f.isDirectory()) {
+          if (n.contains("=")) {
+            deleteTableFiles(f);
+            f.delete(); // succeeds only when emptied
+          }
+        } else if (n.endsWith(".quiver") || n.endsWith(".json")
+            || n.equals("_manifest.json.gz")) {
+          if (!f.delete()) throw new IllegalStateException("quiverjvm truncate: cannot delete " + f);
+        }
+      }
     }
 
     @Override

@@ -1409,6 +1409,7 @@ def ingest(
     dst_dir: str,
     codec: str = "zstd",
     max_rows_per_file: int = 1 << 22,
+    partition_by: str | list[str] | None = None,
 ) -> dict:
     """One-call bulk ingest of a DataFrame into a quiver table, durable AND
     queryable with O(1) scan planning when it returns.
@@ -1428,26 +1429,44 @@ def ingest(
     job commit writes it directly from the task writers' commit messages
     (plus per-file stats sidecars: zone maps, optional blooms, CRCs), so
     ingest is ONE pass with no retrofit metadata job — and the first scan
-    plans from ONE metadata read instead of O(files) footers. The JVM path writes a FLAT layout: a bulk-load
-    destination, append/DML/cluster management from the Python layer works
-    on it like any flat table. ``mode`` is always overwrite — ingest is a
+    plans from ONE metadata read instead of O(files) footers.
+    ``partition_by`` fans rows into Hive ``col=value`` subdirectories on
+    EITHER engine (the JVM writer's round-11 fan-out or the Python sink's
+    ``partition_by`` option — identical layout; the input is repartitioned
+    by the keys first so per-key writer buffers stay bounded).
+    Append/DML/cluster management from the Python layer works on the
+    result like any table. ``mode`` is always overwrite — ingest is a
     load, not an append (use the sink's append mode for increments)."""
     from quiver_spark.jvm import attach_jar, supports_schema
     from quiver_spark.sources import register as register_format
     from quiver_spark.sources.manifest import rebuild_manifest
 
     register_format(spark)
+    parts = (
+        [c.strip() for c in partition_by.split(",")]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    if parts:
+        # co-locate each Hive key in one task so the per-key buffers of
+        # the fan-out writer (JVM or Python) stay bounded
+        df = df.repartition(*parts)
     # attach_jar: verified runtime ADD JAR — even plain driver-owned
     # sessions (no static spark.jars) get the JVM fast path
     use_jvm = supports_schema(df.schema) and attach_jar(spark)
     if use_jvm:
-        (
+        writer = (
             df.write.format("quiverjvm")
             .mode("overwrite")
             .option("codec", codec)
             .option("max_rows_per_file", str(max(max_rows_per_file, 1)))
-            .save(dst_dir)
         )
+        if parts:
+            # Hive fan-out in the JVM (round 11): partition keys ride the
+            # path, files carry only data columns — the layout both
+            # readers discover and partition-prune
+            writer = writer.partitionBy(*parts)
+        writer.save(dst_dir)
         # the JVM job commit writes the manifest itself (entry facts ride
         # the WriterCommitMessages — one pass, zero footer re-reads);
         # rebuild only as a safety net for jars predating that
@@ -1458,13 +1477,15 @@ def ingest(
             rebuild_manifest(dst_dir)
         files, rows = _dir_stats(dst_dir)  # manifest-served
     else:
-        (
+        writer = (
             df.write.format("quiver")
             .mode("overwrite")
             .option("codec", codec if codec != "none" else "lz4")
             .option("max_rows_per_file", str(max(max_rows_per_file, 1)))
-            .save(dst_dir)
         )
+        if parts:
+            writer = writer.option("partition_by", ",".join(parts))
+        writer.save(dst_dir)
         files, rows = _dir_stats(dst_dir)
     return {
         "dst": dst_dir,

@@ -156,3 +156,49 @@ def quiver_unified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = emb.agg(F.count(F.lit(1)).alias("emb_cnt"))
     return a.crossJoin(b)
+
+
+@register(
+    "quiverjvm_partitioned_ingest",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+GROUP BY o_orderstatus
+""",
+    tags=("format", "jvm", "write", "partition", "agg"),
+)
+def quiverjvm_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive fan-out on the JVM writer (round 11): maintenance.ingest with
+    partition_by lands orders in o_orderstatus=... subdirectories — keys
+    in the path, data columns in the files, manifest written at the job
+    commit — and the JVM scan reassembles the partition column as a
+    plan-time constant while PRUNING the non-matching key's files whole.
+    engine must report jvm (a silent Python-sink fallback would pass the
+    oracle while testing nothing)."""
+    from quiver_spark.maintenance import ingest
+    from quiver_spark.operators.format_queries import CACHE_ROOT
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "orders-jvm-partitioned")
+    marker = os.path.join(d, "_done_jvm_part")
+    if not os.path.exists(marker):
+        src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        info = ingest(spark, src, d, codec="zstd", partition_by="o_orderstatus")
+        if info["engine"] != "jvm":
+            raise RuntimeError(
+                f"quiverjvm partitioned ingest fell back to engine={info['engine']}"
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    back = _jvm_scan(spark, d)
+    return (
+        back.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

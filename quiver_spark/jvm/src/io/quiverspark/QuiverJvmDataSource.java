@@ -243,7 +243,21 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
         }
         com.fasterxml.jackson.databind.node.ArrayNode schemas =
             (com.fasterxml.jackson.databind.node.ArrayNode) root.withArray("schemas");
-        String b64 = QuiverFileEncoder.schemaB64(schema);
+        // the FILE schema: partition keys ride the path, not the pages —
+        // interning the full write schema would desynchronize the
+        // manifest from every footer (verify_manifest mismatch)
+        StructType fileSchema = schema;
+        String pcsv = options.getOrDefault("__partition_cols", "");
+        if (!pcsv.isEmpty()) {
+          java.util.Set<String> pcols = new java.util.HashSet<>(
+              java.util.Arrays.asList(pcsv.split(",")));
+          StructType ds = new StructType();
+          for (org.apache.spark.sql.types.StructField f : schema.fields()) {
+            if (!pcols.contains(f.name())) ds = ds.add(f);
+          }
+          fileSchema = ds;
+        }
+        String b64 = QuiverFileEncoder.schemaB64(fileSchema);
         int schemaIdx = -1;
         for (int i = 0; i < schemas.size(); i++) {
           if (b64.equals(schemas.get(i).asText())) { schemaIdx = i; break; }

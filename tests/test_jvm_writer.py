@@ -244,9 +244,16 @@ def test_jvm_partitioned_write_hive_fanout(spark, tmp_path):
     assert man is not None and len(man.entries) >= 4
     for rel in man.entries:
         assert "/" in rel and man.lookup(os.path.join(d, rel)) is not None, rel
+    # the interned schema must be the FILE schema (no partition column) —
+    # the ops verifier regenerates entries from footers and must agree
+    from quiver_spark.sources.manifest import verify_manifest
 
-    j = spark.read.format("quiverjvm").load(d)
-    p = spark.read.format("quiver").load(d)
+    rep = verify_manifest(d)
+    assert rep["ok"] and not rep["mismatched"], rep
+
+    # Hive layout: partition columns reassemble LAST — align column order
+    j = spark.read.format("quiverjvm").load(d).select(*df.columns)
+    p = spark.read.format("quiver").load(d).select(*df.columns)
     want = sorted(map(tuple, df.collect()))
     assert sorted(map(tuple, j.collect())) == want
     assert sorted(map(tuple, p.collect())) == want

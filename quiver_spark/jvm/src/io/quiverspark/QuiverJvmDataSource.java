@@ -233,7 +233,17 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
             truncate ? null : QuiverJvmRead.readManifestRaw(path);
         if (prev != null && prev.isObject() && prev.path("version").asInt(-1) == 1) {
           // append: merge into the existing manifest — dropping prior
-          // entries would silently degrade their planning to footer reads
+          // entries would silently degrade their planning to footer reads.
+          // Concurrency note: this read-merge-publish does NOT take the
+          // Python sink's flock (JVM FileChannel locks are POSIX-record
+          // locks — a different namespace than flock, so holding one
+          // would exclude nothing). A racing writer can therefore win
+          // the last atomic move and drop this commit's ENTRIES from the
+          // manifest — never its FILES: a manifest-absent file plans via
+          // its own footer, and a stale entry fails the size/mtime_ns
+          // validation. The manifest is a cache; races cost planning
+          // I/O, not correctness. Serialized writers (maintenance.ingest,
+          // any single-writer pipeline) always get the full manifest.
           root = (com.fasterxml.jackson.databind.node.ObjectNode) prev.deepCopy();
         } else {
           root = om.createObjectNode();

@@ -60,6 +60,7 @@ _PRIORITY = [
     # (b) new round-11 gates (inserted as they land)
     "quiver_unified_scan",
     "quiverjvm_partitioned_ingest",
+    "quiverjvm_alter_scan",
     # (c) round-8 cohort fill (oldest-first coverage; overflow past slot 50
     # stays round-8-green, the stated floor)
     "agg_stats_moments",

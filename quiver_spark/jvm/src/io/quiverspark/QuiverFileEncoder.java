@@ -366,6 +366,29 @@ public final class QuiverFileEncoder {
     return payload;
   }
 
+  /** Lane-structured deltas, the inverse of
+   * QuiverPageDecoder.bitpackUnpackSorted (value index w*4+l; block's
+   * first word subtracts the previous block's last raw value). Only
+   * called for ascending sequences, where every delta is non-negative. */
+  static int[] sortedDeltas(int[] vals) {
+    int nBlocks = vals.length / 128;
+    int[] d = new int[vals.length];
+    int init = 0;
+    for (int blk = 0; blk < nBlocks; blk++) {
+      int base = blk * 128;
+      for (int l = 0; l < 4; l++) {
+        d[base + l] = vals[base + l] - init;
+      }
+      for (int w = 1; w < 32; w++) {
+        for (int l = 0; l < 4; l++) {
+          d[base + w * 4 + l] = vals[base + w * 4 + l] - vals[base + (w - 1) * 4 + l];
+        }
+      }
+      init = vals[base + 127];
+    }
+    return d;
+  }
+
   static long bitpackSize(int[] vals) {
     int nBlocks = vals.length / 128;
     long size = 0;
@@ -489,6 +512,31 @@ public final class QuiverFileEncoder {
         }
         if (nonNeg) bpRatio = total / (double) Math.max(bitpackSize(ints), 1);
         else ints = null;
+      }
+      // DeltaBitpacking: additionally sorted + no nulls in the page —
+      // sorted keys/dates pack their (tiny) deltas instead of the values
+      double deltaRatio = 0;
+      int[] deltas = null;
+      if (ints != null) {
+        boolean noNulls = true;
+        if (col.valid != null) {
+          for (int i = start; i < start + len; i++) {
+            if (!col.valid[i]) { noNulls = false; break; }
+          }
+        }
+        boolean ascending = noNulls;
+        for (int i = 1; ascending && i < len; i++) {
+          if (ints[i] < ints[i - 1]) ascending = false;
+        }
+        if (ascending && len > 1) {
+          deltas = sortedDeltas(ints);
+          deltaRatio = total / (double) Math.max(bitpackSize(deltas), 1);
+        }
+      }
+      if (deltaRatio >= thr && deltaRatio >= bpRatio && deltaRatio >= rleRatio
+          && deltaRatio >= dictRatio) {
+        frame(out, QuiverPageDecoder.CODEC_DELTA_BITPACKING, bitpackPack(deltas), (int) total);
+        return;
       }
       if (bpRatio >= thr && bpRatio >= rleRatio && bpRatio >= dictRatio) {
         frame(out, QuiverPageDecoder.CODEC_BITPACKING, bitpackPack(ints), (int) total);

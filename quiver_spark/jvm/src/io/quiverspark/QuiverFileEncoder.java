@@ -451,6 +451,56 @@ public final class QuiverFileEncoder {
     frame(out, codec, compress(codec, raw, 0, raw.length), raw.length);
   }
 
+
+  /** Portable-roaring bytes for sorted positions, all < 65536 (exception
+   * positions inside one ≤8192-row page): cookie 12346, ONE array
+   * container — the minimal valid form both deserializers accept. */
+  static byte[] roaringSerialize(int[] positions) {
+    LeBuf b = new LeBuf();
+    b.putInt(12346);           // SERIAL_COOKIE_NO_RUNCONTAINER
+    b.putInt(1);               // container count
+    b.putShort((short) 0);     // key
+    b.putShort((short) (positions.length - 1)); // cardinality - 1
+    b.putInt(16);              // offset of the single container
+    for (int p : positions) b.putShort((short) p);
+    byte[] out = new byte[b.len];
+    System.arraycopy(b.a, 0, out, 0, b.len);
+    return out;
+  }
+
+  /** Boyer-Moore majority candidate over fixed-width values; returns the
+   * candidate's start offset in `a`, or -1 when no value reaches the
+   * `minShare` share (the freq codec's 0.9 eligibility). */
+  private static int majorityOffset(byte[] a, int base, int len, int w, double minShare) {
+    int cand = -1;
+    int votes = 0;
+    for (int i = 0; i < len; i++) {
+      int off = base + i * w;
+      if (votes == 0) {
+        cand = off;
+        votes = 1;
+      } else if (rangeEq(a, cand, off, w)) {
+        votes++;
+      } else {
+        votes--;
+      }
+    }
+    if (cand < 0) return -1;
+    int count = 0;
+    for (int i = 0; i < len; i++) {
+      if (rangeEq(a, cand, base + i * w, w)) count++;
+    }
+    return count >= minShare * len ? cand : -1;
+  }
+
+  /** slot-vs-slot equality for a varlen ColBuf (absolute slot indexes). */
+  private static boolean binEq(ColBuf col, int i, int j) {
+    int li = col.offsets[i + 1] - col.offsets[i];
+    int lj = col.offsets[j + 1] - col.offsets[j];
+    if (li != lj) return false;
+    return rangeEq(col.values.a, col.offsets[i], col.offsets[j], li);
+  }
+
   private static boolean rangeEq(byte[] a, int p, int q, int w) {
     for (int k = 0; k < w; k++) {
       if (a[p + k] != a[q + k]) return false;
@@ -475,6 +525,54 @@ public final class QuiverFileEncoder {
         System.arraycopy(a, base, val, 0, w);
         frame(out, QuiverPageDecoder.CODEC_ONE_VALUE, val, (int) total);
         return;
+      }
+      // Freq: one value covers >=90% of the page (codecs.py eligibility:
+      // integral types additionally need max >= 256 — below that dict/
+      // bitpacking already win; doubles/floats qualify on share alone).
+      // The Python chooser scores freq at ratio n-1, above every other
+      // candidate, so an eligible page takes it directly.
+      if (w <= 8 && len >= thr) {
+        boolean isFp = col.type instanceof DoubleType || col.type instanceof FloatType;
+        int topOff = majorityOffset(a, base, len, w, 0.9);
+        boolean domainOk = isFp;
+        if (!domainOk && topOff >= 0) {
+          long maxU = 0;
+          for (int i = 0; i < len; i++) {
+            long v = 0;
+            for (int k = w - 1; k >= 0; k--) v = (v << 8) | (a[base + i * w + k] & 0xFFL);
+            if (Long.compareUnsigned(v, maxU) > 0) maxU = v;
+          }
+          domainOk = Long.compareUnsigned(maxU, 256L) >= 0;
+        }
+        if (topOff >= 0 && domainOk) {
+          int nExc = 0;
+          for (int i = 0; i < len; i++) {
+            if (!rangeEq(a, topOff, base + i * w, w)) nExc++;
+          }
+          if (nExc > 0 && nExc <= 4096) { // one roaring array container
+            int[] pos = new int[nExc];
+            byte[] exc = new byte[nExc * w];
+            int e = 0;
+            for (int i = 0; i < len; i++) {
+              int off = base + i * w;
+              if (!rangeEq(a, topOff, off, w)) {
+                pos[e] = i;
+                System.arraycopy(a, off, exc, e * w, w);
+                e++;
+              }
+            }
+            byte[] bm = roaringSerialize(pos);
+            LeBuf p = new LeBuf();
+            p.putBytes(a, topOff, w);
+            p.putInt(bm.length);
+            p.putBytes(bm, 0, bm.length);
+            frame(p, codec, compress(codec, exc, 0, exc.length), exc.length);
+            byte[] payload = new byte[p.len];
+            System.arraycopy(p.a, 0, payload, 0, p.len);
+            frame(out, QuiverPageDecoder.CODEC_FREQ, payload, (int) total);
+            return;
+          }
+        }
       }
       // Dict: unique census with early bail (codecs.py: unique_count*3 < n)
       int uniq = -1;
@@ -603,6 +701,50 @@ public final class QuiverFileEncoder {
         System.arraycopy(p.a, 0, payload, 0, p.len);
         frame(out, QuiverPageDecoder.CODEC_ONE_VALUE, payload, (int) total);
         return;
+      }
+      // Freq: one string covers >=90% (codecs.py binary chain:
+      // one_value, elif freq, elif dict)
+      if (len >= thr) {
+        int cand = -1;
+        int votes = 0;
+        for (int i = 0; i < len; i++) {
+          if (votes == 0) { cand = i; votes = 1; }
+          else if (binEq(col, start + cand, start + i)) votes++;
+          else votes--;
+        }
+        int count = 0;
+        if (cand >= 0) {
+          for (int i = 0; i < len; i++) {
+            if (binEq(col, start + cand, start + i)) count++;
+          }
+        }
+        int nExc = len - count;
+        if (cand >= 0 && count >= 0.9 * len && nExc > 0 && nExc <= 4096) {
+          int topOff = col.offsets[start + cand];
+          int topLen = col.offsets[start + cand + 1] - topOff;
+          int[] pos = new int[nExc];
+          int e = 0;
+          LeBuf p = new LeBuf();
+          p.putLong(topLen);
+          p.putBytes(a, topOff, topLen);
+          for (int i = 0; i < len; i++) {
+            if (!binEq(col, start + cand, start + i)) pos[e++] = i;
+          }
+          byte[] bm = roaringSerialize(pos);
+          p.putInt(bm.length);
+          p.putBytes(bm, 0, bm.length);
+          for (int i = 0; i < len; i++) {
+            if (binEq(col, start + cand, start + i)) continue;
+            int o = col.offsets[start + i];
+            int l = col.offsets[start + i + 1] - o;
+            p.putLong(l);
+            p.putBytes(a, o, l);
+          }
+          byte[] payload = new byte[p.len];
+          System.arraycopy(p.a, 0, payload, 0, p.len);
+          frame(out, QuiverPageDecoder.CODEC_FREQ, payload, (int) total);
+          return;
+        }
       }
       // Dict with early bail
       java.util.LinkedHashMap<ByteBuffer, Integer> dict = new java.util.LinkedHashMap<>();

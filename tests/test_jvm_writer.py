@@ -168,6 +168,8 @@ def test_jvm_adaptive_codecs_fire_and_decode_both_ways(spark, tmp_path):
         "CAST(id % 50 AS BIGINT) AS dict_col",            # dict (+bitpacked codes)
         "CAST(id % 1000 AS INT) AS bp_col",               # bitpacking (int32, >=0)
         "CAST(id AS INT) AS sorted_col",                  # delta bitpacking (ascending)
+        "CAST(CASE WHEN id % 20 = 0 THEN id + 1000 ELSE 777 END AS BIGINT) AS freq_col",  # freq (95% one value, max>=256)
+        "CASE WHEN id % 15 = 0 THEN concat('rare-', id) ELSE 'common' END AS str_freq_col",  # binary freq
         "concat('cat-', id % 6) AS str_dict_col",         # binary dict
         "'fixed' AS str_const_col",                       # binary one_value
         "id % 2 = 0 AS bool_col",                         # bool (alternating: basic)
@@ -186,6 +188,8 @@ def test_jvm_adaptive_codecs_fire_and_decode_both_ways(spark, tmp_path):
     assert codec_of["dict_col"] == "dict", codec_of
     assert codec_of["bp_col"] == "bitpacking", codec_of
     assert codec_of["sorted_col"] == "delta_bitpacking", codec_of
+    assert codec_of["freq_col"] == "freq", codec_of
+    assert codec_of["str_freq_col"] == "freq", codec_of
     assert codec_of["str_dict_col"] == "dict", codec_of
     assert codec_of["str_const_col"] == "one_value", codec_of
     assert codec_of["bool_run_col"] == "rle", codec_of

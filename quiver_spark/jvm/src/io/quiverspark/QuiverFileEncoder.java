@@ -50,12 +50,13 @@ import org.apache.spark.sql.types.TimestampType;
  * Scope: FLAT schemas only (the JVM fast-ingest path); nested columns
  * stay on the Python writer, which remains the compaction/rewrite path.
  * Since round 11 the ENCODER is adaptive too: OneValue / RLE / Dict
- * (recursive u32 code frames) / Bitpacking are chosen per page from
+ * (recursive u32 code frames) / Bitpacking / DeltaBitpacking / Freq
+ * (majority value + roaring exceptions) are chosen per page from
  * single-pass stats with the Python chooser's eligibility rules
  * (compress_ratio threshold 2.0), bringing JVM-ingested storage to
  * parity with the Python adaptive writer (sf0.1 lineitem: 11.75 vs
- * 11.95 MB). Freq / DeltaBitpacking / Patas remain Python-writer-only;
- * both READERS decode everything.
+ * 11.95 MB). Only Patas remains Python-writer-only; both READERS
+ * decode everything.
  */
 public final class QuiverFileEncoder {
   public static final byte[] MAGIC = {'A', 'R', 'R', 'O', 'W', '2', 0, 0};

@@ -49,10 +49,11 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
   private final long maxRowsPerFile;
   private final String bloomColumns; // csv of column names, "" = none
   private final String partitionCols; // csv, "" = flat layout
+  private final double compressRatio; // adaptive chooser threshold; <=0 off
 
   public QuiverDataWriterFactory(
       String path, String schemaJson, String codecName, int pageSize, long maxRowsPerFile,
-      String bloomColumns, String partitionCols) {
+      String bloomColumns, String partitionCols, double compressRatio) {
     this.path = path;
     this.schemaJson = schemaJson;
     this.codecName = codecName;
@@ -60,6 +61,7 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
     this.maxRowsPerFile = maxRowsPerFile;
     this.bloomColumns = bloomColumns;
     this.partitionCols = partitionCols;
+    this.compressRatio = compressRatio;
   }
 
   @Override
@@ -83,7 +85,8 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
       if (!c.trim().isEmpty()) parts.add(c.trim());
     }
     return new QuiverTaskWriter(
-        path, schema, codec, pageSize, maxRowsPerFile, partitionId, taskId, blooms, parts);
+        path, schema, codec, pageSize, maxRowsPerFile, partitionId, taskId, blooms, parts,
+        compressRatio);
   }
 
   static final class CommitMsg implements WriterCommitMessage {
@@ -140,10 +143,13 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
     private final List<String> partialEntries = new ArrayList<>();
     private long rowsWritten = 0;
 
+    private final double compressRatio;
+
     QuiverTaskWriter(String path, StructType schema, int codec, int pageSize,
         long maxRowsPerFile, int partitionId, long taskId, java.util.Set<String> bloomCols,
-        List<String> partitionCols) {
+        List<String> partitionCols, double compressRatio) {
       this.path = path;
+      this.compressRatio = compressRatio;
       this.codec = codec;
       this.pageSize = pageSize;
       this.maxRowsPerFile = maxRowsPerFile;
@@ -275,7 +281,8 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
     private void flushKey(String key, KeyState st) throws IOException {
       if (st.rowsBuffered == 0) return;
       QuiverFileEncoder.Encoded enc =
-          QuiverFileEncoder.encodeFileWithSidecar(dataSchema, st.cols, pageSize, codec, bloomCols);
+          QuiverFileEncoder.encodeFileWithSidecar(
+              dataSchema, st.cols, pageSize, codec, bloomCols, compressRatio);
       // task-attempt isolation: land under a hidden tmp name, rename at
       // task commit — readers glob *.quiver and skip dotted names
       String name = String.format("part-%05d-%s.quiver", partitionId, UUID.randomUUID().toString().replace("-", ""));

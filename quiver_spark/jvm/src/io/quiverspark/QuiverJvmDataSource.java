@@ -40,6 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap;
  *   max_rows_per_file           (default 1&lt;&lt;22, the Python sink default)
  *   bloom_columns = csv          (per-page blooms in the sidecar)
  *   manifest = true|false        (job-commit manifest write)
+ *   compress_ratio = float       (adaptive chooser threshold, default
+ *                                 2.0 = WriteOptions parity; <=0 off)
  */
 public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
 
@@ -192,7 +194,8 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
           Integer.parseInt(options.getOrDefault("max_page_size", "8192")),
           Long.parseLong(options.getOrDefault("max_rows_per_file", String.valueOf(1L << 22))),
           options.getOrDefault("bloom_columns", ""),
-          options.getOrDefault("__partition_cols", ""));
+          options.getOrDefault("__partition_cols", ""),
+          Double.parseDouble(options.getOrDefault("compress_ratio", "2.0")));
     }
 
     /** Recursively remove table artifacts (.quiver data, .json sidecars,

@@ -4,10 +4,10 @@ Write side: the Python sink's pure-write cost is structural — rows cross
 the JVM→Python Arrow boundary before a single page is encoded
 (BASELINE.md round-7 write-floor proof: a NO-OP Python Arrow sink costs
 the same as the full quiver write). The Java DataSourceV2 writer keeps
-rows in the JVM: columnar buffers → quiver files (adaptive codecs since
-round 11 — OneValue/RLE/Dict/Bitpacking/DeltaBitpacking/Freq over
-none/lz4/zstd blocks, the Python chooser's eligibility rules — storage
-parity with the Python adaptive writer; only Patas stays Python-side), byte-compatible with the Python reader — 0.69-0.80x
+rows in the JVM: columnar buffers → quiver files (the COMPLETE adaptive
+cascade since round 11 — OneValue/RLE/Dict/Bitpacking/DeltaBitpacking/
+Freq/Patas over none/lz4/zstd blocks, the Python chooser's eligibility
+rules — storage parity with the Python adaptive writer), byte-compatible with the Python reader — 0.69-0.80x
 parquet wall at sf0.1 vs the Python sink's 1.4-2.8x.
 
 Read side: QuiverJvmRead/QuiverPageDecoder decode the FULL adaptive

@@ -50,10 +50,12 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
   private final String bloomColumns; // csv of column names, "" = none
   private final String partitionCols; // csv, "" = flat layout
   private final double compressRatio; // adaptive chooser threshold; <=0 off
+  private final String forbidden; // csv of typed codecs excluded from the chooser
 
   public QuiverDataWriterFactory(
       String path, String schemaJson, String codecName, int pageSize, long maxRowsPerFile,
-      String bloomColumns, String partitionCols, double compressRatio) {
+      String bloomColumns, String partitionCols, double compressRatio, String forbidden) {
+    this.forbidden = forbidden;
     this.path = path;
     this.schemaJson = schemaJson;
     this.codecName = codecName;
@@ -86,7 +88,7 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
     }
     return new QuiverTaskWriter(
         path, schema, codec, pageSize, maxRowsPerFile, partitionId, taskId, blooms, parts,
-        compressRatio);
+        compressRatio, QuiverFileEncoder.forbidMask(forbidden));
   }
 
   static final class CommitMsg implements WriterCommitMessage {
@@ -144,12 +146,14 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
     private long rowsWritten = 0;
 
     private final double compressRatio;
+    private final int forbid;
 
     QuiverTaskWriter(String path, StructType schema, int codec, int pageSize,
         long maxRowsPerFile, int partitionId, long taskId, java.util.Set<String> bloomCols,
-        List<String> partitionCols, double compressRatio) {
+        List<String> partitionCols, double compressRatio, int forbid) {
       this.path = path;
       this.compressRatio = compressRatio;
+      this.forbid = forbid;
       this.codec = codec;
       this.pageSize = pageSize;
       this.maxRowsPerFile = maxRowsPerFile;
@@ -282,7 +286,7 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
       if (st.rowsBuffered == 0) return;
       QuiverFileEncoder.Encoded enc =
           QuiverFileEncoder.encodeFileWithSidecar(
-              dataSchema, st.cols, pageSize, codec, bloomCols, compressRatio);
+              dataSchema, st.cols, pageSize, codec, bloomCols, compressRatio, forbid);
       // task-attempt isolation: land under a hidden tmp name, rename at
       // task commit — readers glob *.quiver and skip dotted names
       String name = String.format("part-%05d-%s.quiver", partitionId, UUID.randomUUID().toString().replace("-", ""));

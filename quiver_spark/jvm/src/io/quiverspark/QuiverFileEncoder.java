@@ -49,14 +49,15 @@ import org.apache.spark.sql.types.TimestampType;
  *
  * Scope: FLAT schemas only (the JVM fast-ingest path); nested columns
  * stay on the Python writer, which remains the compaction/rewrite path.
- * Since round 11 the ENCODER is adaptive too: OneValue / RLE / Dict
- * (recursive u32 code frames) / Bitpacking / DeltaBitpacking / Freq
- * (majority value + roaring exceptions) are chosen per page from
- * single-pass stats with the Python chooser's eligibility rules
- * (compress_ratio threshold 2.0), bringing JVM-ingested storage to
- * parity with the Python adaptive writer (sf0.1 lineitem: 11.75 vs
- * 11.95 MB). Only Patas remains Python-writer-only; both READERS
- * decode everything.
+ * Since round 11 the ENCODER is adaptive too — the COMPLETE typed
+ * cascade: OneValue / RLE / Dict (recursive u32 code frames) /
+ * Bitpacking / DeltaBitpacking / Freq (majority value + roaring
+ * exceptions) / Patas (sampled-ratio entry, the reference's
+ * compress_sample_ratio posture), chosen per page from single-pass
+ * stats with the Python chooser's eligibility rules (compress_ratio
+ * threshold 2.0, `forbidden` csv for forced-codec matrices), bringing
+ * JVM-ingested storage to parity with the Python adaptive writer
+ * (sf0.1 lineitem: 11.75 vs 11.95 MB).
  */
 public final class QuiverFileEncoder {
   public static final byte[] MAGIC = {'A', 'R', 'R', 'O', 'W', '2', 0, 0};
@@ -291,6 +292,29 @@ public final class QuiverFileEncoder {
     out.putBytes(payload, 0, payload.length);
   }
 
+  /** Bitmask of forbidden typed codecs (WriteOptions.forbidden parity):
+   * bit (codec-10) set = codec excluded from the chooser. */
+  static int forbidMask(String csv) {
+    int m = 0;
+    for (String c : csv.split(",")) {
+      switch (c.trim()) {
+        case "rle": m |= 1 << (QuiverPageDecoder.CODEC_RLE - 10); break;
+        case "dict": m |= 1 << (QuiverPageDecoder.CODEC_DICT - 10); break;
+        case "one_value": m |= 1 << (QuiverPageDecoder.CODEC_ONE_VALUE - 10); break;
+        case "freq": m |= 1 << (QuiverPageDecoder.CODEC_FREQ - 10); break;
+        case "bitpacking": m |= 1 << (QuiverPageDecoder.CODEC_BITPACKING - 10); break;
+        case "delta_bitpacking": m |= 1 << (QuiverPageDecoder.CODEC_DELTA_BITPACKING - 10); break;
+        case "patas": m |= 1 << (QuiverPageDecoder.CODEC_PATAS - 10); break;
+        default: break; // unknown/empty: ignore (Python accepts any names)
+      }
+    }
+    return m;
+  }
+
+  static boolean allowed(int forbid, int codecId) {
+    return (forbid & (1 << (codecId - 10))) == 0;
+  }
+
   /** Encode one page of a column into `out`.
    *
    * Adaptive typed codecs (the chooser's cheap wins, mirroring the
@@ -307,18 +331,18 @@ public final class QuiverFileEncoder {
    * Freq/Bitpacking/Delta/Patas stay Python-writer-only; the JVM READER
    * decodes all of them. */
   static void encodePage(LeBuf out, ColBuf col, int start, int len, int codec,
-      double adaptiveRatio) {
+      double adaptiveRatio, int forbid) {
     if (col.nullable) {
       byte[] v = validityBytes(col, start, len);
       out.putInt(v.length);
       out.putBytes(v, 0, v.length);
     }
     if (col.isBool) {
-      encodeBoolPage(out, col, start, len, codec, adaptiveRatio);
+      encodeBoolPage(out, col, start, len, codec, adaptiveRatio, forbid);
     } else if (col.isVarlen) {
-      encodeBinaryPage(out, col, start, len, codec, adaptiveRatio);
+      encodeBinaryPage(out, col, start, len, codec, adaptiveRatio, forbid);
     } else {
-      encodeFixedPage(out, col, start, len, codec, adaptiveRatio);
+      encodeFixedPage(out, col, start, len, codec, adaptiveRatio, forbid);
     }
   }
 
@@ -402,6 +426,79 @@ public final class QuiverFileEncoder {
       size += 1 + 16L * (64 - Long.numberOfLeadingZeros(maxU));
     }
     return size;
+  }
+
+
+  // ---- patas (DuckDB XOR-with-reference float compression; byte-
+  // compatible with format/patas.py and reference patas.rs) --------------
+
+  /** Encode float bit patterns: value 0 raw LE, then per value a u16
+   * header pack(ref_diff:7 | sig_bytes:3 | trailing_zeros:6) + the
+   * significant bytes of xor >> tz. Reference = most recent identical
+   * bit pattern (else index 0), demoted to i-1 when >127 back. */
+  static byte[] patasEncode(long[] bits, int nbytes) {
+    int n = bits.length;
+    if (n == 0) return new byte[0];
+    int nbits = nbytes * 8;
+    LeBuf out = new LeBuf();
+    for (int k = 0; k < nbytes; k++) out.putByte((int) (bits[0] >>> (8 * k)));
+    java.util.HashMap<Long, Integer> last = new java.util.HashMap<>();
+    last.put(bits[0], 0);
+    for (int i = 1; i < n; i++) {
+      Integer prev = last.get(bits[i]);
+      int ref = prev == null ? 0 : prev;
+      if (i - ref >= 128) ref = i - 1;
+      long xor = bits[i] ^ bits[ref];
+      long diff = i - ref;
+      int tz;
+      int sigBytes;
+      long shifted;
+      long tzStored;
+      if (xor == 0) {
+        sigBytes = 0;
+        shifted = 0;
+        tzStored = nbits - 1;
+      } else {
+        tz = Long.numberOfTrailingZeros(xor);
+        shifted = xor >>> tz;
+        sigBytes = (64 - Long.numberOfLeadingZeros(shifted) + 7) / 8;
+        tzStored = tz;
+      }
+      int packed = (int) (((diff & 0x7F) << 9)
+          | ((sigBytes & 7) << 6)
+          | (tzStored & 0x3F));
+      out.putByte(packed & 0xFF);
+      out.putByte((packed >>> 8) & 0xFF);
+      for (int k = 0; k < sigBytes; k++) out.putByte((int) (shifted >>> (8 * k)));
+      last.put(bits[i], i);
+    }
+    byte[] payload = new byte[out.len];
+    System.arraycopy(out.a, 0, payload, 0, out.len);
+    return payload;
+  }
+
+  /** Estimated ratio from 10 evenly-spaced 64-value sample runs (the
+   * reference's compress_sample_ratio; patas.py sample_ratio parity). */
+  static double patasSampleRatio(long[] bits, int nbytes) {
+    int n = bits.length;
+    if (n == 0) return 0.0;
+    long[] sample;
+    if (n <= 640) {
+      sample = bits;
+    } else {
+      int step = n / 10;
+      long[] tmp = new long[640];
+      int w = 0;
+      for (int i = 0; i < 10; i++) {
+        for (int j = 0; j < 64 && i * step + j < n; j++) {
+          tmp[w++] = bits[i * step + j];
+        }
+      }
+      sample = java.util.Arrays.copyOf(tmp, w);
+    }
+    long raw = (long) sample.length * nbytes;
+    int comp = patasEncode(sample, nbytes).length;
+    return raw / (double) Math.max(comp, 1);
   }
 
   /** Encode a u32 value stream (dict codes) as its own frame: OneValue /
@@ -510,7 +607,7 @@ public final class QuiverFileEncoder {
   }
 
   private static void encodeFixedPage(LeBuf out, ColBuf col, int start, int len, int codec,
-      double thr) {
+      double thr, int forbid) {
     int w = col.width;
     byte[] a = col.values.a;
     int base = start * w;
@@ -520,7 +617,8 @@ public final class QuiverFileEncoder {
       for (int i = 1; i < len; i++) {
         if (!rangeEq(a, base + (i - 1) * w, base + i * w, w)) runs++;
       }
-      if (runs == 1 && len >= thr) {
+      if (runs == 1 && len >= thr
+          && allowed(forbid, QuiverPageDecoder.CODEC_ONE_VALUE)) {
         // OneValue: payload is the single value
         byte[] val = new byte[w];
         System.arraycopy(a, base, val, 0, w);
@@ -532,7 +630,7 @@ public final class QuiverFileEncoder {
       // bitpacking already win; doubles/floats qualify on share alone).
       // The Python chooser scores freq at ratio n-1, above every other
       // candidate, so an eligible page takes it directly.
-      if (w <= 8 && len >= thr) {
+      if (w <= 8 && len >= thr && allowed(forbid, QuiverPageDecoder.CODEC_FREQ)) {
         boolean isFp = col.type instanceof DoubleType || col.type instanceof FloatType;
         int topOff = majorityOffset(a, base, len, w, 0.9);
         boolean domainOk = isFp;
@@ -578,7 +676,7 @@ public final class QuiverFileEncoder {
       // Dict: unique census with early bail (codecs.py: unique_count*3 < n)
       int uniq = -1;
       java.util.LinkedHashMap<Long, Integer> dict = null;
-      if (w <= 8) {
+      if (w <= 8 && allowed(forbid, QuiverPageDecoder.CODEC_DICT)) {
         dict = new java.util.LinkedHashMap<>();
         for (int i = 0; i < len; i++) {
           long key = 0;
@@ -588,7 +686,8 @@ public final class QuiverFileEncoder {
         }
         if (dict != null) uniq = dict.size();
       }
-      double rleRatio = total / (double) Math.max(runs * (4 + w), 1);
+      double rleRatio = allowed(forbid, QuiverPageDecoder.CODEC_RLE)
+          ? total / (double) Math.max(runs * (4 + w), 1) : 0;
       double dictRatio = 0;
       if (uniq > 0) {
         int bitsNeeded = Math.max(32 - Integer.numberOfLeadingZeros(uniq), 1);
@@ -600,6 +699,8 @@ public final class QuiverFileEncoder {
       double bpRatio = 0;
       int[] ints = null;
       if (w == 4 && len % 128 == 0
+          && (allowed(forbid, QuiverPageDecoder.CODEC_BITPACKING)
+              || allowed(forbid, QuiverPageDecoder.CODEC_DELTA_BITPACKING))
           && (col.type instanceof IntegerType || col.type instanceof DateType)) {
         ints = new int[len];
         boolean nonNeg = true;
@@ -609,14 +710,16 @@ public final class QuiverFileEncoder {
           if (v < 0) { nonNeg = false; break; }
           ints[i] = v;
         }
-        if (nonNeg) bpRatio = total / (double) Math.max(bitpackSize(ints), 1);
-        else ints = null;
+        if (nonNeg && allowed(forbid, QuiverPageDecoder.CODEC_BITPACKING)) {
+          bpRatio = total / (double) Math.max(bitpackSize(ints), 1);
+        }
+        if (!nonNeg) ints = null;
       }
       // DeltaBitpacking: additionally sorted + no nulls in the page —
       // sorted keys/dates pack their (tiny) deltas instead of the values
       double deltaRatio = 0;
       int[] deltas = null;
-      if (ints != null) {
+      if (ints != null && allowed(forbid, QuiverPageDecoder.CODEC_DELTA_BITPACKING)) {
         boolean noNulls = true;
         if (col.valid != null) {
           for (int i = start; i < start + len; i++) {
@@ -631,6 +734,25 @@ public final class QuiverFileEncoder {
           deltas = sortedDeltas(ints);
           deltaRatio = total / (double) Math.max(bitpackSize(deltas), 1);
         }
+      }
+      // Patas: float64 pages compete on a sampled ratio (the reference's
+      // compress_sample_ratio posture — a full trial encode would double
+      // the cost of every rejected page)
+      double patasRatio = 0;
+      long[] fbits = null;
+      if (col.type instanceof DoubleType && len > 1
+          && allowed(forbid, QuiverPageDecoder.CODEC_PATAS)) {
+        fbits = new long[len];
+        for (int i = 0; i < len; i++) {
+          long v = 0;
+          for (int k = 7; k >= 0; k--) v = (v << 8) | (a[base + i * 8 + k] & 0xFFL);
+          fbits[i] = v;
+        }
+        patasRatio = patasSampleRatio(fbits, 8);
+      }
+      if (patasRatio >= thr && patasRatio >= rleRatio && patasRatio >= dictRatio) {
+        frame(out, QuiverPageDecoder.CODEC_PATAS, patasEncode(fbits, 8), (int) total);
+        return;
       }
       if (deltaRatio >= thr && deltaRatio >= bpRatio && deltaRatio >= rleRatio
           && deltaRatio >= dictRatio) {
@@ -680,7 +802,7 @@ public final class QuiverFileEncoder {
   }
 
   private static void encodeBinaryPage(LeBuf out, ColBuf col, int start, int len, int codec,
-      double thr) {
+      double thr, int forbid) {
     byte[] a = col.values.a;
     int base = col.offsets[start];
     int vlen = col.offsets[start + len] - base;
@@ -688,7 +810,7 @@ public final class QuiverFileEncoder {
     if (thr > 0 && len > 0) {
       // OneValue: every slot identical to the first
       int l0 = col.offsets[start + 1] - col.offsets[start];
-      boolean uniform = true;
+      boolean uniform = allowed(forbid, QuiverPageDecoder.CODEC_ONE_VALUE);
       for (int i = 1; i < len && uniform; i++) {
         int li = col.offsets[start + i + 1] - col.offsets[start + i];
         uniform = li == l0
@@ -705,7 +827,7 @@ public final class QuiverFileEncoder {
       }
       // Freq: one string covers >=90% (codecs.py binary chain:
       // one_value, elif freq, elif dict)
-      if (len >= thr) {
+      if (len >= thr && allowed(forbid, QuiverPageDecoder.CODEC_FREQ)) {
         int cand = -1;
         int votes = 0;
         for (int i = 0; i < len; i++) {
@@ -748,8 +870,11 @@ public final class QuiverFileEncoder {
         }
       }
       // Dict with early bail
-      java.util.LinkedHashMap<ByteBuffer, Integer> dict = new java.util.LinkedHashMap<>();
+      java.util.LinkedHashMap<ByteBuffer, Integer> dict =
+          allowed(forbid, QuiverPageDecoder.CODEC_DICT)
+              ? new java.util.LinkedHashMap<>() : null;
       long uniqBytes = 0;
+      if (dict != null)
       for (int i = 0; i < len; i++) {
         ByteBuffer key = ByteBuffer.wrap(
             a, col.offsets[start + i],
@@ -795,20 +920,21 @@ public final class QuiverFileEncoder {
   }
 
   private static void encodeBoolPage(LeBuf out, ColBuf col, int start, int len, int codec,
-      double thr) {
+      double thr, int forbid) {
     if (thr > 0 && len > 0) {
       boolean first = col.bools[start];
       int runs = 1;
       for (int i = 1; i < len; i++) {
         if (col.bools[start + i] != col.bools[start + i - 1]) runs++;
       }
-      if (runs == 1) {
+      if (runs == 1 && allowed(forbid, QuiverPageDecoder.CODEC_ONE_VALUE)) {
         frame(out, QuiverPageDecoder.CODEC_ONE_VALUE,
             new byte[] {(byte) (first ? 1 : 0)}, len);
         return;
       }
       // codecs.py: (n+7)//8 > rle_size * compress_ratio
-      if ((len + 7) / 8 > runs * 5 * thr) {
+      if ((len + 7) / 8 > runs * 5 * thr
+          && allowed(forbid, QuiverPageDecoder.CODEC_RLE)) {
         LeBuf p = new LeBuf();
         int i = 0;
         while (i < len) {
@@ -932,12 +1058,12 @@ public final class QuiverFileEncoder {
   public static Encoded encodeFileWithSidecar(
       StructType schema, ColBuf[] cols, int pageSize, int codec, java.util.Set<String> bloomCols)
       throws IOException {
-    return encodeFileWithSidecar(schema, cols, pageSize, codec, bloomCols, 2.0);
+    return encodeFileWithSidecar(schema, cols, pageSize, codec, bloomCols, 2.0, 0);
   }
 
   public static Encoded encodeFileWithSidecar(
       StructType schema, ColBuf[] cols, int pageSize, int codec, java.util.Set<String> bloomCols,
-      double adaptiveRatio)
+      double adaptiveRatio, int forbid)
       throws IOException {
     int n = cols.length > 0 ? cols[0].n : 0;
     LeBuf out = new LeBuf();
@@ -956,7 +1082,7 @@ public final class QuiverFileEncoder {
         int start = p * pageSize;
         int len = Math.min(pageSize, n - start);
         int before = out.len;
-        encodePage(out, cols[ci], start, len, codec, adaptiveRatio);
+        encodePage(out, cols[ci], start, len, codec, adaptiveRatio, forbid);
         pageLens[ci][p] = out.len - before;
         pageRows[ci][p] = len;
         java.util.zip.CRC32 crc = new java.util.zip.CRC32();

@@ -42,6 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap;
  *   manifest = true|false        (job-commit manifest write)
  *   compress_ratio = float       (adaptive chooser threshold, default
  *                                 2.0 = WriteOptions parity; <=0 off)
+ *   forbidden = csv              (typed codecs excluded from the chooser,
+ *                                 WriteOptions.forbidden parity)
  */
 public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
 
@@ -195,7 +197,8 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
           Long.parseLong(options.getOrDefault("max_rows_per_file", String.valueOf(1L << 22))),
           options.getOrDefault("bloom_columns", ""),
           options.getOrDefault("__partition_cols", ""),
-          Double.parseDouble(options.getOrDefault("compress_ratio", "2.0")));
+          Double.parseDouble(options.getOrDefault("compress_ratio", "2.0")),
+          options.getOrDefault("forbidden", ""));
     }
 
     /** Recursively remove table artifacts (.quiver data, .json sidecars,

@@ -298,3 +298,87 @@ def test_ingest_partition_by_routes_jvm(spark, tmp_path):
     a = back.groupBy("o_orderstatus").count().collect()
     b = src.groupBy("o_orderstatus").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_jvm_writer_forced_codec_matrix(spark, tmp_path):
+    """Write-direction twin of the reader's forced-codec matrix: with the
+    `forbidden` option (WriteOptions.forbidden parity) excluding every
+    competitor, each typed codec of the now-complete JVM cascade —
+    including Patas, the last Python-only holdout — must fire and decode
+    identically on BOTH readers, non-null and nullable variants."""
+    _require_jar(spark)
+    import glob
+
+    import numpy as np
+    import pandas as pd
+
+    from quiver_spark.format.stat import stat_file
+    from quiver_spark.sources import register
+
+    register(spark)
+    rng = np.random.default_rng(11)
+    n = 8192
+    cases = {
+        # target codec -> (pandas column, forbidden csv)
+        "one_value": (pd.Series(np.full(n, 7, dtype=np.int64)), "rle,dict,freq"),
+        "rle": (pd.Series(np.repeat(np.arange(16, dtype=np.int64), n // 16)), "one_value,dict,freq"),
+        "dict": (pd.Series(rng.integers(0, 50, n).astype(np.int64)), "one_value,rle,freq"),
+        "freq": (
+            pd.Series(np.where(rng.random(n) < 0.95, 1000, rng.integers(1 << 10, 1 << 20, n)).astype(np.int64)),
+            "one_value,rle,dict",
+        ),
+        "bitpacking": (
+            pd.Series(rng.integers(0, 1 << 10, n).astype(np.int32)),
+            "one_value,rle,dict,freq,delta_bitpacking",
+        ),
+        "delta_bitpacking": (
+            pd.Series(np.sort(rng.integers(0, 1 << 20, n)).astype(np.int32)),
+            "one_value,rle,dict,freq,bitpacking",
+        ),
+        "patas": (
+            pd.Series(np.tile(np.round(rng.random(64) * 10, 1), n // 64)),
+            "one_value,rle,dict,freq",
+        ),
+    }
+    for target, (col, forbidden) in cases.items():
+        pdf = pd.DataFrame({"x": col})
+        df = spark.createDataFrame(pdf)
+        d = str(tmp_path / f"force_{target}")
+        (
+            df.coalesce(1).write.format("quiverjvm").mode("overwrite")
+            .option("codec", "zstd")
+            .option("compress_ratio", "1.01")
+            .option("forbidden", forbidden)
+            .save(d)
+        )
+        f = glob.glob(d + "/*.quiver")[0]
+        assert stat_file(f)["x"][0].codec == target, (target, stat_file(f))
+        a = spark.read.format("quiverjvm").load(d).toPandas().sort_values("x").reset_index(drop=True)
+        b = spark.read.format("quiver").load(d).toPandas().sort_values("x").reset_index(drop=True)
+        w = pdf.sort_values("x").reset_index(drop=True)
+        assert a.equals(w) and b.equals(w), target
+
+    # nullable variants for the codecs whose pages carry validity prefixes
+    for target, forbidden in [("one_value", "rle,dict,freq"), ("rle", "one_value,dict,freq"),
+                              ("dict", "one_value,rle,freq"), ("freq", "one_value,rle,dict")]:
+        base = cases[target][0].astype("float64") if target == "patas" else cases[target][0]
+        vals = cases[target][0].copy().astype("object")
+        mask = rng.random(n) < 0.1
+        vals[mask] = None
+        pdf = pd.DataFrame({"x": vals})
+        sdf = spark.createDataFrame(pdf.astype({"x": "object"}), "x bigint")
+        d = str(tmp_path / f"force_null_{target}")
+        (
+            sdf.coalesce(1).write.format("quiverjvm").mode("overwrite")
+            .option("codec", "zstd")
+            .option("compress_ratio", "1.01")
+            .option("forbidden", forbidden)
+            .save(d)
+        )
+        a = spark.read.format("quiverjvm").load(d)
+        b = spark.read.format("quiver").load(d)
+        assert a.filter("x IS NULL").count() == int(mask.sum()), target
+        key = lambda r: tuple(repr(v) for v in r)
+        assert sorted(map(tuple, a.collect()), key=key) == sorted(
+            map(tuple, b.collect()), key=key
+        ) == sorted(map(tuple, sdf.collect()), key=key), target

@@ -566,30 +566,6 @@ public final class QuiverFileEncoder {
     return out;
   }
 
-  /** Boyer-Moore majority candidate over fixed-width values; returns the
-   * candidate's start offset in `a`, or -1 when no value reaches the
-   * `minShare` share (the freq codec's 0.9 eligibility). */
-  private static int majorityOffset(byte[] a, int base, int len, int w, double minShare) {
-    int cand = -1;
-    int votes = 0;
-    for (int i = 0; i < len; i++) {
-      int off = base + i * w;
-      if (votes == 0) {
-        cand = off;
-        votes = 1;
-      } else if (rangeEq(a, cand, off, w)) {
-        votes++;
-      } else {
-        votes--;
-      }
-    }
-    if (cand < 0) return -1;
-    int count = 0;
-    for (int i = 0; i < len; i++) {
-      if (rangeEq(a, cand, base + i * w, w)) count++;
-    }
-    return count >= minShare * len ? cand : -1;
-  }
 
   /** slot-vs-slot equality for a varlen ColBuf (absolute slot indexes). */
   private static boolean binEq(ColBuf col, int i, int j) {
@@ -625,30 +601,49 @@ public final class QuiverFileEncoder {
         frame(out, QuiverPageDecoder.CODEC_ONE_VALUE, val, (int) total);
         return;
       }
-      // Freq: one value covers >=90% of the page (codecs.py eligibility:
-      // integral types additionally need max >= 256 — below that dict/
-      // bitpacking already win; doubles/floats qualify on share alone).
-      // The Python chooser scores freq at ratio n-1, above every other
-      // candidate, so an eligible page takes it directly.
-      if (w <= 8 && len >= thr && allowed(forbid, QuiverPageDecoder.CODEC_FREQ)) {
-        boolean isFp = col.type instanceof DoubleType || col.type instanceof FloatType;
-        int topOff = majorityOffset(a, base, len, w, 0.9);
-        boolean domainOk = isFp;
-        if (!domainOk && topOff >= 0) {
-          long maxU = 0;
-          for (int i = 0; i < len; i++) {
-            long v = 0;
-            for (int k = w - 1; k >= 0; k--) v = (v << 8) | (a[base + i * w + k] & 0xFFL);
-            if (Long.compareUnsigned(v, maxU) > 0) maxU = v;
+      // One unique-value census serves BOTH dict and freq: freq needs a
+      // >=90% top value, which forces uniq <= 0.1n+1 < n/3 — so whenever
+      // the census bails at the dict threshold, freq is ineligible too
+      // (no separate majority pass; the freq rules are codecs.py's:
+      // integral types additionally need max >= 256, doubles/floats
+      // qualify on share alone).
+      int uniq = -1;
+      java.util.LinkedHashMap<Long, int[]> census = null; // value -> {firstIdx, count}
+      if (w <= 8 && (allowed(forbid, QuiverPageDecoder.CODEC_DICT)
+          || allowed(forbid, QuiverPageDecoder.CODEC_FREQ))) {
+        census = new java.util.LinkedHashMap<>();
+        for (int i = 0; i < len; i++) {
+          long key = 0;
+          for (int k = w - 1; k >= 0; k--) key = (key << 8) | (a[base + i * w + k] & 0xFFL);
+          int[] st = census.get(key);
+          if (st == null) {
+            census.put(key, new int[] {i, 1});
+            if (census.size() * 3 >= len) { census = null; break; }
+          } else {
+            st[1]++;
           }
-          domainOk = Long.compareUnsigned(maxU, 256L) >= 0;
         }
-        if (topOff >= 0 && domainOk) {
-          int nExc = 0;
-          for (int i = 0; i < len; i++) {
-            if (!rangeEq(a, topOff, base + i * w, w)) nExc++;
+        if (census != null) uniq = census.size();
+      }
+      if (census != null && len >= thr && allowed(forbid, QuiverPageDecoder.CODEC_FREQ)) {
+        int topIdx = -1;
+        int topCount = 0;
+        for (int[] st : census.values()) {
+          if (st[1] > topCount) { topCount = st[1]; topIdx = st[0]; }
+        }
+        boolean isFp = col.type instanceof DoubleType || col.type instanceof FloatType;
+        int nExc = len - topCount;
+        if (topCount >= 0.9 * len && nExc > 0 && nExc <= 4096) {
+          boolean domainOk = isFp;
+          if (!domainOk) {
+            long maxU = 0;
+            for (long key : census.keySet()) {
+              if (Long.compareUnsigned(key, maxU) > 0) maxU = key;
+            }
+            domainOk = Long.compareUnsigned(maxU, 256L) >= 0;
           }
-          if (nExc > 0 && nExc <= 4096) { // one roaring array container
+          if (domainOk) {
+            int topOff = base + topIdx * w;
             int[] pos = new int[nExc];
             byte[] exc = new byte[nExc * w];
             int e = 0;
@@ -673,18 +668,14 @@ public final class QuiverFileEncoder {
           }
         }
       }
-      // Dict: unique census with early bail (codecs.py: unique_count*3 < n)
-      int uniq = -1;
       java.util.LinkedHashMap<Long, Integer> dict = null;
-      if (w <= 8 && allowed(forbid, QuiverPageDecoder.CODEC_DICT)) {
+      if (census != null && allowed(forbid, QuiverPageDecoder.CODEC_DICT)) {
         dict = new java.util.LinkedHashMap<>();
-        for (int i = 0; i < len; i++) {
-          long key = 0;
-          for (int k = w - 1; k >= 0; k--) key = (key << 8) | (a[base + i * w + k] & 0xFFL);
-          dict.putIfAbsent(key, dict.size());
-          if (dict.size() * 3 >= len) { dict = null; break; }
+        for (java.util.Map.Entry<Long, int[]> e : census.entrySet()) {
+          dict.put(e.getKey(), dict.size());
         }
-        if (dict != null) uniq = dict.size();
+      } else {
+        uniq = -1;
       }
       double rleRatio = allowed(forbid, QuiverPageDecoder.CODEC_RLE)
           ? total / (double) Math.max(runs * (4 + w), 1) : 0;

@@ -667,10 +667,28 @@ public final class QuiverJvmRead {
         if (files.isEmpty()) return new InputPartition[0];
 
         // Hive partition columns: plan-time constants per file — a pushed
-        // predicate on one prunes WHOLE FILES before any byte is read
+        // predicate on one prunes WHOLE FILES before any byte is read.
+        // A directory key that COLLIDES with a real file column is NOT a
+        // partition column (inferTableSchema's dup rule, Python-DS
+        // parity: the file's data wins) — exclude it here so the reader
+        // never shadows stored values with a path constant.
         PartInfo hive = discoverPartitions(root, files);
+        java.util.Set<String> fileColNames = new java.util.HashSet<>();
+        if (hive.cols.length > 0) {
+          Schema dataArrow = declaredSchema(man);
+          if (dataArrow == null) dataArrow = manifestSchema(man);
+          if (dataArrow == null && !files.isEmpty()) {
+            PLAN_FOOTER_READS.incrementAndGet();
+            dataArrow = readFooter(files.get(0)).arrowSchema;
+          }
+          if (dataArrow != null) {
+            for (Field f : dataArrow.getFields()) fileColNames.add(f.getName());
+          }
+        }
         java.util.Map<String, Integer> partIdx = new java.util.HashMap<>();
-        for (int i = 0; i < hive.cols.length; i++) partIdx.put(hive.cols[i], i);
+        for (int i = 0; i < hive.cols.length; i++) {
+          if (!fileColNames.contains(hive.cols[i])) partIdx.put(hive.cols[i], i);
+        }
 
         // data columns the scan must read from file pages (partition
         // columns are constants; names resolve per file through the cmap)
@@ -727,6 +745,7 @@ public final class QuiverJvmRead {
           String[] rawVals = hive.rawByFile.get(f.getPath());
           java.util.HashMap<String, Object> partVals = new java.util.HashMap<>();
           for (int i = 0; i < hive.cols.length; i++) {
+            if (!partIdx.containsKey(hive.cols[i])) continue; // colliding key: file data wins
             partVals.put(hive.cols[i],
                 partTyped(rawVals == null ? null : rawVals[i], hive.kinds[i]));
           }

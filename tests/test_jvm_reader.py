@@ -698,3 +698,28 @@ def test_unified_scan_routes_by_eligibility(spark, tmp_path):
     df3 = scan(spark, nested)
     assert engine(df3) == "python"
     assert df3.count() == 2
+
+
+def test_jvm_hive_key_colliding_with_file_column(spark, tmp_path):
+    """A directory key whose name COLLIDES with a real file column is not
+    a partition column — the file's stored data wins on both engines
+    (the Python DS's _discover_partitions dup rule). A path constant
+    silently shadowing stored values would be a wrong-data bug."""
+    _require_jar(spark)
+    import os
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "collide")
+    os.makedirs(d + "/p=9")
+    write_table(
+        pa.table({"id": pa.array([1, 2, 3], type=pa.int64()),
+                  "p": pa.array([5, 6, 7], type=pa.int64())}),
+        d + "/p=9/f.quiver",
+        WriteOptions(),
+    )
+    _assert_same(spark, d)
+    jv = spark.read.format("quiverjvm").load(d)
+    assert sorted(r.p for r in jv.collect()) == [5, 6, 7]

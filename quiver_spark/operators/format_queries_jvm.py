@@ -182,7 +182,10 @@ def quiverjvm_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quiver_spark.operators.format_queries import CACHE_ROOT
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(CACHE_ROOT, tag, "orders-jvm-partitioned")
+    # v2: fixtures built before the interned-schema fix (partition column
+    # wrongly included in the manifest schema) are unreadable under the
+    # round-11 collision rule — rebuild them
+    d = os.path.join(CACHE_ROOT, tag, "orders-jvm-partitioned-v2")
     marker = os.path.join(d, "_done_jvm_part")
     if not os.path.exists(marker):
         src = spark.read.parquet(f"{sf_dir}/orders.parquet")

@@ -61,6 +61,7 @@ _PRIORITY = [
     "quiver_unified_scan",
     "quiverjvm_partitioned_ingest",
     "quiverjvm_alter_scan",
+    "text_char_lm_score",
     # (c) round-8 cohort fill (oldest-first coverage; overflow past slot 50
     # stays round-8-green, the stated floor)
     "agg_stats_moments",

@@ -225,3 +225,92 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+@register(
+    "text_char_lm_score",
+    oracle=r"""
+WITH norm AS (
+    SELECT doc_id, source,
+           lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, source, substr(t, i, 2) AS bg, substr(t, i, 1) AS c1
+    FROM norm, UNNEST(generate_series(1, length(t) - 1)) AS u(i)
+    WHERE length(t) >= 2
+),
+model AS (SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg),
+pref AS (SELECT c1, COUNT(*) AS cnt1 FROM bg GROUP BY c1),
+v AS (SELECT COUNT(DISTINCT c1) AS v FROM bg),
+scored AS (
+    SELECT b.doc_id, b.source,
+           AVG(-log2((m.cnt + 1.0) / (p.cnt1 + v.v))) AS bits
+    FROM bg b
+    JOIN model m USING (bg)
+    JOIN pref p USING (c1)
+    CROSS JOIN v
+    GROUP BY b.doc_id, b.source
+)
+SELECT source,
+       COUNT(*) AS docs,
+       ROUND(AVG(bits), 3) AS avg_bits_per_char,
+       ROUND(MAX(bits), 3) AS max_bits_per_char
+FROM scored
+GROUP BY source
+""",
+    tags=("text", "quality", "lm", "pipeline"),
+)
+def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring, self-trained: a character-bigram
+    model is fitted over the WHOLE corpus in one aggregate, then every
+    document is scored as its average surprisal (bits per character,
+    add-one smoothing) under that model — the standard language-model
+    filter for pretraining data (high bits = gibberish/boilerplate
+    outliers, low = fluent text), here with the corpus as its own model
+    so no external LM is needed.
+
+    100 TB posture: bigrams explode map-side from a length-bounded
+    `sequence` (no self-join); the MODEL is constant-cardinality
+    (alphabet² entries at most — a few thousand rows regardless of corpus
+    size), so it broadcasts unconditionally like nation/region; the only
+    data-scale shuffles are the model-fit aggregate and the per-doc
+    average. Scores round to 3 decimals so the two engines' float
+    summation orders cannot smear the hash."""
+    from quiver_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.lower(F.regexp_replace("text", r"\s+", " ")).alias("t"),
+    )
+    bg = (
+        d.filter(F.length("t") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+            ).alias("bg"),
+        )
+        .withColumn("c1", F.substring("bg", 1, 1))
+    )
+    model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    pref = bg.groupBy("c1").agg(F.count(F.lit(1)).alias("cnt1"))
+    v = bg.agg(F.countDistinct("c1").alias("v"))
+    scored = (
+        bg.join(F.broadcast(model), "bg")  # alphabet^2 ceiling: constant-size
+        .join(F.broadcast(pref), "c1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.avg(
+                -F.log2((F.col("cnt") + F.lit(1.0)) / (F.col("cnt1") + F.col("v")))
+            ).alias("bits")
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("bits"), 3).alias("avg_bits_per_char"),
+        F.round(F.max("bits"), 3).alias("max_bits_per_char"),
+    )

@@ -26,11 +26,13 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # newest driver-green row is round 7 (positions 1-24 — the r10 window had
 # room for only part of the stale cohort); (b) the new round-11 gates;
 # (c) fill with the round-8 cohort (44 rows; the ones that don't fit stay
-# r8-green, which is the stated floor). Exact staleness audit: round-7
-# cohort = 24, round-8 = 44, round-9 = 50, round-10 = 50 (computed from
-# CORRECTNESS_r1..r10; every one of the 168 registered queries has at
-# least one driver-green row and zero failures ever). Position 51+ falls
-# back to registry order.
+# r8-green, which is the stated floor). Exact staleness audit at the
+# start of round 11: round-7 cohort = 24, round-8 = 44, round-9 = 50,
+# round-10 = 50 (computed from CORRECTNESS_r1..r10; every one of the 168
+# queries registered then has at least one driver-green row and zero
+# failures ever; 4 more gates registered this round for a total of 172).
+# The 50-slot window covers (a) + the 4 new gates + the first 22 of (c);
+# position 51+ falls back to registry order.
 _PRIORITY = [
     # (a) the 24 round-7-stale rows — VERDICT r10 item 2 puts them first
     "agg_collect_sorted",

@@ -295,9 +295,25 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("c1", F.substring("bg", 1, 1))
     )
-    model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
-    pref = bg.groupBy("c1").agg(F.count(F.lit(1)).alias("cnt1"))
-    v = bg.agg(F.countDistinct("c1").alias("v"))
+    # The model is constant-cardinality (≤ alphabet² rows), but it has
+    # three consumers (pref, v, the scoring join) and Catalyst does not
+    # share aggregation subtrees — without materialization each consumer
+    # would re-scan and re-explode the whole corpus. A lazy localCheckpoint
+    # computes the model exactly once at first action and serves all three
+    # consumers from the stored (tiny) result, so the final plan pays
+    # exactly TWO corpus-scale explodes: model fit + scoring.
+    model = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    # pref/v are pure algebra over the model table: every bigram occurrence
+    # contributes exactly one to its first-char count, so sum(cnt) grouped
+    # by substring(bg,1,1) IS the first-char histogram and
+    # countDistinct(substring(bg,1,1)) IS the vocabulary size.
+    mc1 = model.withColumn("c1", F.substring("bg", 1, 1))
+    pref = mc1.groupBy("c1").agg(F.sum("cnt").alias("cnt1"))
+    v = mc1.agg(F.countDistinct("c1").alias("v"))
     scored = (
         bg.join(F.broadcast(model), "bg")  # alphabet^2 ceiling: constant-size
         .join(F.broadcast(pref), "c1")

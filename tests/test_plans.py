@@ -462,3 +462,17 @@ def test_analyze_stats_feed_broadcast_gate(spark, tmp_path):
     metadata_commit(_data_root(d), mutate)
     big = quiver_gate_size_bytes(d)
     assert big is not None and big > BROADCAST_MAX_BYTES
+
+
+def test_char_lm_score_two_corpus_explodes(spark):
+    """text_char_lm_score: the bigram model is constant-size but has three
+    consumers; without materialization each would re-explode the corpus
+    (the round-11 4x-explode defect). The lazy localCheckpoint pins the
+    final plan to exactly ONE visible Generate (the scoring side) with the
+    model fit behind a single Scan-ExistingRDD boundary — i.e. two corpus
+    passes total, never four."""
+    df = _df(spark, "text_char_lm_score")
+    plan = plans.physical_plan(df)
+    assert plan.count("Generate explode") == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -37,8 +37,29 @@ def scan(spark, path: str, **options):
             try:
                 spark._jvm.io.quiverspark.QuiverJvmRead.inferTableSchema(path)
                 return spark.read.format("quiverjvm").load(path)
-            except Exception:
-                pass  # guard refused (or probe failed): Python DS serves it
+            except Exception as exc:  # noqa: BLE001 — adjudicated below
+                # The guards refuse with UnsupportedOperationException
+                # (nested/unsigned/defaults/merge-schemas) — that is the
+                # designed silent reroute. Anything ELSE (corrupt manifest
+                # or footer, missing files, jar ABI fault) is a genuine
+                # fault that must not be hidden by the fallback: warn, then
+                # let the Python DS try (it raises loudly if IT can't
+                # read the table either).
+                # py4j surfaces it inside the message; pyspark's captured-
+                # exception conversion surfaces it as the CLASS name with
+                # the java prefix stripped from the message — accept both.
+                if "UnsupportedOperationException" not in str(exc) and (
+                    type(exc).__name__ != "UnsupportedOperationException"
+                ):
+                    import warnings
+
+                    warnings.warn(
+                        "quiver scan: JVM probe failed with a non-guard "
+                        f"error on {path!r}; falling back to the Python "
+                        f"datasource: {exc}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
     reader = spark.read.format("quiver")
     for k, v in options.items():
         reader = reader.option(k, v)

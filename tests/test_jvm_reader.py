@@ -700,6 +700,51 @@ def test_unified_scan_routes_by_eligibility(spark, tmp_path):
     assert df3.count() == 2
 
 
+def test_unified_scan_warns_on_non_guard_jvm_fault(spark, tmp_path):
+    """sources.scan's fallback is for GUARD refusals only. A genuine JVM
+    fault on an otherwise-eligible table — here a corrupt (non-gzip)
+    manifest, which raises IOException rather than the guards'
+    UnsupportedOperationException — must surface a RuntimeWarning before
+    rerouting, never be swallowed: silent fallback would hide corrupt
+    manifests and jar ABI breaks behind the slower engine forever. The
+    Python DS still serves the data (it degrades to footer reads)."""
+    _require_jar(spark)
+    import warnings
+
+    from quiver_spark.sources import register, scan
+
+    register(spark)
+    d = str(tmp_path / "corrupt_man")
+    spark.range(40).selectExpr("id", "id * 3 AS v").coalesce(1).write.format(
+        "quiver"
+    ).mode("overwrite").save(d)
+
+    # eligible table routes to the JVM silently
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        df = scan(spark, d)
+    assert "quiverjvm" in df._jdf.queryExecution().analyzed().toString()
+
+    import glob
+
+    real_man = sorted(glob.glob(f"{d}/**/_manifest.json.gz", recursive=True))[-1]
+    with open(real_man, "wb") as f:
+        f.write(b"this is not gzip data")
+    with pytest.warns(RuntimeWarning, match="non-guard"):
+        df2 = scan(spark, d)
+    assert "quiverjvm" not in df2._jdf.queryExecution().analyzed().toString()
+    assert df2.count() == 40  # Python DS degrades to footer reads
+
+    # guard refusal (nested schema) stays a SILENT reroute
+    nested = str(tmp_path / "nested_silent")
+    spark.createDataFrame(
+        [(1, [1.0])], "id bigint, emb array<double>"
+    ).write.format("quiver").mode("overwrite").save(nested)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert scan(spark, nested).count() == 1
+
+
 def test_jvm_hive_key_colliding_with_file_column(spark, tmp_path):
     """A directory key whose name COLLIDES with a real file column is not
     a partition column — the file's stored data wins on both engines

@@ -280,15 +280,50 @@ def main() -> None:
             .mode("overwrite")
             .save(f"{wdir}/qj")
         )
-    # 5 interleaved passes (parquet, quiver, parquet, ...): min-of-5 per side
-    # so a single fast outlier on either side can't set the ratio.
+    # Pair-adjacent interleaved passes (round 12, VERDICT r11 #2): each
+    # parquet control runs IMMEDIATELY before its quiver/quiverjvm
+    # treatments within every one of the 5 passes, and every headline
+    # ratio below is the MEDIAN of per-rep PAIRED ratios (rep i treatment
+    # / rep i control, the two samples adjacent in time) rather than a
+    # min/min across blocks. Host drift between blocks shifts both sides
+    # of a rep together and cancels in the ratio — the r11 driver record
+    # read manyfiles at 2.52x where three same-session A/Bs read
+    # 1.75-2.0x; this protocol makes the RECORDED ratio the same-session
+    # number. Per-proxy minimums are still recorded for absolute walls.
+    _order = [
+        "scan_parquet_lineitem",
+        "scan_quiver_lineitem",
+        "scan_quiverjvm_lineitem",
+        "scan_arrowipc_lineitem",
+        "narrow_parquet_lineitem",
+        "narrow_quiver_lineitem",
+        "narrow_quiverjvm_lineitem",
+        "manyfiles_parquet_lineitem",
+        "manyfiles_quiver_lineitem",
+        "manyfiles_quiverjvm_lineitem",
+        "pruned_parquet_lineitem",
+        "pruned_quiverjvm_lineitem",
+        "cdc_full_quiver_lineitem",
+        "cdc_changes_quiver_lineitem",
+        "write_parquet_lineitem",
+        "write_quiver_lineitem",
+        "write_quiverjvm_lineitem",
+    ]
+    assert set(proxies) <= set(_order), sorted(set(proxies) - set(_order))
+    proxies = {k: proxies[k] for k in _order if k in proxies}
+    psamples: dict[str, list[float]] = {n: [] for n in proxies}
     for _pass in range(5):
         for name, fn in proxies.items():
             t0 = time.perf_counter()
             fn()
-            dt = round(time.perf_counter() - t0, 3)
-            if dt < timings.get(name, float("inf")):
-                timings[name] = dt
+            psamples[name].append(round(time.perf_counter() - t0, 3))
+    for name, reps in psamples.items():
+        timings[name] = min(reps)
+
+    def _paired_ratio(num: str, den: str) -> float:
+        reps = sorted(a / b for a, b in zip(psamples[num], psamples[den]))
+        return round(reps[len(reps) // 2], 3)
+
     import shutil
 
     shutil.rmtree(wdir, ignore_errors=True)
@@ -335,56 +370,41 @@ def main() -> None:
                 "queries": ordered,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "proxies": {k: timings[k] for k in proxies if k in timings},
+                "proxy_reps": psamples,
                 "slowest10": slowest10,
                 "slowest10_median": {
                     k: medians[k] for k in slowest10 if k in medians
                 },
                 "adaptive_vs_basic_compression_ratio": comp_ratio,
-                "quiver_cdc_incremental_speedup": round(
-                    timings["cdc_full_quiver_lineitem"]
-                    / max(timings["cdc_changes_quiver_lineitem"], 1e-9),
-                    3,
+                "quiver_cdc_incremental_speedup": _paired_ratio(
+                    "cdc_full_quiver_lineitem", "cdc_changes_quiver_lineitem"
                 ),
-                "quiver_vs_parquet_manyfiles_ratio": round(
-                    timings["manyfiles_quiver_lineitem"]
-                    / timings["manyfiles_parquet_lineitem"],
-                    3,
+                "quiver_vs_parquet_manyfiles_ratio": _paired_ratio(
+                    "manyfiles_quiver_lineitem", "manyfiles_parquet_lineitem"
                 ),
-                "quiver_vs_parquet_scan_ratio": round(
-                    timings["scan_quiver_lineitem"] / timings["scan_parquet_lineitem"],
-                    3,
+                "quiver_vs_parquet_scan_ratio": _paired_ratio(
+                    "scan_quiver_lineitem", "scan_parquet_lineitem"
                 ),
-                "quiver_vs_parquet_narrow_ratio": round(
-                    timings["narrow_quiver_lineitem"]
-                    / timings["narrow_parquet_lineitem"],
-                    3,
+                "quiver_vs_parquet_narrow_ratio": _paired_ratio(
+                    "narrow_quiver_lineitem", "narrow_parquet_lineitem"
                 ),
                 **(
                     {
-                        "quiverjvm_vs_parquet_write_ratio": round(
-                            timings["write_quiverjvm_lineitem"]
-                            / timings["write_parquet_lineitem"],
-                            3,
+                        "quiverjvm_vs_parquet_write_ratio": _paired_ratio(
+                            "write_quiverjvm_lineitem", "write_parquet_lineitem"
                         ),
-                        "quiverjvm_vs_parquet_scan_ratio": round(
-                            timings["scan_quiverjvm_lineitem"]
-                            / timings["scan_parquet_lineitem"],
-                            3,
+                        "quiverjvm_vs_parquet_scan_ratio": _paired_ratio(
+                            "scan_quiverjvm_lineitem", "scan_parquet_lineitem"
                         ),
-                        "quiverjvm_vs_parquet_narrow_ratio": round(
-                            timings["narrow_quiverjvm_lineitem"]
-                            / timings["narrow_parquet_lineitem"],
-                            3,
+                        "quiverjvm_vs_parquet_narrow_ratio": _paired_ratio(
+                            "narrow_quiverjvm_lineitem", "narrow_parquet_lineitem"
                         ),
-                        "quiverjvm_vs_parquet_manyfiles_ratio": round(
-                            timings["manyfiles_quiverjvm_lineitem"]
-                            / timings["manyfiles_parquet_lineitem"],
-                            3,
+                        "quiverjvm_vs_parquet_manyfiles_ratio": _paired_ratio(
+                            "manyfiles_quiverjvm_lineitem",
+                            "manyfiles_parquet_lineitem",
                         ),
-                        "quiverjvm_vs_parquet_pruned_ratio": round(
-                            timings["pruned_quiverjvm_lineitem"]
-                            / timings["pruned_parquet_lineitem"],
-                            3,
+                        "quiverjvm_vs_parquet_pruned_ratio": _paired_ratio(
+                            "pruned_quiverjvm_lineitem", "pruned_parquet_lineitem"
                         ),
                     }
                     if "write_quiverjvm_lineitem" in timings

@@ -244,8 +244,17 @@ def _shred_node(
     if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_map(t):
         offs = _offsets(a)
         defined = frame.idx >= 0
-        starts = np.where(defined, offs[np.maximum(frame.idx, 0)], 0)
-        ends = np.where(defined, offs[np.maximum(frame.idx, 0) + 1], 0)
+        # clamp BEFORE indexing: numpy evaluates offs[idx] even for slots
+        # np.where will discard, and an all-absent frame over a ZERO-length
+        # child array (every parent null/empty in this page) would index
+        # offs[1] of a 1-entry offsets buffer
+        safe = (
+            np.minimum(np.maximum(frame.idx, 0), len(a) - 1)
+            if len(a)
+            else np.zeros_like(frame.idx)
+        )
+        starts = np.where(defined, offs[safe], 0)
+        ends = np.where(defined, offs[safe + 1] if len(a) else 0, 0)
         lengths = ends - starts
         # each present slot expands to max(len, 1) child slots
         expand = np.where(defined, np.maximum(lengths, 1), 1).astype(np.int64)

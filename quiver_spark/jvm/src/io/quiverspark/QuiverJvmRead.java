@@ -355,8 +355,11 @@ public final class QuiverJvmRead {
   /** Per-page projected byte sizes for one file, decoded from the
    * manifest entry's compact metas ([[offset,[len,n,len,n,...]],...]);
    * null when the entry cannot serve the plan (missing/stale/foreign). */
+  /** Per-page byte totals over the projected LEAF metas (nested columns
+   * carry one meta per primitive leaf; callers expand field indexes via
+   * QuiverNested.leafRanges before calling). */
   static long[] manifestPageBytes(
-      com.fasterxml.jackson.databind.JsonNode m, String rel, long diskSize, int[] projIdx) {
+      com.fasterxml.jackson.databind.JsonNode m, String rel, long diskSize, int[] projLeaves) {
     if (m == null) return null;
     com.fasterxml.jackson.databind.JsonNode files = m.get("files");
     if (files == null) return null;
@@ -370,7 +373,7 @@ public final class QuiverJvmRead {
     int nPages = metas.get(0).get(1).size() / 2;
     long[] pb = new long[nPages];
     boolean any = false;
-    for (int idx : (projIdx.length > 0 ? projIdx : new int[] {0})) {
+    for (int idx : (projLeaves.length > 0 ? projLeaves : new int[] {0})) {
       if (idx < 0) continue; // column absent in this file → null-filled, 0 bytes
       if (idx >= metas.size()) return null;
       any = true;
@@ -492,15 +495,14 @@ public final class QuiverJvmRead {
         default: throw new UnsupportedOperationException("half float");
       }
     }
-    // Large* variants carry 8-byte offsets the fill path does not speak —
-    // only library-written tables with explicit large types hit this
-    if (t instanceof ArrowType.LargeUtf8 || t instanceof ArrowType.LargeBinary) {
-      throw new UnsupportedOperationException(
-          "quiverjvm: large_utf8/large_binary column '" + f.getName()
-              + "': use the Python DataSource");
+    // Large* variants: same page layout with 8-byte offsets — the decode
+    // paths take the offset width as a parameter (lifted round 12)
+    if (t instanceof ArrowType.Utf8 || t instanceof ArrowType.LargeUtf8) {
+      return DataTypes.StringType;
     }
-    if (t instanceof ArrowType.Utf8) return DataTypes.StringType;
-    if (t instanceof ArrowType.Binary) return DataTypes.BinaryType;
+    if (t instanceof ArrowType.Binary || t instanceof ArrowType.LargeBinary) {
+      return DataTypes.BinaryType;
+    }
     if (t instanceof ArrowType.Bool) return DataTypes.BooleanType;
     if (t instanceof ArrowType.Date) return DataTypes.DateType;
     if (t instanceof ArrowType.Timestamp) {
@@ -517,9 +519,30 @@ public final class QuiverJvmRead {
       }
       return DataTypes.createDecimalType(d.getPrecision(), d.getScale());
     }
+    // nested types (round 12): served through the Dremel rep/def assembler
+    // (QuiverNested) — list/struct/map columns rebuild directly into
+    // WritableColumnVector children, staying on the columnar fast path
+    if (t instanceof ArrowType.List || t instanceof ArrowType.LargeList
+        || t instanceof ArrowType.FixedSizeList) {
+      Field elem = f.getChildren().get(0);
+      return DataTypes.createArrayType(sparkType(elem), elem.isNullable());
+    }
+    if (t instanceof ArrowType.Struct) {
+      StructType st = new StructType();
+      for (Field c : f.getChildren()) {
+        st = st.add(c.getName(), sparkType(c), c.isNullable());
+      }
+      return st;
+    }
+    if (t instanceof ArrowType.Map) {
+      Field entries = f.getChildren().get(0);
+      Field k = entries.getChildren().get(0);
+      Field v = entries.getChildren().get(1);
+      return DataTypes.createMapType(sparkType(k), sparkType(v), v.isNullable());
+    }
     throw new UnsupportedOperationException(
         "quiverjvm: column '" + f.getName() + "' type " + t
-            + " (nested/extended types): use the Python 'quiver' DataSource");
+            + " (extended types): use the Python 'quiver' DataSource");
   }
 
   static StructType toSparkSchema(Schema arrow) {
@@ -713,18 +736,22 @@ public final class QuiverJvmRead {
         com.fasterxml.jackson.databind.JsonNode manFiles =
             man == null ? null : man.get("files");
         List<List<String>> manSchemaNames = new ArrayList<>();
+        List<Schema> manSchemas = new ArrayList<>();
         if (man != null && man.has("schemas")) {
           for (com.fasterxml.jackson.databind.JsonNode sn : man.get("schemas")) {
             List<String> names = null;
+            Schema s = null;
             try {
               byte[] ipc = java.util.Base64.getDecoder().decode(sn.asText());
-              Schema s = MessageSerializer.deserializeSchema(
+              s = MessageSerializer.deserializeSchema(
                   new ReadChannel(Channels.newChannel(new ByteArrayInputStream(ipc))));
               names = new ArrayList<>();
               for (Field f : s.getFields()) names.add(f.getName());
             } catch (Exception ignore) {
+              s = null;
             }
             manSchemaNames.add(names);
+            manSchemas.add(s);
           }
         }
 
@@ -754,15 +781,18 @@ public final class QuiverJvmRead {
           // this file → null-filled at read); manifest-served via the
           // entry's interned schema, footer fallback otherwise
           List<String> fileNames = null;
+          Schema fileSchema = null;
           if (entry != null && entry.has("schema")
               && entry.path("size").asLong(-1) == f.length()
               && entry.get("schema").asInt() < manSchemaNames.size()) {
             fileNames = manSchemaNames.get(entry.get("schema").asInt());
+            fileSchema = manSchemas.get(entry.get("schema").asInt());
           }
           Footer ft = null;
-          if (fileNames == null) {
+          if (fileNames == null || fileSchema == null) {
             PLAN_FOOTER_READS.incrementAndGet();
             ft = readFooter(f);
+            fileSchema = ft.arrowSchema;
             fileNames = new ArrayList<>();
             for (Field fd : ft.arrowSchema.getFields()) fileNames.add(fd.getName());
           }
@@ -772,6 +802,17 @@ public final class QuiverJvmRead {
                 : dataCols.get(i);
             projIdx[i] = fileNames.indexOf(phys);
           }
+          // footer/manifest metas are per LEAF (nested columns carry one
+          // meta per primitive of their type tree) — expand the projected
+          // FIELD indexes into leaf-meta indexes for byte accounting
+          int[][] lr = QuiverNested.leafRanges(fileSchema);
+          List<Integer> plList = new ArrayList<>();
+          for (int idx : projIdx) {
+            if (idx < 0 || idx >= lr.length) continue;
+            for (int l = 0; l < lr[idx][1]; l++) plList.add(lr[idx][0] + l);
+          }
+          int[] projLeaves = new int[plList.size()];
+          for (int i = 0; i < projLeaves.length; i++) projLeaves[i] = plList.get(i);
 
           // whole-file pruning on plan-time constants: partition values
           // and columns this file predates (all-null by construction)
@@ -794,7 +835,7 @@ public final class QuiverJvmRead {
           }
           if (!fileKept) continue;
 
-          long[] pb = manifestPageBytes(man, rel, f.length(), projIdx);
+          long[] pb = manifestPageBytes(man, rel, f.length(), projLeaves);
           if (pb == null) {
             if (ft == null) {
               PLAN_FOOTER_READS.incrementAndGet();
@@ -803,8 +844,8 @@ public final class QuiverJvmRead {
             int nPages = ft.cols.length == 0 ? 0 : ft.cols[0].pages.length;
             pb = new long[nPages];
             boolean any = false;
-            for (int idx : projIdx) {
-              if (idx < 0 || idx >= ft.cols.length) continue;
+            for (int idx : projLeaves) {
+              if (idx >= ft.cols.length) continue;
               any = true;
               PageMeta[] pages = ft.cols[idx].pages;
               for (int p = 0; p < Math.min(nPages, pages.length); p++) {
@@ -957,10 +998,14 @@ public final class QuiverJvmRead {
     private int pageI = 0; // within current chunk's range
     private RandomAccessFile raf;
     private Footer footer;
-    private long[][] pageOffsets; // per file column: absolute offset of each page
+    private long[][] pageOffsets; // per file LEAF: absolute offset of each page
+    private int[][] leafRanges;   // per file FIELD: {first leaf idx, leaf count}
     private int[] srcIdx;         // per required field: file col idx / SRC_PART / SRC_NULLS
     private boolean[] srcNullable; // per required field: the FILE column's nullability
+    private Field[] srcField;     // per required field: the FILE's arrow field
+    private QuiverNested.LeafSpec[][] srcSpecs; // per required field: leaf specs when nested
     private Object[] partConst;   // per required field: constant when SRC_PART
+    private int rowLeaf;          // leaf idx of some FLAT file column (row counts), or -1
     private ColumnarBatch batch;
 
     QuiverColumnarReader(Chunk[] chunks, StructType required) {
@@ -994,9 +1039,19 @@ public final class QuiverJvmRead {
           }
         }
       }
+      leafRanges = QuiverNested.leafRanges(footer.arrowSchema);
+      rowLeaf = -1;
+      for (int i = 0; i < fields.size(); i++) {
+        if (!QuiverNested.isNested(fields.get(i).getType())) {
+          rowLeaf = leafRanges[i][0];
+          break;
+        }
+      }
       StructField[] req = required.fields();
       srcIdx = new int[req.length];
       srcNullable = new boolean[req.length];
+      srcField = new Field[req.length];
+      srcSpecs = new QuiverNested.LeafSpec[req.length][];
       partConst = new Object[req.length];
       for (int i = 0; i < req.length; i++) {
         String declared = req[i].name();
@@ -1025,6 +1080,11 @@ public final class QuiverJvmRead {
         // page layout follows the FILE's nullability, not the declared
         // field's (an ALTER never rewrites old pages)
         srcNullable[i] = fields.get(fi).isNullable();
+        srcField[i] = fields.get(fi);
+        if (QuiverNested.isNested(fields.get(fi).getType())) {
+          List<QuiverNested.LeafSpec> specs = QuiverNested.leafSpecs(fields.get(fi));
+          srcSpecs[i] = specs.toArray(new QuiverNested.LeafSpec[0]);
+        }
       }
       pageOffsets = new long[footer.cols.length][];
       for (int ci = 0; ci < footer.cols.length; ci++) {
@@ -1061,8 +1121,30 @@ public final class QuiverJvmRead {
       return batch;
     }
 
+    private byte[] readLeafPage(int leaf, int p) throws IOException {
+      PageMeta pm = footer.cols[leaf].pages[p];
+      byte[] page = new byte[(int) pm.length];
+      raf.seek(pageOffsets[leaf][p]);
+      raf.readFully(page);
+      return page;
+    }
+
     private ColumnarBatch decodePage(Chunk c, int p) throws IOException {
-      int rows = (int) footer.cols[0].pages[p].numValues;
+      // top-level ROW count: a flat leaf's page meta carries it directly;
+      // nested leaf metas count SLOTS (levels), so an all-nested schema
+      // reads the first leaf page's uncompressed `rows u32` prefix instead
+      // (the reference's row-stop `length`, write_nested_validity at
+      // src/write/serialize.rs:217-232) — 4 bytes, no decode
+      int rows;
+      if (rowLeaf >= 0) {
+        rows = (int) footer.cols[rowLeaf].pages[p].numValues;
+      } else {
+        byte[] b4 = new byte[4];
+        raf.seek(pageOffsets[0][p]);
+        raf.readFully(b4);
+        rows = (b4[0] & 0xFF) | ((b4[1] & 0xFF) << 8) | ((b4[2] & 0xFF) << 16)
+            | ((b4[3] & 0xFF) << 24);
+      }
       OnHeapColumnVector[] vecs = OnHeapColumnVector.allocateColumns(Math.max(rows, 1), required);
       StructField[] req = required.fields();
       for (int out = 0; out < srcIdx.length; out++) {
@@ -1075,11 +1157,23 @@ public final class QuiverJvmRead {
           fillConstant(vecs[out], rows, req[out].dataType(), partConst[out]);
           continue;
         }
-        PageMeta pm = footer.cols[ci].pages[p];
-        byte[] page = new byte[(int) pm.length];
-        raf.seek(pageOffsets[ci][p]);
-        raf.readFully(page);
-        fillVector(vecs[out], page, rows, req[out].dataType(), srcNullable[out]);
+        int leafLo = leafRanges[ci][0];
+        if (srcSpecs[out] != null) {
+          // nested column: decode every leaf's page, then Dremel-assemble
+          QuiverNested.LeafSpec[] specs = srcSpecs[out];
+          QuiverNested.DLeaf[] leaves = new QuiverNested.DLeaf[specs.length];
+          int[] rowsOut = new int[1];
+          for (int l = 0; l < specs.length; l++) {
+            byte[] page = readLeafPage(leafLo + l, p);
+            int nSlots = (int) footer.cols[leafLo + l].pages[p].numValues;
+            leaves[l] = QuiverNested.decodeLeafPage(page, nSlots, specs[l], rowsOut);
+          }
+          QuiverNested.assembleColumn(srcField[out], leaves, vecs[out], rows);
+          continue;
+        }
+        byte[] page = readLeafPage(leafLo, p);
+        fillVector(vecs[out], page, rows, req[out].dataType(), srcNullable[out],
+            srcField[out]);
       }
       return new ColumnarBatch(vecs, rows);
     }
@@ -1100,7 +1194,7 @@ public final class QuiverJvmRead {
     }
 
     private void fillVector(OnHeapColumnVector vec, byte[] page, int rows, DataType t,
-        boolean nullable) throws IOException {
+        boolean nullable, Field arrowField) throws IOException {
       QuiverPageDecoder.Cursor cur =
           new QuiverPageDecoder.Cursor(page, 0, page.length);
       boolean[] valid = null;
@@ -1131,7 +1225,10 @@ public final class QuiverJvmRead {
         boolean[] vals = QuiverPageDecoder.decodeBoolean(cur, rows);
         for (int i = 0; i < rows; i++) vec.putBoolean(i, vals[i]);
       } else if (t == DataTypes.StringType || t == DataTypes.BinaryType) {
-        QuiverPageDecoder.Binary bin = QuiverPageDecoder.decodeBinary(cur, rows, 4);
+        ArrowType at = arrowField.getType();
+        int offsetWidth = (at instanceof ArrowType.LargeUtf8
+            || at instanceof ArrowType.LargeBinary) ? 8 : 4;
+        QuiverPageDecoder.Binary bin = QuiverPageDecoder.decodeBinary(cur, rows, offsetWidth);
         for (int i = 0; i < rows; i++) {
           int off = (int) bin.offsets[i];
           int len = (int) (bin.offsets[i + 1] - bin.offsets[i]);

@@ -129,33 +129,44 @@ def quiverjvm_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   (SELECT COUNT(*) FROM orders) AS orders_cnt,
   (SELECT MIN(o_orderkey) FROM orders) AS min_key,
-  (SELECT COUNT(*) FROM embeddings) AS emb_cnt
+  (SELECT COUNT(*) FROM embeddings) AS emb_cnt,
+  (SELECT COUNT(*) FROM orders) AS opt_cnt
 """,
     tags=("format", "jvm", "scan", "routing"),
 )
 def quiver_unified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE scan API, two engines (VERDICT r10 item 4): sources.scan routes
-    the flat orders table to the quiverjvm columnar reader and the nested
-    embeddings table (array<float> — the JVM guard refuses it) to the
-    Python DataSource, silently, through the same call. The query verifies
-    the routing really happened (a silent mis-route would pass the oracle
+    the flat orders table AND — since the round-12 nested lift — the
+    nested embeddings table (array<float>) to the quiverjvm columnar
+    reader, while a call carrying ANY reader option (here `columns`, the
+    stand-in for time travel / CDC cursors) still lands on the Python
+    DataSource, which owns the option surface. The query verifies the
+    routing really happened (a silent mis-route would pass the oracle
     while testing nothing) and aggregates across both engines' outputs."""
     from quiver_spark.operators.format_queries import quiver_dir
     from quiver_spark.sources import scan
 
     orders = scan(spark, quiver_dir(spark, sf_dir, "orders"))
     emb = scan(spark, quiver_dir(spark, sf_dir, "embeddings"))
+    opt = scan(spark, quiver_dir(spark, sf_dir, "orders"), columns="o_orderkey")
     plan_o = orders._jdf.queryExecution().analyzed().toString()
     plan_e = emb._jdf.queryExecution().analyzed().toString()
+    plan_p = opt._jdf.queryExecution().analyzed().toString()
     if "quiverjvm" not in plan_o:
         raise RuntimeError("unified scan: flat orders table must route to the JVM reader")
-    if "quiverjvm" in plan_e:
-        raise RuntimeError("unified scan: nested embeddings table must route to the Python DS")
+    if "quiverjvm" not in plan_e:
+        raise RuntimeError(
+            "unified scan: nested embeddings table must route to the JVM reader "
+            "(round-12 nested lift)"
+        )
+    if "quiverjvm" in plan_p:
+        raise RuntimeError("unified scan: a reader option must route to the Python DS")
     a = orders.agg(
         F.count(F.lit(1)).alias("orders_cnt"), F.min("o_orderkey").alias("min_key")
     )
     b = emb.agg(F.count(F.lit(1)).alias("emb_cnt"))
-    return a.crossJoin(b)
+    c = opt.agg(F.count(F.lit(1)).alias("opt_cnt"))
+    return a.crossJoin(b).crossJoin(c)
 
 
 @register(
@@ -272,4 +283,76 @@ def quiverjvm_alter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("part_type").alias("min_type"),
         F.sum("priority").cast("bigint").alias("prio_sum"),
         F.count("priority").alias("n_prio"),
+    )
+
+
+@register(
+    "quiverjvm_nested_scan",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(len(embedding)) AS BIGINT) AS total_dims,
+       CAST(SUM(
+           (SELECT SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                       * CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+            FROM unnest(embedding) AS t(x))
+       ) AS BIGINT) AS inorm_sum,
+       CAST(SUM(len(embedding)) AS BIGINT) AS meta_dim_sum,
+       MIN(label) AS meta_min_lab,
+       CAST(SUM(vec_id) AS BIGINT) AS tag_vid_sum
+FROM embeddings
+GROUP BY label
+""",
+    tags=("format", "jvm", "scan", "nested"),
+)
+def quiverjvm_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested types through the JVM columnar reader (round-12 guard lift,
+    VERDICT r11 item 3): a fixture derived from embeddings carries
+    list<float> (the real embedding column), a struct<lab:string,dim:int>
+    and a map<string,bigint> — all rebuilt by the Java Dremel assembler
+    (QuiverNested, rep/def reconstruction per the reference's NestedState
+    at src/read/read_basic.rs:65-173) from pages the PYTHON writer
+    shredded. The struct/map columns are derived from flat columns at
+    build time, so the oracle recomputes them algebraically from parquet:
+    a mis-assembled offset, a leaf attached to the wrong parent, or a
+    value/null swap shifts the sums and hash-fails. int_vec quantization
+    keeps the float math exact across engines."""
+    from quiver_spark.functions import int_vec
+    from quiver_spark.operators.format_queries2 import _marker_dir
+
+    def build(d):
+        src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+            "vec_id",
+            "embedding",
+            "label",
+            "named_struct('lab', label, 'dim', size(embedding)) AS meta",
+            "map(label, vec_id) AS tags",
+        )
+        src.coalesce(2).write.format("quiver").option(
+            "max_page_size", "1000"
+        ).mode("overwrite").save(d)
+
+    d = _marker_dir(spark, sf_dir, "embeddings-nested-jvm", build)
+    t = _jvm_scan(spark, d)
+    iv = int_vec("embedding")
+    return (
+        t.select(
+            "label",
+            F.size("embedding").alias("dims"),
+            iv.alias("iv"),
+            F.col("meta.dim").alias("meta_dim"),
+            F.col("meta.lab").alias("meta_lab"),
+            F.element_at("tags", F.col("label")).alias("tag_vid"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("dims").cast("bigint").alias("total_dims"),
+            F.sum(
+                F.aggregate("iv", F.lit(0).cast("bigint"), lambda a, x: a + x * x)
+            ).cast("bigint").alias("inorm_sum"),
+            F.sum("meta_dim").cast("bigint").alias("meta_dim_sum"),
+            F.min("meta_lab").alias("meta_min_lab"),
+            F.sum("tag_vid").cast("bigint").alias("tag_vid_sum"),
+        )
     )

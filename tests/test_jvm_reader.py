@@ -690,14 +690,17 @@ def test_unified_scan_routes_by_eligibility(spark, tmp_path):
     assert engine(df2) == "python"
     assert df2.filter("src = 'seed'").count() == 50
 
-    # nested schema: ineligible from the first byte
+    # nested schema: JVM-served since the round-12 Dremel lift
     nested = str(tmp_path / "nested")
     spark.createDataFrame(
         [(1, [1.0, 2.0]), (2, [3.0])], "id bigint, emb array<double>"
     ).write.format("quiver").mode("overwrite").save(nested)
     df3 = scan(spark, nested)
-    assert engine(df3) == "python"
+    assert engine(df3) == "jvm"
     assert df3.count() == 2
+    assert df3.selectExpr("sum(aggregate(emb, 0D, (a, x) -> a + x))").collect()[0][
+        0
+    ] == pytest.approx(6.0)
 
 
 def test_unified_scan_warns_on_non_guard_jvm_fault(spark, tmp_path):
@@ -735,14 +738,17 @@ def test_unified_scan_warns_on_non_guard_jvm_fault(spark, tmp_path):
     assert "quiverjvm" not in df2._jdf.queryExecution().analyzed().toString()
     assert df2.count() == 40  # Python DS degrades to footer reads
 
-    # guard refusal (nested schema) stays a SILENT reroute
-    nested = str(tmp_path / "nested_silent")
-    spark.createDataFrame(
-        [(1, [1.0])], "id bigint, emb array<double>"
-    ).write.format("quiver").mode("overwrite").save(nested)
+    # guard refusal (column initial-defaults) stays a SILENT reroute
+    from quiver_spark import maintenance
+
+    guarded = str(tmp_path / "defaults_silent")
+    spark.range(5).selectExpr("id").write.format("quiver").mode(
+        "overwrite"
+    ).save(guarded)
+    maintenance.add_column(guarded, "src", "string", default="seed")
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        assert scan(spark, nested).count() == 1
+        assert scan(spark, guarded).count() == 5
 
 
 def test_jvm_hive_key_colliding_with_file_column(spark, tmp_path):
@@ -768,3 +774,161 @@ def test_jvm_hive_key_colliding_with_file_column(spark, tmp_path):
     _assert_same(spark, d)
     jv = spark.read.format("quiverjvm").load(d)
     assert sorted(r.p for r in jv.collect()) == [5, 6, 7]
+
+
+def test_jvm_nested_roundtrip_parity(spark, tmp_path):
+    """Nested types through the JVM reader (round-12 guard lift): list /
+    struct / map / deep compositions with nulls, empties and all-absent
+    pages, Python-writer shredded (format/nested.py), Java-assembled
+    (QuiverNested) — row-exact against the Python DS on the same files.
+    local[4] writes split rows across tasks, so some files carry pages
+    where EVERY parent is null/empty (the shred clamp case)."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+
+    cases = [
+        (
+            [(1, [1.0, 2.0, 3.0]), (2, []), (3, None), (4, [4.5])],
+            "id bigint, emb array<double>",
+        ),
+        (
+            [
+                (1, {"a": 1, "b": "x"}, {"k1": 1.5}, ["u", None, "w"]),
+                (2, {"a": None, "b": "y"}, {}, None),
+                (3, None, None, []),
+            ],
+            "id bigint, s struct<a:bigint,b:string>, m map<string,double>,"
+            " arr array<string>",
+        ),
+        (
+            [
+                (1, [{"x": 1, "ys": [0.1, 0.2]}, {"x": None, "ys": []}], {"a": [1, 2]}),
+                (2, [], {"b": None}),
+                (3, None, None),
+            ],
+            "id bigint, lst array<struct<x:int,ys:array<double>>>,"
+            " m map<string,array<int>>",
+        ),
+    ]
+    for i, (rows, schema) in enumerate(cases):
+        d = str(tmp_path / f"nested_{i}")
+        spark.createDataFrame(rows, schema).write.format("quiver").mode(
+            "overwrite"
+        ).save(d)
+        got = spark.read.format("quiverjvm").load(d).orderBy("id").collect()
+        exp = spark.read.format("quiver").load(d).orderBy("id").collect()
+        assert got == exp, f"case {i}: {got} != {exp}"
+
+
+def test_jvm_nested_exotic_leaves_multipage(spark, tmp_path):
+    """Library-written nested files with the leaf types Spark can't easily
+    sink — fixed-size-list (maps to ArrayType), decimal128-in-list,
+    struct of timestamp/date/binary/bool — across 2-row pages so every
+    page boundary exercises the assembler. The Python DS cannot return
+    FixedSizeList batches through Spark's arrow bridge at all, so the
+    expectation is literal (the JVM reader EXCEEDS the Python DS here)."""
+    _require_jar(spark)
+    import datetime
+    import decimal
+    import os
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+    from quiver_spark.sources import register
+
+    register(spark)
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "fsl": pa.array(
+                [[1.0, 2.0], [3.0, 4.0], None], pa.list_(pa.float32(), 2)
+            ),
+            "decs": pa.array(
+                [[decimal.Decimal("1.23")], [], None], pa.list_(pa.decimal128(9, 2))
+            ),
+            "st": pa.array(
+                [
+                    {
+                        "ts": datetime.datetime(2020, 1, 1),
+                        "d": datetime.date(2021, 2, 3),
+                        "b": b"xy",
+                        "f": True,
+                    },
+                    None,
+                    {"ts": None, "d": None, "b": None, "f": None},
+                ],
+                pa.struct(
+                    [
+                        ("ts", pa.timestamp("us")),
+                        ("d", pa.date32()),
+                        ("b", pa.binary()),
+                        ("f", pa.bool_()),
+                    ]
+                ),
+            ),
+        }
+    )
+    d = str(tmp_path / "exotic")
+    os.makedirs(d)
+    write_table(t, f"{d}/part-0.quiver", WriteOptions(max_page_size=2))
+    rows = {r["id"]: r for r in spark.read.format("quiverjvm").load(d).collect()}
+    assert rows[1]["fsl"] == [1.0, 2.0] and rows[3]["fsl"] is None
+    assert rows[1]["decs"] == [decimal.Decimal("1.23")]
+    assert rows[2]["decs"] == [] and rows[3]["decs"] is None
+    assert rows[1]["st"]["ts"] == datetime.datetime(2020, 1, 1)
+    assert rows[1]["st"]["d"] == datetime.date(2021, 2, 3)
+    assert rows[1]["st"]["b"] == b"xy" and rows[1]["st"]["f"] is True
+    assert rows[2]["st"] is None
+    assert rows[3]["st"].asDict() == {"ts": None, "d": None, "b": None, "f": None}
+
+
+def test_jvm_nested_real_tables_parity(spark, tmp_path):
+    """The embeddings and documents tables (every dedup/ANN gate's input)
+    through the JVM nested path, multi-page and multi-file, value-exact
+    vs the Python DS — the fixture class VERDICT r11 item 3 asked for."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+    for tbl, page in [("embeddings", "1000"), ("documents", "500")]:
+        d = str(tmp_path / tbl)
+        spark.read.parquet(f"{SF_DIR_MID}/{tbl}.parquet").coalesce(2).write.format(
+            "quiver"
+        ).option("max_page_size", page).mode("overwrite").save(d)
+        got = sorted(
+            repr(tuple(r)) for r in spark.read.format("quiverjvm").load(d).collect()
+        )
+        exp = sorted(
+            repr(tuple(r)) for r in spark.read.format("quiver").load(d).collect()
+        )
+        assert got == exp and len(got) > 0
+
+
+def test_jvm_large_string_scan(spark, tmp_path):
+    """large_utf8/large_binary columns (8-byte offsets) — the other
+    round-12 guard lift: the decode paths take the offset width from the
+    footer's arrow type, flat and as nested leaves."""
+    _require_jar(spark)
+    import os
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+    from quiver_spark.sources import register
+
+    register(spark)
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "big": pa.array(["alpha", None, "gamma"], pa.large_string()),
+            "bin": pa.array([b"\x00\x01", b"", None], pa.large_binary()),
+            "lbig": pa.array([["a", "bb"], None, []], pa.large_list(pa.large_string())),
+        }
+    )
+    d = str(tmp_path / "large")
+    os.makedirs(d)
+    write_table(t, f"{d}/part-0.quiver", WriteOptions(max_page_size=2))
+    rows = {r["id"]: r for r in spark.read.format("quiverjvm").load(d).collect()}
+    assert rows[1]["big"] == "alpha" and rows[2]["big"] is None
+    assert rows[1]["bin"] == bytearray(b"\x00\x01") and rows[3]["bin"] is None
+    assert rows[1]["lbig"] == ["a", "bb"] and rows[2]["lbig"] is None
+    assert rows[3]["lbig"] == []

@@ -248,10 +248,20 @@ public final class QuiverJvmRead {
    * never by misreading. The Python DataSource owns these features. */
   static void guardManifestNode(com.fasterxml.jackson.databind.JsonNode m) {
     if (m == null) return;
-    if (m.has("column_defaults") && m.get("column_defaults").size() > 0) {
-      throw new UnsupportedOperationException(
-          "quiverjvm: table carries column initial-defaults: "
-              + "read with the Python 'quiver' DataSource");
+    // column initial-defaults (round-12 lift): manifest-declared JSON
+    // scalars, constant-filled per chunk for files that predate the
+    // column. encode_default only ever stores text/bool/int/float, so a
+    // non-scalar value is foreign/corrupt — refuse rather than misread.
+    if (m.has("column_defaults")) {
+      com.fasterxml.jackson.databind.JsonNode cd = m.get("column_defaults");
+      for (java.util.Iterator<String> it = cd.fieldNames(); it.hasNext(); ) {
+        com.fasterxml.jackson.databind.JsonNode v = cd.get(it.next());
+        if (!v.isTextual() && !v.isBoolean() && !v.isNumber()) {
+          throw new UnsupportedOperationException(
+              "quiverjvm: non-scalar column default " + v
+                  + ": read with the Python 'quiver' DataSource");
+        }
+      }
     }
     // ALTER-DDL tables (declared table_schema, per-file rename maps) are
     // served since round 11: the reader resolves columns per file BY NAME
@@ -477,8 +487,18 @@ public final class QuiverJvmRead {
     if (t instanceof ArrowType.Int) {
       ArrowType.Int it = (ArrowType.Int) t;
       if (!it.getIsSigned()) {
-        throw new UnsupportedOperationException(
-            "quiverjvm: unsigned int column '" + f.getName() + "': use the Python DataSource");
+        // unsigned widening (round-12 lift, Python-DS parity — SURVEY
+        // §1.3): Spark has no unsigned types and a same-width signed map
+        // would overflow the top half of the range, so uint8→short,
+        // uint16→int, uint32→long, uint64→decimal(20,0). The pages store
+        // the raw physical width; decode zero-extends.
+        switch (it.getBitWidth()) {
+          case 8: return DataTypes.ShortType;
+          case 16: return DataTypes.IntegerType;
+          case 32: return DataTypes.LongType;
+          case 64: return DataTypes.createDecimalType(20, 0);
+          default: throw new UnsupportedOperationException("uint width " + it.getBitWidth());
+        }
       }
       switch (it.getBitWidth()) {
         case 8: return DataTypes.ByteType;
@@ -573,15 +593,20 @@ public final class QuiverJvmRead {
      * file (foreign drop-in, merge-schemas dir) rejects loudly instead of
      * being silently name-resolved against the wrong table schema */
     final String[] expectCols;
+    /** declared column initial-defaults (raw manifest JSON scalars, typed
+     * at read time); null/empty when none were ever declared */
+    final java.util.HashMap<String, Object> defaults;
 
     Chunk(String file, int pageStart, int pageEnd, java.util.HashMap<String, Object> partVals,
-        java.util.HashMap<String, String> cmap, String[] expectCols) {
+        java.util.HashMap<String, String> cmap, String[] expectCols,
+        java.util.HashMap<String, Object> defaults) {
       this.file = file;
       this.pageStart = pageStart;
       this.pageEnd = pageEnd;
       this.partVals = partVals;
       this.cmap = cmap;
       this.expectCols = expectCols;
+      this.defaults = defaults;
     }
   }
 
@@ -713,6 +738,25 @@ public final class QuiverJvmRead {
           if (!fileColNames.contains(hive.cols[i])) partIdx.put(hive.cols[i], i);
         }
 
+        // declared column initial-defaults (round-12 lift): raw manifest
+        // JSON scalars, shipped per chunk, typed against the required
+        // schema at read time — files that predate an ALTER add_column
+        // WITH DEFAULT fill the default, not null (Iceberg semantics,
+        // Python-DS parity: quiver_datasource._read_chunk fill_vals)
+        java.util.HashMap<String, Object> tblDefaults = null;
+        if (man != null && man.has("column_defaults")) {
+          tblDefaults = new java.util.HashMap<>();
+          com.fasterxml.jackson.databind.JsonNode cd = man.get("column_defaults");
+          for (java.util.Iterator<String> it = cd.fieldNames(); it.hasNext(); ) {
+            String nm = it.next();
+            com.fasterxml.jackson.databind.JsonNode v = cd.get(nm);
+            Object o = v.isTextual() ? v.asText()
+                : v.isBoolean() ? (Object) v.asBoolean()
+                : v.isIntegralNumber() ? (Object) v.asLong() : (Object) v.asDouble();
+            tblDefaults.put(nm, o);
+          }
+        }
+
         // data columns the scan must read from file pages (partition
         // columns are constants; names resolve per file through the cmap)
         List<String> dataCols = new ArrayList<>();
@@ -827,7 +871,10 @@ public final class QuiverJvmRead {
               continue;
             }
             int di = dataCols.indexOf(pred.column);
+            // a column this file predates is all-NULL — unless a declared
+            // default fills it, in which case no null-based prune applies
             if (di >= 0 && projIdx[di] < 0
+                && (tblDefaults == null || !tblDefaults.containsKey(pred.column))
                 && !QuiverPagePrune.pageMayMatch(pred, null, null, 1, 1)) {
               fileKept = false;
               break;
@@ -912,7 +959,7 @@ public final class QuiverJvmRead {
           for (int p = 0; p < pb.length; p++) {
             if (keep != null && !keep[p]) {
               if (runStart >= 0) {
-                open.add(new Chunk(fp, runStart, p, pv, cm, expectCols));
+                open.add(new Chunk(fp, runStart, p, pv, cm, expectCols, tblDefaults));
                 runStart = -1;
               }
               continue;
@@ -920,7 +967,7 @@ public final class QuiverJvmRead {
             if (runStart < 0) runStart = p;
             acc += pb[p];
             if (acc >= floor) {
-              open.add(new Chunk(fp, runStart, p + 1, pv, cm, expectCols));
+              open.add(new Chunk(fp, runStart, p + 1, pv, cm, expectCols, tblDefaults));
               parts.add(new QuiverInputPartition(open.toArray(new Chunk[0])));
               open = new ArrayList<>();
               runStart = -1;
@@ -928,9 +975,9 @@ public final class QuiverJvmRead {
             }
           }
           if (runStart >= 0) {
-            open.add(new Chunk(fp, runStart, pb.length, pv, cm, expectCols));
+            open.add(new Chunk(fp, runStart, pb.length, pv, cm, expectCols, tblDefaults));
           } else if (pb.length == 0) {
-            open.add(new Chunk(fp, 0, 0, pv, cm, expectCols));
+            open.add(new Chunk(fp, 0, 0, pv, cm, expectCols, tblDefaults));
           }
         }
         if (!open.isEmpty()) {
@@ -985,10 +1032,12 @@ public final class QuiverJvmRead {
 
   /** Where one required output column comes from inside one file:
    * a physical file column (idx ≥ 0), a Hive partition constant
-   * (idx == PART), or all-null fill (idx == NULLS — the file predates
-   * the column's ALTER add_column). */
+   * (idx == PART), all-null fill (idx == NULLS — the file predates
+   * the column's ALTER add_column), or the column's declared initial
+   * default (idx == DEFAULT — predates an add_column WITH default). */
   static final int SRC_NULLS = -1;
   static final int SRC_PART = -2;
+  static final int SRC_DEFAULT = -3;
 
   static final class QuiverColumnarReader implements PartitionReader<ColumnarBatch> {
     private final Chunk[] chunks;
@@ -1066,7 +1115,12 @@ public final class QuiverJvmRead {
           if (fields.get(k).getName().equals(phys)) { fi = k; break; }
         }
         if (fi < 0) {
-          srcIdx[i] = SRC_NULLS;
+          if (c.defaults != null && c.defaults.containsKey(declared)) {
+            srcIdx[i] = SRC_DEFAULT;
+            partConst[i] = typedConstant(c.defaults.get(declared), req[i].dataType());
+          } else {
+            srcIdx[i] = SRC_NULLS;
+          }
           continue;
         }
         DataType fileType = sparkType(fields.get(fi));
@@ -1153,7 +1207,7 @@ public final class QuiverJvmRead {
           vecs[out].putNulls(0, rows);
           continue;
         }
-        if (ci == SRC_PART) {
+        if (ci == SRC_PART || ci == SRC_DEFAULT) {
           fillConstant(vecs[out], rows, req[out].dataType(), partConst[out]);
           continue;
         }
@@ -1178,15 +1232,68 @@ public final class QuiverJvmRead {
       return new ColumnarBatch(vecs, rows);
     }
 
+    /** Raw manifest default (JSON scalar or canonical string) → the
+     * constant object fillConstant consumes, typed by the declared Spark
+     * type (mirror of sources/manifest.py decode_default). */
+    static Object typedConstant(Object raw, DataType t) {
+      if (raw == null) return null;
+      if (t == DataTypes.ByteType || t == DataTypes.ShortType
+          || t == DataTypes.IntegerType || t == DataTypes.LongType) {
+        return ((Number) raw).longValue();
+      }
+      if (t == DataTypes.FloatType || t == DataTypes.DoubleType) {
+        return ((Number) raw).doubleValue();
+      }
+      if (t == DataTypes.BooleanType) return (Boolean) raw;
+      if (t == DataTypes.DateType) {
+        return java.time.LocalDate.parse(raw.toString()).toEpochDay();
+      }
+      if (t == DataTypes.TimestampNTZType || t == DataTypes.TimestampType) {
+        // canonical Python str(datetime): space separator, optional
+        // .ffffff fraction, optional +HH:MM offset (tz-aware)
+        String s = raw.toString().replace(' ', 'T');
+        try {
+          java.time.LocalDateTime ldt = java.time.LocalDateTime.parse(s);
+          return ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1_000_000L
+              + ldt.getNano() / 1000L;
+        } catch (java.time.format.DateTimeParseException e) {
+          java.time.OffsetDateTime odt = java.time.OffsetDateTime.parse(s);
+          return odt.toInstant().getEpochSecond() * 1_000_000L
+              + odt.getNano() / 1000L;
+        }
+      }
+      if (t instanceof DecimalType) return new BigDecimal(raw.toString());
+      if (t == DataTypes.StringType) return raw.toString();
+      throw new UnsupportedOperationException(
+          "quiverjvm: column default unsupported for type " + t
+              + ": read with the Python 'quiver' DataSource");
+    }
+
     private static void fillConstant(OnHeapColumnVector vec, int rows, DataType t, Object v) {
       if (v == null) {
         vec.putNulls(0, rows);
         return;
       }
-      if (t == DataTypes.LongType) {
-        vec.putLongs(0, rows, (Long) v);
+      if (t == DataTypes.LongType || t == DataTypes.TimestampType
+          || t == DataTypes.TimestampNTZType) {
+        vec.putLongs(0, rows, ((Number) v).longValue());
+      } else if (t == DataTypes.IntegerType || t == DataTypes.DateType) {
+        vec.putInts(0, rows, (int) ((Number) v).longValue());
+      } else if (t == DataTypes.ShortType) {
+        vec.putShorts(0, rows, (short) ((Number) v).longValue());
+      } else if (t == DataTypes.ByteType) {
+        vec.putBytes(0, rows, (byte) ((Number) v).longValue());
       } else if (t == DataTypes.DoubleType) {
-        vec.putDoubles(0, rows, (Double) v);
+        vec.putDoubles(0, rows, ((Number) v).doubleValue());
+      } else if (t == DataTypes.FloatType) {
+        vec.putFloats(0, rows, (float) ((Number) v).doubleValue());
+      } else if (t == DataTypes.BooleanType) {
+        boolean b = (Boolean) v;
+        for (int i = 0; i < rows; i++) vec.putBoolean(i, b);
+      } else if (t instanceof DecimalType) {
+        DecimalType dt = (DecimalType) t;
+        Decimal d = Decimal.apply((BigDecimal) v);
+        for (int i = 0; i < rows; i++) vec.putDecimal(i, d, dt.precision());
       } else {
         byte[] b = v.toString().getBytes(java.nio.charset.StandardCharsets.UTF_8);
         for (int i = 0; i < rows; i++) vec.putByteArray(i, b, 0, b.length);
@@ -1200,6 +1307,33 @@ public final class QuiverJvmRead {
       boolean[] valid = null;
       if (nullable) {
         valid = QuiverPageDecoder.readValidity(cur, rows);
+      }
+      ArrowType at0 = arrowField.getType();
+      if (at0 instanceof ArrowType.Int && !((ArrowType.Int) at0).getIsSigned()) {
+        // unsigned widening (round-12 lift): pages store the raw physical
+        // width; zero-extend into the widened Spark type (uint8→short,
+        // uint16→int, uint32→long, uint64→decimal(20,0)) — the Spark-type
+        // switch below would decode at the WIDENED width and misread
+        int bw = ((ArrowType.Int) at0).getBitWidth();
+        int w = bw / 8;
+        byte[] raw = QuiverPageDecoder.decodeValues(cur, rows, w);
+        for (int i = 0; i < rows; i++) {
+          long u = QuiverPageDecoder.leLong(raw, i * w, w); // zero-extended
+          switch (bw) {
+            case 8: vec.putShort(i, (short) u); break;
+            case 16: vec.putInt(i, (int) u); break;
+            case 32: vec.putLong(i, u); break;
+            default:
+              BigDecimal bd = new BigDecimal(new BigInteger(Long.toUnsignedString(u)));
+              vec.putDecimal(i, Decimal.apply(bd), 20);
+          }
+        }
+        if (valid != null) {
+          for (int i = 0; i < rows; i++) {
+            if (!valid[i]) vec.putNull(i);
+          }
+        }
+        return;
       }
       if (t == DataTypes.LongType || t == DataTypes.TimestampType || t == DataTypes.TimestampNTZType) {
         byte[] raw = QuiverPageDecoder.decodeValues(cur, rows, 8);

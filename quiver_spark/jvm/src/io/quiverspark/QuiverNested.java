@@ -411,7 +411,22 @@ final class QuiverNested {
     }
     long raw = lf.width <= 8 ? QuiverPageDecoder.leLong(lf.fixed, v * lf.width, lf.width) : 0;
     if (t instanceof ArrowType.Int) {
-      switch (((ArrowType.Int) t).getBitWidth()) {
+      ArrowType.Int it = (ArrowType.Int) t;
+      if (!it.getIsSigned()) {
+        // unsigned widening (leLong zero-extends): uint8→short,
+        // uint16→int, uint32→long, uint64→decimal(20,0)
+        switch (it.getBitWidth()) {
+          case 8: out.putShort(j, (short) raw); return;
+          case 16: out.putInt(j, (int) raw); return;
+          case 32: out.putLong(j, raw); return;
+          default:
+            java.math.BigDecimal bd = new java.math.BigDecimal(
+                new java.math.BigInteger(Long.toUnsignedString(raw)));
+            out.putDecimal(j, org.apache.spark.sql.types.Decimal.apply(bd), 20);
+            return;
+        }
+      }
+      switch (it.getBitWidth()) {
         case 8: out.putByte(j, (byte) raw); return;
         case 16: out.putShort(j, (short) raw); return;
         case 32: out.putInt(j, (int) raw); return;

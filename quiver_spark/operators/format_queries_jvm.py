@@ -248,7 +248,8 @@ def quiverjvm_alter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-only DDL — rename_column p_type→part_type (old files
     resolve through the per-file declared→physical cmap), drop_column
     p_name (bytes stay, name vanishes), add_column priority (old files
-    NULL-FILL — no default, which the JVM reader still refuses) — and a
+    NULL-FILL — no default; defaults ride the round-12 lift and their own
+    gate, quiverjvm_default_fill_scan) — and a
     post-ALTER append lands rows physically carrying the NEW names, so
     one JVM plan mixes both physical schemas. The oracle rebuilds the
     table algebraically from parquet: a cmap resolved to the wrong
@@ -355,4 +356,133 @@ def quiverjvm_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("meta_lab").alias("meta_min_lab"),
             F.sum("tag_vid").cast("bigint").alias("tag_vid_sum"),
         )
+    )
+
+
+@register(
+    "quiverjvm_default_fill_scan",
+    oracle="""
+WITH evolved AS (
+    SELECT p_partkey, p_brand, 'std' AS grade, CAST('1.25' AS DECIMAL(10,2)) AS bonus
+    FROM part
+    UNION ALL
+    SELECT p_partkey + 100000000, p_brand, 'elite', CAST('9.75' AS DECIMAL(10,2))
+    FROM part
+    WHERE p_size >= 45
+)
+SELECT p_brand,
+       COUNT(*) AS cnt,
+       CAST(SUM(p_partkey) AS BIGINT) AS key_sum,
+       MIN(grade) AS min_grade,
+       MAX(grade) AS max_grade,
+       CAST(SUM(bonus * 100) AS BIGINT) AS bonus_cents
+FROM evolved
+GROUP BY p_brand
+""",
+    tags=("format", "jvm", "ddl", "defaults"),
+)
+def quiverjvm_default_fill_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column initial-defaults through the JVM scan (round-12 guard lift,
+    VERDICT r11 item 4): part is sink-written, add_column declares
+    grade='std' and bonus=1.25 (Iceberg initial-default semantics — files
+    that PREDATE the ALTER fill the default, not null), then a post-ALTER
+    append lands rows physically carrying different values. The reader
+    constant-fills per chunk from the manifest's column_defaults (typed
+    string and decimal constants), and sources.scan must ROUTE the table
+    to the JVM engine — the routing is asserted, so a guard regression
+    that silently bounced it back to the Python DS would fail loudly."""
+    from quiver_spark.operators.format_queries2 import _marker_dir
+    from quiver_spark.sources import scan
+
+    def build(d):
+        from quiver_spark import maintenance as M
+
+        full = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_brand", "p_size"
+        )
+        full.coalesce(2).write.format("quiver").mode("overwrite").save(d)
+        M.add_column(d, "grade", "string", default="std")
+        M.add_column(d, "bonus", "decimal(10,2)", default="1.25")
+        post = full.filter("p_size >= 45").selectExpr(
+            "p_partkey + 100000000 AS p_partkey",
+            "p_brand",
+            "p_size",
+            "'elite' AS grade",
+            "CAST('9.75' AS DECIMAL(10,2)) AS bonus",
+        )
+        post.coalesce(1).write.format("quiver").mode("append").save(d)
+
+    d = _marker_dir(spark, sf_dir, "part-defaults-jvm", build)
+    t = scan(spark, d)
+    if "quiverjvm" not in t._jdf.queryExecution().analyzed().toString():
+        raise RuntimeError(
+            "defaults table must route to the JVM reader (round-12 lift)"
+        )
+    return t.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("p_partkey").cast("bigint").alias("key_sum"),
+        F.min("grade").alias("min_grade"),
+        F.max("grade").alias("max_grade"),
+        F.sum(F.col("bonus") * 100).cast("bigint").alias("bonus_cents"),
+    )
+
+
+@register(
+    "quiverjvm_uint_scan",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CAST(s_suppkey AS BIGINT) % 200) AS BIGINT) AS u8_sum,
+       CAST(SUM(s_suppkey) AS BIGINT) AS u16_sum,
+       CAST(SUM(s_suppkey * 100000) AS BIGINT) AS u32_sum,
+       SUM(CAST(s_suppkey AS DOUBLE) * 1000000000) AS u64_sum,
+       CAST(MAX(s_suppkey) AS BIGINT) AS max_u16
+FROM supplier
+""",
+    tags=("format", "jvm", "scan", "uint"),
+)
+def quiverjvm_uint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsigned integers through the JVM scan (round-12 guard lift,
+    VERDICT r11 item 4): a library-written file carries uint8/16/32/64
+    leaves derived from supplier keys (the reference encodes uints via the
+    plain integer cascade, src/write/primitive.rs:55-70); the reader
+    zero-extends into the widened Spark types (short/int/long/
+    decimal(20,0) per SURVEY §1.3 — Python-DS parity) and sources.scan
+    must route the table to the JVM engine. Sums recompute the widened
+    values exactly from parquet; u64 aggregates as double (values bounded
+    so the double sum is exact)."""
+    import os
+
+    from quiver_spark.operators.format_queries2 import _marker_dir
+    from quiver_spark.sources import scan
+
+    def build(d):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from quiver_spark.format.writer import WriteOptions, write_table
+
+        os.makedirs(d, exist_ok=True)
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        keys = sup.column("s_suppkey").to_pylist()
+        t = pa.table(
+            {
+                "u8": pa.array([k % 200 for k in keys], pa.uint8()),
+                "u16": pa.array(keys, pa.uint16()),
+                "u32": pa.array([k * 100000 for k in keys], pa.uint32()),
+                "u64": pa.array([k * 1000000000 for k in keys], pa.uint64()),
+            }
+        )
+        write_table(t, os.path.join(d, "part-0.quiver"), WriteOptions())
+
+    d = _marker_dir(spark, sf_dir, "supplier-uint-jvm", build)
+    t = scan(spark, d)
+    if "quiverjvm" not in t._jdf.queryExecution().analyzed().toString():
+        raise RuntimeError("uint table must route to the JVM reader (round-12 lift)")
+    return t.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("u8").cast("bigint").alias("u8_sum"),
+        F.sum("u16").cast("bigint").alias("u16_sum"),
+        F.sum("u32").cast("bigint").alias("u32_sum"),
+        F.sum(F.col("u64").cast("double")).alias("u64_sum"),
+        F.max("u16").cast("bigint").alias("max_u16"),
     )

@@ -303,21 +303,32 @@ def test_jvm_read_serves_hive_partitioned(spark, tmp_path):
 
 
 def test_jvm_read_rejects_what_python_ds_owns(spark, tmp_path):
-    """Correctness boundary that remains: column initial-defaults (a
-    non-null fill the JVM reader does not implement) refuse loudly
-    instead of serving wrong data."""
+    """Correctness boundary that remains after the round-12 lifts
+    (nested / unsigned / large / defaults all serve now): an exotic leaf
+    unit the fill path does not speak — a ms-unit timestamp, which the
+    Python DS normalizes to us — refuses loudly at plan time instead of
+    serving wrong data."""
     _require_jar(spark)
-    from quiver_spark import maintenance
+    import datetime
+    import os
+
+    from quiver_spark.format.writer import WriteOptions, write_table
     from quiver_spark.sources import register
 
     register(spark)
-    d = str(tmp_path / "defaulted")
-    spark.range(100).selectExpr("id", "id * 2 AS v").write.format("quiver").mode(
-        "overwrite"
-    ).save(d)
-    maintenance.add_column(d, "src", "string", default="backfill")
-    with pytest.raises(Exception, match="quiver"):
+    d = str(tmp_path / "tsms")
+    os.makedirs(d)
+    write_table(
+        pa.table(
+            {"ts": pa.array([datetime.datetime(2020, 1, 1)], pa.timestamp("ms"))}
+        ),
+        f"{d}/f.quiver",
+        WriteOptions(),
+    )
+    with pytest.raises(Exception, match="timestamp unit"):
         spark.read.format("quiverjvm").load(d).collect()
+    # ...and the Python DS serves it (unit-normalized)
+    assert spark.read.format("quiver").load(d).count() == 1
 
 
 def test_jvm_plan_zero_footer_reads_with_manifest(spark, tmp_path):
@@ -684,10 +695,11 @@ def test_unified_scan_routes_by_eligibility(spark, tmp_path):
     assert engine(df_opt) == "python"
     assert df_opt.count() == 50
 
-    # column defaults: the guard refuses, the router obeys
+    # column defaults: JVM-served since the round-12 lift — files that
+    # predate the ALTER constant-fill the default
     maintenance.add_column(flat, "src", "string", default="seed")
     df2 = scan(spark, flat)
-    assert engine(df2) == "python"
+    assert engine(df2) == "jvm"
     assert df2.filter("src = 'seed'").count() == 50
 
     # nested schema: JVM-served since the round-12 Dremel lift
@@ -738,17 +750,28 @@ def test_unified_scan_warns_on_non_guard_jvm_fault(spark, tmp_path):
     assert "quiverjvm" not in df2._jdf.queryExecution().analyzed().toString()
     assert df2.count() == 40  # Python DS degrades to footer reads
 
-    # guard refusal (column initial-defaults) stays a SILENT reroute
-    from quiver_spark import maintenance
+    # guard refusal stays a SILENT reroute — after the round-12 lifts the
+    # plan-time guards are down to exotic leaf shapes; a ms-unit timestamp
+    # (the Python DS normalizes to us, the JVM refuses) stands in
+    import datetime
+    import os
 
-    guarded = str(tmp_path / "defaults_silent")
-    spark.range(5).selectExpr("id").write.format("quiver").mode(
-        "overwrite"
-    ).save(guarded)
-    maintenance.add_column(guarded, "src", "string", default="seed")
+    from quiver_spark.format.writer import WriteOptions, write_table
+
+    guarded = str(tmp_path / "tsms_silent")
+    os.makedirs(guarded)
+    write_table(
+        pa.table(
+            {"ts": pa.array([datetime.datetime(2020, 1, 1)], pa.timestamp("ms"))}
+        ),
+        f"{guarded}/f.quiver",
+        WriteOptions(),
+    )
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        assert scan(spark, guarded).count() == 5
+        df4 = scan(spark, guarded)
+        assert df4.count() == 1
+    assert "quiverjvm" not in df4._jdf.queryExecution().analyzed().toString()
 
 
 def test_jvm_hive_key_colliding_with_file_column(spark, tmp_path):
@@ -932,3 +955,73 @@ def test_jvm_large_string_scan(spark, tmp_path):
     assert rows[1]["bin"] == bytearray(b"\x00\x01") and rows[3]["bin"] is None
     assert rows[1]["lbig"] == ["a", "bb"] and rows[2]["lbig"] is None
     assert rows[3]["lbig"] == []
+
+
+def test_jvm_uint_widening_parity(spark, tmp_path):
+    """Unsigned widening (round-12 lift): uint8/16/32/64 leaves — flat and
+    inside a list — decode through the JVM scan into the widened Spark
+    types (short/int/long/decimal(20,0), SURVEY §1.3) value-exact against
+    the Python DS, including top-half values a same-width signed map
+    would corrupt and nulls."""
+    _require_jar(spark)
+    import os
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+    from quiver_spark.sources import register, scan
+
+    register(spark)
+    t = pa.table(
+        {
+            "u8": pa.array([0, 200, None, 255], pa.uint8()),
+            "u16": pa.array([0, 65000, None, 65535], pa.uint16()),
+            "u32": pa.array([0, 4000000000, None, 4294967295], pa.uint32()),
+            "u64": pa.array([0, 18446744073709551615, None, 12345], pa.uint64()),
+            "lu": pa.array([[1, 255], None, [], [128]], pa.list_(pa.uint8())),
+        }
+    )
+    d = str(tmp_path / "uints")
+    os.makedirs(d)
+    write_table(t, f"{d}/f.quiver", WriteOptions(max_page_size=2))
+    jvm = spark.read.format("quiverjvm").load(d)
+    py = spark.read.format("quiver").load(d)
+    assert jvm.schema == py.schema
+    assert sorted(repr(tuple(r)) for r in jvm.collect()) == sorted(
+        repr(tuple(r)) for r in py.collect()
+    )
+    # and the router now sends uint tables to the JVM engine
+    assert "quiverjvm" in scan(spark, d)._jdf.queryExecution().analyzed().toString()
+
+
+def test_jvm_default_fill_parity(spark, tmp_path):
+    """Column initial-defaults (round-12 lift): files predating an ALTER
+    add_column WITH default constant-fill the typed default (string,
+    double, boolean, date, timestamp_ntz, decimal) while post-ALTER files
+    serve stored values — JVM vs Python DS row-exact, and the router
+    keeps the table on the JVM engine."""
+    _require_jar(spark)
+    from quiver_spark import maintenance
+    from quiver_spark.sources import register, scan
+
+    register(spark)
+    d = str(tmp_path / "defaults")
+    spark.range(6).selectExpr("id", "id * 2 AS v").coalesce(1).write.format(
+        "quiver"
+    ).mode("overwrite").save(d)
+    maintenance.add_column(d, "src", "string", default="seed")
+    maintenance.add_column(d, "w", "double", default=2.5)
+    maintenance.add_column(d, "flag", "boolean", default=True)
+    maintenance.add_column(d, "d0", "date", default="2021-06-01")
+    maintenance.add_column(d, "ts0", "timestamp_ntz", default="2020-01-02 03:04:05.500000")
+    maintenance.add_column(d, "dec0", "decimal(10,2)", default="9.75")
+    spark.createDataFrame(
+        [(100, 200, "real", 1.0, False, None, None, None)],
+        "id bigint, v bigint, src string, w double, flag boolean,"
+        " d0 date, ts0 timestamp_ntz, dec0 decimal(10,2)",
+    ).coalesce(1).write.format("quiver").mode("append").save(d)
+    jvm = spark.read.format("quiverjvm").load(d)
+    py = spark.read.format("quiver").load(d)
+    assert sorted(repr(tuple(r)) for r in jvm.collect()) == sorted(
+        repr(tuple(r)) for r in py.collect()
+    )
+    assert jvm.filter("src = 'seed' AND flag AND dec0 = 9.75").count() == 6
+    assert "quiverjvm" in scan(spark, d)._jdf.queryExecution().analyzed().toString()

@@ -74,9 +74,10 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
       case "none": codec = QuiverFileEncoder.CODEC_NONE; break;
       case "lz4": codec = QuiverFileEncoder.CODEC_LZ4; break;
       case "zstd": codec = QuiverFileEncoder.CODEC_ZSTD; break;
+      case "snappy": codec = QuiverFileEncoder.CODEC_SNAPPY; break;
       default:
         throw new IllegalArgumentException(
-            "quiverjvm codec must be none|lz4|zstd (basic codecs); got " + codecName);
+            "quiverjvm codec must be none|lz4|zstd|snappy (basic codecs); got " + codecName);
     }
     java.util.Set<String> blooms = new java.util.HashSet<>();
     for (String c : bloomColumns.split(",")) {

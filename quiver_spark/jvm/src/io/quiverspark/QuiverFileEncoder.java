@@ -66,6 +66,7 @@ public final class QuiverFileEncoder {
   public static final int CODEC_NONE = 0;
   public static final int CODEC_LZ4 = 1;
   public static final int CODEC_ZSTD = 2;
+  public static final int CODEC_SNAPPY = 3;
 
   private QuiverFileEncoder() {}
 
@@ -279,6 +280,13 @@ public final class QuiverFileEncoder {
     System.arraycopy(raw, off, slice, 0, len);
     if (codec == CODEC_ZSTD) {
       return com.github.luben.zstd.Zstd.compress(slice, 3);
+    }
+    if (codec == CODEC_SNAPPY) {
+      try {
+        return org.xerial.snappy.Snappy.compress(slice);
+      } catch (java.io.IOException e) {
+        throw new RuntimeException(e);
+      }
     }
     // lz4 raw block (pyarrow "lz4_raw")
     net.jpountz.lz4.LZ4Compressor c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor();

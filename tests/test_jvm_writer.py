@@ -39,7 +39,7 @@ def test_jvm_roundtrip_lineitem(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
-@pytest.mark.parametrize("codec", ["zstd", "lz4", "none"])
+@pytest.mark.parametrize("codec", ["zstd", "lz4", "none", "snappy"])
 def test_jvm_type_surface(spark, tmp_path, codec):
     """Every supported flat type, with nulls, across all three basic
     codecs: i8/i16/i32/i64, float/double, decimal18/38, string, binary,
@@ -70,8 +70,11 @@ def test_jvm_type_surface(spark, tmp_path, codec):
     )
     out = str(tmp_path / f"types_{codec}")
     df.write.format("quiverjvm").option("codec", codec).mode("overwrite").save(out)
+    exp = sorted(map(tuple, df.collect()))
     back = spark.read.format("quiver").load(out)
-    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, back.collect())) == exp
+    back_jvm = spark.read.format("quiverjvm").load(out)
+    assert sorted(map(tuple, back_jvm.collect())) == exp
 
 
 def test_jvm_multi_file_roll_and_pages(spark, tmp_path):

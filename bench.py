@@ -56,7 +56,9 @@ def main() -> None:
     # pool) so the first timed query isn't charged for session spin-up.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     spark.range(10).selectExpr("sum(id)").collect()
-    quiver_table(spark, sf_dir, "lineitem").selectExpr("count(l_orderkey)").collect()
+    quiver_table(spark, sf_dir, "lineitem", engine="python").selectExpr(
+        "count(l_orderkey)"
+    ).collect()
 
     # Each query is timed as the min over three FULL PASSES of the battery
     # (not back-to-back repeats): the min strips one-off JVM effects (GC,
@@ -119,7 +121,7 @@ def main() -> None:
         ).parquet(mf_pq)
         with open(os.path.join(mf_pq, "_done"), "w") as f:
             f.write("ok")
-    mf_quiver_df = quiver_relation(spark, mf_qv)
+    mf_quiver_df = quiver_relation(spark, mf_qv, engine="python")
     mf_parquet_df = spark.read.parquet(mf_pq)
 
     # CDC proxy fixture (round-9 incremental scans): a 64-file baseline
@@ -144,8 +146,8 @@ def main() -> None:
         ).mode("append").save(cdc_qv)
         with open(os.path.join(cdc_qv, "_done"), "w") as f:
             f.write("ok")
-    cdc_full_df = quiver_relation(spark, cdc_qv)
-    cdc_changes_df = quiver_relation(spark, cdc_qv, changes_since="1")
+    cdc_full_df = quiver_relation(spark, cdc_qv, engine="python")
+    cdc_changes_df = quiver_relation(spark, cdc_qv, engine="python", changes_since="1")
 
     import tempfile
 
@@ -155,7 +157,9 @@ def main() -> None:
         .write.format("noop")
         .mode("overwrite")
         .save(),
-        "scan_quiver_lineitem": lambda: quiver_table(spark, sf_dir, "lineitem")
+        "scan_quiver_lineitem": lambda: quiver_table(
+            spark, sf_dir, "lineitem", engine="python"
+        )
         .write.format("noop")
         .mode("overwrite")
         .save(),
@@ -172,7 +176,7 @@ def main() -> None:
         .mode("overwrite")
         .save(),
         "narrow_quiver_lineitem": lambda: quiver_table(
-            spark, sf_dir, "lineitem", columns=["l_extendedprice"]
+            spark, sf_dir, "lineitem", columns=["l_extendedprice"], engine="python"
         )
         .write.format("noop")
         .mode("overwrite")

@@ -114,8 +114,24 @@ def quiver_dir(
 _DF_CACHE: dict[tuple, DataFrame] = {}
 
 
-def quiver_relation(spark: SparkSession, d: str, **options: str) -> DataFrame:
+#: quiver_relation options that are pure Python-DS performance hints —
+#: the JVM engine needs neither (Catalyst prunes columns, planning is
+#: JVM-side), so a call using ONLY these may route to the fast engine.
+_PERF_HINT_OPTS = frozenset({"planning_parallelism", "columns"})
+
+
+def quiver_relation(
+    spark: SparkSession, d: str, engine: str = "auto", **options: str
+) -> DataFrame:
     """Cached pruning-off quiver relation for a directory + static options.
+
+    ``engine="auto"`` (round 12, VERDICT r11 item 5) routes through the
+    unified entry's REAL-guard probe: calls whose options are pure
+    Python-DS performance hints ride the quiverjvm columnar reader when
+    the table is eligible (``columns`` becomes a plain ``.select`` —
+    Catalyst pushes the pruning down), everything else — and
+    ``engine="python"``, which the bench's engine-labelled proxies use —
+    keeps the Python DataSource.
 
     Split planning's dynamic floor divides by ``planning_parallelism``;
     the planner runs in a separate Python process that only sees the
@@ -129,14 +145,23 @@ def quiver_relation(spark: SparkSession, d: str, **options: str) -> DataFrame:
     key = (
         spark.sparkContext.applicationId,
         d,
+        engine,
         tuple(sorted(options.items())),
     )
     df = _DF_CACHE.get(key)
     if df is None:
-        r = spark.read.format("quiver")
-        for k, v in options.items():
-            r = r.option(k, v)
-        df = _DF_CACHE[key] = r.load(d)
+        if engine == "auto" and set(options) <= _PERF_HINT_OPTS:
+            from quiver_spark.sources import try_jvm_scan
+
+            df = try_jvm_scan(spark, d)
+            if df is not None and "columns" in options:
+                df = df.select(*options["columns"].split(","))
+        if df is None:
+            r = spark.read.format("quiver")
+            for k, v in options.items():
+                r = r.option(k, v)
+            df = r.load(d)
+        _DF_CACHE[key] = df
     return df
 
 
@@ -147,6 +172,7 @@ def quiver_table(
     codec: str = "lz4",
     sort_by: str | None = None,
     columns: list[str] | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Load a testdata table through the quiver format (converting parquet →
     quiver once per sf/table/codec).
@@ -172,7 +198,17 @@ def quiver_table(
     if columns is not None:
         opts["columns"] = ",".join(columns)
     if sort_by is not None:
-        # pruning path: page_prune readers carry per-query pushed-filter
+        # pruning path. The JVM engine prunes pages from the
+        # manifest-inlined zone maps on every pushed filter (per-query
+        # ScanBuilder state — no plan-cache hazard), so eligible tables
+        # ride it directly (round 12).
+        if engine == "auto":
+            from quiver_spark.sources import try_jvm_scan
+
+            df = try_jvm_scan(spark, d)
+            if df is not None:
+                return df.select(*columns) if columns is not None else df
+        # Python-DS page_prune readers carry per-query pushed-filter
         # state, so they must be a fresh relation per call — Spark's plan
         # cache could otherwise replay this load's pruned partitions for a
         # differently-filtered query (the datasource's documented sharp
@@ -185,7 +221,7 @@ def quiver_table(
         for k, v in opts.items():
             r = r.option(k, v)
         return r.load(d)
-    return quiver_relation(spark, d, **opts)
+    return quiver_relation(spark, d, engine=engine, **opts)
 
 
 @register(

@@ -31,36 +31,44 @@ def scan(spark, path: str, **options):
     """
     register(spark)
     if not options:
-        from quiver_spark.jvm import attach_jar
-
-        if attach_jar(spark):
-            try:
-                spark._jvm.io.quiverspark.QuiverJvmRead.inferTableSchema(path)
-                return spark.read.format("quiverjvm").load(path)
-            except Exception as exc:  # noqa: BLE001 — adjudicated below
-                # The guards refuse with UnsupportedOperationException
-                # (nested/unsigned/defaults/merge-schemas) — that is the
-                # designed silent reroute. Anything ELSE (corrupt manifest
-                # or footer, missing files, jar ABI fault) is a genuine
-                # fault that must not be hidden by the fallback: warn, then
-                # let the Python DS try (it raises loudly if IT can't
-                # read the table either).
-                # py4j surfaces it inside the message; pyspark's captured-
-                # exception conversion surfaces it as the CLASS name with
-                # the java prefix stripped from the message — accept both.
-                if "UnsupportedOperationException" not in str(exc) and (
-                    type(exc).__name__ != "UnsupportedOperationException"
-                ):
-                    import warnings
-
-                    warnings.warn(
-                        "quiver scan: JVM probe failed with a non-guard "
-                        f"error on {path!r}; falling back to the Python "
-                        f"datasource: {exc}",
-                        RuntimeWarning,
-                        stacklevel=2,
-                    )
+        df = try_jvm_scan(spark, path)
+        if df is not None:
+            return df
     reader = spark.read.format("quiver")
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def try_jvm_scan(spark, path: str):
+    """The quiverjvm columnar relation when the REAL JVM guards accept the
+    table, else None. Guard refusals (UnsupportedOperationException:
+    exotic leaf units, non-scalar defaults, merge-schemas dirs) are the
+    designed silent reroute; anything ELSE (corrupt manifest or footer,
+    missing files, jar ABI fault) is a genuine fault that must not be
+    hidden by the fallback — it warns before returning None, and the
+    Python DS raises loudly if IT can't read the table either."""
+    from quiver_spark.jvm import attach_jar
+
+    if not attach_jar(spark):
+        return None
+    try:
+        spark._jvm.io.quiverspark.QuiverJvmRead.inferTableSchema(path)
+        return spark.read.format("quiverjvm").load(path)
+    except Exception as exc:  # noqa: BLE001 — adjudicated in the docstring
+        # py4j surfaces the class inside the message; pyspark's captured-
+        # exception conversion surfaces it as the CLASS name with the java
+        # prefix stripped from the message — accept both.
+        if "UnsupportedOperationException" not in str(exc) and (
+            type(exc).__name__ != "UnsupportedOperationException"
+        ):
+            import warnings
+
+            warnings.warn(
+                "quiver scan: JVM probe failed with a non-guard "
+                f"error on {path!r}; falling back to the Python "
+                f"datasource: {exc}",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        return None

@@ -40,10 +40,10 @@ import org.apache.spark.sql.vectorized.ColumnarBatch;
 
 /**
  * JVM scan for quiver tables ("quiverjvm" read path): full adaptive codec
- * surface (QuiverPageDecoder) over FLAT schemas, emitting ColumnarBatch
- * per page so whole-stage codegen consumes columns directly — no
- * JVM→Python boundary, no planner-process spawn. The floor-bound Python-DS
- * proxies (narrow projection, many small files) are this path's targets.
+ * surface (QuiverPageDecoder), emitting ColumnarBatch per page so
+ * whole-stage codegen consumes columns directly — no JVM→Python boundary,
+ * no planner-process spawn. The floor-bound Python-DS proxies (narrow
+ * projection, many small files) are this path's targets.
  *
  * Served since round 11 (previously Python-DS-only):
  * - Hive-partitioned layouts: directory-key columns are plan-time
@@ -51,10 +51,19 @@ import org.apache.spark.sql.vectorized.ColumnarBatch;
  * - ALTER-DDL tables (declared table_schema, per-file cmap renames):
  *   columns resolve per file BY NAME through the cmap; columns a file
  *   predates null-fill (add_column semantics)
+ * Served since round 12:
+ * - nested types (list/large-list/fixed-size-list/struct/map, arbitrary
+ *   nesting) via the QuiverNested Dremel rep/def assembler
+ * - unsigned ints, zero-extended into the widened Spark types
+ *   (uint8→short, uint16→int, uint32→long, uint64→decimal(20,0))
+ * - large_utf8/large_binary (8-byte-offset decode paths)
+ * - column initial-defaults: constant-filled per chunk from the manifest
+ *   for files that predate the ALTER add_column
  * Correctness boundary (still the Python "quiver" DataSource's job):
- * - nested / unsupported leaf types → UnsupportedOperationException
- * - column initial-defaults (non-null fill) and merge-schemas tables
- *   without a declared schema → rejected loudly, never misread
+ * - exotic leaf units (non-us timestamps, half floats, decimal256) and
+ *   non-scalar default values → UnsupportedOperationException
+ * - merge-schemas tables without a declared schema → rejected loudly,
+ *   never misread
  * Generation layouts resolve through `_current` exactly like the Python
  * planner; column pruning arrives via Catalyst's
  * SupportsPushDownRequiredColumns (the JVM DSv2 gets what the Python DS

@@ -330,3 +330,102 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("bits"), 3).alias("avg_bits_per_char"),
         F.round(F.max("bits"), 3).alias("max_bits_per_char"),
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+WITH tok AS (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+counts AS (
+    SELECT source, token, COUNT(*) AS cnt
+    FROM tok WHERE token <> ''
+    GROUP BY source, token
+),
+ranked AS (
+    SELECT source, cnt,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY cnt DESC, token
+           ) AS rnk
+    FROM counts
+),
+head AS (
+    SELECT source, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+    FROM ranked WHERE rnk <= 200
+),
+fit AS (
+    SELECT source,
+           COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM head GROUP BY source
+),
+vocab AS (
+    SELECT source, COUNT(*) AS vocab, CAST(MAX(cnt) AS BIGINT) AS top_cnt
+    FROM counts GROUP BY source
+)
+SELECT f.source,
+       CAST(v.vocab AS BIGINT) AS vocab,
+       v.top_cnt,
+       ROUND((f.n * f.sxy - f.sx * f.sy) / (f.n * f.sxx - f.sx * f.sx), 3)
+           AS zipf_slope
+FROM fit f JOIN vocab v ON f.source = v.source
+""",
+    tags=("text", "analysis", "zipf", "pipeline"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf-exponent fit — the standard power-law diagnostic for
+    corpus quality (natural text fits log(freq) ≈ a + s·log(rank) with
+    s ≈ −1; boilerplate/templated/spam slices bend the head of the
+    curve): least-squares slope over the top-200 ranks of each source's
+    token frequency distribution, plus vocabulary size and the top token
+    count.
+
+    100 TB posture: the explode is map-side and only (source, token)
+    partial counts shuffle — word-count shape; the rank window partitions
+    BY SOURCE (parallel across sources, and only the 200-row heads feed
+    the regression); the slope is computed from the five classical
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) with the same explicit
+    formula on both engines so no engine-specific regression kernel can
+    smear the hash (rounded to 3 decimals for float-order stability)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "token")
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    head = ranked.filter(F.col("rnk") <= 200).select(
+        "source",
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    fit = head.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    vocab = counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return fit.join(vocab, "source").select(
+        "source",
+        F.col("vocab").cast("bigint").alias("vocab"),
+        "top_cnt",
+        F.round(slope, 3).alias("zipf_slope"),
+    )

@@ -590,7 +590,7 @@ public final class QuiverFileEncoder {
     return true;
   }
 
-  private static void encodeFixedPage(LeBuf out, ColBuf col, int start, int len, int codec,
+  static void encodeFixedPage(LeBuf out, ColBuf col, int start, int len, int codec,
       double thr, int forbid) {
     int w = col.width;
     byte[] a = col.values.a;
@@ -800,7 +800,7 @@ public final class QuiverFileEncoder {
     frame(out, codec, compress(codec, a, base, (int) total), (int) total);
   }
 
-  private static void encodeBinaryPage(LeBuf out, ColBuf col, int start, int len, int codec,
+  static void encodeBinaryPage(LeBuf out, ColBuf col, int start, int len, int codec,
       double thr, int forbid) {
     byte[] a = col.values.a;
     int base = col.offsets[start];
@@ -918,7 +918,7 @@ public final class QuiverFileEncoder {
     frame(out, codec, compress(codec, a, base, vlen), vlen);
   }
 
-  private static void encodeBoolPage(LeBuf out, ColBuf col, int start, int len, int codec,
+  static void encodeBoolPage(LeBuf out, ColBuf col, int start, int len, int codec,
       double thr, int forbid) {
     if (thr > 0 && len > 0) {
       boolean first = col.bools[start];
@@ -961,7 +961,36 @@ public final class QuiverFileEncoder {
   // ---- arrow schema bytes ---------------------------------------------
 
   static Field arrowField(StructField f) {
-    DataType t = f.dataType();
+    return arrowFieldOf(f.name(), f.dataType(), f.nullable());
+  }
+
+  static Field arrowFieldOf(String name, DataType t, boolean nullable) {
+    // nested types (round 12): children recurse; Spark's canonical child
+    // names (element / entries / key / value) match the Python DS's
+    // arrow conversion, and both readers resolve leaves structurally
+    if (t instanceof org.apache.spark.sql.types.ArrayType) {
+      org.apache.spark.sql.types.ArrayType a = (org.apache.spark.sql.types.ArrayType) t;
+      Field elem = arrowFieldOf("element", a.elementType(), a.containsNull());
+      return new Field(name, new FieldType(nullable, new ArrowType.List(), null),
+          java.util.Arrays.asList(elem));
+    }
+    if (t instanceof StructType) {
+      List<Field> ch = new ArrayList<>();
+      for (StructField c : ((StructType) t).fields()) {
+        ch.add(arrowFieldOf(c.name(), c.dataType(), c.nullable()));
+      }
+      return new Field(name, new FieldType(nullable, new ArrowType.Struct(), null), ch);
+    }
+    if (t instanceof org.apache.spark.sql.types.MapType) {
+      org.apache.spark.sql.types.MapType m = (org.apache.spark.sql.types.MapType) t;
+      Field k = arrowFieldOf("key", m.keyType(), false);
+      Field v = arrowFieldOf("value", m.valueType(), m.valueContainsNull());
+      Field entries = new Field("entries",
+          new FieldType(false, new ArrowType.Struct(), null),
+          java.util.Arrays.asList(k, v));
+      return new Field(name, new FieldType(nullable, new ArrowType.Map(false), null),
+          java.util.Arrays.asList(entries));
+    }
     ArrowType at;
     if (t instanceof LongType) at = new ArrowType.Int(64, true);
     else if (t instanceof IntegerType) at = new ArrowType.Int(32, true);
@@ -981,7 +1010,7 @@ public final class QuiverFileEncoder {
     } else {
       throw new UnsupportedOperationException("quiverjvm: unsupported type " + t);
     }
-    return new Field(f.name(), new FieldType(f.nullable(), at, null), null);
+    return new Field(name, new FieldType(nullable, at, null), null);
   }
 
   /** Raw flatbuffer Message bytes of the Arrow schema (pyarrow's

@@ -107,15 +107,24 @@ def jar_fingerprint() -> str | None:
 
 
 def supports_schema(schema) -> bool:
-    """True when every field is a flat type the JVM writer encodes
-    (primitives, string/binary, decimal ≤38, date/timestamp)."""
-    for f in schema.fields:
-        name = f.dataType.typeName()
-        if name == "decimal":
-            continue
-        if name not in _SUPPORTED_TYPES:
-            return False
-    return True
+    """True when every field is a type the JVM writer encodes: flat
+    primitives, string/binary, decimal ≤38, date/timestamp — and, since
+    round 12, arbitrary list/struct/map compositions of them (the
+    QuiverNestedWrite Dremel shredder)."""
+
+    def ok(t) -> bool:
+        name = t.typeName()
+        if name in ("decimal",):
+            return True
+        if name in ("array",):
+            return ok(t.elementType)
+        if name in ("map",):
+            return ok(t.keyType) and ok(t.valueType)
+        if name in ("struct",):
+            return all(ok(f.dataType) for f in t.fields)
+        return name in _SUPPORTED_TYPES
+
+    return all(ok(f.dataType) for f in schema.fields)
 
 
 def session_has_jar(spark) -> bool:

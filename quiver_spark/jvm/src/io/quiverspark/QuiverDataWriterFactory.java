@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow;
 import org.apache.spark.sql.connector.write.DataWriter;
 import org.apache.spark.sql.connector.write.DataWriterFactory;
 import org.apache.spark.sql.connector.write.WriterCommitMessage;
+import org.apache.spark.sql.types.ArrayType;
 import org.apache.spark.sql.types.BinaryType;
 import org.apache.spark.sql.types.BooleanType;
 import org.apache.spark.sql.types.ByteType;
@@ -23,6 +24,7 @@ import org.apache.spark.sql.types.DoubleType;
 import org.apache.spark.sql.types.FloatType;
 import org.apache.spark.sql.types.IntegerType;
 import org.apache.spark.sql.types.LongType;
+import org.apache.spark.sql.types.MapType;
 import org.apache.spark.sql.types.ShortType;
 import org.apache.spark.sql.types.StringType;
 import org.apache.spark.sql.types.StructField;
@@ -108,15 +110,21 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
     }
   }
 
-  /** One Hive partition key's open columnar buffers. */
+  /** One Hive partition key's open columnar buffers (flat ColBuf or
+   * nested Dremel buffers — round 12). */
   static final class KeyState {
-    final QuiverFileEncoder.ColBuf[] cols;
+    final Object[] cols;
     long rowsBuffered = 0;
 
     KeyState(StructField[] dataFields) {
-      cols = new QuiverFileEncoder.ColBuf[dataFields.length];
+      cols = new Object[dataFields.length];
       for (int i = 0; i < dataFields.length; i++) {
-        cols[i] = new QuiverFileEncoder.ColBuf(dataFields[i]);
+        DataType t = dataFields[i].dataType();
+        if (t instanceof ArrayType || t instanceof MapType || t instanceof StructType) {
+          cols[i] = new QuiverNestedWrite.NestedColBuf(dataFields[i]);
+        } else {
+          cols[i] = new QuiverFileEncoder.ColBuf(dataFields[i]);
+        }
       }
     }
   }
@@ -246,13 +254,18 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
         open.put(key, st);
       }
       for (int i = 0; i < dataIdx.length; i++) {
-        QuiverFileEncoder.ColBuf c = st.cols[i];
         int ri = dataIdx[i];
+        DataType t = dataFields[i].dataType();
+        if (st.cols[i] instanceof QuiverNestedWrite.NestedColBuf) {
+          QuiverNestedWrite.NestedColBuf nb = (QuiverNestedWrite.NestedColBuf) st.cols[i];
+          nb.add(row.isNullAt(ri) ? null : QuiverNestedWrite.get(row, ri, t));
+          continue;
+        }
+        QuiverFileEncoder.ColBuf c = (QuiverFileEncoder.ColBuf) st.cols[i];
         if (row.isNullAt(ri)) {
           c.addNull();
           continue;
         }
-        DataType t = dataFields[i].dataType();
         if (t instanceof LongType || t instanceof TimestampType || t instanceof TimestampNTZType) {
           c.addLong(row.getLong(ri));
         } else if (t instanceof IntegerType || t instanceof DateType) {
@@ -312,7 +325,10 @@ public class QuiverDataWriterFactory implements DataWriterFactory, Serializable 
               + ",\"sidecar\":" + enc.sidecarJson + ",\"rows\":" + enc.rows);
       rowsWritten += st.rowsBuffered;
       st.rowsBuffered = 0;
-      for (QuiverFileEncoder.ColBuf c : st.cols) c.reset();
+      for (Object c : st.cols) {
+        if (c instanceof QuiverFileEncoder.ColBuf) ((QuiverFileEncoder.ColBuf) c).reset();
+        else ((QuiverNestedWrite.NestedColBuf) c).reset();
+      }
     }
 
     @Override

@@ -1063,20 +1063,21 @@ public final class QuiverFileEncoder {
   }
 
   /** Write all accumulated columns as one quiver file byte blob. */
-  public static byte[] encodeFile(StructType schema, ColBuf[] cols, int pageSize, int codec)
+  public static byte[] encodeFile(StructType schema, Object[] cols, int pageSize, int codec)
       throws IOException {
     return encodeFileWithSidecar(schema, cols, pageSize, codec, java.util.Collections.emptySet())
         .blob;
   }
 
-  private static String metasJson(long[] colOffsets, int[][] pageLens, int[][] pageRows) {
+  private static String metasJson(
+      List<Long> colOffsets, List<int[]> pageLens, List<int[]> pageNumVals) {
     StringBuilder sb = new StringBuilder("[");
-    for (int ci = 0; ci < colOffsets.length; ci++) {
-      if (ci > 0) sb.append(',');
-      sb.append('[').append(colOffsets[ci]).append(",[");
-      for (int p = 0; p < pageLens[ci].length; p++) {
+    for (int li = 0; li < colOffsets.size(); li++) {
+      if (li > 0) sb.append(',');
+      sb.append('[').append(colOffsets.get(li)).append(",[");
+      for (int p = 0; p < pageLens.get(li).length; p++) {
         if (p > 0) sb.append(',');
-        sb.append(pageLens[ci][p]).append(',').append(pageRows[ci][p]);
+        sb.append(pageLens.get(li)[p]).append(',').append(pageNumVals.get(li)[p]);
       }
       sb.append("]]");
     }
@@ -1084,52 +1085,92 @@ public final class QuiverFileEncoder {
   }
 
   public static Encoded encodeFileWithSidecar(
-      StructType schema, ColBuf[] cols, int pageSize, int codec, java.util.Set<String> bloomCols)
+      StructType schema, Object[] cols, int pageSize, int codec, java.util.Set<String> bloomCols)
       throws IOException {
     return encodeFileWithSidecar(schema, cols, pageSize, codec, bloomCols, 2.0, 0);
   }
 
+  static int colRows(Object col) {
+    return col instanceof ColBuf
+        ? ((ColBuf) col).n
+        : ((QuiverNestedWrite.NestedColBuf) col).n;
+  }
+
+  /** cols entries are ColBuf (flat) or QuiverNestedWrite.NestedColBuf
+   * (nested, one footer/manifest meta per primitive LEAF in shred order —
+   * the Python writer's leaf-major layout). Nested leaf pages store the
+   * page's SLOT count as their meta num_values and the row count in the
+   * page's own u32 prefix, exactly like format/writer.py. */
   public static Encoded encodeFileWithSidecar(
-      StructType schema, ColBuf[] cols, int pageSize, int codec, java.util.Set<String> bloomCols,
+      StructType schema, Object[] cols, int pageSize, int codec, java.util.Set<String> bloomCols,
       double adaptiveRatio, int forbid)
       throws IOException {
-    int n = cols.length > 0 ? cols[0].n : 0;
+    int n = cols.length > 0 ? colRows(cols[0]) : 0;
     LeBuf out = new LeBuf();
     out.putBytes(MAGIC, 0, MAGIC.length);
-    long[] colOffsets = new long[cols.length];
-    int[][] pageLens = new int[cols.length][];
-    int[][] pageRows = new int[cols.length][];
-    long[][] pageCrcs = new long[cols.length][];
     int nPages = n == 0 ? 1 : (n + pageSize - 1) / pageSize;
+    List<Long> colOffsets = new ArrayList<>();   // leaf-major
+    List<int[]> pageLens = new ArrayList<>();
+    List<int[]> pageNumVals = new ArrayList<>(); // rows (flat) / slots (nested)
+    List<long[]> crcList = new ArrayList<>();
     for (int ci = 0; ci < cols.length; ci++) {
-      colOffsets[ci] = out.len;
-      pageLens[ci] = new int[nPages];
-      pageRows[ci] = new int[nPages];
-      pageCrcs[ci] = new long[nPages];
-      for (int p = 0; p < nPages; p++) {
-        int start = p * pageSize;
-        int len = Math.min(pageSize, n - start);
-        int before = out.len;
-        encodePage(out, cols[ci], start, len, codec, adaptiveRatio, forbid);
-        pageLens[ci][p] = out.len - before;
-        pageRows[ci][p] = len;
-        java.util.zip.CRC32 crc = new java.util.zip.CRC32();
-        crc.update(out.a, before, out.len - before);
-        pageCrcs[ci][p] = crc.getValue();
+      if (cols[ci] instanceof ColBuf) {
+        ColBuf c = (ColBuf) cols[ci];
+        colOffsets.add((long) out.len);
+        int[] lens = new int[nPages];
+        int[] nums = new int[nPages];
+        long[] crcs = new long[nPages];
+        for (int p = 0; p < nPages; p++) {
+          int start = p * pageSize;
+          int len = Math.min(pageSize, n - start);
+          int before = out.len;
+          encodePage(out, c, start, len, codec, adaptiveRatio, forbid);
+          lens[p] = out.len - before;
+          nums[p] = len;
+          java.util.zip.CRC32 crc = new java.util.zip.CRC32();
+          crc.update(out.a, before, out.len - before);
+          crcs[p] = crc.getValue();
+        }
+        pageLens.add(lens);
+        pageNumVals.add(nums);
+        crcList.add(crcs);
+      } else {
+        QuiverNestedWrite.NestedColBuf nb = (QuiverNestedWrite.NestedColBuf) cols[ci];
+        for (QuiverNestedWrite.LeafW lf : nb.leaves) {
+          colOffsets.add((long) out.len);
+          int[] lens = new int[nPages];
+          int[] nums = new int[nPages];
+          long[] crcs = new long[nPages];
+          for (int p = 0; p < nPages; p++) {
+            int r0 = p * pageSize;
+            int r1 = Math.min(r0 + pageSize, n);
+            int before = out.len;
+            nums[p] = QuiverNestedWrite.encodeLeafPage(
+                out, lf, r0, r1, codec, adaptiveRatio, forbid);
+            lens[p] = out.len - before;
+            java.util.zip.CRC32 crc = new java.util.zip.CRC32();
+            crc.update(out.a, before, out.len - before);
+            crcs[p] = crc.getValue();
+          }
+          pageLens.add(lens);
+          pageNumVals.add(nums);
+          crcList.add(crcs);
+        }
       }
     }
+    long[][] pageCrcs = crcList.toArray(new long[0][]);
     String sidecar = QuiverStatsBuilder.sidecarJson(
         schema, cols, pageSize, nPages, pageCrcs, bloomCols);
     byte[] sb = schemaBytes(schema);
     out.putBytes(sb, 0, sb.length);
     int metaStart = out.len;
-    out.putLong(cols.length);
-    for (int ci = 0; ci < cols.length; ci++) {
-      out.putLong(colOffsets[ci]);
-      out.putLong(pageLens[ci].length);
-      for (int p = 0; p < pageLens[ci].length; p++) {
-        out.putLong(pageLens[ci][p]);
-        out.putLong(pageRows[ci][p]);
+    out.putLong(colOffsets.size());
+    for (int li = 0; li < colOffsets.size(); li++) {
+      out.putLong(colOffsets.get(li));
+      out.putLong(pageLens.get(li).length);
+      for (int p = 0; p < pageLens.get(li).length; p++) {
+        out.putLong(pageLens.get(li)[p]);
+        out.putLong(pageNumVals.get(li)[p]);
       }
     }
     int metaLen = out.len - metaStart;
@@ -1138,6 +1179,6 @@ public final class QuiverFileEncoder {
     out.putBytes(EOS, 0, EOS.length);
     byte[] file = new byte[out.len];
     System.arraycopy(out.a, 0, file, 0, out.len);
-    return new Encoded(file, sidecar, metasJson(colOffsets, pageLens, pageRows), n);
+    return new Encoded(file, sidecar, metasJson(colOffsets, pageLens, pageNumVals), n);
   }
 }

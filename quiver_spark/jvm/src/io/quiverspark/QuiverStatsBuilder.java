@@ -48,7 +48,7 @@ final class QuiverStatsBuilder {
 
   static String sidecarJson(
       StructType schema,
-      QuiverFileEncoder.ColBuf[] cols,
+      Object[] cols,
       int pageSize,
       int nPages,
       long[][] pageCrcs,
@@ -56,7 +56,7 @@ final class QuiverStatsBuilder {
     ObjectMapper om = new ObjectMapper();
     ObjectNode root = om.createObjectNode();
     root.put("version", 1);
-    int n = cols.length > 0 ? cols[0].n : 0;
+    int n = cols.length > 0 ? QuiverFileEncoder.colRows(cols[0]) : 0;
     ArrayNode pageRows = root.putArray("page_rows");
     for (int p = 0; p < nPages; p++) {
       pageRows.add(Math.min(pageSize, Math.max(n - p * pageSize, 0)));
@@ -64,6 +64,10 @@ final class QuiverStatsBuilder {
     ObjectNode columns = root.putObject("columns");
     StructField[] fields = schema.fields();
     for (int ci = 0; ci < cols.length; ci++) {
+      if (!(cols[ci] instanceof QuiverFileEncoder.ColBuf)) {
+        continue; // nested columns carry no zone maps (Python-writer parity)
+      }
+      QuiverFileEncoder.ColBuf col = (QuiverFileEncoder.ColBuf) cols[ci];
       ObjectNode colNode = columns.putObject(fields[ci].name());
       ArrayNode mins = colNode.putArray("min");
       ArrayNode maxs = colNode.putArray("max");
@@ -71,7 +75,7 @@ final class QuiverStatsBuilder {
       for (int p = 0; p < nPages; p++) {
         int start = p * pageSize;
         int len = Math.min(pageSize, Math.max(n - start, 0));
-        addPageStats(mins, maxs, nulls, cols[ci], fields[ci].dataType(), start, len);
+        addPageStats(mins, maxs, nulls, col, fields[ci].dataType(), start, len);
       }
       if (bloomCols.contains(fields[ci].name())
           && bloomable(fields[ci].dataType())) {
@@ -81,7 +85,7 @@ final class QuiverStatsBuilder {
         for (int p = 0; p < nPages; p++) {
           int start = p * pageSize;
           int len = Math.min(pageSize, Math.max(n - start, 0));
-          String b64 = pageBloom(cols[ci], fields[ci].dataType(), start, len);
+          String b64 = pageBloom(col, fields[ci].dataType(), start, len);
           if (b64 == null) pages.addNull();
           else pages.add(b64);
         }

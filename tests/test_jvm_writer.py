@@ -131,23 +131,31 @@ def test_ingest_uses_jvm_and_rebuilds_manifest(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
-def test_ingest_python_fallback_on_nested_schema(spark, tmp_path):
-    """Nested schemas (arrays) route to the Python sink — same call, same
-    durable result, full codec cascade."""
+def test_ingest_routes_nested_to_jvm_and_void_to_python(spark, tmp_path):
+    """Nested schemas ride the JVM sink since the round-12 shredder —
+    same call, same durable result; a leaf the Java writer does not
+    encode (void) still falls back to the Python sink silently."""
     from quiver_spark import maintenance
 
     df = spark.range(500).select(
         F.col("id"), F.array(F.col("id"), F.col("id") + 1).alias("arr")
     )
-    assert not supports_schema(df.schema)
+    assert supports_schema(df.schema)
     out = str(tmp_path / "nested")
     summary = maintenance.ingest(spark, df, out)
-    assert summary["engine"] == "python"
+    assert summary["engine"] == "jvm"
     back = spark.read.format("quiver").load(out)
     assert back.count() == 500
     assert back.agg(F.sum(F.element_at("arr", 2))).collect()[0][0] == sum(
         i + 1 for i in range(500)
     )
+
+    df2 = spark.range(10).select(F.col("id"), F.lit(None).alias("v"))
+    assert not supports_schema(df2.schema)
+    out2 = str(tmp_path / "voidcol")
+    summary2 = maintenance.ingest(spark, df2, out2)
+    assert summary2["engine"] == "python"
+    assert spark.read.format("quiver").load(out2).count() == 10
 
 
 def test_jvm_adaptive_codecs_fire_and_decode_both_ways(spark, tmp_path):
@@ -385,3 +393,62 @@ def test_jvm_writer_forced_codec_matrix(spark, tmp_path):
         assert sorted(map(tuple, a.collect()), key=key) == sorted(
             map(tuple, b.collect()), key=key
         ) == sorted(map(tuple, sdf.collect()), key=key), target
+
+
+def test_jvm_writer_nested_roundtrip_both_readers(spark, tmp_path):
+    """Round-12 write-side Dremel shredder (QuiverNestedWrite): nested
+    columns written BY the JVM sink — lists/structs/maps with nulls,
+    empties, deep compositions, 2-row pages, multi-partition tasks —
+    read back row-exact through BOTH readers, plus the real
+    embeddings/documents tables multi-file/multi-page."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+    cases = [
+        (
+            [(1, [1.0, 2.0, 3.0]), (2, []), (3, None), (4, [4.5])],
+            "id bigint, emb array<double>",
+        ),
+        (
+            [
+                (1, {"a": 1, "b": "x"}, {"k1": 1.5}, ["u", None, "w"]),
+                (2, {"a": None, "b": "y"}, {}, None),
+                (3, None, None, []),
+            ],
+            "id bigint, s struct<a:bigint,b:string>, m map<string,double>,"
+            " arr array<string>",
+        ),
+        (
+            [
+                (1, [{"x": 1, "ys": [0.1, 0.2]}, {"x": None, "ys": []}], {"a": [1, 2]}),
+                (2, [], {"b": None}),
+                (3, None, None),
+            ],
+            "id bigint, lst array<struct<x:int,ys:array<double>>>,"
+            " m map<string,array<int>>",
+        ),
+    ]
+    for i, (rows, schema) in enumerate(cases):
+        df = spark.createDataFrame(rows, schema)
+        d = str(tmp_path / f"njw_{i}")
+        df.write.format("quiverjvm").option("max_page_size", "2").mode(
+            "overwrite"
+        ).save(d)
+        exp = sorted(map(repr, df.collect()))
+        for fmt in ("quiver", "quiverjvm"):
+            got = sorted(map(repr, spark.read.format(fmt).load(d).collect()))
+            assert got == exp, f"case {i} via {fmt}"
+
+    for tbl in ("embeddings", "documents"):
+        src = spark.read.parquet(f"{SF_DIR_MID}/{tbl}.parquet")
+        d = str(tmp_path / f"njw_{tbl}")
+        src.repartition(3).write.format("quiverjvm").option(
+            "max_page_size", "700"
+        ).mode("overwrite").save(d)
+        exp = sorted(repr(tuple(r)) for r in src.collect())
+        for fmt in ("quiver", "quiverjvm"):
+            got = sorted(
+                repr(tuple(r)) for r in spark.read.format(fmt).load(d).collect()
+            )
+            assert got == exp, f"{tbl} via {fmt}"

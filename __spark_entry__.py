@@ -22,76 +22,73 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 11 window (50), per VERDICT r10 item 2: (a) the 24 rows whose
-# newest driver-green row is round 7 (positions 1-24 — the r10 window had
-# room for only part of the stale cohort); (b) the new round-11 gates;
-# (c) fill with the round-8 cohort (44 rows; the ones that don't fit stay
-# r8-green, which is the stated floor). Exact staleness audit at the
-# start of round 11: round-7 cohort = 24, round-8 = 44, round-9 = 50,
-# round-10 = 50 (computed from CORRECTNESS_r1..r10; every one of the 168
-# queries registered then has at least one driver-green row and zero
-# failures ever; 4 more gates registered this round for a total of 172).
-# The 50-slot window covers (a) + the 4 new gates + the first 22 of (c);
-# position 51+ falls back to registry order.
+# Round 12 window (50). Staleness audit at the start of round 12 (computed
+# from CORRECTNESS_r1..r11; every one of the 172 queries registered then
+# has at least one driver-green row and ZERO failures ever): r8-stale = 22,
+# r9 = 50, r10 = 50, r11 = 50; 4 new gates this round (176 total). Window:
+# (a) the 22 r8-stale rows — the oldest cohort, exhausted this round so no
+# query's newest green row will be older than round 9; (b) the 4 new
+# round-12 gates; (c) the 2 queries whose CODE materially changed this
+# round despite an r11-green row (text_char_lm_score: plan + bigram
+# kernel; quiver_unified_scan: routing semantics); (d) fill from the r9
+# cohort, rerouted format gates first (their ENGINE changed to quiverjvm
+# this round under quiver_relation's engine="auto"). Position 51+ falls
+# back to registry order.
 _PRIORITY = [
-    # (a) the 24 round-7-stale rows — VERDICT r10 item 2 puts them first
-    "agg_collect_sorted",
-    "agg_minby_maxby",
-    "agg_quantiles",
-    "agg_string_ordered",
-    "dedup_canonical_docs",
-    "embedding_norm_stats",
-    "events_anomaly_hours",
-    "pipeline_pack_sequences",
-    "quiver_inplace_compact_scan",
-    "quiver_narrow_projection",
-    "quiver_scan_events",
-    "sample_token_budget",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
-    "scalar_regexp_funcs",
-    "setop_bag_semantics",
-    "setop_intersect_all",
-    "setop_union_distinct",
-    "text_context_windows",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_length_histogram",
-    "text_quality_stats",
-    "text_token_topk",
-    # (b) new round-11 gates (inserted as they land)
-    "quiver_unified_scan",
-    "quiverjvm_partitioned_ingest",
-    "quiverjvm_alter_scan",
-    "text_char_lm_score",
-    # (c) round-8 cohort fill (oldest-first coverage; overflow past slot 50
-    # stays round-8-green, the stated floor)
-    "agg_stats_moments",
-    "ann_ivf_topk",
-    "arrow_ipc_scan",
-    "case_when_buckets",
-    "decontaminate_eval_overlap",
-    "dedup_clusters",
-    "dedup_cross_source_matrix",
-    "dedup_minhash_signature",
-    "distinct_counts",
-    "events_gapfill_hourly",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_pivot_types",
-    "events_sessionize",
-    "events_sliding_daily",
-    "events_transition_matrix",
-    "grouped_minmax_norm",
-    "in_between_filter",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    "null_handling",
-    "q12_priority_shipping",
+    # (a) the 22 round-8-stale rows
     "q13_customer_distribution",
     "quiver_rollback_scan",
     "quiver_scan_bools",
     "quiver_scan_delta",
+    "quiver_scan_freq",
+    "quiver_scan_nested_types",
+    "quiver_scan_uints",
+    "quiver_sql_view_agg",
+    "quiver_time_travel_scan",
+    "sample_per_source_topk",
+    "sample_stratified_docs",
+    "scalar_date_funcs",
+    "scalar_map_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scalar_subquery_above_avg",
+    "setop_union_counts",
+    "text_bigram_topk",
+    "text_repetition_stats",
+    "text_type_token_ratio",
+    "topk_orders",
+    "unpivot_lineitem_metrics",
+    # (b) new round-12 gates
+    "quiverjvm_nested_scan",
+    "quiverjvm_uint_scan",
+    "quiverjvm_default_fill_scan",
+    "text_zipf_slope",
+    # (c) materially changed this round
+    "text_char_lm_score",
+    "quiver_unified_scan",
+    # (d) r9-cohort fill — rerouted format gates first (engine changed)
+    "quiver_adaptive_zstd_join",
+    "quiver_batch_read",
+    "quiver_compacted_scan",
+    "quiver_limit_head",
+    "quiver_manifest_packed_scan",
+    "quiver_manifest_rebuild_scan",
+    "quiver_merge_schemas_scan",
+    "quiver_partitioned_scan",
+    "quiver_pruned_date_scan",
+    "quiver_scan_checksums",
+    "quiver_scan_decimals",
+    "quiver_scan_documents",
+    "quiver_scan_embeddings",
+    "quiver_scan_q1",
+    "ann_cosine_topk",
+    "ann_dot_topk",
+    "ann_lsh_bucketed_pairs",
+    "ann_sq8_topk",
+    "approx_distinct_parts",
+    "arrow_ipc_merge_scan",
+    "asof_join_events_orders",
+    "correlated_small_quantity",
 ]
 
 

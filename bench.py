@@ -106,6 +106,21 @@ def main() -> None:
         quiver_relation,
     )
 
+    # Nested-scan proxy fixture (round 12): the embeddings table
+    # (array<float> + flat columns — the input class of every dedup/ANN
+    # gate) as quiver; read via parquet control, the Python DS, and the
+    # JVM Dremel assembler. Only the JVM ratio is recorded as a headline
+    # ratio: the parquet side reads this fixture in ~36 ms at sf0.1, so
+    # the Python DS's ~0.175 s fixed planner floor dominates its wall —
+    # its per-rep times stay visible under proxy_reps, and the router
+    # serves nested tables from the JVM engine anyway.
+    from quiver_spark.operators.format_queries import quiver_dir as _qdir
+
+    emb_parquet = f"{sf_dir}/embeddings.parquet"
+    emb_qv_dir = _qdir(spark, sf_dir, "embeddings")
+    emb_pq_df = spark.read.parquet(emb_parquet)
+    emb_py_df = quiver_relation(spark, emb_qv_dir, engine="python")
+
     tag = os.path.basename(sf_dir.rstrip("/"))
     mf_qv = os.path.join(CACHE_ROOT, tag, "lineitem-manyfiles-qv")
     mf_pq = os.path.join(CACHE_ROOT, tag, "lineitem-manyfiles-pq")
@@ -186,6 +201,12 @@ def main() -> None:
         # cached quiver relation (per-rep .load() would time datasource
         # instantiation, not the scan)
         "scan_arrowipc_lineitem": lambda: arrow_df.write.format("noop")
+        .mode("overwrite")
+        .save(),
+        "nested_parquet_embeddings": lambda: emb_pq_df.write.format("noop")
+        .mode("overwrite")
+        .save(),
+        "nested_quiver_embeddings": lambda: emb_py_df.write.format("noop")
         .mode("overwrite")
         .save(),
         "manyfiles_parquet_lineitem": lambda: mf_parquet_df.write.format(
@@ -279,6 +300,10 @@ def main() -> None:
         proxies["manyfiles_quiverjvm_lineitem"] = (
             lambda: jvm_mf_df.write.format("noop").mode("overwrite").save()
         )
+        jvm_emb_df = spark.read.format("quiverjvm").load(emb_qv_dir)
+        proxies["nested_quiverjvm_embeddings"] = (
+            lambda: jvm_emb_df.write.format("noop").mode("overwrite").save()
+        )
         proxies["write_quiverjvm_lineitem"] = (
             lambda: li_df.write.format("quiverjvm")
             .mode("overwrite")
@@ -301,6 +326,9 @@ def main() -> None:
         "scan_quiver_lineitem",
         "scan_quiverjvm_lineitem",
         "scan_arrowipc_lineitem",
+        "nested_parquet_embeddings",
+        "nested_quiver_embeddings",
+        "nested_quiverjvm_embeddings",
         "narrow_parquet_lineitem",
         "narrow_quiver_lineitem",
         "narrow_quiverjvm_lineitem",
@@ -410,6 +438,9 @@ def main() -> None:
                         ),
                         "quiverjvm_vs_parquet_pruned_ratio": _paired_ratio(
                             "pruned_quiverjvm_lineitem", "pruned_parquet_lineitem"
+                        ),
+                        "quiverjvm_vs_parquet_nested_ratio": _paired_ratio(
+                            "nested_quiverjvm_embeddings", "nested_parquet_embeddings"
                         ),
                     }
                     if "write_quiverjvm_lineitem" in timings

@@ -439,3 +439,75 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_cnt",
         F.round(slope, 3).alias("zipf_slope"),
     )
+
+
+#: target pretraining-mixture weights per language (integer weights keep
+#: the feasibility arithmetic exact: K = min(tokens DIV w) is a bigint,
+#: sampled tokens = K*w exactly matches the w ratios)
+MIX_WEIGHTS: tuple[tuple[str, int], ...] = (
+    ("en", 4),
+    ("fr", 2),
+    ("de", 2),
+    ("es", 1),
+    ("zh", 1),
+)
+
+
+@register(
+    "pipeline_mixture_weights",
+    oracle=f"""
+WITH w(lang, w) AS (VALUES ('en', 4), ('fr', 2), ('de', 2), ('es', 1), ('zh', 1)),
+toks AS (
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                AS BIGINT) AS tokens
+    FROM documents
+    GROUP BY lang
+),
+j AS (SELECT t.lang, t.docs, t.tokens, w.w FROM toks t JOIN w ON t.lang = w.lang),
+k AS (SELECT MIN(tokens // w) AS k FROM j)
+SELECT j.lang,
+       j.docs,
+       j.tokens,
+       CAST(j.w AS BIGINT) AS w,
+       CAST(k.k * j.w AS BIGINT) AS sampled_tokens,
+       ROUND(CAST(k.k * j.w AS DOUBLE) / j.tokens, 4) AS accept_rate
+FROM j CROSS JOIN k
+""",
+    tags=("pipeline", "sampling", "mixture"),
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning for a pretraining run: given integer target
+    weights per language, compute each language's acceptance rate for the
+    LARGEST corpus achievable at exactly that mix WITHOUT upsampling —
+    the binding language (smallest tokens/weight) samples at 1.0 and
+    everything else downsamples proportionally. The feasibility constant
+    K = min(tokens DIV w) and the sampled token budgets K*w are exact
+    bigint arithmetic on both engines; only the reported rate rounds.
+
+    100 TB posture: one token-count aggregate over the corpus (map-side
+    length arithmetic, no tokenizer UDF), a ≤|langs|-row broadcast join
+    with the weight table, and a 1-row broadcast of K back across it —
+    the corpus is scanned once and never shuffled by anything wider than
+    the language key."""
+    from quiver_spark.operators.text import token_count_col
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(token_count_col()).cast("bigint").alias("tokens"),
+    )
+    w = spark.createDataFrame(list(MIX_WEIGHTS), "lang string, w int")
+    j = toks.join(F.broadcast(w), "lang")
+    k = j.agg(F.min(F.expr("tokens DIV w")).alias("k"))
+    return j.crossJoin(F.broadcast(k)).select(
+        "lang",
+        "docs",
+        "tokens",
+        F.col("w").cast("bigint").alias("w"),
+        (F.col("k") * F.col("w")).cast("bigint").alias("sampled_tokens"),
+        F.round(
+            (F.col("k") * F.col("w")).cast("double") / F.col("tokens"), 4
+        ).alias("accept_rate"),
+    )

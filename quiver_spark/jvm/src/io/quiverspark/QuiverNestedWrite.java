@@ -122,6 +122,8 @@ final class QuiverNestedWrite {
     final Node root;
     final LeafW[] leaves;
     int n = 0;
+    int topNulls = 0;
+    int[] nullEnd = new int[1 << 10]; // cumulative top-level nulls per row
 
     NestedColBuf(StructField f) {
       this.field = f;
@@ -164,7 +166,22 @@ final class QuiverNestedWrite {
     void add(Object v) {
       shred(v, root, 0, 0, 0);
       for (LeafW lf : leaves) lf.rowEnd();
+      if (v == null) topNulls++;
+      if (n >= nullEnd.length) {
+        nullEnd = java.util.Arrays.copyOf(nullEnd, nullEnd.length * 2);
+      }
+      nullEnd[n] = topNulls;
       n++;
+    }
+
+    /** Top-level null count in rows [r0, r1) — feeds the sidecar's
+    * nulls-only zone entry (min/max stay null: nested columns carry no
+    * value stats, Python-writer parity, but IS NULL / IS NOT NULL
+    * pruning still fires). */
+    int nullsInRange(int r0, int r1) {
+      int a = r0 == 0 ? 0 : nullEnd[r0 - 1];
+      int b = r1 == 0 ? 0 : nullEnd[r1 - 1];
+      return b - a;
     }
 
     private void emitSlots(Node node, int rep, int def) {
@@ -240,6 +257,7 @@ final class QuiverNestedWrite {
     void reset() {
       for (LeafW lf : leaves) lf.reset();
       n = 0;
+      topNulls = 0;
     }
   }
 

@@ -65,7 +65,22 @@ final class QuiverStatsBuilder {
     StructField[] fields = schema.fields();
     for (int ci = 0; ci < cols.length; ci++) {
       if (!(cols[ci] instanceof QuiverFileEncoder.ColBuf)) {
-        continue; // nested columns carry no zone maps (Python-writer parity)
+        // nested columns: no value stats (Python-writer parity: null
+        // min/max), but REAL top-level null counts so IS NULL /
+        // IS NOT NULL page pruning fires
+        QuiverNestedWrite.NestedColBuf nb = (QuiverNestedWrite.NestedColBuf) cols[ci];
+        ObjectNode nNode = columns.putObject(fields[ci].name());
+        ArrayNode nMins = nNode.putArray("min");
+        ArrayNode nMaxs = nNode.putArray("max");
+        ArrayNode nNulls = nNode.putArray("nulls");
+        for (int p = 0; p < nPages; p++) {
+          int r0 = p * pageSize;
+          int r1 = Math.min(r0 + pageSize, n);
+          nMins.addNull();
+          nMaxs.addNull();
+          nNulls.add(nb.nullsInRange(r0, Math.max(r1, r0)));
+        }
+        continue;
       }
       QuiverFileEncoder.ColBuf col = (QuiverFileEncoder.ColBuf) cols[ci];
       ObjectNode colNode = columns.putObject(fields[ci].name());

@@ -431,8 +431,11 @@ def clone_snapshot(
 
 
 def _pa_type_from_ddl(s: str):
-    """Spark-DDL-ish type string → pyarrow type (top-level primitives —
-    the null-fill domain; nested evolution is out of scope)."""
+    """Spark-DDL-ish type string → pyarrow type. Primitives plus — since
+    round 12 — arbitrary ``array<...>`` / ``map<k,v>`` / ``struct<n:t,…>``
+    compositions (null-fill only: nested ADDs take no default), parsed
+    through Spark's own DDL parser so the accepted syntax is exactly
+    Spark's."""
     import pyarrow as pa
 
     t = s.strip().lower()
@@ -455,9 +458,21 @@ def _pa_type_from_ddl(s: str):
     }
     if t in simple:
         return simple[t]
+    if re.match(r"^(array|map|struct)\s*<", t):
+        from pyspark.sql.types import DataType as _SparkDT
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        try:
+            spark_t = _SparkDT.fromDDL(s)
+            return to_arrow_type(spark_t)
+        except Exception as e:
+            raise ValueError(
+                f"unsupported nested column type {s!r}: {e}"
+            ) from None
     raise ValueError(
         f"unsupported column type {s!r} (supported: "
-        f"{sorted(simple)} and decimal(p,s))"
+        f"{sorted(simple)}, decimal(p,s), and array/map/struct "
+        "compositions of them)"
     )
 
 
@@ -669,6 +684,17 @@ def add_column(
     from quiver_spark.sources.manifest import _schema_b64, encode_default
 
     new_type = _pa_type_from_ddl(ddl_type)
+    if default is not None:
+        import pyarrow as pa
+
+        if pa.types.is_nested(new_type):
+            # a nested default would round-trip through str() in the
+            # manifest JSON and decode as garbage — refuse at the ALTER,
+            # never at the later scan
+            raise ValueError(
+                "nested column types take no initial default — add the "
+                "column null-filled and backfill with a write"
+            )
     enc = encode_default(default, new_type) if default is not None else None
 
     def mutate(man, root, rel_schemas, raw):

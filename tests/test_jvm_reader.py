@@ -1025,3 +1025,36 @@ def test_jvm_default_fill_parity(spark, tmp_path):
     )
     assert jvm.filter("src = 'seed' AND flag AND dec0 = 9.75").count() == 6
     assert "quiverjvm" in scan(spark, d)._jdf.queryExecution().analyzed().toString()
+
+
+def test_jvm_alter_with_nested_columns(spark, tmp_path):
+    """ALTER-DDL tables whose columns are NESTED ride the JVM scan:
+    rename_column resolves a nested column through the per-file cmap,
+    nested add_columns null-fill in files that predate them (putNulls on
+    complex vectors), and a post-ALTER append mixes both physical
+    schemas in one plan — row-exact vs the Python DS, routed to the JVM
+    engine by sources.scan."""
+    _require_jar(spark)
+    from quiver_spark import maintenance as M
+    from quiver_spark.sources import register, scan
+
+    register(spark)
+    d = str(tmp_path / "nested_alter")
+    spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0])], "id bigint, emb array<double>"
+    ).coalesce(1).write.format("quiver").mode("overwrite").save(d)
+    M.rename_column(d, "emb", "vec")
+    M.add_column(d, "tags", "array<string>")
+    M.add_column(d, "meta", "struct<a:int,b:string>")
+    spark.createDataFrame(
+        [(4, [4.0], ["t4"], (7, "x"))],
+        "id bigint, vec array<double>, tags array<string>,"
+        " meta struct<a:int,b:string>",
+    ).coalesce(1).write.format("quiver").mode("append").save(d)
+    df = scan(spark, d)
+    assert "quiverjvm" in df._jdf.queryExecution().analyzed().toString()
+    got = sorted(repr(tuple(r)) for r in df.collect())
+    exp = sorted(
+        repr(tuple(r)) for r in spark.read.format("quiver").load(d).collect()
+    )
+    assert got == exp and len(got) == 4

@@ -264,8 +264,10 @@ def test_alter_guards(spark, tmp_path):
     M.drop_column(tbl, "s")
     with pytest.raises(ValueError, match="cannot drop a table's last"):
         M.drop_column(tbl, "k")
-    with pytest.raises(ValueError, match="unsupported column type"):
-        M.add_column(tbl, "x", "array<int>")
+    # nested ADDs are supported since round 12 (null-fill only) — the
+    # remaining type guard is a genuinely unparseable DDL string
+    with pytest.raises(ValueError, match="unsupported"):
+        M.add_column(tbl, "x", "array<notatype>")
 
 
 def test_alter_time_travel_and_rollback(spark, tmp_path):
@@ -647,3 +649,35 @@ def test_mid_stream_alter_fails_loudly(spark, tmp_path):
     q3.awaitTermination(120)
     assert spark.table("ddl_stream_fresh").columns == ["k", "name", "grade"]
     assert spark.table("ddl_stream_fresh").count() == 4
+
+
+def test_add_column_nested_types_null_fill(spark, tmp_path):
+    """ALTER ADD COLUMN with array/map/struct DDL types (round 12):
+    metadata-only, old files null-fill, a post-ALTER append serves real
+    nested values; nested ADDs refuse initial defaults loudly (a nested
+    default would round-trip through str() in the manifest and decode as
+    garbage — the ALTER fails, never the later scan)."""
+    import pytest as _pytest
+
+    from quiver_spark import maintenance as M
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "nested_add")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, s string"
+    ).coalesce(1).write.format("quiver").mode("overwrite").save(d)
+    M.add_column(d, "tags", "array<string>")
+    M.add_column(d, "meta", "struct<a:int,b:string>")
+    M.add_column(d, "kv", "map<string,double>")
+    with _pytest.raises(ValueError, match="no initial default"):
+        M.add_column(d, "bad", "array<int>", default=[1])
+    spark.createDataFrame(
+        [(3, "c", ["t"], (7, "x"), {"k": 1.5})],
+        "id bigint, s string, tags array<string>,"
+        " meta struct<a:int,b:string>, kv map<string,double>",
+    ).coalesce(1).write.format("quiver").mode("append").save(d)
+    rows = {r["id"]: r for r in spark.read.format("quiver").load(d).collect()}
+    assert rows[1]["tags"] is None and rows[1]["meta"] is None and rows[1]["kv"] is None
+    assert rows[3]["tags"] == ["t"]
+    assert rows[3]["meta"]["a"] == 7 and rows[3]["kv"] == {"k": 1.5}

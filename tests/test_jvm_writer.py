@@ -452,3 +452,63 @@ def test_jvm_writer_nested_roundtrip_both_readers(spark, tmp_path):
                 repr(tuple(r)) for r in spark.read.format(fmt).load(d).collect()
             )
             assert got == exp, f"{tbl} via {fmt}"
+
+
+def test_jvm_writer_nested_randomized_fuzz(spark, tmp_path):
+    """Seeded randomized Dremel round-trip: 300 rows of deeply nested
+    values with random nulls/empties at every level (null lists, null
+    elements, null structs, null struct fields, empty maps), written by
+    the JVM sink at awkward page sizes and read back row-exact through
+    BOTH readers. The deterministic matrix pins known shapes; this
+    sweeps the combinatorial null/empty space the shredder and both
+    assemblers must agree on."""
+    _require_jar(spark)
+    import random
+
+    from quiver_spark.sources import register
+
+    register(spark)
+    rng = random.Random(42)
+
+    def maybe(p, fn):
+        return None if rng.random() < p else fn()
+
+    def rand_list():
+        return [maybe(0.2, lambda: rng.uniform(-10, 10)) for _ in range(rng.randrange(4))]
+
+    def rand_struct():
+        return (
+            maybe(0.3, lambda: rng.randrange(100)),
+            maybe(0.3, lambda: "s" + str(rng.randrange(10))),
+            maybe(0.4, rand_list),
+        )
+
+    def rand_map():
+        return {f"k{j}": maybe(0.3, lambda: rng.randrange(50)) for j in range(rng.randrange(3))}
+
+    rows = [
+        (
+            i,
+            maybe(0.15, rand_list),
+            maybe(0.15, rand_struct),
+            maybe(0.15, rand_map),
+            maybe(0.15, lambda: [maybe(0.3, rand_struct) for _ in range(rng.randrange(3))]),
+        )
+        for i in range(300)
+    ]
+    schema = (
+        "id bigint, lst array<double>,"
+        " st struct<a:int,b:string,xs:array<double>>,"
+        " m map<string,int>,"
+        " deep array<struct<a:int,b:string,xs:array<double>>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    exp = sorted(map(repr, df.collect()))
+    for page in ("7", "64", "1000"):
+        d = str(tmp_path / f"fuzz_{page}")
+        df.repartition(3).write.format("quiverjvm").option(
+            "max_page_size", page
+        ).mode("overwrite").save(d)
+        for fmt in ("quiver", "quiverjvm"):
+            got = sorted(map(repr, spark.read.format(fmt).load(d).collect()))
+            assert got == exp, f"page {page} via {fmt}"

@@ -483,3 +483,74 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "decontaminate_embedding_overlap",
+    oracle=f"""
+WITH iv AS ({SQL_IV}),
+norms AS (SELECT vec_id, SUM(xi * xi) AS nrm FROM iv GROUP BY vec_id),
+q AS (SELECT vec_id AS qid, i, xi AS qi FROM iv WHERE vec_id % 37 = 0),
+dots AS (
+    SELECT q.qid, iv.vec_id, SUM(iv.xi * q.qi) AS idot
+    FROM iv JOIN q ON iv.i = q.i
+    GROUP BY q.qid, iv.vec_id
+),
+mx AS (
+    SELECT d.vec_id,
+           MAX(CAST(d.idot AS DOUBLE)
+               / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nc.nrm AS DOUBLE)))) AS mx
+    FROM dots d
+    JOIN norms nq ON d.qid = nq.vec_id
+    JOIN norms nc ON d.vec_id = nc.vec_id
+    GROUP BY d.vec_id
+),
+lab AS (SELECT DISTINCT vec_id, label FROM iv)
+SELECT l.label,
+       COUNT(*) AS corpus,
+       CAST(SUM(CASE WHEN m.mx >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS leaked,
+       ROUND(AVG(m.mx), 3) AS avg_max_cos,
+       ROUND(MAX(m.mx), 3) AS top_max_cos
+FROM mx m JOIN lab l ON m.vec_id = l.vec_id
+GROUP BY l.label
+""",
+    tags=("similarity", "decontamination", "embedding"),
+)
+def decontaminate_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set decontamination — the embedding-space complement
+    of the n-gram `decontaminate_eval_overlap`: an eval benchmark (a
+    deterministic slice, vec_id % 37 — leaked into the corpus by
+    construction, the real-world failure) is swept against the WHOLE
+    corpus by exact-integer cosine; any training vector at cos >= 0.95 to
+    any eval vector is flagged. Identical vectors land at exactly 1.0, so
+    the planted leaks are all caught; rates report per label.
+
+    100 TB posture: the eval set collapses to ONE broadcast array row
+    (eval benchmarks are tiny against a pretraining corpus), the per-doc
+    max-similarity is a map-side `transform`/`array_max` over that
+    broadcast — the corpus is scanned once, never shuffled except the
+    final per-label aggregate. Integer dot products keep every pairwise
+    score bit-identical across engines; the avg/max report rounds."""
+    emb = _int_emb(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
+    probes = emb.filter(F.col("vec_id") % 37 == 0).agg(
+        F.collect_list(F.struct(F.col("iv"), F.col("nrm"))).alias("ps")
+    )
+    mx = F.expr(
+        """
+        array_max(transform(ps, p ->
+            CAST(aggregate(zip_with(iv, p.iv, (x, y) -> x * y),
+                           CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+            / (SQRT(CAST(nrm AS DOUBLE)) * SQRT(CAST(p.nrm AS DOUBLE)))))
+        """
+    )
+    per = emb.crossJoin(F.broadcast(probes)).select(
+        "label", mx.alias("mx")
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("corpus"),
+        F.sum(F.when(F.col("mx") >= 0.95, 1).otherwise(0))
+        .cast("bigint")
+        .alias("leaked"),
+        F.round(F.avg("mx"), 3).alias("avg_max_cos"),
+        F.round(F.max("mx"), 3).alias("top_max_cos"),
+    )

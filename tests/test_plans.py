@@ -476,3 +476,18 @@ def test_char_lm_score_two_corpus_explodes(spark):
     assert plan.count("Generate explode") == 1, plan
     assert "Scan ExistingRDD" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_decontamination_map_side_single_shuffle(spark):
+    """decontaminate_embedding_overlap: the eval set collapses to one
+    broadcast array row and the per-vector max-similarity is a map-side
+    transform over it — the only exchange left is the per-label
+    aggregate (plus the 1-row eval collect). No Python eval anywhere."""
+    df = _df(spark, "decontaminate_embedding_overlap")
+    plan = plans.physical_plan(df)
+    assert plans.has_broadcast_join(df), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one corpus-scale exchange (the label agg); the others are
+    # the 1-row eval collect and its broadcast
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan

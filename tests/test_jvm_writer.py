@@ -512,3 +512,46 @@ def test_jvm_writer_nested_randomized_fuzz(spark, tmp_path):
         for fmt in ("quiver", "quiverjvm"):
             got = sorted(map(repr, spark.read.format(fmt).load(d).collect()))
             assert got == exp, f"page {page} via {fmt}"
+
+
+def test_jvm_nested_hive_fanout_and_dml_interop(spark, tmp_path):
+    """Cross-feature pins for the round-12 nested surface: (a) partitionBy
+    Hive fan-out with nested DATA columns through the JVM writer reads
+    back exactly on both engines (partition keys stay flat path
+    constants, nested columns shred per key); (b) Python-engine row-level
+    DML (delete_where) on a nested table leaves files the JVM scan
+    serves — and the router still picks the JVM engine for it."""
+    _require_jar(spark)
+    from quiver_spark import maintenance as M
+    from quiver_spark.sources import register, scan
+
+    register(spark)
+    d = str(tmp_path / "part_nested")
+    df = spark.createDataFrame(
+        [(1, "a", [1.0]), (2, "b", [2.0, 3.0]), (3, "a", None), (4, "b", [])],
+        "id bigint, grp string, emb array<double>",
+    )
+    df.write.format("quiverjvm").partitionBy("grp").mode("overwrite").save(d)
+    exp = sorted(repr(tuple(r)) for r in df.select("id", "grp", "emb").collect())
+    for fmt in ("quiverjvm", "quiver"):
+        got = sorted(
+            repr(tuple(r))
+            for r in spark.read.format(fmt).load(d).select("id", "grp", "emb").collect()
+        )
+        assert got == exp, fmt
+
+    d2 = str(tmp_path / "dml_nested")
+    spark.createDataFrame(
+        [(i, [float(i)] * (i % 3), f"s{i % 2}") for i in range(20)],
+        "id bigint, emb array<double>, src string",
+    ).coalesce(2).write.format("quiver").mode("overwrite").save(d2)
+    M.delete_where(spark, d2, "id % 4 = 0")
+    df2 = scan(spark, d2)
+    assert "quiverjvm" in df2._jdf.queryExecution().analyzed().toString()
+    got2 = sorted(repr(tuple(r)) for r in df2.collect())
+    exp2 = sorted(
+        repr((i, [float(i)] * (i % 3), f"s{i % 2}"))
+        for i in range(20)
+        if i % 4 != 0
+    )
+    assert got2 == exp2

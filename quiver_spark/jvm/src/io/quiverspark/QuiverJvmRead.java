@@ -409,6 +409,25 @@ public final class QuiverJvmRead {
     return pb;
   }
 
+  /** Per-page ROW counts from the manifest entry's meta of one FLAT
+   * leaf (num_values = rows there), or null → caller falls back to the
+   * footer. Used by the advisory LIMIT planning cap. */
+  static long[] manifestPageRows(
+      com.fasterxml.jackson.databind.JsonNode m, String rel, long diskSize, int flatLeaf) {
+    if (m == null) return null;
+    com.fasterxml.jackson.databind.JsonNode files = m.get("files");
+    if (files == null) return null;
+    com.fasterxml.jackson.databind.JsonNode e = files.get(rel);
+    if (e == null || !"quiver".equals(e.path("fmt").asText(""))) return null;
+    if (e.path("size").asLong(-1) != diskSize) return null;
+    com.fasterxml.jackson.databind.JsonNode metas = e.get("metas");
+    if (metas == null || flatLeaf >= metas.size()) return null;
+    com.fasterxml.jackson.databind.JsonNode flat = metas.get(flatLeaf).get(1);
+    long[] pr = new long[flat.size() / 2];
+    for (int p = 0; p < pr.length; p++) pr[p] = flat.get(p * 2 + 1).asLong();
+    return pr;
+  }
+
   // ---- footer ------------------------------------------------------------
 
   static final class PageMeta implements Serializable {
@@ -632,10 +651,12 @@ public final class QuiverJvmRead {
 
   static final class QuiverScanBuilder
       implements ScanBuilder, SupportsPushDownRequiredColumns,
-          org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+          org.apache.spark.sql.connector.read.SupportsPushDownFilters,
+          org.apache.spark.sql.connector.read.SupportsPushDownLimit {
     private final String path;
     private final StructType fullSchema;
     private StructType required;
+    private int limit = -1;
     private org.apache.spark.sql.sources.Filter[] pushedForDisplay =
         new org.apache.spark.sql.sources.Filter[0];
     private List<QuiverPagePrune.Pred> preds = new ArrayList<>();
@@ -678,8 +699,22 @@ public final class QuiverJvmRead {
     }
 
     @Override
+    public boolean pushLimit(int n) {
+      // ADVISORY planning cap (round 12): plan only enough leading pages
+      // to cover n rows — a LIMIT 1000 over a 100k-file table plans one
+      // small split instead of every file. Spark only offers the limit
+      // when no residual filter sits between scan and limit, and we
+      // return false so Spark still applies its own exact limit above
+      // the scan — under-planning is impossible (>= n rows are planned
+      // whenever a flat leaf exposes row counts; all-nested schemas skip
+      // the cap), over-reading is bounded by one chunk.
+      this.limit = n;
+      return false;
+    }
+
+    @Override
     public Scan build() {
-      return new QuiverScan(path, fullSchema, required, preds);
+      return new QuiverScan(path, fullSchema, required, preds, limit);
     }
   }
 
@@ -688,13 +723,15 @@ public final class QuiverJvmRead {
     private final StructType fullSchema;
     private final StructType required;
     private final List<QuiverPagePrune.Pred> preds;
+    private final int limit; // -1 = unbounded
 
     QuiverScan(String path, StructType fullSchema, StructType required,
-        List<QuiverPagePrune.Pred> preds) {
+        List<QuiverPagePrune.Pred> preds, int limit) {
       this.path = path;
       this.fullSchema = fullSchema;
       this.required = required;
       this.preds = preds;
+      this.limit = limit;
     }
 
     @Override
@@ -705,7 +742,8 @@ public final class QuiverJvmRead {
     @Override
     public String description() {
       return "quiverjvm scan of " + path
-          + (preds.isEmpty() ? "" : " pagePrune: " + preds);
+          + (preds.isEmpty() ? "" : " pagePrune: " + preds)
+          + (limit < 0 ? "" : " planLimit: " + limit);
     }
 
     @Override
@@ -809,6 +847,11 @@ public final class QuiverJvmRead {
         }
 
         java.nio.file.Path rootP = new File(root).toPath();
+        // LIMIT planning cap is live only for pure scan+limit plans —
+        // Spark offers pushLimit only when no residual filter sits below
+        // the limit, and we additionally require zero translated preds
+        long planLimit = (limit >= 0 && preds.isEmpty()) ? limit : -1;
+        List<long[]> perFilePageRows = new ArrayList<>();
         List<long[]> perFilePageBytes = new ArrayList<>();
         List<boolean[]> perFileKeep = new ArrayList<>();
         List<File> keptFiles = new ArrayList<>();
@@ -891,6 +934,36 @@ public final class QuiverJvmRead {
           }
           if (!fileKept) continue;
 
+          // advisory LIMIT cap inputs: per-page ROW counts via the first
+          // FLAT field's leaf meta (nested leaf metas count slots); an
+          // all-nested file contributes no counts and is never capped
+          long[] pr = null;
+          if (planLimit >= 0) {
+            int flatLeaf = -1;
+            java.util.List<Field> fsf = fileSchema.getFields();
+            for (int i = 0; i < fsf.size(); i++) {
+              if (!QuiverNested.isNested(fsf.get(i).getType())) {
+                flatLeaf = lr[i][0];
+                break;
+              }
+            }
+            if (flatLeaf >= 0) {
+              pr = manifestPageRows(man, rel, f.length(), flatLeaf);
+              if (pr == null) {
+                if (ft == null) {
+                  PLAN_FOOTER_READS.incrementAndGet();
+                  ft = readFooter(f);
+                }
+                if (flatLeaf < ft.cols.length) {
+                  PageMeta[] fp2 = ft.cols[flatLeaf].pages;
+                  pr = new long[fp2.length];
+                  for (int p = 0; p < fp2.length; p++) pr[p] = fp2[p].numValues;
+                }
+              }
+            }
+          }
+          perFilePageRows.add(pr);
+
           long[] pb = manifestPageBytes(man, rel, f.length(), projLeaves);
           if (pb == null) {
             if (ft == null) {
@@ -958,6 +1031,7 @@ public final class QuiverJvmRead {
         List<InputPartition> parts = new ArrayList<>();
         List<Chunk> open = new ArrayList<>();
         long acc = 0;
+        long plannedRows = 0;
         for (int fi = 0; fi < files.size(); fi++) {
           long[] pb = perFilePageBytes.get(fi);
           boolean[] keep = perFileKeep.get(fi);
@@ -975,6 +1049,19 @@ public final class QuiverJvmRead {
             }
             if (runStart < 0) runStart = p;
             acc += pb[p];
+            if (planLimit >= 0) {
+              long[] prf = perFilePageRows.get(fi);
+              if (prf != null && p < prf.length) {
+                plannedRows += prf[p];
+                if (plannedRows >= planLimit) {
+                  // enough leading pages planned to cover the limit —
+                  // stop here; Spark's own limit trims above the scan
+                  open.add(new Chunk(fp, runStart, p + 1, pv, cm, expectCols, tblDefaults));
+                  parts.add(new QuiverInputPartition(open.toArray(new Chunk[0])));
+                  return parts.toArray(new InputPartition[0]);
+                }
+              }
+            }
             if (acc >= floor) {
               open.add(new Chunk(fp, runStart, p + 1, pv, cm, expectCols, tblDefaults));
               parts.add(new QuiverInputPartition(open.toArray(new Chunk[0])));

@@ -1058,3 +1058,38 @@ def test_jvm_alter_with_nested_columns(spark, tmp_path):
         repr(tuple(r)) for r in spark.read.format("quiver").load(d).collect()
     )
     assert got == exp and len(got) == 4
+
+
+def test_jvm_limit_pushdown_caps_planning(spark, tmp_path):
+    """SupportsPushDownLimit (round 12): a pure scan+limit plans only
+    enough leading pages to cover the limit (LIMIT 1000 over a 100k-file
+    table plans one small split, not every file). The cap is ADVISORY —
+    pushLimit returns false so Spark's own limit trims above the scan —
+    and it disarms whenever translated predicates exist (Spark also only
+    offers the limit with no residual filter below it)."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+    src = spark.read.parquet(f"{SF_DIR_MID}/lineitem.parquet")
+    d = str(tmp_path / "lim")
+    src.repartition(64).write.format("quiverjvm").mode("overwrite").save(d)
+    t = spark.read.format("quiverjvm").load(d)
+    full_parts = t._jdf.queryExecution().toRdd().getNumPartitions()
+
+    lim = t.limit(100)
+    plan = lim._jdf.queryExecution().executedPlan().toString()
+    assert "planLimit: 100" in plan, plan
+    lim_parts = lim._jdf.queryExecution().toRdd().getNumPartitions()
+    assert lim_parts <= full_parts
+    assert len(lim.collect()) == 100
+    # correctness: the limited prefix is a subset of the table
+    keys = {r["l_orderkey"] for r in lim.select("l_orderkey").collect()}
+    allk = {r["l_orderkey"] for r in src.select("l_orderkey").collect()}
+    assert keys <= allk
+
+    # with a filter the cap must not engage (and results stay exact)
+    f = t.filter("l_orderkey > 100")
+    fplan = f._jdf.queryExecution().executedPlan().toString()
+    assert "planLimit" not in fplan
+    assert f.count() == src.filter("l_orderkey > 100").count()

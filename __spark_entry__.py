@@ -25,9 +25,9 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # Round 12 window (50). Staleness audit at the start of round 12 (computed
 # from CORRECTNESS_r1..r11; every one of the 172 queries registered then
 # has at least one driver-green row and ZERO failures ever): r8-stale = 22,
-# r9 = 50, r10 = 50, r11 = 50; 6 new gates this round (178 total). Window:
+# r9 = 50, r10 = 50, r11 = 50; 7 new gates this round (179 total). Window:
 # (a) the 22 r8-stale rows — the oldest cohort, exhausted this round so no
-# query's newest green row will be older than round 9; (b) the 6 new
+# query's newest green row will be older than round 9; (b) the 7 new
 # round-12 gates; (c) the 2 queries whose CODE materially changed this
 # round despite an r11-green row (text_char_lm_score: plan + bigram
 # kernel; quiver_unified_scan: routing semantics); (d) fill from the r9
@@ -65,6 +65,7 @@ _PRIORITY = [
     "text_zipf_slope",
     "pipeline_mixture_weights",
     "decontaminate_embedding_overlap",
+    "quiverjvm_limit_scan",
     # (c) materially changed this round
     "text_char_lm_score",
     "quiver_unified_scan",
@@ -88,11 +89,10 @@ _PRIORITY = [
     "ann_lsh_bucketed_pairs",
     "ann_sq8_topk",
     "approx_distinct_parts",
-    "arrow_ipc_merge_scan",
 ]
-# (the last two r9 fill rows, asof_join_events_orders and
-# correlated_small_quantity, yielded their slots to the two late
-# round-12 gates — they stay r9-green, above the stated r8 floor)
+# (three r9 fill rows — asof_join_events_orders, correlated_small_quantity,
+# arrow_ipc_merge_scan — yielded their slots to the three late round-12
+# gates; they stay r9-green, above the stated r8 floor)
 
 
 def _ordered_specs():

@@ -486,3 +486,36 @@ def quiverjvm_uint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("u64").cast("double")).alias("u64_sum"),
         F.max("u16").cast("bigint").alias("max_u16"),
     )
+
+
+@register(
+    "quiverjvm_limit_scan",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+FROM (SELECT o_orderkey FROM orders LIMIT 1000) t
+""",
+    tags=("format", "jvm", "scan", "limit"),
+)
+def quiverjvm_limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT through the JVM scan's SupportsPushDownLimit (round 12): a
+    single-file order-preserving fixture so both engines' LIMIT-1000
+    prefix is the parquet head, with the advisory planning cap live —
+    the plan stops after enough leading pages to cover the limit and
+    Spark's own limit trims exactly. The Python-DS twin is
+    quiver_limit_head (the source-level `limit` option)."""
+    from quiver_spark.operators.format_queries2 import _marker_dir
+
+    def build(d):
+        spark.read.parquet(f"{sf_dir}/orders.parquet").coalesce(1).write.format(
+            "quiver"
+        ).mode("overwrite").save(d)
+
+    d = _marker_dir(spark, sf_dir, "orders-limit-jvm", build)
+    head = _jvm_scan(spark, d).select("o_orderkey").limit(1000)
+    return head.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.min("o_orderkey").cast("bigint").alias("first_key"),
+    )

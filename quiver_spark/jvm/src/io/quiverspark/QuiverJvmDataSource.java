@@ -66,8 +66,13 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
     try {
       // declared (ALTER) schema > manifest-interned schema (zero footer
       // reads) > first footer; Hive partition columns appended — one code
-      // path shared with the unified Python-side router
-      return QuiverJvmRead.inferTableSchema(path);
+      // path shared with the unified Python-side router. `version` pins a
+      // retained generation (its schema may differ from the live one);
+      // `merge_schemas` unions per-file schemas by name (round 13).
+      return QuiverJvmRead.inferTableSchema(
+          path,
+          options.get("version"),
+          "true".equalsIgnoreCase(options.getOrDefault("merge_schemas", "false")));
     } catch (java.io.IOException e) {
       throw new RuntimeException(e);
     }
@@ -135,7 +140,13 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
         CaseInsensitiveStringMap options) {
       String path = options.containsKey("path") ? options.get("path")
           : properties.get("path");
-      return new QuiverJvmRead.QuiverScanBuilder(path, schema);
+      // semantic reader options (version / files / changes_since /
+      // merge_schemas) arrive as load-time properties AND scan options —
+      // scan options win (catalog tables can override per query)
+      java.util.Map<String, String> merged = new HashMap<>(properties);
+      merged.putAll(options.asCaseSensitiveMap());
+      return new QuiverJvmRead.QuiverScanBuilder(
+          path, schema, new QuiverJvmRead.ScanOpts(merged));
     }
   }
 

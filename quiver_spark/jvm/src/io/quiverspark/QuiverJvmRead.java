@@ -83,7 +83,44 @@ public final class QuiverJvmRead {
     return path;
   }
 
+  /** Time-travel root resolution (Python-DS `_data_root` parity): a
+   * non-null version pins a RETAINED generation directory — numeric
+   * versions format as gen-%06d, anything else must already be a full
+   * generation name. A version that is not retained fails loudly with
+   * the retained list (never a silent wrong-generation read). */
+  static String resolveRoot(String path, String version) throws IOException {
+    if (version == null || version.isEmpty()) return resolveRoot(path);
+    String name = version.matches("\\d+")
+        ? String.format("gen-%06d", Long.parseLong(version))
+        : version;
+    File d = new File(path, name);
+    if (!name.matches("gen-\\d{6,}") || !d.isDirectory()) {
+      List<String> avail = new ArrayList<>();
+      File[] entries = new File(path).listFiles();
+      if (entries != null) {
+        java.util.Arrays.sort(entries);
+        for (File e : entries) {
+          if (e.isDirectory() && e.getName().matches("gen-\\d{6,}")) {
+            avail.add(e.getName());
+          }
+        }
+      }
+      throw new IllegalArgumentException(
+          "quiverjvm: version " + version + " not found under " + path
+              + "; retained generations: " + (avail.isEmpty() ? "none" : avail)
+              + " (older generations are kept only when written with"
+              + " keep_generations > 1)");
+    }
+    return d.getPath();
+  }
+
   static void listFiles(File dir, List<File> out) {
+    if (dir.isFile()) {
+      // single-file path (Python-DS _list_files_pattern parity): scan
+      // exactly this file, whatever its name
+      out.add(dir);
+      return;
+    }
     File[] entries = dir.listFiles();
     if (entries == null) return;
     java.util.Arrays.sort(entries);
@@ -256,6 +293,11 @@ public final class QuiverJvmRead {
   /** Reject table-level semantics this reader cannot honor — loudly,
    * never by misreading. The Python DataSource owns these features. */
   static void guardManifestNode(com.fasterxml.jackson.databind.JsonNode m) {
+    guardManifestNode(m, false);
+  }
+
+  static void guardManifestNode(
+      com.fasterxml.jackson.databind.JsonNode m, boolean mergeSchemas) {
     if (m == null) return;
     // column initial-defaults (round-12 lift): manifest-declared JSON
     // scalars, constant-filled per chunk for files that predate the
@@ -263,21 +305,41 @@ public final class QuiverJvmRead {
     // non-scalar value is foreign/corrupt — refuse rather than misread.
     if (m.has("column_defaults")) {
       com.fasterxml.jackson.databind.JsonNode cd = m.get("column_defaults");
+      // declared types for fillability validation (below): a default the
+      // reader's typedConstant cannot materialize (binary/array/map/…)
+      // must refuse HERE, at the plan-time probe, so the router's
+      // designed silent reroute to the Python DS fires — an executor-side
+      // UnsupportedOperationException in PartitionReader init would fail
+      // the query instead (ADVICE r12).
+      Schema declared = declaredSchema(m);
       for (java.util.Iterator<String> it = cd.fieldNames(); it.hasNext(); ) {
-        com.fasterxml.jackson.databind.JsonNode v = cd.get(it.next());
+        String name = it.next();
+        com.fasterxml.jackson.databind.JsonNode v = cd.get(name);
         if (!v.isTextual() && !v.isBoolean() && !v.isNumber()) {
           throw new UnsupportedOperationException(
               "quiverjvm: non-scalar column default " + v
                   + ": read with the Python 'quiver' DataSource");
+        }
+        if (declared != null) {
+          for (Field f : declared.getFields()) {
+            if (!f.getName().equals(name)) continue;
+            DataType t = sparkType(f); // throws UOE on extended types — also a guard refusal
+            if (!QuiverColumnarReader.defaultFillable(t)) {
+              throw new UnsupportedOperationException(
+                  "quiverjvm: column default on type " + t
+                      + ": read with the Python 'quiver' DataSource");
+            }
+          }
         }
       }
     }
     // ALTER-DDL tables (declared table_schema, per-file rename maps) are
     // served since round 11: the reader resolves columns per file BY NAME
     // through the cmap and null-fills columns a file predates. Without a
-    // declared schema, heterogeneous per-file schemas (merge-schemas
-    // tables) stay rejected — footer inference would pick one arbitrarily.
-    if (!m.has("table_schema")) {
+    // declared schema, heterogeneous per-file schemas are rejected UNLESS
+    // the caller opted into merge-schemas union semantics (round 13) —
+    // footer inference would otherwise pick one schema arbitrarily.
+    if (!mergeSchemas && !m.has("table_schema")) {
       com.fasterxml.jackson.databind.JsonNode files = m.get("files");
       if (files != null) {
         int schemaIdx = Integer.MIN_VALUE;
@@ -329,13 +391,28 @@ public final class QuiverJvmRead {
    * first footer — plus appended Hive partition columns. The single
    * entry point both inferSchema and the unified Python router use. */
   public static StructType inferTableSchema(String path) throws IOException {
-    String root = resolveRoot(path);
+    return inferTableSchema(path, null, false);
+  }
+
+  /** Option-aware variant (round 13): `version` pins a retained
+   * generation (time travel — the schema may differ per generation);
+   * `mergeSchemas` unions per-file schemas by name instead of refusing
+   * heterogeneous directories. */
+  public static StructType inferTableSchema(
+      String path, String version, boolean mergeSchemas) throws IOException {
+    String root = resolveRoot(path, version);
     com.fasterxml.jackson.databind.JsonNode man = readManifestRaw(root);
-    guardManifestNode(man);
+    guardManifestNode(man, mergeSchemas);
     Schema arrow = declaredSchema(man);
-    if (arrow == null) arrow = manifestSchema(man);
     List<File> files = new ArrayList<>();
     listFiles(new File(root), files);
+    if (arrow == null && mergeSchemas) {
+      if (files.isEmpty()) {
+        throw new IllegalArgumentException("quiverjvm: no .quiver files under " + root);
+      }
+      arrow = unionSchema(man, root, files);
+    }
+    if (arrow == null) arrow = manifestSchema(man);
     if (arrow == null) {
       if (files.isEmpty()) {
         throw new IllegalArgumentException("quiverjvm: no .quiver files under " + root);
@@ -352,6 +429,81 @@ public final class QuiverJvmRead {
       if (!dup) st = st.add(parts.cols[i], partSparkType(parts.kinds[i]), true);
     }
     return st;
+  }
+
+  /** Manifest's interned schema table decoded (index-aligned; null slots
+   * for undecodable entries). */
+  static List<Schema> decodeManifestSchemas(com.fasterxml.jackson.databind.JsonNode m) {
+    List<Schema> out = new ArrayList<>();
+    if (m != null && m.has("schemas")) {
+      for (com.fasterxml.jackson.databind.JsonNode sn : m.get("schemas")) {
+        Schema s = null;
+        try {
+          byte[] ipc = java.util.Base64.getDecoder().decode(sn.asText());
+          s = MessageSerializer.deserializeSchema(
+              new ReadChannel(Channels.newChannel(new ByteArrayInputStream(ipc))));
+        } catch (Exception ignore) {
+          s = null;
+        }
+        out.add(s);
+      }
+    }
+    return out;
+  }
+
+  /** One file's own Arrow schema, manifest-served (valid entry with an
+   * interned schema) or null → caller reads the footer. */
+  static Schema entrySchema(com.fasterxml.jackson.databind.JsonNode man,
+      List<Schema> manSchemas, java.nio.file.Path rootP, File f) {
+    if (man == null) return null;
+    com.fasterxml.jackson.databind.JsonNode files = man.get("files");
+    if (files == null) return null;
+    String rel = rootP.relativize(f.toPath()).toString().replace(File.separatorChar, '/');
+    com.fasterxml.jackson.databind.JsonNode e = files.get(rel);
+    if (e == null || !e.has("schema") || e.path("size").asLong(-1) != f.length()) return null;
+    int idx = e.get("schema").asInt();
+    return idx < manSchemas.size() ? manSchemas.get(idx) : null;
+  }
+
+  /** Union-by-name schema over every file's own schema (merge-schemas
+   * mode; Python-DS parity, quiver_datasource.py:570-593: first file's
+   * fields in order, then unseen fields in file order, everything
+   * nullable). A same-name SPARK-type conflict refuses with the guard
+   * exception → the router falls back to the Python DS, which raises its
+   * detailed ValueError. (The Python DS additionally distinguishes arrow
+   * types that map to ONE Spark type — utf8 vs large_utf8 — but this
+   * reader resolves decode width per file from its own footer, so such
+   * pairs union safely here.) */
+  static Schema unionSchema(com.fasterxml.jackson.databind.JsonNode man,
+      String root, List<File> files) throws IOException {
+    List<Schema> manSchemas = decodeManifestSchemas(man);
+    java.nio.file.Path rootP = new File(root).toPath();
+    List<Field> fields = new ArrayList<>();
+    java.util.Map<String, Field> seen = new java.util.HashMap<>();
+    for (File f : files) {
+      Schema s = entrySchema(man, manSchemas, rootP, f);
+      if (s == null) {
+        PLAN_FOOTER_READS.incrementAndGet();
+        s = readFooter(f).arrowSchema;
+      }
+      for (Field fld : s.getFields()) {
+        Field prev = seen.get(fld.getName());
+        if (prev == null) {
+          Field nf = new Field(fld.getName(),
+              new org.apache.arrow.vector.types.pojo.FieldType(
+                  true, fld.getType(), fld.getDictionary(), fld.getMetadata()),
+              fld.getChildren());
+          seen.put(fld.getName(), nf);
+          fields.add(nf);
+        } else if (!sparkType(prev).equals(sparkType(fld))) {
+          throw new UnsupportedOperationException(
+              "quiverjvm: merge_schemas type conflict for '" + fld.getName()
+                  + "': " + prev.getType() + " vs " + fld.getType() + " in "
+                  + f + " — read with the Python 'quiver' DataSource");
+        }
+      }
+    }
+    return new Schema(fields);
   }
 
   static void guardManifest(String root) throws IOException {
@@ -649,12 +801,36 @@ public final class QuiverJvmRead {
 
   // ---- scan builder / scan ----------------------------------------------
 
+  /** Semantic reader options (round 13 — VERDICT r12 Next #1/#3): all
+   * driver-side-resolvable, so the JVM engine serves them instead of
+   * pinning the scan to the Python DS's many-small-files floor:
+   * `version` = retained-generation pin (time travel), `files` = JSON
+   * array of root-relative file names (row-level-op rewrite subsets),
+   * `changes_since` = manifest commit cursor (CDC-lite incremental
+   * scans), `merge_schemas` = union-by-name heterogeneous directories. */
+  static final class ScanOpts implements Serializable {
+    private static final long serialVersionUID = 1L;
+    final String version;
+    final String filesJson;
+    final long changesSince; // -1 = off
+    final boolean mergeSchemas;
+
+    ScanOpts(java.util.Map<String, String> opts) {
+      this.version = opts.get("version");
+      this.filesJson = opts.get("files");
+      String cs = opts.get("changes_since");
+      this.changesSince = cs == null ? -1L : Long.parseLong(cs);
+      this.mergeSchemas = "true".equalsIgnoreCase(opts.getOrDefault("merge_schemas", "false"));
+    }
+  }
+
   static final class QuiverScanBuilder
       implements ScanBuilder, SupportsPushDownRequiredColumns,
           org.apache.spark.sql.connector.read.SupportsPushDownFilters,
           org.apache.spark.sql.connector.read.SupportsPushDownLimit {
     private final String path;
     private final StructType fullSchema;
+    private final ScanOpts opts;
     private StructType required;
     private int limit = -1;
     private org.apache.spark.sql.sources.Filter[] pushedForDisplay =
@@ -662,8 +838,13 @@ public final class QuiverJvmRead {
     private List<QuiverPagePrune.Pred> preds = new ArrayList<>();
 
     QuiverScanBuilder(String path, StructType fullSchema) {
+      this(path, fullSchema, new ScanOpts(java.util.Collections.emptyMap()));
+    }
+
+    QuiverScanBuilder(String path, StructType fullSchema, ScanOpts opts) {
       this.path = path;
       this.fullSchema = fullSchema;
+      this.opts = opts;
       this.required = fullSchema;
     }
 
@@ -714,7 +895,7 @@ public final class QuiverJvmRead {
 
     @Override
     public Scan build() {
-      return new QuiverScan(path, fullSchema, required, preds, limit);
+      return new QuiverScan(path, fullSchema, required, preds, limit, opts);
     }
   }
 
@@ -724,14 +905,16 @@ public final class QuiverJvmRead {
     private final StructType required;
     private final List<QuiverPagePrune.Pred> preds;
     private final int limit; // -1 = unbounded
+    private final ScanOpts opts;
 
     QuiverScan(String path, StructType fullSchema, StructType required,
-        List<QuiverPagePrune.Pred> preds, int limit) {
+        List<QuiverPagePrune.Pred> preds, int limit, ScanOpts opts) {
       this.path = path;
       this.fullSchema = fullSchema;
       this.required = required;
       this.preds = preds;
       this.limit = limit;
+      this.opts = opts;
     }
 
     @Override
@@ -743,7 +926,11 @@ public final class QuiverJvmRead {
     public String description() {
       return "quiverjvm scan of " + path
           + (preds.isEmpty() ? "" : " pagePrune: " + preds)
-          + (limit < 0 ? "" : " planLimit: " + limit);
+          + (limit < 0 ? "" : " planLimit: " + limit)
+          + (opts.version == null ? "" : " version: " + opts.version)
+          + (opts.changesSince < 0 ? "" : " changesSince: " + opts.changesSince)
+          + (opts.filesJson == null ? "" : " filesSubset")
+          + (opts.mergeSchemas ? " mergeSchemas" : "");
     }
 
     @Override
@@ -754,11 +941,54 @@ public final class QuiverJvmRead {
     @Override
     public InputPartition[] planInputPartitions() {
       try {
-        String root = resolveRoot(path);
+        String root = resolveRoot(path, opts.version);
         com.fasterxml.jackson.databind.JsonNode man = readManifestRaw(root);
-        guardManifestNode(man);
+        guardManifestNode(man, opts.mergeSchemas);
         List<File> files = new ArrayList<>();
         listFiles(new File(root), files);
+
+        // `files` subset (row-level-op rewrites scan ONLY touched files):
+        // JSON array of root-relative names, Python-DS parity
+        if (opts.filesJson != null) {
+          java.util.Set<String> want = new java.util.HashSet<>();
+          for (com.fasterxml.jackson.databind.JsonNode n
+              : new com.fasterxml.jackson.databind.ObjectMapper().readTree(opts.filesJson)) {
+            want.add(n.asText());
+          }
+          java.nio.file.Path rp = new File(root).toPath();
+          List<File> kept = new ArrayList<>();
+          for (File f : files) {
+            String rel = rp.relativize(f.toPath()).toString()
+                .replace(File.separatorChar, '/');
+            if (want.contains(rel)) kept.add(f);
+          }
+          files = kept;
+        }
+
+        // `changes_since` cursor (CDC-lite): keep files whose manifest
+        // commit stamp is AFTER the cursor; files the manifest cannot
+        // vouch for (absent entry, stale size, manifest-less dir) are
+        // conservatively KEPT — at-least-once delivery beats silently
+        // dropping a pre-manifest writer's rows (_files_changed_since
+        // parity, quiver_datasource.py:280-295)
+        if (opts.changesSince >= 0) {
+          com.fasterxml.jackson.databind.JsonNode manFilesN =
+              man == null ? null : man.get("files");
+          if (manFilesN != null) {
+            java.nio.file.Path rp = new File(root).toPath();
+            List<File> kept = new ArrayList<>();
+            for (File f : files) {
+              String rel = rp.relativize(f.toPath()).toString()
+                  .replace(File.separatorChar, '/');
+              com.fasterxml.jackson.databind.JsonNode e = manFilesN.get(rel);
+              if (e == null || e.path("size").asLong(-1) != f.length()
+                  || e.path("commit").asLong(0) > opts.changesSince) {
+                kept.add(f);
+              }
+            }
+            files = kept;
+          }
+        }
         if (files.isEmpty()) return new InputPartition[0];
 
         // Hive partition columns: plan-time constants per file — a pushed
@@ -812,9 +1042,12 @@ public final class QuiverJvmRead {
         }
         // without a declared (ALTER) schema every file must carry exactly
         // the table's data columns — name-resolution must not paper over a
-        // heterogeneous directory
+        // heterogeneous directory. merge-schemas mode (round 13) REQUESTS
+        // per-file name resolution: files carry subsets of the union
+        // schema, absent columns null-fill, and openChunk's per-column
+        // type check still rejects any same-name type conflict.
         String[] expectCols = null;
-        if (man == null || !man.has("table_schema")) {
+        if (!opts.mergeSchemas && (man == null || !man.has("table_schema"))) {
           List<String> all = new ArrayList<>();
           for (StructField f : fullSchema.fields()) {
             if (!partIdx.containsKey(f.name())) all.add(f.name());
@@ -1326,6 +1559,20 @@ public final class QuiverJvmRead {
             srcField[out]);
       }
       return new ColumnarBatch(vecs, rows);
+    }
+
+    /** Can typedConstant materialize a default for this declared type?
+     * Checked at PLAN time by guardManifestNode so ineligible tables are
+     * refused at the probe (silent Python-DS reroute) instead of failing
+     * executor-side reader init (ADVICE r12). Must stay in lockstep with
+     * typedConstant's switch. */
+    static boolean defaultFillable(DataType t) {
+      return t == DataTypes.ByteType || t == DataTypes.ShortType
+          || t == DataTypes.IntegerType || t == DataTypes.LongType
+          || t == DataTypes.FloatType || t == DataTypes.DoubleType
+          || t == DataTypes.BooleanType || t == DataTypes.DateType
+          || t == DataTypes.TimestampNTZType || t == DataTypes.TimestampType
+          || t instanceof DecimalType || t == DataTypes.StringType;
     }
 
     /** Raw manifest default (JSON scalar or canonical string) → the

@@ -200,9 +200,18 @@ final class QuiverNestedWrite {
         def++;
       } else if (v == null) {
         // a null in a non-nullable position (possible under permissive
-        // upstreams): conservative null slot, never a wrong value
-        emitSlots(node, repSlot, def);
-        return;
+        // upstreams: a UDF or from_json violating a containsNull=false
+        // contract). Emitting a slot here would be WORSE than failing:
+        // for a leaf the current def equals the leaf's maxDef, so the
+        // reader would count the slot as PRESENT with no value encoded —
+        // present-value ranks desync and the persisted file decodes
+        // garbage. Refuse loudly; the caller can fix the contract or
+        // route the write through the Python sink (which nulls are
+        // rejected by pyarrow's schema validation the same way).
+        throw new IllegalStateException(
+            "quiverjvm write: NULL in non-nullable nested position of type "
+                + node.type + " — declare the field nullable or clean the "
+                + "input; refusing to persist an undecodable file");
       }
       DataType t = node.type;
       if (t instanceof StructType) {
@@ -259,6 +268,52 @@ final class QuiverNestedWrite {
       n = 0;
       topNulls = 0;
     }
+  }
+
+  /** Test hook (round 13): shred one JSON-encoded value through a nested
+   * column buffer and return the total leaf slot count. Exists so tests
+   * can exercise contract violations (null in a non-nullable position —
+   * the ADVICE r12 refusal) that Spark's own Python-side producers coerce
+   * away before the sink ever sees them. JSON arrays → ArrayData, JSON
+   * objects → InternalRow (schema field order), JSON null → null. */
+  public static int shredJsonForTest(String schemaJson, String valueJson)
+      throws Exception {
+    StructField f =
+        ((StructType) DataType.fromJson(schemaJson)).fields()[0];
+    NestedColBuf buf = new NestedColBuf(f);
+    com.fasterxml.jackson.databind.JsonNode v =
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(valueJson);
+    buf.add(jsonToCatalyst(v, f.dataType()));
+    int slots = 0;
+    for (LeafW lf : buf.leaves) slots += lf.slots;
+    return slots;
+  }
+
+  static Object jsonToCatalyst(com.fasterxml.jackson.databind.JsonNode v, DataType t) {
+    if (v == null || v.isNull()) return null;
+    if (t instanceof ArrayType) {
+      Object[] out = new Object[v.size()];
+      for (int i = 0; i < v.size(); i++) {
+        out[i] = jsonToCatalyst(v.get(i), ((ArrayType) t).elementType());
+      }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+    }
+    if (t instanceof StructType) {
+      StructField[] fs = ((StructType) t).fields();
+      Object[] out = new Object[fs.length];
+      for (int i = 0; i < fs.length; i++) {
+        out[i] = jsonToCatalyst(v.get(fs[i].name()), fs[i].dataType());
+      }
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out);
+    }
+    if (t == org.apache.spark.sql.types.DataTypes.LongType) return v.asLong();
+    if (t == org.apache.spark.sql.types.DataTypes.IntegerType) return v.asInt();
+    if (t == org.apache.spark.sql.types.DataTypes.DoubleType) return v.asDouble();
+    if (t == org.apache.spark.sql.types.DataTypes.BooleanType) return v.asBoolean();
+    if (t == org.apache.spark.sql.types.DataTypes.StringType) {
+      return org.apache.spark.unsafe.types.UTF8String.fromString(v.asText());
+    }
+    throw new UnsupportedOperationException("test hook: type " + t);
   }
 
   static Object get(SpecializedGetters g, int i, DataType t) {

@@ -150,10 +150,22 @@ def quiver_relation(
     )
     df = _DF_CACHE.get(key)
     if df is None:
-        if engine == "auto" and set(options) <= _PERF_HINT_OPTS:
+        from quiver_spark.sources import JVM_SEMANTIC_OPTS
+
+        if engine == "auto" and set(options) <= (
+            _PERF_HINT_OPTS | JVM_SEMANTIC_OPTS
+        ):
             from quiver_spark.sources import try_jvm_scan
 
-            df = try_jvm_scan(spark, d)
+            # semantic options (version / changes_since / files /
+            # merge_schemas) ride the JVM engine since round 13 — they are
+            # driver-side-resolvable, so time travel & CDC scans no longer
+            # pay the Python DS's many-small-files floor; perf hints
+            # translate (columns → .select, Catalyst pushes the pruning)
+            sem = {
+                k: v for k, v in options.items() if k in JVM_SEMANTIC_OPTS
+            }
+            df = try_jvm_scan(spark, d, **sem)
             if df is not None and "columns" in options:
                 df = df.select(*options["columns"].split(","))
         if df is None:

@@ -28,9 +28,11 @@ from quiver_spark.functions import dsum, sql_dsum
 from quiver_spark.registry import register
 
 
-def _jvm_scan(spark: SparkSession, table_dir: str) -> DataFrame:
+def _jvm_scan(spark: SparkSession, table_dir: str, **options: str) -> DataFrame:
     """JVM columnar scan of a quiver directory; loud failure when the jar
-    cannot attach (the gate must never silently test a different engine)."""
+    cannot attach (the gate must never silently test a different engine).
+    ``options`` forwards the round-13 semantic reader options (version /
+    changes_since / files / merge_schemas) to the quiverjvm reader."""
     from quiver_spark.jvm import attach_jar
 
     if not attach_jar(spark):
@@ -38,7 +40,10 @@ def _jvm_scan(spark: SparkSession, table_dir: str) -> DataFrame:
             "quiverjvm jar failed to attach via ADD JAR — cannot run the "
             "JVM-reader gate query (quiver_spark/jvm/quiver-jvm-writer.jar)"
         )
-    return spark.read.format("quiverjvm").load(table_dir)
+    reader = spark.read.format("quiverjvm")
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load(table_dir)
 
 
 @register(
@@ -138,8 +143,9 @@ def quiver_unified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE scan API, two engines (VERDICT r10 item 4): sources.scan routes
     the flat orders table AND — since the round-12 nested lift — the
     nested embeddings table (array<float>) to the quiverjvm columnar
-    reader, while a call carrying ANY reader option (here `columns`, the
-    stand-in for time travel / CDC cursors) still lands on the Python
+    reader, while a call carrying a reader option OUTSIDE the round-13
+    semantic set (here `columns`; version/changes_since/files/
+    merge_schemas ride the JVM now) still lands on the Python
     DataSource, which owns the option surface. The query verifies the
     routing really happened (a silent mis-route would pass the oracle
     while testing nothing) and aggregates across both engines' outputs."""
@@ -518,4 +524,90 @@ def quiverjvm_limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         F.min("o_orderkey").cast("bigint").alias("first_key"),
+    )
+
+
+@register(
+    "quiverjvm_time_travel_scan",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       COUNT(DISTINCT n_regionkey) AS regions,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MAX(n_name) AS max_name
+FROM nation
+WHERE n_regionkey < 2
+""",
+    tags=("format", "jvm", "generations", "time-travel"),
+)
+def quiverjvm_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel THROUGH THE JVM ENGINE (round 13 — VERDICT r12 Next #1):
+    nation is overwritten twice with retention (the Python-DS gate's
+    fixture) and ``.option("version", "1")`` on the quiverjvm reader pins
+    the RETAINED first generation while generation 2 is live — the JVM
+    planner resolves the pinned gen-NNNNNN directory instead of
+    `_current` (QuiverJvmRead.resolveRoot). The oracle is the subset
+    predicate on the parquet original: resolving the wrong generation,
+    mixing generations, or losing retained files hash-fails. Previously
+    ANY options-bearing scan was pinned to the Python DS's many-small-
+    files floor (sf0.1 manyfiles 1.65-2.6x parquet vs the JVM's 0.50x)."""
+    from quiver_spark.operators.format_queries import (
+        _nation_generations_dir,
+    )
+
+    d = _nation_generations_dir(spark, sf_dir)
+    n = _jvm_scan(spark, d, version="1")
+    return n.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("n_regionkey").alias("regions"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.max("n_name").alias("max_name"),
+    )
+
+
+@register(
+    "quiverjvm_cdc_scan",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS cnt,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents
+WHERE doc_id % 10 >= 8
+GROUP BY lang
+""",
+    tags=("format", "jvm", "manifest", "incremental", "cdc"),
+)
+def quiverjvm_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC cursor THROUGH THE JVM ENGINE (round 13): the shared
+    three-commit fixture (baseline overwrite = commit 1, two appends =
+    commits 2, 3) read with ``changes_since=2`` — only the SECOND
+    append's files, planned from the manifest's per-file commit stamps
+    inside the JVM planner (a different cursor than the Python-DS gate's
+    changes_since=1, so the two gates cannot share a cached result).
+    Files the manifest cannot vouch for are conservatively KEPT
+    (at-least-once, _files_changed_since parity). The oracle rebuilds the
+    second append's rows from the parquet original: a baseline or
+    first-append file leaking in, or an appended file dropped, hash-fails."""
+    from quiver_spark.operators.format_queries2 import _marker_dir
+
+    def build(d: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars"
+        )
+        docs.filter("doc_id % 10 < 5").write.format("quiver").mode(
+            "overwrite"
+        ).save(d)
+        docs.filter("doc_id % 10 in (5, 6, 7)").write.format("quiver").mode(
+            "append"
+        ).save(d)
+        docs.filter("doc_id % 10 in (8, 9)").write.format("quiver").mode(
+            "append"
+        ).save(d)
+
+    d = _marker_dir(spark, sf_dir, "documents-incremental", build)
+    t = _jvm_scan(spark, d, changes_since="2")
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
     )

@@ -59,11 +59,16 @@ import org.apache.spark.sql.vectorized.ColumnarBatch;
  * - large_utf8/large_binary (8-byte-offset decode paths)
  * - column initial-defaults: constant-filled per chunk from the manifest
  *   for files that predate the ALTER add_column
+ * Served since round 13:
+ * - semantic reader options: version (time travel), changes_since (CDC
+ *   cursor), files (rewrite subsets), merge_schemas (union-by-name)
+ * - non-us timestamp units (s/ms/ns), converted to Spark's us at decode
+ *   with pyarrow safe-cast parity (truncating ns values raise)
  * Correctness boundary (still the Python "quiver" DataSource's job):
- * - exotic leaf units (non-us timestamps, half floats, decimal256) and
- *   non-scalar default values → UnsupportedOperationException
- * - merge-schemas tables without a declared schema → rejected loudly,
- *   never misread
+ * - exotic leaf shapes (half floats, decimal256, date64) and non-scalar
+ *   or unfillable default values → UnsupportedOperationException
+ * - merge-schemas tables without the merge_schemas option → rejected
+ *   loudly, never misread
  * Generation layouts resolve through `_current` exactly like the Python
  * planner; column pruning arrives via Catalyst's
  * SupportsPushDownRequiredColumns (the JVM DSv2 gets what the Python DS
@@ -704,12 +709,20 @@ public final class QuiverJvmRead {
       return DataTypes.BinaryType;
     }
     if (t instanceof ArrowType.Bool) return DataTypes.BooleanType;
-    if (t instanceof ArrowType.Date) return DataTypes.DateType;
-    if (t instanceof ArrowType.Timestamp) {
-      ArrowType.Timestamp ts = (ArrowType.Timestamp) t;
-      if (ts.getUnit() != org.apache.arrow.vector.types.TimeUnit.MICROSECOND) {
-        throw new UnsupportedOperationException("timestamp unit " + ts.getUnit());
+    if (t instanceof ArrowType.Date) {
+      if (((ArrowType.Date) t).getUnit() != org.apache.arrow.vector.types.DateUnit.DAY) {
+        // date64 stores 8-byte millis — the 4-byte day decode would
+        // misread; refuse to the Python DS (which normalizes via pyarrow)
+        throw new UnsupportedOperationException("date unit "
+            + ((ArrowType.Date) t).getUnit());
       }
+      return DataTypes.DateType;
+    }
+    if (t instanceof ArrowType.Timestamp) {
+      // all units served since round 13: pages store raw ticks at the
+      // file's unit; decode converts to Spark's us (toMicros — pyarrow
+      // safe-cast parity: ns values that would truncate RAISE)
+      ArrowType.Timestamp ts = (ArrowType.Timestamp) t;
       return ts.getTimezone() == null ? DataTypes.TimestampNTZType : DataTypes.TimestampType;
     }
     if (t instanceof ArrowType.Decimal) {
@@ -743,6 +756,26 @@ public final class QuiverJvmRead {
     throw new UnsupportedOperationException(
         "quiverjvm: column '" + f.getName() + "' type " + t
             + " (extended types): use the Python 'quiver' DataSource");
+  }
+
+  /** Raw timestamp ticks at the file's unit → Spark's microseconds.
+   * pyarrow safe-cast parity (the Python DS casts each batch with
+   * pa.Array.cast, quiver_datasource._spark_type): s/ms multiply
+   * (overflow raises), ns DIVIDE — a value that would truncate RAISES
+   * rather than silently losing precision. */
+  static long toMicros(long raw, org.apache.arrow.vector.types.TimeUnit unit) {
+    switch (unit) {
+      case SECOND: return Math.multiplyExact(raw, 1_000_000L);
+      case MILLISECOND: return Math.multiplyExact(raw, 1_000L);
+      case MICROSECOND: return raw;
+      default: // NANOSECOND
+        if (raw % 1_000L != 0) {
+          throw new ArithmeticException(
+              "quiverjvm: casting timestamp[ns] value " + raw
+                  + " to us would lose data (pyarrow safe-cast parity)");
+        }
+        return raw / 1_000L;
+    }
   }
 
   static StructType toSparkSchema(Schema arrow) {
@@ -1227,14 +1260,26 @@ public final class QuiverJvmRead {
           // cmap for renamed tables.
           boolean[] keep = null;
           if (!preds.isEmpty()) {
-            List<QuiverPagePrune.Pred> filePreds = preds;
-            if (cmap != null) {
-              filePreds = new ArrayList<>();
-              for (QuiverPagePrune.Pred p : preds) {
-                String phys = cmap.getOrDefault(p.column, p.column);
-                filePreds.add(phys.equals(p.column) ? p
-                    : new QuiverPagePrune.Pred(phys, p.op, p.value));
+            // timestamp preds compare in Spark's us domain but the stats
+            // sidecar stores PHYSICAL ticks at the FILE's unit — for a
+            // non-us file (round-13 unit lift) drop the pred from this
+            // file's mask rather than prune on mismatched scales; Spark's
+            // row-level filter above the scan stays exact either way
+            java.util.Set<String> nonUsTs = new java.util.HashSet<>();
+            for (Field ff : fileSchema.getFields()) {
+              if (ff.getType() instanceof ArrowType.Timestamp
+                  && ((ArrowType.Timestamp) ff.getType()).getUnit()
+                      != org.apache.arrow.vector.types.TimeUnit.MICROSECOND) {
+                nonUsTs.add(ff.getName());
               }
+            }
+            List<QuiverPagePrune.Pred> filePreds = new ArrayList<>();
+            for (QuiverPagePrune.Pred p : preds) {
+              String phys = cmap != null
+                  ? cmap.getOrDefault(p.column, p.column) : p.column;
+              if (nonUsTs.contains(phys)) continue;
+              filePreds.add(phys.equals(p.column) ? p
+                  : new QuiverPagePrune.Pred(phys, p.op, p.value));
             }
             QuiverPagePrune.FileStats st = QuiverPagePrune.loadStats(entry, f);
             keep = QuiverPagePrune.keepMask(st, filePreds, pb.length);
@@ -1680,7 +1725,19 @@ public final class QuiverJvmRead {
       }
       if (t == DataTypes.LongType || t == DataTypes.TimestampType || t == DataTypes.TimestampNTZType) {
         byte[] raw = QuiverPageDecoder.decodeValues(cur, rows, 8);
-        vec.putLongsLittleEndian(0, rows, raw, 0);
+        org.apache.arrow.vector.types.TimeUnit unit =
+            at0 instanceof ArrowType.Timestamp
+                ? ((ArrowType.Timestamp) at0).getUnit()
+                : org.apache.arrow.vector.types.TimeUnit.MICROSECOND;
+        if (unit == org.apache.arrow.vector.types.TimeUnit.MICROSECOND) {
+          vec.putLongsLittleEndian(0, rows, raw, 0);
+        } else {
+          // non-us file unit (round-13 lift): convert per value into the
+          // us OnHeapColumnVector — pyarrow safe-cast parity via toMicros
+          for (int i = 0; i < rows; i++) {
+            vec.putLong(i, toMicros(QuiverPageDecoder.leLong(raw, i * 8, 8), unit));
+          }
+        }
       } else if (t == DataTypes.IntegerType || t == DataTypes.DateType) {
         byte[] raw = QuiverPageDecoder.decodeValues(cur, rows, 4);
         vec.putIntsLittleEndian(0, rows, raw, 0);

@@ -443,7 +443,8 @@ final class QuiverNested {
       return;
     }
     if (t instanceof ArrowType.Timestamp) {
-      out.putLong(j, raw);
+      // file-unit ticks → Spark us (round-13 lift, pyarrow safe-cast parity)
+      out.putLong(j, QuiverJvmRead.toMicros(raw, ((ArrowType.Timestamp) t).getUnit()));
       return;
     }
     if (t instanceof ArrowType.Decimal) {

@@ -30,7 +30,7 @@ def scan(spark, path: str, **options):
       JVM→Python boundary (sf0.1: 0.19-0.50x of the parquet control vs
       the Python DS's ~1.4-2x planner-floor proxies).
     - **python "quiver" DS** fallback: everything semantic the JVM reader
-      refuses — exotic leaf units, non-scalar defaults — plus any reader
+      refuses — exotic leaf shapes (half floats, decimal256), unfillable defaults — plus any reader
       option outside JVM_SEMANTIC_OPTS (file_column, explicit split
       knobs, …), which only the Python DS implements.
 
@@ -81,7 +81,7 @@ def _is_guard_refusal(exc) -> bool:
 def try_jvm_scan(spark, path: str, **options):
     """The quiverjvm columnar relation when the REAL JVM guards accept the
     table + options, else None. Guard refusals (UnsupportedOperationException:
-    exotic leaf units, non-scalar defaults, merge-schema type conflicts)
+    exotic leaf shapes, non-scalar or unfillable defaults, merge-schema type conflicts)
     are the designed silent reroute; anything ELSE (corrupt manifest or
     footer, missing files, a version that is not retained, jar ABI fault)
     is a genuine fault that must not be hidden by the fallback — it warns

@@ -682,6 +682,10 @@ def _spark_type(t):
 
     if pa.types.is_timestamp(t) and t.unit != "us":
         return pa.timestamp("us", tz=t.tz)
+    if pa.types.is_date64(t):
+        # Spark's Arrow conversion rejects date64 outright — normalize to
+        # date32 (pyarrow's cast divides the ms ticks into days exactly)
+        return pa.date32()
     if pa.types.is_unsigned_integer(t):
         return {
             8: pa.int16(),

@@ -303,11 +303,12 @@ def test_jvm_read_serves_hive_partitioned(spark, tmp_path):
 
 
 def test_jvm_read_rejects_what_python_ds_owns(spark, tmp_path):
-    """Correctness boundary that remains after the round-12 lifts
-    (nested / unsigned / large / defaults all serve now): an exotic leaf
-    unit the fill path does not speak — a ms-unit timestamp, which the
-    Python DS normalizes to us — refuses loudly at plan time instead of
-    serving wrong data."""
+    """Correctness boundary that remains after the round-12/13 lifts
+    (nested / unsigned / large / defaults / ts-units all serve now): an
+    exotic leaf shape the fill path does not speak — a date64 leaf
+    (8-byte millis; the 4-byte day decode would misread), which the
+    Python DS normalizes to date32 — refuses loudly at plan time instead
+    of serving wrong data."""
     _require_jar(spark)
     import datetime
     import os
@@ -316,19 +317,20 @@ def test_jvm_read_rejects_what_python_ds_owns(spark, tmp_path):
     from quiver_spark.sources import register
 
     register(spark)
-    d = str(tmp_path / "tsms")
+    d = str(tmp_path / "d64")
     os.makedirs(d)
     write_table(
-        pa.table(
-            {"ts": pa.array([datetime.datetime(2020, 1, 1)], pa.timestamp("ms"))}
-        ),
+        pa.table({"d": pa.array([datetime.date(2020, 1, 2)], pa.date64())}),
         f"{d}/f.quiver",
         WriteOptions(),
     )
-    with pytest.raises(Exception, match="timestamp unit"):
+    with pytest.raises(Exception, match="date unit"):
         spark.read.format("quiverjvm").load(d).collect()
-    # ...and the Python DS serves it (unit-normalized)
-    assert spark.read.format("quiver").load(d).count() == 1
+    # ...and the Python DS serves it (normalized to date32)
+    back = spark.read.format("quiver").load(d).collect()
+    assert back == [((datetime.date(2020, 1, 2)),)] or back[0][0] == datetime.date(
+        2020, 1, 2
+    )
 
 
 def test_jvm_plan_zero_footer_reads_with_manifest(spark, tmp_path):
@@ -750,27 +752,32 @@ def test_unified_scan_warns_on_non_guard_jvm_fault(spark, tmp_path):
     assert "quiverjvm" not in df2._jdf.queryExecution().analyzed().toString()
     assert df2.count() == 40  # Python DS degrades to footer reads
 
-    # guard refusal stays a SILENT reroute — after the round-12 lifts the
-    # plan-time guards are down to exotic leaf shapes; a ms-unit timestamp
-    # (the Python DS normalizes to us, the JVM refuses) stands in
-    import datetime
-    import os
+    # guard refusal stays a SILENT reroute — after the round-12/13 lifts
+    # the plan-time guards are down to non-scalar / unfillable column
+    # defaults; a foreign manifest carrying a LIST default stands in (the
+    # default never fills here — every file carries the column — so the
+    # Python DS serves the table fine)
+    import base64
+    import gzip
+    import json
 
-    from quiver_spark.format.writer import WriteOptions, write_table
-
-    guarded = str(tmp_path / "tsms_silent")
-    os.makedirs(guarded)
-    write_table(
-        pa.table(
-            {"ts": pa.array([datetime.datetime(2020, 1, 1)], pa.timestamp("ms"))}
-        ),
-        f"{guarded}/f.quiver",
-        WriteOptions(),
-    )
+    guarded = str(tmp_path / "nonscalar_default")
+    spark.range(3).selectExpr("id").coalesce(1).write.format("quiver").mode(
+        "overwrite"
+    ).save(guarded)
+    gman = sorted(glob.glob(f"{guarded}/**/_manifest.json.gz", recursive=True))[-1]
+    with gzip.open(gman, "rt") as fh:
+        man = json.load(fh)
+    man["table_schema"] = base64.b64encode(
+        pa.schema([("id", pa.int64())]).serialize()
+    ).decode()
+    man["column_defaults"] = {"id": [1, 2]}
+    with gzip.open(gman, "wt") as fh:
+        json.dump(man, fh)
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         df4 = scan(spark, guarded)
-        assert df4.count() == 1
+        assert df4.count() == 3
     assert "quiverjvm" not in df4._jdf.queryExecution().analyzed().toString()
 
 
@@ -1409,3 +1416,53 @@ def test_jvm_default_fillability_guard_is_plan_time(spark, tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # guard refusal must stay SILENT
         assert try_jvm_scan(spark, d) is None
+
+
+def test_jvm_timestamp_units_parity(spark, tmp_path):
+    """Non-us timestamp units (round 13 — VERDICT r12 Next #5): s/ms/ns
+    leaves decode through the JVM reader into Spark's us domain exactly
+    as the Python DS's pyarrow cast does — flat AND nested (list<ts>)
+    columns, nulls included; a ns value that cannot be represented in us
+    RAISES on both engines (pyarrow safe-cast parity), never truncates."""
+    _require_jar(spark)
+    import datetime
+    import os
+
+    from quiver_spark.format.writer import WriteOptions, write_table
+    from quiver_spark.sources import register, try_jvm_scan
+
+    register(spark)
+    base = datetime.datetime(2021, 3, 4, 5, 6, 7)
+    vals = [base, None, datetime.datetime(1969, 12, 31, 23, 59, 59)]
+    for unit in ("s", "ms", "ns"):
+        d = str(tmp_path / f"ts_{unit}")
+        os.makedirs(d)
+        write_table(
+            pa.table(
+                {
+                    "ts": pa.array(vals, pa.timestamp(unit)),
+                    "nested": pa.array(
+                        [[base], None, [base, None]],
+                        pa.list_(pa.timestamp(unit)),
+                    ),
+                }
+            ),
+            f"{d}/f.quiver",
+            WriteOptions(),
+        )
+        _assert_same(spark, d)
+        # the unified router serves these on the JVM now (guard lifted)
+        assert try_jvm_scan(spark, d) is not None, unit
+
+    # ns truncation: both engines refuse rather than silently losing data
+    d2 = str(tmp_path / "ts_ns_trunc")
+    os.makedirs(d2)
+    write_table(
+        pa.table({"ts": pa.array([1234567891], pa.timestamp("ns"))}),
+        f"{d2}/f.quiver",
+        WriteOptions(),
+    )
+    with pytest.raises(Exception, match="lose data"):
+        spark.read.format("quiverjvm").load(d2).collect()
+    with pytest.raises(Exception):
+        spark.read.format("quiver").load(d2).collect()

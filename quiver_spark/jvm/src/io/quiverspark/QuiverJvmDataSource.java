@@ -138,8 +138,9 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
     @Override
     public org.apache.spark.sql.connector.read.ScanBuilder newScanBuilder(
         CaseInsensitiveStringMap options) {
-      String path = options.containsKey("path") ? options.get("path")
-          : properties.get("path");
+      String path = QuiverJvmRead.localPath(
+          options.containsKey("path") ? options.get("path")
+              : properties.get("path"));
       // semantic reader options (version / files / changes_since /
       // merge_schemas) arrive as load-time properties AND scan options —
       // scan options win (catalog tables can override per query)
@@ -191,7 +192,7 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
 
     @Override
     public DataWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
-      String path = options.get("path");
+      String path = QuiverJvmRead.localPath(options.get("path"));
       if (path == null) {
         throw new IllegalArgumentException("quiverjvm: no path given (use .save(dir))");
       }
@@ -241,7 +242,7 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       // no rebuild_manifest retrofit pass, no footer re-reads (the task
       // writers shipped the entry facts in their commit messages).
       if ("false".equalsIgnoreCase(options.getOrDefault("manifest", "true"))) return;
-      String path = options.get("path");
+      String path = QuiverJvmRead.localPath(options.get("path"));
       try {
         com.fasterxml.jackson.databind.ObjectMapper om =
             new com.fasterxml.jackson.databind.ObjectMapper();

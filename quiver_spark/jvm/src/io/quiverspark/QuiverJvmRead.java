@@ -79,7 +79,24 @@ public final class QuiverJvmRead {
 
   // ---- table resolution --------------------------------------------------
 
+  /** Catalog tables hand paths as file: URIs (CREATE TABLE ... LOCATION
+   * normalizes through the session's Hadoop filesystem) — strip the
+   * scheme so local java.io access works. Non-file schemes pass through
+   * untouched and fail loudly downstream (this reader is local-fs). */
+  static String localPath(String p) {
+    if (p == null || !p.startsWith("file:")) return p;
+    try {
+      return java.nio.file.Paths.get(java.net.URI.create(p)).toString();
+    } catch (RuntimeException e) {
+      // URI-hostile characters: best-effort prefix strip
+      String s = p.substring("file:".length());
+      while (s.startsWith("//")) s = s.substring(1);
+      return s;
+    }
+  }
+
   static String resolveRoot(String path) throws IOException {
+    path = localPath(path);
     File cur = new File(path, "_current");
     if (cur.isFile()) {
       String gen = new String(Files.readAllBytes(cur.toPath()), StandardCharsets.UTF_8).trim();
@@ -94,6 +111,7 @@ public final class QuiverJvmRead {
    * generation name. A version that is not retained fails loudly with
    * the retained list (never a silent wrong-generation read). */
   static String resolveRoot(String path, String version) throws IOException {
+    path = localPath(path);
     if (version == null || version.isEmpty()) return resolveRoot(path);
     String name = version.matches("\\d+")
         ? String.format("gen-%06d", Long.parseLong(version))

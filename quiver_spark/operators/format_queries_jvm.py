@@ -611,3 +611,67 @@ def quiverjvm_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("chars_sum"),
         F.min("doc_id").cast("bigint").alias("min_doc"),
     )
+
+
+@register(
+    "quiverjvm_sql_catalog_table",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS cnt,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS bal_sum,
+       MIN(c_name) AS min_name
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("format", "jvm", "sql", "ddl", "catalog"),
+)
+def quiverjvm_sql_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL catalog DDL on the JVM DataSource (round 13 — VERDICT r12
+    Next #2): ``CREATE TABLE … USING quiverjvm LOCATION …`` registers a
+    CATALOG table (TableProvider + supportsExternalMetadata; paths arrive
+    as file: URIs, normalized by QuiverJvmRead.localPath), half the rows
+    are loaded via pure-SQL ``INSERT INTO … SELECT`` through the JVM
+    writer, and the query aggregates with pure SQL — no DataFrame API
+    anywhere in the data path. The Python DS structurally cannot do this
+    (Spark 4.1.2 drops Python-DS catalog OPTIONS at scan — the documented
+    sentinel, test_ddl_catalog_table_sentinel); the JVM engine closes it.
+    Restart survival is pinned by test_jvm_catalog_table_survives_restart
+    (two JVMs sharing a Derby metastore)."""
+    from quiver_spark.jvm import attach_jar
+    from quiver_spark.operators.format_queries2 import _marker_dir
+
+    if not attach_jar(spark):
+        raise RuntimeError("quiverjvm jar failed to attach via ADD JAR")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    tbl = f"quiverjvm_cat_customer_{tag}"
+
+    def build(d: str) -> None:
+        pq = f"{sf_dir}/customer.parquet"
+        spark.read.parquet(pq).filter("c_custkey % 2 = 0").write.format(
+            "quiverjvm"
+        ).mode("overwrite").save(d)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"CREATE TABLE {tbl} USING quiverjvm LOCATION '{d}'")
+        # the odd half arrives through SQL DML — the JVM writer's
+        # BATCH_WRITE capability under INSERT INTO (append semantics)
+        spark.sql(
+            f"INSERT INTO {tbl} SELECT * FROM parquet.`{pq}` "
+            "WHERE c_custkey % 2 = 1"
+        )
+
+    d = _marker_dir(spark, sf_dir, "customer-jvm-catalog", build)
+    # markers persist across driver sessions; the catalog entry does not
+    # (in-memory catalog) — re-register idempotently
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {tbl} USING quiverjvm LOCATION '{d}'")
+    return spark.sql(
+        f"""
+SELECT c_mktsegment,
+       COUNT(*) AS cnt,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS bal_sum,
+       MIN(c_name) AS min_name
+FROM {tbl}
+GROUP BY c_mktsegment
+"""
+    )

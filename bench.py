@@ -300,6 +300,32 @@ def main() -> None:
         proxies["manyfiles_quiverjvm_lineitem"] = (
             lambda: jvm_mf_df.write.format("noop").mode("overwrite").save()
         )
+        # Options-bearing manyfiles scan through the UNIFIED router
+        # (round 13, VERDICT r12 Next #1 "done" cell): a `files=` subset
+        # naming EVERY file — identical bytes to the manyfiles pair — now
+        # rides the JVM engine instead of pinning to the Python DS's
+        # 1.65-2.6x planner floor. Routing is asserted, not assumed.
+        import glob as _glob
+        import json as _json
+
+        from quiver_spark.sources import scan as _uscan
+        from quiver_spark.sources.quiver_datasource import _data_root
+
+        _mf_root = _data_root(mf_qv)
+        _mf_rels = _json.dumps(
+            sorted(
+                os.path.relpath(f, _mf_root)
+                for f in _glob.glob(f"{_mf_root}/**/*.quiver", recursive=True)
+            )
+        )
+        mf_opt_df = _uscan(spark, mf_qv, files=_mf_rels)
+        if "quiverjvm" not in mf_opt_df._jdf.queryExecution().analyzed().toString():
+            raise RuntimeError(
+                "bench: options-bearing manyfiles scan failed to route to the JVM engine"
+            )
+        proxies["manyfiles_options_routed_lineitem"] = (
+            lambda: mf_opt_df.write.format("noop").mode("overwrite").save()
+        )
         jvm_emb_df = spark.read.format("quiverjvm").load(emb_qv_dir)
         proxies["nested_quiverjvm_embeddings"] = (
             lambda: jvm_emb_df.write.format("noop").mode("overwrite").save()
@@ -335,6 +361,7 @@ def main() -> None:
         "manyfiles_parquet_lineitem",
         "manyfiles_quiver_lineitem",
         "manyfiles_quiverjvm_lineitem",
+        "manyfiles_options_routed_lineitem",
         "pruned_parquet_lineitem",
         "pruned_quiverjvm_lineitem",
         "cdc_full_quiver_lineitem",
@@ -434,6 +461,10 @@ def main() -> None:
                         ),
                         "quiverjvm_vs_parquet_manyfiles_ratio": _paired_ratio(
                             "manyfiles_quiverjvm_lineitem",
+                            "manyfiles_parquet_lineitem",
+                        ),
+                        "options_manyfiles_vs_parquet_ratio": _paired_ratio(
+                            "manyfiles_options_routed_lineitem",
                             "manyfiles_parquet_lineitem",
                         ),
                         "quiverjvm_vs_parquet_pruned_ratio": _paired_ratio(

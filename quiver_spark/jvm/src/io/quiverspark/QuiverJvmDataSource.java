@@ -115,7 +115,8 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
     @Override
     public Set<TableCapability> capabilities() {
       return java.util.EnumSet.of(
-          TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE);
+          TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+          TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ);
     }
 
     @Override

@@ -865,6 +865,9 @@ public final class QuiverJvmRead {
     final String filesJson;
     final long changesSince; // -1 = off
     final boolean mergeSchemas;
+    /** full option map, kept for the streaming path (max_files_per_trigger,
+     * start_commit — QuiverJvmStream parses its own). */
+    final java.util.HashMap<String, String> raw;
 
     ScanOpts(java.util.Map<String, String> opts) {
       this.version = opts.get("version");
@@ -872,6 +875,7 @@ public final class QuiverJvmRead {
       String cs = opts.get("changes_since");
       this.changesSince = cs == null ? -1L : Long.parseLong(cs);
       this.mergeSchemas = "true".equalsIgnoreCase(opts.getOrDefault("merge_schemas", "false"));
+      this.raw = new java.util.HashMap<>(opts);
     }
   }
 
@@ -987,6 +991,15 @@ public final class QuiverJvmRead {
     @Override
     public Batch toBatch() {
       return this;
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+        toMicroBatchStream(String checkpointLocation) {
+      // streaming source (round 13): micro-batches are deltas of the
+      // sorted file listing, planned JVM-side — no per-batch Python
+      // planner-process floor (QuiverJvmStream; Python-twin protocol)
+      return new QuiverJvmStream(path, fullSchema, required, opts.raw);
     }
 
     @Override
@@ -1551,7 +1564,11 @@ public final class QuiverJvmRead {
         if (chunkI >= chunks.length) return false;
         Chunk c = chunks[chunkI];
         if (raf == null) openChunk(c);
-        if (pageI >= c.pageEnd || footer.cols.length == 0) {
+        // pageEnd < 0 = whole file (streaming chunks are planned without
+        // footer reads; the footer is open here anyway)
+        int end = c.pageEnd >= 0 ? c.pageEnd
+            : footer.cols.length == 0 ? 0 : footer.cols[0].pages.length;
+        if (pageI >= end || footer.cols.length == 0) {
           closeFile();
           chunkI++;
           continue;

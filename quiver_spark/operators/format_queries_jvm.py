@@ -675,3 +675,57 @@ FROM {tbl}
 GROUP BY c_mktsegment
 """
     )
+
+
+@register(
+    "quiverjvm_stream_scan",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS cnt,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents
+GROUP BY lang
+""",
+    tags=("format", "jvm", "streaming", "agg"),
+)
+def quiverjvm_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming read through the JVM MicroBatchStream (round
+    13 — VERDICT r12 Next #6): the documents table consumed as a
+    quiverjvm STREAM (availableNow, complete-mode aggregation into a
+    memory sink) must equal the parquet oracle's batch aggregate — the
+    stream-vs-batch parity contract, under the driver's hash. Per-batch
+    planning runs JVM-side (QuiverJvmStream), killing the Python DS's
+    ~0.175 s planner-process floor per micro-batch; offsets are sorted
+    file-listing deltas ({"files": [...]}, the Python source's exact
+    protocol), rate limiting via max_files_per_trigger +
+    SupportsTriggerAvailableNow."""
+    import tempfile
+    import uuid
+
+    from quiver_spark.jvm import attach_jar
+    from quiver_spark.operators.format_queries import quiver_dir
+
+    if not attach_jar(spark):
+        raise RuntimeError("quiverjvm jar failed to attach via ADD JAR")
+    d = quiver_dir(spark, sf_dir, "documents")
+    name = "qjs_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="quiver_qjs_ckpt_")
+    q = (
+        spark.readStream.format("quiverjvm")
+        .load(d)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")

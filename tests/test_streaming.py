@@ -449,3 +449,131 @@ def test_stream_source_start_commit_skips_backfill(spark, tmp_path):
     row = spark.table("cdc_tail").collect()[0]
     assert row.cnt == 30
     assert row.ks == sum(range(100, 130))
+
+
+# ---- JVM streaming source (round 13 — VERDICT r12 Next #6) ----------------
+
+
+def _jvm_stream_ready(spark):
+    from quiver_spark.jvm import attach_jar, session_has_jar
+    from quiver_spark.sources import register
+
+    register(spark)
+    return session_has_jar(spark) and attach_jar(spark)
+
+
+def test_jvm_stream_source_matches_batch(spark, tmp_path):
+    """Stream-vs-batch parity through the JVM MicroBatchStream: the same
+    three-commit table read as a quiverjvm STREAM (availableNow) equals
+    the quiverjvm BATCH read — rows, not counts. Per-micro-batch planning
+    runs JVM-side (no Python planner-process floor per batch)."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    d = str(tmp_path / "tbl")
+    spark.range(20).selectExpr("id", "id * 2 AS v").coalesce(2).write.format(
+        "quiver"
+    ).mode("overwrite").save(d)
+    spark.range(20, 30).selectExpr("id", "id * 2 AS v").coalesce(1).write.format(
+        "quiver"
+    ).mode("append").save(d)
+    q = (
+        spark.readStream.format("quiverjvm")
+        .load(d)
+        .writeStream.format("memory")
+        .queryName("jvm_sb")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM jvm_sb").collect()))
+    want = sorted(
+        map(tuple, spark.read.format("quiverjvm").load(d).collect())
+    )
+    assert got == want
+
+
+def test_jvm_stream_rate_limit_and_start_commit(spark, tmp_path):
+    """max_files_per_trigger drains the backlog in capped micro-batches
+    (SupportsTriggerAvailableNow — unlike the Python source, availableNow
+    honors the cap and still consumes everything), and start_commit seeds
+    the initial offset so only post-cursor commits stream."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    d = str(tmp_path / "tbl")
+    spark.range(10).selectExpr("id").coalesce(2).write.format("quiver").mode(
+        "overwrite"
+    ).save(d)
+    spark.range(10, 14).selectExpr("id").coalesce(1).write.format(
+        "quiver"
+    ).mode("append").save(d)
+    q = (
+        spark.readStream.format("quiverjvm")
+        .option("max_files_per_trigger", "1")
+        .load(d)
+        .writeStream.format("memory")
+        .queryName("jvm_rate")
+        .option("checkpointLocation", str(tmp_path / "ckpt-rate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.sql("SELECT * FROM jvm_rate").collect())
+    assert got == list(range(14))
+    assert len(q.recentProgress) >= 3  # 3 files, 1 per batch
+
+    q2 = (
+        spark.readStream.format("quiverjvm")
+        .option("start_commit", "1")
+        .load(d)
+        .writeStream.format("memory")
+        .queryName("jvm_sc")
+        .option("checkpointLocation", str(tmp_path / "ckpt-sc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = sorted(r["id"] for r in spark.sql("SELECT * FROM jvm_sc").collect())
+    assert got2 == list(range(10, 14))
+
+
+def test_jvm_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """A checkpointed restart resumes from the committed offset: new
+    appends stream exactly once, consumed files never re-deliver (the
+    offset survives via deserializeOffset round-trip)."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    d = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.range(5).selectExpr("id").coalesce(1).write.format("quiver").mode(
+        "overwrite"
+    ).save(d)
+
+    def run():
+        # file sink (the memory sink cannot recover from a checkpoint)
+        q = (
+            spark.readStream.format("quiverjvm")
+            .load(d)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    assert run() == list(range(5))
+    spark.range(5, 8).selectExpr("id").coalesce(1).write.format("quiver").mode(
+        "append"
+    ).save(d)
+    # same checkpoint: only the appended rows arrive (sink accumulates —
+    # exactly-once would break as duplicates of 0..4 here)
+    assert run() == list(range(8))

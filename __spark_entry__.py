@@ -22,77 +22,75 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 12 window (50). Staleness audit at the start of round 12 (computed
-# from CORRECTNESS_r1..r11; every one of the 172 queries registered then
-# has at least one driver-green row and ZERO failures ever): r8-stale = 22,
-# r9 = 50, r10 = 50, r11 = 50; 7 new gates this round (179 total). Window:
-# (a) the 22 r8-stale rows — the oldest cohort, exhausted this round so no
-# query's newest green row will be older than round 9; (b) the 7 new
-# round-12 gates; (c) the 2 queries whose CODE materially changed this
-# round despite an r11-green row (text_char_lm_score: plan + bigram
-# kernel; quiver_unified_scan: routing semantics); (d) fill from the r9
-# cohort, rerouted format gates first (their ENGINE changed to quiverjvm
-# this round under quiver_relation's engine="auto"). Position 51+ falls
-# back to registry order.
+# Round 13 window (50). Staleness audit at the start of round 13 (computed
+# from CORRECTNESS_r1..r12; every one of the 179 queries registered then
+# has at least one driver-green row and ZERO failures ever): r9-stale = 31,
+# r10 = 50, r11 = 48, r12 = 50; 4 new gates this round (183 total). Window:
+# (a) the 31 r9-stale rows — the oldest cohort, exhausted this round so no
+# query's newest green row will be older than round 10; (b) the 4 new
+# round-13 gates (JVM time travel / CDC / SQL catalog / streaming); (c)
+# the 3 queries whose ENGINE materially changed this round (time travel,
+# CDC-cursor, and merge-schemas scans reroute to quiverjvm under
+# quiver_relation's engine="auto" — the round-13 semantic-option lift);
+# (d) fill with 12 of the r10 cohort, JVM gates and DML/maintenance scans
+# first (the classes the option-routing and localPath changes touch).
+# Position 51+ falls back to registry order.
 _PRIORITY = [
-    # (a) the 22 round-8-stale rows
-    "q13_customer_distribution",
-    "quiver_rollback_scan",
-    "quiver_scan_bools",
-    "quiver_scan_delta",
-    "quiver_scan_freq",
-    "quiver_scan_nested_types",
-    "quiver_scan_uints",
-    "quiver_sql_view_agg",
+    # (a) the 31 round-9-stale rows
+    "arrow_ipc_merge_scan",
+    "asof_join_events_orders",
+    "correlated_small_quantity",
+    "dedup_chunk_exact",
+    "dedup_exact_docs",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_winnow_pairs",
+    "embedding_dim_stats",
+    "embedding_near_dup",
+    "events_funnel_steps",
+    "events_interval_join",
+    "events_latest_per_user",
+    "events_locf_impute",
+    "events_moving_avg_24h",
+    "events_retention_cohorts",
+    "hypertable_rollup",
+    "multimodal_decode_features",
+    "pipeline_corpus_summary",
+    "q1_pricing_summary",
+    "q7_nation_volume",
+    "range_join_user_bursts",
+    "sample_temperature_mix",
+    "sketch_count_min",
+    "sketch_histogram_quantiles",
+    "text_token_bpe",
+    "text_winnow_fingerprints",
+    "udtf_token_explode",
+    "window_distribution_funcs",
+    "window_range_frame",
+    # (b) new round-13 gates
+    "quiverjvm_time_travel_scan",
+    "quiverjvm_cdc_scan",
+    "quiverjvm_sql_catalog_table",
+    "quiverjvm_stream_scan",
+    # (c) engine materially changed this round (semantic-option routing)
     "quiver_time_travel_scan",
-    "sample_per_source_topk",
-    "sample_stratified_docs",
-    "scalar_date_funcs",
-    "scalar_map_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "scalar_subquery_above_avg",
-    "setop_union_counts",
-    "text_bigram_topk",
-    "text_repetition_stats",
-    "text_type_token_ratio",
-    "topk_orders",
-    "unpivot_lineitem_metrics",
-    # (b) new round-12 gates
-    "quiverjvm_nested_scan",
-    "quiverjvm_uint_scan",
-    "quiverjvm_default_fill_scan",
-    "text_zipf_slope",
-    "pipeline_mixture_weights",
-    "decontaminate_embedding_overlap",
-    "quiverjvm_limit_scan",
-    # (c) materially changed this round
-    "text_char_lm_score",
-    "quiver_unified_scan",
-    # (d) r9-cohort fill — rerouted format gates first (engine changed)
-    "quiver_adaptive_zstd_join",
-    "quiver_batch_read",
-    "quiver_compacted_scan",
-    "quiver_limit_head",
-    "quiver_manifest_packed_scan",
-    "quiver_manifest_rebuild_scan",
+    "quiver_incremental_scan",
     "quiver_merge_schemas_scan",
-    "quiver_partitioned_scan",
-    "quiver_pruned_date_scan",
-    "quiver_scan_checksums",
-    "quiver_scan_decimals",
-    "quiver_scan_documents",
-    "quiver_scan_embeddings",
-    "quiver_scan_q1",
-    "ann_cosine_topk",
-    "ann_dot_topk",
-    "ann_lsh_bucketed_pairs",
-    "ann_sq8_topk",
-    "approx_distinct_parts",
+    # (d) r10-cohort fill — JVM gates + DML/maintenance scans first
+    "quiverjvm_scan_agg",
+    "quiverjvm_ingest_roundtrip",
+    "quiver_merge_cdc_scan",
+    "quiver_snapshot_diff",
+    "quiver_delete_scan",
+    "quiver_update_scan",
+    "quiver_merge_upsert_scan",
+    "quiver_alter_evolution_scan",
+    "quiver_bloom_lookup_scan",
+    "quiver_clustered_scan",
+    "quiver_zorder_scan",
+    "quiver_repartitioned_scan",
 ]
-# (three r9 fill rows — asof_join_events_orders, correlated_small_quantity,
-# arrow_ipc_merge_scan — yielded their slots to the three late round-12
-# gates; they stay r9-green, above the stated r8 floor)
 
 
 def _ordered_specs():

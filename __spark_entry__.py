@@ -73,10 +73,13 @@ _PRIORITY = [
     "quiverjvm_cdc_scan",
     "quiverjvm_sql_catalog_table",
     "quiverjvm_stream_scan",
-    # (c) engine materially changed this round (semantic-option routing)
+    # (c) materially changed this round (semantic-option routing; the
+    # decontamination eval slice gained its fixed cap — the x10 sweep
+    # caught eval-scaling quadratic work)
     "quiver_time_travel_scan",
     "quiver_incremental_scan",
     "quiver_merge_schemas_scan",
+    "decontaminate_embedding_overlap",
     # (d) r10-cohort fill — JVM gates + DML/maintenance scans first
     "quiverjvm_scan_agg",
     "quiverjvm_ingest_roundtrip",
@@ -89,7 +92,6 @@ _PRIORITY = [
     "quiver_bloom_lookup_scan",
     "quiver_clustered_scan",
     "quiver_zorder_scan",
-    "quiver_repartitioned_scan",
 ]
 
 

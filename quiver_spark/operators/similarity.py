@@ -490,7 +490,8 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH iv AS ({SQL_IV}),
 norms AS (SELECT vec_id, SUM(xi * xi) AS nrm FROM iv GROUP BY vec_id),
-q AS (SELECT vec_id AS qid, i, xi AS qi FROM iv WHERE vec_id % 37 = 0),
+q AS (SELECT vec_id AS qid, i, xi AS qi FROM iv
+     WHERE vec_id % 37 = 0 AND vec_id < 2000),
 dots AS (
     SELECT q.qid, iv.vec_id, SUM(iv.xi * q.qi) AS idot
     FROM iv JOIN q ON iv.i = q.i
@@ -532,7 +533,15 @@ def decontaminate_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     final per-label aggregate. Integer dot products keep every pairwise
     score bit-identical across engines; the avg/max report rounds."""
     emb = _int_emb(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
-    probes = emb.filter(F.col("vec_id") % 37 == 0).agg(
+    # the eval benchmark is a FIXED set: vec_id % 37 under a constant cap
+    # (2000 = one decade of ids above every driver SF, so the slice is
+    # identical at sf0.001-0.1 AND stays fixed on the x10/x100 decade
+    # fixtures — a benchmark does not grow with the corpus; without the
+    # cap the sweep measured eval x10 TIMES corpus x10 = x100 work, the
+    # round-13 sweep catch)
+    probes = emb.filter(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 2000)
+    ).agg(
         F.collect_list(F.struct(F.col("iv"), F.col("nrm"))).alias("ps")
     )
     mx = F.expr(

@@ -73,6 +73,7 @@ _PRIORITY = [
     "quiverjvm_cdc_scan",
     "quiverjvm_sql_catalog_table",
     "quiverjvm_stream_scan",
+    "text_source_kl_divergence",
     # (c) materially changed this round (semantic-option routing; the
     # decontamination eval slice gained its fixed cap — the x10 sweep
     # caught eval-scaling quadratic work)
@@ -91,7 +92,6 @@ _PRIORITY = [
     "quiver_alter_evolution_scan",
     "quiver_bloom_lookup_scan",
     "quiver_clustered_scan",
-    "quiver_zorder_scan",
 ]
 
 

@@ -511,3 +511,91 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") * F.col("w")).cast("double") / F.col("tokens"), 4
         ).alias("accept_rate"),
     )
+
+
+@register(
+    "text_source_kl_divergence",
+    oracle="""
+WITH toks AS (
+    SELECT source, t AS token
+    FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    )
+    WHERE t <> ''
+),
+counts AS (
+    SELECT source, token, COUNT(*) AS c FROM toks GROUP BY source, token
+),
+gcounts AS (SELECT token, SUM(c) AS g FROM counts GROUP BY token),
+vocab AS (SELECT token, g FROM gcounts ORDER BY g DESC, token LIMIT 500),
+nv AS (SELECT CAST(SUM(g) AS BIGINT) AS n FROM vocab),
+ns AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+    FROM counts JOIN vocab USING (token)
+    GROUP BY source
+)
+SELECT c.source,
+       CAST(ns.n_s AS BIGINT) AS vocab_tokens,
+       ROUND(SUM((CAST(c.c AS DOUBLE) / ns.n_s)
+                 * LN((CAST(c.c AS DOUBLE) / ns.n_s)
+                      / (CAST(v.g AS DOUBLE) / nv.n))), 3) AS kl
+FROM counts c
+JOIN vocab v USING (token)
+JOIN ns ON c.source = ns.source
+CROSS JOIN nv
+GROUP BY c.source, ns.n_s
+""",
+    tags=("text", "pipeline", "mixture", "quality"),
+    bench=True,
+)
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution —
+    the domain-shift diagnostic a mixture planner reads next to
+    `pipeline_mixture_weights`: a source whose token distribution sits
+    far from the corpus mean (templated boilerplate, scraped navigation,
+    a different register) shows up as a high KL(P_source || P_corpus)
+    long before training does.
+
+    Distributions are restricted to the top-500 global-vocabulary tokens
+    (count-DESC, token tie break — deterministic on both engines), each
+    side renormalized within the vocabulary; a vocab token absent from a
+    source contributes its defined 0 term, and Q > 0 everywhere by
+    construction, so the divergence is finite. Counts stay exact bigints
+    until the final double KL, which rounds to 3 for the hash.
+
+    100 TB posture: one (source, token) count shuffle over the corpus,
+    one token-shape global aggregate, then everything downstream joins
+    through the BROADCAST 500-row vocabulary — the per-source sums are
+    vocabulary-bounded, never corpus-bounded, and the TakeOrdered top-500
+    never materializes the full vocabulary on one node."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    glob = counts.groupBy("token").agg(F.sum("c").alias("g"))
+    vocab = glob.orderBy(F.col("g").desc(), "token").limit(500)
+    nv = vocab.agg(F.sum("g").cast("bigint").alias("n"))
+    j = counts.join(F.broadcast(vocab), "token")
+    ns = j.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    term = (F.col("c").cast("double") / F.col("n_s")) * F.log(
+        (F.col("c").cast("double") / F.col("n_s"))
+        / (F.col("g").cast("double") / F.col("n"))
+    )
+    return (
+        j.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nv))
+        .groupBy("source", "n_s")
+        .agg(F.round(F.sum(term), 3).alias("kl"))
+        .select(
+            "source",
+            F.col("n_s").alias("vocab_tokens"),
+            "kl",
+        )
+    )

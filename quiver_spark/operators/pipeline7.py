@@ -576,9 +576,15 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.col("text"), " "), lambda t: t != "")
         ).alias("token"),
     )
+    # five consumers derive from `counts` (global counts → vocab → nv,
+    # the vocab join, the per-source totals) — without a checkpoint each
+    # re-runs the corpus explode+count (plan audit: 5 Generates). The
+    # lazy localCheckpoint truncates lineage so the corpus is exploded
+    # ONCE; the checkpointed relation is (source, token) × count —
+    # vocabulary-bounded, tiny against the corpus at any scale.
     counts = toks.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=False)
     glob = counts.groupBy("token").agg(F.sum("c").alias("g"))
     vocab = glob.orderBy(F.col("g").desc(), "token").limit(500)
     nv = vocab.agg(F.sum("g").cast("bigint").alias("n"))

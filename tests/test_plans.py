@@ -491,3 +491,18 @@ def test_embedding_decontamination_map_side_single_shuffle(spark):
     # the 1-row eval collect and its broadcast
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_kl_divergence_single_corpus_explode(spark):
+    """text_source_kl_divergence: five consumers derive from the
+    (source, token) counts; without the lazy localCheckpoint each re-ran
+    the corpus explode+count (round-13 plan audit: 5 Generates). The pin:
+    the final plan shows ZERO Generates (the one corpus explode sits
+    behind the checkpoint's Scan-ExistingRDD boundary) and no Python
+    eval; downstream joins go through broadcasts."""
+    df = _df(spark, "text_source_kl_divergence")
+    plan = plans.physical_plan(df)
+    assert plan.count("Generate explode") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1527,3 +1527,26 @@ def test_jvm_catalog_table_survives_restart(tmp_path):
         )
         assert p.returncode == 0, (step, p.stdout[-1500:], p.stderr[-1500:])
     assert "RESTART_READ_OK" in p.stdout
+
+
+def test_jvm_catalog_insert_overwrite(spark, tmp_path):
+    """INSERT OVERWRITE on a quiverjvm catalog table: the TRUNCATE
+    capability replaces the table contents atomically (stale data files,
+    sidecars, and the manifest all go); INSERT INTO appends."""
+    _require_jar(spark)
+    d = str(tmp_path / "tbl")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.format(
+        "quiverjvm"
+    ).mode("overwrite").save(d)
+    spark.sql("DROP TABLE IF EXISTS ow_qt")
+    spark.sql(f"CREATE TABLE ow_qt USING quiverjvm LOCATION '{d}'")
+    assert spark.sql("SELECT COUNT(*) FROM ow_qt").collect()[0][0] == 10
+    spark.sql("INSERT OVERWRITE ow_qt SELECT id, id * 7 AS v FROM range(5)")
+    rows = sorted(map(tuple, spark.sql("SELECT * FROM ow_qt").collect()))
+    assert rows == [(i, i * 7) for i in range(5)], rows
+    spark.sql("INSERT INTO ow_qt VALUES (99, 1)")
+    assert spark.sql("SELECT COUNT(*) FROM ow_qt").collect()[0][0] == 6
+    # the overwritten generation's rows must be gone from disk too
+    back = spark.read.format("quiverjvm").load(d)
+    assert back.count() == 6
+    spark.sql("DROP TABLE ow_qt")

@@ -1,0 +1,340 @@
+"""Corpus-quality rule filtering and membership sketches (round 13).
+
+Two operator families a 100 TB pretraining pipeline runs constantly:
+
+- ``text_gopher_quality_filter`` — the Gopher/RefinedWeb-style document
+  quality rule bundle (word-count bounds, mean word length, stopword
+  presence, top-word repetition, alphabetic-word fraction), evaluated
+  ENTIRELY map-side with array expressions: the corpus is scanned once
+  and never shuffled; only the ≤|sources|-row verdict table aggregates.
+- ``sketch_bloom_membership`` — a distributed Bloom filter built as a
+  ``bit_or`` word aggregation (the sketch is a monoid: 1000 executors
+  OR partial bitmaps, exactly like the count-min grid in sketches.py),
+  then probed via a broadcast of the 128-word bitmap. The 100 TB use is
+  "have we already crawled this URL / ingested this doc id" membership
+  without shuffling the big side.
+
+Determinism: every rule threshold is integer-exact (cross-multiplied
+instead of ratio floats) and the Bloom grid is md5-derived, so DuckDB
+reproduces bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules (integer-exact thresholds)
+# --------------------------------------------------------------------------
+
+#: rule constants — chosen to discriminate on the synthetic corpus while
+#: matching the published Gopher rule SHAPES (Rae et al. 2021, table A1).
+GQ_MIN_WORDS = 20
+GQ_MAX_WORDS = 80
+GQ_MIN_MEAN_LEN = 3  # 3·nw ≤ chars
+GQ_MAX_MEAN_LEN = 10  # chars ≤ 10·nw
+GQ_MIN_STOPWORDS = 2
+GQ_STOPWORDS = ("the", "a", "and", "to", "of", "in", "is", "that")
+GQ_TOP_FRAC_DEN = 5  # top word ≤ 1/5 of words: 5·maxc ≤ nw
+GQ_ALPHA_NUM = 4  # alpha words ≥ 4/5 of words: 5·alpha ≥ 4·nw
+GQ_ALPHA_DEN = 5
+
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in GQ_STOPWORDS)
+
+
+@register(
+    "text_gopher_quality_filter",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, source,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS words
+    FROM documents
+),
+twm AS (
+    SELECT doc_id, MAX(c) AS maxc FROM (
+        SELECT doc_id, word, COUNT(*) AS c FROM (
+            SELECT doc_id, unnest(words) AS word FROM w
+        ) GROUP BY doc_id, word
+    ) GROUP BY doc_id
+),
+stats AS (
+    SELECT w.doc_id, w.source,
+           CAST(len(words) AS BIGINT) AS nw,
+           CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+               AS chars,
+           CAST(len(list_filter(words,
+                x -> list_contains([{_SQL_STOPLIST}], x))) AS BIGINT)
+               AS stopc,
+           CAST(len(list_filter(words,
+                x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alphac,
+           twm.maxc
+    FROM w JOIN twm ON w.doc_id = twm.doc_id
+),
+rules AS (
+    SELECT source,
+           (nw BETWEEN {GQ_MIN_WORDS} AND {GQ_MAX_WORDS}) AS r_wc,
+           ({GQ_MIN_MEAN_LEN} * nw <= chars
+            AND chars <= {GQ_MAX_MEAN_LEN} * nw) AS r_len,
+           (stopc >= {GQ_MIN_STOPWORDS}) AS r_stop,
+           ({GQ_TOP_FRAC_DEN} * maxc <= nw) AS r_top,
+           ({GQ_ALPHA_DEN} * alphac >= {GQ_ALPHA_NUM} * nw) AS r_alpha
+    FROM stats
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_wordcount,
+       CAST(SUM(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_meanlen,
+       CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_stopwords,
+       CAST(SUM(CASE WHEN NOT r_top THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_topword,
+       CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_alpha,
+       CAST(SUM(CASE WHEN r_wc AND r_len AND r_stop AND r_top AND r_alpha
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM rules
+GROUP BY source
+""",
+    tags=("text", "quality", "gopher", "pipeline"),
+)
+def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule bundle, one map-side pass over the corpus.
+
+    Five published rule shapes (word-count bounds, mean word length,
+    stopword presence, top-word repetition cap, alphabetic-word fraction)
+    are computed from a single ``split`` with array expressions — even the
+    most-frequent-word count, via a max-run-length fold over the SORTED
+    word array — so the document text never shuffles; the only exchange
+    carries ≤|sources| verdict rows. Thresholds are cross-multiplied
+    integers (``5·maxc ≤ nw`` instead of ``maxc/nw ≤ 0.2``), so the
+    verdict is bit-exact in any engine."""
+    docs = load(spark, sf_dir, "documents")
+    words = "filter(split(text, '\\\\s+'), x -> x <> '')"
+    stoplist = ", ".join(f"'{w}'" for w in GQ_STOPWORDS)
+    # most-frequent-word count as a fold over the sorted array: runs of
+    # equal words are contiguous after sort_array, so one O(n) pass with a
+    # (prev, run, best) accumulator yields max multiplicity — no explode.
+    maxc = f"""
+    aggregate(
+        sort_array({words}),
+        named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        (s, x) -> named_struct(
+            'prev', x,
+            'run', IF(x <=> s.prev, s.run + 1, 1L),
+            'best', GREATEST(s.best, IF(x <=> s.prev, s.run + 1, 1L))),
+        s -> s.best)
+    """
+    stats = docs.select(
+        "source",
+        F.expr(f"CAST(size({words}) AS BIGINT)").alias("nw"),
+        F.expr(
+            f"aggregate(transform({words}, x -> CAST(length(x) AS BIGINT)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("chars"),
+        F.expr(
+            f"CAST(size(filter({words}, x -> x IN ({stoplist}))) AS BIGINT)"
+        ).alias("stopc"),
+        F.expr(
+            f"CAST(size(filter({words}, x -> x rlike '[a-zA-Z]')) AS BIGINT)"
+        ).alias("alphac"),
+        F.expr(maxc).alias("maxc"),
+    )
+    rules = stats.select(
+        "source",
+        F.col("nw").between(GQ_MIN_WORDS, GQ_MAX_WORDS).alias("r_wc"),
+        (
+            (F.lit(GQ_MIN_MEAN_LEN) * F.col("nw") <= F.col("chars"))
+            & (F.col("chars") <= F.lit(GQ_MAX_MEAN_LEN) * F.col("nw"))
+        ).alias("r_len"),
+        (F.col("stopc") >= GQ_MIN_STOPWORDS).alias("r_stop"),
+        (F.lit(GQ_TOP_FRAC_DEN) * F.col("maxc") <= F.col("nw")).alias(
+            "r_top"
+        ),
+        (
+            F.lit(GQ_ALPHA_DEN) * F.col("alphac")
+            >= F.lit(GQ_ALPHA_NUM) * F.col("nw")
+        ).alias("r_alpha"),
+    )
+
+    def fails(c: str) -> F.Column:
+        return F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("bigint")
+
+    return rules.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        fails("r_wc").alias("fail_wordcount"),
+        fails("r_len").alias("fail_meanlen"),
+        fails("r_stop").alias("fail_stopwords"),
+        fails("r_top").alias("fail_topword"),
+        fails("r_alpha").alias("fail_alpha"),
+        F.sum(
+            F.when(
+                F.col("r_wc")
+                & F.col("r_len")
+                & F.col("r_stop")
+                & F.col("r_top")
+                & F.col("r_alpha"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distributed Bloom-filter membership (bit_or word aggregation)
+# --------------------------------------------------------------------------
+
+BF_BITS = 4096  #: filter size m
+BF_WORDS = 128  #: 32 bits per word — stays positive in a BIGINT
+BF_HASHES = 4  #: k independent md5-derived hash rows
+
+
+def _bf_pos_spark(row: int, key: F.Column) -> F.Column:
+    """Bit position of ``key`` under hash row ``row`` (md5 grid — the same
+    engine-portable hash family as sketch_count_min)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % BF_BITS
+    )
+
+
+def _bf_pos_sql(row: int, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{row}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {BF_BITS})"
+    )
+
+
+def _bf_bit_sql(row: int, key: str) -> str:
+    p = _bf_pos_sql(row, key)
+    return f"SELECT {p} // 32 AS word, {p} % 32 AS bit"
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+WITH keys AS (SELECT DISTINCT o_custkey FROM orders),
+cells AS (
+    {" UNION ALL ".join(f"{_bf_bit_sql(r, 'o_custkey')} FROM keys" for r in range(BF_HASHES))}
+),
+bloom AS (
+    SELECT word, BIT_OR(CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) AS bits
+    FROM cells GROUP BY word
+),
+probes AS (
+    {" UNION ALL ".join(f"SELECT c_custkey, c_mktsegment, {_bf_pos_sql(r, 'c_custkey')} // 32 AS word, {_bf_pos_sql(r, 'c_custkey')} % 32 AS bit FROM customer" for r in range(BF_HASHES))}
+),
+hits AS (
+    SELECT p.c_custkey, p.c_mktsegment,
+           MIN(CASE WHEN ((b.bits >> CAST(p.bit AS INTEGER)) & 1) = 1
+               THEN 1 ELSE 0 END) AS all_set
+    FROM probes p JOIN bloom b ON p.word = b.word
+    GROUP BY 1, 2
+),
+verdict AS (
+    SELECT h.c_mktsegment, h.all_set,
+           CASE WHEN k.o_custkey IS NULL THEN 0 ELSE 1 END AS exact_member
+    FROM hits h LEFT JOIN keys k ON h.c_custkey = k.o_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(exact_member) AS BIGINT) AS exact_members,
+       CAST(SUM(all_set) AS BIGINT) AS bloom_positives,
+       CAST(SUM(CASE WHEN all_set = 1 AND exact_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives
+FROM verdict
+GROUP BY c_mktsegment
+""",
+    tags=("sketch", "bloom", "membership", "dedup"),
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter: build a {BF_BITS}-bit filter over the set
+    of custkeys that placed orders as a ``bit_or`` aggregation of
+    {BF_WORDS} 32-bit words (partial bitmaps from every executor OR
+    together — the sketch is a monoid, the exact posture of a 100 TB
+    "seen this URL?" crawl dedup), then probe every customer key through
+    a BROADCAST of the bitmap and tally false positives against the exact
+    semi-join answer per market segment.
+
+    The big build side shuffles only (word, bit) pairs — {BF_HASHES} rows
+    per key — and the probe side never shuffles at all (broadcast join +
+    map-side bit test). Bloom guarantees no false negatives:
+    ``bloom_positives ≥ exact_members`` in every group, checked exactly
+    by the oracle."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    keys = orders.select("o_custkey").distinct()
+
+    def positions(key: str) -> F.Column:
+        # all BF_HASHES bit positions in ONE array so the build/probe sides
+        # each scan their table exactly once (a per-row union would rescan
+        # the table per hash row)
+        return F.array(
+            *[_bf_pos_spark(r, F.col(key)) for r in range(BF_HASHES)]
+        )
+
+    cells = keys.select(
+        F.explode(positions("o_custkey")).alias("pos")
+    ).select(
+        (F.col("pos") / 32).cast("bigint").alias("word"),
+        (F.col("pos") % 32).cast("int").alias("bit"),
+    )
+    bloom = cells.groupBy("word").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits")
+    )
+    probes = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(positions("c_custkey")).alias("pos"),
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("pos") / 32).cast("bigint").alias("word"),
+        (F.col("pos") % 32).cast("int").alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.when(
+                F.expr("(shiftright(bits, bit) & CAST(1 AS BIGINT))") == 1, 1
+            )
+            .otherwise(0)
+            .alias("set_bit"),
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.min("set_bit").alias("all_set"))
+    )
+    verdict = hits.join(
+        keys.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+            "exact_member", F.lit(1)
+        ),
+        "c_custkey",
+        "left",
+    ).fillna({"exact_member": 0})
+    return verdict.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("exact_member").cast("bigint").alias("exact_members"),
+        F.sum("all_set").cast("bigint").alias("bloom_positives"),
+        F.sum(
+            F.when((F.col("all_set") == 1) & (F.col("exact_member") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_positives"),
+    )

@@ -1,0 +1,325 @@
+"""Vector-index TRAINING operators (round 13): distributed Lloyd k-means
+and product quantization — the two steps a 100 TB ANN pipeline runs before
+any of the search operators in similarity.py can exist.
+
+similarity.py's IVF search assumes a coarse quantizer; this module trains
+one. ``embedding_kmeans_clusters`` is textbook distributed k-means:
+centroids live in a broadcast (K×d is tiny), ASSIGNMENT is map-side (the
+corpus never shuffles for it), and the UPDATE step is one uniform groupBy
+on (cluster, component) per iteration — the exact plan shape Spark MLlib
+uses, re-expressed in pure DataFrame algebra so the oracle can replay it.
+``ann_pq_topk`` completes the quantization family next to ann_sq8_topk
+(scalar) and ann_ivf_topk (coarse): per-subspace codebooks, corpus encoded
+to 4 small codes (16× compression of the scaled-int vectors), queries
+scored against codes via an ADC lookup table without touching any corpus
+vector.
+
+Determinism (the driver hash-compares): vectors are scaled BIGINTs
+(functions.int_vec); centroid updates re-quantize the component mean with
+ONE IEEE division + ROUND on identical operands, so iterated centroids are
+bit-identical across engines; all distances / dot products are exact
+integer sums; every argmin carries a total tie-break order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from quiver_spark.functions import int_dot, int_vec
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+from quiver_spark.operators.similarity import N_PROBES, SQL_IV, TOP_K
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd k-means (the IVF coarse-quantizer trainer)
+# --------------------------------------------------------------------------
+
+KM_K = 8  #: clusters; seeds = the KM_K lowest vec_ids (deterministic init)
+KM_ITERS = 2  #: Lloyd iterations (fixed so the oracle can unroll them)
+
+_DIST2 = (
+    "aggregate(zip_with({v}, {c}, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+)
+
+
+def _km_oracle() -> str:
+    """Unrolled two-iteration Lloyd chain over the exploded int view."""
+    steps = []
+    prev = "c0"
+    for it in range(1, KM_ITERS + 1):
+        steps.append(f"""
+d{it} AS (
+    SELECT iv.vec_id, c.cid, SUM((iv.xi - c.ci) * (iv.xi - c.ci)) AS d2
+    FROM iv JOIN {prev} c ON iv.i = c.i
+    GROUP BY 1, 2
+),
+a{it} AS (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM d{it}
+    ) WHERE r = 1
+)""")
+        if it < KM_ITERS:
+            steps.append(f"""
+c{it} AS (
+    SELECT a.cid, iv.i,
+           CAST(ROUND(CAST(SUM(iv.xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
+    FROM a{it} a JOIN iv ON a.vec_id = iv.vec_id
+    GROUP BY 1, 2
+)""")
+        prev = f"c{it}"
+    chain = ",".join(steps)
+    return f"""
+WITH iv AS ({SQL_IV}),
+c0 AS (
+    SELECT vec_id AS cid, i, xi AS ci FROM iv
+    WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KM_K})
+),{chain}
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(d2) AS DOUBLE) AS inertia
+FROM a{KM_ITERS}
+GROUP BY cid
+"""
+
+
+@register(
+    "embedding_kmeans_clusters",
+    oracle=_km_oracle(),
+    tags=("similarity", "kmeans", "clustering", "training"),
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus: {KM_K} seeds
+    (the lowest vec_ids — the deterministic stand-in for k-means‖
+    sampling), {KM_ITERS} assignment/update rounds, reporting per-cluster
+    size and inertia (sum of squared distances to the assigned centroid).
+
+    The 100 TB plan shape: centroids are a K×d BROADCAST (a few KiB), so
+    assignment is map-side — the corpus is scanned once per iteration and
+    never shuffles; the update step shuffles only (cluster, component)
+    partial sums (K·d rows after map-side combine, regardless of corpus
+    size). Distances are exact integer sums; the re-quantized centroid
+    mean (one IEEE divide + ROUND of identical operands) keeps iterations
+    bit-identical across engines. Empty clusters drop out (both engines
+    GROUP BY observed assignments only)."""
+    emb = _int_corpus(spark, sf_dir)
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("iv").alias("cv"))
+    )
+    assign = None
+    for it in range(1, KM_ITERS + 1):
+        assign = _km_assign(emb, cent)
+        if it < KM_ITERS:
+            cent = _km_update(assign, emb)
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("d2").cast("double").alias("inertia"),
+    )
+
+
+def _int_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", int_vec("embedding").alias("iv"))
+
+
+def _km_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Map-side nearest-centroid assignment: the K centroids collapse into
+    ONE broadcast row holding a cid-sorted struct array, and each corpus
+    row folds over it for the exact-int argmin — no window, no exchange;
+    the corpus does not shuffle to be assigned."""
+    carr = cent.agg(
+        F.expr(
+            "sort_array(collect_list(named_struct('cid', cid, 'cv', cv)))"
+        ).alias("cents")
+    )
+    d2c = _DIST2.format(v="iv", c="c.cv")
+    # cents is cid-ascending and the fold keeps the FIRST strict minimum,
+    # so ties resolve to the lowest cid — the oracle's (d2, cid) order
+    best = f"""
+    aggregate(
+        transform(cents, c -> named_struct('d2', {d2c}, 'cid', c.cid)),
+        CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
+        (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s))
+    """
+    return emb.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        F.expr(best + ".cid").alias("cid"),
+        F.expr(best + ".d2").alias("d2"),
+    )
+
+
+def _km_update(assign: DataFrame, emb: DataFrame) -> DataFrame:
+    """Centroid update: component partial sums (map-side combine), one
+    uniform (cid, i) shuffle, re-quantized mean, array re-assembly."""
+    comp = (
+        assign.select("vec_id", "cid")
+        .join(emb, "vec_id")
+        .select("cid", F.posexplode("iv").alias("i", "xi"))
+        .groupBy("cid", "i")
+        .agg(
+            F.round(
+                F.sum("xi").cast("double") / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("ci")
+        )
+    )
+    return comp.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct('i', i, 'ci', ci)),"
+            " (a, b) -> a.i - b.i), s -> s.ci)"
+        ).alias("cv")
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization + ADC top-k
+# --------------------------------------------------------------------------
+
+PQ_M = 4  #: subspaces (64 dims → 4 × 16)
+PQ_SUB = 16  #: dims per subspace
+PQ_K = 16  #: codewords per subspace; donors = 16 lowest non-probe ids
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH iv AS ({SQL_IV}),
+donors AS (
+    SELECT vec_id FROM embeddings WHERE vec_id >= {N_PROBES}
+    ORDER BY vec_id LIMIT {PQ_K}
+),
+cw AS (
+    SELECT vec_id AS cid, (i - 1) // {PQ_SUB} AS m,
+           (i - 1) % {PQ_SUB} AS si, xi AS ci
+    FROM iv WHERE vec_id IN (SELECT vec_id FROM donors)
+),
+corpus AS (
+    SELECT vec_id, (i - 1) // {PQ_SUB} AS m, (i - 1) % {PQ_SUB} AS si, xi
+    FROM iv WHERE vec_id >= {N_PROBES}
+),
+dists AS (
+    SELECT c.vec_id, c.m, w.cid, SUM((c.xi - w.ci) * (c.xi - w.ci)) AS d2
+    FROM corpus c JOIN cw w ON c.m = w.m AND c.si = w.si
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, m ORDER BY d2, cid) AS r
+        FROM dists
+    ) WHERE r = 1
+),
+q AS (
+    SELECT vec_id AS qid, (i - 1) // {PQ_SUB} AS m, (i - 1) % {PQ_SUB} AS si,
+           xi AS qi
+    FROM iv WHERE vec_id < {N_PROBES}
+),
+adc AS (
+    SELECT q.qid, w.m, w.cid, SUM(q.qi * w.ci) AS idot
+    FROM q JOIN cw w ON q.m = w.m AND q.si = w.si
+    GROUP BY 1, 2, 3
+),
+scores AS (
+    SELECT a.qid, k.vec_id, SUM(a.idot) AS s
+    FROM codes k JOIN adc a ON k.m = a.m AND k.cid = a.cid
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT qid, vec_id, CAST(s AS DOUBLE) AS adc_dot,
+           ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+    FROM scores
+)
+SELECT qid, vec_id, adc_dot, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_pq_oracle(),
+    tags=("similarity", "ann", "pq", "quantization"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with asymmetric distance computation: the
+    64-dim vectors split into {PQ_M} subspaces of {PQ_SUB} dims; each
+    subspace gets a {PQ_K}-codeword codebook (donor sub-vectors of the
+    {PQ_K} lowest non-probe ids — the deterministic stand-in for
+    per-subspace k-means, which embedding_kmeans_clusters supplies at
+    scale); every corpus vector is ENCODED to {PQ_M} codes (16× smaller
+    than the int vectors — the index that fits in memory at 100 TB); each
+    query builds a {PQ_M}×{PQ_K} ADC table of exact-int sub-dot-products
+    and scores candidates by summing {PQ_M} table lookups — no corpus
+    vector is touched at query time.
+
+    Plan shape: codebook and ADC tables are broadcasts; encoding is
+    map-side (posexplode to (vector, subspace) rows + broadcast argmin);
+    the only corpus-scale exchange is the final (qid, vec_id) score
+    aggregation, whose width is codes — not vectors."""
+    emb = _int_corpus(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_PROBES)
+    slices = F.array(
+        *[
+            F.slice(F.col("iv"), m * PQ_SUB + 1, PQ_SUB)
+            for m in range(PQ_M)
+        ]
+    )
+    donors = corpus.orderBy("vec_id").limit(PQ_K)
+    cw = donors.select(
+        F.col("vec_id").alias("cid"),
+        F.posexplode(slices).alias("m", "cv"),
+    )
+    # ENCODE map-side: the whole codebook collapses into ONE broadcast row
+    # ((m, cid)-sorted struct array); each corpus row folds its M slices
+    # over the matching codewords for the exact-int argmin — no window, no
+    # exchange; only the M-codes-per-vector explode remains (map-side too)
+    cwarr = cw.agg(
+        F.expr(
+            "sort_array(collect_list("
+            "named_struct('m', m, 'cid', cid, 'cv', cv)))"
+        ).alias("cws")
+    )
+    els = []
+    for m in range(PQ_M):
+        sv = f"slice(iv, {m * PQ_SUB + 1}, {PQ_SUB})"
+        d2c = _DIST2.format(v=sv, c="w.cv")
+        els.append(f"""
+        aggregate(
+            transform(filter(cws, w -> w.m = {m}),
+                      w -> named_struct('d2', {d2c}, 'cid', w.cid)),
+            CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
+            (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s)).cid
+        """)
+    codes = corpus.crossJoin(F.broadcast(cwarr)).select(
+        "vec_id",
+        F.posexplode(F.expr("array(" + ",".join(els) + ")")).alias(
+            "m", "cid"
+        ),
+    )
+    qsub = (
+        emb.filter(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("qid"), F.posexplode(slices).alias("m", "qv")
+        )
+    )
+    adc = qsub.join(F.broadcast(cw), "m").select(
+        "qid", "m", "cid", int_dot("qv", "cv").alias("idot")
+    )
+    scores = (
+        codes.join(F.broadcast(adc), ["m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("idot").alias("s"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        scores.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id", F.col("s").cast("double").alias("adc_dot"), "rnk")
+    )

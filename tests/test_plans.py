@@ -506,3 +506,50 @@ def test_kl_divergence_single_corpus_explode(spark):
     assert "Scan ExistingRDD" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_filter_single_pass_no_explode(spark):
+    """text_gopher_quality_filter: all five rules (including the
+    most-frequent-word count, via the sorted-array run-length fold) are
+    array expressions — the plan must show ZERO Generates and exactly ONE
+    exchange (the <=|sources|-row verdict aggregate). The corpus text
+    never shuffles."""
+    df = _df(spark, "text_gopher_quality_filter")
+    plan = plans.physical_plan(df)
+    assert plan.count("Generate") == 0, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_assignment_is_map_side(spark):
+    """embedding_kmeans_clusters: the corpus must NEVER shuffle to be
+    assigned — centroids collapse to one broadcast struct-array row and
+    the argmin is an array fold. The only hash exchanges are the two
+    (cluster, component) update aggregates + the final per-cluster stats
+    (all K-d-width after map-side combine); no window over vec_id."""
+    df = _df(spark, "embedding_kmeans_clusters")
+    plan = plans.physical_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "Window" not in plan, plan
+
+
+def test_pq_encode_is_map_side(spark):
+    """ann_pq_topk: encoding folds each vector's slices over the broadcast
+    codebook row — no per-(vector, subspace) window. The only hash
+    exchanges are the (qid, vec_id) score aggregate and the final top-k
+    window partitioning."""
+    df = _df(spark, "ann_pq_topk")
+    plan = plans.physical_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_bloom_build_single_scan_per_side(spark):
+    """sketch_bloom_membership: the 4 hash positions explode from ONE
+    array, so the build side scans orders once and the probe side scans
+    customer once (a per-hash-row union would rescan per row)."""
+    df = _df(spark, "sketch_bloom_membership")
+    plan = plans.physical_plan(df)
+    assert plan.count("Scan parquet") <= 3, plan
+    assert "BroadcastExchange" in plan, plan

@@ -25,18 +25,18 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # Round 13 window (50). Staleness audit at the start of round 13 (computed
 # from CORRECTNESS_r1..r12; every one of the 179 queries registered then
 # has at least one driver-green row and ZERO failures ever): r9-stale = 31,
-# r10 = 50, r11 = 48, r12 = 50; 9 new gates this round (188 total). Window:
+# r10 = 50, r11 = 48, r12 = 50; 10 new gates this round (189 total). Window:
 # (a) the 31 r9-stale rows — the oldest cohort, exhausted this round so no
-# query's newest green row will be older than round 10; (b) the 9 new
-# round-13 gates (JVM time travel / CDC / SQL catalog / streaming, the KL
-# divergence, Gopher-rule filter, Bloom membership, k-means, and PQ
-# operators); (c) the 4 queries whose ENGINE or shape materially changed
-# this round (time travel, CDC-cursor, and merge-schemas scans reroute to
-# quiverjvm under quiver_relation's engine="auto" — the round-13
-# semantic-option lift — and the decontamination eval-cap fix); (d) fill
-# with 6 of the r10 cohort, JVM gates and DML/maintenance scans first (the
-# classes the option-routing and localPath changes touch). Position 51+
-# falls back to registry order.
+# query's newest green row will be older than round 10; (b) the 10 new
+# round-13 gates (JVM time travel / CDC / SQL catalog / stream source /
+# stream sink, the KL divergence, Gopher-rule filter, Bloom membership,
+# k-means, and PQ operators); (c) the 4 queries whose ENGINE or shape
+# materially changed this round (time travel, CDC-cursor, and merge-schemas
+# scans reroute to quiverjvm under quiver_relation's engine="auto" — the
+# round-13 semantic-option lift — and the decontamination eval-cap fix);
+# (d) fill with 5 of the r10 cohort, JVM gates and DML/maintenance scans
+# first (the classes the option-routing and localPath changes touch).
+# Position 51+ falls back to registry order.
 _PRIORITY = [
     # (a) the 31 round-9-stale rows
     "arrow_ipc_merge_scan",
@@ -76,6 +76,7 @@ _PRIORITY = [
     "quiverjvm_sql_catalog_table",
     "quiverjvm_stream_scan",
     "text_source_kl_divergence",
+    "quiverjvm_stream_sink_scan",
     "text_gopher_quality_filter",
     "sketch_bloom_membership",
     "embedding_kmeans_clusters",
@@ -93,7 +94,6 @@ _PRIORITY = [
     "quiver_merge_cdc_scan",
     "quiver_snapshot_diff",
     "quiver_delete_scan",
-    "quiver_update_scan",
 ]
 
 

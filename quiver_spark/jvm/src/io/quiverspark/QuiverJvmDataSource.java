@@ -116,7 +116,8 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
     public Set<TableCapability> capabilities() {
       return java.util.EnumSet.of(
           TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-          TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ);
+          TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+          TableCapability.STREAMING_WRITE);
     }
 
     @Override
@@ -176,6 +177,16 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
         public BatchWrite toBatch() {
           return new QuiverJvmBatchWrite(schema, options, doTruncate);
         }
+
+        @Override
+        public org.apache.spark.sql.connector.write.streaming.StreamingWrite toStreaming() {
+          if (doTruncate) {
+            throw new UnsupportedOperationException(
+                "quiverjvm streaming sink: append output mode only "
+                    + "(complete/update would truncate the table per epoch)");
+          }
+          return new QuiverJvmStreamingWrite(schema, options);
+        }
       };
     }
   }
@@ -184,6 +195,10 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
     private final StructType schema;
     private final Map<String, String> options;
     private final boolean truncate;
+    /** commit-counter seed captured from the manifest a truncate deletes
+     * (manifest.py's monotone-across-resets rule: restarting at 1 would
+     * stamp new files below a standing CDC consumer's cursor). */
+    private long seedSeq = 0;
 
     QuiverJvmBatchWrite(StructType schema, Map<String, String> options, boolean truncate) {
       this.schema = schema;
@@ -199,6 +214,15 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       }
       java.io.File dir = new java.io.File(path);
       if (truncate && dir.isDirectory()) {
+        try {
+          com.fasterxml.jackson.databind.JsonNode prev = QuiverJvmRead.readManifestRaw(path);
+          if (prev != null) seedSeq = prev.path("commit_seq").asLong(0);
+        } catch (java.io.IOException corrupt) {
+          // unreadable history: seed from the wall clock (manifest.py's
+          // sequence-reuse guard — strictly above any plausible commit
+          // count, so standing cursors re-deliver instead of skipping)
+          seedSeq = System.currentTimeMillis() / 1000L;
+        }
         deleteTableFiles(dir);
       }
       dir.mkdirs();
@@ -242,90 +266,330 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       // FIRST scan of an ingested table plans from one metadata read —
       // no rebuild_manifest retrofit pass, no footer re-reads (the task
       // writers shipped the entry facts in their commit messages).
-      if ("false".equalsIgnoreCase(options.getOrDefault("manifest", "true"))) return;
-      String path = QuiverJvmRead.localPath(options.get("path"));
-      try {
-        com.fasterxml.jackson.databind.ObjectMapper om =
-            new com.fasterxml.jackson.databind.ObjectMapper();
-        com.fasterxml.jackson.databind.node.ObjectNode root;
-        com.fasterxml.jackson.databind.JsonNode prev =
-            truncate ? null : QuiverJvmRead.readManifestRaw(path);
-        if (prev != null && prev.isObject() && prev.path("version").asInt(-1) == 1) {
-          // append: merge into the existing manifest — dropping prior
-          // entries would silently degrade their planning to footer reads.
-          // Concurrency note: this read-merge-publish does NOT take the
-          // Python sink's flock (JVM FileChannel locks are POSIX-record
-          // locks — a different namespace than flock, so holding one
-          // would exclude nothing). A racing writer can therefore win
-          // the last atomic move and drop this commit's ENTRIES from the
-          // manifest — never its FILES: a manifest-absent file plans via
-          // its own footer, and a stale entry fails the size/mtime_ns
-          // validation. The manifest is a cache; races cost planning
-          // I/O, not correctness. Serialized writers (maintenance.ingest,
-          // any single-writer pipeline) always get the full manifest.
-          root = (com.fasterxml.jackson.databind.node.ObjectNode) prev.deepCopy();
-        } else {
-          root = om.createObjectNode();
-          root.put("version", 1);
-          root.putArray("schemas");
-          root.putObject("files");
-        }
-        com.fasterxml.jackson.databind.node.ArrayNode schemas =
-            (com.fasterxml.jackson.databind.node.ArrayNode) root.withArray("schemas");
-        // the FILE schema: partition keys ride the path, not the pages —
-        // interning the full write schema would desynchronize the
-        // manifest from every footer (verify_manifest mismatch)
-        StructType fileSchema = schema;
-        String pcsv = options.getOrDefault("__partition_cols", "");
-        if (!pcsv.isEmpty()) {
-          java.util.Set<String> pcols = new java.util.HashSet<>(
-              java.util.Arrays.asList(pcsv.split(",")));
-          StructType ds = new StructType();
-          for (org.apache.spark.sql.types.StructField f : schema.fields()) {
-            if (!pcols.contains(f.name())) ds = ds.add(f);
-          }
-          fileSchema = ds;
-        }
-        String b64 = QuiverFileEncoder.schemaB64(fileSchema);
-        int schemaIdx = -1;
-        for (int i = 0; i < schemas.size(); i++) {
-          if (b64.equals(schemas.get(i).asText())) { schemaIdx = i; break; }
-        }
-        if (schemaIdx < 0) {
-          schemaIdx = schemas.size();
-          schemas.add(b64);
-        }
-        com.fasterxml.jackson.databind.node.ObjectNode files =
-            root.with("files");
-        for (WriterCommitMessage m : messages) {
-          if (!(m instanceof QuiverDataWriterFactory.CommitMsg)) continue;
-          for (String ej : ((QuiverDataWriterFactory.CommitMsg) m).entryJsons) {
-            com.fasterxml.jackson.databind.node.ObjectNode e =
-                (com.fasterxml.jackson.databind.node.ObjectNode) om.readTree(ej);
-            String rel = e.remove("rel").asText();
-            e.put("schema", schemaIdx);
-            files.set(rel, e);
-          }
-        }
-        // atomic publish: write-temp + move, same protocol as _write_raw
-        java.io.File tmp = new java.io.File(path,
-            "_manifest.json.gz.tmp." + java.util.UUID.randomUUID().toString().replace("-", ""));
-        try (java.util.zip.GZIPOutputStream gz =
-            new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(tmp))) {
-          gz.write(om.writeValueAsBytes(root));
-        }
-        java.nio.file.Files.move(
-            tmp.toPath(), new java.io.File(path, "_manifest.json.gz").toPath(),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE);
-      } catch (java.io.IOException e) {
-        throw new RuntimeException("quiverjvm: manifest write failed for " + path, e);
-      }
+      publishManifest(schema, options, truncate, seedSeq, messages);
     }
 
     @Override
     public void abort(WriterCommitMessage[] messages) {
       // tmp files of failed attempts are cleaned by their own abort()
+    }
+  }
+
+  /** Merge the task writers' manifest-entry facts into the table manifest
+   * and publish atomically — ONE CDC commit (manifest.py update_manifest
+   * parity): the counter bumps, the new entries take its stamp, and the
+   * commit wall-time is recorded, so `changes_since` / `start_commit`
+   * cursors see JVM-written files exactly like Python-sink commits.
+   * (Before round 13 JVM commits stamped nothing — an appended file read
+   * as commit 0 and a standing CDC cursor silently skipped it.) */
+  static void publishManifest(
+      StructType schema,
+      Map<String, String> options,
+      boolean fresh,
+      long seedSeq,
+      WriterCommitMessage[] messages) {
+    if ("false".equalsIgnoreCase(options.getOrDefault("manifest", "true"))) return;
+    String path = QuiverJvmRead.localPath(options.get("path"));
+    try {
+      com.fasterxml.jackson.databind.ObjectMapper om =
+          new com.fasterxml.jackson.databind.ObjectMapper();
+      com.fasterxml.jackson.databind.node.ObjectNode root;
+      com.fasterxml.jackson.databind.JsonNode prev =
+          fresh ? null : QuiverJvmRead.readManifestRaw(path);
+      if (prev != null && prev.isObject() && prev.path("version").asInt(-1) == 1) {
+        // append: merge into the existing manifest — dropping prior
+        // entries would silently degrade their planning to footer reads.
+        // Concurrency note: this read-merge-publish does NOT take the
+        // Python sink's flock (JVM FileChannel locks are POSIX-record
+        // locks — a different namespace than flock, so holding one
+        // would exclude nothing). A racing writer can therefore win
+        // the last atomic move and drop this commit's ENTRIES from the
+        // manifest — never its FILES: a manifest-absent file plans via
+        // its own footer, and a stale entry fails the size/mtime_ns
+        // validation. The manifest is a cache; races cost planning
+        // I/O, not correctness. Serialized writers (maintenance.ingest,
+        // any single-writer pipeline) always get the full manifest.
+        root = (com.fasterxml.jackson.databind.node.ObjectNode) prev.deepCopy();
+      } else {
+        root = om.createObjectNode();
+        root.put("version", 1);
+        root.putArray("schemas");
+        root.putObject("files");
+        if (seedSeq > 0) root.put("commit_seq", seedSeq);
+      }
+      com.fasterxml.jackson.databind.node.ArrayNode schemas =
+          (com.fasterxml.jackson.databind.node.ArrayNode) root.withArray("schemas");
+      // the FILE schema: partition keys ride the path, not the pages —
+      // interning the full write schema would desynchronize the
+      // manifest from every footer (verify_manifest mismatch)
+      StructType fileSchema = schema;
+      String pcsv = options.getOrDefault("__partition_cols", "");
+      if (!pcsv.isEmpty()) {
+        java.util.Set<String> pcols = new java.util.HashSet<>(
+            java.util.Arrays.asList(pcsv.split(",")));
+        StructType ds = new StructType();
+        for (org.apache.spark.sql.types.StructField f : schema.fields()) {
+          if (!pcols.contains(f.name())) ds = ds.add(f);
+        }
+        fileSchema = ds;
+      }
+      String b64 = QuiverFileEncoder.schemaB64(fileSchema);
+      int schemaIdx = -1;
+      for (int i = 0; i < schemas.size(); i++) {
+        if (b64.equals(schemas.get(i).asText())) { schemaIdx = i; break; }
+      }
+      if (schemaIdx < 0) {
+        schemaIdx = schemas.size();
+        schemas.add(b64);
+      }
+      // CDC commit stamp (manifest.py _stamp_commit parity): advance the
+      // monotone counter, record a never-backwards wall-time for it
+      // (commit_at time cursors), bound the time map to the most recent
+      // 10k commits, and stamp every entry of THIS commit with the seq.
+      long seq = Math.max(root.path("commit_seq").asLong(0) + 1, 1);
+      root.put("commit_seq", seq);
+      com.fasterxml.jackson.databind.node.ObjectNode times =
+          root.with("commit_times");
+      long maxPrev = 0;
+      for (java.util.Iterator<String> it = times.fieldNames(); it.hasNext(); ) {
+        maxPrev = Math.max(maxPrev, times.get(it.next()).asLong(0));
+      }
+      times.put(Long.toString(seq),
+          Math.max(System.currentTimeMillis() / 1000L, maxPrev));
+      if (times.size() > 10_000) {
+        java.util.List<Long> keys = new java.util.ArrayList<>();
+        for (java.util.Iterator<String> it = times.fieldNames(); it.hasNext(); ) {
+          keys.add(Long.parseLong(it.next()));
+        }
+        java.util.Collections.sort(keys);
+        for (int i = 0; i < keys.size() - 10_000; i++) {
+          times.remove(Long.toString(keys.get(i)));
+        }
+      }
+      com.fasterxml.jackson.databind.node.ObjectNode files =
+          root.with("files");
+      for (WriterCommitMessage m : messages) {
+        String[] entryJsons = entryJsonsOf(m);
+        if (entryJsons == null) continue;
+        for (String ej : entryJsons) {
+          com.fasterxml.jackson.databind.node.ObjectNode e =
+              (com.fasterxml.jackson.databind.node.ObjectNode) om.readTree(ej);
+          String rel = e.remove("rel").asText();
+          e.put("schema", schemaIdx);
+          e.put("commit", seq);
+          files.set(rel, e);
+        }
+      }
+      // atomic publish: write-temp + move, same protocol as _write_raw
+      java.io.File tmp = new java.io.File(path,
+          "_manifest.json.gz.tmp." + java.util.UUID.randomUUID().toString().replace("-", ""));
+      try (java.util.zip.GZIPOutputStream gz =
+          new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(tmp))) {
+        gz.write(om.writeValueAsBytes(root));
+      }
+      java.nio.file.Files.move(
+          tmp.toPath(), new java.io.File(path, "_manifest.json.gz").toPath(),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE);
+    } catch (java.io.IOException e) {
+      throw new RuntimeException("quiverjvm: manifest write failed for " + path, e);
+    }
+  }
+
+  /** entryJsons of a task commit message, CLASSLOADER-TOLERANT: with the
+   * jar attached at runtime (ADD JAR), streaming epoch results can
+   * deserialize under a different classloader than the one that loaded
+   * this class, making {@code instanceof CommitMsg} silently FALSE — the
+   * epoch would then publish nothing and still write its marker (rows
+   * staged forever, batch acknowledged: silent loss). Match by class NAME
+   * and read the field reflectively; null = not a quiver commit message. */
+  static String[] entryJsonsOf(WriterCommitMessage m) {
+    if (m == null) return null;
+    if (m instanceof QuiverDataWriterFactory.CommitMsg) {
+      return ((QuiverDataWriterFactory.CommitMsg) m).entryJsons;
+    }
+    if (!m.getClass().getName()
+        .equals(QuiverDataWriterFactory.CommitMsg.class.getName())) {
+      return null;
+    }
+    try {
+      java.lang.reflect.Field f = m.getClass().getDeclaredField("entryJsons");
+      f.setAccessible(true);
+      return (String[]) f.get(m);
+    } catch (ReflectiveOperationException e) {
+      throw new IllegalStateException(
+          "quiverjvm: cross-classloader commit message field access failed", e);
+    }
+  }
+
+  /** Streaming SINK — the JVM twin of the Python QuiverStreamWriter
+   * (quiver_datasource.py:2393, same on-disk protocol, so a stream can
+   * switch engines mid-table): each micro-batch's task files stage under
+   * a hidden {@code _temporary/} root (readers never descend it) and
+   * publish on epoch commit; the per-batch marker log
+   * ({@code _quiver_commits/<batchId>}) makes REPLAYED batches idempotent
+   * after a driver failure. Every published epoch is ONE manifest commit
+   * (CDC-stamped via publishManifest), so downstream changes_since /
+   * start_commit consumers tail a streamed table exactly like a batch one.
+   * The remaining at-least-once window is a crash BETWEEN publish and the
+   * marker write — the Python sink's exact commit-point semantics. */
+  static final class QuiverJvmStreamingWrite
+      implements org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    private final StructType schema;
+    private final Map<String, String> options;
+    /** per-query staging root; file names are UUID-unique so epochs
+     * can share it — epoch identity lives in the commit messages */
+    private final String stageRel =
+        "_temporary/jvmstream-"
+            + java.util.UUID.randomUUID().toString().replace("-", "");
+
+    QuiverJvmStreamingWrite(StructType schema, Map<String, String> options) {
+      this.schema = schema;
+      this.options = options;
+    }
+
+    private String tablePath() {
+      String path = QuiverJvmRead.localPath(options.get("path"));
+      if (path == null) {
+        throw new IllegalArgumentException(
+            "quiverjvm streaming sink: no path given (use .start(dir))");
+      }
+      return path;
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+        createStreamingWriterFactory(PhysicalWriteInfo info) {
+      String path = tablePath();
+      java.io.File stage = new java.io.File(path, stageRel);
+      stage.mkdirs();
+      return new StagedFactory(new QuiverDataWriterFactory(
+          stage.getPath(),
+          schema.json(),
+          options.getOrDefault("codec", "zstd"),
+          Integer.parseInt(options.getOrDefault("max_page_size", "8192")),
+          Long.parseLong(options.getOrDefault("max_rows_per_file", String.valueOf(1L << 22))),
+          options.getOrDefault("bloom_columns", ""),
+          options.getOrDefault("__partition_cols", ""),
+          Double.parseDouble(options.getOrDefault("compress_ratio", "2.0")),
+          options.getOrDefault("forbidden", "")));
+    }
+
+    static final class StagedFactory
+        implements org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+      private static final long serialVersionUID = 1L;
+      private final QuiverDataWriterFactory inner;
+
+      StagedFactory(QuiverDataWriterFactory inner) {
+        this.inner = inner;
+      }
+
+      @Override
+      public org.apache.spark.sql.connector.write.DataWriter<org.apache.spark.sql.catalyst.InternalRow>
+          createWriter(int partitionId, long taskId, long epochId) {
+        return inner.createWriter(partitionId, taskId);
+      }
+    }
+
+    @Override
+    public void commit(long epochId, WriterCommitMessage[] messages) {
+      String path = tablePath();
+      java.io.File stage = new java.io.File(path, stageRel);
+      java.io.File logDir = new java.io.File(path, "_quiver_commits");
+      logDir.mkdirs();
+      java.io.File marker = new java.io.File(logDir, Long.toString(epochId));
+      if (marker.exists()) {
+        // replayed batch: its files are already visible — drop the
+        // re-staged output instead of double-publishing (Python parity)
+        dropStaged(stage, messages);
+        return;
+      }
+      try {
+        int published = 0;
+        for (String rel : stagedRels(messages)) {
+          java.io.File dst = new java.io.File(path, rel);
+          java.io.File parent = dst.getParentFile();
+          if (parent != null) parent.mkdirs();
+          // sidecar before data file: a reader that can see the data
+          // file always finds its sidecar (task-commit convention)
+          java.io.File srcSc = new java.io.File(stage, rel + ".stats.json");
+          if (srcSc.exists()) {
+            java.nio.file.Files.move(
+                srcSc.toPath(),
+                new java.io.File(path, rel + ".stats.json").toPath(),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING);
+          }
+          // same-filesystem rename: size/mtime_ns shipped in the entry
+          // facts (stat'd at task commit in the staging dir) stay valid
+          java.nio.file.Files.move(
+              new java.io.File(stage, rel).toPath(), dst.toPath(),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING);
+          published++;
+        }
+        // one manifest commit per non-empty epoch (empty micro-batches
+        // must not inflate the CDC sequence under processing-time
+        // triggers — Python parity: _publish skips empty appends)
+        if (published > 0) {
+          publishManifest(schema, options, false, 0, messages);
+        }
+        // marker LAST: the at-least-once window is a crash between the
+        // publish above and this write
+        java.io.File tmp = new java.io.File(logDir,
+            "." + epochId + ".tmp." + java.util.UUID.randomUUID().toString().replace("-", ""));
+        java.nio.file.Files.write(tmp.toPath(),
+            "ok".getBytes(java.nio.charset.StandardCharsets.UTF_8));
+        java.nio.file.Files.move(tmp.toPath(), marker.toPath(),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE);
+        // best-effort prune of the emptied staging tree (task writers
+        // recreate dirs on flush, so removing the root is safe)
+        pruneEmptyDirs(stage);
+      } catch (java.io.IOException e) {
+        throw new RuntimeException(
+            "quiverjvm streaming commit of batch " + epochId + " failed for " + path, e);
+      }
+    }
+
+    /** Delete a directory tree bottom-up, stopping at any non-empty dir
+     * (a concurrent epoch's staged files are never touched). */
+    private static void pruneEmptyDirs(java.io.File dir) {
+      java.io.File[] entries = dir.listFiles();
+      if (entries == null) return;
+      for (java.io.File f : entries) {
+        if (f.isDirectory()) pruneEmptyDirs(f);
+      }
+      dir.delete(); // succeeds only when emptied
+    }
+
+    @Override
+    public void abort(long epochId, WriterCommitMessage[] messages) {
+      dropStaged(new java.io.File(tablePath(), stageRel), messages);
+    }
+
+    private static java.util.List<String> stagedRels(WriterCommitMessage[] messages) {
+      com.fasterxml.jackson.databind.ObjectMapper om =
+          new com.fasterxml.jackson.databind.ObjectMapper();
+      java.util.List<String> rels = new java.util.ArrayList<>();
+      for (WriterCommitMessage m : messages) {
+        String[] entryJsons = entryJsonsOf(m);
+        if (entryJsons == null) continue;
+        for (String ej : entryJsons) {
+          try {
+            rels.add(om.readTree(ej).path("rel").asText());
+          } catch (com.fasterxml.jackson.core.JsonProcessingException ex) {
+            throw new IllegalStateException(
+                "quiverjvm streaming sink: corrupt commit message entry", ex);
+          }
+        }
+      }
+      return rels;
+    }
+
+    private static void dropStaged(java.io.File stage, WriterCommitMessage[] messages) {
+      for (String rel : stagedRels(messages)) {
+        new java.io.File(stage, rel).delete();
+        new java.io.File(stage, rel + ".stats.json").delete();
+      }
     }
   }
 }

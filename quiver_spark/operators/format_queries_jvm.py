@@ -729,3 +729,63 @@ def quiverjvm_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "quiverjvm_stream_sink_scan",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("format", "jvm", "streaming", "sink", "agg"),
+)
+def quiverjvm_stream_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming WRITE through the JVM streaming sink (round 13
+    — completes the fast-path streaming pair next to quiverjvm_stream_scan's
+    source): the orders table streams quiverjvm→quiverjvm (availableNow),
+    each micro-batch staging under _temporary/ and publishing on epoch
+    commit with the Python sink's exact protocol (_quiver_commits markers,
+    one CDC-stamped manifest commit per batch), and the STREAMED table's
+    JVM batch scan must equal the parquet oracle — the write-path parity
+    contract under the driver's hash. Rows never cross the JVM→Python
+    boundary in either direction."""
+    import tempfile
+
+    from quiver_spark.jvm import attach_jar
+    from quiver_spark.operators.format_queries import quiver_dir
+    from quiver_spark.operators.format_queries2 import _marker_dir
+
+    if not attach_jar(spark):
+        raise RuntimeError("quiverjvm jar failed to attach via ADD JAR")
+
+    def build(d: str) -> None:
+        src = quiver_dir(spark, sf_dir, "orders")
+        ckpt = tempfile.mkdtemp(prefix="quiver_qjsink_ckpt_")
+        q = (
+            spark.readStream.format("quiverjvm")
+            .load(src)
+            .writeStream.format("quiverjvm")
+            .option("path", d)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    d = _marker_dir(spark, sf_dir, "orders-jvm-stream-sink", build)
+    return (
+        spark.read.format("quiverjvm")
+        .load(d)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("price_sum"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+    )

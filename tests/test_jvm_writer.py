@@ -555,3 +555,59 @@ def test_jvm_nested_hive_fanout_and_dml_interop(spark, tmp_path):
         if i % 4 != 0
     )
     assert got2 == exp2
+
+
+def test_jvm_append_stamps_cdc_commit(spark, tmp_path):
+    """A quiverjvm commit is ONE manifest commit (update_manifest parity):
+    commit_seq bumps, the new entries carry the stamp, and a standing
+    changes_since cursor DELIVERS the appended rows. Before round 13 the
+    JVM commit stamped nothing — appended entries read as commit 0 and a
+    CDC consumer silently skipped them (measured: 0 of 10 rows)."""
+    _require_jar(spark)
+    from quiver_spark.sources import scan
+    from quiver_spark.sources.manifest import load_manifest
+
+    d = str(tmp_path / "tbl")
+    spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1).write.format(
+        "quiverjvm"
+    ).mode("overwrite").save(d)
+    c0 = load_manifest(d).commit_seq
+    assert c0 >= 1
+    spark.range(10, 20).selectExpr("id", "id * 2 AS v").coalesce(1).write.format(
+        "quiverjvm"
+    ).mode("append").save(d)
+    man = load_manifest(d)
+    assert man.commit_seq == c0 + 1
+    stamps = {e.commit for e in man.entries.values()}
+    assert stamps == {c0, c0 + 1}, stamps
+    got = sorted(
+        (r.id, r.v) for r in scan(spark, d, changes_since=c0).collect()
+    )
+    assert got == [(i, i * 2) for i in range(10, 20)]
+
+
+def test_jvm_truncate_seeds_commit_counter(spark, tmp_path):
+    """Overwrite deletes the manifest, but the commit counter must stay
+    monotone across the reset (manifest.py's sequence-reuse rule):
+    restarting at 1 would stamp new files below a standing CDC cursor —
+    the silent-loss direction. The JVM truncate seeds the fresh manifest
+    from the deleted one's counter."""
+    _require_jar(spark)
+    from quiver_spark.sources.manifest import load_manifest
+
+    d = str(tmp_path / "tbl")
+    spark.range(5).selectExpr("id").coalesce(1).write.format(
+        "quiverjvm"
+    ).mode("overwrite").save(d)
+    for lo in (5, 10, 15):
+        spark.range(lo, lo + 5).selectExpr("id").coalesce(1).write.format(
+            "quiverjvm"
+        ).mode("append").save(d)
+    before = load_manifest(d).commit_seq
+    assert before == 4
+    spark.range(100, 105).selectExpr("id").coalesce(1).write.format(
+        "quiverjvm"
+    ).mode("overwrite").save(d)
+    after = load_manifest(d)
+    assert after.commit_seq == before + 1
+    assert {e.commit for e in after.entries.values()} == {before + 1}

@@ -621,3 +621,121 @@ def test_jvm_stream_nested_and_hive(spark, tmp_path):
     )
     got_h = stream_rows(hive, "jvm_hive_stream")
     assert got_h == want_h
+
+
+def test_jvm_streaming_sink_roundtrip_and_commit_protocol(spark, tmp_path):
+    """The JVM streaming SINK (quiverjvm writeStream): micro-batches stage
+    under _temporary/, publish on epoch commit, and leave the Python
+    sink's exact on-disk protocol — per-batch markers in _quiver_commits/,
+    ONE CDC-stamped manifest commit per non-empty epoch, staging pruned.
+    The streamed table reads identically through BOTH engines."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    import os
+
+    from quiver_spark.sources.manifest import load_manifest
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(60).selectExpr("id", "concat('v', id) AS s").coalesce(
+        3
+    ).write.format("quiverjvm").mode("overwrite").save(src)
+    q = (
+        spark.readStream.format("quiverjvm")
+        .load(src)
+        .writeStream.format("quiverjvm")
+        .option("path", dst)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(map(tuple, spark.read.format("quiverjvm").load(src).collect()))
+    got_py = sorted(map(tuple, spark.read.format("quiver").load(dst).collect()))
+    got_jvm = sorted(map(tuple, spark.read.format("quiverjvm").load(dst).collect()))
+    assert got_py == want and got_jvm == want
+    # commit protocol: marker log + CDC-stamped manifest + pruned staging
+    assert os.listdir(os.path.join(dst, "_quiver_commits")) == ["0"]
+    man = load_manifest(dst)
+    assert man.commit_seq == 1
+    assert {e.commit for e in man.entries.values()} == {1}
+    assert not os.path.exists(os.path.join(dst, "_temporary")) or not os.listdir(
+        os.path.join(dst, "_temporary")
+    )
+
+
+def test_jvm_streaming_sink_replay_marker_drops_batch(spark, tmp_path):
+    """Idempotent replay: a batch whose _quiver_commits marker already
+    exists must DROP its re-staged output instead of double-publishing
+    (the Python sink's recovery contract, shared log layout). Pre-seeding
+    marker 0 simulates the replayed epoch."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    import glob
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(10).selectExpr("id").write.format("quiverjvm").mode(
+        "overwrite"
+    ).save(src)
+    os.makedirs(os.path.join(dst, "_quiver_commits"))
+    with open(os.path.join(dst, "_quiver_commits", "0"), "w") as f:
+        f.write("ok")
+    q = (
+        spark.readStream.format("quiverjvm")
+        .load(src)
+        .writeStream.format("quiverjvm")
+        .option("path", dst)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert glob.glob(os.path.join(dst, "*.quiver")) == []
+
+
+def test_jvm_streaming_sink_restart_appends_only_delta(spark, tmp_path):
+    """Checkpointed restart of a quiverjvm->quiverjvm stream delivers only
+    the NEW source commit (batch 1), never re-publishing batch 0 — and
+    each batch lands as its own CDC commit in the sink's manifest."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    import os
+
+    from quiver_spark.sources.manifest import load_manifest
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("quiverjvm")
+            .load(src)
+            .writeStream.format("quiverjvm")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.range(10).selectExpr("id").coalesce(1).write.format(
+        "quiverjvm"
+    ).mode("overwrite").save(src)
+    run_once()
+    spark.range(10, 25).selectExpr("id").coalesce(1).write.format(
+        "quiverjvm"
+    ).mode("append").save(src)
+    run_once()
+    got = sorted(r.id for r in spark.read.format("quiverjvm").load(dst).collect())
+    assert got == list(range(25))
+    assert sorted(os.listdir(os.path.join(dst, "_quiver_commits"))) == ["0", "1"]
+    assert load_manifest(dst).commit_seq == 2

@@ -116,3 +116,46 @@ def try_jvm_scan(spark, path: str, **options):
                 stacklevel=3,
             )
         return None
+
+
+#: sink options the JVM streaming writer serves natively; anything else
+#: (pointer_store, arrowipc-specific knobs, …) keeps the Python sink.
+JVM_SINK_OPTS = frozenset(
+    {"codec", "max_page_size", "max_rows_per_file", "bloom_columns",
+     "compress_ratio", "forbidden", "manifest"}
+)
+
+
+def stream_writer(df, path: str, **options):
+    """Unified quiver streaming SINK — the write-side twin of ``scan``:
+    returns a configured ``DataStreamWriter`` (caller adds trigger +
+    checkpointLocation and ``.start()``s) routed to the fastest engine
+    able to serve the stream correctly:
+
+    - **quiverjvm** (round 13): rows never cross the JVM→Python boundary;
+      micro-batches stage under ``_temporary/`` and publish on epoch
+      commit. Taken when the schema is JVM-encodable and the jar attaches.
+    - **python "quiver" sink** fallback: exotic leaf types or any sink
+      option outside JVM_SINK_OPTS.
+
+    Both engines share the on-disk protocol (same data files, same
+    ``_quiver_commits/<batchId>`` marker log, same CDC-stamped manifest
+    commits), so routing never changes what readers see — only the engine
+    that produces it. A checkpointed stream can even resume through the
+    OTHER engine: the marker log is the idempotence contract, not the
+    writer identity."""
+    from quiver_spark.jvm import attach_jar, supports_schema
+
+    spark = df.sparkSession
+    register(spark)
+    use_jvm = (
+        set(options) <= JVM_SINK_OPTS
+        and supports_schema(df.schema)
+        and attach_jar(spark)
+    )
+    engine = "quiverjvm" if use_jvm else "quiver"
+    writer = df.writeStream.format(engine).option("path", path)
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    writer._quiver_engine = engine  # observability: tests pin the routing
+    return writer

@@ -739,3 +739,40 @@ def test_jvm_streaming_sink_restart_appends_only_delta(spark, tmp_path):
     assert got == list(range(25))
     assert sorted(os.listdir(os.path.join(dst, "_quiver_commits"))) == ["0", "1"]
     assert load_manifest(dst).commit_seq == 2
+
+
+def test_stream_writer_router(spark, tmp_path):
+    """sources.stream_writer — the write-side twin of sources.scan: a
+    JVM-encodable schema with allowlisted sink options rides the quiverjvm
+    streaming sink; non-allowlisted options (pointer_store) or exotic leaf
+    types keep the Python sink. Routing never changes what readers see —
+    the routed JVM stream round-trips through BOTH batch readers."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    import os
+
+    from quiver_spark.sources import stream_writer
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(25).selectExpr("id", "concat('r', id) AS s").write.format(
+        "quiverjvm"
+    ).mode("overwrite").save(src)
+    stream_df = spark.readStream.format("quiverjvm").load(src)
+    w = stream_writer(stream_df, dst)
+    assert w._quiver_engine == "quiverjvm"
+    q = (
+        w.option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(map(tuple, spark.read.format("quiverjvm").load(src).collect()))
+    assert sorted(map(tuple, spark.read.format("quiver").load(dst).collect())) == want
+    assert sorted(map(tuple, spark.read.format("quiverjvm").load(dst).collect())) == want
+    assert os.path.isdir(os.path.join(dst, "_quiver_commits"))
+    # a sink option outside the JVM allowlist pins the Python sink
+    w2 = stream_writer(stream_df, str(tmp_path / "dst2"), pointer_store="unlocked")
+    assert w2._quiver_engine == "quiver"

@@ -323,3 +323,101 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("qid", "vec_id", F.col("s").cast("double").alias("adc_dot"), "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top component via distributed power iteration
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 2  #: power-iteration rounds (fixed so the oracle unrolls)
+PCA_SCALE = 1_000_000  #: loading re-quantization scale per round
+
+
+def _pca_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(f"""
+s{t} AS (
+    SELECT iv.vec_id, SUM(iv.xi * v.v) AS s
+    FROM iv JOIN {prev} v ON iv.i = v.i
+    GROUP BY iv.vec_id
+),
+y{t} AS (
+    SELECT iv.i, SUM(CAST(s.s AS HUGEINT) * iv.xi) AS y
+    FROM iv JOIN s{t} s ON iv.vec_id = s.vec_id
+    GROUP BY iv.i
+),
+m{t} AS (SELECT MAX(ABS(y)) AS m FROM y{t}),
+v{t} AS (
+    SELECT i, CAST(ROUND(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+                         * {PCA_SCALE}) AS BIGINT) AS v
+    FROM y{t}, m{t}
+)""")
+        prev = f"v{t}"
+    chain = ",".join(steps)
+    return f"""
+WITH iv AS ({SQL_IV}),
+v0 AS (SELECT CAST(i AS BIGINT) AS i, CAST({PCA_SCALE} AS BIGINT) AS v
+       FROM range(1, 65) t(i)),{chain}
+SELECT i, v AS loading FROM v{PCA_ITERS}
+"""
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle=_pca_oracle(),
+    tags=("similarity", "pca", "training"),
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding corpus
+    via {PCA_ITERS} distributed power-iteration rounds — the
+    dimensionality-reduction / whitening trainer next to the k-means and
+    PQ trainers. Per round: ``s = X·v`` is a map-side fold against the
+    broadcast 64-component direction (the corpus never shuffles for it),
+    ``y = Xᵀ·s`` is ONE posexplode aggregate whose shuffle carries 64
+    keys of map-combined partial sums regardless of corpus size, and the
+    direction re-quantizes by its max-magnitude component.
+
+    Determinism: X entries and v are scaled BIGINTs, so s is an exact
+    integer fold; the y sums are exact 38-digit decimal integers (DuckDB
+    mirrors with HUGEINT — same integers); each round's only
+    floating-point steps are two casts of identical exact integers and
+    one IEEE divide+round. Sign is pinned by the all-positive seed."""
+    emb = _int_corpus(spark, sf_dir)
+    vrow = spark.range(1).select(
+        F.expr(f"array_repeat(CAST({PCA_SCALE} AS BIGINT), 64)").alias("varr")
+    )
+    for _ in range(PCA_ITERS):
+        # s projected BELOW the Generate so the fold runs once per vector,
+        # not once per exploded component
+        s = (
+            emb.crossJoin(F.broadcast(vrow))
+            .select("iv", int_dot("iv", "varr").alias("s"))
+            .select("s", F.posexplode("iv").alias("p", "xi"))
+        )
+        y = s.groupBy((F.col("p") + 1).alias("i")).agg(
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("xi")).alias("y")
+        )
+        # y is 64 rows but has TWO consumers (m and v) and feeds the next
+        # round's lineage — without a checkpoint boundary each consumer
+        # and each later round re-runs the corpus aggregate (audited: 6
+        # corpus exchanges for 2 rounds; the lm_score defect class). Lazy
+        # so building the DataFrame costs nothing.
+        y = y.localCheckpoint(eager=False)
+        m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+        v = y.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.round(
+                F.col("y").cast("double") / F.col("m").cast("double") * PCA_SCALE
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+        vrow = v.agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct('i', i, 'v', v)),"
+                " (a, b) -> CAST(a.i - b.i AS INT)), s -> s.v)"
+            ).alias("varr")
+        )
+    return v.select("i", F.col("v").alias("loading"))

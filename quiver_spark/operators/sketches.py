@@ -183,3 +183,61 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sketch_hll_union",
+    oracle="""
+WITH per AS (
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_cust
+    FROM orders GROUP BY o_orderpriority
+),
+tot AS (SELECT COUNT(DISTINCT o_custkey) AS union_exact FROM orders)
+SELECT o_orderpriority, exact_cust, TRUE AS within_5pct,
+       union_exact, TRUE AS union_within_5pct
+FROM per, tot
+""",
+    tags=("sketch", "hll", "agg"),
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches as FIRST-CLASS VALUES (Spark's
+    Datasketches `hll_sketch_agg` binary), not just a scalar estimate:
+    one sketch of the ordering customers is built PER PRIORITY CLASS,
+    then the five sketches MERGE (`hll_union_agg`) into the global
+    distinct estimate — the exact posture of 1000 executors shipping
+    partial sketches upward, or of pre-aggregated per-partition sketches
+    answering ad-hoc union queries without rescanning data. Sketch bytes
+    are engine-specific, so the oracle-checkable surface is the exact
+    counts plus deterministic booleans asserting both the per-class and
+    merged estimates land within a 5% envelope (lgConfigK=12 ≈ 1.6% rsd;
+    estimates are deterministic for fixed data)."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", 12).alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_cust"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
+    )
+    tot = o.agg(F.countDistinct("o_custkey").alias("union_exact"))
+    env = lambda est, exact: (  # noqa: E731 — 5% envelope, small-group floor
+        F.abs(est - F.col(exact))
+        <= F.greatest(0.05 * F.col(exact), F.lit(2.0))
+    )
+    return (
+        per.select(
+            "o_orderpriority",
+            "exact_cust",
+            env(F.hll_sketch_estimate("sk"), "exact_cust").alias("within_5pct"),
+        )
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            "exact_cust",
+            "within_5pct",
+            "union_exact",
+            env(F.col("union_est"), "union_exact").alias("union_within_5pct"),
+        )
+    )

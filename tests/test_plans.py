@@ -553,3 +553,18 @@ def test_bloom_build_single_scan_per_side(spark):
     plan = plans.physical_plan(df)
     assert plan.count("Scan parquet") <= 3, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_pca_power_iteration_plan(spark):
+    """embedding_pca_power_iteration: the 64-row y of each round is
+    localCheckpoint-ed — without the boundary its two consumers (m and v)
+    and every later round re-ran the corpus aggregate (audited: 6 corpus
+    exchanges for 2 rounds, the lm_score defect class). The final plan
+    must read from the checkpoint (Scan ExistingRDD), contain no corpus
+    Generate, no window, and no Python eval; X·v stays a map-side fold."""
+    df = _df(spark, "embedding_pca_power_iteration")
+    plan = plans.physical_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Generate") == 0, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -335,6 +335,36 @@ def main() -> None:
             .mode("overwrite")
             .save(f"{wdir}/qj")
         )
+        # Streaming-sink A/B (round 13): the same quiverjvm stream of
+        # lineitem drained (availableNow) through Spark's parquet file
+        # sink vs the quiverjvm streaming sink — identical source and
+        # micro-batch machinery on both sides, so the ratio isolates the
+        # SINK (stage+publish+marker+manifest vs _spark_metadata).
+        # Fresh dst+checkpoint per rep: stream sinks append.
+        _stream_src_df = spark.readStream.format("quiverjvm").load(
+            quiver_dir(spark, sf_dir, "lineitem")
+        )
+
+        def _stream_sink(fmt: str):
+            def run() -> None:
+                import shutil as _shutil
+                import tempfile as _tempfile
+
+                base = _tempfile.mkdtemp(prefix=f"bench_ssink_{fmt}_")
+                q = (
+                    _stream_src_df.writeStream.format(fmt)
+                    .option("path", f"{base}/out")
+                    .option("checkpointLocation", f"{base}/ck")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+                _shutil.rmtree(base, ignore_errors=True)
+
+            return run
+
+        proxies["stream_sink_parquet_lineitem"] = _stream_sink("parquet")
+        proxies["stream_sink_quiverjvm_lineitem"] = _stream_sink("quiverjvm")
     # Pair-adjacent interleaved passes (round 12, VERDICT r11 #2): each
     # parquet control runs IMMEDIATELY before its quiver/quiverjvm
     # treatments within every one of the 5 passes, and every headline
@@ -369,6 +399,8 @@ def main() -> None:
         "write_parquet_lineitem",
         "write_quiver_lineitem",
         "write_quiverjvm_lineitem",
+        "stream_sink_parquet_lineitem",
+        "stream_sink_quiverjvm_lineitem",
     ]
     assert set(proxies) <= set(_order), sorted(set(proxies) - set(_order))
     proxies = {k: proxies[k] for k in _order if k in proxies}
@@ -472,6 +504,10 @@ def main() -> None:
                         ),
                         "quiverjvm_vs_parquet_nested_ratio": _paired_ratio(
                             "nested_quiverjvm_embeddings", "nested_parquet_embeddings"
+                        ),
+                        "stream_sink_vs_parquet_ratio": _paired_ratio(
+                            "stream_sink_quiverjvm_lineitem",
+                            "stream_sink_parquet_lineitem",
                         ),
                     }
                     if "write_quiverjvm_lineitem" in timings

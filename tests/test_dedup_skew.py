@@ -217,3 +217,47 @@ def test_span_excision_keep_one_semantics(spark, tmp_path):
     assert out[2].clean_text == "gamma delta"
     assert out[3].tokens_removed == 0 and out[3].clean_text == rows[2][1]
     assert out[4].tokens_removed == 0 and out[4].clean_text == "tiny"
+
+
+def test_gopher_topword_fold_matches_counter(spark):
+    """The sorted-array max-run-length fold inside
+    text_gopher_quality_filter computes the most-frequent-word count
+    without an explode; cross-check it against collections.Counter on
+    200 seeded-random word lists (incl. empty, all-equal, and
+    max-run-at-END lists — the fold's accumulator must not lose a run
+    that never terminates)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(13)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = []
+    for i in range(200):
+        n = rng.randrange(0, 30)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if i % 7 == 0:
+            words = ["zz"] * rng.randrange(1, 6)  # all-equal
+        if i % 11 == 0 and words:
+            words = sorted(words)  # max run ends the array
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    words = "filter(split(text, '\\\\s+'), x -> x <> '')"
+    maxc = f"""
+    aggregate(
+        sort_array({words}),
+        named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        (s, x) -> named_struct(
+            'prev', x,
+            'run', IF(x <=> s.prev, s.run + 1, 1L),
+            'best', GREATEST(s.best, IF(x <=> s.prev, s.run + 1, 1L))),
+        s -> s.best)
+    """
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: r.maxc
+        for r in df.select("doc_id", F.expr(maxc).alias("maxc")).collect()
+    }
+    for i, text in docs:
+        want = max(Counter(text.split()).values(), default=0)
+        assert got[i] == want, (i, text, got[i], want)

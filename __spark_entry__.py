@@ -25,18 +25,18 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # Round 13 window (50). Staleness audit at the start of round 13 (computed
 # from CORRECTNESS_r1..r12; every one of the 179 queries registered then
 # has at least one driver-green row and ZERO failures ever): r9-stale = 31,
-# r10 = 50, r11 = 48, r12 = 50; 12 new gates this round (191 total). Window:
+# r10 = 50, r11 = 48, r12 = 50; 15 new gates this round (194 total). Window:
 # (a) the 31 r9-stale rows — the oldest cohort, exhausted this round so no
-# query's newest green row will be older than round 10; (b) the 12 new
+# query's newest green row will be older than round 10; (b) the 15 new
 # round-13 gates (JVM time travel / CDC / SQL catalog / stream source /
 # stream sink, the KL divergence, Gopher-rule filter, Bloom membership,
-# k-means, PQ, PCA, and HLL-union operators); (c) the 4 queries whose
-# ENGINE or shape materially changed this round (time travel, CDC-cursor,
-# and merge-schemas scans reroute to quiverjvm under quiver_relation's
+# k-means, PQ, PCA, HLL-union, n-gram novelty, SCD-2 history, and
+# referential-audit operators); (c) the 4 queries whose ENGINE or shape
+# materially changed this round (time travel, CDC-cursor, and
+# merge-schemas scans reroute to quiverjvm under quiver_relation's
 # engine="auto" — the round-13 semantic-option lift — and the
-# decontamination eval-cap fix); (d) fill with 3 of the r10 cohort, JVM
-# gates and DML/maintenance scans first (the classes the option-routing
-# and localPath changes touch). Position 51+ falls back to registry order.
+# decontamination eval-cap fix). 31+15+4 = 50; position 51+ falls back to
+# registry order.
 _PRIORITY = [
     # (a) the 31 round-9-stale rows
     "arrow_ipc_merge_scan",
@@ -83,6 +83,9 @@ _PRIORITY = [
     "ann_pq_topk",
     "embedding_pca_power_iteration",
     "sketch_hll_union",
+    "text_ngram_novelty",
+    "events_scd2_history",
+    "dq_referential_audit",
     # (c) materially changed this round (semantic-option routing; the
     # decontamination eval slice gained its fixed cap — the x10 sweep
     # caught eval-scaling quadratic work)
@@ -90,10 +93,6 @@ _PRIORITY = [
     "quiver_incremental_scan",
     "quiver_merge_schemas_scan",
     "decontaminate_embedding_overlap",
-    # (d) r10-cohort fill — JVM gates + DML/maintenance scans first
-    "quiverjvm_scan_agg",
-    "quiverjvm_ingest_roundtrip",
-    "quiver_merge_cdc_scan",
 ]
 
 

@@ -437,3 +437,42 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(partition by prev_type)"
         ).alias("share_10k"),
     )
+
+
+@register(
+    "events_scd2_history",
+    oracle=f"""
+SELECT user_id, event_id, value,
+       strftime(ts, '{TS_FMT_DUCK}') AS valid_from,
+       strftime(LEAD(ts) OVER w, '{TS_FMT_DUCK}') AS valid_to,
+       CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("events", "scd2", "window", "timeseries"),
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history building — turn a change feed into validity
+    ranges: each user's purchase events become rows
+    (value, valid_from, valid_to, is_current) where valid_to is the NEXT
+    change's timestamp (open-ended for the current row). The complement
+    of events_latest_per_user's SCD-1 compaction: dimension tables that
+    must answer "what was the state AT time t" are built exactly this
+    way from CDC feeds.
+
+    Per-user windows partition cleanly (no global ordering, uniform user
+    keys), so the build scales with user count; the (ts, event_id)
+    tie-break makes the ranges deterministic under equal timestamps."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.date_format("ts", TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(nxt, TS_FMT_SPARK).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("bigint").alias("is_current"),
+    )

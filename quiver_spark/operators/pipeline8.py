@@ -338,3 +338,84 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("false_positives"),
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty: how much of each source is first-seen content?
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+WITH shingles AS (
+    SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS shingle
+    FROM (
+        SELECT doc_id,
+               words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS words
+            FROM documents
+        ), UNNEST(range(1, GREATEST(len(words) - 1, 1))) t(i)
+    )
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_grams FROM shingles GROUP BY doc_id
+),
+firsts AS (
+    SELECT MIN(doc_id) AS first_doc FROM shingles GROUP BY shingle
+),
+first_counts AS (
+    SELECT first_doc AS doc_id, COUNT(*) AS n_first
+    FROM firsts GROUP BY first_doc
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_grams) AS BIGINT) AS grams,
+       CAST(SUM(COALESCE(f.n_first, 0)) AS BIGINT) AS first_seen,
+       CAST((10000 * SUM(COALESCE(f.n_first, 0)))
+            // SUM(p.n_grams) AS BIGINT) AS novelty_bp
+FROM per_doc p
+JOIN documents d ON p.doc_id = d.doc_id
+LEFT JOIN first_counts f ON p.doc_id = f.doc_id
+GROUP BY d.source
+""",
+    tags=("text", "novelty", "dedup", "pipeline"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram NOVELTY — the data-curation view of duplication:
+    of each document's distinct word 3-grams, how many appear for the
+    FIRST time (by doc_id order) in that document? A source that mostly
+    re-states earlier shingles contributes little novel signal to a
+    training mix, however large its token count.
+
+    Plan: one shingle explode (shared shape with the dedup family), a
+    (shingle → min doc_id) aggregate, and the per-doc first-seen counts
+    come from GROUPING THE MINIMA — no join back to the corpus-scale
+    shingle set. Novelty is integer basis points (exact ``div``)."""
+    from quiver_spark.operators.dedup import _shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    first_counts = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    per = (
+        per_doc.join(first_counts, "doc_id", "left")
+        .fillna({"n_first": 0})
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("grams"),
+        F.sum("n_first").cast("bigint").alias("first_seen"),
+        F.expr("CAST((10000 * SUM(n_first)) DIV SUM(n_grams) AS BIGINT)").alias(
+            "novelty_bp"
+        ),
+    )

@@ -360,3 +360,86 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "dq_referential_audit",
+    oracle="""
+SELECT 'orders->customer' AS relation,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS child_rows,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT) AS orphan_children,
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey))
+            AS BIGINT) AS childless_parents
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem->part',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+            AS BIGINT),
+       CAST((SELECT COUNT(*) FROM part p
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_partkey = p.p_partkey))
+            AS BIGINT)
+""",
+    tags=("dq", "join", "anti", "audit"),
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across three foreign-key edges — the
+    data-quality sweep a warehouse runs before trusting a snapshot:
+    orphaned children (FK target missing — must be zero on a consistent
+    TPC-H snapshot, and the audit PROVES it rather than assumes it) and
+    childless parents (customers who never ordered — legitimately
+    non-zero, which keeps the oracle hash non-trivial).
+
+    Each edge is two anti joins; the dimension side broadcasts under the
+    size gate, so the fact tables never shuffle for the orphan checks."""
+    from quiver_spark.tables import maybe_broadcast
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+
+    def edge(name, child, ckey, parent, pkey):
+        pk = parent.select(pkey)
+        ck = child.select(ckey)
+        return (
+            child.join(
+                maybe_broadcast(pk), ck[ckey] == pk[pkey], "left_anti"
+            )
+            .agg(F.count(F.lit(1)).alias("orphan_children"))
+            .crossJoin(child.agg(F.count(F.lit(1)).alias("child_rows")))
+            .crossJoin(
+                parent.join(ck.distinct(), pk[pkey] == ck[ckey], "left_anti")
+                .agg(F.count(F.lit(1)).alias("childless_parents"))
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                F.col("child_rows").cast("bigint"),
+                F.col("orphan_children").cast("bigint"),
+                F.col("childless_parents").cast("bigint"),
+            )
+        )
+
+    return (
+        edge("orders->customer", orders, "o_custkey", cust, "c_custkey")
+        .unionByName(edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"))
+        .unionByName(edge("lineitem->part", li, "l_partkey", part, "p_partkey"))
+    )

@@ -365,13 +365,26 @@ public final class QuiverJvmRead {
     if (!mergeSchemas && !m.has("table_schema")) {
       com.fasterxml.jackson.databind.JsonNode files = m.get("files");
       if (files != null) {
-        int schemaIdx = Integer.MIN_VALUE;
+        java.util.LinkedHashSet<Integer> idxs = new java.util.LinkedHashSet<>();
         for (java.util.Iterator<String> it = files.fieldNames(); it.hasNext(); ) {
           com.fasterxml.jackson.databind.JsonNode e = files.get(it.next());
           if (e.has("schema") && "quiver".equals(e.path("fmt").asText("quiver"))) {
-            int idx = e.get("schema").asInt();
-            if (schemaIdx == Integer.MIN_VALUE) schemaIdx = idx;
-            else if (schemaIdx != idx) {
+            idxs.add(e.get("schema").asInt());
+          }
+        }
+        // Distinct interned indexes are only HETEROGENEOUS when the parsed
+        // schemas actually differ (field names, arrow types, nullability,
+        // children): the two engines serialize IDENTICAL schemas with
+        // different IPC minutiae (empty-vs-absent custom_metadata), and a
+        // mixed-engine table (JVM stream epochs + Python batch appends)
+        // must not lose the fast path over representation bytes. The
+        // per-file openChunk name+type checks still reject any real
+        // conflict loudly at read time.
+        if (idxs.size() > 1) {
+          java.util.Iterator<Integer> it = idxs.iterator();
+          int first = it.next();
+          while (it.hasNext()) {
+            if (!sameInternedSchema(m, first, it.next())) {
               throw new UnsupportedOperationException(
                   "quiverjvm: files carry heterogeneous schemas (merge-schemas "
                       + "table): read with the Python 'quiver' DataSource");
@@ -380,6 +393,47 @@ public final class QuiverJvmRead {
         }
       }
     }
+  }
+
+  /** Are two interned manifest schemas the SAME table schema once parsed
+   * (name, arrow type, nullability, children — metadata ignored)? */
+  static boolean sameInternedSchema(
+      com.fasterxml.jackson.databind.JsonNode m, int ia, int ib) {
+    try {
+      com.fasterxml.jackson.databind.JsonNode schemas = m.get("schemas");
+      if (schemas == null || ia < 0 || ib < 0
+          || ia >= schemas.size() || ib >= schemas.size()) {
+        return false;
+      }
+      Schema a = parseB64Schema(schemas.get(ia).asText());
+      Schema b = parseB64Schema(schemas.get(ib).asText());
+      java.util.List<Field> fa = a.getFields(), fb = b.getFields();
+      if (fa.size() != fb.size()) return false;
+      for (int i = 0; i < fa.size(); i++) {
+        if (!sameArrowField(fa.get(i), fb.get(i))) return false;
+      }
+      return true;
+    } catch (Exception e) {
+      return false; // undecodable → keep the refusal
+    }
+  }
+
+  static boolean sameArrowField(Field a, Field b) {
+    if (!a.getName().equals(b.getName())) return false;
+    if (a.isNullable() != b.isNullable()) return false;
+    if (!a.getType().equals(b.getType())) return false;
+    java.util.List<Field> ca = a.getChildren(), cb = b.getChildren();
+    if (ca.size() != cb.size()) return false;
+    for (int i = 0; i < ca.size(); i++) {
+      if (!sameArrowField(ca.get(i), cb.get(i))) return false;
+    }
+    return true;
+  }
+
+  static Schema parseB64Schema(String b64) throws IOException {
+    byte[] ipc = java.util.Base64.getDecoder().decode(b64);
+    return MessageSerializer.deserializeSchema(
+        new ReadChannel(Channels.newChannel(new ByteArrayInputStream(ipc))));
   }
 
   /** Declared (ALTER-DDL) table schema from the manifest, or null. */

@@ -1550,3 +1550,38 @@ def test_jvm_catalog_insert_overwrite(spark, tmp_path):
     back = spark.read.format("quiverjvm").load(d)
     assert back.count() == 6
     spark.sql("DROP TABLE ow_qt")
+
+
+def test_mixed_engine_table_keeps_fast_path(spark, tmp_path):
+    """A table written by BOTH engines (JVM overwrite + Python-sink
+    append) interns two schema-IPC byte strings that differ only in
+    serialization minutiae (empty-vs-absent custom_metadata) — the
+    heterogeneous-schema guard must compare PARSED schemas and keep
+    serving the table, not refuse over representation bytes. A REAL
+    conflict (same name, different type) must still refuse to the
+    Python DataSource."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "mixed")
+    spark.range(10).selectExpr("id", "concat('a', id) AS s").coalesce(
+        1
+    ).write.format("quiverjvm").mode("overwrite").save(d)
+    spark.range(10, 20).selectExpr("id", "concat('b', id) AS s").coalesce(
+        1
+    ).write.format("quiver").mode("append").save(d)
+    got = sorted(map(tuple, spark.read.format("quiverjvm").load(d).collect()))
+    want = sorted(map(tuple, spark.read.format("quiver").load(d).collect()))
+    assert got == want and len(got) == 20
+
+    # real type conflict: id becomes a string in the appended file
+    d2 = str(tmp_path / "conflict")
+    spark.range(5).selectExpr("id", "concat('a', id) AS s").coalesce(
+        1
+    ).write.format("quiverjvm").mode("overwrite").save(d2)
+    spark.range(5, 10).selectExpr(
+        "CAST(id AS STRING) AS id", "concat('b', id) AS s"
+    ).coalesce(1).write.format("quiver").mode("append").save(d2)
+    with pytest.raises(Exception, match="heterogeneous|Python 'quiver'"):
+        spark.read.format("quiverjvm").load(d2).collect()

@@ -776,3 +776,61 @@ def test_stream_writer_router(spark, tmp_path):
     # a sink option outside the JVM allowlist pins the Python sink
     w2 = stream_writer(stream_df, str(tmp_path / "dst2"), pointer_store="unlocked")
     assert w2._quiver_engine == "quiver"
+
+
+def test_jvm_stream_sink_concurrent_python_append(spark, tmp_path):
+    """A Python-sink batch APPEND racing the JVM streaming sink's epoch
+    commits on the same table: the manifest merge is lock-free on the JVM
+    side (documented race — a losing merge costs manifest ENTRIES, never
+    FILES: absent entries plan via their own footers), so the contract to
+    pin is that every row of BOTH writers is readable afterwards through
+    BOTH engines."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(10).selectExpr("id").coalesce(1).write.format(
+        "quiverjvm"
+    ).mode("overwrite").save(src)
+    for lo in range(10, 80, 10):
+        spark.range(lo, lo + 10).selectExpr("id").coalesce(1).write.format(
+            "quiverjvm"
+        ).mode("append").save(src)
+    q = (
+        spark.readStream.format("quiverjvm")
+        .option("max_files_per_trigger", "1")
+        .load(src)
+        .writeStream.format("quiverjvm")
+        .option("path", dst)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    appended = []
+    lo = 1000
+    while q.isActive and lo < 1030:
+        spark.range(lo, lo + 10).selectExpr("id").coalesce(1).write.format(
+            "quiver"
+        ).mode("append").save(dst)
+        appended.extend(range(lo, lo + 10))
+        lo += 10
+    q.awaitTermination(120)
+    while lo < 1030:  # drained too fast to interleave: append the rest
+        spark.range(lo, lo + 10).selectExpr("id").coalesce(1).write.format(
+            "quiver"
+        ).mode("append").save(dst)
+        appended.extend(range(lo, lo + 10))
+        lo += 10
+    want = sorted(list(range(80)) + appended)
+    got_py = sorted(r.id for r in spark.read.format("quiver").load(dst).collect())
+    got_jvm = sorted(
+        r.id for r in spark.read.format("quiverjvm").load(dst).collect()
+    )
+    assert got_py == want
+    assert got_jvm == want
+    # every stream epoch left its marker
+    assert len(os.listdir(os.path.join(dst, "_quiver_commits"))) >= 1

@@ -445,7 +445,18 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
 
     QuiverJvmStreamingWrite(StructType schema, Map<String, String> options) {
       this.schema = schema;
-      this.options = options;
+      // Hive fan-out via the `partition_by` OPTION: Spark's V2 streaming
+      // path silently DROPS DataStreamWriter.partitionBy (the transforms
+      // never reach TableProvider.getTable), so the sink can neither
+      // honor nor even detect it — the option is the supported spelling,
+      // mapped onto the same __partition_cols plumbing the batch writer's
+      // partitioning transforms use (task-writer fan-out + partition
+      // columns excluded from the interned manifest schema).
+      this.options = new HashMap<>(options);
+      String pb = this.options.remove("partition_by");
+      if (pb != null && !pb.isEmpty()) {
+        this.options.put("__partition_cols", pb);
+      }
     }
 
     private String tablePath() {

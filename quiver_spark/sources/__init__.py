@@ -122,7 +122,7 @@ def try_jvm_scan(spark, path: str, **options):
 #: (pointer_store, arrowipc-specific knobs, …) keeps the Python sink.
 JVM_SINK_OPTS = frozenset(
     {"codec", "max_page_size", "max_rows_per_file", "bloom_columns",
-     "compress_ratio", "forbidden", "manifest"}
+     "compress_ratio", "forbidden", "manifest", "partition_by"}
 )
 
 

@@ -834,3 +834,48 @@ def test_jvm_stream_sink_concurrent_python_append(spark, tmp_path):
     assert got_jvm == want
     # every stream epoch left its marker
     assert len(os.listdir(os.path.join(dst, "_quiver_commits"))) >= 1
+
+
+def test_jvm_streaming_sink_partition_by_option(spark, tmp_path):
+    """Hive fan-out in the JVM STREAMING sink via the `partition_by`
+    option — Spark's V2 streaming path silently DROPS
+    DataStreamWriter.partitionBy (the transforms never reach the table),
+    so the option is the supported spelling. Epochs land col=value
+    layouts; both engines read the streamed table; partition filters
+    prune."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(40).selectExpr("id", "CAST(id % 3 AS INT) AS bucket").write.format(
+        "quiverjvm"
+    ).mode("overwrite").save(src)
+    q = (
+        spark.readStream.format("quiverjvm")
+        .load(src)
+        .writeStream.format("quiverjvm")
+        .option("path", dst)
+        .option("partition_by", "bucket")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        x for x in os.listdir(dst) if "=" in x
+    ) == ["bucket=0", "bucket=1", "bucket=2"]
+    jd = spark.read.format("quiverjvm").load(dst)
+    want = sorted(
+        map(tuple, spark.read.format("quiverjvm").load(src).collect())
+    )
+    assert sorted(map(tuple, jd.collect())) == want
+    assert sorted(
+        map(tuple, spark.read.format("quiver").load(dst).collect())
+    ) == want
+    assert jd.filter("bucket = 1").count() == sum(
+        1 for i in range(40) if i % 3 == 1
+    )

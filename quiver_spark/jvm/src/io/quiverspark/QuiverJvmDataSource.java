@@ -199,6 +199,10 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
      * (manifest.py's monotone-across-resets rule: restarting at 1 would
      * stamp new files below a standing CDC consumer's cursor). */
     private long seedSeq = 0;
+    /** the RESOLVED data root task writers target (live generation for
+     * appends into generation tables) — the job-commit manifest must
+     * land there too, not at the table root. */
+    private String destRoot;
 
     QuiverJvmBatchWrite(StructType schema, Map<String, String> options, boolean truncate) {
       this.schema = schema;
@@ -212,6 +216,34 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       if (path == null) {
         throw new IllegalArgumentException("quiverjvm: no path given (use .save(dir))");
       }
+      if (new java.io.File(path, "_current").isFile()) {
+        if (truncate) {
+          // an in-place truncate cannot perform the Python sink's atomic
+          // generation swap (staged commit + CAS pointer) — silently
+          // flattening a generation table would strand every retained
+          // snapshot. Refuse loudly; overwrite through the Python sink.
+          throw new UnsupportedOperationException(
+              "quiverjvm: overwrite of a generation-layout table needs the "
+                  + "atomic generation-swap protocol — write with the "
+                  + "Python 'quiver' sink");
+        }
+        // APPEND resolves the LIVE generation (Python _data_root parity):
+        // files written at the TABLE root sit where every reader's
+        // resolution skips — the job would report success while both
+        // engines read none of its rows (silent loss; round-13 probe: 10
+        // appended rows invisible). Lock-free caveat: an overwrite racing
+        // this append can swap generations between here and the job
+        // commit, stranding the append in the superseded snapshot —
+        // coordinated multi-writer pipelines use the Python sink's
+        // flock/CAS protocol.
+        try {
+          path = QuiverJvmRead.resolveRoot(path);
+        } catch (java.io.IOException e) {
+          throw new RuntimeException(
+              "quiverjvm: cannot resolve live generation of " + path, e);
+        }
+      }
+      destRoot = path;
       java.io.File dir = new java.io.File(path);
       if (truncate && dir.isDirectory()) {
         try {
@@ -266,7 +298,7 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       // FIRST scan of an ingested table plans from one metadata read —
       // no rebuild_manifest retrofit pass, no footer re-reads (the task
       // writers shipped the entry facts in their commit messages).
-      publishManifest(schema, options, truncate, seedSeq, messages);
+      publishManifest(schema, options, truncate, seedSeq, destRoot, messages);
     }
 
     @Override
@@ -287,9 +319,11 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       Map<String, String> options,
       boolean fresh,
       long seedSeq,
+      String destRoot,
       WriterCommitMessage[] messages) {
     if ("false".equalsIgnoreCase(options.getOrDefault("manifest", "true"))) return;
-    String path = QuiverJvmRead.localPath(options.get("path"));
+    String path = destRoot != null
+        ? destRoot : QuiverJvmRead.localPath(options.get("path"));
     try {
       com.fasterxml.jackson.databind.ObjectMapper om =
           new com.fasterxml.jackson.databind.ObjectMapper();
@@ -516,9 +550,14 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
         return;
       }
       try {
+        // publish into the LIVE data root, resolved AT COMMIT TIME — on a
+        // generation-layout table the table root is invisible to every
+        // reader, and an overwrite mid-stream moves the target (the
+        // Python sink's _publish resolves per batch the same way)
+        String destRoot = QuiverJvmRead.resolveRoot(path);
         int published = 0;
         for (String rel : stagedRels(messages)) {
-          java.io.File dst = new java.io.File(path, rel);
+          java.io.File dst = new java.io.File(destRoot, rel);
           java.io.File parent = dst.getParentFile();
           if (parent != null) parent.mkdirs();
           // sidecar before data file: a reader that can see the data
@@ -527,7 +566,7 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
           if (srcSc.exists()) {
             java.nio.file.Files.move(
                 srcSc.toPath(),
-                new java.io.File(path, rel + ".stats.json").toPath(),
+                new java.io.File(destRoot, rel + ".stats.json").toPath(),
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING);
           }
           // same-filesystem rename: size/mtime_ns shipped in the entry
@@ -541,7 +580,7 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
         // must not inflate the CDC sequence under processing-time
         // triggers — Python parity: _publish skips empty appends)
         if (published > 0) {
-          publishManifest(schema, options, false, 0, messages);
+          publishManifest(schema, options, false, 0, destRoot, messages);
         }
         // marker LAST: the at-least-once window is a crash between the
         // publish above and this write

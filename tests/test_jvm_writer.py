@@ -611,3 +611,67 @@ def test_jvm_truncate_seeds_commit_counter(spark, tmp_path):
     after = load_manifest(d)
     assert after.commit_seq == before + 1
     assert {e.commit for e in after.entries.values()} == {before + 1}
+
+
+def test_jvm_append_resolves_live_generation(spark, tmp_path):
+    """Appending via quiverjvm into a GENERATION-layout table must land in
+    the live gen-NNNNNN/ root — files written at the table root sit where
+    every reader's resolution skips, so the pre-fix behavior reported
+    success while BOTH engines read none of the appended rows (silent
+    loss). Overwrite of a generation table refuses loudly: an in-place
+    truncate cannot perform the atomic generation swap."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "gen")
+    for lo in (0, 10):
+        spark.range(lo, lo + 10).selectExpr("id").write.format(
+            "quiver"
+        ).option("keep_generations", "2").mode("overwrite").save(d)
+    spark.range(100, 110).selectExpr("id").coalesce(1).write.format(
+        "quiverjvm"
+    ).mode("append").save(d)
+    want = list(range(10, 20)) + list(range(100, 110))
+    for fmt in ("quiver", "quiverjvm"):
+        got = sorted(r.id for r in spark.read.format(fmt).load(d).collect())
+        assert got == want, (fmt, got)
+    assert not [
+        f for f in os.listdir(d) if f.endswith(".quiver")
+    ], "append leaked files into the table root"
+    with pytest.raises(Exception, match="generation"):
+        spark.range(5).selectExpr("id").write.format("quiverjvm").mode(
+            "overwrite"
+        ).save(d)
+
+
+def test_jvm_stream_sink_into_generation_table(spark, tmp_path):
+    """Streaming epochs resolve the LIVE generation at commit time, so a
+    quiverjvm stream can feed a generation-layout table and the rows are
+    visible to both engines."""
+    _require_jar(spark)
+    from quiver_spark.sources import register
+
+    register(spark)
+    d = str(tmp_path / "gen")
+    spark.range(10).selectExpr("id").write.format("quiver").option(
+        "keep_generations", "2"
+    ).mode("overwrite").save(d)
+    src = str(tmp_path / "src")
+    spark.range(200, 210).selectExpr("id").write.format("quiverjvm").mode(
+        "overwrite"
+    ).save(src)
+    q = (
+        spark.readStream.format("quiverjvm")
+        .load(src)
+        .writeStream.format("quiverjvm")
+        .option("path", d)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = list(range(10)) + list(range(200, 210))
+    for fmt in ("quiver", "quiverjvm"):
+        got = sorted(r.id for r in spark.read.format(fmt).load(d).collect())
+        assert got == want, (fmt, got)

@@ -358,7 +358,11 @@ def main() -> None:
                     .trigger(availableNow=True)
                     .start()
                 )
-                q.awaitTermination(300)
+                if not q.awaitTermination(300):
+                    # a wedged rep must not keep running while rmtree pulls
+                    # its checkpoint away and the next rep races it
+                    q.stop()
+                    raise RuntimeError(f"bench stream sink rep wedged ({fmt})")
                 _shutil.rmtree(base, ignore_errors=True)
 
             return run

@@ -508,6 +508,23 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       String path = tablePath();
       java.io.File stage = new java.io.File(path, stageRel);
       stage.mkdirs();
+      // reclaim orphans: a crashed/restarted query's staging root (fresh
+      // UUID per QuiverJvmStreamingWrite) is never revisited — its staged
+      // files would otherwise accumulate unbounded under _temporary/.
+      // Age-gated so a CONCURRENT stream's live staging is never touched
+      // (same posture as the Python DS's _temporary listing GC).
+      java.io.File[] siblings = stage.getParentFile().listFiles();
+      long cutoff = System.currentTimeMillis() - 24L * 3600 * 1000;
+      if (siblings != null) {
+        for (java.io.File sib : siblings) {
+          if (sib.isDirectory()
+              && sib.getName().startsWith("jvmstream-")
+              && !sib.getName().equals(stage.getName())
+              && sib.lastModified() < cutoff) {
+            deleteRecursively(sib);
+          }
+        }
+      }
       return new StagedFactory(new QuiverDataWriterFactory(
           stage.getPath(),
           schema.json(),
@@ -598,6 +615,17 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
         throw new RuntimeException(
             "quiverjvm streaming commit of batch " + epochId + " failed for " + path, e);
       }
+    }
+
+    private static void deleteRecursively(java.io.File dir) {
+      java.io.File[] entries = dir.listFiles();
+      if (entries != null) {
+        for (java.io.File f : entries) {
+          if (f.isDirectory()) deleteRecursively(f);
+          else f.delete();
+        }
+      }
+      dir.delete();
     }
 
     /** Delete a directory tree bottom-up, stopping at any non-empty dir

@@ -440,9 +440,7 @@ public final class QuiverJvmRead {
   static Schema declaredSchema(com.fasterxml.jackson.databind.JsonNode m) {
     try {
       if (m == null || !m.has("table_schema")) return null;
-      byte[] ipc = java.util.Base64.getDecoder().decode(m.get("table_schema").asText());
-      return MessageSerializer.deserializeSchema(
-          new ReadChannel(Channels.newChannel(new ByteArrayInputStream(ipc))));
+      return parseB64Schema(m.get("table_schema").asText());
     } catch (Exception e) {
       throw new UnsupportedOperationException(
           "quiverjvm: undecodable declared table schema: "
@@ -516,11 +514,9 @@ public final class QuiverJvmRead {
       for (com.fasterxml.jackson.databind.JsonNode sn : m.get("schemas")) {
         Schema s = null;
         try {
-          byte[] ipc = java.util.Base64.getDecoder().decode(sn.asText());
-          s = MessageSerializer.deserializeSchema(
-              new ReadChannel(Channels.newChannel(new ByteArrayInputStream(ipc))));
+          s = parseB64Schema(sn.asText());
         } catch (Exception ignore) {
-          s = null;
+          s = null; // undecodable entry -> caller falls back to footers
         }
         out.add(s);
       }
@@ -592,9 +588,7 @@ public final class QuiverJvmRead {
   static Schema manifestSchema(com.fasterxml.jackson.databind.JsonNode m) {
     try {
       if (m == null || !m.has("schemas") || m.get("schemas").size() == 0) return null;
-      byte[] ipc = java.util.Base64.getDecoder().decode(m.get("schemas").get(0).asText());
-      return MessageSerializer.deserializeSchema(
-          new ReadChannel(Channels.newChannel(new ByteArrayInputStream(ipc))));
+      return parseB64Schema(m.get("schemas").get(0).asText());
     } catch (Exception e) {
       return null;
     }
@@ -1184,9 +1178,7 @@ public final class QuiverJvmRead {
             List<String> names = null;
             Schema s = null;
             try {
-              byte[] ipc = java.util.Base64.getDecoder().decode(sn.asText());
-              s = MessageSerializer.deserializeSchema(
-                  new ReadChannel(Channels.newChannel(new ByteArrayInputStream(ipc))));
+              s = parseB64Schema(sn.asText());
               names = new ArrayList<>();
               for (Field f : s.getFields()) names.add(f.getName());
             } catch (Exception ignore) {
@@ -1822,8 +1814,14 @@ public final class QuiverJvmRead {
           vec.putLongsLittleEndian(0, rows, raw, 0);
         } else {
           // non-us file unit (round-13 lift): convert per value into the
-          // us OnHeapColumnVector — pyarrow safe-cast parity via toMicros
+          // us OnHeapColumnVector — pyarrow safe-cast parity via toMicros.
+          // NULL slots are skipped: Arrow leaves undefined bytes at null
+          // positions (our Python encoder happens to forward-fill, but
+          // that is its private choice, not a format invariant), and a
+          // garbage ns value can fail toMicros' exactness check — a query
+          // must never die on a value it was never going to surface.
           for (int i = 0; i < rows; i++) {
+            if (valid != null && !valid[i]) continue;
             vec.putLong(i, toMicros(QuiverPageDecoder.leLong(raw, i * 8, 8), unit));
           }
         }

@@ -84,6 +84,7 @@ final class QuiverJvmStream
   private final StructType required;
   private final int maxFiles; // <= 0 = unlimited
   private final long startCommit; // < 0 = none
+  private final String version; // non-null = stream a PINNED generation
   /** rate-limit cursor: every file name already offered/committed,
    * monotone (Python twin: QuiverStreamReader._last). */
   private final List<String> last = new ArrayList<>();
@@ -127,7 +128,30 @@ final class QuiverJvmStream
     this.fullSchema = fullSchema;
     this.required = required;
     this.maxFiles = Integer.parseInt(opts.getOrDefault("max_files_per_trigger", "0"));
+    // Batch semantic options on a STREAM: honor what has stream
+    // semantics, refuse the rest LOUDLY — silently ignoring an option the
+    // batch reader honors is the worst outcome (schema inference already
+    // honored `version`, so ignoring it here would decode the live
+    // generation's files against a pinned generation's schema).
+    this.version = opts.get("version"); // pinned (frozen) generation
+    if (opts.containsKey("files")) {
+      throw new UnsupportedOperationException(
+          "quiverjvm stream: the files= subset option has no streaming "
+              + "semantics (a stream tails a table, not a fixed file list) "
+              + "— use a batch read");
+    }
+    if ("true".equalsIgnoreCase(opts.getOrDefault("merge_schemas", "false"))) {
+      throw new UnsupportedOperationException(
+          "quiverjvm stream: merge_schemas tables are batch-only on the "
+              + "JVM engine — stream through the Python 'quiver' source or "
+              + "declare a table schema (ALTER)");
+    }
+    // changes_since on a stream IS start_commit: seed the initial offset
+    // at the cursor, deliver the delta, keep tailing (the batch option's
+    // at-least-once contract carries over; start_commit wins when both
+    // are given since it is the stream-native spelling)
     String sc = opts.get("start_commit");
+    if (sc == null) sc = opts.get("changes_since");
     this.startCommit = sc == null ? -1L : Long.parseLong(sc);
   }
 
@@ -141,7 +165,7 @@ final class QuiverJvmStream
    * resolves through the LIVE generation each call). */
   private List<String> listRel() {
     try {
-      String root = QuiverJvmRead.resolveRoot(tablePath);
+      String root = QuiverJvmRead.resolveRoot(tablePath, version);
       List<File> files = new ArrayList<>();
       QuiverJvmRead.listFiles(new File(root), files);
       java.nio.file.Path tp = new File(tablePath).toPath();
@@ -160,7 +184,7 @@ final class QuiverJvmStream
   public Offset initialOffset() {
     if (startCommit < 0) return new FilesOffset(new ArrayList<>());
     try {
-      String root = QuiverJvmRead.resolveRoot(tablePath);
+      String root = QuiverJvmRead.resolveRoot(tablePath, version);
       com.fasterxml.jackson.databind.JsonNode man = QuiverJvmRead.readManifestRaw(root);
       com.fasterxml.jackson.databind.JsonNode manFiles =
           man == null ? null : man.get("files");
@@ -216,7 +240,7 @@ final class QuiverJvmStream
     try {
       // manifest facts for the LIVE root (offset names from retained
       // older generations simply miss the lookup — identity resolution)
-      String root = QuiverJvmRead.resolveRoot(tablePath);
+      String root = QuiverJvmRead.resolveRoot(tablePath, version);
       com.fasterxml.jackson.databind.JsonNode man = QuiverJvmRead.readManifestRaw(root);
       QuiverJvmRead.guardManifestNode(man);
       com.fasterxml.jackson.databind.JsonNode manFiles =

@@ -727,7 +727,12 @@ def quiverjvm_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "quiverjvm_stream_scan: stream did not drain within 300 s — "
+            "refusing to read a partial aggregate"
+        )
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -774,7 +779,12 @@ def quiverjvm_stream_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "quiverjvm_stream_sink_scan: stream did not drain within "
+                "300 s — refusing to cache a partial fixture"
+            )
 
     d = _marker_dir(spark, sf_dir, "orders-jvm-stream-sink", build)
     return (

@@ -63,17 +63,20 @@ twm AS (
     ) GROUP BY doc_id
 ),
 stats AS (
+    -- LEFT join: a zero-word document has no twm row but must still be
+    -- counted (the Spark fold yields maxc=0 for it); COALESCE keeps the
+    -- r_top rule's 5*0 <= 0 semantics identical on both engines
     SELECT w.doc_id, w.source,
            CAST(len(words) AS BIGINT) AS nw,
-           CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
-               AS chars,
+           CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+                AS BIGINT) AS chars,
            CAST(len(list_filter(words,
                 x -> list_contains([{_SQL_STOPLIST}], x))) AS BIGINT)
                AS stopc,
            CAST(len(list_filter(words,
                 x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alphac,
-           twm.maxc
-    FROM w JOIN twm ON w.doc_id = twm.doc_id
+           COALESCE(twm.maxc, 0) AS maxc
+    FROM w LEFT JOIN twm ON w.doc_id = twm.doc_id
 ),
 rules AS (
     SELECT source,

@@ -95,9 +95,15 @@ def try_jvm_scan(spark, path: str, **options):
     if not attach_jar(spark):
         return None
     try:
+        version = options.get("version")
         spark._jvm.io.quiverspark.QuiverJvmRead.inferTableSchema(
             path,
-            options.get("version"),
+            # str()-normalized: py4j matches the (String, String, boolean)
+            # signature by type, so an int version (a natural caller
+            # spelling — the .option path below str()s it too) would raise
+            # Py4JError, misclassify as a genuine fault, and silently cost
+            # the scan its JVM fast path
+            None if version is None else str(version),
             str(options.get("merge_schemas", "false")).lower() == "true",
         )
         reader = spark.read.format("quiverjvm")

@@ -261,3 +261,47 @@ def test_gopher_topword_fold_matches_counter(spark):
     for i, text in docs:
         want = max(Counter(text.split()).values(), default=0)
         assert got[i] == want, (i, text, got[i], want)
+
+
+def test_gopher_filter_counts_zero_word_docs(spark, tmp_path):
+    """A corpus with empty / whitespace-only documents: both engines must
+    COUNT them (nw=0, maxc=0) — the oracle's per-doc top-word CTE has no
+    row for them, and an inner join silently dropped them pre-fix."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quiver_spark.registry import load_all_operators
+
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["the a quick fox", "", "   ", "a a a a a the of b"], pa.string()
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s0", "s0", "s1", "s1"]),
+            "n_chars": pa.array([15, 0, 3, 18], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    spec = load_all_operators()["text_gopher_quality_filter"]
+    got = spec.spark(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    want = con.execute(spec.oracle).fetchdf()
+
+    def norm(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        return sorted(
+            tuple(repr(x) for x in r) for r in pdf.itertuples(index=False)
+        )
+
+    assert norm(got) == norm(want)
+    assert int(got["n_docs"].sum()) == 4  # the empty docs are counted

@@ -879,3 +879,58 @@ def test_jvm_streaming_sink_partition_by_option(spark, tmp_path):
     assert jd.filter("bucket = 1").count() == sum(
         1 for i in range(40) if i % 3 == 1
     )
+
+
+def test_jvm_stream_source_semantic_options(spark, tmp_path):
+    """The JVM stream source must HONOR or REFUSE the batch reader's
+    semantic options, never silently ignore them (pre-fix: schema came
+    from the pinned generation while data came from the live one).
+    version= streams the PINNED (frozen) generation; changes_since= seeds
+    the initial offset like start_commit (the batch option's delta
+    contract carries over); files= and merge_schemas= refuse loudly."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    import uuid
+
+    from quiver_spark.sources.manifest import load_manifest
+    from quiver_spark.sources.quiver_datasource import _data_root
+
+    d = str(tmp_path / "tbl")
+    spark.range(10).selectExpr("id").write.format("quiver").option(
+        "keep_generations", "2"
+    ).mode("overwrite").save(d)
+    c0 = load_manifest(_data_root(d)).commit_seq
+    spark.range(10, 20).selectExpr("id").write.format("quiver").option(
+        "keep_generations", "2"
+    ).mode("overwrite").save(d)
+
+    def drain(reader_opts, name):
+        q = (
+            spark.readStream.format("quiverjvm")
+            .options(**reader_opts)
+            .load(d)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return sorted(r.id for r in spark.sql(f"SELECT * FROM {name}").collect())
+
+    # version pins generation 1 (ids 0..9), not the live one
+    got = drain({"version": "1"}, "v_" + uuid.uuid4().hex[:6])
+    assert got == list(range(10)), got
+    # changes_since seeds the cursor: only the live generation's files
+    # (committed after c0) are delivered
+    got2 = drain({"changes_since": str(c0)}, "c_" + uuid.uuid4().hex[:6])
+    assert got2 == list(range(10, 20)), got2
+    # files= and merge_schemas refuse loudly instead of silently ignoring
+    for bad in ({"files": "[]"}, {"merge_schemas": "true"}):
+        try:
+            drain(bad, "b_" + uuid.uuid4().hex[:6])
+            raise AssertionError(f"{bad}: stream should have refused")
+        except Exception as ex:
+            assert "quiverjvm stream" in str(ex) or "batch-only" in str(ex), ex

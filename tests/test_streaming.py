@@ -934,3 +934,69 @@ def test_jvm_stream_source_semantic_options(spark, tmp_path):
             raise AssertionError(f"{bad}: stream should have refused")
         except Exception as ex:
             assert "quiverjvm stream" in str(ex) or "batch-only" in str(ex), ex
+
+
+def test_jvm_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join where BOTH sides are JVM
+    MicroBatchStream sources over a quiver table (the all-JVM pipeline:
+    quiver storage -> two JVM streams -> stateful join), drained with
+    availableNow and compared to the batch join on the same table."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    from quiver_spark.tables import load
+
+    d = str(tmp_path / "events_qv")
+    load(spark, SF_DIR, "events").coalesce(4).write.format("quiverjvm").mode(
+        "overwrite"
+    ).save(d)
+
+    def side(event_type, prefix):
+        return (
+            spark.readStream.format("quiverjvm")
+            .load(d)
+            .filter(F.col("event_type") == event_type)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    pairs = side("view", "v").join(
+        side("purchase", "p"),
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("jvm_vp_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = spark.table("jvm_vp_join").toPandas()
+    ev = load(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).toPandas()
+    key = ["v_user", "v_ts", "p_user", "p_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(batch) and len(batch) > 0
+    for k in key:
+        assert (got[k].values == batch[k].values).all()

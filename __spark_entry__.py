@@ -25,18 +25,20 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # Round 13 window (50). Staleness audit at the start of round 13 (computed
 # from CORRECTNESS_r1..r12; every one of the 179 queries registered then
 # has at least one driver-green row and ZERO failures ever): r9-stale = 31,
-# r10 = 50, r11 = 48, r12 = 50; 15 new gates this round (194 total). Window:
+# r10 = 50, r11 = 48, r12 = 50; 16 new gates this round (195 total). Window:
 # (a) the 31 r9-stale rows — the oldest cohort, exhausted this round so no
-# query's newest green row will be older than round 10; (b) the 15 new
+# query's newest green row will be older than round 10; (b) the 16 new
 # round-13 gates (JVM time travel / CDC / SQL catalog / stream source /
 # stream sink, the KL divergence, Gopher-rule filter, Bloom membership,
-# k-means, PQ, PCA, HLL-union, n-gram novelty, SCD-2 history, and
-# referential-audit operators); (c) the 4 queries whose ENGINE or shape
-# materially changed this round (time travel, CDC-cursor, and
+# k-means, PQ, PCA, HLL-union, n-gram novelty, SCD-2 history,
+# referential-audit, and TF-IDF operators); (c) 3 of the 4 queries whose
+# ENGINE or shape materially changed this round (time travel and
 # merge-schemas scans reroute to quiverjvm under quiver_relation's
 # engine="auto" — the round-13 semantic-option lift — and the
-# decontamination eval-cap fix). 31+15+4 = 50; position 51+ falls back to
-# registry order.
+# decontamination eval-cap fix; quiver_incremental_scan yields its slot
+# to the new TF-IDF gate — its changed path is covered by the (b)
+# quiverjvm_cdc_scan gate plus the CDC-stamping pytest pins). 31+16+3 =
+# 50; position 51+ falls back to registry order.
 _PRIORITY = [
     # (a) the 31 round-9-stale rows
     "arrow_ipc_merge_scan",
@@ -86,11 +88,11 @@ _PRIORITY = [
     "text_ngram_novelty",
     "events_scd2_history",
     "dq_referential_audit",
+    "text_tfidf_topk",
     # (c) materially changed this round (semantic-option routing; the
     # decontamination eval slice gained its fixed cap — the x10 sweep
     # caught eval-scaling quadratic work)
     "quiver_time_travel_scan",
-    "quiver_incremental_scan",
     "quiver_merge_schemas_scan",
     "decontaminate_embedding_overlap",
 ]

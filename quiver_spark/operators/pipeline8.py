@@ -422,3 +422,97 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_bp"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keywords per source
+# --------------------------------------------------------------------------
+
+TFIDF_TOPK = 5
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, unnest(list_filter(
+        regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+    FROM documents
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY token),
+stf AS (
+    SELECT source, token, COUNT(*) AS sum_tf
+    FROM toks GROUP BY source, token
+),
+scored AS (
+    SELECT s.source, s.token, d.doc_freq,
+           CAST(s.sum_tf AS BIGINT) AS sum_tf,
+           CAST(s.sum_tf AS DOUBLE)
+               * (LN((CAST(n.n_docs AS DOUBLE) + 1)
+                     / (CAST(d.doc_freq AS DOUBLE) + 1)) + 1) AS tfidf
+    FROM stf s JOIN df d ON s.token = d.token CROSS JOIN n
+),
+ranked AS (
+    SELECT source, token, CAST(doc_freq AS BIGINT) AS doc_freq, sum_tf, tfidf,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY tfidf DESC, token) AS rnk
+    FROM scored
+)
+SELECT source, token, doc_freq, sum_tf, tfidf, rnk
+FROM ranked WHERE rnk <= {TFIDF_TOPK}
+""",
+    tags=("text", "tfidf", "keywords", "pipeline"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF keywords — the corpus-characterization statistic
+    next to zipf/TTR/top-k counts: smooth-IDF (ln((N+1)/(df+1))+1) scored
+    over source-level term frequencies, top-{TFIDF_TOPK} terms per source.
+
+    Determinism without banning logarithms: the score is computed as
+    ``exact_bigint_sum_tf × idf`` — ONE multiplication of identical
+    operands per (source, token) — never a float SUM whose order could
+    differ across engines; ln on identical doubles is correctly rounded
+    identically (the zipf-slope operator pins the same property).
+
+    Plan shape: one corpus-token shuffle each for the (source, token)
+    frequencies and the document frequencies, a co-keyed token join of
+    the two AGGREGATES (never the raw token stream), per-source top-k
+    windows over ≤|vocabulary| rows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("filter(split(text, '\\\\s+'), x -> x <> '')")
+        ).alias("token"),
+    )
+    # N as a broadcast 1-row aggregate — never a driver-side count()
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    stf = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("sum_tf")
+    )
+    idf = (
+        F.log(
+            (F.col("n_docs").cast("double") + 1)
+            / (F.col("doc_freq").cast("double") + 1)
+        )
+        + 1
+    )
+    scored = stf.join(df, "token").crossJoin(F.broadcast(n)).select(
+        "source",
+        "token",
+        F.col("doc_freq").cast("bigint").alias("doc_freq"),
+        F.col("sum_tf").cast("bigint").alias("sum_tf"),
+        (F.col("sum_tf").cast("double") * idf).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+    )

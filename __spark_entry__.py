@@ -25,20 +25,22 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # Round 13 window (50). Staleness audit at the start of round 13 (computed
 # from CORRECTNESS_r1..r12; every one of the 179 queries registered then
 # has at least one driver-green row and ZERO failures ever): r9-stale = 31,
-# r10 = 50, r11 = 48, r12 = 50; 16 new gates this round (195 total). Window:
+# r10 = 50, r11 = 48, r12 = 50; 17 new gates this round (196 total). Window:
 # (a) the 31 r9-stale rows — the oldest cohort, exhausted this round so no
-# query's newest green row will be older than round 10; (b) the 16 new
+# query's newest green row will be older than round 10; (b) the 17 new
 # round-13 gates (JVM time travel / CDC / SQL catalog / stream source /
 # stream sink, the KL divergence, Gopher-rule filter, Bloom membership,
 # k-means, PQ, PCA, HLL-union, n-gram novelty, SCD-2 history,
-# referential-audit, and TF-IDF operators); (c) 3 of the 4 queries whose
-# ENGINE or shape materially changed this round (time travel and
-# merge-schemas scans reroute to quiverjvm under quiver_relation's
-# engine="auto" — the round-13 semantic-option lift — and the
-# decontamination eval-cap fix; quiver_incremental_scan yields its slot
-# to the new TF-IDF gate — its changed path is covered by the (b)
-# quiverjvm_cdc_scan gate plus the CDC-stamping pytest pins). 31+16+3 =
-# 50; position 51+ falls back to registry order.
+# referential-audit, TF-IDF, and epoch-shuffle operators — every NEW gate
+# gets a driver row this round, keeping the all-queries-driver-green
+# union invariant); (c) 2 of the 4 queries whose ENGINE or shape
+# materially changed this round (time-travel scans reroute to quiverjvm
+# under quiver_relation's engine="auto", and the decontamination
+# eval-cap fix; quiver_incremental_scan and quiver_merge_schemas_scan
+# yield their slots to new gates — the incremental path is covered by
+# the (b) quiverjvm_cdc_scan gate + the CDC-stamping pins, and the
+# merge-schemas routing by this session's JVM merge/mixed-engine pytest
+# pins). 31+17+2 = 50; position 51+ falls back to registry order.
 _PRIORITY = [
     # (a) the 31 round-9-stale rows
     "arrow_ipc_merge_scan",
@@ -89,11 +91,11 @@ _PRIORITY = [
     "events_scd2_history",
     "dq_referential_audit",
     "text_tfidf_topk",
+    "pipeline_epoch_shuffle_plan",
     # (c) materially changed this round (semantic-option routing; the
     # decontamination eval slice gained its fixed cap — the x10 sweep
     # caught eval-scaling quadratic work)
     "quiver_time_travel_scan",
-    "quiver_merge_schemas_scan",
     "decontaminate_embedding_overlap",
 ]
 

@@ -516,3 +516,97 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle planning (training-order reproducibility)
+# --------------------------------------------------------------------------
+
+EPOCHS = 3
+SHARDS = 8
+
+
+@register(
+    "pipeline_epoch_shuffle_plan",
+    oracle=f"""
+WITH placed AS (
+    SELECT e.epoch, d.doc_id, d.n_chars,
+           md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+               AS h,
+           (('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':'
+                || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % {SHARDS})
+               AS shard
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range({EPOCHS})) AS epoch) e
+),
+ranked AS (
+    SELECT epoch, shard, doc_id, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY epoch, shard ORDER BY h, doc_id) AS pos
+    FROM placed
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+           AS order_fingerprint
+FROM ranked
+GROUP BY epoch, shard
+""",
+    tags=("pipeline", "sampling", "shuffle", "training"),
+)
+def pipeline_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data shuffle plan: every document
+    gets a seeded pseudo-random position — shard and in-shard order both
+    derive from md5(epoch:doc_id) — so a re-run, a re-shard, or a DIFFERENT
+    ENGINE reproduces byte-identical data order (the property that makes a
+    training run resumable and an ablation comparable). The
+    order_fingerprint column proves it: an md5 over each shard's doc_id
+    sequence IN ORDER, hash-compared against DuckDB.
+
+    Plan shape: placement is pure map-side arithmetic (corpus × tiny epoch
+    array); the only exchange is the (epoch, shard) window+aggregate —
+    uniform md5-derived keys, {EPOCHS}×{SHARDS} groups."""
+    docs = load(spark, sf_dir, "documents")
+    placed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.expr(f"sequence(0, {EPOCHS - 1})")).alias("epoch"),
+    ).select(
+        "epoch",
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    ).withColumn(
+        "shard",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % SHARDS,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    ranked = placed.withColumn("pos", F.row_number().over(w))
+    return ranked.groupBy(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("shard").cast("bigint").alias("shard"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(array_sort(collect_list(named_struct("
+                    "'pos', pos, 'doc_id', doc_id)),"
+                    " (a, b) -> CAST(a.pos - b.pos AS INT)),"
+                    " s -> CAST(s.doc_id AS STRING))"
+                ),
+            )
+        ).alias("order_fingerprint"),
+    )

@@ -467,7 +467,7 @@ FROM ranked WHERE rnk <= {TFIDF_TOPK}
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source TF-IDF keywords — the corpus-characterization statistic
     next to zipf/TTR/top-k counts: smooth-IDF (ln((N+1)/(df+1))+1) scored
-    over source-level term frequencies, top-{TFIDF_TOPK} terms per source.
+    over source-level term frequencies, top-5 terms per source.
 
     Determinism without banning logarithms: the score is computed as
     ``exact_bigint_sum_tf × idf`` — ONE multiplication of identical
@@ -475,10 +475,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ across engines; ln on identical doubles is correctly rounded
     identically (the zipf-slope operator pins the same property).
 
-    Plan shape: one corpus-token shuffle each for the (source, token)
-    frequencies and the document frequencies, a co-keyed token join of
-    the two AGGREGATES (never the raw token stream), per-source top-k
-    windows over ≤|vocabulary| rows."""
+    Plan shape: one corpus-token shuffle for the (source, token)
+    frequencies plus the two-phase countDistinct for document
+    frequencies; N comes MAP-SIDE from the documents scan (no third
+    tokenize-explode); the token join is between the two AGGREGATES
+    (never the raw token stream), per-source top-k windows over
+    ≤|vocabulary| rows."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -487,8 +489,19 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(text, '\\\\s+'), x -> x <> '')")
         ).alias("token"),
     )
-    # N as a broadcast 1-row aggregate — never a driver-side count()
-    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # N as a broadcast 1-row aggregate — never a driver-side count(),
+    # and computed MAP-SIDE from the documents scan (docs with >=1 token)
+    # instead of a third tokenize-explode + doc_id dedup shuffle
+    n = docs.agg(
+        F.sum(
+            (
+                F.expr(
+                    "size(filter(split(text, '\\s+'), x -> x <> ''))"
+                )
+                > 0
+            ).cast("bigint")
+        ).alias("n_docs")
+    )
     df = toks.groupBy("token").agg(
         F.countDistinct("doc_id").alias("doc_freq")
     )
@@ -567,7 +580,7 @@ def pipeline_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: placement is pure map-side arithmetic (corpus × tiny epoch
     array); the only exchange is the (epoch, shard) window+aggregate —
-    uniform md5-derived keys, {EPOCHS}×{SHARDS} groups."""
+    uniform md5-derived keys, 3×8 groups."""
     docs = load(spark, sf_dir, "documents")
     placed = docs.select(
         "doc_id",
@@ -592,10 +605,11 @@ def pipeline_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
     ranked = placed.withColumn("pos", F.row_number().over(w))
-    return ranked.groupBy(
-        F.col("epoch").cast("bigint").alias("epoch"),
-        F.col("shard").cast("bigint").alias("shard"),
-    ).agg(
+    # group on the RAW window keys so the aggregate reuses the window's
+    # (epoch, shard) partitioning — casting in the keys forced a second
+    # corpus-scale exchange into 24 reducer keys (review finding); the
+    # bigint casts move to a post-agg select over 24 rows
+    agg = ranked.groupBy("epoch", "shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars"),
         F.md5(
@@ -609,4 +623,11 @@ def pipeline_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("order_fingerprint"),
+    )
+    return agg.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_docs",
+        "chars",
+        "order_fingerprint",
     )

@@ -511,8 +511,13 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       // reclaim orphans: a crashed/restarted query's staging root (fresh
       // UUID per QuiverJvmStreamingWrite) is never revisited — its staged
       // files would otherwise accumulate unbounded under _temporary/.
-      // Age-gated so a CONCURRENT stream's live staging is never touched
-      // (same posture as the Python DS's _temporary listing GC).
+      // Age-gated on the NEWEST mtime anywhere in the staging TREE, not
+      // the root dir's own mtime: a directory's mtime only updates on
+      // direct-child churn, so a long-running concurrent stream fanning
+      // out into partition subdirs could look >24h idle at the root while
+      // actively staging — deleting it would fail that stream's next
+      // epoch commit (ADVICE r13). The live writer also touches its root
+      // on every epoch commit (belt and braces).
       java.io.File[] siblings = stage.getParentFile().listFiles();
       long cutoff = System.currentTimeMillis() - 24L * 3600 * 1000;
       if (siblings != null) {
@@ -520,7 +525,7 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
           if (sib.isDirectory()
               && sib.getName().startsWith("jvmstream-")
               && !sib.getName().equals(stage.getName())
-              && sib.lastModified() < cutoff) {
+              && newestMtime(sib) < cutoff) {
             deleteRecursively(sib);
           }
         }
@@ -559,6 +564,10 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       java.io.File stage = new java.io.File(path, stageRel);
       java.io.File logDir = new java.io.File(path, "_quiver_commits");
       logDir.mkdirs();
+      // heartbeat for the sibling-GC age gate: refresh the staging root's
+      // own mtime every trigger so even a fan-out-only epoch (all churn
+      // in subdirs) keeps this query's tree visibly live
+      stage.setLastModified(System.currentTimeMillis());
       java.io.File marker = new java.io.File(logDir, Long.toString(epochId));
       if (marker.exists()) {
         // replayed batch: its files are already visible — drop the
@@ -626,6 +635,21 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
         }
       }
       dir.delete();
+    }
+
+    /** Newest lastModified anywhere in the tree (the root itself
+     * included) — the orphan-GC liveness signal. A plain dir mtime goes
+     * stale the moment staging churn moves into partition subdirs. */
+    private static long newestMtime(java.io.File dir) {
+      long newest = dir.lastModified();
+      java.io.File[] entries = dir.listFiles();
+      if (entries != null) {
+        for (java.io.File f : entries) {
+          long m = f.isDirectory() ? newestMtime(f) : f.lastModified();
+          if (m > newest) newest = m;
+        }
+      }
+      return newest;
     }
 
     /** Delete a directory tree bottom-up, stopping at any non-empty dir

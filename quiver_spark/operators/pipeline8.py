@@ -243,9 +243,9 @@ probes AS (
 ),
 hits AS (
     SELECT p.c_custkey, p.c_mktsegment,
-           MIN(CASE WHEN ((b.bits >> CAST(p.bit AS INTEGER)) & 1) = 1
+           MIN(CASE WHEN ((COALESCE(b.bits, 0) >> CAST(p.bit AS INTEGER)) & 1) = 1
                THEN 1 ELSE 0 END) AS all_set
-    FROM probes p JOIN bloom b ON p.word = b.word
+    FROM probes p LEFT JOIN bloom b ON p.word = b.word
     GROUP BY 1, 2
 ),
 verdict AS (
@@ -309,13 +309,22 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") / 32).cast("bigint").alias("word"),
         (F.col("pos") % 32).cast("int").alias("bit"),
     )
+    # LEFT join + COALESCE(bits, 0): a probe landing in an all-zero word
+    # has NO bloom row, and a real Bloom filter reads that as an unset bit
+    # (definite non-member) — an inner join would silently drop the probe
+    # from the MIN and overcount positives on sparse filters (ADVICE r13).
     hits = (
-        probes.join(F.broadcast(bloom), "word")
+        probes.join(F.broadcast(bloom), "word", "left")
         .select(
             "c_custkey",
             "c_mktsegment",
             F.when(
-                F.expr("(shiftright(bits, bit) & CAST(1 AS BIGINT))") == 1, 1
+                F.expr(
+                    "(shiftright(COALESCE(bits, CAST(0 AS BIGINT)), bit)"
+                    " & CAST(1 AS BIGINT))"
+                )
+                == 1,
+                1,
             )
             .otherwise(0)
             .alias("set_bit"),
@@ -492,11 +501,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N as a broadcast 1-row aggregate — never a driver-side count(),
     # and computed MAP-SIDE from the documents scan (docs with >=1 token)
     # instead of a third tokenize-explode + doc_id dedup shuffle
+    # NOTE the double escaping: a single '\\s+' in the F.expr literal is
+    # unescaped by the SQL parser to the regex 's+' (split on the LETTER
+    # s), so whitespace-only docs counted as tokenized and all-'s' docs
+    # dropped — diverging N from the oracle (ADVICE r13). Must match the
+    # toks explode's '\\\\s+'.
     n = docs.agg(
         F.sum(
             (
                 F.expr(
-                    "size(filter(split(text, '\\s+'), x -> x <> ''))"
+                    "size(filter(split(text, '\\\\s+'), x -> x <> ''))"
                 )
                 > 0
             ).cast("bigint")

@@ -117,7 +117,7 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for it in range(1, KM_ITERS + 1):
         assign = _km_assign(emb, cent)
         if it < KM_ITERS:
-            cent = _km_update(assign, emb)
+            cent = _km_update(assign)
     return assign.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.sum("d2").cast("double").alias("inertia"),
@@ -148,20 +148,25 @@ def _km_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
         CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
         (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s))
     """
+    # iv rides along so the update step can posexplode straight off the
+    # assignment — re-joining the corpus on vec_id here would put the
+    # embeddings scan on a join build side (a full corpus shuffle per
+    # Lloyd round once the corpus outgrows the broadcast threshold).
     return emb.crossJoin(F.broadcast(carr)).select(
         "vec_id",
+        "iv",
         F.expr(best + ".cid").alias("cid"),
         F.expr(best + ".d2").alias("d2"),
     )
 
 
-def _km_update(assign: DataFrame, emb: DataFrame) -> DataFrame:
+def _km_update(assign: DataFrame) -> DataFrame:
     """Centroid update: component partial sums (map-side combine), one
-    uniform (cid, i) shuffle, re-quantized mean, array re-assembly."""
+    uniform (cid, i) shuffle, re-quantized mean, array re-assembly. Takes
+    the assignment ONLY — the vectors arrive projected through it, so no
+    corpus-scale relation is ever on a join side."""
     comp = (
-        assign.select("vec_id", "cid")
-        .join(emb, "vec_id")
-        .select("cid", F.posexplode("iv").alias("i", "xi"))
+        assign.select("cid", F.posexplode("iv").alias("i", "xi"))
         .groupBy("cid", "i")
         .agg(
             F.round(

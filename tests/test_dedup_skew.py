@@ -305,3 +305,116 @@ def test_gopher_filter_counts_zero_word_docs(spark, tmp_path):
 
     assert norm(got) == norm(want)
     assert int(got["n_docs"].sum()) == 4  # the empty docs are counted
+
+
+def test_tfidf_n_matches_oracle_on_pathological_docs(spark, tmp_path):
+    """text_tfidf_topk's smooth-IDF N: whitespace-only docs must NOT count
+    as tokenized and all-'s' docs MUST (ADVICE r13 — a single-escaped
+    '\\s+' in the F.expr literal reached Spark as the regex 's+', split
+    on the LETTER s, flipping both classes vs the oracle's \\s+)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quiver_spark.registry import load_all_operators
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta beta",
+                    "   ",  # whitespace-only: zero tokens under \s+
+                    "ssss",  # all-'s': ONE token under \s+, zero under 's+'
+                    "alpha gamma",
+                    "",
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["s0", "s0", "s1", "s1", "s1"]),
+            "n_chars": pa.array([15, 3, 4, 11, 0], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    spec = load_all_operators()["text_tfidf_topk"]
+    got = spec.spark(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    want = con.execute(spec.oracle).fetchdf()
+
+    def norm(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        return sorted(
+            tuple(repr(x) for x in r) for r in pdf.itertuples(index=False)
+        )
+
+    assert norm(got) == norm(want)
+    # N = docs with >=1 \s+ token: ids 0, 2, 3 → smooth idf over n_docs=3
+    import math
+
+    alpha = want[want.token == "alpha"].iloc[0]
+    assert float(alpha.tfidf) == float(alpha.sum_tf) * (
+        math.log((3 + 1) / (float(alpha.doc_freq) + 1)) + 1
+    )
+
+
+def test_bloom_membership_sparse_filter_counts_all_probes(spark, tmp_path):
+    """sketch_bloom_membership on a SPARSE filter: a probe landing in a
+    word with no bloom row must read COALESCE(bits,0)=0 — definite
+    non-member — not silently drop out of the MIN (ADVICE r13: the inner
+    join overcounted bloom_positives and could vanish a customer whose
+    every probe hit an empty word)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quiver_spark.registry import load_all_operators
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    # ONE order key → ≤4 set bits in a 4096-bit filter; 40 customers make
+    # probes into empty words near-certain
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([7], pa.int64())}),
+        os.path.join(d, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(list(range(1, 41)), pa.int64()),
+                "c_mktsegment": pa.array(
+                    ["SEG%d" % (i % 3) for i in range(40)]
+                ),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    spec = load_all_operators()["sketch_bloom_membership"]
+    got = spec.spark(spark, d).toPandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = con.execute(spec.oracle).fetchdf()
+
+    def norm(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        return sorted(
+            tuple(repr(x) for x in r) for r in pdf.itertuples(index=False)
+        )
+
+    assert norm(got) == norm(want)
+    # every customer is tallied (pre-fix: empty-word probes vanished)
+    assert int(got["n_customers"].sum()) == 40
+    # no false negatives, and the sparse filter keeps positives honest:
+    # exactly one exact member (custkey 7), bloom_positives ≥ that
+    assert int(got["exact_members"].sum()) == 1
+    assert int(got["bloom_positives"].sum()) >= 1

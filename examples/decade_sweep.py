@@ -38,30 +38,67 @@ SCALED = {
 #: (same per-entity density — the realistic 10x for windowed queries)
 SECONDARY = {"events": "user_id"}
 
+#: COUPLED TPC-H scaling (round 14 — so the FK-shaped operators get real
+#: decade rows: sketch_bloom_membership's orders build side,
+#: dq_referential_audit's three edges). Every key column offsets by the
+#: step of the table that OWNS the key space, so each copy is an intact
+#: referential universe: orphan/childless counts and bloom membership
+#: scale exactly xK. {table: {column: key_space}}; step of a key space =
+#: max of its owner column + 1.
+TPCH_KEYS = {
+    "customer": ("customer", "c_custkey"),
+    "orders": ("orders", "o_orderkey"),
+    "part": ("part", "p_partkey"),
+    "supplier": ("supplier", "s_suppkey"),
+}
+TPCH_SCALED = {
+    "customer": {"c_custkey": "customer"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "part": {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supplier"},
+}
 
-def build_fixture(spark, factor: int) -> str:
+
+def build_fixture(spark, factor: int, tpch: bool = False) -> str:
     import pyarrow.parquet as pq
 
-    out = f"/tmp/quiver_sweep/x{factor}"
+    out = f"/tmp/quiver_sweep/x{factor}{'t' if tpch else ''}"
     marker = os.path.join(out, "_done")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     from pyspark.sql import functions as F
 
+    # {table: {column: per-copy offset step}}
+    plans: dict[str, dict[str, int]] = {}
     for t, idcol in SCALED.items():
+        base = spark.read.parquet(f"{SRC_SF}/{t}.parquet")
+        step = (base.agg(F.max(idcol)).collect()[0][0] or 0) + 1
+        plans[t] = {idcol: step}
+        sec = SECONDARY.get(t)
+        if sec:
+            plans[t][sec] = (base.agg(F.max(sec)).collect()[0][0] or 0) + 1
+    if tpch:
+        steps = {}
+        for space, (owner, col) in TPCH_KEYS.items():
+            owner_df = spark.read.parquet(f"{SRC_SF}/{owner}.parquet")
+            steps[space] = (owner_df.agg(F.max(col)).collect()[0][0] or 0) + 1
+        for t, cols in TPCH_SCALED.items():
+            plans[t] = {c: steps[space] for c, space in cols.items()}
+
+    for t, colsteps in plans.items():
         src = f"{SRC_SF}/{t}.parquet"
         base = spark.read.parquet(src)
-        step = (base.agg(F.max(idcol)).collect()[0][0] or 0) + 1
-        sec = SECONDARY.get(t)
-        sec_step = (
-            (base.agg(F.max(sec)).collect()[0][0] or 0) + 1 if sec else 0
-        )
         copies = []
         for k in range(factor):
-            c = base.withColumn(idcol, F.col(idcol) + F.lit(k * step))
-            if sec:
-                c = c.withColumn(sec, F.col(sec) + F.lit(k * sec_step))
+            c = base
+            for col, step in colsteps.items():
+                c = c.withColumn(col, F.col(col) + F.lit(k * step))
             copies.append(c)
         df = copies[0]
         for c in copies[1:]:
@@ -94,6 +131,12 @@ def main() -> int:
     ap.add_argument("--queries", required=True, help="comma-separated names")
     ap.add_argument("--oracle", action="store_true", help="DuckDB hash check")
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument(
+        "--tpch",
+        action="store_true",
+        help="also scale customer/orders/lineitem/part/supplier with "
+        "coupled FK offsets (separate x{K}t fixture)",
+    )
     args = ap.parse_args()
 
     from quiver_spark.registry import load_all_operators
@@ -102,7 +145,7 @@ def main() -> int:
 
     spark = get_spark("decade-sweep")
     specs = load_all_operators()
-    fixture = build_fixture(spark, args.factor)
+    fixture = build_fixture(spark, args.factor, tpch=args.tpch)
     print(f"fixture: {fixture}", file=sys.stderr)
 
     con = None

@@ -331,6 +331,245 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Trained product quantization: per-subspace Lloyd codebooks + ADC recall
+# --------------------------------------------------------------------------
+
+PQT_ITERS = 2  #: Lloyd rounds per subspace codebook (oracle-unrolled)
+
+
+def _pqt_oracle() -> str:
+    """Unrolled per-subspace Lloyd chain + ADC scoring + recall vs the
+    exact top-k over the same non-probe candidate set."""
+    steps = []
+    prev = "c0"
+    for it in range(1, PQT_ITERS + 1):
+        steps.append(f"""
+dd{it} AS (
+    SELECT s.vec_id, s.m, c.cid, SUM((s.xi - c.ci) * (s.xi - c.ci)) AS d2
+    FROM sub s JOIN {prev} c ON s.m = c.m AND s.si = c.si
+    GROUP BY 1, 2, 3
+),
+a{it} AS (
+    SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, m ORDER BY d2, cid) AS r
+        FROM dd{it}
+    ) WHERE r = 1
+)""")
+        if it < PQT_ITERS:
+            steps.append(f"""
+c{it} AS (
+    SELECT a.cid, s.m, s.si,
+           CAST(ROUND(CAST(SUM(s.xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
+    FROM a{it} a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m
+    GROUP BY 1, 2, 3
+)""")
+        prev = f"c{it}"
+    chain = ",".join(steps)
+    final_cb = f"c{PQT_ITERS - 1}" if PQT_ITERS > 1 else "c0"
+    return f"""
+WITH iv AS ({SQL_IV}),
+sub AS (
+    SELECT vec_id, (i - 1) // {PQ_SUB} AS m, (i - 1) % {PQ_SUB} AS si, xi
+    FROM iv WHERE vec_id >= {N_PROBES}
+),
+c0 AS (
+    SELECT vec_id AS cid, m, si, xi AS ci FROM sub
+    WHERE vec_id IN (SELECT vec_id FROM embeddings
+                     WHERE vec_id >= {N_PROBES}
+                     ORDER BY vec_id LIMIT {PQ_K})
+),{chain},
+q AS (
+    SELECT vec_id AS qid, (i - 1) // {PQ_SUB} AS m,
+           (i - 1) % {PQ_SUB} AS si, xi AS qi
+    FROM iv WHERE vec_id < {N_PROBES}
+),
+adc AS (
+    SELECT q.qid, c.m, c.cid, SUM(q.qi * c.ci) AS idot
+    FROM q JOIN {final_cb} c ON q.m = c.m AND q.si = c.si
+    GROUP BY 1, 2, 3
+),
+scores AS (
+    SELECT a.qid, k.vec_id, SUM(a.idot) AS s
+    FROM a{PQT_ITERS} k JOIN adc a ON k.m = a.m AND k.cid = a.cid
+    GROUP BY 1, 2
+),
+pq AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+        FROM scores
+    ) WHERE rnk <= {TOP_K}
+),
+exact_dots AS (
+    SELECT q.qid, s.vec_id, SUM(s.xi * q.qi) AS idot
+    FROM sub s JOIN q ON s.m = q.m AND s.si = q.si
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY idot DESC, vec_id) AS rnk
+        FROM exact_dots
+    ) WHERE rnk <= {TOP_K}
+),
+hits AS (
+    SELECT e.qid, COUNT(*) AS n_hits
+    FROM exact e JOIN pq p ON e.qid = p.qid AND e.vec_id = p.vec_id
+    GROUP BY 1
+)
+SELECT qs.qid,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K} AS recall
+FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN hits h ON qs.qid = h.qid
+"""
+
+
+@register(
+    "ann_pq_trained_topk",
+    oracle=_pqt_oracle(),
+    tags=("similarity", "ann", "pq", "quantization", "training"),
+)
+def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained product quantization (round 14, VERDICT r13
+    Next #3): per-subspace codebooks come from {PQT_ITERS} rounds of the
+    SAME distributed Lloyd recipe as embedding_kmeans_clusters (seeds =
+    the {PQ_K} lowest non-probe ids' sub-vectors, re-quantized bigint
+    means), instead of ann_pq_topk's deterministic donor stand-ins —
+    then the corpus is encoded against the trained codebook, queries
+    score via ADC lookups, and the gate reports per-query RECALL against
+    the exact top-{TOP_K} over the same candidate set.
+
+    Plan shape: every training assignment is MAP-SIDE (the whole M×K
+    codebook collapses to one broadcast struct-array row; each corpus row
+    folds its M slices for the exact-int argmin) and the slices ride
+    THROUGH the assignment, so the update step posexplodes off it — no
+    corpus-scale relation ever sits on a join side (the k-means round-14
+    contract). Update shuffles are (m, cid, si)-width: M·K·{PQ_SUB} rows
+    after map-side combine, corpus-size-independent. The exact-eval side
+    is the documented brute-force harness: probes broadcast, one corpus
+    scan, per-probe top-k — the recall yardstick, not the serving path."""
+    emb = _int_corpus(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_PROBES)
+
+    def cwarr_of(cb: DataFrame):
+        """Collapse a (m, cid, cv) codebook into ONE broadcast row,
+        (m, cid)-sorted so the assignment fold tie-breaks to lowest cid."""
+        return cb.agg(
+            F.expr(
+                "sort_array(collect_list("
+                "named_struct('m', m, 'cid', cid, 'cv', cv)))"
+            ).alias("cws")
+        )
+
+    def assign(cwarr: DataFrame) -> DataFrame:
+        """Map-side per-subspace argmin; carries the slice so the update
+        needs no corpus re-join."""
+        els = []
+        for m in range(PQ_M):
+            sv = f"slice(iv, {m * PQ_SUB + 1}, {PQ_SUB})"
+            d2c = _DIST2.format(v=sv, c="w.cv")
+            argmin = f"""
+            aggregate(
+                transform(filter(cws, w -> w.m = {m}),
+                          w -> named_struct('d2', {d2c}, 'cid', w.cid)),
+                CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
+                (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s)).cid
+            """
+            els.append(
+                f"named_struct('m', {m}, 'cid', {argmin}, 'sv', {sv})"
+            )
+        return (
+            corpus.crossJoin(F.broadcast(cwarr))
+            .select(
+                "vec_id",
+                F.explode(F.expr("array(" + ",".join(els) + ")")).alias("a"),
+            )
+            .select("vec_id", "a.m", "a.cid", "a.sv")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        """(m, cid, si) partial sums off the assignment itself →
+        re-quantized means → per-codeword array re-assembly."""
+        comp = (
+            assigned.select("m", "cid", F.posexplode("sv").alias("si", "xi"))
+            .groupBy("m", "cid", "si")
+            .agg(
+                F.round(F.sum("xi").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("ci")
+            )
+        )
+        return comp.groupBy("m", "cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "named_struct('si', si, 'ci', ci)),"
+                " (a, b) -> a.si - b.si), s -> s.ci)"
+            ).alias("cv")
+        )
+
+    slices = F.array(
+        *[F.slice(F.col("iv"), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    donors = corpus.orderBy("vec_id").limit(PQ_K)
+    cb = donors.select(
+        F.col("vec_id").alias("cid"), F.posexplode(slices).alias("m", "cv")
+    )
+    assigned = None
+    for it in range(1, PQT_ITERS + 1):
+        assigned = assign(cwarr_of(cb))
+        if it < PQT_ITERS:
+            cb = update(assigned)
+    codes = assigned.select("vec_id", "m", "cid")
+
+    q = emb.filter(F.col("vec_id") < N_PROBES)
+    qsub = q.select(
+        F.col("vec_id").alias("qid"), F.posexplode(slices).alias("m", "qv")
+    )
+    adc = qsub.join(F.broadcast(cb), "m").select(
+        "qid", "m", "cid", int_dot("qv", "cv").alias("idot")
+    )
+    scores = (
+        codes.join(F.broadcast(adc), ["m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("idot").alias("s"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    pq = (
+        scores.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    # recall yardstick: exact top-k over the same non-probe candidates
+    qv = q.select(F.col("vec_id").alias("qid"), F.col("iv").alias("qv"))
+    exact_scored = corpus.crossJoin(F.broadcast(qv)).select(
+        "qid", "vec_id", int_dot("iv", "qv").alias("idot")
+    )
+    we = Window.partitionBy("qid").orderBy(F.desc("idot"), F.asc("vec_id"))
+    exact = (
+        exact_scored.withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    # both top-k sets are ≤ N_PROBES·TOP_K rows BY CONSTRUCTION — broadcast
+    # them so the recall join never sort-merges corpus-lineage relations
+    hits = exact.join(F.broadcast(pq), ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    qids = qv.select("qid").distinct()
+    return qids.join(F.broadcast(hits), "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / TOP_K
+        ).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
 # PCA top component via distributed power iteration
 # --------------------------------------------------------------------------
 

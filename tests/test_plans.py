@@ -556,6 +556,34 @@ def test_pq_encode_is_map_side(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_pq_trained_no_corpus_scale_joins(spark):
+    """ann_pq_trained_topk: Lloyd codebook training carries the slices
+    through the map-side assignment (no corpus re-join — the k-means
+    round-14 contract), encoding folds over the broadcast codebook, and
+    the recall joins broadcast their ≤N_PROBES·TOP_K top-k sets. The only
+    joins allowed are BroadcastHashJoins whose build sides are explicit
+    tiny broadcasts + the broadcast-nested-loop crosses of one-row
+    aggregates; nothing sort-merges or shuffle-hash-joins."""
+    df = _df(spark, "ann_pq_trained_topk")
+    plan = plans.physical_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "Window" in plan  # the top-k rankings
+
+
+def test_epoch_shuffle_single_exchange_hierarchical(spark):
+    """pipeline_epoch_shuffle_plan: ONE corpus-scale exchange — the
+    (epoch, shard) window — with both fingerprint levels reusing it (the
+    chunk aggregate keys on a superset of the window partitioning). The
+    hierarchical digest means no collect_list row exceeds EPOCH_CHUNK
+    positions; the two-level shape must survive in the plan."""
+    df = _df(spark, "pipeline_epoch_shuffle_plan")
+    plan = plans.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("collect_list") >= 4, plan  # 2 levels × partial/final
+
+
 def test_bloom_build_single_scan_per_side(spark):
     """sketch_bloom_membership: the 4 hash positions explode from ONE
     array, so the build side scans orders once and the probe side scans

@@ -22,81 +22,82 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 13 window (50). Staleness audit at the start of round 13 (computed
-# from CORRECTNESS_r1..r12; every one of the 179 queries registered then
-# has at least one driver-green row and ZERO failures ever): r9-stale = 31,
-# r10 = 50, r11 = 48, r12 = 50; 17 new gates this round (196 total). Window:
-# (a) the 31 r9-stale rows — the oldest cohort, exhausted this round so no
-# query's newest green row will be older than round 10; (b) the 17 new
-# round-13 gates (JVM time travel / CDC / SQL catalog / stream source /
-# stream sink, the KL divergence, Gopher-rule filter, Bloom membership,
-# k-means, PQ, PCA, HLL-union, n-gram novelty, SCD-2 history,
-# referential-audit, TF-IDF, and epoch-shuffle operators — every NEW gate
-# gets a driver row this round, keeping the all-queries-driver-green
-# union invariant); (c) 2 of the 4 queries whose ENGINE or shape
-# materially changed this round (time-travel scans reroute to quiverjvm
-# under quiver_relation's engine="auto", and the decontamination
-# eval-cap fix; quiver_incremental_scan and quiver_merge_schemas_scan
-# yield their slots to new gates — the incremental path is covered by
-# the (b) quiverjvm_cdc_scan gate + the CDC-stamping pins, and the
-# merge-schemas routing by this session's JVM merge/mixed-engine pytest
-# pins). 31+17+2 = 50; position 51+ falls back to registry order.
+# Round 14 window (50). Staleness audit at the start of round 14 (computed
+# from CORRECTNESS_r1..r13; every one of the 196 queries registered then
+# has at least one driver-green row and ZERO failures ever): r10-stale =
+# 50, r11 = 48, r12 = 48, r13 = 50; 2 new gates this round (198 total).
+# Window: (a) the 2 NEW round-14 gates (trained-PQ ANN with recall, the
+# full watermarked stream-pipeline on the all-JVM path) — every new gate
+# gets a driver row in its birth round, keeping the
+# all-queries-driver-green union invariant; (b) the 7 queries whose
+# ENGINE or SHAPE materially changed this round (k-means update join
+# carried through the assignment; TF-IDF n_docs regex escape; Bloom
+# sparse-word left-join in both engines; hierarchical epoch-shuffle
+# fingerprint; columns=/limit= now routed onto the JVM reader, which
+# rewires quiver_unified_scan's probes and quiver_limit_head's relation;
+# the JVM streaming sink's commit path gained the GC age-gate +
+# heartbeat); (c) 41 of the 50 r10-stale rows — the oldest cohort.
+# 2+7+41 = 50; position 51+ falls back to registry order. The 9 r10-stale
+# rows deferred to round 15 (they will head its window alongside the r11
+# cohort) are the simple relational operators with every-round pytest
+# parity and no code motion since r10: cube_orders, rollup_returns,
+# semi_join_customers, setop_except_nations, setop_intersect_nations,
+# window_lag_gap, window_ntile_share, window_rank_orders,
+# window_running_total.
 _PRIORITY = [
-    # (a) the 31 round-9-stale rows
-    "arrow_ipc_merge_scan",
-    "asof_join_events_orders",
-    "correlated_small_quantity",
-    "dedup_chunk_exact",
-    "dedup_exact_docs",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_winnow_pairs",
-    "embedding_dim_stats",
-    "embedding_near_dup",
-    "events_funnel_steps",
-    "events_interval_join",
-    "events_latest_per_user",
-    "events_locf_impute",
-    "events_moving_avg_24h",
-    "events_retention_cohorts",
-    "hypertable_rollup",
-    "multimodal_decode_features",
-    "pipeline_corpus_summary",
-    "q1_pricing_summary",
-    "q7_nation_volume",
-    "range_join_user_bursts",
-    "sample_temperature_mix",
-    "sketch_count_min",
-    "sketch_histogram_quantiles",
-    "text_token_bpe",
-    "text_winnow_fingerprints",
-    "udtf_token_explode",
-    "window_distribution_funcs",
-    "window_range_frame",
-    # (b) new round-13 gates
-    "quiverjvm_time_travel_scan",
-    "quiverjvm_cdc_scan",
-    "quiverjvm_sql_catalog_table",
-    "quiverjvm_stream_scan",
-    "text_source_kl_divergence",
-    "quiverjvm_stream_sink_scan",
-    "text_gopher_quality_filter",
-    "sketch_bloom_membership",
+    # (a) new round-14 gates
+    "ann_pq_trained_topk",
+    "quiverjvm_stream_pipeline_scan",
+    # (b) materially changed this round
     "embedding_kmeans_clusters",
-    "ann_pq_topk",
-    "embedding_pca_power_iteration",
-    "sketch_hll_union",
-    "text_ngram_novelty",
-    "events_scd2_history",
-    "dq_referential_audit",
     "text_tfidf_topk",
+    "sketch_bloom_membership",
     "pipeline_epoch_shuffle_plan",
-    # (c) materially changed this round (semantic-option routing; the
-    # decontamination eval slice gained its fixed cap — the x10 sweep
-    # caught eval-scaling quadratic work)
-    "quiver_time_travel_scan",
-    "decontaminate_embedding_overlap",
+    "quiver_unified_scan",
+    "quiver_limit_head",
+    "quiverjvm_stream_sink_scan",
+    # (c) 41 of the 50 round-10-stale rows
+    "ann_lsh_buckets",
+    "anti_join_customers",
+    "dedup_simhash",
+    "dedup_span_excision",
+    "multimodal_binary_meta",
+    "nonequi_acctbal_pairs",
+    "outer_join_coverage",
+    "q10_returned_items",
+    "q11_important_supply",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "quiver_alter_evolution_scan",
+    "quiver_analyze_stats",
+    "quiver_bloom_lookup_scan",
+    "quiver_check_constraint_scan",
+    "quiver_clustered_scan",
+    "quiver_delete_scan",
+    "quiver_incremental_scan",
+    "quiver_merge_cdc_scan",
+    "quiver_merge_upsert_scan",
+    "quiver_repartitioned_scan",
+    "quiver_snapshot_diff",
+    "quiver_update_scan",
+    "quiver_zorder_scan",
+    "quiverjvm_ingest_roundtrip",
+    "quiverjvm_scan_agg",
+    "text_blocklist_filter",
+    "text_pii_scrub",
 ]
 
 

@@ -812,3 +812,126 @@ def quiverjvm_stream_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").cast("bigint").alias("min_key"),
         )
     )
+
+
+@register(
+    "quiverjvm_stream_pipeline_scan",
+    oracle="""
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+agg AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+           event_type,
+           COUNT(*) AS cnt,
+           SUM(CAST(value AS DECIMAL(18,6))) AS val_sum
+    FROM events
+    GROUP BY 1, 2, 3
+),
+emitted AS (
+    SELECT a.* FROM agg a, m
+    WHERE epoch_ms(a.we) <= epoch_ms(m.mx) - 17 * 60 * 1000
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST(SUM(val_sum) AS DOUBLE) AS value_sum,
+       strftime(MIN(ws), '%Y-%m-%d %H:%M:%S') AS first_window,
+       strftime(MAX(ws), '%Y-%m-%d %H:%M:%S') AS last_window
+FROM emitted
+GROUP BY event_type
+""",
+    tags=("format", "jvm", "streaming", "watermark", "window", "sink"),
+)
+def quiverjvm_stream_pipeline_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL streaming pipeline on the all-JVM path (round 14, VERDICT r13
+    Next #7): events stream in through the JVM MicroBatchStream source, a
+    17-minute watermark + hourly tumbling window aggregates them
+    (append mode — a window only emits once the watermark passes its
+    end), and the finalized windows stream OUT through the JVM streaming
+    sink with Hive fan-out (`partition_by=event_type` via the
+    sources.stream_writer router), drained availableNow. The landed table
+    is then scanned back through the JVM batch reader and summarized per
+    event_type against a batch oracle that replays the SAME watermark
+    semantics (Spark truncates event-time stats to MILLISECONDS, so the
+    oracle's cutoff is epoch_ms(max ts) − delay; a window is emitted iff
+    window_end ≤ watermark). One gate exercises: JVM stream source →
+    stateful watermarked agg (no-data micro-batch flushes the final
+    watermark) → JVM stream sink → partition fan-out → manifest commit →
+    JVM batch scan.
+
+    Determinism: per-window sums are DECIMAL(18,6) (order-independent)
+    and stay decimal in the landed table; the read-back summary sums
+    decimals exactly and casts to double ONCE. Window starts are whole
+    hours (epoch-aligned in both engines)."""
+    import tempfile
+
+    from quiver_spark.jvm import attach_jar
+    from quiver_spark.operators.format_queries import quiver_dir
+    from quiver_spark.operators.format_queries2 import _marker_dir
+    from quiver_spark.sources import stream_writer
+
+    if not attach_jar(spark):
+        raise RuntimeError("quiverjvm jar failed to attach via ADD JAR")
+
+    def build(d: str) -> None:
+        src = quiver_dir(spark, sf_dir, "events")
+        ckpt = tempfile.mkdtemp(prefix="quiver_qjpipe_ckpt_")
+        # Spark refuses an event-time watermark on TIMESTAMP_NTZ (the
+        # quiver mapping for tz-less µs). Pin the session to UTC so the
+        # NTZ→TIMESTAMP cast is instant-identity, window on the cast,
+        # and cast the window start BACK to NTZ for the landed table —
+        # wall-clock round trip, tz-free like every other events gate.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        windowed = (
+            spark.readStream.format("quiverjvm")
+            .load(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "17 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("val_sum"),
+            )
+            .select(
+                F.col("win.start").cast("timestamp_ntz").alias("ws"),
+                "event_type",
+                "cnt",
+                "val_sum",
+            )
+        )
+        writer = stream_writer(windowed, d, partition_by="event_type")
+        if writer._quiver_engine != "quiverjvm":
+            raise RuntimeError(
+                "quiverjvm_stream_pipeline_scan: router must pick the JVM "
+                f"sink, got {writer._quiver_engine}"
+            )
+        q = (
+            writer.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "quiverjvm_stream_pipeline_scan: stream did not drain "
+                "within 300 s — refusing to cache a partial fixture"
+            )
+
+    d = _marker_dir(spark, sf_dir, "events-jvm-stream-pipeline", build)
+    return (
+        spark.read.format("quiverjvm")
+        .load(d)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.sum("val_sum").cast("double").alias("value_sum"),
+            F.date_format(F.min("ws"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_window"
+            ),
+            F.date_format(F.max("ws"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_window"
+            ),
+        )
+    )

@@ -1000,3 +1000,79 @@ def test_jvm_stream_stream_join_matches_batch(spark, tmp_path):
     assert len(got) == len(batch) and len(batch) > 0
     for k in key:
         assert (got[k].values == batch[k].values).all()
+
+
+def test_jvm_stream_pipeline_watermark_restart(spark, tmp_path):
+    """Round 14 (VERDICT r13 Next #7): checkpointed RESTART of the full
+    all-JVM pipeline — JVM stream source → watermarked hourly window agg
+    (append mode) → JVM streaming sink. The first drain closes only the
+    windows behind the watermark; a second source commit straddles a
+    window boundary, and the restarted query must (a) restore the open
+    window's state from the checkpoint (its count spans BOTH commits),
+    (b) never re-emit an already-published window (append-only sink ⇒ a
+    re-emission would duplicate keys), (c) leave the tail window open."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_minutes(lo, hi, mode):
+        (
+            spark.range(lo, hi)
+            .selectExpr(
+                "CAST(TIMESTAMP'2024-01-01 00:00:00' + id * INTERVAL '1' "
+                "MINUTE AS TIMESTAMP_NTZ) AS ts",
+                "CAST(id AS DOUBLE) AS value",
+            )
+            .coalesce(1)
+            .write.format("quiverjvm")
+            .mode(mode)
+            .save(src)
+        )
+
+    def run_once():
+        windowed = (
+            spark.readStream.format("quiverjvm")
+            .load(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "17 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("win.start").alias("ws"), "cnt")
+        )
+        q = (
+            windowed.writeStream.format("quiverjvm")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # commit 1: minutes 0..320 → max ts 320 min, watermark 303 min →
+    # windows ending ≤ 303 min close: hours 0..4 (ends 60..300)
+    write_minutes(0, 321, "overwrite")
+    run_once()
+    first = {
+        r.ws: r.cnt
+        for r in spark.read.format("quiverjvm").load(dst).collect()
+    }
+    assert len(first) == 5, first
+    assert set(first.values()) == {60}, first  # full hours only
+
+    # commit 2: minutes 321..600 — window 5 (300-360) straddles commits
+    write_minutes(321, 601, "append")
+    run_once()
+    rows = spark.read.format("quiverjvm").load(dst).collect()
+    got = {r.ws: r.cnt for r in rows}
+    # no duplicate emission of any window
+    assert len(rows) == len(got), rows
+    # final watermark 600-17=583 min → windows 0..8 closed (end ≤ 560?
+    # end of hour 8 window = 540 ≤ 583; hour 9 window end 600 > 583 stays
+    # open). Window 5's count spans both commits (restored state).
+    assert len(got) == 9, sorted(got)
+    assert set(got.values()) == {60}, got

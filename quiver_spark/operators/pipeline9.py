@@ -1,0 +1,436 @@
+"""Round-14 LLM-pipeline operators: data-selection / importance weighting.
+
+``sample_dsir_weights`` re-expresses DSIR (Data Selection via Importance
+Resampling, Xie et al. 2023, arXiv:2302.03169) in pure DataFrame algebra:
+hashed n-gram features, a target-vs-raw bucket model, and per-document
+log-likelihood-ratio importance weights — the standard public recipe for
+"pick the 10% of a web crawl that looks like the target domain" at
+pretraining scale.
+
+Determinism (the driver hash-compares): the bucket model's log-ratios are
+computed on IDENTICAL double operands in both engines (one literal
+formula, one ln, one multiply, one ROUND) and QUANTIZED to micro-nat
+BIGINTs; every document weight is then an exact integer sum of bucket
+scores, so no float addition order can smear the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quiver_spark.registry import register
+from quiver_spark.tables import load
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (hashed-feature log-likelihood ratios)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 128  #: hashed unigram feature space (production: 10k+)
+DSIR_TARGET_LANG = "en"  #: the "target domain": English documents
+DSIR_SCALE = 1_000_000  #: log-ratio quantization (micro-nats, exact ints)
+
+_DSIR_BKT_SQL = (
+    f"(('0x' || substr(md5(tok), 1, 8))::BIGINT % {DSIR_BUCKETS})"
+)
+#: one literal smoothing formula, identical in both engines: IEEE ops on
+#: identical operands → identical doubles → identical quantization.
+#: `1e0`-style literals, NOT `1.0` — Spark parses `1.0` as DECIMAL(2,1)
+#: and the whole ratio then runs under decimal division/rounding rules
+#: (measured ~1e-5 relative drift vs DuckDB's plan); `1e0` is DOUBLE in
+#: both engines, keeping the arithmetic pure IEEE
+_DSIR_LR = (
+    "LN(((ct + 1e0) / (t + {B}e0)) / ((cr + 1e0) / (r + {B}e0)))"
+    " * {S}"
+)
+
+
+@register(
+    "sample_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest(list_filter(
+        regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+    FROM documents
+),
+b AS (
+    SELECT doc_id, lang, {_DSIR_BKT_SQL} AS bkt FROM toks
+),
+model AS (
+    SELECT bkt,
+           COUNT(*) AS cr,
+           SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+    FROM b GROUP BY bkt
+),
+tot AS (SELECT SUM(cr) AS r, SUM(ct) AS t FROM model),
+lr AS (
+    SELECT m.bkt,
+           CAST(ROUND({_DSIR_LR.format(B=DSIR_BUCKETS, S=DSIR_SCALE)})
+                AS BIGINT) AS lrq
+    FROM model m, tot
+),
+perdoc AS (
+    SELECT b.doc_id, SUM(l.lrq) AS w
+    FROM b JOIN lr l ON b.bkt = l.bkt
+    GROUP BY b.doc_id
+),
+scored AS (
+    SELECT d.doc_id, d.source, d.n_chars, COALESCE(p.w, 0) AS w
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN w > 0 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS selected_chars,
+       CAST(SUM(w) AS BIGINT) AS weight_sum,
+       CAST(MAX(w) AS BIGINT) AS max_weight
+FROM scored
+GROUP BY source
+""",
+    tags=("sampling", "dsir", "importance", "pipeline", "training"),
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): score every document
+    by how much more likely its hashed-unigram features are under the
+    TARGET distribution ({DSIR_TARGET_LANG}-language docs) than under the
+    RAW corpus, and report the per-source selection funnel for the
+    weight>0 resampling rule. This is the data-selection step between
+    dedup and mixture weighting in a pretraining pipeline: cheap hashed
+    features, no trained classifier, corpus-scale.
+
+    Plan shape (100 TB posture): ONE corpus token shuffle builds the
+    {DSIR_BUCKETS}-bucket model ({DSIR_BUCKETS} keys, map-side combined —
+    target and raw counts in the same pass via a conditional sum); the
+    model's quantized log-ratios collapse into ONE broadcast map row, and
+    every document then scores MAP-SIDE by folding its token array over
+    the map — an exact BIGINT sum, no second corpus shuffle, no window,
+    no join against corpus-scale relations. The final per-source rollup
+    is a ~20-key aggregate. Zero-token docs carry weight 0 (counted, not
+    selected — the LEFT JOIN in the oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.expr("filter(split(text, '\\\\s+'), x -> x <> '')")
+        ).alias("tok"),
+    )
+    bkt = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    model = (
+        toks.select(bkt.alias("bkt"), "lang")
+        .groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ct"),
+        )
+        # ≤ DSIR_BUCKETS rows; three consumers (totals + the map) — the
+        # checkpoint computes the corpus aggregate exactly once
+        .localCheckpoint(eager=False)
+    )
+    tot = model.agg(
+        F.sum("cr").alias("r"), F.sum("ct").alias("t")
+    )
+    lr = model.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.round(
+            F.expr(_DSIR_LR.format(B=DSIR_BUCKETS, S=DSIR_SCALE))
+        )
+        .cast("bigint")
+        .alias("lrq"),
+    )
+    # the whole model as ONE broadcast map row
+    lrmap = lr.agg(
+        F.map_from_entries(
+            F.expr("sort_array(collect_list(struct(bkt, lrq)))")
+        ).alias("m")
+    )
+    fold = f"""
+    aggregate(
+        filter(split(text, '\\\\s+'), x -> x <> ''),
+        CAST(0 AS BIGINT),
+        (acc, tok) -> acc + element_at(
+            m, CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)
+               % {DSIR_BUCKETS}))
+    """
+    scored = docs.crossJoin(F.broadcast(lrmap)).select(
+        "source",
+        "n_chars",
+        F.expr(fold).alias("w"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("w") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_selected"),
+        F.sum(F.when(F.col("w") > 0, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("selected_chars"),
+        F.sum("w").cast("bigint").alias("weight_sum"),
+        F.max("w").cast("bigint").alias("max_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse lists + residual product quantization (the serving path)
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    from quiver_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE_LISTS,
+        N_PROBES,
+        SQL_IV,
+        TOP_K,
+    )
+    from quiver_spark.operators.similarity2 import PQ_K, PQ_M, PQ_SUB
+
+    return f"""
+WITH iv AS ({SQL_IV}),
+cent_ids AS (
+    SELECT vec_id AS cid FROM embeddings
+    WHERE vec_id >= {N_PROBES} ORDER BY vec_id LIMIT {N_CENTROIDS}
+),
+cent AS (
+    SELECT c.cid, iv.i, iv.xi FROM iv JOIN cent_ids c ON iv.vec_id = c.cid
+),
+ad AS (
+    SELECT iv.vec_id, c.cid, SUM((iv.xi - c.xi) * (iv.xi - c.xi)) AS d2
+    FROM iv JOIN cent c ON iv.i = c.i
+    WHERE iv.vec_id >= {N_PROBES}
+    GROUP BY 1, 2
+),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM ad
+    ) WHERE r = 1
+),
+rv AS (
+    SELECT iv.vec_id, a.cid, iv.i, iv.xi - c.xi AS ri
+    FROM iv
+    JOIN assign a ON iv.vec_id = a.vec_id
+    JOIN cent c ON a.cid = c.cid AND iv.i = c.i
+),
+donor_ids AS (
+    SELECT vec_id FROM embeddings
+    WHERE vec_id >= {N_PROBES} ORDER BY vec_id LIMIT {PQ_K}
+),
+cw AS (
+    SELECT r.vec_id AS dcid, (r.i - 1) // {PQ_SUB} AS m,
+           (r.i - 1) % {PQ_SUB} AS si, r.ri AS ci
+    FROM rv r JOIN donor_ids d ON r.vec_id = d.vec_id
+),
+rsub AS (
+    SELECT vec_id, cid, (i - 1) // {PQ_SUB} AS m, (i - 1) % {PQ_SUB} AS si, ri
+    FROM rv
+),
+cd2 AS (
+    SELECT s.vec_id, s.cid, s.m, w.dcid,
+           SUM((s.ri - w.ci) * (s.ri - w.ci)) AS d2
+    FROM rsub s JOIN cw w ON s.m = w.m AND s.si = w.si
+    GROUP BY 1, 2, 3, 4
+),
+codes AS (
+    SELECT vec_id, cid, m, dcid FROM (
+        SELECT vec_id, cid, m, dcid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, m ORDER BY d2, dcid) AS r
+        FROM cd2
+    ) WHERE r = 1
+),
+q AS (SELECT vec_id AS qid, i, xi FROM iv WHERE vec_id < {N_PROBES}),
+qd2 AS (
+    SELECT q.qid, c.cid, SUM((q.xi - c.xi) * (q.xi - c.xi)) AS d2
+    FROM q JOIN cent c ON q.i = c.i
+    GROUP BY 1, 2
+),
+probes AS (
+    SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY d2, cid) AS r
+        FROM qd2
+    ) WHERE r <= {N_PROBE_LISTS}
+),
+base AS (
+    SELECT q.qid, c.cid, SUM(q.xi * c.xi) AS idot
+    FROM q JOIN cent c ON q.i = c.i
+    GROUP BY 1, 2
+),
+adc AS (
+    SELECT q.qid, w.m, w.dcid, SUM(q.xi * w.ci) AS idot
+    FROM q JOIN cw w
+      ON (q.i - 1) // {PQ_SUB} = w.m AND (q.i - 1) % {PQ_SUB} = w.si
+    GROUP BY 1, 2, 3
+),
+scores AS (
+    SELECT p.qid, k.vec_id,
+           ANY_VALUE(b.idot) + SUM(a.idot) AS s
+    FROM codes k
+    JOIN probes p ON k.cid = p.cid
+    JOIN base b ON b.qid = p.qid AND b.cid = p.cid
+    JOIN adc a ON a.qid = p.qid AND a.m = k.m AND a.dcid = k.dcid
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT qid, vec_id, CAST(s AS DOUBLE) AS adc_dot,
+           ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+    FROM scores
+)
+SELECT qid, vec_id, adc_dot, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "quantization"),
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition real vector-search engines serve from
+    (FAISS IndexIVFPQ): a coarse quantizer partitions the corpus into
+    inverted lists, every vector's RESIDUAL (vector − its coarse
+    centroid) is product-quantized, and a query (a) probes only its
+    nprobe nearest lists, (b) reconstructs approximate inner products as
+    dot(q, centroid) + Σ_m ADC-lookup(q_m, codeword) — touching codes,
+    never corpus vectors. Completes the quantization family: coarse
+    (ann_ivf_topk) × fine (ann_pq_topk / ann_pq_trained_topk) composed.
+
+    Plan shape: centroids AND the residual codebook are broadcasts;
+    coarse assignment + residual computation + PQ encoding are ALL
+    map-side folds over those broadcasts (the residual rides through the
+    assignment — no corpus re-join, the k-means round-14 contract);
+    probes/base/ADC are tiny query-side broadcasts; the only
+    corpus-scale exchange is the (qid, vec_id) score aggregate over the
+    PROBED lists' codes (~nprobe/K of the corpus, codes-width rows)."""
+    from pyspark.sql import Window
+
+    from quiver_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE_LISTS,
+        N_PROBES,
+        TOP_K,
+    )
+    from quiver_spark.operators.similarity2 import (
+        _DIST2,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        _int_corpus,
+    )
+    from quiver_spark.functions import int_dot
+
+    emb = _int_corpus(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= N_PROBES)
+    cent = (
+        corpus.orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("iv").alias("cv"))
+    )
+    carr = cent.agg(
+        F.expr(
+            "sort_array(collect_list(named_struct('cid', cid, 'cv', cv)))"
+        ).alias("cents")
+    )
+    d2c = _DIST2.format(v="iv", c="c.cv")
+    best = f"""
+    aggregate(
+        transform(cents, c -> named_struct('d2', {d2c}, 'cid', c.cid,
+                                           'cv', c.cv)),
+        CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT, cv: ARRAY<BIGINT>>),
+        (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s))
+    """
+
+    def assign_residual(df):
+        """Map-side coarse assignment carrying the RESIDUAL through."""
+        return df.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            F.expr(best + ".cid").alias("cid"),
+            F.expr(
+                "zip_with(iv, " + best + ".cv, (x, y) -> x - y)"
+            ).alias("rv"),
+        )
+
+    arv = assign_residual(corpus)
+    donors = assign_residual(corpus.orderBy("vec_id").limit(PQ_K))
+    rslices = F.array(
+        *[F.slice(F.col("rv"), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    cw = donors.select(
+        F.col("vec_id").alias("dcid"), F.posexplode(rslices).alias("m", "cv")
+    )
+    cwarr = cw.agg(
+        F.expr(
+            "sort_array(collect_list("
+            "named_struct('m', m, 'dcid', dcid, 'cv', cv)))"
+        ).alias("cws")
+    )
+    els = []
+    for m in range(PQ_M):
+        sv = f"slice(rv, {m * PQ_SUB + 1}, {PQ_SUB})"
+        rd2 = _DIST2.format(v=sv, c="w.cv")
+        els.append(f"""
+        aggregate(
+            transform(filter(cws, w -> w.m = {m}),
+                      w -> named_struct('d2', {rd2}, 'dcid', w.dcid)),
+            CAST(NULL AS STRUCT<d2: BIGINT, dcid: BIGINT>),
+            (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s)).dcid
+        """)
+    codes = arv.crossJoin(F.broadcast(cwarr)).select(
+        "vec_id",
+        "cid",
+        F.posexplode(F.expr("array(" + ",".join(els) + ")")).alias(
+            "m", "dcid"
+        ),
+    )
+    q = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("iv").alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cent))
+    qd2 = _DIST2.format(v="qv", c="cv")
+    wq = Window.partitionBy("qid").orderBy(F.expr(qd2).asc(), F.asc("cid"))
+    probes = (
+        qc.select(
+            "qid", "cid", F.expr(qd2).alias("d2"),
+            int_dot("qv", "cv").alias("base")
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("r") <= N_PROBE_LISTS)
+        .select("qid", "cid", "base")
+    )
+    _ = wq
+    qslices = F.array(
+        *[F.slice(F.col("qv"), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    qsub = q.select("qid", F.posexplode(qslices).alias("m", "qm"))
+    adc = qsub.join(F.broadcast(cw), "m").select(
+        "qid", "m", "dcid", int_dot("qm", "cv").alias("idot")
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(adc), ["qid", "m", "dcid"])
+        .groupBy("qid", "vec_id")
+        .agg((F.first("base") + F.sum("idot")).alias("s"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid", "vec_id", F.col("s").cast("double").alias("adc_dot"), "rnk"
+        )
+    )

@@ -672,9 +672,10 @@ def test_jvm_append_merges_manifest(spark, tmp_path):
 def test_unified_scan_routes_by_eligibility(spark, tmp_path):
     """sources.scan — ONE entry point, engine picked by the REAL JVM
     guards: flat tables (including Hive/ALTER ones after the round-11
-    lifts) ride the quiverjvm columnar reader; reader options OUTSIDE
-    the round-13 semantic set (columns, file_column, split knobs, …)
-    fall back to the Python DS. Both answers identical either way."""
+    lifts) ride the quiverjvm columnar reader; reader options only the
+    Python DS implements (file_column, split knobs, …) fall back to it,
+    while columns=/limit= translate onto the JVM relation since round
+    14. Both answers identical either way."""
     _require_jar(spark)
     from quiver_spark import maintenance
     from quiver_spark.sources import register, scan
@@ -692,10 +693,15 @@ def test_unified_scan_routes_by_eligibility(spark, tmp_path):
     assert engine(df) == "jvm"
     assert df.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(50))
 
-    # reader options are Python-DS features: same API, silent fallback
+    # columns= translates to a Catalyst select on the JVM relation
+    # (round 14); Python-DS-only options still fall back silently
     df_opt = scan(spark, flat, columns="id")
-    assert engine(df_opt) == "python"
+    assert engine(df_opt) == "jvm"
+    assert df_opt.columns == ["id"]
     assert df_opt.count() == 50
+    df_py = scan(spark, flat, columns="id", file_column="__f")
+    assert engine(df_py) == "python"
+    assert df_py.count() == 50
 
     # column defaults: JVM-served since the round-12 lift — files that
     # predate the ALTER constant-fill the default

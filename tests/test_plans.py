@@ -584,6 +584,34 @@ def test_epoch_shuffle_single_exchange_hierarchical(spark):
     assert plan.count("collect_list") >= 4, plan  # 2 levels × partial/final
 
 
+def test_dsir_single_shuffle_map_side_scoring(spark):
+    """sample_dsir_weights: the 128-bucket model is the only corpus
+    shuffle feeding the checkpoint; scoring folds each document's token
+    array over the broadcast log-ratio MAP — no second corpus exchange,
+    no join, no window, no Python eval."""
+    df = _df(spark, "sample_dsir_weights")
+    plan = plans.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_pq_broadcast_only_joins(spark):
+    """ann_ivf_pq_topk: coarse assignment, residuals, and PQ encoding are
+    map-side folds over broadcasts (the residual rides THROUGH the
+    assignment — no corpus re-join); every hash join's build side is an
+    explicitly broadcast query-side table (probes/base/ADC), nothing
+    sort-merges."""
+    df = _df(spark, "ann_ivf_pq_topk")
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_bloom_build_single_scan_per_side(spark):
     """sketch_bloom_membership: the 4 hash positions explode from ONE
     array, so the build side scans orders once and the probe side scans

@@ -935,3 +935,127 @@ def quiverjvm_stream_pipeline_scan(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@register(
+    "quiverjvm_stream_sessions_scan",
+    oracle="""
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+lagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+),
+sess AS (
+    SELECT user_id, ts, value,
+           SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM lagged
+),
+agg AS (
+    SELECT user_id, sid,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,6))) AS val_sum
+    FROM sess
+    GROUP BY 1, 2
+)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(val_sum AS DOUBLE) AS value_sum
+FROM agg, m
+WHERE epoch_us(session_end) <= (epoch_ms(mx) - 17 * 60 * 1000) * 1000
+""",
+    tags=("format", "jvm", "streaming", "session", "watermark", "sink"),
+)
+def quiverjvm_stream_sessions_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSIONIZATION on the all-JVM path (round 14): events
+    stream through the JVM source into a watermarked
+    ``session_window(ts, 30 min)`` per-user aggregate (append mode — a
+    session emits once the watermark passes its end = last event + gap,
+    so no later event can merge into it), land through the JVM streaming
+    sink, and read back through the JVM batch reader as the full
+    per-session table. The DuckDB oracle replays the semantics exactly:
+    gaps-and-islands sessionization with a ``>= gap`` break (Spark merges
+    only strictly-overlapping session windows, so an event exactly at
+    last + gap starts a NEW session) and the ms-truncated watermark
+    cutoff on session_end.
+
+    Next to the tumbling-window pipeline gate this pins Spark's OTHER
+    stateful window machinery — merging session state — through the same
+    source/sink pair. Decimal per-session sums keep float order out of
+    the hash; session_start is emitted at full µs precision (strftime
+    %f), proving the session boundaries match to the microsecond."""
+    import tempfile
+
+    from quiver_spark.jvm import attach_jar
+    from quiver_spark.operators.format_queries import quiver_dir
+    from quiver_spark.operators.format_queries2 import _marker_dir
+    from quiver_spark.sources import stream_writer
+
+    if not attach_jar(spark):
+        raise RuntimeError("quiverjvm jar failed to attach via ADD JAR")
+
+    def build(d: str) -> None:
+        src = quiver_dir(spark, sf_dir, "events")
+        ckpt = tempfile.mkdtemp(prefix="quiver_qjsess_ckpt_")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        sessions = (
+            spark.readStream.format("quiverjvm")
+            .load(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "17 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("win"),
+                "user_id",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("val_sum"),
+            )
+            .select(
+                F.col("win.start").cast("timestamp_ntz").alias("ss"),
+                "user_id",
+                "n_events",
+                "val_sum",
+            )
+        )
+        writer = stream_writer(sessions, d)
+        if writer._quiver_engine != "quiverjvm":
+            raise RuntimeError(
+                "quiverjvm_stream_sessions_scan: router must pick the JVM "
+                f"sink, got {writer._quiver_engine}"
+            )
+        q = (
+            writer.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "quiverjvm_stream_sessions_scan: stream did not drain "
+                "within 300 s — refusing to cache a partial fixture"
+            )
+
+    d = _marker_dir(spark, sf_dir, "events-jvm-stream-sessions", build)
+    return (
+        spark.read.format("quiverjvm")
+        .load(d)
+        .select(
+            "user_id",
+            F.date_format("ss", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("val_sum").cast("double").alias("value_sum"),
+        )
+    )

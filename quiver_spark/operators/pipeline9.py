@@ -434,3 +434,114 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", "vec_id", F.col("s").cast("double").alias("adc_dot"), "rnk"
         )
     )
+
+# --------------------------------------------------------------------------
+# Mixture schedule: weights → an exact integer per-epoch allocation
+# --------------------------------------------------------------------------
+
+MIX_BUDGET = 1000  #: documents drawn per epoch across all sources
+MIX_SCALE = 1_000_000  #: sqrt-weight quantization (exact-integer seats)
+
+
+@register(
+    "pipeline_mixture_schedule",
+    oracle=f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+sq AS (
+    SELECT source, n_docs,
+           CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * {MIX_SCALE}) AS BIGINT)
+               AS s
+    FROM counts
+),
+d AS (SELECT SUM(s) AS den FROM sq),
+q AS (
+    SELECT sq.source, sq.n_docs, sq.s, d.den,
+           (sq.s * {MIX_BUDGET}) // d.den AS base_quota,
+           (sq.s * {MIX_BUDGET}) % d.den AS rem
+    FROM sq, d
+),
+tot AS (SELECT SUM(base_quota) AS assigned FROM q),
+r AS (
+    SELECT q.*, tot.assigned,
+           ROW_NUMBER() OVER (ORDER BY q.rem DESC, q.source) AS rrank
+    FROM q, tot
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(s AS DOUBLE) / CAST(den AS DOUBLE) AS weight,
+       CAST(base_quota AS BIGINT) AS base_quota,
+       CAST(CASE WHEN rrank <= {MIX_BUDGET} - assigned THEN 1 ELSE 0 END
+            AS BIGINT) AS extra,
+       CAST(base_quota + CASE WHEN rrank <= {MIX_BUDGET} - assigned
+                              THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r
+""",
+    tags=("sampling", "mixture", "schedule", "pipeline", "training"),
+)
+def pipeline_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn mixture WEIGHTS into an exact integer per-epoch allocation —
+    the step between choosing domain weights and actually drawing a
+    training epoch: sqrt-scaled weights (the UniMax-style dampening of
+    head sources) are apportioned over a MIX_BUDGET-document budget by
+    the LARGEST-REMAINDER method, so ``SUM(quota) == MIX_BUDGET``
+    exactly — reproducible across engines, reruns, and reshards.
+
+    Determinism is PURE-INTEGER: the sqrt weight quantizes once to a
+    micro-seat BIGINT (one IEEE sqrt + multiply + ROUND of identical
+    operands), and from there quota = (seats × budget) div total_seats
+    with the remainder ordering on exact integer modulos — no float sum
+    whose order could smear a FLOOR boundary (the naive
+    SUM(SQRT(...)) OVER () denominator drifts in the last ulp between
+    engines). The reported ``weight`` is one exact-int division, for
+    display only.
+
+    Plan shape: ONE corpus-count shuffle (per-source, ~20 keys); every
+    window/rank downstream runs over the ≤|sources| row table."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    sq = counts.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * MIX_SCALE)
+        .cast("bigint")
+        .alias("s"),
+    )
+    den = sq.agg(F.sum("s").alias("den"))
+    q = sq.crossJoin(F.broadcast(den)).select(
+        "source",
+        "n_docs",
+        "s",
+        "den",
+        F.expr(f"(s * {MIX_BUDGET}) div den").alias("base_quota"),
+        F.expr(f"(s * {MIX_BUDGET}) % den").alias("rem"),
+    )
+    wall = Window.partitionBy()
+    r = q.select(
+        "source",
+        "n_docs",
+        "s",
+        "den",
+        "base_quota",
+        "rem",
+        F.sum("base_quota").over(wall).alias("assigned"),
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("rem"), F.asc("source")))
+        .alias("rrank"),
+    )
+    extra = F.when(
+        F.col("rrank") <= F.lit(MIX_BUDGET) - F.col("assigned"), 1
+    ).otherwise(0)
+    return r.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.col("s").cast("double") / F.col("den").cast("double")).alias(
+            "weight"
+        ),
+        F.col("base_quota").cast("bigint").alias("base_quota"),
+        extra.cast("bigint").alias("extra"),
+        (F.col("base_quota") + extra).cast("bigint").alias("quota"),
+    )

@@ -331,10 +331,15 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _int_corpus(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= N_PROBES)
+    # N_CENTROIDS rows with three consumers (the assignment broadcast,
+    # the donors' assignment broadcast, and the probe scoring) — the lazy
+    # checkpoint stops each one re-running the seed TakeOrdered corpus
+    # pass (the PCA-power-iteration lesson)
     cent = (
         corpus.orderBy("vec_id")
         .limit(N_CENTROIDS)
         .select(F.col("vec_id").alias("cid"), F.col("iv").alias("cv"))
+        .localCheckpoint(eager=False)
     )
     carr = cent.agg(
         F.expr(
@@ -365,9 +370,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rslices = F.array(
         *[F.slice(F.col("rv"), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
     )
+    # M·K rows, two consumers (encode broadcast + ADC) — same checkpoint
+    # rationale as cent: the donors' TakeOrdered corpus pass runs once
     cw = donors.select(
         F.col("vec_id").alias("dcid"), F.posexplode(rslices).alias("m", "cv")
-    )
+    ).localCheckpoint(eager=False)
     cwarr = cw.agg(
         F.expr(
             "sort_array(collect_list("

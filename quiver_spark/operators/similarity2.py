@@ -522,7 +522,11 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for it in range(1, PQT_ITERS + 1):
         assigned = assign(cwarr_of(cb))
         if it < PQT_ITERS:
-            cb = update(assigned)
+            # ≤ M·K rows with TWO consumers (the next assignment's
+            # broadcast AND the ADC table) — the lazy checkpoint stops
+            # each consumer re-running the Lloyd chain's corpus pass
+            # (the PCA-power-iteration lesson; measured ~0.7 s at sf0.1)
+            cb = update(assigned).localCheckpoint(eager=False)
     codes = assigned.select("vec_id", "m", "cid")
 
     q = emb.filter(F.col("vec_id") < N_PROBES)

@@ -669,3 +669,215 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("varr")
         )
     return v.select("i", F.col("v").alias("loading"))
+
+# --------------------------------------------------------------------------
+# PCA top-2 via deflation (the whitening/reduction trainer, second axis)
+# --------------------------------------------------------------------------
+
+
+def _pca2_oracle() -> str:
+    """v1 chain (as in _pca_oracle), then cy = C·v1 once, then PCA_ITERS
+    rounds of DEFLATED power iteration for u: the second-axis update is
+    num_i = (C·u)_i · S − ratio · cy_i with ratio = ROUND(S·(v1·u)/(v1·v1))
+    — all exact HUGEINT until the single normalization divide."""
+    steps = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(f"""
+s{t} AS (
+    SELECT iv.vec_id, SUM(iv.xi * v.v) AS s
+    FROM iv JOIN {prev} v ON iv.i = v.i
+    GROUP BY iv.vec_id
+),
+y{t} AS (
+    SELECT iv.i, SUM(CAST(s.s AS HUGEINT) * iv.xi) AS y
+    FROM iv JOIN s{t} s ON iv.vec_id = s.vec_id
+    GROUP BY iv.i
+),
+m{t} AS (SELECT MAX(ABS(y)) AS m FROM y{t}),
+v{t} AS (
+    SELECT i, CAST(ROUND(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+                         * {PCA_SCALE}) AS BIGINT) AS v
+    FROM y{t}, m{t}
+)""")
+        prev = f"v{t}"
+    v1 = prev
+    usteps = []
+    uprev = "u0"
+    for t in range(1, PCA_ITERS + 1):
+        usteps.append(f"""
+su{t} AS (
+    SELECT iv.vec_id, SUM(iv.xi * u.v) AS s
+    FROM iv JOIN {uprev} u ON iv.i = u.i
+    GROUP BY iv.vec_id
+),
+yu{t} AS (
+    SELECT iv.i, SUM(CAST(s.s AS HUGEINT) * iv.xi) AS y
+    FROM iv JOIN su{t} s ON iv.vec_id = s.vec_id
+    GROUP BY iv.i
+),
+rat{t} AS (
+    SELECT CAST(ROUND(
+        CAST((SELECT SUM(CAST(v.v AS HUGEINT) * u.v)
+              FROM {v1} v JOIN {uprev} u ON v.i = u.i) AS DOUBLE)
+        / CAST((SELECT SUM(CAST(v.v AS HUGEINT) * v.v) FROM {v1} v)
+               AS DOUBLE) * {PCA_SCALE}) AS HUGEINT) AS r
+),
+num{t} AS (
+    SELECT y.i, y.y * {PCA_SCALE} - rat{t}.r * cy.y AS num
+    FROM yu{t} y JOIN cy ON y.i = cy.i, rat{t}
+),
+mu{t} AS (SELECT MAX(ABS(num)) AS m FROM num{t}),
+u{t} AS (
+    SELECT i, CAST(ROUND(CAST(num AS DOUBLE) / CAST(m AS DOUBLE)
+                         * {PCA_SCALE}) AS BIGINT) AS v
+    FROM num{t}, mu{t}
+)""")
+        uprev = f"u{t}"
+    chain = ",".join(steps)
+    uchain = ",".join(usteps)
+    return f"""
+WITH iv AS ({SQL_IV}),
+v0 AS (SELECT CAST(i AS BIGINT) AS i, CAST({PCA_SCALE} AS BIGINT) AS v
+       FROM range(1, 65) t(i)),{chain},
+sc AS (
+    SELECT iv.vec_id, SUM(iv.xi * v.v) AS s
+    FROM iv JOIN {v1} v ON iv.i = v.i
+    GROUP BY iv.vec_id
+),
+cy AS (
+    SELECT iv.i, SUM(CAST(s.s AS HUGEINT) * iv.xi) AS y
+    FROM iv JOIN sc s ON iv.vec_id = s.vec_id
+    GROUP BY iv.i
+),
+u0 AS (SELECT CAST(i AS BIGINT) AS i,
+              CAST(CASE WHEN i % 2 = 0 THEN {PCA_SCALE}
+                   ELSE -{PCA_SCALE} END AS BIGINT) AS v
+       FROM range(1, 65) t(i)),{uchain}
+SELECT v.i, v.v AS loading1, u.v AS loading2
+FROM {v1} v JOIN {uprev} u ON v.i = u.i
+"""
+
+
+@register(
+    "embedding_pca_top2_deflation",
+    oracle=_pca2_oracle(),
+    tags=("similarity", "pca", "deflation", "training"),
+)
+def embedding_pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND principal direction via deflation (round 14) — the axis a
+    whitening/reduction pipeline needs after
+    embedding_pca_power_iteration's dominant one: u iterates under the
+    DEFLATED operator C − λ1·v1v1ᵀ/(v1ᵀv1), expressed without ever
+    materializing C: per round, C·u is the same two-pass fold/aggregate
+    as the top-1 chain, and the deflation term reuses ONE fixed
+    ``cy = C·v1`` corpus aggregate, so each extra round costs one corpus
+    pass — not a Gram matrix.
+
+    Exact-integer discipline (the driver hash-compares): the update
+    numerator is ``(C·u)_i·S − ratio·cy_i`` where
+    ``ratio = ROUND(S·(v1·u)/(v1·v1))`` — v1·u and v1·v1 are exact
+    BIGINT dots (< 2^53, so the one IEEE divide is on identical
+    operands), and the numerator stays exact 38-digit decimal (DuckDB
+    HUGEINT mirrors it); the common 1/S factor cancels in the max-abs
+    re-quantization. The alternating-sign seed keeps u0 from being
+    parallel to the (all-positive-seeded) v1."""
+    emb = _int_corpus(spark, sf_dir)
+
+    def cmul(vrow: DataFrame) -> DataFrame:
+        """y = Xᵀ(X·v) — map-side fold + ONE 64-key aggregate."""
+        s = (
+            emb.crossJoin(F.broadcast(vrow))
+            .select("iv", int_dot("iv", "varr").alias("s"))
+            .select("s", F.posexplode("iv").alias("p", "xi"))
+        )
+        return (
+            s.groupBy((F.col("p") + 1).alias("i"))
+            .agg(
+                F.sum(
+                    F.col("s").cast("decimal(38,0)") * F.col("xi")
+                ).alias("y")
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    def collapse(v: DataFrame) -> DataFrame:
+        return v.agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct('i', i, 'v', v)),"
+                " (a, b) -> CAST(a.i - b.i AS INT)), s -> s.v)"
+            ).alias("varr")
+        )
+
+    def renorm(y: DataFrame, col: str) -> DataFrame:
+        m = y.agg(F.max(F.abs(F.col(col))).alias("m"))
+        return y.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.round(
+                F.col(col).cast("double") / F.col("m").cast("double")
+                * PCA_SCALE
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+
+    # --- top-1 chain (identical to embedding_pca_power_iteration) ---
+    vrow = spark.range(1).select(
+        F.expr(f"array_repeat(CAST({PCA_SCALE} AS BIGINT), 64)").alias("varr")
+    )
+    v = None
+    for _ in range(PCA_ITERS):
+        v = renorm(cmul(vrow), "y")
+        vrow = collapse(v)
+    v1 = v.localCheckpoint(eager=False)  # 64 rows, many consumers
+    v1row = collapse(v1)
+    # one fixed deflation vector: cy = C·v1
+    cy = cmul(v1row)  # 64 rows, reused by every u round
+
+    # --- deflated power iteration for u ---
+    u = spark.range(1, 65).select(
+        F.col("id").cast("bigint").alias("i"),
+        F.when(F.col("id") % 2 == 0, PCA_SCALE)
+        .otherwise(-PCA_SCALE)
+        .cast("bigint")
+        .alias("v"),
+    )
+    vv = v1.agg(
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("d")
+    )
+    for _ in range(PCA_ITERS):
+        urow = collapse(u)
+        yu = cmul(urow)
+        uv = (
+            v1.join(u.withColumnRenamed("v", "uv"), "i")
+            .agg(
+                F.sum(
+                    F.col("v").cast("decimal(38,0)") * F.col("uv")
+                ).alias("d")
+            )
+        )
+        rat = uv.crossJoin(vv.withColumnRenamed("d", "dv")).select(
+            F.round(
+                F.col("d").cast("double") / F.col("dv").cast("double")
+                * PCA_SCALE
+            )
+            .cast("decimal(38,0)")
+            .alias("r")
+        )
+        num = (
+            yu.join(cy.withColumnRenamed("y", "cyv"), "i")
+            .crossJoin(F.broadcast(rat))
+            .select(
+                "i",
+                (
+                    F.col("y") * F.lit(PCA_SCALE).cast("decimal(38,0)")
+                    - F.col("r") * F.col("cyv")
+                ).alias("num"),
+            )
+        )
+        u = renorm(num, "num").localCheckpoint(eager=False)
+    return (
+        v1.withColumnRenamed("v", "loading1")
+        .join(u.withColumnRenamed("v", "loading2"), "i")
+        .select("i", "loading1", "loading2")
+    )

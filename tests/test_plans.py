@@ -612,6 +612,18 @@ def test_ivf_pq_broadcast_only_joins(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pca_top2_deflation_plan(spark):
+    """embedding_pca_top2_deflation: same discipline as the top-1 pin —
+    checkpoint boundaries serve the 64-row intermediates (no cross-round
+    corpus recompute), X·v stays a map-side fold, and nothing windows or
+    drops into Python."""
+    df = _df(spark, "embedding_pca_top2_deflation")
+    plan = plans.physical_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_bloom_build_single_scan_per_side(spark):
     """sketch_bloom_membership: the 4 hash positions explode from ONE
     array, so the build side scans orders once and the probe side scans

@@ -84,10 +84,44 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
   }
 
   static final class QuiverJvmTable
-      implements SupportsWrite, org.apache.spark.sql.connector.catalog.SupportsRead {
+      implements SupportsWrite, org.apache.spark.sql.connector.catalog.SupportsRead,
+          org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
     private final StructType schema;
     private final Transform[] partitioning;
     private final Map<String, String> properties;
+
+    /** File-identity metadata column (round 14): `_quiver_file` yields
+     * each row's data file as a root-relative path — the JVM twin of
+     * the Python DS's `file_column` option, so the unified router can
+     * serve file-identity scans without the Python planner floor.
+     * Spark suppresses it automatically when a data column shadows the
+     * name (SupportsMetadataColumns contract). */
+    @Override
+    public org.apache.spark.sql.connector.catalog.MetadataColumn[] metadataColumns() {
+      return new org.apache.spark.sql.connector.catalog.MetadataColumn[] {
+        new org.apache.spark.sql.connector.catalog.MetadataColumn() {
+          @Override
+          public String name() {
+            return QuiverJvmRead.META_FILE_COL;
+          }
+
+          @Override
+          public org.apache.spark.sql.types.DataType dataType() {
+            return org.apache.spark.sql.types.DataTypes.StringType;
+          }
+
+          @Override
+          public boolean isNullable() {
+            return false;
+          }
+
+          @Override
+          public String comment() {
+            return "root-relative data file of the row";
+          }
+        }
+      };
+    }
 
     QuiverJvmTable(StructType schema, Transform[] partitioning, Map<String, String> properties) {
       this.schema = schema;

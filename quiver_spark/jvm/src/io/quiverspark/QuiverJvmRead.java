@@ -857,9 +857,19 @@ public final class QuiverJvmRead {
   /** One contiguous page range of one file inside a partition, plus the
    * file's column-resolution context: Hive partition constants (typed at
    * plan time) and the ALTER rename map (declared → physical name). */
+  /** Name of the file-identity METADATA column (round 14): selecting it
+   * yields each row's data file as a root-relative path — the JVM twin
+   * of the Python DS's {@code file_column} option, served through
+   * Spark's SupportsMetadataColumns so the unified router no longer
+   * pins file-identity scans to the Python DS. Suppressed whenever a
+   * real data column carries the same name (Spark's shadowing rule). */
+  static final String META_FILE_COL = "_quiver_file";
+
   static final class Chunk implements Serializable {
-    private static final long serialVersionUID = 2L;
+    private static final long serialVersionUID = 3L;
     final String file;
+    /** root-relative path of {@link #file} (the META_FILE_COL value) */
+    final String rel;
     final int pageStart;
     final int pageEnd;
     /** typed Hive partition constant by column name (entry with null
@@ -876,10 +886,12 @@ public final class QuiverJvmRead {
      * at read time); null/empty when none were ever declared */
     final java.util.HashMap<String, Object> defaults;
 
-    Chunk(String file, int pageStart, int pageEnd, java.util.HashMap<String, Object> partVals,
+    Chunk(String file, String rel, int pageStart, int pageEnd,
+        java.util.HashMap<String, Object> partVals,
         java.util.HashMap<String, String> cmap, String[] expectCols,
         java.util.HashMap<String, Object> defaults) {
       this.file = file;
+      this.rel = rel;
       this.pageStart = pageStart;
       this.pageEnd = pageEnd;
       this.partVals = partVals;
@@ -1147,10 +1159,15 @@ public final class QuiverJvmRead {
         }
 
         // data columns the scan must read from file pages (partition
-        // columns are constants; names resolve per file through the cmap)
+        // columns are constants; names resolve per file through the
+        // cmap; the file-identity METADATA column is a per-chunk
+        // constant and reads no pages — unless a real data column
+        // shadows the name, in which case the file's data wins)
         List<String> dataCols = new ArrayList<>();
         for (StructField f : required.fields()) {
-          if (!partIdx.containsKey(f.name())) dataCols.add(f.name());
+          if (partIdx.containsKey(f.name())) continue;
+          if (isMetaFileCol(f.name())) continue;
+          dataCols.add(f.name());
         }
         // without a declared (ALTER) schema every file must carry exactly
         // the table's data columns — name-resolution must not paper over a
@@ -1197,6 +1214,7 @@ public final class QuiverJvmRead {
         List<long[]> perFilePageRows = new ArrayList<>();
         List<long[]> perFilePageBytes = new ArrayList<>();
         List<boolean[]> perFileKeep = new ArrayList<>();
+        List<String> keptRels = new ArrayList<>();
         List<File> keptFiles = new ArrayList<>();
         List<java.util.HashMap<String, Object>> keptPartVals = new ArrayList<>();
         List<java.util.HashMap<String, String>> keptCmaps = new ArrayList<>();
@@ -1362,6 +1380,7 @@ public final class QuiverJvmRead {
             keep = QuiverPagePrune.keepMask(st, filePreds, pb.length);
           }
           keptFiles.add(f);
+          keptRels.add(rel);
           keptPartVals.add(partVals);
           keptCmaps.add(cmap);
           perFilePageBytes.add(pb);
@@ -1391,13 +1410,14 @@ public final class QuiverJvmRead {
           long[] pb = perFilePageBytes.get(fi);
           boolean[] keep = perFileKeep.get(fi);
           String fp = files.get(fi).getPath();
+          String rl = keptRels.get(fi);
           java.util.HashMap<String, Object> pv = keptPartVals.get(fi);
           java.util.HashMap<String, String> cm = keptCmaps.get(fi);
           int runStart = -1; // start of the current kept run
           for (int p = 0; p < pb.length; p++) {
             if (keep != null && !keep[p]) {
               if (runStart >= 0) {
-                open.add(new Chunk(fp, runStart, p, pv, cm, expectCols, tblDefaults));
+                open.add(new Chunk(fp, rl, runStart, p, pv, cm, expectCols, tblDefaults));
                 runStart = -1;
               }
               continue;
@@ -1411,14 +1431,14 @@ public final class QuiverJvmRead {
                 if (plannedRows >= planLimit) {
                   // enough leading pages planned to cover the limit —
                   // stop here; Spark's own limit trims above the scan
-                  open.add(new Chunk(fp, runStart, p + 1, pv, cm, expectCols, tblDefaults));
+                  open.add(new Chunk(fp, rl, runStart, p + 1, pv, cm, expectCols, tblDefaults));
                   parts.add(new QuiverInputPartition(open.toArray(new Chunk[0])));
                   return parts.toArray(new InputPartition[0]);
                 }
               }
             }
             if (acc >= floor) {
-              open.add(new Chunk(fp, runStart, p + 1, pv, cm, expectCols, tblDefaults));
+              open.add(new Chunk(fp, rl, runStart, p + 1, pv, cm, expectCols, tblDefaults));
               parts.add(new QuiverInputPartition(open.toArray(new Chunk[0])));
               open = new ArrayList<>();
               runStart = -1;
@@ -1426,9 +1446,9 @@ public final class QuiverJvmRead {
             }
           }
           if (runStart >= 0) {
-            open.add(new Chunk(fp, runStart, pb.length, pv, cm, expectCols, tblDefaults));
+            open.add(new Chunk(fp, rl, runStart, pb.length, pv, cm, expectCols, tblDefaults));
           } else if (pb.length == 0) {
-            open.add(new Chunk(fp, 0, 0, pv, cm, expectCols, tblDefaults));
+            open.add(new Chunk(fp, rl, 0, 0, pv, cm, expectCols, tblDefaults));
           }
         }
         if (!open.isEmpty()) {
@@ -1440,9 +1460,25 @@ public final class QuiverJvmRead {
       }
     }
 
+    /** Is this required-field name the file-identity metadata column —
+     * i.e. named META_FILE_COL and NOT shadowed by a real data column
+     * of the table (Spark's SupportsMetadataColumns shadowing rule)? */
+    private boolean isMetaFileCol(String name) {
+      if (!META_FILE_COL.equals(name)) return false;
+      for (String n : fullSchema.fieldNames()) {
+        if (n.equals(META_FILE_COL)) return false;
+      }
+      return true;
+    }
+
     @Override
     public PartitionReaderFactory createReaderFactory() {
-      return new QuiverReaderFactory(required.json());
+      int metaIdx = -1;
+      StructField[] rf = required.fields();
+      for (int i = 0; i < rf.length; i++) {
+        if (isMetaFileCol(rf[i].name())) { metaIdx = i; break; }
+      }
+      return new QuiverReaderFactory(required.json(), metaIdx);
     }
   }
 
@@ -1457,11 +1493,19 @@ public final class QuiverJvmRead {
   // ---- reader ------------------------------------------------------------
 
   static final class QuiverReaderFactory implements PartitionReaderFactory {
-    private static final long serialVersionUID = 2L;
+    private static final long serialVersionUID = 3L;
     private final String requiredSchemaJson;
+    /** index in the required schema of the file-identity metadata
+     * column, or -1 when the scan doesn't request it */
+    private final int metaFileIdx;
 
     QuiverReaderFactory(String requiredSchemaJson) {
+      this(requiredSchemaJson, -1);
+    }
+
+    QuiverReaderFactory(String requiredSchemaJson, int metaFileIdx) {
       this.requiredSchemaJson = requiredSchemaJson;
+      this.metaFileIdx = metaFileIdx;
     }
 
     @Override
@@ -1477,7 +1521,8 @@ public final class QuiverJvmRead {
     @Override
     public PartitionReader<ColumnarBatch> createColumnarReader(InputPartition partition) {
       StructType required = (StructType) DataType.fromJson(requiredSchemaJson);
-      return new QuiverColumnarReader(((QuiverInputPartition) partition).chunks, required);
+      return new QuiverColumnarReader(
+          ((QuiverInputPartition) partition).chunks, required, metaFileIdx);
     }
   }
 
@@ -1493,6 +1538,7 @@ public final class QuiverJvmRead {
   static final class QuiverColumnarReader implements PartitionReader<ColumnarBatch> {
     private final Chunk[] chunks;
     private final StructType required;
+    private final int metaFileIdx; // required-field index of META_FILE_COL, or -1
 
     private int chunkI = 0;
     private int pageI = 0; // within current chunk's range
@@ -1509,8 +1555,13 @@ public final class QuiverJvmRead {
     private ColumnarBatch batch;
 
     QuiverColumnarReader(Chunk[] chunks, StructType required) {
+      this(chunks, required, -1);
+    }
+
+    QuiverColumnarReader(Chunk[] chunks, StructType required, int metaFileIdx) {
       this.chunks = chunks;
       this.required = required;
+      this.metaFileIdx = metaFileIdx;
     }
 
     private void openChunk(Chunk c) throws IOException {
@@ -1555,6 +1606,13 @@ public final class QuiverJvmRead {
       partConst = new Object[req.length];
       for (int i = 0; i < req.length; i++) {
         String declared = req[i].name();
+        if (i == metaFileIdx) {
+          // file-identity metadata column: a per-chunk string constant
+          // (root-relative path) — rides the SRC_PART fill path
+          srcIdx[i] = SRC_PART;
+          partConst[i] = c.rel;
+          continue;
+        }
         if (c.partVals != null && c.partVals.containsKey(declared)) {
           srcIdx[i] = SRC_PART;
           partConst[i] = c.partVals.get(declared);

@@ -317,7 +317,8 @@ final class QuiverJvmStream
               QuiverJvmRead.partTyped(rawVals == null ? null : rawVals[i], hive.kinds[i]));
         }
         chunks.add(new QuiverJvmRead.Chunk(
-            f.getPath(), 0, -1, partVals, cmap, expectCols, tblDefaults));
+            f.getPath(), dataRel == null ? rel : dataRel, 0, -1,
+            partVals, cmap, expectCols, tblDefaults));
         sizes.add(f.length());
         totalBytes += f.length();
       }

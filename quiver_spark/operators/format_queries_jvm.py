@@ -145,18 +145,27 @@ def quiver_unified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested embeddings table (array<float>) to the quiverjvm columnar
     reader. Since round 14 (VERDICT r13 Next #2) ``columns=`` rides the
     JVM too (translated to a Catalyst select, so pruning reaches the DSv2
-    scan); only options the Python DS alone implements — here
-    ``file_column`` — still land there. The query verifies the routing
-    really happened (a silent mis-route would pass the oracle while
-    testing nothing) and aggregates across both engines' outputs."""
+    scan), and so does ``file_column=`` (the `_quiver_file` metadata
+    column); only options the Python DS alone implements — here the
+    explicit split knob ``partition_rows`` — still land there. The query
+    verifies the routing really happened (a silent mis-route would pass
+    the oracle while testing nothing) and aggregates across both
+    engines' outputs."""
     from quiver_spark.operators.format_queries import quiver_dir
     from quiver_spark.sources import scan
 
     orders = scan(spark, quiver_dir(spark, sf_dir, "orders"))
     emb = scan(spark, quiver_dir(spark, sf_dir, "embeddings"))
-    cols = scan(spark, quiver_dir(spark, sf_dir, "orders"), columns="o_orderkey")
+    cols = scan(
+        spark,
+        quiver_dir(spark, sf_dir, "orders"),
+        columns="o_orderkey",
+        file_column="__file",
+    )
     opt = scan(
-        spark, quiver_dir(spark, sf_dir, "orders"), file_column="__file"
+        spark,
+        quiver_dir(spark, sf_dir, "orders"),
+        partition_rows="10000000",
     )
     plan_o = orders._jdf.queryExecution().analyzed().toString()
     plan_e = emb._jdf.queryExecution().analyzed().toString()
@@ -171,8 +180,8 @@ def quiver_unified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if "quiverjvm" not in plan_c:
         raise RuntimeError(
-            "unified scan: columns= must translate onto the JVM reader "
-            "(round-14 routing)"
+            "unified scan: columns=/file_column= must translate onto the "
+            "JVM reader (round-14 routing)"
         )
     if "quiverjvm" in plan_p:
         raise RuntimeError(

@@ -19,16 +19,19 @@ JVM_SEMANTIC_OPTS = frozenset(
 #: Python-DS reader options the JVM path serves as plain Catalyst
 #: operators instead (round 14 — VERDICT r13 Next #2): ``columns=``
 #: becomes a post-scan ``.select`` (Catalyst pushes the pruning into the
-#: DSv2 scan natively) and ``limit=`` becomes ``.limit()`` (the JVM
-#: reader implements SupportsPushDownLimit, QuiverJvmRead.java). Both
-#: engines plan splits in manifest file order and a single-reducer
-#: GlobalLimit drains map outputs in partition order, so the prefix a
-#: LIMIT takes is the same file-order prefix — routing stays
-#: result-stable. NOTE: through THIS entry point ``limit=N`` means
-#: exactly-min(N, rows) on both engines (the Python fallback gets an
-#: outer ``.limit`` too); the raw ``.option("limit")`` on the Python DS
-#: keeps its documented page-granular short-circuit semantics.
-JVM_TRANSLATED_OPTS = frozenset({"columns", "limit"})
+#: DSv2 scan natively), ``limit=`` becomes ``.limit()`` (the JVM
+#: reader implements SupportsPushDownLimit, QuiverJvmRead.java), and
+#: ``file_column=`` becomes a select of the JVM reader's
+#: ``_quiver_file`` METADATA column (SupportsMetadataColumns — the same
+#: root-relative path the Python DS emits). Both engines plan splits in
+#: manifest file order and a single-reducer GlobalLimit drains map
+#: outputs in partition order, so the prefix a LIMIT takes is the same
+#: file-order prefix — routing stays result-stable. NOTE: through THIS
+#: entry point ``limit=N`` means exactly-min(N, rows) on both engines
+#: (the Python fallback gets an outer ``.limit`` too); the raw
+#: ``.option("limit")`` on the Python DS keeps its documented
+#: page-granular short-circuit semantics.
+JVM_TRANSLATED_OPTS = frozenset({"columns", "limit", "file_column"})
 
 
 def scan(spark, path: str, **options):
@@ -43,13 +46,16 @@ def scan(spark, path: str, **options):
       zone-map + bloom page pruning, Catalyst column pruning, no
       JVM→Python boundary (sf0.1: 0.19-0.50x of the parquet control vs
       the Python DS's ~1.4-2x planner-floor proxies) — and (round 14)
-      the translated options ``columns=`` / ``limit=``, which become
-      Catalyst ``select`` / ``limit`` on the JVM relation.
+      the translated options ``columns=`` / ``limit=`` /
+      ``file_column=``, which become Catalyst ``select`` / ``limit`` /
+      a select of the ``_quiver_file`` metadata column.
     - **python "quiver" DS** fallback: everything semantic the JVM reader
       refuses — exotic leaf shapes (half floats, decimal256), unfillable
       defaults — plus any reader option outside
-      JVM_SEMANTIC_OPTS | JVM_TRANSLATED_OPTS (file_column, explicit
-      split knobs, …), which only the Python DS implements.
+      JVM_SEMANTIC_OPTS | JVM_TRANSLATED_OPTS (explicit split knobs,
+      page_prune, …), which only the Python DS implements, and tables
+      whose DATA carries a ``_quiver_file`` column when file identity is
+      requested.
 
     Eligibility is probed against the REAL JVM guards (one driver-side
     manifest read via QuiverJvmRead.inferTableSchema) — not a Python-side
@@ -62,7 +68,9 @@ def scan(spark, path: str, **options):
         sem = {k: v for k, v in options.items() if k in JVM_SEMANTIC_OPTS}
         df = try_jvm_scan(spark, path, **sem)
         if df is not None:
-            return _apply_translated(df, options)
+            out = _apply_translated(df, options)
+            if out is not None:
+                return out
     reader = spark.read.format("quiver")
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -77,10 +85,44 @@ def scan(spark, path: str, **options):
 
 def _apply_translated(df, options):
     """Re-express JVM_TRANSLATED_OPTS as Catalyst operators on a JVM
-    relation (columns → select, limit → limit)."""
+    relation (columns → select, file_column → the `_quiver_file`
+    metadata column aliased, limit → limit), or None when the JVM path
+    cannot serve them (a DATA column named `_quiver_file` shadows the
+    metadata column — Spark's SupportsMetadataColumns rule — so only
+    the Python DS can emit file identity for that table)."""
+    from pyspark.sql import functions as F
+
+    fcol = options.get("file_column")
+    if fcol is not None:
+        if "_quiver_file" in df.columns:
+            return None  # shadowed metadata column → Python DS
+        if fcol in df.columns:
+            # the Python DS's documented contract, same error class
+            raise ValueError(
+                f"file_column {fcol!r} collides with a table column"
+            )
     cols = options.get("columns")
     if cols:
-        df = df.select(*[c.strip() for c in cols.split(",")])
+        # Python-DS parity: columns= selects EXACTLY the named columns in
+        # the given order, and the file column survives only when its
+        # name is listed (the DS appends it to the schema BEFORE the
+        # columns filter runs)
+        keep = []
+        for name in (c.strip() for c in cols.split(",")):
+            keep.append(
+                F.col("_quiver_file").alias(fcol)
+                if fcol is not None and name == fcol
+                else F.col(name)
+            )
+        df = df.select(*keep)
+    elif fcol is not None:
+        # no pruning: every data column + the file column appended last
+        # (ONE select — metadata columns resolve on the relation, not on
+        # a derived projection)
+        df = df.select(
+            *[F.col(c) for c in df.columns],
+            F.col("_quiver_file").alias(fcol),
+        )
     if "limit" in options:
         df = df.limit(int(options["limit"]))
     return df

@@ -673,9 +673,9 @@ def test_unified_scan_routes_by_eligibility(spark, tmp_path):
     """sources.scan — ONE entry point, engine picked by the REAL JVM
     guards: flat tables (including Hive/ALTER ones after the round-11
     lifts) ride the quiverjvm columnar reader; reader options only the
-    Python DS implements (file_column, split knobs, …) fall back to it,
-    while columns=/limit= translate onto the JVM relation since round
-    14. Both answers identical either way."""
+    Python DS implements (explicit split knobs, …) fall back to it,
+    while columns=/limit=/file_column= translate onto the JVM relation
+    since round 14. Both answers identical either way."""
     _require_jar(spark)
     from quiver_spark import maintenance
     from quiver_spark.sources import register, scan
@@ -699,7 +699,7 @@ def test_unified_scan_routes_by_eligibility(spark, tmp_path):
     assert engine(df_opt) == "jvm"
     assert df_opt.columns == ["id"]
     assert df_opt.count() == 50
-    df_py = scan(spark, flat, columns="id", file_column="__f")
+    df_py = scan(spark, flat, columns="id", partition_rows="1000000")
     assert engine(df_py) == "python"
     assert df_py.count() == 50
 
@@ -1203,8 +1203,9 @@ def test_jvm_serves_semantic_reader_options(spark, tmp_path):
     )
     assert 0 < sub.count() < 18
 
-    # an option OUTSIDE the semantic set still routes to the Python DS
-    other = scan(spark, inc, file_column="__f")
+    # an option OUTSIDE the semantic+translated sets still routes to
+    # the Python DS
+    other = scan(spark, inc, partition_rows="1000000")
     assert _engine_of(other) == "python"
 
 
@@ -1212,7 +1213,8 @@ def test_jvm_serves_translated_reader_options(spark, tmp_path):
     """Round 14 (VERDICT r13 Next #2): ``columns=`` / ``limit=`` no longer
     pin a scan to the Python DS — they translate to Catalyst select /
     limit on the JVM relation (the JVM reader does projection pruning and
-    pushLimit natively). The fallback surface shrinks to file_column +
+    pushLimit natively; file_column= maps to the _quiver_file metadata
+    column). The fallback surface shrinks to
     explicit split knobs + guard refusals. Through the unified entry,
     limit=N is exact-N on BOTH engines and takes the same file-order
     prefix."""
@@ -1242,7 +1244,7 @@ def test_jvm_serves_translated_reader_options(spark, tmp_path):
         assert len(ver.collect()) == 10
     # exact-N on both engines, same file-order prefix
     assert len(lim.collect()) == 100
-    py = scan(spark, d, limit="100", file_column="__f").drop("__f")
+    py = scan(spark, d, limit="100", partition_rows="1000000")
     assert _engine_of(py) == "python"
     assert sorted(map(tuple, lim.collect())) == sorted(
         map(tuple, py.limit(100).collect())
@@ -1253,9 +1255,43 @@ def test_jvm_serves_translated_reader_options(spark, tmp_path):
     # python fallback keeps exact-N through the unified entry too
     assert len(py.collect()) == 100
 
+    # file_column= rides the JVM too (round 14: the _quiver_file
+    # metadata column), value-identical to the Python DS's option —
+    # including the columns= interplay (the file column survives a
+    # columns= pruning only when LISTED, Python-DS parity)
+    fc = scan(spark, d, columns="id, __f", file_column="__f")
+    assert _engine_of(fc) == "jvm"
+    assert fc.columns == ["id", "__f"]
+    pyfc = (
+        spark.read.format("quiver")
+        .option("columns", "id, __f")
+        .option("file_column", "__f")
+        .load(d)
+    )
+    assert sorted(map(tuple, fc.collect())) == sorted(
+        map(tuple, pyfc.collect())
+    )
+    pruned = scan(spark, d, columns="id", file_column="__f")
+    assert _engine_of(pruned) == "jvm"
+    assert pruned.columns == ["id"]
+    plain = scan(spark, d, file_column="__f")
+    assert _engine_of(plain) == "jvm"
+    assert plain.columns == ["id", "v", "tag", "__f"]
+    pyplain = (
+        spark.read.format("quiver").option("file_column", "__f").load(d)
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, pyplain.collect())
+    )
+    # collision keeps the Python DS's documented error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collides"):
+        scan(spark, d, file_column="id")
+
     # an option only the Python DS implements still falls back
-    fc = scan(spark, d, columns="id", file_column="__f")
-    assert _engine_of(fc) == "python"
+    knob = scan(spark, d, columns="id", partition_rows="1000000")
+    assert _engine_of(knob) == "python"
 
 
 def test_jvm_changes_since_keeps_unvouched_files(spark, tmp_path):

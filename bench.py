@@ -345,6 +345,29 @@ def main() -> None:
         proxies["manyfiles_columns_routed_lineitem"] = (
             lambda: mf_cols_df.write.format("noop").mode("overwrite").save()
         )
+        # file_column=-bearing manyfiles scan through the unified router
+        # (round 14): file identity used to be a Python-DS-only option;
+        # now it selects the JVM reader's _quiver_file metadata column
+        # (per-chunk constant, zero page reads). Control = the same
+        # 16-file parquet with Spark's input_file_name() appended.
+        mf_fc_df = _uscan(
+            spark, mf_qv, columns="l_extendedprice, __f", file_column="__f"
+        )
+        if "quiverjvm" not in mf_fc_df._jdf.queryExecution().analyzed().toString():
+            raise RuntimeError(
+                "bench: file_column-bearing manyfiles scan failed to route to the JVM engine"
+            )
+        proxies["manyfiles_filecol_parquet_lineitem"] = (
+            lambda: mf_parquet_df.select(
+                "l_extendedprice", F.input_file_name().alias("__f")
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        proxies["manyfiles_filecol_routed_lineitem"] = (
+            lambda: mf_fc_df.write.format("noop").mode("overwrite").save()
+        )
         jvm_emb_df = spark.read.format("quiverjvm").load(emb_qv_dir)
         proxies["nested_quiverjvm_embeddings"] = (
             lambda: jvm_emb_df.write.format("noop").mode("overwrite").save()
@@ -417,6 +440,8 @@ def main() -> None:
         "manyfiles_options_routed_lineitem",
         "manyfiles_columns_parquet_lineitem",
         "manyfiles_columns_routed_lineitem",
+        "manyfiles_filecol_parquet_lineitem",
+        "manyfiles_filecol_routed_lineitem",
         "pruned_parquet_lineitem",
         "pruned_quiverjvm_lineitem",
         "cdc_full_quiver_lineitem",
@@ -527,6 +552,10 @@ def main() -> None:
                         "columns_manyfiles_vs_parquet_ratio": _paired_ratio(
                             "manyfiles_columns_routed_lineitem",
                             "manyfiles_columns_parquet_lineitem",
+                        ),
+                        "filecol_manyfiles_vs_parquet_ratio": _paired_ratio(
+                            "manyfiles_filecol_routed_lineitem",
+                            "manyfiles_filecol_parquet_lineitem",
                         ),
                         "quiverjvm_vs_parquet_pruned_ratio": _paired_ratio(
                             "pruned_quiverjvm_lineitem", "pruned_parquet_lineitem"

@@ -25,12 +25,13 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # Round 14 window (50). Staleness audit at the start of round 14 (computed
 # from CORRECTNESS_r1..r13; every one of the 196 queries registered then
 # has at least one driver-green row and ZERO failures ever): r10-stale =
-# 50, r11 = 48, r12 = 48, r13 = 50; 7 new gates this round (203 total).
+# 50, r11 = 48, r12 = 48, r13 = 50; 8 new gates this round (204 total).
 # Window: (a) the 6 NEW round-14 gates (trained-PQ ANN with recall, the
 # full watermarked stream-pipeline on the all-JVM path, streaming
 # SESSION windows on the same path, DSIR importance weights, IVF-PQ
 # residual quantization, largest-remainder mixture schedule, PCA top-2
-# deflation) — every new gate gets a driver
+# deflation, SemDeDup cluster-blocked semantic dedup) — every new gate
+# gets a driver
 # row in its birth round, keeping the
 # all-queries-driver-green union invariant; (b) the 7 queries whose
 # ENGINE or SHAPE materially changed this round (k-means update join
@@ -39,8 +40,8 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # fingerprint; columns=/limit= now routed onto the JVM reader, which
 # rewires quiver_unified_scan's probes and quiver_limit_head's relation;
 # the JVM streaming sink's commit path gained the GC age-gate +
-# heartbeat); (c) 36 of the 50 r10-stale rows — the oldest cohort.
-# 7+7+36 = 50; position 51+ falls back to registry order. The 14
+# heartbeat); (c) 35 of the 50 r10-stale rows — the oldest cohort.
+# 8+7+35 = 50; position 51+ falls back to registry order. The 15
 # r10-stale rows deferred to round 15 (they will head its window
 # alongside the r11 cohort) are the simple relational operators with
 # every-round pytest parity and no code motion since r10 (anti_join_
@@ -50,9 +51,11 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # window_rank_orders, window_running_total) plus multimodal_binary_meta
 # (metadata-only scan whose plumbing the r13-green
 # multimodal_decode_features exercises end-to-end, pytest parity every
-# round) and dedup_simhash (its signature pipeline is exercised
+# round), dedup_simhash (its signature pipeline is exercised
 # end-to-end by the r13-green dedup_simhash_pairs, pytest parity every
-# round).
+# round), and quiver_analyze_stats (covered by test_maintenance's
+# ANALYZE pins + the analyze-stats broadcast-gate plan test, pytest
+# parity every round).
 _PRIORITY = [
     # (a) new round-14 gates
     "ann_pq_trained_topk",
@@ -62,6 +65,7 @@ _PRIORITY = [
     "ann_ivf_pq_topk",
     "pipeline_mixture_schedule",
     "embedding_pca_top2_deflation",
+    "dedup_semantic_semdedup",
     # (b) materially changed this round
     "embedding_kmeans_clusters",
     "text_tfidf_topk",
@@ -70,7 +74,7 @@ _PRIORITY = [
     "quiver_unified_scan",
     "quiver_limit_head",
     "quiverjvm_stream_sink_scan",
-    # (c) 36 of the 50 round-10-stale rows
+    # (c) 35 of the 50 round-10-stale rows
     "ann_lsh_buckets",
     "dedup_span_excision",
     "q10_returned_items",
@@ -91,7 +95,6 @@ _PRIORITY = [
     "q8_market_share",
     "q9_product_profit",
     "quiver_alter_evolution_scan",
-    "quiver_analyze_stats",
     "quiver_bloom_lookup_scan",
     "quiver_check_constraint_scan",
     "quiver_clustered_scan",

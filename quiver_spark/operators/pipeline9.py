@@ -552,3 +552,208 @@ def pipeline_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.cast("bigint").alias("extra"),
         (F.col("base_quota") + extra).cast("bigint").alias("quota"),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-blocked cosine pairs
+# --------------------------------------------------------------------------
+
+SEM_K = 64  #: seed centroids (production: K grows ~sqrt(N), see docstring)
+SEM_CAP = 64  #: pairwise block bound — big clusters subshard by md5
+SEM_TAU = 0.25  #: cosine near-duplicate threshold (demo-corpus scaled)
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+WITH ivl AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, iv,
+           CAST(list_dot_product(iv, iv) AS DOUBLE) AS nrm
+    FROM ivl
+),
+cent AS (
+    SELECT vec_id AS cid, iv AS cv,
+           CAST(list_dot_product(iv, iv) AS DOUBLE) AS cnrm
+    FROM ivl
+    WHERE vec_id IN (SELECT vec_id FROM embeddings
+                     ORDER BY vec_id LIMIT {SEM_K})
+),
+d AS (
+    SELECT n.vec_id, c.cid,
+           n.nrm + c.cnrm - 2 * CAST(list_dot_product(n.iv, c.cv) AS DOUBLE)
+               AS d2
+    FROM n CROSS JOIN cent c
+),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM d
+    ) WHERE r = 1
+),
+sizes AS (
+    SELECT cid, COUNT(*) AS sz, (COUNT(*) + {SEM_CAP - 1}) // {SEM_CAP} AS nsub
+    FROM assign GROUP BY cid
+),
+sub AS (
+    SELECT a.vec_id, a.cid, s.nsub,
+           (('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % s.nsub) AS subk
+    FROM assign a JOIN sizes s ON a.cid = s.cid
+),
+pairs AS (
+    SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+    FROM sub a JOIN sub b
+      ON a.cid = b.cid AND a.subk = b.subk AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT p.cid, p.va, p.vb,
+           CAST(list_dot_product(na.iv, nb.iv) AS DOUBLE)
+               / (SQRT(na.nrm) * SQRT(nb.nrm)) AS cosv
+    FROM pairs p
+    JOIN n na ON p.va = na.vec_id
+    JOIN n nb ON p.vb = nb.vec_id
+),
+agg AS (
+    SELECT cid,
+           COUNT(*) AS pairs_checked,
+           SUM(CASE WHEN cosv >= {SEM_TAU} THEN 1 ELSE 0 END) AS n_dups,
+           COUNT(DISTINCT CASE WHEN cosv >= {SEM_TAU} THEN vb END)
+               AS n_dropped
+    FROM scored GROUP BY cid
+)
+SELECT s.cid,
+       CAST(s.sz AS BIGINT) AS n_vecs,
+       CAST(s.nsub AS BIGINT) AS n_subshards,
+       CAST(COALESCE(a.pairs_checked, 0) AS BIGINT) AS pairs_checked,
+       CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM sizes s LEFT JOIN agg a ON s.cid = a.cid
+""",
+    tags=("dedup", "semantic", "semdedup", "clustering", "embedding"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by CLUSTER-blocked cosine comparison — assign every
+    embedding to its nearest of {SEM_K} centroids, compare pairs only
+    WITHIN a cluster, and flag pairs above the cosine threshold, keeping
+    the lowest vec_id (n_dropped counts the would-be-removed side). The
+    cluster-blocked complement of embedding_near_dup's LSH blocking —
+    the published recipe for "dedup 100 TB of embeddings without the
+    all-pairs join".
+
+    100 TB posture: assignment is the map-side broadcast fold (vectors
+    and norms ride THROUGH it — no corpus re-join, the k-means round-14
+    contract); the ONE corpus-scale shuffle is the self-join on the
+    blocking key, and its quadratic term is bounded the way every dedup
+    family member bounds fan-out: clusters beyond {SEM_CAP} vectors
+    subshard by md5(vec_id) into ceil(size/{SEM_CAP}) blocks (pairs
+    across subshards are sacrificed — the documented recall trade; in
+    production K itself scales ~sqrt(N), which keeps clusters near
+    {SEM_CAP} and nsub near 1). Determinism: exact-int dots (the oracle's
+    list_dot_product doubles are < 2^53, so identical integers), d2 via
+    norms − 2·dot on identical operands, cosine = one dot over two
+    sqrts of identical ints — the embedding_near_dup recipe."""
+    from quiver_spark.functions import int_dot
+
+    from quiver_spark.operators.similarity2 import _DIST2, _int_corpus
+
+    emb = _int_corpus(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(SEM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("iv").alias("cv"))
+    )
+    carr = cent.agg(
+        F.expr(
+            "sort_array(collect_list(named_struct('cid', cid, 'cv', cv)))"
+        ).alias("cents")
+    )
+    d2c = _DIST2.format(v="iv", c="c.cv")
+    best = f"""
+    aggregate(
+        transform(cents, c -> named_struct('d2', {d2c}, 'cid', c.cid)),
+        CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
+        (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s))
+    """
+    # the assignment has TWO consumers (sizes + the pair join) and its
+    # 64-centroid argmin fold is the expensive map-side step — the lazy
+    # checkpoint materializes it once (SemDeDup itself persists cluster
+    # assignments; the dedup-family localCheckpoint precedent)
+    assign = (
+        emb.crossJoin(F.broadcast(carr))
+        .select("vec_id", "iv", "nrm", F.expr(best + ".cid").alias("cid"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("sz")).select(
+        "cid",
+        "sz",
+        F.expr(f"CAST((sz + {SEM_CAP - 1}) DIV {SEM_CAP} AS BIGINT)").alias(
+            "nsub"
+        ),
+    )
+    sub = assign.join(F.broadcast(sizes), "cid").select(
+        "cid",
+        "vec_id",
+        "iv",
+        "nrm",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("nsub")
+        ).alias("subk"),
+    )
+    a = sub.select(
+        "cid",
+        "subk",
+        F.col("vec_id").alias("va"),
+        F.col("iv").alias("iva"),
+        F.col("nrm").alias("na"),
+    )
+    b = sub.select(
+        "cid",
+        "subk",
+        F.col("vec_id").alias("vb"),
+        F.col("iv").alias("ivb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosv = int_dot("iva", "ivb").cast("double") / (
+        F.sqrt(F.col("na").cast("double"))
+        * F.sqrt(F.col("nb").cast("double"))
+    )
+    scored = (
+        a.join(b, ["cid", "subk"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("cid", "vb", cosv.alias("cosv"))
+    )
+    agg = scored.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("pairs_checked"),
+        F.sum(F.when(F.col("cosv") >= SEM_TAU, 1).otherwise(0)).alias(
+            "n_dups"
+        ),
+        F.countDistinct(
+            F.when(F.col("cosv") >= SEM_TAU, F.col("vb"))
+        ).alias("n_dropped"),
+    )
+    return sizes.join(agg, "cid", "left").select(
+        "cid",
+        F.col("sz").cast("bigint").alias("n_vecs"),
+        F.col("nsub").cast("bigint").alias("n_subshards"),
+        F.coalesce(F.col("pairs_checked"), F.lit(0))
+        .cast("bigint")
+        .alias("pairs_checked"),
+        F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint").alias("n_dups"),
+        F.coalesce(F.col("n_dropped"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )

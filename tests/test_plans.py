@@ -624,6 +624,19 @@ def test_pca_top2_deflation_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_semdedup_single_blocking_join(spark):
+    """dedup_semantic_semdedup: cluster assignment is the map-side
+    broadcast fold (vectors+norms carried through — no corpus re-join);
+    the ONLY corpus-scale join is the (cid, subshard)-blocked self-join
+    (one SortMergeJoin), whose fan-out the subshard cap bounds; sizes
+    broadcast; no Python eval."""
+    df = _df(spark, "dedup_semantic_semdedup")
+    plan = plans.physical_plan(df)
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_bloom_build_single_scan_per_side(spark):
     """sketch_bloom_membership: the 4 hash positions explode from ONE
     array, so the build side scans orders once and the probe side scans

@@ -127,6 +127,18 @@ final class QuiverJvmStream
     this.tablePath = QuiverJvmRead.localPath(tablePath);
     this.fullSchema = fullSchema;
     this.required = required;
+    // NOTE: the `_quiver_file` metadata column is effectively
+    // BATCH-only today. Spark 4.1.2's streaming DSv2 path resolves a
+    // selected metadata column into the relation OUTPUT but never
+    // delivers it to pruneColumns — the stream's `required` arrives as
+    // the plain data schema (probed; the analyzed plan shows the column
+    // while the scan cannot see the request), so Spark's own codegen
+    // fails reading a column the scan was never asked to produce. The
+    // metaIdx wiring in createReaderFactory below stays: the moment a
+    // Spark release prunes metadata columns into streaming scans like
+    // batch ones, the column works here with no further change
+    // (test_jvm_stream_metadata_column_upstream_gap pins today's
+    // behavior so that change is noticed).
     this.maxFiles = Integer.parseInt(opts.getOrDefault("max_files_per_trigger", "0"));
     // Batch semantic options on a STREAM: honor what has stream
     // semantics, refuse the rest LOUDLY — silently ignoring an option the
@@ -349,7 +361,28 @@ final class QuiverJvmStream
 
   @Override
   public PartitionReaderFactory createReaderFactory() {
-    return new QuiverJvmRead.QuiverReaderFactory(required.json());
+    // the file-identity metadata column resolves on streaming relations
+    // too (round 14) — mirror QuiverScan.createReaderFactory's index so
+    // the reader emits the per-chunk constant instead of under-building
+    // the batch (pre-fix: ArrayIndexOutOfBounds in ColumnarBatch.column)
+    int metaIdx = -1;
+    boolean shadowed = false;
+    for (org.apache.spark.sql.types.StructField f : fullSchema.fields()) {
+      if (f.name().equals(QuiverJvmRead.META_FILE_COL)) {
+        shadowed = true;
+        break;
+      }
+    }
+    if (!shadowed) {
+      org.apache.spark.sql.types.StructField[] rf = required.fields();
+      for (int i = 0; i < rf.length; i++) {
+        if (rf[i].name().equals(QuiverJvmRead.META_FILE_COL)) {
+          metaIdx = i;
+          break;
+        }
+      }
+    }
+    return new QuiverJvmRead.QuiverReaderFactory(required.json(), metaIdx);
   }
 
   @Override

@@ -1076,3 +1076,50 @@ def test_jvm_stream_pipeline_watermark_restart(spark, tmp_path):
     # open). Window 5's count spans both commits (restored state).
     assert len(got) == 9, sorted(got)
     assert set(got.values()) == {60}, got
+
+
+def test_jvm_stream_metadata_column_upstream_gap(spark, tmp_path):
+    """The `_quiver_file` metadata column is BATCH-only today: Spark
+    4.1.2's streaming DSv2 resolves a selected metadata column into the
+    relation output but never delivers it to pruneColumns, so the stream
+    fails in Spark's own execution (the scan was never asked for the
+    column). This pin documents the upstream gap — if a Spark upgrade
+    starts passing metadata columns to streaming scans, this test FAILS
+    and the (already-wired) metaIdx path starts serving the column; drop
+    this pin and advertise streaming file identity then."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    import tempfile
+
+    src = str(tmp_path / "src")
+    spark.range(10).selectExpr("id").coalesce(1).write.format(
+        "quiverjvm"
+    ).mode("overwrite").save(src)
+    # batch: the metadata column works
+    b = spark.read.format("quiverjvm").load(src).select("id", "_quiver_file")
+    assert b.count() == 10
+    assert all(r["_quiver_file"].endswith(".quiver") for r in b.collect())
+    # streaming: upstream never delivers the column to the scan
+    q = (
+        spark.readStream.format("quiverjvm")
+        .load(src)
+        .select("id", "_quiver_file")
+        .writeStream.format("memory")
+        .queryName("meta_gap")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pyspark.errors
+
+    try:
+        q.awaitTermination(60)
+        streamed_ok = True
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        streamed_ok = False
+    assert not streamed_ok, (
+        "Spark now delivers metadata columns to streaming scans — "
+        "drop this pin and advertise streaming file identity"
+    )

@@ -559,7 +559,7 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
           if (sib.isDirectory()
               && sib.getName().startsWith("jvmstream-")
               && !sib.getName().equals(stage.getName())
-              && newestMtime(sib) < cutoff) {
+              && !treeIsLive(sib, cutoff)) {
             deleteRecursively(sib);
           }
         }
@@ -671,19 +671,25 @@ public class QuiverJvmDataSource implements TableProvider, DataSourceRegister {
       dir.delete();
     }
 
-    /** Newest lastModified anywhere in the tree (the root itself
-     * included) — the orphan-GC liveness signal. A plain dir mtime goes
-     * stale the moment staging churn moves into partition subdirs. */
-    private static long newestMtime(java.io.File dir) {
-      long newest = dir.lastModified();
+    /** Is any lastModified in the tree (the root itself included) at or
+     * past the cutoff? The orphan-GC liveness signal — a plain dir mtime
+     * goes stale the moment staging churn moves into partition subdirs.
+     * Short-circuits on the first live mtime: liveness needs ONE witness,
+     * not the true max, so a large concurrent staging tree costs O(1)
+     * stats per trigger instead of O(files) (ADVICE r14). */
+    private static boolean treeIsLive(java.io.File dir, long cutoff) {
+      if (dir.lastModified() >= cutoff) return true;
       java.io.File[] entries = dir.listFiles();
       if (entries != null) {
         for (java.io.File f : entries) {
-          long m = f.isDirectory() ? newestMtime(f) : f.lastModified();
-          if (m > newest) newest = m;
+          if (f.isDirectory()
+              ? treeIsLive(f, cutoff)
+              : f.lastModified() >= cutoff) {
+            return true;
+          }
         }
       }
-      return newest;
+      return false;
     }
 
     /** Delete a directory tree bottom-up, stopping at any non-empty dir

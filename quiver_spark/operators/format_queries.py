@@ -177,6 +177,13 @@ def quiver_relation(
             for k, v in options.items():
                 r = r.option(k, v)
             df = r.load(d)
+            if "limit" in options:
+                # mirror sources.scan (ADVICE r14): the DS option
+                # short-circuits planning/decode at page granularity; the
+                # outer .limit makes THIS entry's contract exact-N on both
+                # engines (raw .option("limit") on the Python DS keeps the
+                # documented page-granular semantics)
+                df = df.limit(int(options["limit"]))
         _DF_CACHE[key] = df
     return df
 

@@ -404,7 +404,6 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qc = q.crossJoin(F.broadcast(cent))
     qd2 = _DIST2.format(v="qv", c="cv")
-    wq = Window.partitionBy("qid").orderBy(F.expr(qd2).asc(), F.asc("cid"))
     probes = (
         qc.select(
             "qid", "cid", F.expr(qd2).alias("d2"),
@@ -419,7 +418,6 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= N_PROBE_LISTS)
         .select("qid", "cid", "base")
     )
-    _ = wq
     qslices = F.array(
         *[F.slice(F.col("qv"), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
     )

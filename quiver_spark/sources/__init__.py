@@ -106,15 +106,28 @@ def _apply_translated(df, options):
         # Python-DS parity: columns= selects EXACTLY the named columns in
         # the given order, and the file column survives only when its
         # name is listed (the DS appends it to the schema BEFORE the
-        # columns filter runs)
-        keep = []
-        for name in (c.strip() for c in cols.split(",")):
-            keep.append(
+        # columns filter runs). Names are validated against the same
+        # visible schema the Python DS exposes — in particular the
+        # literal '_quiver_file' without file_column= must raise here,
+        # not silently resolve the JVM metadata column (ADVICE r14) —
+        # with the Python DS's exact error class and message shape
+        # (pa_schema_select in quiver_datasource.py).
+        names = [c.strip() for c in cols.split(",")]
+        visible = list(df.columns) + ([fcol] if fcol is not None else [])
+        missing = [n for n in names if n not in visible]
+        if missing:
+            raise ValueError(
+                f"columns option names {missing} not present in the "
+                f"table schema (available: {visible})"
+            )
+        df = df.select(
+            *[
                 F.col("_quiver_file").alias(fcol)
                 if fcol is not None and name == fcol
                 else F.col(name)
-            )
-        df = df.select(*keep)
+                for name in names
+            ]
+        )
     elif fcol is not None:
         # no pruning: every data column + the file column appended last
         # (ONE select — metadata columns resolve on the relation, not on

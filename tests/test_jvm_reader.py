@@ -1293,6 +1293,35 @@ def test_jvm_serves_translated_reader_options(spark, tmp_path):
     knob = scan(spark, d, columns="id", partition_rows="1000000")
     assert _engine_of(knob) == "python"
 
+    # ADVICE r14 engine-parity edges: the literal '_quiver_file' in
+    # columns= WITHOUT file_column= must raise the Python DS's error
+    # (it is not a table column), never silently resolve the JVM
+    # metadata column
+    with _pytest.raises(ValueError, match="not present in the table"):
+        scan(spark, d, columns="id, _quiver_file")
+    # same message through the raw Python DS (Spark wraps the plan-time
+    # ValueError in AnalysisException)
+    with _pytest.raises(Exception, match="not present in the table"):
+        spark.read.format("quiver").option(
+            "columns", "id, _quiver_file"
+        ).load(d).collect()
+    # any misspelled column fails at plan time with the same error class
+    # on both engines (the JVM path previously deferred to an
+    # AnalysisException at action time)
+    with _pytest.raises(ValueError, match="not present in the table"):
+        scan(spark, d, columns="nope")
+    # columns='' (empty) means absent on BOTH engines — full schema
+    empty = scan(spark, d, columns="")
+    assert _engine_of(empty) == "jvm"
+    assert empty.columns == ["id", "v", "tag"]
+    pyempty = (
+        spark.read.format("quiver")
+        .option("columns", "")
+        .option("partition_rows", "1000000")
+        .load(d)
+    )
+    assert pyempty.columns == ["id", "v", "tag"]
+
 
 def test_jvm_changes_since_keeps_unvouched_files(spark, tmp_path):
     """_files_changed_since parity: a file the manifest cannot vouch for

@@ -666,6 +666,56 @@ def test_jvm_streaming_sink_roundtrip_and_commit_protocol(spark, tmp_path):
     )
 
 
+def test_jvm_streaming_sink_orphan_gc_needs_one_live_witness(spark, tmp_path):
+    """Sibling staging-tree GC (age-gated reclaim of crashed queries'
+    _temporary/jvmstream-* roots): a tree is LIVE when ANY mtime in it is
+    newer than the 24h cutoff — including a file deep in a partition
+    subdir while the root looks idle (ADVICE r13) — and the walk
+    short-circuits on the first live witness instead of statting every
+    file (ADVICE r14). A tree whose every mtime is stale is deleted."""
+    if not _jvm_stream_ready(spark):
+        import pytest as _pytest
+
+        _pytest.skip("quiverjvm jar unavailable")
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(10).selectExpr("id").write.format("quiverjvm").mode(
+        "overwrite"
+    ).save(src)
+    old = 1_000_000_000  # 2001 — far past any cutoff
+    stale = os.path.join(dst, "_temporary", "jvmstream-stale0", "part=1")
+    live = os.path.join(dst, "_temporary", "jvmstream-live00", "part=1")
+    for root in (stale, live):
+        os.makedirs(root)
+        with open(os.path.join(root, "x.quiver"), "w") as f:
+            f.write("staged")
+    for p in (
+        stale,
+        os.path.dirname(stale),
+        os.path.join(stale, "x.quiver"),
+        live,
+        os.path.dirname(live),
+    ):
+        os.utime(p, (old, old))
+    # the live tree's only fresh mtime is the FILE inside the subdir
+    # (x.quiver under live keeps its just-created mtime)
+    q = (
+        spark.readStream.format("quiverjvm")
+        .load(src)
+        .writeStream.format("quiverjvm")
+        .option("path", dst)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    tmpdir = os.path.join(dst, "_temporary")
+    assert not os.path.exists(os.path.join(tmpdir, "jvmstream-stale0"))
+    assert os.path.exists(os.path.join(live, "x.quiver"))
+
+
 def test_jvm_streaming_sink_replay_marker_drops_batch(spark, tmp_path):
     """Idempotent replay: a batch whose _quiver_commits marker already
     exists must DROP its re-staged output instead of double-publishing

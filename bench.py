@@ -377,6 +377,17 @@ def main() -> None:
             .mode("overwrite")
             .save(f"{wdir}/qj")
         )
+        # Unified write router (round 15, VERDICT r14 Next #2): the same
+        # full-table sink through sources.write — must route this
+        # JVM-eligible write to the quiverjvm writer, so its wall should
+        # track write_quiverjvm_lineitem, not write_quiver_lineitem.
+        from quiver_spark.sources import write as _unified_write
+
+        def _write_unified() -> None:
+            engine = _unified_write(li_df, f"{wdir}/qu", mode="overwrite")
+            assert engine == "quiverjvm", engine
+
+        proxies["write_unified_lineitem"] = _write_unified
         # Streaming-sink A/B (round 13): the same quiverjvm stream of
         # lineitem drained (availableNow) through Spark's parquet file
         # sink vs the quiverjvm streaming sink — identical source and
@@ -449,6 +460,7 @@ def main() -> None:
         "write_parquet_lineitem",
         "write_quiver_lineitem",
         "write_quiverjvm_lineitem",
+        "write_unified_lineitem",
         "stream_sink_parquet_lineitem",
         "stream_sink_quiverjvm_lineitem",
     ]
@@ -534,6 +546,9 @@ def main() -> None:
                     {
                         "quiverjvm_vs_parquet_write_ratio": _paired_ratio(
                             "write_quiverjvm_lineitem", "write_parquet_lineitem"
+                        ),
+                        "unified_vs_parquet_write_ratio": _paired_ratio(
+                            "write_unified_lineitem", "write_parquet_lineitem"
                         ),
                         "quiverjvm_vs_parquet_scan_ratio": _paired_ratio(
                             "scan_quiverjvm_lineitem", "scan_parquet_lineitem"

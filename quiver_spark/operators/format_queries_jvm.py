@@ -247,6 +247,66 @@ def quiverjvm_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quiver_write_unified_scan",
+    oracle=f"""
+SELECT COUNT(*) AS cnt,
+       MIN(o_orderkey) AS min_key,
+       {sql_dsum('o_totalprice')} AS total_price,
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS py_cnt
+FROM orders
+WHERE o_orderstatus = 'F'
+""",
+    tags=("format", "jvm", "write", "routing"),
+)
+def quiver_write_unified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE write API, two engines (round 15, VERDICT r14 Next #2):
+    sources.write routes an eligible batch write to the quiverjvm bulk
+    writer (0.9× parquet wall vs the Python sink's 1.4×) and falls back
+    to the Python sink for table-protocol options (here
+    ``keep_generations``) and for overwrites of generation-layout tables
+    (the JVM writer's own guard, answered driver-side). The routing is
+    asserted IN-QUERY via the engine name the router returns — a silent
+    mis-route would pass the oracle while testing nothing — and both
+    tables are read back through the unified scan, so the row the driver
+    hashes covers the full write→scan loop on both engines.
+
+    Reference ethos: one writer API over per-type encoders
+    (/root/reference/src/write/writer.rs:91-167)."""
+    from quiver_spark.operators.format_queries import CACHE_ROOT
+    from quiver_spark.sources import scan, write
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d_jvm = os.path.join(CACHE_ROOT, tag, "orders-unified-write")
+    d_py = os.path.join(CACHE_ROOT, tag, "orders-unified-write-py")
+    marker = os.path.join(CACHE_ROOT, tag, "orders-unified-write._done")
+    if not os.path.exists(marker):
+        src = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        routes = [
+            write(src, d_jvm, mode="overwrite", codec="zstd"),
+            write(src, d_py, mode="overwrite", keep_generations="2"),
+            # the table above is generation-layout now: an option-free
+            # overwrite must STILL route to the Python sink (atomic swap)
+            write(src, d_py, mode="overwrite"),
+        ]
+        if routes != ["quiverjvm", "quiver", "quiver"]:
+            raise RuntimeError(
+                f"unified write mis-routed: {routes} != "
+                "['quiverjvm', 'quiver', 'quiver']"
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    a = scan(spark, d_jvm).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("o_orderkey").alias("min_key"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+    b = scan(spark, d_py).agg(F.count(F.lit(1)).alias("py_cnt"))
+    return a.crossJoin(b)
+
+
+@register(
     "quiverjvm_alter_scan",
     oracle="""
 WITH evolved AS (

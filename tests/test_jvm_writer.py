@@ -675,3 +675,80 @@ def test_jvm_stream_sink_into_generation_table(spark, tmp_path):
     for fmt in ("quiver", "quiverjvm"):
         got = sorted(r.id for r in spark.read.format(fmt).load(d).collect())
         assert got == want, (fmt, got)
+
+
+def test_unified_write_router_both_directions(spark, tmp_path):
+    """sources.write — the unified BATCH sink (round 15, VERDICT r14
+    Next #2) — routes to the JVM writer when schema+options+mode are
+    eligible and to the Python sink otherwise, with identical on-disk
+    protocol either way. Pins every routing direction:
+    JVM-eligible, Python-only option, JVM-unsupported schema,
+    generation-layout overwrite (the JVM guard answered driver-side),
+    generation-layout APPEND (stays JVM, resolves the live root), and
+    partition_by fan-out parity on both engines."""
+    _require_jar(spark)
+    from quiver_spark.sources import write
+
+    src = spark.range(40).selectExpr("id", "concat('v', id) AS s")
+    want = sorted(map(tuple, src.collect()))
+
+    def back(d):
+        got = {}
+        for fmt in ("quiver", "quiverjvm"):
+            got[fmt] = sorted(
+                map(tuple, spark.read.format(fmt).load(d).collect())
+            )
+        assert got["quiver"] == got["quiverjvm"]
+        return got["quiver"]
+
+    # 1. eligible → JVM
+    d1 = str(tmp_path / "jvm")
+    assert write(src, d1, mode="overwrite", codec="zstd") == "quiverjvm"
+    assert back(d1) == want
+
+    # 2. a Python-only table-protocol option → Python sink
+    d2 = str(tmp_path / "py")
+    assert (
+        write(src, d2, mode="overwrite", keep_generations="2") == "quiver"
+    )
+    assert back(d2) == want
+
+    # 3. overwrite of the generation-layout table → Python sink (the JVM
+    # writer refuses: no atomic generation swap), even with no options
+    assert write(src, d2, mode="overwrite") == "quiver"
+    assert back(d2) == want
+
+    # 4. APPEND into the generation table stays JVM (live-root resolution)
+    more = spark.range(100, 110).selectExpr("id", "concat('v', id) AS s")
+    assert write(more, d2, mode="append") == "quiverjvm"
+    assert back(d2) == sorted(want + list(map(tuple, more.collect())))
+
+    # 5. JVM-unsupported leaf type → Python sink
+    d3 = str(tmp_path / "void")
+    nullcol = spark.range(5).selectExpr("id", "NULL AS n")
+    assert write(nullcol, d3, mode="overwrite") == "quiver"
+    assert len(spark.read.format("quiver").load(d3).collect()) == 5
+
+    # 6. partition_by fan-out parity: same Hive layout on both engines
+    d4 = str(tmp_path / "hive_jvm")
+    d5 = str(tmp_path / "hive_py")
+    part = spark.range(12).selectExpr("id", "concat('g', id % 3) AS k")
+    assert write(part, d4, mode="overwrite", partition_by="k") == "quiverjvm"
+    assert (
+        write(part, d5, mode="overwrite", partition_by="k",
+              keep_generations="2")
+        == "quiver"
+    )
+    import glob as _glob
+
+    keys = lambda d: sorted(  # noqa: E731
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(d, "**", "k=*"), recursive=True)
+    )
+    assert keys(d4) == ["k=g0", "k=g1", "k=g2"]
+    assert keys(d5) == ["k=g0", "k=g1", "k=g2"]
+    assert back(d4) == sorted(map(tuple, part.collect()))
+
+    # 7. modes outside the contract refuse loudly
+    with pytest.raises(ValueError, match="mode"):
+        write(src, str(tmp_path / "x"), mode="ignore")

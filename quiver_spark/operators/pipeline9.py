@@ -681,14 +681,25 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
         (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s))
     """
-    # the assignment has TWO consumers (sizes + the pair join) and its
-    # 64-centroid argmin fold is the expensive map-side step — the lazy
-    # checkpoint materializes it once (SemDeDup itself persists cluster
-    # assignments; the dedup-family localCheckpoint precedent)
-    assign = (
-        emb.crossJoin(F.broadcast(carr))
-        .select("vec_id", "iv", "nrm", F.expr(best + ".cid").alias("cid"))
-        .localCheckpoint(eager=False)
+    assign = emb.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "iv", "nrm", F.expr(best + ".cid").alias("cid")
+    )
+    return _sem_pairs(assign)
+
+
+def _sem_pairs(assign: DataFrame) -> DataFrame:
+    """The SemDeDup pair stage, shared by the L2-seed and spherical
+    blockings: within-cluster md5-subsharded cosine comparison + the
+    per-cluster report. ``assign`` must carry (vec_id, iv, nrm, cid).
+
+    The assignment has TWO consumers (sizes + the pair join) and its
+    centroid argmin/argmax fold is the expensive map-side step — the lazy
+    checkpoint materializes it once (SemDeDup itself persists cluster
+    assignments; the dedup-family localCheckpoint precedent)."""
+    from quiver_spark.functions import int_dot
+
+    assign = assign.select("vec_id", "iv", "nrm", "cid").localCheckpoint(
+        eager=False
     )
     sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("sz")).select(
         "cid",
@@ -734,24 +745,129 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("va") < F.col("vb"))
         .select("cid", "vb", cosv.alias("cosv"))
     )
-    agg = scored.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("pairs_checked"),
-        F.sum(F.when(F.col("cosv") >= SEM_TAU, 1).otherwise(0)).alias(
-            "n_dups"
-        ),
-        F.countDistinct(
-            F.when(F.col("cosv") >= SEM_TAU, F.col("vb"))
-        ).alias("n_dropped"),
-    )
-    return sizes.join(agg, "cid", "left").select(
+    # per-cluster report WITHOUT a sizes⟕pairs join: the size rows union
+    # in as zero-pair contributions and ONE ≤K-key aggregate produces the
+    # report, so zero-pair clusters survive and no report join exists to
+    # mis-plan (a broadcast hint on the pair-side rollup propagates into
+    # its subtree and flips the corpus-scale pair self-join to a
+    # broadcast of the whole corpus — observed in the executed plan)
+    pairpart = scored.select(
         "cid",
-        F.col("sz").cast("bigint").alias("n_vecs"),
-        F.col("nsub").cast("bigint").alias("n_subshards"),
-        F.coalesce(F.col("pairs_checked"), F.lit(0))
-        .cast("bigint")
-        .alias("pairs_checked"),
-        F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint").alias("n_dups"),
-        F.coalesce(F.col("n_dropped"), F.lit(0))
-        .cast("bigint")
-        .alias("n_dropped"),
+        F.lit(None).cast("bigint").alias("sz"),
+        F.lit(None).cast("bigint").alias("nsub"),
+        F.lit(1).alias("pc"),
+        F.when(F.col("cosv") >= SEM_TAU, 1).otherwise(0).alias("dup"),
+        F.when(F.col("cosv") >= SEM_TAU, F.col("vb")).alias("dropv"),
     )
+    sizepart = sizes.select(
+        "cid",
+        F.col("sz").cast("bigint").alias("sz"),
+        F.col("nsub").cast("bigint").alias("nsub"),
+        F.lit(0).alias("pc"),
+        F.lit(0).alias("dup"),
+        F.lit(None).cast("bigint").alias("dropv"),
+    )
+    return (
+        sizepart.unionByName(pairpart)
+        .groupBy("cid")
+        .agg(
+            F.max("sz").cast("bigint").alias("n_vecs"),
+            F.max("nsub").cast("bigint").alias("n_subshards"),
+            F.sum("pc").cast("bigint").alias("pairs_checked"),
+            F.sum("dup").cast("bigint").alias("n_dups"),
+            F.countDistinct("dropv").cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+def _semdedup_cos_oracle() -> str:
+    from quiver_spark.operators.similarity import SQL_IV
+    from quiver_spark.operators.similarity2 import KM_ITERS, cos_chain_sql
+
+    chain, final = cos_chain_sql(SEM_K, KM_ITERS)
+    return f"""
+WITH ivl AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, iv,
+           CAST(list_dot_product(iv, iv) AS DOUBLE) AS nrm
+    FROM ivl
+),
+iv AS ({SQL_IV}),{chain},
+assign AS (SELECT vec_id, cid FROM {final}),
+sizes AS (
+    SELECT cid, COUNT(*) AS sz, (COUNT(*) + {SEM_CAP - 1}) // {SEM_CAP} AS nsub
+    FROM assign GROUP BY cid
+),
+sub AS (
+    SELECT a.vec_id, a.cid, s.nsub,
+           (('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % s.nsub) AS subk
+    FROM assign a JOIN sizes s ON a.cid = s.cid
+),
+pairs AS (
+    SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+    FROM sub a JOIN sub b
+      ON a.cid = b.cid AND a.subk = b.subk AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT p.cid, p.va, p.vb,
+           CAST(list_dot_product(na.iv, nb.iv) AS DOUBLE)
+               / (SQRT(na.nrm) * SQRT(nb.nrm)) AS cosv
+    FROM pairs p
+    JOIN n na ON p.va = na.vec_id
+    JOIN n nb ON p.vb = nb.vec_id
+),
+agg AS (
+    SELECT cid,
+           COUNT(*) AS pairs_checked,
+           SUM(CASE WHEN cosv >= {SEM_TAU} THEN 1 ELSE 0 END) AS n_dups,
+           COUNT(DISTINCT CASE WHEN cosv >= {SEM_TAU} THEN vb END)
+               AS n_dropped
+    FROM scored GROUP BY cid
+)
+SELECT s.cid,
+       CAST(s.sz AS BIGINT) AS n_vecs,
+       CAST(s.nsub AS BIGINT) AS n_subshards,
+       CAST(COALESCE(a.pairs_checked, 0) AS BIGINT) AS pairs_checked,
+       CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM sizes s LEFT JOIN agg a ON s.cid = a.cid
+"""
+
+
+@register(
+    "dedup_semantic_semdedup_cos",
+    oracle=_semdedup_cos_oracle(),
+    tags=("dedup", "semantic", "semdedup", "cosine", "clustering",
+          "embedding"),
+)
+def dedup_semantic_semdedup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup blocking on SPHERICAL k-means (round 15, VERDICT r14
+    Next #3): the published recipe's actual clustering — the base gate
+    blocks on L2-to-seed assignment while its dedup criterion is cosine;
+    here the blocking geometry matches the criterion (max-cosine
+    assignment to centroids trained by similarity2.spherical_kmeans,
+    KM_ITERS rounds over {SEM_K} seeds), and the oracle replays the SAME
+    unrolled chain the embedding_kmeans_cosine gate certifies
+    (cos_chain_sql).
+
+    100 TB posture unchanged from the base gate: training never shuffles
+    the corpus (broadcast-fold assignment + (cid, component) partial-sum
+    updates), vectors/norms ride THROUGH the final assignment, the one
+    corpus-scale shuffle is the blocking-key self-join, and over-cap
+    clusters md5-subshard with the documented recall trade."""
+    from quiver_spark.functions import int_dot
+    from quiver_spark.operators.similarity2 import (
+        KM_ITERS,
+        _int_corpus,
+        spherical_kmeans,
+    )
+
+    emb = _int_corpus(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
+    assign = spherical_kmeans(emb, SEM_K, KM_ITERS)
+    return _sem_pairs(assign)

@@ -624,14 +624,29 @@ def test_pca_top2_deflation_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def _plan_no_autobroadcast(spark, name):
+    """Physical plan with size-estimate broadcasts disabled: at gate SF
+    the corpus-side estimates sit near the 10 MiB auto threshold, so the
+    planner may legitimately broadcast what would sort-merge at scale.
+    With the threshold off, every broadcast left in the plan is
+    HINT-driven (the designed tiny broadcasts) and corpus-scale joins
+    surface with their true 100 TB shape."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return plans.physical_plan(_df(spark, name))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_semdedup_single_blocking_join(spark):
     """dedup_semantic_semdedup: cluster assignment is the map-side
     broadcast fold (vectors+norms carried through — no corpus re-join);
     the ONLY corpus-scale join is the (cid, subshard)-blocked self-join
     (one SortMergeJoin), whose fan-out the subshard cap bounds; sizes
-    broadcast; no Python eval."""
-    df = _df(spark, "dedup_semantic_semdedup")
-    plan = plans.physical_plan(df)
+    broadcast by hint; the report is a union-aggregate, not a join; no
+    Python eval."""
+    plan = _plan_no_autobroadcast(spark, "dedup_semantic_semdedup")
     assert plan.count("SortMergeJoin") == 1, plan
     assert "BroadcastExchange" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -658,5 +673,35 @@ def test_pca_power_iteration_plan(spark):
     plan = plans.physical_plan(df)
     assert "Scan ExistingRDD" in plan, plan
     assert plan.count("Generate") == 0, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_cosine_assignment_is_map_side(spark):
+    """embedding_kmeans_cosine: the spherical variant keeps the L2 gate's
+    exact plan contract — centroids (with precomputed norms) collapse to
+    one broadcast struct-array row, the argmax is an array fold, the
+    update posexplodes off the assignment. Zero joins between
+    corpus-scale relations; the only hash exchanges are the two update
+    aggregates + the final per-cluster stats."""
+    df = _df(spark, "embedding_kmeans_cosine")
+    plan = plans.physical_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_semdedup_cos_blocking_key_is_only_corpus_shuffle(spark):
+    """dedup_semantic_semdedup_cos: spherical training adds NO corpus
+    shuffles on top of the base SemDeDup contract — assignment stays a
+    broadcast fold, updates shuffle (cid, component) partials, and the
+    one corpus-scale join is the within-cluster pair self-join on the
+    blocking key (+ the hinted broadcast sizes join)."""
+    plan = _plan_no_autobroadcast(spark, "dedup_semantic_semdedup_cos")
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("SortMergeJoin") == 1, plan  # the pair self-join
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

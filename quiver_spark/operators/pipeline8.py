@@ -639,15 +639,61 @@ def pipeline_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
-    ranked = placed.withColumn("pos", F.row_number().over(w))
-    # group on the RAW window keys so the aggregates reuse the window's
-    # (epoch, shard) partitioning — casting in the keys forced a second
-    # corpus-scale exchange into 24 reducer keys (review finding); the
-    # bigint casts move to a post-agg select over 24 rows. Level 1 keys
-    # on (epoch, shard, chunk) — a superset of the window partitioning,
-    # so it exchanges NOTHING — and its collect_list is bounded by
-    # EPOCH_CHUNK; level 2 collects only the 32-char chunk digests.
+    # Round 15 (VERDICT r14 Next #6): the global rank no longer runs as
+    # Window.partitionBy(epoch, shard) — that plan has exactly
+    # EPOCHS×SHARDS reducer tasks, so with O(1) shards the per-task sort
+    # grows linearly with the corpus (spill-safe but a parallelism
+    # ceiling: 72 tasks each sorting corpus/72 at 100 TB). Instead the
+    # corpus RANGE-partitions on the full sort key — reducer pressure is
+    # corpus/shuffle.partitions, scaling with the CLUSTER — and the
+    # exact row_number is reconstructed without any corpus-wide window:
+    # within a range partition rows are sorted and
+    # monotonically_increasing_id assigns CONSECUTIVE ids per partition,
+    # so pos = (per-(epoch,shard,pid) offset from the tiny count rollup)
+    # + (mid − min(mid)) + 1. The checkpoint materializes the ranked
+    # corpus once for its two consumers (counts + join), which also
+    # pins one sort order for the id assignment. Fingerprints are
+    # byte-identical to the window formulation (the oracle is unchanged);
+    # the trade is one extra corpus-scale exchange (the chunk aggregate
+    # can no longer reuse the rank partitioning) for unbounded rank
+    # parallelism — recorded in BASELINE.md.
+    seg = (
+        placed.repartitionByRange("epoch", "shard", "h", "doc_id")
+        .sortWithinPartitions("epoch", "shard", "h", "doc_id")
+        .select(
+            "*",
+            F.spark_partition_id().alias("pid"),
+            F.monotonically_increasing_id().alias("mid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = seg.groupBy("epoch", "shard", "pid").agg(
+        F.count(F.lit(1)).alias("bn"), F.min("mid").alias("mn")
+    )
+    woff = (
+        Window.partitionBy("epoch", "shard")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "epoch",
+        "shard",
+        "pid",
+        "mn",
+        F.coalesce(F.sum("bn").over(woff), F.lit(0)).alias("off"),
+    )
+    # offs is ≤ epochs·shards·shuffle-partitions rows — broadcast; the
+    # hint's subtree holds no joins, so no propagation hazard
+    ranked = seg.join(F.broadcast(offs), ["epoch", "shard", "pid"]).select(
+        "epoch",
+        "shard",
+        "doc_id",
+        "n_chars",
+        (F.col("off") + (F.col("mid") - F.col("mn")) + 1).alias("pos"),
+    )
+    # Level 1 keys on (epoch, shard, chunk) and its collect_list is
+    # bounded by EPOCH_CHUNK; level 2 collects only the 32-char chunk
+    # digests — no reducer row exceeds EPOCH_CHUNK positions either way.
     chunked = (
         ranked.withColumn(
             "chunk", ((F.col("pos") - 1) / EPOCH_CHUNK).cast("bigint")

@@ -572,15 +572,26 @@ def test_pq_trained_no_corpus_scale_joins(spark):
     assert "Window" in plan  # the top-k rankings
 
 
-def test_epoch_shuffle_single_exchange_hierarchical(spark):
-    """pipeline_epoch_shuffle_plan: ONE corpus-scale exchange — the
-    (epoch, shard) window — with both fingerprint levels reusing it (the
-    chunk aggregate keys on a superset of the window partitioning). The
-    hierarchical digest means no collect_list row exceeds EPOCH_CHUNK
-    positions; the two-level shape must survive in the plan."""
+def test_epoch_shuffle_range_rank_bounded_reducers(spark):
+    """pipeline_epoch_shuffle_plan (round 15, VERDICT r14 Next #6): the
+    global rank is a RANGE repartition + per-partition consecutive-id
+    reconstruction, not a Window over (epoch, shard) — so no reducer
+    sorts more than corpus/shuffle-partitions rows (the window plan
+    capped parallelism at EPOCHS×SHARDS tasks). The pin: the ranked
+    corpus reads from the lazy checkpoint (Scan ExistingRDD — the range
+    exchange + sort live inside it), the ONLY Window left is the tiny
+    per-(epoch, shard, pid) offset rollup on the broadcast side, the
+    offset join is a BroadcastHashJoin, and the hierarchical digest keeps
+    its two collect_list levels (chunk rows ≤ EPOCH_CHUNK positions).
+    Exchanges: (e,s,chunk) corpus + (e,s) chunk-grain + the two tiny
+    offset-side ones = 4 hash exchanges."""
     df = _df(spark, "pipeline_epoch_shuffle_plan")
     plan = plans.physical_plan(df)
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 4, plan
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
     assert plan.count("collect_list") >= 4, plan  # 2 levels × partial/final
 
 

@@ -689,6 +689,17 @@ public final class QuiverJvmRead {
     try (RandomAccessFile raf = new RandomAccessFile(f, "r")) {
       long size = raf.length();
       if (size < 24) throw new IOException("not a quiver file (too small): " + f);
+      // header magic (ARROW2 + 2 pad, src/lib.rs:34) — the Python reader
+      // rejects a bad header even when the footer parses (a PAR1-headed
+      // file is NOT a quiver file); the JVM reader must agree (round-15
+      // robustness parity)
+      byte[] head = new byte[6];
+      raf.seek(0);
+      raf.readFully(head);
+      if (head[0] != 'A' || head[1] != 'R' || head[2] != 'R'
+          || head[3] != 'O' || head[4] != 'W' || head[5] != '2') {
+        throw new IOException("not a quiver file (bad magic): " + f);
+      }
       byte[] tail = new byte[16];
       raf.seek(size - 16);
       raf.readFully(tail);
@@ -698,6 +709,12 @@ public final class QuiverJvmRead {
       // EOS trailer: FFFFFFFF 00000000
       if (bb.getInt(8) != -1 || bb.getInt(12) != 0) {
         throw new IOException("corrupt quiver footer (bad EOS): " + f);
+      }
+      // hostile size fields: negative ints (u32 > 2^31) or sizes past the
+      // file must fail BEFORE any allocation sized from them
+      if (schemaSize < 0 || metaSize < 0
+          || (long) schemaSize + (long) metaSize > size - 24) {
+        throw new IOException("corrupt quiver footer (sizes exceed file): " + f);
       }
       long start = size - 16L - metaSize - schemaSize;
       if (start < 8) throw new IOException("corrupt quiver footer (sizes exceed file): " + f);
@@ -728,6 +745,36 @@ public final class QuiverJvmRead {
         cols[c] = new ColMeta(offset, pages);
       }
       return new Footer(arrowSchema, cols);
+    }
+  }
+
+  /** Per-leaf per-page crc32s from the on-disk .stats.json sidecar, or
+   * null when absent / unparseable / shape-inconsistent with the footer
+   * (crcs_if_consistent parity with format/stats.py: verification is
+   * best-effort extra safety, never a reason a healthy file fails). */
+  static long[][] loadCrcSidecar(File dataFile, Footer ft) {
+    File sc = new File(dataFile.getPath() + ".stats.json");
+    if (!sc.isFile()) return null;
+    try {
+      com.fasterxml.jackson.databind.JsonNode root =
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(sc);
+      com.fasterxml.jackson.databind.JsonNode crcs = root.path("page_crc32");
+      if (!crcs.isArray() || crcs.size() != ft.cols.length) return null;
+      long[][] out = new long[ft.cols.length][];
+      for (int ci = 0; ci < ft.cols.length; ci++) {
+        com.fasterxml.jackson.databind.JsonNode row = crcs.get(ci);
+        if (!row.isArray() || row.size() != ft.cols[ci].pages.length) {
+          return null;
+        }
+        out[ci] = new long[row.size()];
+        for (int p = 0; p < row.size(); p++) {
+          if (!row.get(p).isNumber()) return null;
+          out[ci][p] = row.get(p).asLong();
+        }
+      }
+      return out;
+    } catch (Exception e) {
+      return null;
     }
   }
 
@@ -1552,6 +1599,7 @@ public final class QuiverJvmRead {
     private QuiverNested.LeafSpec[][] srcSpecs; // per required field: leaf specs when nested
     private Object[] partConst;   // per required field: constant when SRC_PART
     private int rowLeaf;          // leaf idx of some FLAT file column (row counts), or -1
+    private long[][] pageCrcs;    // per LEAF per page sidecar crc32, or null
     private ColumnarBatch batch;
 
     QuiverColumnarReader(Chunk[] chunks, StructType required) {
@@ -1568,6 +1616,11 @@ public final class QuiverJvmRead {
       closeFile();
       raf = new RandomAccessFile(new File(c.file), "r");
       footer = readFooter(new File(c.file));
+      // page-body integrity: verify sidecar crc32s during page reads when
+      // present and shape-consistent (the Python reader's contract —
+      // wrong rows from a flipped bit must never decode silently); a
+      // missing/corrupt/mismatched sidecar only disables verification
+      pageCrcs = loadCrcSidecar(new File(c.file), footer);
       // NAME-BASED per-file resolution (declared → physical through the
       // cmap): column order may differ per file, absent columns null-fill
       // (files written before an ALTER add_column), partition columns are
@@ -1693,6 +1746,17 @@ public final class QuiverJvmRead {
       byte[] page = new byte[(int) pm.length];
       raf.seek(pageOffsets[leaf][p]);
       raf.readFully(page);
+      if (pageCrcs != null && leaf < pageCrcs.length
+          && p < pageCrcs[leaf].length) {
+        java.util.zip.CRC32 crc = new java.util.zip.CRC32();
+        crc.update(page, 0, page.length);
+        if (crc.getValue() != pageCrcs[leaf][p]) {
+          throw new IOException(
+              "quiverjvm: page checksum mismatch (leaf " + leaf + ", page "
+                  + p + ") in " + chunks[chunkI].file
+                  + " — corrupt page body (sidecar crc32 disagrees)");
+        }
+      }
       return page;
     }
 

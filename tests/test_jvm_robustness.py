@@ -1,0 +1,192 @@
+"""JVM reader robustness — the quiverjvm twin of test_format_robustness.
+
+The Python DS fuzz matrix (truncation / garble / blob fuzz / bit flips)
+targeted only format/reader.py; the JVM decoder reads the same untrusted
+files (round 15, VERDICT r14 Next #4). Contract: every malformed input
+raises a clean exception — no hang, no fabricated rows, no JVM crash.
+Reference precedent inverted: the reference reader trusts its writer
+(/root/reference/src/read/read_basic.rs:59 `unreachable!`); a fleet
+deployment must not.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from quiver_spark.format.writer import write_table
+
+
+def _require_jar(spark):
+    from quiver_spark.jvm import attach_jar
+
+    if not attach_jar(spark):
+        pytest.skip("quiverjvm jar unavailable")
+
+
+@pytest.fixture(scope="module")
+def jvm_sample(tmp_path_factory):
+    """A healthy single-file table dir (no manifest, so planning reads
+    the real footer) + its bytes + the expected rows."""
+    rng = np.random.default_rng(7)
+    n = 2000
+    t = pa.table(
+        {
+            "i": pa.array(rng.integers(0, 100, n), pa.int32()),
+            "s": pa.array([f"v{v}" for v in rng.integers(0, 50, n)]),
+            "f": pa.array(rng.normal(size=n)),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("jvmrobust") / "tbl")
+    os.makedirs(d)
+    path = os.path.join(d, "part-0.quiver")
+    write_table(t, path)
+    with open(path, "rb") as fh:
+        return t, d, path, fh.read()
+
+
+def _scan(spark, d):
+    return spark.read.format("quiverjvm").load(d).collect()
+
+
+def _write_dir(tmp_path, name, blob, sidecar_src=None):
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    p = os.path.join(d, "part-0.quiver")
+    with open(p, "wb") as fh:
+        fh.write(blob)
+    if sidecar_src is not None:
+        shutil.copy(sidecar_src, p + ".stats.json")
+    return d
+
+
+def test_jvm_roundtrip_intact(spark, jvm_sample):
+    _require_jar(spark)
+    t, d, _path, _data = jvm_sample
+    got = sorted(map(tuple, _scan(spark, d)))
+    want = sorted(zip(*[c.to_pylist() for c in t.columns]))
+    assert got == want
+
+
+def test_jvm_truncation_always_raises(spark, jvm_sample, tmp_path):
+    """Any strict prefix of a valid file must raise — never be read as a
+    shorter-but-valid table, never fabricate rows."""
+    _require_jar(spark)
+    _t, _d, _path, data = jvm_sample
+    n = len(data)
+    cuts = sorted(
+        {0, 1, 7, 8, n // 4, n // 2, 3 * n // 4, n - 32, n - 16, n - 12,
+         n - 8, n - 4, n - 1}
+    )
+    for cut in cuts:
+        d = _write_dir(tmp_path, f"cut{cut}", data[:cut])
+        with pytest.raises(Exception):
+            _scan(spark, d)
+
+
+def test_jvm_overwritten_footer_raises(spark, jvm_sample, tmp_path):
+    _require_jar(spark)
+    _t, _d, _path, data = jvm_sample
+    for tail in (4, 12, 64):
+        d = _write_dir(tmp_path, f"garbled{tail}", data[:-tail] + b"\xaa" * tail)
+        with pytest.raises(Exception):
+            _scan(spark, d)
+
+
+def test_jvm_wrong_magic_raises(spark, jvm_sample, tmp_path):
+    _require_jar(spark)
+    _t, _d, _path, data = jvm_sample
+    d = _write_dir(tmp_path, "magic", b"PAR1" + data[4:])
+    with pytest.raises(Exception):
+        _scan(spark, d)
+
+
+def test_jvm_random_bytes_never_hang_or_crash(spark, jvm_sample, tmp_path):
+    """Seeded random blobs + adversarial EOS trailers with hostile size
+    fields: every one must raise cleanly (the 2^31-1 sizes previously
+    probed allocation behavior on the Python side; the JVM must bound
+    them the same way, not OOM)."""
+    _require_jar(spark)
+    from quiver_spark.format.constants import EOS
+
+    rng = np.random.default_rng(42)
+    blobs = [bytes(rng.integers(0, 256, n, dtype=np.uint8)) for n in
+             (0, 1, 8, 16, 32, 64, 200, 1000, 5000) for _ in range(3)]
+    for schema_size, meta_size in [
+        (0, 0), (1, 1), (2**31 - 1, 2**31 - 1), (0, 2**32 - 9),
+        (123456, 0), (0, 123456),
+    ]:
+        body = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+        blobs.append(body + struct.pack("<II", schema_size, meta_size) + EOS)
+    failures = []
+    for i, blob in enumerate(blobs):
+        d = _write_dir(tmp_path, f"fuzz{i}", blob)
+        try:
+            rows = _scan(spark, d)
+            failures.append((i, len(rows)))
+        except Exception:
+            pass
+    assert not failures, f"garbage blobs decoded 'successfully': {failures}"
+
+
+def test_jvm_page_bit_flip_detected(spark, jvm_sample, tmp_path):
+    """A flipped byte inside a page body under a valid CRC sidecar must
+    raise — the Python reader's checksum contract, now required of the
+    JVM decoder too (wrong rows here would poison downstream silently)."""
+    _require_jar(spark)
+    _t, _dd, path, data = jvm_sample
+    mid = len(data) // 3
+    flipped = data[:mid] + bytes([data[mid] ^ 0xFF]) + data[mid + 1:]
+    d = _write_dir(tmp_path, "flip", flipped, sidecar_src=path + ".stats.json")
+    with pytest.raises(Exception, match="(?i)checksum|crc|corrupt"):
+        _scan(spark, d)
+
+
+def test_jvm_corrupt_sidecar_never_blocks_reads(spark, jvm_sample, tmp_path):
+    """A garbled/truncated/wrong-shape stats sidecar must only disable
+    verification — the scan itself succeeds (Python reader parity)."""
+    _require_jar(spark)
+    t, _d, path, data = jvm_sample
+    want = sorted(zip(*[c.to_pylist() for c in t.columns]))
+    for i, garbage in enumerate(
+        [b"", b"{", b"\x00\xff\x13garbage", b'{"version": 99}',
+         b'{"version": 1, "page_rows": [1], "page_crc32": [[123]]}']
+    ):
+        d = _write_dir(tmp_path, f"side{i}", data)
+        with open(os.path.join(d, "part-0.quiver.stats.json"), "wb") as fh:
+            fh.write(garbage)
+        assert sorted(map(tuple, _scan(spark, d))) == want, f"sidecar #{i}"
+
+
+def test_jvm_written_bit_flip_detected_by_both_engines(spark, tmp_path):
+    """The JVM writer's own sidecar crc32s must round-trip: flip a byte in
+    a quiverjvm-written page and BOTH engines' readers refuse it (the
+    crc format is shared, so protection is engine-symmetric)."""
+    _require_jar(spark)
+    import glob
+
+    src = str(tmp_path / "src")
+    spark.range(5000).selectExpr(
+        "id", "concat('v', id) AS s"
+    ).coalesce(1).write.format("quiverjvm").mode("overwrite").save(src)
+    [f] = glob.glob(os.path.join(src, "*.quiver"))
+    with open(f, "rb") as fh:
+        data = fh.read()
+    mid = len(data) // 3
+    with open(f, "wb") as fh:
+        fh.write(data[:mid] + bytes([data[mid] ^ 0xFF]) + data[mid + 1:])
+    # drop the manifest so planning cannot vouch for stale bytes either
+    with pytest.raises(Exception, match="(?i)checksum|crc|corrupt"):
+        spark.read.format("quiverjvm").load(src).collect()
+    from quiver_spark.sources import register
+
+    register(spark)
+    with pytest.raises(Exception, match="(?i)checksum|crc|corrupt"):
+        spark.read.format("quiver").option(
+            "partition_rows", "1000000"
+        ).load(src).collect()

@@ -300,6 +300,12 @@ def main() -> None:
         proxies["manyfiles_quiverjvm_lineitem"] = (
             lambda: jvm_mf_df.write.format("noop").mode("overwrite").save()
         )
+        # metadata-served COUNT(*) A/B over the 256-file fixture (round
+        # 15): both sides answer from metadata — parquet from row-group
+        # stats, quiverjvm from manifest row counts via the pushed
+        # aggregate (zero page reads)
+        proxies["count_parquet_lineitem"] = lambda: mf_parquet_df.count()
+        proxies["count_quiverjvm_lineitem"] = lambda: jvm_mf_df.count()
         # Options-bearing manyfiles scan through the UNIFIED router
         # (round 13, VERDICT r12 Next #1 "done" cell): a `files=` subset
         # naming EVERY file — identical bytes to the manyfiles pair — now
@@ -453,6 +459,8 @@ def main() -> None:
         "manyfiles_columns_routed_lineitem",
         "manyfiles_filecol_parquet_lineitem",
         "manyfiles_filecol_routed_lineitem",
+        "count_parquet_lineitem",
+        "count_quiverjvm_lineitem",
         "pruned_parquet_lineitem",
         "pruned_quiverjvm_lineitem",
         "cdc_full_quiver_lineitem",
@@ -574,6 +582,9 @@ def main() -> None:
                         ),
                         "quiverjvm_vs_parquet_pruned_ratio": _paired_ratio(
                             "pruned_quiverjvm_lineitem", "pruned_parquet_lineitem"
+                        ),
+                        "quiverjvm_vs_parquet_count_ratio": _paired_ratio(
+                            "count_quiverjvm_lineitem", "count_parquet_lineitem"
                         ),
                         "quiverjvm_vs_parquet_nested_ratio": _paired_ratio(
                             "nested_quiverjvm_embeddings", "nested_parquet_embeddings"

@@ -989,12 +989,14 @@ public final class QuiverJvmRead {
   static final class QuiverScanBuilder
       implements ScanBuilder, SupportsPushDownRequiredColumns,
           org.apache.spark.sql.connector.read.SupportsPushDownFilters,
-          org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+          org.apache.spark.sql.connector.read.SupportsPushDownLimit,
+          org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
     private final String path;
     private final StructType fullSchema;
     private final ScanOpts opts;
     private StructType required;
     private int limit = -1;
+    private int countCols = 0; // >0: COUNT(*) pushdown accepted
     private org.apache.spark.sql.sources.Filter[] pushedForDisplay =
         new org.apache.spark.sql.sources.Filter[0];
     private List<QuiverPagePrune.Pred> preds = new ArrayList<>();
@@ -1056,8 +1058,51 @@ public final class QuiverJvmRead {
     }
 
     @Override
+    public boolean pushAggregation(
+        org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
+      // COUNT(*) from metadata (round 15, VERDICT r14 Next #8): the
+      // format's per-page num_values (reference PageMeta,
+      // /root/reference/src/lib.rs:75-80) and the manifest's per-file
+      // row counts make a bare count free — ZERO page reads. Partial
+      // pushdown only (Spark sums the per-scan partials), accepted when:
+      // no grouping, every aggregate is COUNT(*), no pushed predicates
+      // (ours are advisory page prunes — rows must still be counted
+      // exactly), no LIMIT cap, not merge-schemas (a heterogeneous file
+      // may lack the flat leaf whose meta carries true ROW counts), and
+      // the table schema has at least one flat top-level field.
+      if (agg.groupByExpressions().length != 0) return false;
+      if (!preds.isEmpty() || limit >= 0 || opts.mergeSchemas) return false;
+      if (agg.aggregateExpressions().length == 0) return false;
+      for (org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc fn
+          : agg.aggregateExpressions()) {
+        if (!(fn instanceof
+            org.apache.spark.sql.connector.expressions.aggregate.CountStar)) {
+          return false;
+        }
+      }
+      boolean hasFlat = false;
+      for (StructField f : fullSchema.fields()) {
+        String tn = f.dataType().typeName();
+        if (!tn.equals("array") && !tn.equals("map") && !tn.equals("struct")) {
+          hasFlat = true;
+          break;
+        }
+      }
+      if (!hasFlat) return false;
+      countCols = agg.aggregateExpressions().length;
+      return true;
+    }
+
+    @Override
+    public boolean supportCompletePushDown(
+        org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
+      return false; // partial: one metadata-count row per scan, Spark sums
+    }
+
+    @Override
     public Scan build() {
-      return new QuiverScan(path, fullSchema, required, preds, limit, opts);
+      return new QuiverScan(path, fullSchema, required, preds, limit, opts,
+          countCols);
     }
   }
 
@@ -1068,19 +1113,35 @@ public final class QuiverJvmRead {
     private final List<QuiverPagePrune.Pred> preds;
     private final int limit; // -1 = unbounded
     private final ScanOpts opts;
+    private final int countCols; // >0: metadata COUNT(*) mode
 
     QuiverScan(String path, StructType fullSchema, StructType required,
         List<QuiverPagePrune.Pred> preds, int limit, ScanOpts opts) {
+      this(path, fullSchema, required, preds, limit, opts, 0);
+    }
+
+    QuiverScan(String path, StructType fullSchema, StructType required,
+        List<QuiverPagePrune.Pred> preds, int limit, ScanOpts opts,
+        int countCols) {
       this.path = path;
       this.fullSchema = fullSchema;
       this.required = required;
       this.preds = preds;
       this.limit = limit;
       this.opts = opts;
+      this.countCols = countCols;
     }
 
     @Override
     public StructType readSchema() {
+      if (countCols > 0) {
+        StructType s = new StructType();
+        for (int i = 0; i < countCols; i++) {
+          s = s.add("count(*)" + (i == 0 ? "" : String.valueOf(i)),
+              DataTypes.LongType, false);
+        }
+        return s;
+      }
       return required;
     }
 
@@ -1159,6 +1220,51 @@ public final class QuiverJvmRead {
             }
             files = kept;
           }
+        }
+        // metadata-served COUNT(*) (round 15): the final file list is
+        // settled (version resolved, files= subset, changes_since cursor)
+        // and count mode excludes predicates, so the exact total is the
+        // sum of per-file row counts — manifest entry `rows` when it
+        // vouches for the file, else the flat leaf's per-page num_values
+        // from one footer read. No page is ever opened.
+        if (countCols > 0) {
+          long total = 0;
+          com.fasterxml.jackson.databind.JsonNode manFilesC =
+              man == null ? null : man.get("files");
+          java.nio.file.Path rpc = new File(root).toPath();
+          for (File f : files) {
+            String rel = rpc.relativize(f.toPath()).toString()
+                .replace(File.separatorChar, '/');
+            long rows = -1;
+            com.fasterxml.jackson.databind.JsonNode e =
+                manFilesC == null ? null : manFilesC.get(rel);
+            if (e != null && e.path("size").asLong(-1) == f.length()
+                && e.has("rows")) {
+              rows = e.get("rows").asLong(-1);
+            }
+            if (rows < 0) {
+              PLAN_FOOTER_READS.incrementAndGet();
+              Footer ft = readFooter(f);
+              int[][] lrc = QuiverNested.leafRanges(ft.arrowSchema);
+              java.util.List<Field> fsf = ft.arrowSchema.getFields();
+              int flatLeaf = -1;
+              for (int i = 0; i < fsf.size(); i++) {
+                if (!QuiverNested.isNested(fsf.get(i).getType())) {
+                  flatLeaf = lrc[i][0];
+                  break;
+                }
+              }
+              if (flatLeaf < 0 || flatLeaf >= ft.cols.length) {
+                throw new IOException(
+                    "quiverjvm: cannot serve COUNT(*) from metadata for " + f
+                        + " (no flat leaf carries row counts)");
+              }
+              rows = 0;
+              for (PageMeta pm : ft.cols[flatLeaf].pages) rows += pm.numValues;
+            }
+            total += rows;
+          }
+          return new InputPartition[] {new CountChunk(total, countCols)};
         }
         if (files.isEmpty()) return new InputPartition[0];
 
@@ -1567,9 +1673,62 @@ public final class QuiverJvmRead {
 
     @Override
     public PartitionReader<ColumnarBatch> createColumnarReader(InputPartition partition) {
+      if (partition instanceof CountChunk) {
+        return new CountReader((CountChunk) partition);
+      }
       StructType required = (StructType) DataType.fromJson(requiredSchemaJson);
       return new QuiverColumnarReader(
           ((QuiverInputPartition) partition).chunks, required, metaFileIdx);
+    }
+  }
+
+  /** Metadata-served COUNT(*): the single partition of a pushed bare
+   * count — carries the exact row total computed at plan time from
+   * manifest row counts / footer num_values; its reader emits ONE row
+   * and touches zero pages. */
+  static final class CountChunk implements InputPartition {
+    private static final long serialVersionUID = 1L;
+    final long total;
+    final int nCols;
+
+    CountChunk(long total, int nCols) {
+      this.total = total;
+      this.nCols = nCols;
+    }
+  }
+
+  static final class CountReader implements PartitionReader<ColumnarBatch> {
+    private final CountChunk c;
+    private boolean done = false;
+    private ColumnarBatch batch;
+
+    CountReader(CountChunk c) {
+      this.c = c;
+    }
+
+    @Override
+    public boolean next() {
+      if (done) return false;
+      org.apache.spark.sql.execution.vectorized.OnHeapColumnVector[] cols =
+          new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector[c.nCols];
+      for (int i = 0; i < c.nCols; i++) {
+        cols[i] = new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
+            1, DataTypes.LongType);
+        cols[i].putLong(0, c.total);
+      }
+      batch = new ColumnarBatch(cols, 1);
+      done = true;
+      return true;
+    }
+
+    @Override
+    public ColumnarBatch get() {
+      return batch;
+    }
+
+    @Override
+    public void close() {
+      if (batch != null) batch.close();
     }
   }
 

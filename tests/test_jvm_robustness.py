@@ -190,3 +190,41 @@ def test_jvm_written_bit_flip_detected_by_both_engines(spark, tmp_path):
         spark.read.format("quiver").option(
             "partition_rows", "1000000"
         ).load(src).collect()
+
+
+def test_jvm_count_pushdown_reads_zero_pages(spark, tmp_path):
+    """COUNT(*) pushdown is metadata-served end-to-end: corrupt EVERY
+    page body of a table (valid footers, valid manifest) and the bare
+    count still answers exactly — proof no page is opened — while any
+    column read refuses loudly via the crc check. Filters / limits /
+    grouping refuse the pushdown and count through the normal scan."""
+    _require_jar(spark)
+    import glob
+
+    d = str(tmp_path / "tbl")
+    spark.range(20000).selectExpr("id", "id * 2 AS v").repartition(
+        3
+    ).write.format("quiverjvm").mode("overwrite").save(d)
+    for f in glob.glob(os.path.join(d, "*.quiver")):
+        with open(f, "rb") as fh:
+            data = fh.read()
+        # smash a mid-file byte per page region: flip every 512th byte of
+        # the first half (pages live before the footer)
+        body = bytearray(data)
+        for i in range(64, len(body) // 2, 512):
+            body[i] ^= 0xFF
+        with open(f, "wb") as fh:
+            fh.write(bytes(body))
+    df = spark.read.format("quiverjvm").load(d)
+    assert df.count() == 20000
+    plan = df.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+    assert "count(*)" in plan.split("BatchScan")[-1], plan
+    with pytest.raises(Exception):
+        df.selectExpr("sum(id)").collect()
+    # a filtered count does NOT push down (and here fails loudly on the
+    # corrupt pages instead of fabricating a number)
+    fplan = (
+        df.filter("id > 10").groupBy().count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "count(*)" not in fplan.split("BatchScan")[-1], fplan

@@ -22,94 +22,91 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 14 window (50). Staleness audit at the start of round 14 (computed
-# from CORRECTNESS_r1..r13; every one of the 196 queries registered then
-# has at least one driver-green row and ZERO failures ever): r10-stale =
-# 50, r11 = 48, r12 = 48, r13 = 50; 8 new gates this round (204 total).
-# Window: (a) the 6 NEW round-14 gates (trained-PQ ANN with recall, the
-# full watermarked stream-pipeline on the all-JVM path, streaming
-# SESSION windows on the same path, DSIR importance weights, IVF-PQ
-# residual quantization, largest-remainder mixture schedule, PCA top-2
-# deflation, SemDeDup cluster-blocked semantic dedup) — every new gate
-# gets a driver
-# row in its birth round, keeping the
-# all-queries-driver-green union invariant; (b) the 7 queries whose
-# ENGINE or SHAPE materially changed this round (k-means update join
-# carried through the assignment; TF-IDF n_docs regex escape; Bloom
-# sparse-word left-join in both engines; hierarchical epoch-shuffle
-# fingerprint; columns=/limit= now routed onto the JVM reader, which
-# rewires quiver_unified_scan's probes and quiver_limit_head's relation;
-# the JVM streaming sink's commit path gained the GC age-gate +
-# heartbeat); (c) 35 of the 50 r10-stale rows — the oldest cohort.
-# 8+7+35 = 50; position 51+ falls back to registry order. The 15
-# r10-stale rows deferred to round 15 (they will head its window
-# alongside the r11 cohort) are the simple relational operators with
-# every-round pytest parity and no code motion since r10 (anti_join_
-# customers, cube_orders, nonequi_acctbal_pairs, outer_join_coverage,
-# rollup_returns, semi_join_customers, setop_except_nations,
-# setop_intersect_nations, window_lag_gap, window_ntile_share,
-# window_rank_orders, window_running_total) plus multimodal_binary_meta
-# (metadata-only scan whose plumbing the r13-green
-# multimodal_decode_features exercises end-to-end, pytest parity every
-# round), dedup_simhash (its signature pipeline is exercised
-# end-to-end by the r13-green dedup_simhash_pairs, pytest parity every
-# round), and quiver_analyze_stats (covered by test_maintenance's
-# ANALYZE pins + the analyze-stats broadcast-gate plan test, pytest
-# parity every round).
+# Round 15 window (50). Staleness audit at the start of round 15 (computed
+# from CORRECTNESS_r1..r14; every one of the 204 queries registered then
+# has at least one driver-green row and ZERO hard failures ever — the two
+# historical `no_oracle` rows are the designed rows-only checks):
+# r10-stale = 15, r11 = 48, r12 = 46, r13 = 45, r14 = 50; 4 new gates
+# this round (208 total). Window: (a) the 4 NEW round-15 gates
+# (spherical k-means, SemDeDup blocking on it, the unified batch write
+# router, metadata-served COUNT(*) pushdown) — every new gate gets a
+# driver row in its birth round, keeping the all-queries-driver-green
+# union invariant; (b) the 4 queries whose ENGINE or SHAPE materially
+# changed this round (SemDeDup's report stage became a union-aggregate
+# via the shared _sem_pairs; the epoch-shuffle rank is now
+# range-partitioned; quiverjvm_scan_agg representing the hardened JVM
+# read path — header-magic check + sidecar crc32 verification on every
+# page read; the JVM streaming sink's GC walk became
+# cutoff-short-circuiting); (c) the 15 r10-stale rows deferred from
+# round 14 — the oldest cohort, now cleared; (d) 27 of the 48 r11-stale
+# rows, prioritizing format-path scans (the CRC change touches every
+# quiverjvm read) and operator-logic pipelines over simple relational
+# rows. 4+4+15+27 = 50; position 51+ falls back to registry order. The
+# 21 r11-stale rows deferred to round 16 (they will head its window)
+# are the simple relational/scalar operators with every-round pytest
+# parity and no code motion since r11: agg_collect_sorted,
+# agg_minby_maxby, agg_quantiles, agg_stats_moments, agg_string_ordered,
+# case_when_buckets, distinct_counts, grouped_minmax_norm,
+# in_between_filter, null_handling, q12_priority_shipping,
+# scalar_array_funcs, scalar_json_funcs, scalar_regexp_funcs,
+# setop_bag_semantics, setop_intersect_all, setop_union_distinct,
+# text_lang_id, text_length_histogram, text_quality_stats,
+# text_token_topk.
 _PRIORITY = [
-    # (a) new round-14 gates
-    "ann_pq_trained_topk",
-    "quiverjvm_stream_pipeline_scan",
-    "quiverjvm_stream_sessions_scan",
-    "sample_dsir_weights",
-    "ann_ivf_pq_topk",
-    "pipeline_mixture_schedule",
-    "embedding_pca_top2_deflation",
-    "dedup_semantic_semdedup",
+    # (a) new round-15 gates
+    "embedding_kmeans_cosine",
+    "dedup_semantic_semdedup_cos",
+    "quiver_write_unified_scan",
+    "quiver_count_pushdown",
     # (b) materially changed this round
-    "embedding_kmeans_clusters",
-    "text_tfidf_topk",
-    "sketch_bloom_membership",
+    "dedup_semantic_semdedup",
     "pipeline_epoch_shuffle_plan",
-    "quiver_unified_scan",
-    "quiver_limit_head",
-    "quiverjvm_stream_sink_scan",
-    # (c) 35 of the 50 round-10-stale rows
-    "ann_lsh_buckets",
-    "dedup_span_excision",
-    "q10_returned_items",
-    "q11_important_supply",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "quiver_alter_evolution_scan",
-    "quiver_bloom_lookup_scan",
-    "quiver_check_constraint_scan",
-    "quiver_clustered_scan",
-    "quiver_delete_scan",
-    "quiver_incremental_scan",
-    "quiver_merge_cdc_scan",
-    "quiver_merge_upsert_scan",
-    "quiver_repartitioned_scan",
-    "quiver_snapshot_diff",
-    "quiver_update_scan",
-    "quiver_zorder_scan",
-    "quiverjvm_ingest_roundtrip",
     "quiverjvm_scan_agg",
-    "text_blocklist_filter",
-    "text_pii_scrub",
+    "quiverjvm_stream_sink_scan",
+    # (c) the 15 round-10-stale rows deferred from round 14
+    "anti_join_customers",
+    "cube_orders",
+    "dedup_simhash",
+    "multimodal_binary_meta",
+    "nonequi_acctbal_pairs",
+    "outer_join_coverage",
+    "quiver_analyze_stats",
+    "rollup_returns",
+    "semi_join_customers",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "window_lag_gap",
+    "window_ntile_share",
+    "window_rank_orders",
+    "window_running_total",
+    # (d) 27 of the 48 round-11-stale rows (format paths + pipelines)
+    "arrow_ipc_scan",
+    "quiver_inplace_compact_scan",
+    "quiver_narrow_projection",
+    "quiver_scan_events",
+    "quiverjvm_alter_scan",
+    "quiverjvm_partitioned_ingest",
+    "ann_ivf_topk",
+    "decontaminate_eval_overlap",
+    "dedup_canonical_docs",
+    "dedup_clusters",
+    "dedup_cross_source_matrix",
+    "dedup_minhash_signature",
+    "embedding_norm_stats",
+    "events_anomaly_hours",
+    "events_gapfill_hourly",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_pivot_types",
+    "events_sessionize",
+    "events_sliding_daily",
+    "events_transition_matrix",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "pipeline_pack_sequences",
+    "sample_token_budget",
+    "text_context_windows",
+    "text_fingerprint",
 ]
 
 

@@ -1057,6 +1057,22 @@ public final class QuiverJvmRead {
       return false;
     }
 
+    /** Pushed MIN/MAX answers precomputed at pushdown time (null when
+     * the pushdown is count-only or refused). */
+    private Object[] aggVals = null;
+    private StructType aggSchema = null;
+
+    /** Spark types whose sidecar min/max JSON numbers ARE the semantic
+     * values: signed ints, the unsigned-widened ints (raw uint page
+     * values equal the widened values), and date32 days. Floats (NaN →
+     * null stats), strings (truncated), decimals, and timestamps
+     * (per-file physical units) are excluded. */
+    private static boolean minMaxType(DataType t) {
+      return t.equals(DataTypes.ByteType) || t.equals(DataTypes.ShortType)
+          || t.equals(DataTypes.IntegerType) || t.equals(DataTypes.LongType)
+          || t.equals(DataTypes.DateType);
+    }
+
     @Override
     public boolean pushAggregation(
         org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
@@ -1073,24 +1089,231 @@ public final class QuiverJvmRead {
       if (agg.groupByExpressions().length != 0) return false;
       if (!preds.isEmpty() || limit >= 0 || opts.mergeSchemas) return false;
       if (agg.aggregateExpressions().length == 0) return false;
+      boolean allCount = true;
       for (org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc fn
           : agg.aggregateExpressions()) {
         if (!(fn instanceof
             org.apache.spark.sql.connector.expressions.aggregate.CountStar)) {
-          return false;
-        }
-      }
-      boolean hasFlat = false;
-      for (StructField f : fullSchema.fields()) {
-        String tn = f.dataType().typeName();
-        if (!tn.equals("array") && !tn.equals("map") && !tn.equals("struct")) {
-          hasFlat = true;
+          allCount = false;
           break;
         }
       }
-      if (!hasFlat) return false;
-      countCols = agg.aggregateExpressions().length;
-      return true;
+      if (allCount) {
+        boolean hasFlat = false;
+        for (StructField f : fullSchema.fields()) {
+          String tn = f.dataType().typeName();
+          if (!tn.equals("array") && !tn.equals("map") && !tn.equals("struct")) {
+            hasFlat = true;
+            break;
+          }
+        }
+        if (!hasFlat) return false;
+        countCols = agg.aggregateExpressions().length;
+        return true;
+      }
+      // MIN/MAX (optionally mixed with COUNT(*)) from the manifest's
+      // inline zone maps — accepted ONLY when the manifest can vouch
+      // for every live byte, so the answer needs no file I/O at all
+      return tryPushMinMax(agg);
+    }
+
+    /** Precompute MIN/MAX/COUNT answers from the manifest's inline
+     * per-page zone maps. Every condition is checked here — a refusal
+     * is a clean `false` (Spark keeps the normal scan), never a
+     * mid-query error: manifest present; every live file vouched
+     * (entry exists, size matches) with `rows` and an INLINE sidecar
+     * (no O(files) disk reads at plan time); requested columns typed
+     * in the exact-JSON domain, present in the manifest's declared
+     * schema (a Hive partition column is not), not default-filled,
+     * and date columns physically date32 in every file schema. */
+    private boolean tryPushMinMax(
+        org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
+      if (opts.filesJson != null || opts.changesSince >= 0) return false;
+      java.util.List<Object[]> wants = new ArrayList<>(); // {kind, col} / {count}
+      for (org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc fn
+          : agg.aggregateExpressions()) {
+        if (fn instanceof
+            org.apache.spark.sql.connector.expressions.aggregate.CountStar) {
+          wants.add(new Object[] {"count", null});
+          continue;
+        }
+        org.apache.spark.sql.connector.expressions.Expression colExpr;
+        String kind;
+        if (fn instanceof org.apache.spark.sql.connector.expressions.aggregate.Min) {
+          colExpr = ((org.apache.spark.sql.connector.expressions.aggregate.Min) fn).column();
+          kind = "min";
+        } else if (fn instanceof org.apache.spark.sql.connector.expressions.aggregate.Max) {
+          colExpr = ((org.apache.spark.sql.connector.expressions.aggregate.Max) fn).column();
+          kind = "max";
+        } else {
+          return false;
+        }
+        if (!(colExpr instanceof
+            org.apache.spark.sql.connector.expressions.NamedReference)) {
+          return false;
+        }
+        String[] names = ((org.apache.spark.sql.connector.expressions.NamedReference)
+            colExpr).fieldNames();
+        if (names.length != 1) return false;
+        String col = names[0];
+        StructField sf;
+        try {
+          sf = fullSchema.fields()[fullSchema.fieldIndex(col)];
+        } catch (Exception e) {
+          return false;
+        }
+        if (!minMaxType(sf.dataType())) return false;
+        wants.add(new Object[] {kind, col});
+      }
+      try {
+        String root = resolveRoot(localPath(path), opts.version);
+        com.fasterxml.jackson.databind.JsonNode man = readManifestRaw(root);
+        com.fasterxml.jackson.databind.JsonNode manFiles =
+            man == null ? null : man.get("files");
+        if (man != null && manFiles == null) return false;
+        // a default-filled column's absent-file rows carry the default,
+        // which zone maps don't record — refuse those columns
+        com.fasterxml.jackson.databind.JsonNode defs =
+            man == null ? null : man.get("column_defaults");
+        List<File> files = new ArrayList<>();
+        listFiles(new File(root), files);
+        Schema declared = null;
+        if (man != null) {
+          declared = declaredSchema(man);
+          if (declared == null) declared = manifestSchema(man);
+        } else if (!files.isEmpty()) {
+          // manifest-less dir: plan already pays per-file footer reads —
+          // the first footer names the data columns (a Hive partition
+          // column is not among them)
+          PLAN_FOOTER_READS.incrementAndGet();
+          declared = readFooter(files.get(0)).arrowSchema;
+        }
+        if (declared == null && !files.isEmpty()) return false;
+        java.util.Set<String> declaredCols = new java.util.HashSet<>();
+        java.util.Map<String, ArrowType> declaredTypes = new java.util.HashMap<>();
+        if (declared != null) {
+          for (Field f : declared.getFields()) {
+            declaredCols.add(f.getName());
+            declaredTypes.put(f.getName(), f.getType());
+          }
+        }
+        for (Object[] w : wants) {
+          if (w[1] == null) continue;
+          String col = (String) w[1];
+          if (!files.isEmpty() && !declaredCols.contains(col)) {
+            return false; // partition col (path constant — no zone maps)
+          }
+          if (defs != null && defs.has(col)) return false;
+          ArrowType at = declaredTypes.get(col);
+          if (at instanceof ArrowType.Date
+              && ((ArrowType.Date) at).getUnit()
+                  != org.apache.arrow.vector.types.DateUnit.DAY) {
+            return false; // date64 stats are millis, Spark DateType is days
+          }
+        }
+        java.nio.file.Path rp = new File(root).toPath();
+        long totalRows = 0;
+        java.util.Map<String, Long> mins = new java.util.HashMap<>();
+        java.util.Map<String, Long> maxs = new java.util.HashMap<>();
+        com.fasterxml.jackson.databind.ObjectMapper om =
+            new com.fasterxml.jackson.databind.ObjectMapper();
+        for (File f : files) {
+          String rel = rp.relativize(f.toPath()).toString()
+              .replace(File.separatorChar, '/');
+          com.fasterxml.jackson.databind.JsonNode e =
+              manFiles == null ? null : manFiles.get(rel);
+          com.fasterxml.jackson.databind.JsonNode sc;
+          java.util.HashMap<String, String> cmap = null;
+          if (man != null) {
+            // manifest present: it must vouch for every live byte, and
+            // sidecars must be INLINE (no O(files) disk reads on the
+            // manifest-served planning path)
+            if (e == null || e.path("size").asLong(-1) != f.length()
+                || !e.has("rows")) {
+              return false;
+            }
+            totalRows += e.get("rows").asLong();
+            sc = e.get("sidecar");
+            cmap = entryCmap(e);
+          } else {
+            // manifest-less: per-file footer + disk sidecar (the same
+            // O(files) cost this dir's split planning already pays)
+            PLAN_FOOTER_READS.incrementAndGet();
+            Footer ft = readFooter(f);
+            int[][] lrc = QuiverNested.leafRanges(ft.arrowSchema);
+            java.util.List<Field> fsf = ft.arrowSchema.getFields();
+            int flatLeaf = -1;
+            for (int i = 0; i < fsf.size(); i++) {
+              if (!QuiverNested.isNested(fsf.get(i).getType())) {
+                flatLeaf = lrc[i][0];
+                break;
+              }
+            }
+            if (flatLeaf < 0 || flatLeaf >= ft.cols.length) return false;
+            for (PageMeta pm : ft.cols[flatLeaf].pages) {
+              totalRows += pm.numValues;
+            }
+            File side = new File(f.getPath() + ".stats.json");
+            if (!side.isFile()) sc = null;
+            else sc = om.readTree(side);
+          }
+          if (sc == null || sc.isNull()
+              || sc.path("version").asInt(-1) != 1
+              || !sc.has("columns")) {
+            // count-only files are fine when nothing else is requested,
+            // but any min/max want needs the zone maps
+            for (Object[] w : wants) {
+              if (w[1] != null) return false;
+            }
+            continue;
+          }
+          for (Object[] w : wants) {
+            if (w[1] == null) continue;
+            String col = (String) w[1];
+            String phys = cmap != null ? cmap.getOrDefault(col, col) : col;
+            com.fasterxml.jackson.databind.JsonNode cn =
+                sc.get("columns").get(phys);
+            if (cn == null) continue; // file predates the column: all-null
+            com.fasterxml.jackson.databind.JsonNode mn = cn.get("min");
+            com.fasterxml.jackson.databind.JsonNode mx = cn.get("max");
+            if (mn == null || mx == null) return false;
+            for (int p = 0; p < mn.size(); p++) {
+              com.fasterxml.jackson.databind.JsonNode lo = mn.get(p);
+              com.fasterxml.jackson.databind.JsonNode hi = mx.get(p);
+              if (lo == null || lo.isNull() || hi == null || hi.isNull()) {
+                continue; // all-null page
+              }
+              if (!lo.isIntegralNumber() || !hi.isIntegralNumber()) {
+                return false; // unexpected domain: refuse, don't guess
+              }
+              mins.merge(col, lo.asLong(), Math::min);
+              maxs.merge(col, hi.asLong(), Math::max);
+            }
+          }
+        }
+        Object[] vals = new Object[wants.size()];
+        StructType schema = new StructType();
+        for (int i = 0; i < wants.size(); i++) {
+          Object[] w = wants.get(i);
+          if (w[1] == null) {
+            vals[i] = totalRows;
+            schema = schema.add("count(*)" + (i == 0 ? "" : String.valueOf(i)),
+                DataTypes.LongType, false);
+          } else {
+            String col = (String) w[1];
+            DataType t = fullSchema.fields()[fullSchema.fieldIndex(col)]
+                .dataType();
+            Long v = "min".equals(w[0]) ? mins.get(col) : maxs.get(col);
+            vals[i] = v;
+            schema = schema.add(w[0] + "(" + col + ")" + i, t, true);
+          }
+        }
+        this.aggVals = vals;
+        this.aggSchema = schema;
+        return true;
+      } catch (Exception e) {
+        return false;
+      }
     }
 
     @Override
@@ -1101,8 +1324,11 @@ public final class QuiverJvmRead {
 
     @Override
     public Scan build() {
-      return new QuiverScan(path, fullSchema, required, preds, limit, opts,
-          countCols);
+      QuiverScan s = new QuiverScan(path, fullSchema, required, preds, limit,
+          opts, countCols);
+      s.aggVals = aggVals;
+      s.aggSchema = aggSchema;
+      return s;
     }
   }
 
@@ -1132,8 +1358,14 @@ public final class QuiverJvmRead {
       this.countCols = countCols;
     }
 
+    /** Precomputed MIN/MAX(/COUNT) pushdown answers (set by the builder
+     * when tryPushMinMax accepted) — the scan emits exactly this row. */
+    Object[] aggVals;
+    StructType aggSchema;
+
     @Override
     public StructType readSchema() {
+      if (aggSchema != null) return aggSchema;
       if (countCols > 0) {
         StructType s = new StructType();
         for (int i = 0; i < countCols; i++) {
@@ -1172,6 +1404,12 @@ public final class QuiverJvmRead {
 
     @Override
     public InputPartition[] planInputPartitions() {
+      if (aggVals != null) {
+        // MIN/MAX answers were precomputed from the manifest zone maps
+        // at pushdown time — one partition, zero file I/O at execution
+        return new InputPartition[] {
+            new AggChunk(aggVals, aggSchema.json())};
+      }
       try {
         String root = resolveRoot(path, opts.version);
         com.fasterxml.jackson.databind.JsonNode man = readManifestRaw(root);
@@ -1676,6 +1914,9 @@ public final class QuiverJvmRead {
       if (partition instanceof CountChunk) {
         return new CountReader((CountChunk) partition);
       }
+      if (partition instanceof AggChunk) {
+        return new AggReader((AggChunk) partition);
+      }
       StructType required = (StructType) DataType.fromJson(requiredSchemaJson);
       return new QuiverColumnarReader(
           ((QuiverInputPartition) partition).chunks, required, metaFileIdx);
@@ -1694,6 +1935,67 @@ public final class QuiverJvmRead {
     CountChunk(long total, int nCols) {
       this.total = total;
       this.nCols = nCols;
+    }
+  }
+
+  /** One-row partition carrying precomputed pushed-aggregate values
+   * (MIN/MAX/COUNT answered from the manifest's inline zone maps). */
+  static final class AggChunk implements InputPartition {
+    private static final long serialVersionUID = 1L;
+    final Object[] vals; // Long values or null, positionally per field
+    final String schemaJson;
+
+    AggChunk(Object[] vals, String schemaJson) {
+      this.vals = vals;
+      this.schemaJson = schemaJson;
+    }
+  }
+
+  static final class AggReader implements PartitionReader<ColumnarBatch> {
+    private final AggChunk c;
+    private boolean done = false;
+    private ColumnarBatch batch;
+
+    AggReader(AggChunk c) {
+      this.c = c;
+    }
+
+    @Override
+    public boolean next() {
+      if (done) return false;
+      StructType schema = (StructType) DataType.fromJson(c.schemaJson);
+      org.apache.spark.sql.execution.vectorized.OnHeapColumnVector[] cols =
+          new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector[
+              c.vals.length];
+      for (int i = 0; i < c.vals.length; i++) {
+        DataType t = schema.fields()[i].dataType();
+        cols[i] = new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(1, t);
+        Object v = c.vals[i];
+        if (v == null) {
+          cols[i].putNull(0);
+        } else {
+          long lv = (Long) v;
+          if (t.equals(DataTypes.LongType)) cols[i].putLong(0, lv);
+          else if (t.equals(DataTypes.IntegerType)
+              || t.equals(DataTypes.DateType)) cols[i].putInt(0, (int) lv);
+          else if (t.equals(DataTypes.ShortType)) cols[i].putShort(0, (short) lv);
+          else if (t.equals(DataTypes.ByteType)) cols[i].putByte(0, (byte) lv);
+          else throw new IllegalStateException("agg type " + t);
+        }
+      }
+      batch = new ColumnarBatch(cols, 1);
+      done = true;
+      return true;
+    }
+
+    @Override
+    public ColumnarBatch get() {
+      return batch;
+    }
+
+    @Override
+    public void close() {
+      if (batch != null) batch.close();
     }
   }
 

@@ -311,19 +311,23 @@ def quiver_write_unified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT (SELECT COUNT(*) FROM orders) AS orders_cnt,
        (SELECT COUNT(*) FROM lineitem) AS lineitem_cnt,
-       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS filt_cnt
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS filt_cnt,
+       (SELECT MIN(o_orderkey) FROM orders) AS min_okey,
+       (SELECT MAX(o_orderkey) FROM orders) AS max_okey
 """,
     tags=("format", "jvm", "scan", "agg", "pushdown"),
 )
 def quiver_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-served COUNT(*) (round 15, VERDICT r14 Next #8): a bare
-    count over the JVM scan pushes down as SupportsPushDownAggregates —
-    the total comes from the manifest's per-file row counts / per-page
-    num_values (reference PageMeta, /root/reference/src/lib.rs:75-80)
-    and ZERO pages are read. Asserted in-query: the bare counts' plans
-    must show the pushed count(*) scan column, while the FILTERED count
-    must NOT push (our zone-map predicates are advisory — rows still
-    count exactly through the normal scan)."""
+    """Metadata-served aggregates (round 15, VERDICT r14 Next #8): a bare
+    COUNT(*) — and MIN/MAX over an integer column — over the JVM scan
+    push down as SupportsPushDownAggregates: the count comes from the
+    manifest's per-file row counts / per-page num_values (reference
+    PageMeta, /root/reference/src/lib.rs:75-80), the extrema from the
+    manifest's INLINE per-page zone maps, and ZERO pages are read.
+    Asserted in-query: the bare aggregates' plans must show the pushed
+    scan columns, while the FILTERED count must NOT push (our zone-map
+    predicates are advisory — rows still count exactly through the
+    normal scan)."""
     from quiver_spark.operators.format_queries import quiver_dir
 
     o = _jvm_scan(spark, quiver_dir(spark, sf_dir, "orders"))
@@ -333,14 +337,23 @@ def quiver_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = o.filter(F.col("o_orderstatus") == "F").groupBy().agg(
         F.count(F.lit(1)).alias("filt_cnt")
     )
-    for df, pushed in ((a, True), (b, True), (c, False)):
+    m = o.groupBy().agg(
+        F.min("o_orderkey").alias("min_okey"),
+        F.max("o_orderkey").alias("max_okey"),
+    )
+    for df, token, pushed in (
+        (a, "count(*)", True),
+        (b, "count(*)", True),
+        (c, "count(*)", False),
+        (m, "min(o_orderkey)", True),
+    ):
         plan = df._jdf.queryExecution().executedPlan().toString()
-        if ("count(*)" in plan.split("BatchScan")[-1]) != pushed:
+        if (token in plan.split("BatchScan")[-1]) != pushed:
             raise RuntimeError(
-                f"count pushdown expected={pushed} but plan says "
-                f"otherwise:\n{plan}"
+                f"aggregate pushdown expected={pushed} for {token} but "
+                f"plan says otherwise:\n{plan}"
             )
-    return a.crossJoin(b).crossJoin(c)
+    return a.crossJoin(b).crossJoin(c).crossJoin(m)
 
 
 @register(

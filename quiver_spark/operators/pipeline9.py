@@ -659,6 +659,13 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_dot_product doubles are < 2^53, so identical integers), d2 via
     norms − 2·dot on identical operands, cosine = one dot over two
     sqrts of identical ints — the embedding_near_dup recipe."""
+    return _sem_pairs(_sem_assign_l2(spark, sf_dir))
+
+
+def _sem_assign_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base gate's L2-to-seed assignment (vec_id, iv, nrm, cid) —
+    extracted so examples/semdedup_recall.py measures the subshard cap's
+    recall against the SAME assignment the gate blocks on."""
     from quiver_spark.functions import int_dot
 
     from quiver_spark.operators.similarity2 import _DIST2, _int_corpus
@@ -681,10 +688,9 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
         (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s))
     """
-    assign = emb.crossJoin(F.broadcast(carr)).select(
+    return emb.crossJoin(F.broadcast(carr)).select(
         "vec_id", "iv", "nrm", F.expr(best + ".cid").alias("cid")
     )
-    return _sem_pairs(assign)
 
 
 def _sem_pairs(assign: DataFrame) -> DataFrame:

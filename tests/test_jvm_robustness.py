@@ -228,3 +228,77 @@ def test_jvm_count_pushdown_reads_zero_pages(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "count(*)" not in fplan.split("BatchScan")[-1], fplan
+
+
+def test_jvm_minmax_pushdown_edges(spark, tmp_path):
+    """MIN/MAX pushdown edges: null-skipping matches Spark semantics, an
+    all-null column answers NULL, manifest-less dirs / partition columns
+    / default-filled columns / float columns refuse the pushdown and
+    still answer exactly through the normal scan."""
+    _require_jar(spark)
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "t")
+    spark.sql(
+        "SELECT id,"
+        " IF(id % 3 = 0, NULL, CAST(id % 50 AS INT)) AS nly,"
+        " CAST(NULL AS INT) AS alln,"
+        " CAST(rand(7) AS DOUBLE) AS f,"
+        " concat('g', id % 2) AS k"
+        " FROM range(10000)"
+    ).repartition(2).write.format("quiverjvm").partitionBy("k").mode(
+        "overwrite"
+    ).save(d)
+    df = spark.read.format("quiverjvm").load(d)
+
+    def agg_plan(df_agg):
+        return df_agg._jdf.queryExecution().executedPlan().toString()
+
+    # nulls skipped exactly (min over nly excludes the NULL rows):
+    # pushed answer must equal the unpushed one (the filter blocks the
+    # pushdown, forcing the normal scan as the reference)
+    q = df.agg(F.min("nly"), F.max("nly"), F.count(F.lit(1)))
+    assert "min(nly)" in agg_plan(q).split("BatchScan")[-1]
+    ref = df.filter(F.col("id") >= 0).agg(
+        F.min("nly"), F.max("nly"), F.count(F.lit(1))
+    )
+    assert "min(nly)" not in agg_plan(ref).split("BatchScan")[-1]
+    assert tuple(q.collect()[0]) == tuple(ref.collect()[0])
+    # all-null column answers NULL through the pushdown
+    q2 = df.agg(F.min("alln"))
+    assert "min(alln)" in agg_plan(q2).split("BatchScan")[-1]
+    assert q2.collect()[0][0] is None
+    # float and partition-column extrema refuse but stay correct
+    for col in ("f", "k"):
+        qq = df.agg(F.min(col))
+        assert f"min({col})" not in agg_plan(qq).split("BatchScan")[-1]
+    assert df.agg(F.min("k")).collect()[0][0] == "g0"
+    # manifest-less dir: still pushes via the on-disk sidecars (the same
+    # O(files) plan cost such a dir already pays), value-identical
+    import glob as _glob
+    import os as _os
+
+    man = _os.path.join(d, "_manifest.json.gz")
+    raw = open(man, "rb").read()
+    _os.remove(man)
+    df2 = spark.read.format("quiverjvm").load(d)
+    q3 = df2.agg(F.min("nly"), F.max("nly"))
+    assert "min(nly)" in agg_plan(q3).split("BatchScan")[-1]
+    assert tuple(q3.collect()[0]) == tuple(ref.collect()[0])[:2]
+    # no sidecars either: refuses the pushdown, still exact
+    sidecars = {
+        p: open(p, "rb").read()
+        for p in _glob.glob(_os.path.join(d, "**", "*.stats.json"),
+                            recursive=True)
+    }
+    for p in sidecars:
+        _os.remove(p)
+    df3 = spark.read.format("quiverjvm").load(d)
+    q4 = df3.agg(F.min("nly"))
+    assert "min(nly)" not in agg_plan(q4).split("BatchScan")[-1]
+    assert q4.collect()[0][0] == ref.collect()[0][0]
+    for p, blob in sidecars.items():
+        with open(p, "wb") as fh:
+            fh.write(blob)
+    with open(man, "wb") as fh:
+        fh.write(raw)

@@ -89,26 +89,47 @@ def main() -> int:
         * F.sqrt(F.col("nb").cast("double"))
     )
 
-    def dup_pairs(joined):
-        return (
+    def dup_pairs_by_cluster(joined):
+        rows = (
             joined.filter(F.col("va") < F.col("vb"))
             .filter(cosv >= SEM_TAU)
+            .groupBy("cid")
             .count()
+            .collect()
         )
+        return {r.cid: r["count"] for r in rows}
 
-    total = dup_pairs(a.drop("subk").join(b.drop("subk"), ["cid"]))
-    kept = dup_pairs(a.join(b, ["cid", "subk"]))
+    tot_by = dup_pairs_by_cluster(a.drop("subk").join(b.drop("subk"), ["cid"]))
+    kept_by = dup_pairs_by_cluster(a.join(b, ["cid", "subk"]))
+    total = sum(tot_by.values())
+    kept = sum(kept_by.values())
+    # the 1/nsub model, weighted by each cluster's TRUE pair count so it
+    # is comparable with the pair-weighted measured recall (an unweighted
+    # mean of 1/nsub would misstate the model whenever cluster sizes
+    # differ — round-15 self-review finding)
+    predicted = (
+        sum(tot_by.get(r.cid, 0) / r.nsub for r in picked) / total
+        if total
+        else None
+    )
     out = {
         "factor": args.factor,
         "clusters": [
-            {"cid": r.cid, "sz": r.sz, "nsub": r.nsub} for r in picked
+            {
+                "cid": r.cid,
+                "sz": r.sz,
+                "nsub": r.nsub,
+                "pairs": tot_by.get(r.cid, 0),
+                "kept": kept_by.get(r.cid, 0),
+            }
+            for r in picked
         ],
         "dup_pairs_unblocked": total,
         "dup_pairs_kept": kept,
         "recall": round(kept / total, 4) if total else None,
-        "predicted_recall_1_over_nsub": round(
-            sum(1.0 / r.nsub * 1 for r in picked) / len(picked), 4
-        ) if picked else None,
+        "predicted_recall_weighted_1_over_nsub": (
+            round(predicted, 4) if predicted is not None else None
+        ),
     }
     print(json.dumps(out))
     return 0

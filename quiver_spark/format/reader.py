@@ -158,12 +158,23 @@ def read_footer(f) -> tuple[pa.Schema, list[ColumnMeta]]:
     f.seek(size - tail_len)
     tail = f.read(tail_len)
     _check_trailer(tail, size)
+    from quiver_spark.format.constants import MAGIC
+
     if tail_len == size:
         # tail covers the whole file: header magic check is free
-        from quiver_spark.format.constants import MAGIC
-
-        if bytes(tail[: len(MAGIC)]) != MAGIC:
-            raise ValueError("not a quiver file: bad header magic")
+        head = bytes(tail[: len(MAGIC)])
+    else:
+        # larger file: one extra 8-byte header read — required so BOTH
+        # engines give the same verdict on the same bytes (the JVM
+        # reader validates the header on every footer read; an
+        # engine-dependent accept/reject would break the unified scan's
+        # routing-never-changes-results contract). Worth the second
+        # range request on remote stores: it is 8 bytes against a
+        # 64 KiB tail.
+        f.seek(0)
+        head = f.read(len(MAGIC))
+    if head != MAGIC:
+        raise ValueError("not a quiver file: bad header magic")
     schema_size, meta_size = struct.unpack_from("<II", tail, tail_len - 16)
     footer_len = 16 + meta_size + schema_size
     if footer_len + 8 > size:

@@ -693,11 +693,12 @@ public final class QuiverJvmRead {
       // rejects a bad header even when the footer parses (a PAR1-headed
       // file is NOT a quiver file); the JVM reader must agree (round-15
       // robustness parity)
-      byte[] head = new byte[6];
+      byte[] head = new byte[8];
       raf.seek(0);
       raf.readFully(head);
       if (head[0] != 'A' || head[1] != 'R' || head[2] != 'R'
-          || head[3] != 'O' || head[4] != 'W' || head[5] != '2') {
+          || head[3] != 'O' || head[4] != 'W' || head[5] != '2'
+          || head[6] != 0 || head[7] != 0) {
         throw new IOException("not a quiver file (bad magic): " + f);
       }
       byte[] tail = new byte[16];
@@ -710,10 +711,12 @@ public final class QuiverJvmRead {
       if (bb.getInt(8) != -1 || bb.getInt(12) != 0) {
         throw new IOException("corrupt quiver footer (bad EOS): " + f);
       }
-      // hostile size fields: negative ints (u32 > 2^31) or sizes past the
-      // file must fail BEFORE any allocation sized from them
+      // hostile size fields: negative ints (u32 > 2^31), sizes past the
+      // file, or a sum that overflows the int allocation below must all
+      // fail BEFORE any allocation sized from them
       if (schemaSize < 0 || metaSize < 0
-          || (long) schemaSize + (long) metaSize > size - 24) {
+          || (long) schemaSize + (long) metaSize > size - 24
+          || (long) schemaSize + (long) metaSize > Integer.MAX_VALUE - 16) {
         throw new IOException("corrupt quiver footer (sizes exceed file): " + f);
       }
       long start = size - 16L - metaSize - schemaSize;
@@ -746,6 +749,43 @@ public final class QuiverJvmRead {
       }
       return new Footer(arrowSchema, cols);
     }
+  }
+
+  /** Exact top-level row count of one file from its footer: a flat
+   * leaf's page metas carry it directly (num_values = rows); an
+   * all-nested schema reads each page's uncompressed `rows u32` prefix
+   * instead (4 bytes per page, no decode — the same fallback
+   * QuiverColumnarReader.decodePage uses; write_nested_validity layout,
+   * reference src/write/serialize.rs:217-232). ONE shared walk so the
+   * count paths can never disagree on the no-flat-leaf case. */
+  static long rowsFromFooter(File f, Footer ft) throws IOException {
+    if (ft.cols.length == 0) return 0;
+    int[][] lr = QuiverNested.leafRanges(ft.arrowSchema);
+    java.util.List<Field> fsf = ft.arrowSchema.getFields();
+    int flatLeaf = -1;
+    for (int i = 0; i < fsf.size(); i++) {
+      if (!QuiverNested.isNested(fsf.get(i).getType())) {
+        flatLeaf = lr[i][0];
+        break;
+      }
+    }
+    long rows = 0;
+    if (flatLeaf >= 0 && flatLeaf < ft.cols.length) {
+      for (PageMeta pm : ft.cols[flatLeaf].pages) rows += pm.numValues;
+      return rows;
+    }
+    try (RandomAccessFile raf = new RandomAccessFile(f, "r")) {
+      long off = ft.cols[0].offset;
+      byte[] b4 = new byte[4];
+      for (PageMeta pm : ft.cols[0].pages) {
+        raf.seek(off);
+        raf.readFully(b4);
+        rows += (b4[0] & 0xFFL) | ((b4[1] & 0xFFL) << 8)
+            | ((b4[2] & 0xFFL) << 16) | ((b4[3] & 0xFFL) << 24);
+        off += pm.length;
+      }
+    }
+    return rows;
   }
 
   /** Per-leaf per-page crc32s from the on-disk .stats.json sidecar, or
@@ -1099,15 +1139,8 @@ public final class QuiverJvmRead {
         }
       }
       if (allCount) {
-        boolean hasFlat = false;
-        for (StructField f : fullSchema.fields()) {
-          String tn = f.dataType().typeName();
-          if (!tn.equals("array") && !tn.equals("map") && !tn.equals("struct")) {
-            hasFlat = true;
-            break;
-          }
-        }
-        if (!hasFlat) return false;
+        // no flat-field requirement: rowsFromFooter covers all-nested
+        // files via the 4-byte per-page rows prefix (round-15 review)
         countCols = agg.aggregateExpressions().length;
         return true;
       }
@@ -1239,20 +1272,7 @@ public final class QuiverJvmRead {
             // manifest-less: per-file footer + disk sidecar (the same
             // O(files) cost this dir's split planning already pays)
             PLAN_FOOTER_READS.incrementAndGet();
-            Footer ft = readFooter(f);
-            int[][] lrc = QuiverNested.leafRanges(ft.arrowSchema);
-            java.util.List<Field> fsf = ft.arrowSchema.getFields();
-            int flatLeaf = -1;
-            for (int i = 0; i < fsf.size(); i++) {
-              if (!QuiverNested.isNested(fsf.get(i).getType())) {
-                flatLeaf = lrc[i][0];
-                break;
-              }
-            }
-            if (flatLeaf < 0 || flatLeaf >= ft.cols.length) return false;
-            for (PageMeta pm : ft.cols[flatLeaf].pages) {
-              totalRows += pm.numValues;
-            }
+            totalRows += rowsFromFooter(f, readFooter(f));
             File side = new File(f.getPath() + ".stats.json");
             if (!side.isFile()) sc = null;
             else sc = om.readTree(side);
@@ -1267,6 +1287,18 @@ public final class QuiverJvmRead {
             }
             continue;
           }
+          // shape gate: page_rows is the file's page count — min/max
+          // arrays shorter or longer than it are stale/corrupt stats and
+          // must REFUSE (a silently-skipped missing page would change
+          // the answer; loadCrcSidecar merely disables verification on
+          // mismatch, but here the stats ARE the answer)
+          com.fasterxml.jackson.databind.JsonNode prn = sc.get("page_rows");
+          if (prn == null || !prn.isArray()) {
+            for (Object[] w : wants) {
+              if (w[1] != null) return false;
+            }
+            continue;
+          }
           for (Object[] w : wants) {
             if (w[1] == null) continue;
             String col = (String) w[1];
@@ -1276,7 +1308,10 @@ public final class QuiverJvmRead {
             if (cn == null) continue; // file predates the column: all-null
             com.fasterxml.jackson.databind.JsonNode mn = cn.get("min");
             com.fasterxml.jackson.databind.JsonNode mx = cn.get("max");
-            if (mn == null || mx == null) return false;
+            if (mn == null || mx == null || !mn.isArray() || !mx.isArray()
+                || mn.size() != prn.size() || mx.size() != prn.size()) {
+              return false;
+            }
             for (int p = 0; p < mn.size(); p++) {
               com.fasterxml.jackson.databind.JsonNode lo = mn.get(p);
               com.fasterxml.jackson.databind.JsonNode hi = mx.get(p);
@@ -1481,24 +1516,12 @@ public final class QuiverJvmRead {
               rows = e.get("rows").asLong(-1);
             }
             if (rows < 0) {
+              // no vouched manifest row count: one footer read; an
+              // all-nested file additionally reads its 4-byte per-page
+              // rows prefixes (the normal reader's fallback) instead of
+              // failing a count the plain scan would serve
               PLAN_FOOTER_READS.incrementAndGet();
-              Footer ft = readFooter(f);
-              int[][] lrc = QuiverNested.leafRanges(ft.arrowSchema);
-              java.util.List<Field> fsf = ft.arrowSchema.getFields();
-              int flatLeaf = -1;
-              for (int i = 0; i < fsf.size(); i++) {
-                if (!QuiverNested.isNested(fsf.get(i).getType())) {
-                  flatLeaf = lrc[i][0];
-                  break;
-                }
-              }
-              if (flatLeaf < 0 || flatLeaf >= ft.cols.length) {
-                throw new IOException(
-                    "quiverjvm: cannot serve COUNT(*) from metadata for " + f
-                        + " (no flat leaf carries row counts)");
-              }
-              rows = 0;
-              for (PageMeta pm : ft.cols[flatLeaf].pages) rows += pm.numValues;
+              rows = rowsFromFooter(f, readFooter(f));
             }
             total += rows;
           }

@@ -92,7 +92,10 @@ def _apply_translated(df, options):
     the Python DS can emit file identity for that table)."""
     from pyspark.sql import functions as F
 
-    fcol = options.get("file_column")
+    # empty-string file_column is ABSENT on the Python DS (`if fcol:`) —
+    # normalize so the engines can't diverge on schema (ADVICE-class
+    # parity edge, caught in the round-15 self-review)
+    fcol = options.get("file_column") or None
     if fcol is not None:
         if "_quiver_file" in df.columns:
             return None  # shadowed metadata column → Python DS

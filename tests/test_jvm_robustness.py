@@ -302,3 +302,123 @@ def test_jvm_minmax_pushdown_edges(spark, tmp_path):
             fh.write(blob)
     with open(man, "wb") as fh:
         fh.write(raw)
+
+
+def test_jvm_minmax_refuses_stale_zone_maps(spark, tmp_path):
+    """A shape-inconsistent (truncated) min/max array in an otherwise
+    vouched sidecar must REFUSE the pushdown — skipping the missing page
+    would silently change the answer (round-15 review finding). The
+    query still answers exactly through the normal scan."""
+    _require_jar(spark)
+    import glob
+    import gzip
+    import json
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "t")
+    spark.range(10000).selectExpr("id").coalesce(1).write.format(
+        "quiverjvm"
+    ).option("max_page_size", "1024").mode("overwrite").save(d)
+    man_path = glob.glob(os.path.join(d, "_manifest.json.gz"))[0]
+    man = json.loads(gzip.decompress(open(man_path, "rb").read()))
+    for e in man["files"].values():
+        sc = e["sidecar"]
+        sc["columns"]["id"]["min"] = sc["columns"]["id"]["min"][:-1]
+        sc["columns"]["id"]["max"] = sc["columns"]["id"]["max"][:-1]
+    with open(man_path, "wb") as fh:
+        fh.write(gzip.compress(json.dumps(man).encode()))
+    df = spark.read.format("quiverjvm").load(d)
+    q = df.agg(F.min("id"), F.max("id"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "min(id)" not in plan.split("BatchScan")[-1], plan
+    assert tuple(q.collect()[0]) == (0, 9999)
+    # COUNT rides the entry's row count and still pushes
+    qc = df.groupBy().count()
+    assert "count(*)" in (
+        qc._jdf.queryExecution().executedPlan().toString().split("BatchScan")[-1]
+    )
+    assert qc.collect()[0][0] == 10000
+
+
+def test_jvm_count_pushdown_all_nested_prefix_fallback(spark, tmp_path):
+    """COUNT(*) over an all-nested manifest-LESS table: no flat leaf
+    carries row counts, so the plan-time count reads each page's 4-byte
+    rows prefix (the normal reader's fallback) instead of erroring
+    (round-15 review finding)."""
+    _require_jar(spark)
+    import glob
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "nested")
+    spark.sql(
+        "SELECT array(id, id + 1) AS a, map('k', id) AS m FROM range(5000)"
+    ).coalesce(1).write.format("quiverjvm").option(
+        "max_page_size", "512"
+    ).mode("overwrite").save(d)
+    for m in glob.glob(os.path.join(d, "_manifest.json.gz")):
+        os.remove(m)
+    df = spark.read.format("quiverjvm").load(d)
+    q = df.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "count(*)" in plan.split("BatchScan")[-1], plan
+    assert q.collect()[0][0] == 5000
+
+
+def test_header_pad_bytes_checked_by_both_engines(spark, jvm_sample, tmp_path):
+    """The 8-byte magic (ARROW2 + 2 zero pad) is enforced as a whole by
+    BOTH engines, including on files larger than the Python reader's
+    64 KiB footer tail — an engine-dependent accept/reject would break
+    the unified scan's routing-never-changes-results contract
+    (round-15 review finding)."""
+    _require_jar(spark)
+    from quiver_spark.format.reader import read_table
+
+    _t, _d, _path, data = jvm_sample
+    corrupted = data[:6] + b"\x01" + data[7:]
+    d = _write_dir(tmp_path, "pad", corrupted)
+    with pytest.raises(Exception, match="(?i)magic"):
+        _scan(spark, d)
+    with pytest.raises(Exception, match="(?i)magic"):
+        read_table(os.path.join(d, "part-0.quiver"))
+    # big file (> the 64 KiB tail): the Python reader now pays the
+    # 8-byte header read instead of skipping the check
+    import pyarrow as pa
+
+    rng2 = np.random.default_rng(11)
+    big = pa.table(
+        {"s": pa.array([rng2.bytes(48).hex() for _ in range(3000)])}
+    )  # incompressible: the file must exceed the 64 KiB footer tail
+    from quiver_spark.format.writer import write_table
+
+    bp = str(tmp_path / "big.quiver")
+    write_table(big, bp)
+    with open(bp, "rb") as fh:
+        bd = fh.read()
+    assert len(bd) > 65536
+    bad = str(tmp_path / "bigbad.quiver")
+    with open(bad, "wb") as fh:
+        fh.write(b"PAR1" + bd[4:])
+    with pytest.raises(Exception, match="(?i)magic"):
+        read_table(bad)
+
+
+def test_unified_scan_empty_file_column_is_absent(spark, tmp_path):
+    """file_column='' means ABSENT on both engines (the Python DS's
+    `if fcol:` contract) — the JVM translation must not emit an
+    empty-named metadata column (round-15 review finding)."""
+    _require_jar(spark)
+    from quiver_spark.sources import register, scan
+
+    register(spark)
+    d = str(tmp_path / "t")
+    spark.range(10).selectExpr("id").write.format("quiver").mode(
+        "overwrite"
+    ).save(d)
+    df = scan(spark, d, file_column="")
+    assert df.columns == ["id"]
+    pydf = (
+        spark.read.format("quiver").option("file_column", "").load(d)
+    )
+    assert pydf.columns == ["id"]

@@ -67,13 +67,27 @@ def supports_stats(t: pa.DataType) -> bool:
     )
 
 
-def page_stats(arr: pa.Array) -> tuple[object, object, int]:
-    """(min, max, null_count) for one page in the JSON-stable domain;
-    (None, None, nulls) when unsupported/unavailable."""
+def _page_sum(arr: pa.Array, t: pa.DataType) -> int | None:
+    """Exact non-null sum for PURE integer pages (not temporal views —
+    SUM over dates is not SQL), None when out of int64 range or
+    unsupported. Feeds the pushed-SUM aggregate: a None here simply
+    refuses the pushdown, never changes an answer."""
+    if not pa.types.is_integer(t):
+        return None
+    s = pc.sum(arr).as_py()
+    if s is None or not (-(2**63) < s < 2**63):
+        return None
+    return int(s)
+
+
+def page_stats(arr: pa.Array) -> tuple[object, object, int, int | None]:
+    """(min, max, null_count, int_sum) for one page in the JSON-stable
+    domain; (None, None, nulls, None) when unsupported/unavailable."""
     t = arr.type
     nulls = arr.null_count
     if nulls == len(arr) or len(arr) == 0 or not supports_stats(t):
-        return None, None, nulls
+        return None, None, nulls, None
+    page_sum = _page_sum(arr, t)
     phys = _physical_int_type(t)
     if phys is not None:
         arr = arr.view(phys)
@@ -82,15 +96,15 @@ def page_stats(arr: pa.Array) -> tuple[object, object, int]:
         # prune gt/gte/eq pages even though Spark orders NaN above every
         # value. Pages containing any NaN get null stats (never pruned).
         if bool(pc.any(pc.is_nan(arr)).as_py()):
-            return None, None, nulls
+            return None, None, nulls, None
     mm = pc.min_max(arr)
     lo, hi = mm["min"].as_py(), mm["max"].as_py()
     if isinstance(lo, float) and (math.isnan(lo) or math.isnan(hi)):
-        return None, None, nulls
+        return None, None, nulls, None
     if isinstance(lo, str):
         lo = lo[:_STR_CAP]
         hi = None if len(hi) > _STR_CAP else hi
-    return lo, hi, nulls
+    return lo, hi, nulls, page_sum
 
 
 def build_file_stats(
@@ -107,6 +121,10 @@ def build_file_stats(
                 "min": [s[0] for s in stats],
                 "max": [s[1] for s in stats],
                 "nulls": [s[2] for s in stats],
+                # exact non-null int64 page sums (None elsewhere) — the
+                # pushed-SUM aggregate's source; old readers ignore the
+                # extra key, old sidecars without it refuse the pushdown
+                "sum": [s[3] if len(s) > 3 else None for s in stats],
             }
             for name, stats in per_column.items()
         },

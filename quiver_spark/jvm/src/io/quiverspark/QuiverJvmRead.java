@@ -1178,6 +1178,12 @@ public final class QuiverJvmRead {
         } else if (fn instanceof org.apache.spark.sql.connector.expressions.aggregate.Max) {
           colExpr = ((org.apache.spark.sql.connector.expressions.aggregate.Max) fn).column();
           kind = "max";
+        } else if (fn instanceof org.apache.spark.sql.connector.expressions.aggregate.Sum) {
+          org.apache.spark.sql.connector.expressions.aggregate.Sum sm =
+              (org.apache.spark.sql.connector.expressions.aggregate.Sum) fn;
+          if (sm.isDistinct()) return false;
+          colExpr = sm.column();
+          kind = "sum";
         } else {
           return false;
         }
@@ -1196,6 +1202,11 @@ public final class QuiverJvmRead {
           return false;
         }
         if (!minMaxType(sf.dataType())) return false;
+        // SUM is pure-int only (SUM over a date is not SQL; the sidecar
+        // stores no date sums)
+        if ("sum".equals(kind) && sf.dataType().equals(DataTypes.DateType)) {
+          return false;
+        }
         wants.add(new Object[] {kind, col});
       }
       try {
@@ -1248,6 +1259,7 @@ public final class QuiverJvmRead {
         long totalRows = 0;
         java.util.Map<String, Long> mins = new java.util.HashMap<>();
         java.util.Map<String, Long> maxs = new java.util.HashMap<>();
+        java.util.Map<String, Long> sumVals = new java.util.HashMap<>();
         com.fasterxml.jackson.databind.ObjectMapper om =
             new com.fasterxml.jackson.databind.ObjectMapper();
         for (File f : files) {
@@ -1306,6 +1318,33 @@ public final class QuiverJvmRead {
             com.fasterxml.jackson.databind.JsonNode cn =
                 sc.get("columns").get(phys);
             if (cn == null) continue; // file predates the column: all-null
+            if ("sum".equals(w[0])) {
+              com.fasterxml.jackson.databind.JsonNode sm = cn.get("sum");
+              com.fasterxml.jackson.databind.JsonNode nl = cn.get("nulls");
+              if (sm == null || !sm.isArray() || sm.size() != prn.size()
+                  || nl == null || !nl.isArray() || nl.size() != prn.size()) {
+                return false; // pre-sum sidecar or stale shape: refuse
+              }
+              for (int p = 0; p < sm.size(); p++) {
+                com.fasterxml.jackson.databind.JsonNode sv = sm.get(p);
+                if (sv == null || sv.isNull()) {
+                  // null sum is legitimate ONLY for an all-null page;
+                  // anything else (write-time overflow, unsupported
+                  // domain) must refuse, not skip values
+                  if (nl.get(p).asLong(-1) == prn.get(p).asLong(-2)) {
+                    continue;
+                  }
+                  return false;
+                }
+                if (!sv.isIntegralNumber()) return false;
+                try {
+                  sumVals.merge(col, sv.asLong(), Math::addExact);
+                } catch (ArithmeticException overflowEx) {
+                  return false; // cross-page overflow: refuse
+                }
+              }
+              continue;
+            }
             com.fasterxml.jackson.databind.JsonNode mn = cn.get("min");
             com.fasterxml.jackson.databind.JsonNode mx = cn.get("max");
             if (mn == null || mx == null || !mn.isArray() || !mx.isArray()
@@ -1334,6 +1373,13 @@ public final class QuiverJvmRead {
             vals[i] = totalRows;
             schema = schema.add("count(*)" + (i == 0 ? "" : String.valueOf(i)),
                 DataTypes.LongType, false);
+          } else if ("sum".equals(w[0])) {
+            // Spark's SUM over any integral input is LongType; a column
+            // with zero non-null values sums to NULL
+            String col = (String) w[1];
+            vals[i] = sumVals.get(col);
+            schema = schema.add("sum(" + col + ")" + i,
+                DataTypes.LongType, true);
           } else {
             String col = (String) w[1];
             DataType t = fullSchema.fields()[fullSchema.fieldIndex(col)]

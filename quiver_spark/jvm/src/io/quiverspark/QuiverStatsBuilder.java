@@ -73,12 +73,14 @@ final class QuiverStatsBuilder {
         ArrayNode nMins = nNode.putArray("min");
         ArrayNode nMaxs = nNode.putArray("max");
         ArrayNode nNulls = nNode.putArray("nulls");
+        ArrayNode nSums = nNode.putArray("sum");
         for (int p = 0; p < nPages; p++) {
           int r0 = p * pageSize;
           int r1 = Math.min(r0 + pageSize, n);
           nMins.addNull();
           nMaxs.addNull();
           nNulls.add(nb.nullsInRange(r0, Math.max(r1, r0)));
+          nSums.addNull();
         }
         continue;
       }
@@ -87,10 +89,11 @@ final class QuiverStatsBuilder {
       ArrayNode mins = colNode.putArray("min");
       ArrayNode maxs = colNode.putArray("max");
       ArrayNode nulls = colNode.putArray("nulls");
+      ArrayNode sums = colNode.putArray("sum");
       for (int p = 0; p < nPages; p++) {
         int start = p * pageSize;
         int len = Math.min(pageSize, Math.max(n - start, 0));
-        addPageStats(mins, maxs, nulls, col, fields[ci].dataType(), start, len);
+        addPageStats(mins, maxs, nulls, sums, col, fields[ci].dataType(), start, len);
       }
       if (bloomCols.contains(fields[ci].name())
           && bloomable(fields[ci].dataType())) {
@@ -121,7 +124,7 @@ final class QuiverStatsBuilder {
   // ---- per-page min/max/nulls ---------------------------------------------
 
   private static void addPageStats(
-      ArrayNode mins, ArrayNode maxs, ArrayNode nulls,
+      ArrayNode mins, ArrayNode maxs, ArrayNode nulls, ArrayNode sums,
       QuiverFileEncoder.ColBuf col, DataType t, int start, int len) {
     int nNull = 0;
     if (col.valid != null) {
@@ -133,6 +136,7 @@ final class QuiverStatsBuilder {
     if (len == 0 || nNull == len) {
       mins.addNull();
       maxs.addNull();
+      sums.addNull();
       return;
     }
     if (t instanceof LongType || t instanceof TimestampType || t instanceof TimestampNTZType
@@ -140,14 +144,30 @@ final class QuiverStatsBuilder {
         || t instanceof ShortType || t instanceof ByteType) {
       long lo = Long.MAX_VALUE;
       long hi = Long.MIN_VALUE;
+      // page sums only for PURE ints (SUM over dates/timestamps is not
+      // SQL; Python-writer parity) — overflow stores null, which simply
+      // refuses the pushed-SUM aggregate for this file
+      boolean wantSum = t instanceof LongType || t instanceof IntegerType
+          || t instanceof ShortType || t instanceof ByteType;
+      long sum = 0;
+      boolean overflow = false;
       for (int i = start; i < start + len; i++) {
         if (col.valid != null && !col.valid[i]) continue;
         long v = readIntegral(col, i, t);
         if (v < lo) lo = v;
         if (v > hi) hi = v;
+        if (wantSum && !overflow) {
+          try {
+            sum = Math.addExact(sum, v);
+          } catch (ArithmeticException e) {
+            overflow = true;
+          }
+        }
       }
       mins.add(lo);
       maxs.add(hi);
+      if (wantSum && !overflow) sums.add(sum);
+      else sums.addNull();
       return;
     }
     if (t instanceof DoubleType || t instanceof FloatType) {
@@ -166,6 +186,7 @@ final class QuiverStatsBuilder {
           // every value, so a finite max would mis-prune gt/gte/eq
           mins.addNull();
           maxs.addNull();
+          sums.addNull();
           return;
         }
         if (v < lo) lo = v;
@@ -176,10 +197,12 @@ final class QuiverStatsBuilder {
         // match that quirk, store null (kept page) — pruning-neutral
         mins.addNull();
         maxs.addNull();
+        sums.addNull();
         return;
       }
       mins.add(lo);
       maxs.add(hi);
+      sums.addNull();
       return;
     }
     if (t instanceof BooleanType) {
@@ -193,6 +216,7 @@ final class QuiverStatsBuilder {
       }
       mins.add(lo);
       maxs.add(hi);
+      sums.addNull();
       return;
     }
     if (t instanceof StringType) {
@@ -208,11 +232,13 @@ final class QuiverStatsBuilder {
       mins.add(prefixCodePoints(lo, STR_CAP));
       if (hi.codePointCount(0, hi.length()) > STR_CAP) maxs.addNull();
       else maxs.add(hi);
+      sums.addNull();
       return;
     }
     // decimal / binary: no ordered stats in the sidecar domain
     mins.addNull();
     maxs.addNull();
+    sums.addNull();
   }
 
   private static long readIntegral(QuiverFileEncoder.ColBuf col, int i, DataType t) {

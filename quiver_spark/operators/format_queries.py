@@ -57,7 +57,10 @@ def quiver_dir_size_bytes(table_dir: str) -> int | None:
 # = slot count, prefix u32 = rows) — old cached conversions are unreadable.
 # v3: sidecars gain page_crc32 — old caches would silently skip the default
 # read-side verification, so bench/gate timings would not measure it.
-CACHE_ROOT = "/tmp/quiver_cache/v3"
+# v4 (round 15): sidecars grew per-page integer sums (the pushed-SUM
+# aggregate's source) — the version bump forces fixture rebuild on every
+# machine so gates exercise sum-bearing stats, not pre-sum leftovers
+CACHE_ROOT = "/tmp/quiver_cache/v4"
 
 
 def quiver_dir(

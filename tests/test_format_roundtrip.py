@@ -400,10 +400,21 @@ class _CountingFile:
 
 
 def test_footer_tail_preread(tmp_path):
-    """read_footer = schema + metas in ONE read when the footer fits the
-    64 KiB tail (reference async path, src/read/reader.rs:33,180-225), with
-    a single extra read when it doesn't."""
+    """read_footer = schema + metas in ONE read when the whole FILE fits
+    the 64 KiB tail (reference async path, src/read/reader.rs:33,180-225).
+    Larger files add exactly one 8-byte header read (round 15: the magic
+    check runs on EVERY file so both engines give the same verdict on
+    corrupt headers — it only costs on manifest-less planning, which is
+    already O(files)), and an oversized footer adds one re-read."""
     from quiver_spark.format.reader import infer_schema, read_footer
+
+    small = pa.table({"i": pa.array(np.arange(500, dtype=np.int64))})
+    spath = str(tmp_path / "small.quiver")
+    write_table(small, spath)
+    with open(spath, "rb") as f:
+        cf = _CountingFile(f)
+        read_footer(cf)
+    assert cf.reads == 1, "file within tail must cost exactly one read"
 
     t = _random_table(5000, 0.2, None)
     path = str(tmp_path / "t.quiver")
@@ -412,13 +423,13 @@ def test_footer_tail_preread(tmp_path):
         two_pass = (infer_schema(f), read_meta(f))
         cf = _CountingFile(f)
         schema, metas = read_footer(cf)
-    assert cf.reads == 1, "footer within tail must cost exactly one read"
+    assert cf.reads == 2, "tail + the 8-byte header magic read"
     assert schema == two_pass[0]
     assert [(m.offset, m.pages) for m in metas] == [
         (m.offset, m.pages) for m in two_pass[1]
     ]
 
-    # >64 KiB footer (many columns x many pages): tail miss → exactly 2 reads
+    # >64 KiB footer (many columns x many pages): tail miss → one re-read
     wide = pa.table(
         {f"c{i}": pa.array(np.arange(4096, dtype=np.int64)) for i in range(80)}
     )
@@ -428,7 +439,7 @@ def test_footer_tail_preread(tmp_path):
         expect = (infer_schema(f), read_meta(f))
         cf = _CountingFile(f)
         schema, metas = read_footer(cf)
-    assert cf.reads == 2, "oversized footer costs exactly one re-read"
+    assert cf.reads == 3, "tail + header magic + oversized-footer re-read"
     assert schema == expect[0]
     assert len(metas) == len(expect[1])
     assert read_table(wpath).equals(wide)

@@ -219,8 +219,11 @@ def test_jvm_count_pushdown_reads_zero_pages(spark, tmp_path):
     assert df.count() == 20000
     plan = df.groupBy().count()._jdf.queryExecution().executedPlan().toString()
     assert "count(*)" in plan.split("BatchScan")[-1], plan
+    # SUM(id) also answers from metadata now; AVG is not pushable, so it
+    # must actually read pages and refuse loudly via the crc check
+    assert df.selectExpr("sum(id)").collect()[0][0] == sum(range(20000))
     with pytest.raises(Exception):
-        df.selectExpr("sum(id)").collect()
+        df.selectExpr("avg(id)").collect()
     # a filtered count does NOT push down (and here fails loudly on the
     # corrupt pages instead of fabricating a number)
     fplan = (
@@ -326,6 +329,7 @@ def test_jvm_minmax_refuses_stale_zone_maps(spark, tmp_path):
         sc = e["sidecar"]
         sc["columns"]["id"]["min"] = sc["columns"]["id"]["min"][:-1]
         sc["columns"]["id"]["max"] = sc["columns"]["id"]["max"][:-1]
+        sc["columns"]["id"]["sum"] = sc["columns"]["id"]["sum"][:-1]
     with open(man_path, "wb") as fh:
         fh.write(gzip.compress(json.dumps(man).encode()))
     df = spark.read.format("quiverjvm").load(d)
@@ -333,6 +337,14 @@ def test_jvm_minmax_refuses_stale_zone_maps(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "min(id)" not in plan.split("BatchScan")[-1], plan
     assert tuple(q.collect()[0]) == (0, 9999)
+    # SUM has its own array: a stale sum with intact min/max refuses the
+    # SUM pushdown independently (and vice versa — the truncated min/max
+    # above never poisoned sum)
+    qs_ = df.agg(F.sum("id"))
+    assert "sum(id)" not in (
+        qs_._jdf.queryExecution().executedPlan().toString().split("BatchScan")[-1]
+    )
+    assert qs_.collect()[0][0] == 9999 * 10000 // 2
     # COUNT rides the entry's row count and still pushes
     qc = df.groupBy().count()
     assert "count(*)" in (

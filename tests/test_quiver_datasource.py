@@ -190,13 +190,13 @@ def test_pruning_never_drops_nan_rows(spark, tmp_path):
     from quiver_spark.format.stats import page_stats
 
     # unit level: a mixed page reports no stats at all
-    lo, hi, nulls = page_stats(pa.array([1.0, float("nan"), 2.0, 3.0]))
+    lo, hi, nulls, _s = page_stats(pa.array([1.0, float("nan"), 2.0, 3.0]))
     assert lo is None and hi is None and nulls == 0
     # all-NaN page likewise
-    lo, hi, _ = page_stats(pa.array([float("nan")] * 4))
+    lo, hi, _, _s = page_stats(pa.array([float("nan")] * 4))
     assert lo is None and hi is None
     # NaN-free pages still produce stats (pruning stays effective)
-    lo, hi, _ = page_stats(pa.array([1.0, 2.0, 3.0]))
+    lo, hi, _, _s = page_stats(pa.array([1.0, 2.0, 3.0]))
     assert lo == 1.0 and hi == 3.0
 
     # end-to-end: filter x > 5.0 must keep the NaN row (Spark: NaN > 5.0)

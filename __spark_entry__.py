@@ -26,10 +26,11 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # from CORRECTNESS_r1..r14; every one of the 204 queries registered then
 # has at least one driver-green row and ZERO hard failures ever — the two
 # historical `no_oracle` rows are the designed rows-only checks):
-# r10-stale = 15, r11 = 48, r12 = 46, r13 = 45, r14 = 50; 4 new gates
-# this round (208 total). Window: (a) the 4 NEW round-15 gates
+# r10-stale = 15, r11 = 48, r12 = 46, r13 = 45, r14 = 50; 5 new gates
+# this round (209 total). Window: (a) the 5 NEW round-15 gates
 # (spherical k-means, SemDeDup blocking on it, the unified batch write
-# router, metadata-served COUNT(*) pushdown) — every new gate gets a
+# router, metadata-served COUNT/MIN/MAX/SUM pushdown, and the
+# partition-grouped pushdown) — every new gate gets a
 # driver row in its birth round, keeping the all-queries-driver-green
 # union invariant; (b) the 4 queries whose ENGINE or SHAPE materially
 # changed this round (SemDeDup's report stage became a union-aggregate
@@ -38,13 +39,15 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 # read path — header-magic check + sidecar crc32 verification on every
 # page read; the JVM streaming sink's GC walk became
 # cutoff-short-circuiting); (c) the 15 r10-stale rows deferred from
-# round 14 — the oldest cohort, now cleared; (d) 27 of the 48 r11-stale
+# round 14 — the oldest cohort, now cleared; (d) 26 of the 48 r11-stale
 # rows, prioritizing format-path scans (the CRC change touches every
 # quiverjvm read) and operator-logic pipelines over simple relational
-# rows. 4+4+15+27 = 50; position 51+ falls back to registry order. The
-# 21 r11-stale rows deferred to round 16 (they will head its window)
+# rows. 5+4+15+26 = 50; position 51+ falls back to registry order. The
+# 22 r11-stale rows deferred to round 16 (they will head its window)
 # are the simple relational/scalar operators with every-round pytest
-# parity and no code motion since r11: agg_collect_sorted,
+# parity and no code motion since r11 — plus text_fingerprint
+# (rolling-hash pipeline, pytest parity every round, displaced by the
+# fifth new gate): agg_collect_sorted,
 # agg_minby_maxby, agg_quantiles, agg_stats_moments, agg_string_ordered,
 # case_when_buckets, distinct_counts, grouped_minmax_norm,
 # in_between_filter, null_handling, q12_priority_shipping,
@@ -58,6 +61,7 @@ _PRIORITY = [
     "dedup_semantic_semdedup_cos",
     "quiver_write_unified_scan",
     "quiver_count_pushdown",
+    "quiver_grouped_count_pushdown",
     # (b) materially changed this round
     "dedup_semantic_semdedup",
     "pipeline_epoch_shuffle_plan",
@@ -79,7 +83,7 @@ _PRIORITY = [
     "window_ntile_share",
     "window_rank_orders",
     "window_running_total",
-    # (d) 27 of the 48 round-11-stale rows (format paths + pipelines)
+    # (d) 26 of the 48 round-11-stale rows (format paths + pipelines)
     "arrow_ipc_scan",
     "quiver_inplace_compact_scan",
     "quiver_narrow_projection",
@@ -106,7 +110,6 @@ _PRIORITY = [
     "pipeline_pack_sequences",
     "sample_token_budget",
     "text_context_windows",
-    "text_fingerprint",
 ]
 
 

@@ -1097,10 +1097,24 @@ public final class QuiverJvmRead {
       return false;
     }
 
-    /** Pushed MIN/MAX answers precomputed at pushdown time (null when
-     * the pushdown is count-only or refused). */
-    private Object[] aggVals = null;
+    /** Pushed MIN/MAX/SUM(/grouped) answer rows precomputed at pushdown
+     * time (null when the pushdown is bare-count-only or refused). */
+    private Object[][] aggVals = null;
     private StructType aggSchema = null;
+
+    /** Per-group metadata-aggregate accumulator (one partition-column
+     * value tuple; the single "" group when no grouping was pushed). */
+    private static final class GroupAcc {
+      long rows;
+      final java.util.Map<String, Long> mins = new java.util.HashMap<>();
+      final java.util.Map<String, Long> maxs = new java.util.HashMap<>();
+      final java.util.Map<String, Long> sums = new java.util.HashMap<>();
+      final String[] raws;
+
+      GroupAcc(String[] raws) {
+        this.raws = raws;
+      }
+    }
 
     /** Spark types whose sidecar min/max JSON numbers ARE the semantic
      * values: signed ints, the unsigned-widened ints (raw uint page
@@ -1126,16 +1140,17 @@ public final class QuiverJvmRead {
       // exactly), no LIMIT cap, not merge-schemas (a heterogeneous file
       // may lack the flat leaf whose meta carries true ROW counts), and
       // the table schema has at least one flat top-level field.
-      if (agg.groupByExpressions().length != 0) return false;
       if (!preds.isEmpty() || limit >= 0 || opts.mergeSchemas) return false;
       if (agg.aggregateExpressions().length == 0) return false;
-      boolean allCount = true;
-      for (org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc fn
-          : agg.aggregateExpressions()) {
-        if (!(fn instanceof
-            org.apache.spark.sql.connector.expressions.aggregate.CountStar)) {
-          allCount = false;
-          break;
+      boolean allCount = agg.groupByExpressions().length == 0;
+      if (allCount) {
+        for (org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc fn
+            : agg.aggregateExpressions()) {
+          if (!(fn instanceof
+              org.apache.spark.sql.connector.expressions.aggregate.CountStar)) {
+            allCount = false;
+            break;
+          }
         }
       }
       if (allCount) {
@@ -1162,6 +1177,21 @@ public final class QuiverJvmRead {
     private boolean tryPushMinMax(
         org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
       if (opts.filesJson != null || opts.changesSince >= 0) return false;
+      // grouping is accepted ONLY over Hive partition columns — their
+      // values are path constants, so a grouped COUNT/MIN/MAX/SUM is
+      // still pure metadata (the "rows per day over 100 TB" query)
+      java.util.List<String> groupCols = new ArrayList<>();
+      for (org.apache.spark.sql.connector.expressions.Expression ge
+          : agg.groupByExpressions()) {
+        if (!(ge instanceof
+            org.apache.spark.sql.connector.expressions.NamedReference)) {
+          return false;
+        }
+        String[] gn = ((org.apache.spark.sql.connector.expressions.NamedReference)
+            ge).fieldNames();
+        if (gn.length != 1) return false;
+        groupCols.add(gn[0]);
+      }
       java.util.List<Object[]> wants = new ArrayList<>(); // {kind, col} / {count}
       for (org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc fn
           : agg.aggregateExpressions()) {
@@ -1255,11 +1285,43 @@ public final class QuiverJvmRead {
             return false; // date64 stats are millis, Spark DateType is days
           }
         }
+        // group-by validation: every grouped column must be a REAL Hive
+        // partition column (in the paths, not in the data schema — the
+        // collision rule gives file data precedence) whose inferred path
+        // type matches the Spark schema exactly
+        PartInfo hive = null;
+        int[] gidx = new int[groupCols.size()];
+        if (!groupCols.isEmpty()) {
+          if (files.isEmpty()) return false;
+          hive = discoverPartitions(root, files);
+          for (int g = 0; g < groupCols.size(); g++) {
+            String gc = groupCols.get(g);
+            if (declaredCols.contains(gc)) return false;
+            int idx = -1;
+            for (int i = 0; i < hive.cols.length; i++) {
+              if (hive.cols[i].equals(gc)) {
+                idx = i;
+                break;
+              }
+            }
+            if (idx < 0) return false;
+            DataType expect;
+            try {
+              expect = fullSchema.fields()[fullSchema.fieldIndex(gc)]
+                  .dataType();
+            } catch (Exception badCol) {
+              return false;
+            }
+            if (!partSparkType(hive.kinds[idx]).equals(expect)) return false;
+            gidx[g] = idx;
+          }
+        }
         java.nio.file.Path rp = new File(root).toPath();
-        long totalRows = 0;
-        java.util.Map<String, Long> mins = new java.util.HashMap<>();
-        java.util.Map<String, Long> maxs = new java.util.HashMap<>();
-        java.util.Map<String, Long> sumVals = new java.util.HashMap<>();
+        java.util.LinkedHashMap<String, GroupAcc> groups =
+            new java.util.LinkedHashMap<>();
+        if (groupCols.isEmpty()) {
+          groups.put("", new GroupAcc(new String[0])); // rows even when empty
+        }
         com.fasterxml.jackson.databind.ObjectMapper om =
             new com.fasterxml.jackson.databind.ObjectMapper();
         for (File f : files) {
@@ -1267,6 +1329,26 @@ public final class QuiverJvmRead {
               .replace(File.separatorChar, '/');
           com.fasterxml.jackson.databind.JsonNode e =
               manFiles == null ? null : manFiles.get(rel);
+          String gkey = "";
+          String[] graws = new String[groupCols.size()];
+          if (hive != null) {
+            String[] rv = hive.rawByFile.get(f.getPath());
+            StringBuilder kb = new StringBuilder();
+            for (int g = 0; g < gidx.length; g++) {
+              String r = rv == null ? null : rv[gidx[g]];
+              graws[g] = r;
+              // \1 = null sentinel, \0 separator — neither can appear in
+              // a raw Hive path segment, so keys are unambiguous
+              kb.append(r == null ? "\1" : r).append('\0');
+            }
+            gkey = kb.toString();
+          }
+          final String[] rawsF = graws;
+          GroupAcc acc = groups.computeIfAbsent(
+              gkey, k -> new GroupAcc(rawsF));
+          java.util.Map<String, Long> mins = acc.mins;
+          java.util.Map<String, Long> maxs = acc.maxs;
+          java.util.Map<String, Long> sumVals = acc.sums;
           com.fasterxml.jackson.databind.JsonNode sc;
           java.util.HashMap<String, String> cmap = null;
           if (man != null) {
@@ -1277,14 +1359,14 @@ public final class QuiverJvmRead {
                 || !e.has("rows")) {
               return false;
             }
-            totalRows += e.get("rows").asLong();
+            acc.rows += e.get("rows").asLong();
             sc = e.get("sidecar");
             cmap = entryCmap(e);
           } else {
             // manifest-less: per-file footer + disk sidecar (the same
             // O(files) cost this dir's split planning already pays)
             PLAN_FOOTER_READS.incrementAndGet();
-            totalRows += rowsFromFooter(f, readFooter(f));
+            acc.rows += rowsFromFooter(f, readFooter(f));
             File side = new File(f.getPath() + ".stats.json");
             if (!side.isFile()) sc = null;
             else sc = om.readTree(side);
@@ -1365,31 +1447,53 @@ public final class QuiverJvmRead {
             }
           }
         }
-        Object[] vals = new Object[wants.size()];
+        // output: group columns FIRST (V2ScanRelationPushDown maps the
+        // pushed-aggregate relation output positionally as groupBy
+        // columns then aggregate columns), then one column per aggregate
         StructType schema = new StructType();
+        for (int g = 0; g < groupCols.size(); g++) {
+          schema = schema.add(
+              groupCols.get(g),
+              fullSchema.fields()[fullSchema.fieldIndex(groupCols.get(g))]
+                  .dataType(),
+              true);
+        }
         for (int i = 0; i < wants.size(); i++) {
           Object[] w = wants.get(i);
           if (w[1] == null) {
-            vals[i] = totalRows;
             schema = schema.add("count(*)" + (i == 0 ? "" : String.valueOf(i)),
                 DataTypes.LongType, false);
           } else if ("sum".equals(w[0])) {
             // Spark's SUM over any integral input is LongType; a column
             // with zero non-null values sums to NULL
-            String col = (String) w[1];
-            vals[i] = sumVals.get(col);
-            schema = schema.add("sum(" + col + ")" + i,
+            schema = schema.add("sum(" + w[1] + ")" + i,
                 DataTypes.LongType, true);
           } else {
-            String col = (String) w[1];
-            DataType t = fullSchema.fields()[fullSchema.fieldIndex(col)]
-                .dataType();
-            Long v = "min".equals(w[0]) ? mins.get(col) : maxs.get(col);
-            vals[i] = v;
-            schema = schema.add(w[0] + "(" + col + ")" + i, t, true);
+            DataType t = fullSchema.fields()[fullSchema.fieldIndex(
+                (String) w[1])].dataType();
+            schema = schema.add(w[0] + "(" + w[1] + ")" + i, t, true);
           }
         }
-        this.aggVals = vals;
+        Object[][] rows = new Object[groups.size()][];
+        int r = 0;
+        for (GroupAcc acc : groups.values()) {
+          Object[] row = new Object[groupCols.size() + wants.size()];
+          for (int g = 0; g < groupCols.size(); g++) {
+            row[g] = hive == null ? null
+                : partTyped(acc.raws[g], hive.kinds[gidx[g]]);
+          }
+          for (int i = 0; i < wants.size(); i++) {
+            Object[] w = wants.get(i);
+            Object v;
+            if (w[1] == null) v = acc.rows;
+            else if ("sum".equals(w[0])) v = acc.sums.get(w[1]);
+            else if ("min".equals(w[0])) v = acc.mins.get(w[1]);
+            else v = acc.maxs.get(w[1]);
+            row[groupCols.size() + i] = v;
+          }
+          rows[r++] = row;
+        }
+        this.aggVals = rows;
         this.aggSchema = schema;
         return true;
       } catch (Exception e) {
@@ -1441,7 +1545,7 @@ public final class QuiverJvmRead {
 
     /** Precomputed MIN/MAX(/COUNT) pushdown answers (set by the builder
      * when tryPushMinMax accepted) — the scan emits exactly this row. */
-    Object[] aggVals;
+    Object[][] aggVals;
     StructType aggSchema;
 
     @Override
@@ -2007,15 +2111,16 @@ public final class QuiverJvmRead {
     }
   }
 
-  /** One-row partition carrying precomputed pushed-aggregate values
-   * (MIN/MAX/COUNT answered from the manifest's inline zone maps). */
+  /** Partition carrying precomputed pushed-aggregate rows (COUNT/MIN/
+   * MAX/SUM answered from the manifest's inline zone maps; one row per
+   * partition-column group, or a single row for ungrouped aggregates). */
   static final class AggChunk implements InputPartition {
-    private static final long serialVersionUID = 1L;
-    final Object[] vals; // Long values or null, positionally per field
+    private static final long serialVersionUID = 2L;
+    final Object[][] rows; // per row: Long/Double/String values or null
     final String schemaJson;
 
-    AggChunk(Object[] vals, String schemaJson) {
-      this.vals = vals;
+    AggChunk(Object[][] rows, String schemaJson) {
+      this.rows = rows;
       this.schemaJson = schemaJson;
     }
   }
@@ -2033,26 +2138,38 @@ public final class QuiverJvmRead {
     public boolean next() {
       if (done) return false;
       StructType schema = (StructType) DataType.fromJson(c.schemaJson);
+      int n = Math.max(c.rows.length, 1);
+      int w = schema.fields().length;
       org.apache.spark.sql.execution.vectorized.OnHeapColumnVector[] cols =
-          new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector[
-              c.vals.length];
-      for (int i = 0; i < c.vals.length; i++) {
-        DataType t = schema.fields()[i].dataType();
-        cols[i] = new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(1, t);
-        Object v = c.vals[i];
-        if (v == null) {
-          cols[i].putNull(0);
-        } else {
-          long lv = (Long) v;
-          if (t.equals(DataTypes.LongType)) cols[i].putLong(0, lv);
-          else if (t.equals(DataTypes.IntegerType)
-              || t.equals(DataTypes.DateType)) cols[i].putInt(0, (int) lv);
-          else if (t.equals(DataTypes.ShortType)) cols[i].putShort(0, (short) lv);
-          else if (t.equals(DataTypes.ByteType)) cols[i].putByte(0, (byte) lv);
-          else throw new IllegalStateException("agg type " + t);
+          new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector[w];
+      for (int i = 0; i < w; i++) {
+        cols[i] = new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
+            n, schema.fields()[i].dataType());
+      }
+      for (int r = 0; r < c.rows.length; r++) {
+        for (int i = 0; i < w; i++) {
+          DataType t = schema.fields()[i].dataType();
+          Object v = c.rows[r][i];
+          if (v == null) {
+            cols[i].putNull(r);
+          } else if (t.equals(DataTypes.StringType)) {
+            byte[] b = ((String) v).getBytes(
+                java.nio.charset.StandardCharsets.UTF_8);
+            cols[i].putByteArray(r, b);
+          } else if (t.equals(DataTypes.DoubleType)) {
+            cols[i].putDouble(r, (Double) v);
+          } else {
+            long lv = (Long) v;
+            if (t.equals(DataTypes.LongType)) cols[i].putLong(r, lv);
+            else if (t.equals(DataTypes.IntegerType)
+                || t.equals(DataTypes.DateType)) cols[i].putInt(r, (int) lv);
+            else if (t.equals(DataTypes.ShortType)) cols[i].putShort(r, (short) lv);
+            else if (t.equals(DataTypes.ByteType)) cols[i].putByte(r, (byte) lv);
+            else throw new IllegalStateException("agg type " + t);
+          }
         }
       }
-      batch = new ColumnarBatch(cols, 1);
+      batch = new ColumnarBatch(cols, c.rows.length);
       done = true;
       return true;
     }

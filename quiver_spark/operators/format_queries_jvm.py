@@ -197,6 +197,30 @@ def quiver_unified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).crossJoin(c)
 
 
+def _partitioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Marker-cached orders table Hive-partitioned by o_orderstatus via
+    the JVM writer (shared by the partitioned-ingest and grouped-
+    pushdown gates). v2: fixtures built before the interned-schema fix
+    (partition column wrongly included in the manifest schema) are
+    unreadable under the round-11 collision rule — rebuild them."""
+    from quiver_spark.maintenance import ingest
+    from quiver_spark.operators.format_queries import CACHE_ROOT
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "orders-jvm-partitioned-v2")
+    marker = os.path.join(d, "_done_jvm_part")
+    if not os.path.exists(marker):
+        src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        info = ingest(spark, src, d, codec="zstd", partition_by="o_orderstatus")
+        if info["engine"] != "jvm":
+            raise RuntimeError(
+                f"quiverjvm partitioned ingest fell back to engine={info['engine']}"
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
 @register(
     "quiverjvm_partitioned_ingest",
     oracle=f"""
@@ -217,24 +241,7 @@ def quiverjvm_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-time constant while PRUNING the non-matching key's files whole.
     engine must report jvm (a silent Python-sink fallback would pass the
     oracle while testing nothing)."""
-    from quiver_spark.maintenance import ingest
-    from quiver_spark.operators.format_queries import CACHE_ROOT
-
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    # v2: fixtures built before the interned-schema fix (partition column
-    # wrongly included in the manifest schema) are unreadable under the
-    # round-11 collision rule — rebuild them
-    d = os.path.join(CACHE_ROOT, tag, "orders-jvm-partitioned-v2")
-    marker = os.path.join(d, "_done_jvm_part")
-    if not os.path.exists(marker):
-        src = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        info = ingest(spark, src, d, codec="zstd", partition_by="o_orderstatus")
-        if info["engine"] != "jvm":
-            raise RuntimeError(
-                f"quiverjvm partitioned ingest fell back to engine={info['engine']}"
-            )
-        with open(marker, "w") as f:
-            f.write("ok")
+    d = _partitioned_orders_dir(spark, sf_dir)
     back = _jvm_scan(spark, d)
     return (
         back.filter(F.col("o_orderstatus").isin("F", "O"))
@@ -359,6 +366,48 @@ def quiver_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"plan says otherwise:\n{plan}"
             )
     return a.crossJoin(b).crossJoin(c).crossJoin(m)
+
+
+@register(
+    "quiver_grouped_count_pushdown",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       MIN(o_orderkey) AS min_okey,
+       MAX(o_orderkey) AS max_okey,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("format", "jvm", "scan", "agg", "pushdown", "partition"),
+)
+def quiver_grouped_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED metadata aggregates (round 15): COUNT/MIN/MAX/SUM grouped
+    by a Hive PARTITION column push down whole — group values are path
+    constants and the aggregates come from manifest row counts + inline
+    zone maps + per-page sums, so the per-status rollup of a 100 TB
+    table reads ZERO pages (the \"rows per day\" query). Pushdown
+    asserted in-query; the oracle replays the same rollup over the
+    un-partitioned parquet."""
+    from quiver_spark.functions import dsum as _  # noqa: F401 (parity import)
+
+    d = _partitioned_orders_dir(spark, sf_dir)
+    g = (
+        _jvm_scan(spark, d)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_orderkey").alias("min_okey"),
+            F.max("o_orderkey").alias("max_okey"),
+            F.sum("o_orderkey").alias("sum_okey"),
+        )
+    )
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    if "count(*)" not in plan.split("BatchScan")[-1]:
+        raise RuntimeError(
+            f"grouped aggregate pushdown did not engage:\n{plan}"
+        )
+    return g
 
 
 @register(

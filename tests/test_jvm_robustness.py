@@ -434,3 +434,46 @@ def test_unified_scan_empty_file_column_is_absent(spark, tmp_path):
         spark.read.format("quiver").option("file_column", "").load(d)
     )
     assert pydf.columns == ["id"]
+
+
+def test_jvm_grouped_aggregate_pushdown(spark, tmp_path):
+    """GROUP BY over Hive PARTITION columns pushes with the aggregates —
+    per-group COUNT/MIN/MAX/SUM answer from path values + manifest
+    metadata (the per-day-counts-over-100TB query). Null partitions
+    group as NULL; grouping by a DATA column refuses; results equal the
+    normal scan's exactly."""
+    _require_jar(spark)
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "t")
+    spark.sql(
+        "SELECT id, IF(id % 11 = 0, NULL, concat('g', id % 3)) AS k"
+        " FROM range(12000)"
+    ).repartition(3).write.format("quiverjvm").partitionBy("k").mode(
+        "overwrite"
+    ).save(d)
+    df = spark.read.format("quiverjvm").load(d)
+    q = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        F.sum("id").alias("s"),
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "count(*)" in plan.split("BatchScan")[-1], plan
+    ref = df.filter(F.col("id") >= 0).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        F.sum("id").alias("s"),
+    )
+    key = lambda r: (r[0] is None, r)  # noqa: E731
+    assert sorted(map(tuple, q.collect()), key=key) == sorted(
+        map(tuple, ref.collect()), key=key
+    )
+    # grouping by a data column refuses and stays exact
+    q2 = df.groupBy((F.col("id") % 2).alias("m")).count()
+    assert "count(*)" not in (
+        q2._jdf.queryExecution().executedPlan().toString().split("BatchScan")[-1]
+    )
+    assert sorted(map(tuple, q2.collect())) == [(0, 6000), (1, 6000)]

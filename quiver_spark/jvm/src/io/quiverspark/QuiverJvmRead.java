@@ -1317,10 +1317,16 @@ public final class QuiverJvmRead {
           }
         }
         java.nio.file.Path rp = new File(root).toPath();
-        java.util.LinkedHashMap<String, GroupAcc> groups =
+        // keys are the raw-value LISTS themselves (List.equals is
+        // null-safe and positional) — a string-concatenated key would
+        // collide when an UNQUOTED partition value contains the
+        // separator/sentinel characters (%00/%01 in the path decode to
+        // exactly those chars)
+        java.util.LinkedHashMap<java.util.List<String>, GroupAcc> groups =
             new java.util.LinkedHashMap<>();
         if (groupCols.isEmpty()) {
-          groups.put("", new GroupAcc(new String[0])); // rows even when empty
+          groups.put(java.util.Collections.emptyList(),
+              new GroupAcc(new String[0])); // one row even when empty
         }
         com.fasterxml.jackson.databind.ObjectMapper om =
             new com.fasterxml.jackson.databind.ObjectMapper();
@@ -1329,23 +1335,17 @@ public final class QuiverJvmRead {
               .replace(File.separatorChar, '/');
           com.fasterxml.jackson.databind.JsonNode e =
               manFiles == null ? null : manFiles.get(rel);
-          String gkey = "";
           String[] graws = new String[groupCols.size()];
           if (hive != null) {
             String[] rv = hive.rawByFile.get(f.getPath());
-            StringBuilder kb = new StringBuilder();
             for (int g = 0; g < gidx.length; g++) {
-              String r = rv == null ? null : rv[gidx[g]];
-              graws[g] = r;
-              // \1 = null sentinel, \0 separator — neither can appear in
-              // a raw Hive path segment, so keys are unambiguous
-              kb.append(r == null ? "\1" : r).append('\0');
+              graws[g] = rv == null ? null : rv[gidx[g]];
             }
-            gkey = kb.toString();
           }
           final String[] rawsF = graws;
           GroupAcc acc = groups.computeIfAbsent(
-              gkey, k -> new GroupAcc(rawsF));
+              java.util.Arrays.asList(graws.clone()),
+              k -> new GroupAcc(rawsF));
           java.util.Map<String, Long> mins = acc.mins;
           java.util.Map<String, Long> maxs = acc.maxs;
           java.util.Map<String, Long> sumVals = acc.sums;
@@ -1429,15 +1429,25 @@ public final class QuiverJvmRead {
             }
             com.fasterxml.jackson.databind.JsonNode mn = cn.get("min");
             com.fasterxml.jackson.databind.JsonNode mx = cn.get("max");
+            com.fasterxml.jackson.databind.JsonNode nlm = cn.get("nulls");
             if (mn == null || mx == null || !mn.isArray() || !mx.isArray()
-                || mn.size() != prn.size() || mx.size() != prn.size()) {
+                || mn.size() != prn.size() || mx.size() != prn.size()
+                || nlm == null || !nlm.isArray()
+                || nlm.size() != prn.size()) {
               return false;
             }
             for (int p = 0; p < mn.size(); p++) {
               com.fasterxml.jackson.databind.JsonNode lo = mn.get(p);
               com.fasterxml.jackson.databind.JsonNode hi = mx.get(p);
               if (lo == null || lo.isNull() || hi == null || hi.isNull()) {
-                continue; // all-null page
+                // a null extremum is legitimate ONLY for an all-null
+                // page — anything else is a corrupt/stale zone map and
+                // must REFUSE, not skip the page's contribution (the
+                // SUM branch's posture; round-15 second review)
+                if (nlm.get(p).asLong(-1) == prn.get(p).asLong(-2)) {
+                  continue;
+                }
+                return false;
               }
               if (!lo.isIntegralNumber() || !hi.isIntegralNumber()) {
                 return false; // unexpected domain: refuse, don't guess

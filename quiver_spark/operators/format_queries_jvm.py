@@ -389,8 +389,6 @@ def quiver_grouped_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame
     table reads ZERO pages (the \"rows per day\" query). Pushdown
     asserted in-query; the oracle replays the same rollup over the
     un-partitioned parquet."""
-    from quiver_spark.functions import dsum as _  # noqa: F401 (parity import)
-
     d = _partitioned_orders_dir(spark, sf_dir)
     g = (
         _jvm_scan(spark, d)

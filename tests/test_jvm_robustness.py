@@ -477,3 +477,37 @@ def test_jvm_grouped_aggregate_pushdown(spark, tmp_path):
         q2._jdf.queryExecution().executedPlan().toString().split("BatchScan")[-1]
     )
     assert sorted(map(tuple, q2.collect())) == [(0, 6000), (1, 6000)]
+
+
+def test_jvm_grouped_pushdown_control_char_partition_values(spark, tmp_path):
+    """Partition values containing the very control characters a naive
+    concatenated group key would use (\\x00/\\x01, percent-escaped in the
+    path and UNQUOTED at discovery) must group as distinct keys, and a
+    NULL partition must stay distinct from a literal \\x01 value — the
+    group key is the raw-value list itself (round-15 second review)."""
+    _require_jar(spark)
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "t")
+    spark.sql(
+        "SELECT id, CASE CAST(id % 3 AS INT)"
+        " WHEN 0 THEN NULL"
+        " WHEN 1 THEN '\x01'"
+        " ELSE concat('a', CHAR(0), 'b') END AS k"
+        " FROM range(300)"
+    ).coalesce(1).write.format("quiverjvm").partitionBy("k").mode(
+        "overwrite"
+    ).save(d)
+    df = spark.read.format("quiverjvm").load(d)
+    q = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "count(*)" in plan.split("BatchScan")[-1], plan
+    key = lambda r: (r[0] is None, r)  # noqa: E731
+    got = sorted(map(tuple, q.collect()), key=key)
+    ref = sorted(
+        map(tuple, df.filter(F.col("id") >= 0).groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n")).collect()),
+        key=key,
+    )
+    assert got == ref
+    assert len(got) == 3 and all(n == 100 for _k, n in got)

@@ -258,6 +258,169 @@ public final class QuiverJvmRead {
     }
   }
 
+  /** {op, col, kind, value} when the filter is EXACTLY evaluable on a
+   * partition path constant: whitelisted class, single partition-column
+   * attribute, value inside the kind's exact comparison domain. Strings
+   * accept only equality-shaped ops (UTF8String binary order and Java
+   * String order diverge on supplementary code points, so string ranges
+   * stay residual). Null anywhere unexpected → null (stays residual). */
+  static Object[] translatePartitionFilter(
+      org.apache.spark.sql.sources.Filter f,
+      java.util.Map<String, String> kinds) {
+    if (kinds.isEmpty()) return null;
+    String col;
+    String op;
+    Object value = null;
+    if (f instanceof org.apache.spark.sql.sources.IsNull) {
+      col = ((org.apache.spark.sql.sources.IsNull) f).attribute();
+      op = "isnull";
+    } else if (f instanceof org.apache.spark.sql.sources.IsNotNull) {
+      col = ((org.apache.spark.sql.sources.IsNotNull) f).attribute();
+      op = "isnotnull";
+    } else if (f instanceof org.apache.spark.sql.sources.EqualTo) {
+      col = ((org.apache.spark.sql.sources.EqualTo) f).attribute();
+      value = ((org.apache.spark.sql.sources.EqualTo) f).value();
+      op = "eq";
+    } else if (f instanceof org.apache.spark.sql.sources.EqualNullSafe) {
+      col = ((org.apache.spark.sql.sources.EqualNullSafe) f).attribute();
+      value = ((org.apache.spark.sql.sources.EqualNullSafe) f).value();
+      op = "eqns";
+    } else if (f instanceof org.apache.spark.sql.sources.GreaterThan) {
+      col = ((org.apache.spark.sql.sources.GreaterThan) f).attribute();
+      value = ((org.apache.spark.sql.sources.GreaterThan) f).value();
+      op = "gt";
+    } else if (f instanceof org.apache.spark.sql.sources.GreaterThanOrEqual) {
+      col = ((org.apache.spark.sql.sources.GreaterThanOrEqual) f).attribute();
+      value = ((org.apache.spark.sql.sources.GreaterThanOrEqual) f).value();
+      op = "ge";
+    } else if (f instanceof org.apache.spark.sql.sources.LessThan) {
+      col = ((org.apache.spark.sql.sources.LessThan) f).attribute();
+      value = ((org.apache.spark.sql.sources.LessThan) f).value();
+      op = "lt";
+    } else if (f instanceof org.apache.spark.sql.sources.LessThanOrEqual) {
+      col = ((org.apache.spark.sql.sources.LessThanOrEqual) f).attribute();
+      value = ((org.apache.spark.sql.sources.LessThanOrEqual) f).value();
+      op = "le";
+    } else if (f instanceof org.apache.spark.sql.sources.In) {
+      col = ((org.apache.spark.sql.sources.In) f).attribute();
+      String kind0 = kinds.get(col);
+      if (kind0 == null) return null;
+      Object[] vs = ((org.apache.spark.sql.sources.In) f).values();
+      if (vs == null) return null;
+      for (Object v : vs) {
+        if (v != null && !partValueInDomain(kind0, v, "in")) return null;
+      }
+      return new Object[] {"in", col, kind0, vs};
+    } else {
+      return null;
+    }
+    String kind = kinds.get(col);
+    if (kind == null) return null;
+    boolean needsValue = !op.equals("isnull") && !op.equals("isnotnull");
+    if (needsValue && !op.equals("eqns") && value == null) return null;
+    if (value != null && !partValueInDomain(kind, value, op)) return null;
+    return new Object[] {op, col, kind, value};
+  }
+
+  /** Is this literal inside the kind's EXACT comparison domain for the
+   * op? long kind: integral literals only (a fractional literal against
+   * a long column arrives pre-cast and never reaches here anyway);
+   * double kind: any number; string kind: strings, equality ops only. */
+  static boolean partValueInDomain(String kind, Object v, String op) {
+    switch (kind) {
+      case "long":
+        return v instanceof Byte || v instanceof Short
+            || v instanceof Integer || v instanceof Long;
+      case "double":
+        return v instanceof Number;
+      default:
+        return v instanceof String
+            && (op.equals("eq") || op.equals("eqns") || op.equals("in"));
+    }
+  }
+
+  static int partCmp(String kind, Object a, Object b) {
+    switch (kind) {
+      case "long":
+        return Long.compare(((Number) a).longValue(), ((Number) b).longValue());
+      case "double":
+        // Double.compare's NaN-equals-NaN / NaN-greatest semantics match
+        // Spark SQL's (not standard SQL's)
+        return Double.compare(((Number) a).doubleValue(),
+            ((Number) b).doubleValue());
+      default:
+        return ((String) a).compareTo((String) b);
+    }
+  }
+
+  /** Exact evaluation of one accepted partition filter on one file's
+   * RAW path value (null = missing segment / HIVE_NULL). */
+  static boolean partFilterMatches(Object[] pp, String raw) {
+    String op = (String) pp[0];
+    String kind = (String) pp[2];
+    Object val = pp[3];
+    Object v = partTyped(raw, kind);
+    switch (op) {
+      case "isnull":
+        return v == null;
+      case "isnotnull":
+        return v != null;
+      case "eqns":
+        if (v == null || val == null) return v == null && val == null;
+        return partCmp(kind, v, val) == 0;
+      case "in": {
+        if (v == null) return false;
+        for (Object o : (Object[]) val) {
+          if (o != null && partCmp(kind, v, o) == 0) return true;
+        }
+        return false;
+      }
+      default: {
+        if (v == null) return false;
+        int c = partCmp(kind, v, val);
+        switch (op) {
+          case "eq": return c == 0;
+          case "gt": return c > 0;
+          case "ge": return c >= 0;
+          case "lt": return c < 0;
+          default: return c <= 0; // le
+        }
+      }
+    }
+  }
+
+  /** Drop files whose path constants fail an accepted partition filter —
+   * EXACT whole-file filtering (cols absent from this listing evaluate
+   * as null, matching the scan's null fill for files outside the key). */
+  static List<File> applyPartPreds(
+      String root, List<File> files, List<Object[]> partPreds) {
+    if (partPreds == null || partPreds.isEmpty() || files.isEmpty()) {
+      return files;
+    }
+    PartInfo hp = discoverPartitions(root, files);
+    List<File> kept = new ArrayList<>();
+    for (File f : files) {
+      String[] rv = hp.rawByFile.get(f.getPath());
+      boolean ok = true;
+      for (Object[] pp : partPreds) {
+        int ci = -1;
+        for (int i = 0; i < hp.cols.length; i++) {
+          if (hp.cols[i].equals(pp[1])) {
+            ci = i;
+            break;
+          }
+        }
+        String raw = (ci < 0 || rv == null) ? null : rv[ci];
+        if (!partFilterMatches(pp, raw)) {
+          ok = false;
+          break;
+        }
+      }
+      if (ok) kept.add(f);
+    }
+    return kept;
+  }
+
   static Object partTyped(String raw, String kind) {
     if (raw == null) return null;
     switch (kind) {
@@ -1059,15 +1222,74 @@ public final class QuiverJvmRead {
       this.required = requiredSchema;
     }
 
+    /** Accepted (fully consumed) PARTITION-column filters — exact by
+     * construction: a Hive partition column is a per-file path constant,
+     * so whole-file filtering IS the predicate. Each entry:
+     * {op, col, kind, value(-s)}. */
+    private List<Object[]> partPreds = new ArrayList<>();
+    private java.util.Map<String, String> partKindsCache = null;
+
+    /** Partition columns (excluding directory keys that collide with
+     * data columns — file data wins there, so the path constant may
+     * disagree with stored values) → inferred path kind. Empty map when
+     * anything is uncertain: uncertainty means accept nothing. */
+    private java.util.Map<String, String> partitionKinds() {
+      if (partKindsCache != null) return partKindsCache;
+      java.util.Map<String, String> out = new java.util.HashMap<>();
+      try {
+        String root = resolveRoot(localPath(path), opts.version);
+        List<File> files = new ArrayList<>();
+        listFiles(new File(root), files);
+        if (!files.isEmpty()) {
+          PartInfo hive = discoverPartitions(root, files);
+          if (hive.cols.length > 0) {
+            com.fasterxml.jackson.databind.JsonNode man = readManifestRaw(root);
+            Schema s = man != null ? declaredSchema(man) : null;
+            if (s == null && man != null) s = manifestSchema(man);
+            if (s == null) {
+              PLAN_FOOTER_READS.incrementAndGet();
+              s = readFooter(files.get(0)).arrowSchema;
+            }
+            java.util.Set<String> dataCols = new java.util.HashSet<>();
+            for (Field fd : s.getFields()) dataCols.add(fd.getName());
+            for (int i = 0; i < hive.cols.length; i++) {
+              if (!dataCols.contains(hive.cols[i])) {
+                out.put(hive.cols[i], hive.kinds[i]);
+              }
+            }
+          }
+        }
+      } catch (Exception e) {
+        out.clear();
+      }
+      partKindsCache = out;
+      return out;
+    }
+
     @Override
     public org.apache.spark.sql.sources.Filter[] pushFilters(
         org.apache.spark.sql.sources.Filter[] filters) {
-      // zone-map pruning is ADVISORY: every filter is returned as residual
-      // so Spark re-evaluates row-level above the scan (the Python DS
-      // posture) — a pruned page is pure I/O saved, never a semantics bet
+      // Two tiers (round 15): filters on PARTITION columns whose class/
+      // value domain the exact evaluator covers are ACCEPTED — consumed,
+      // not residual — because a path constant is evaluated exactly per
+      // file (this is what lets `count(*) WHERE day = X` ride the
+      // metadata aggregate pushdown). Everything else stays the ADVISORY
+      // zone-map posture: returned as residual so Spark re-evaluates
+      // row-level — a pruned page is pure I/O saved, never a semantics
+      // bet.
       List<org.apache.spark.sql.sources.Filter> display = new ArrayList<>();
+      List<org.apache.spark.sql.sources.Filter> residual = new ArrayList<>();
       preds = new ArrayList<>();
+      partPreds = new ArrayList<>();
+      java.util.Map<String, String> pk = partitionKinds();
       for (org.apache.spark.sql.sources.Filter f : filters) {
+        Object[] pp = translatePartitionFilter(f, pk);
+        if (pp != null) {
+          partPreds.add(pp);
+          display.add(f);
+          continue;
+        }
+        residual.add(f);
         QuiverPagePrune.Pred p = QuiverPagePrune.translate(f, fullSchema);
         if (p != null) {
           preds.add(p);
@@ -1075,7 +1297,7 @@ public final class QuiverJvmRead {
         }
       }
       pushedForDisplay = display.toArray(new org.apache.spark.sql.sources.Filter[0]);
-      return filters;
+      return residual.toArray(new org.apache.spark.sql.sources.Filter[0]);
     }
 
     @Override
@@ -1251,6 +1473,10 @@ public final class QuiverJvmRead {
             man == null ? null : man.get("column_defaults");
         List<File> files = new ArrayList<>();
         listFiles(new File(root), files);
+        // accepted partition filters narrow the aggregate's file set
+        // exactly — this is what makes `count(*) WHERE day = X` a pure
+        // metadata answer
+        files = applyPartPreds(root, files, partPreds);
         Schema declared = null;
         if (man != null) {
           declared = declaredSchema(man);
@@ -1523,6 +1749,7 @@ public final class QuiverJvmRead {
           opts, countCols);
       s.aggVals = aggVals;
       s.aggSchema = aggSchema;
+      s.partPreds = partPreds;
       return s;
     }
   }
@@ -1557,6 +1784,9 @@ public final class QuiverJvmRead {
      * when tryPushMinMax accepted) — the scan emits exactly this row. */
     Object[][] aggVals;
     StructType aggSchema;
+    /** Accepted partition filters — EXACT whole-file filters Spark no
+     * longer re-evaluates (consumed in pushFilters). */
+    List<Object[]> partPreds = java.util.Collections.emptyList();
 
     @Override
     public StructType readSchema() {
@@ -1576,6 +1806,8 @@ public final class QuiverJvmRead {
     public String description() {
       return "quiverjvm scan of " + path
           + (preds.isEmpty() ? "" : " pagePrune: " + preds)
+          + (partPreds == null || partPreds.isEmpty()
+              ? "" : " partitionFilters: " + partPreds.size())
           + (limit < 0 ? "" : " planLimit: " + limit)
           + (opts.version == null ? "" : " version: " + opts.version)
           + (opts.changesSince < 0 ? "" : " changesSince: " + opts.changesSince)
@@ -1591,6 +1823,18 @@ public final class QuiverJvmRead {
     @Override
     public org.apache.spark.sql.connector.read.streaming.MicroBatchStream
         toMicroBatchStream(String checkpointLocation) {
+      // Spark 4.1.2 never pushes filters into streaming scans (probed:
+      // the stream's source description carries no pushed filters and
+      // rows filter row-level above). If a future Spark starts pushing,
+      // silently ignoring ACCEPTED partition filters would return
+      // unfiltered rows — fail loudly instead until QuiverJvmStream
+      // enforces them.
+      if (partPreds != null && !partPreds.isEmpty()) {
+        throw new UnsupportedOperationException(
+            "quiverjvm: accepted partition filters reached a STREAMING "
+                + "scan — wire partPreds into QuiverJvmStream before "
+                + "allowing this");
+      }
       // streaming source (round 13): micro-batches are deltas of the
       // sorted file listing, planned JVM-side — no per-batch Python
       // planner-process floor (QuiverJvmStream; Python-twin protocol)
@@ -1654,12 +1898,17 @@ public final class QuiverJvmRead {
             files = kept;
           }
         }
+        // accepted partition filters: EXACT whole-file drop, applied
+        // before anything else consumes the list (count mode, splits)
+        files = applyPartPreds(root, files, partPreds);
+
         // metadata-served COUNT(*) (round 15): the final file list is
-        // settled (version resolved, files= subset, changes_since cursor)
-        // and count mode excludes predicates, so the exact total is the
-        // sum of per-file row counts — manifest entry `rows` when it
-        // vouches for the file, else the flat leaf's per-page num_values
-        // from one footer read. No page is ever opened.
+        // settled (version resolved, files= subset, changes_since cursor,
+        // accepted partition filters) and count mode excludes zone-map
+        // predicates, so the exact total is the sum of per-file row
+        // counts — manifest entry `rows` when it vouches for the file,
+        // else the flat leaf's per-page num_values from one footer read.
+        // No page is ever opened.
         if (countCols > 0) {
           long total = 0;
           com.fasterxml.jackson.databind.JsonNode manFilesC =

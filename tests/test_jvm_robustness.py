@@ -511,3 +511,66 @@ def test_jvm_grouped_pushdown_control_char_partition_values(spark, tmp_path):
     )
     assert got == ref
     assert len(got) == 3 and all(n == 100 for _k, n in got)
+
+
+def test_jvm_partition_filter_acceptance(spark, tmp_path):
+    """Partition-column filters are ACCEPTED (consumed, not residual):
+    path constants make whole-file filtering exact, so Spark drops its
+    own re-filter and `count(*) WHERE day = X` rides the metadata
+    aggregate pushdown. Data-column filters stay residual; string RANGE
+    filters on partitions stay residual too (UTF8String vs Java string
+    order diverge on supplementary code points); every accepted class is
+    value-compared against the row-level reference."""
+    _require_jar(spark)
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "t")
+    spark.sql(
+        "SELECT id, IF(id % 13 = 0, NULL, concat('g', id % 4)) AS k,"
+        " CAST(id % 5 AS BIGINT) AS p FROM range(20000)"
+    ).repartition(2).write.format("quiverjvm").partitionBy("k", "p").mode(
+        "overwrite"
+    ).save(d)
+    df = spark.read.format("quiverjvm").load(d)
+    for cond in (
+        "k = 'g1'", "k IS NULL", "k IS NOT NULL AND p >= 3",
+        "p IN (1, 4)", "p > 2 AND k = 'g0'", "k <=> NULL", "k >= 'g1'",
+    ):
+        got = sorted(map(tuple, df.filter(cond).collect()))
+        want = sorted(
+            map(tuple, df.filter("id >= 0").filter(cond).collect())
+        )
+        assert got == want, cond
+    # accepted filters surface in the scan description and are consumed
+    plan = (
+        df.filter("k = 'g1'")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partitionFilters" in plan, plan
+    assert "Filter " not in plan.split("BatchScan")[0].replace(
+        "RuntimeFilters", ""
+    ), plan  # Spark dropped its re-filter for the accepted predicate
+    # string RANGE on a partition column stays residual (row-level
+    # Filter survives; the implicit IsNotNull conjunct is still accepted)
+    plan2 = (
+        df.filter("k > 'g1'")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Filter " in plan2 and "g1" in plan2.split("BatchScan")[0], plan2
+    # filtered count: pure metadata even with every page corrupted
+    import glob
+
+    for f in glob.glob(os.path.join(d, "**", "*.quiver"), recursive=True):
+        with open(f, "rb") as fh:
+            data = fh.read()
+        body = bytearray(data)
+        for i in range(64, len(body) // 2, 512):
+            body[i] ^= 0xFF
+        with open(f, "wb") as fh:
+            fh.write(bytes(body))
+    df2 = spark.read.format("quiverjvm").load(d)
+    q = df2.filter("k = 'g2'").groupBy().count()
+    assert "count(*)" in (
+        q._jdf.queryExecution().executedPlan().toString().split("BatchScan")[-1]
+    )
+    assert q.collect()[0][0] == sum(
+        1 for i in range(20000) if i % 13 != 0 and i % 4 == 2
+    )

@@ -1238,6 +1238,24 @@ public final class QuiverJvmRead {
       java.util.Map<String, String> out = new java.util.HashMap<>();
       try {
         String root = resolveRoot(localPath(path), opts.version);
+        // cheap short-circuit for the common UNPARTITIONED table: Hive
+        // keys can only start at the root's immediate children, so no
+        // `k=v` dir there means no partition columns — skip the full
+        // walk this probe would otherwise add to every filtered plan
+        File[] top = new File(root).listFiles();
+        boolean anyKeyDir = false;
+        if (top != null) {
+          for (File t : top) {
+            if (t.isDirectory() && t.getName().indexOf('=') > 0) {
+              anyKeyDir = true;
+              break;
+            }
+          }
+        }
+        if (!anyKeyDir) {
+          partKindsCache = out;
+          return out;
+        }
         List<File> files = new ArrayList<>();
         listFiles(new File(root), files);
         if (!files.isEmpty()) {

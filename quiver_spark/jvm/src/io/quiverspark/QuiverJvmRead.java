@@ -343,23 +343,40 @@ public final class QuiverJvmRead {
     switch (kind) {
       case "long":
         return Long.compare(((Number) a).longValue(), ((Number) b).longValue());
-      case "double":
-        // Double.compare's NaN-equals-NaN / NaN-greatest semantics match
-        // Spark SQL's (not standard SQL's)
-        return Double.compare(((Number) a).doubleValue(),
-            ((Number) b).doubleValue());
+      case "double": {
+        // Spark SQL's double ordering (SQLOrderingUtil.compareDoubles):
+        // the == short-circuit makes -0.0 = 0.0 TRUE (raw Double.compare
+        // would order them), while NaN = NaN stays true and NaN sorts
+        // greatest — exactly Double.compare's behavior for the rest
+        double x = ((Number) a).doubleValue();
+        double y = ((Number) b).doubleValue();
+        return x == y ? 0 : Double.compare(x, y);
+      }
       default:
         return ((String) a).compareTo((String) b);
     }
   }
 
   /** Exact evaluation of one accepted partition filter on one file's
-   * RAW path value (null = missing segment / HIVE_NULL). */
+   * RAW path value (null = missing segment / HIVE_NULL). A raw value
+   * that no longer parses under the filter's accepted kind (a writer
+   * added an incompatible partition value between pushdown and plan —
+   * the same race breaks the scan's own typed constants) fails LOUDLY:
+   * the filter was consumed, so silence would mean wrong rows. */
   static boolean partFilterMatches(Object[] pp, String raw) {
     String op = (String) pp[0];
     String kind = (String) pp[2];
     Object val = pp[3];
-    Object v = partTyped(raw, kind);
+    Object v;
+    try {
+      v = partTyped(raw, kind);
+    } catch (NumberFormatException nfe) {
+      throw new IllegalStateException(
+          "quiverjvm: partition value '" + raw + "' no longer parses as "
+              + kind + " for accepted filter on '" + pp[1]
+              + "' — a concurrent writer changed the partition value "
+              + "domain mid-plan; re-run the query", nfe);
+    }
     switch (op) {
       case "isnull":
         return v == null;
@@ -390,28 +407,36 @@ public final class QuiverJvmRead {
   }
 
   /** Drop files whose path constants fail an accepted partition filter —
-   * EXACT whole-file filtering (cols absent from this listing evaluate
-   * as null, matching the scan's null fill for files outside the key). */
+   * EXACT whole-file filtering (cols absent from the listing evaluate
+   * as null, matching the scan's null fill for files outside the key).
+   * Takes the PLAN's single PartInfo — discovered over the UNFILTERED
+   * listing — so value kinds cannot drift when the filter narrows the
+   * file set (kind re-inference over a kept subset once flipped a
+   * string partition to long and corrupted emitted values). */
   static List<File> applyPartPreds(
-      String root, List<File> files, List<Object[]> partPreds) {
-    if (partPreds == null || partPreds.isEmpty() || files.isEmpty()) {
+      PartInfo hp, List<File> files, List<Object[]> partPreds) {
+    if (partPreds == null || partPreds.isEmpty() || files.isEmpty()
+        || hp == null) {
       return files;
     }
-    PartInfo hp = discoverPartitions(root, files);
+    // pred → column index, resolved once (file-invariant)
+    int[] ci = new int[partPreds.size()];
+    for (int p = 0; p < partPreds.size(); p++) {
+      ci[p] = -1;
+      for (int i = 0; i < hp.cols.length; i++) {
+        if (hp.cols[i].equals(partPreds.get(p)[1])) {
+          ci[p] = i;
+          break;
+        }
+      }
+    }
     List<File> kept = new ArrayList<>();
     for (File f : files) {
       String[] rv = hp.rawByFile.get(f.getPath());
       boolean ok = true;
-      for (Object[] pp : partPreds) {
-        int ci = -1;
-        for (int i = 0; i < hp.cols.length; i++) {
-          if (hp.cols[i].equals(pp[1])) {
-            ci = i;
-            break;
-          }
-        }
-        String raw = (ci < 0 || rv == null) ? null : rv[ci];
-        if (!partFilterMatches(pp, raw)) {
+      for (int p = 0; p < partPreds.size(); p++) {
+        String raw = (ci[p] < 0 || rv == null) ? null : rv[ci[p]];
+        if (!partFilterMatches(partPreds.get(p), raw)) {
           ok = false;
           break;
         }
@@ -1491,10 +1516,16 @@ public final class QuiverJvmRead {
             man == null ? null : man.get("column_defaults");
         List<File> files = new ArrayList<>();
         listFiles(new File(root), files);
+        // ONE partition discovery over the UNFILTERED listing — kinds
+        // re-inferred over a filtered subset can drift (string → long)
+        // and corrupt group values; this PartInfo serves the filter,
+        // the grouping, and nothing re-discovers
+        PartInfo hiveAll = files.isEmpty() ? null
+            : discoverPartitions(root, files);
         // accepted partition filters narrow the aggregate's file set
         // exactly — this is what makes `count(*) WHERE day = X` a pure
         // metadata answer
-        files = applyPartPreds(root, files, partPreds);
+        files = applyPartPreds(hiveAll, files, partPreds);
         Schema declared = null;
         if (man != null) {
           declared = declaredSchema(man);
@@ -1537,7 +1568,7 @@ public final class QuiverJvmRead {
         int[] gidx = new int[groupCols.size()];
         if (!groupCols.isEmpty()) {
           if (files.isEmpty()) return false;
-          hive = discoverPartitions(root, files);
+          hive = hiveAll; // the pre-filter discovery: stable kinds
           for (int g = 0; g < groupCols.size(); g++) {
             String gc = groupCols.get(g);
             if (declaredCols.contains(gc)) return false;
@@ -1916,9 +1947,17 @@ public final class QuiverJvmRead {
             files = kept;
           }
         }
+        // ONE partition discovery over the UNFILTERED listing, reused by
+        // the accepted-filter drop AND the split planner below — kind
+        // re-inference over a filtered subset can flip a string
+        // partition to long and corrupt the emitted constants
+        PartInfo hive = files.isEmpty()
+            ? new PartInfo(new String[0], new String[0],
+                new java.util.HashMap<>())
+            : discoverPartitions(root, files);
         // accepted partition filters: EXACT whole-file drop, applied
         // before anything else consumes the list (count mode, splits)
-        files = applyPartPreds(root, files, partPreds);
+        files = applyPartPreds(hive, files, partPreds);
 
         // metadata-served COUNT(*) (round 15): the final file list is
         // settled (version resolved, files= subset, changes_since cursor,
@@ -1961,8 +2000,8 @@ public final class QuiverJvmRead {
         // A directory key that COLLIDES with a real file column is NOT a
         // partition column (inferTableSchema's dup rule, Python-DS
         // parity: the file's data wins) — exclude it here so the reader
-        // never shadows stored values with a path constant.
-        PartInfo hive = discoverPartitions(root, files);
+        // never shadows stored values with a path constant. `hive` is
+        // the single pre-filter discovery from above.
         java.util.Set<String> fileColNames = new java.util.HashSet<>();
         if (hive.cols.length > 0) {
           Schema dataArrow = declaredSchema(man);

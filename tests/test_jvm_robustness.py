@@ -574,3 +574,47 @@ def test_jvm_partition_filter_acceptance(spark, tmp_path):
     assert q.collect()[0][0] == sum(
         1 for i in range(20000) if i % 13 != 0 and i % 4 == 2
     )
+
+
+def test_jvm_partition_filter_kind_stability(spark, tmp_path):
+    """Mixed partition values ('01' next to 'batch1') force string kind;
+    a consumed filter narrowing to the numeric-looking subset must NOT
+    let kind re-inference flip the column to long and corrupt emitted
+    values ('01' → 1) — the plan uses ONE pre-filter discovery
+    (round-15 third review)."""
+    _require_jar(spark)
+    d = str(tmp_path / "t")
+    spark.sql(
+        "SELECT id, IF(id % 2 = 0, '01', 'batch1') AS k FROM range(1000)"
+    ).coalesce(1).write.format("quiverjvm").partitionBy("k").mode(
+        "overwrite"
+    ).save(d)
+    df = spark.read.format("quiverjvm").load(d)
+    rows = sorted(map(tuple, df.filter("k = '01'").collect()))
+    assert rows == sorted((i, "01") for i in range(0, 1000, 2))
+    g = [tuple(r) for r in df.filter("k = '01'").groupBy("k").count().collect()]
+    assert g == [("01", 500)]
+
+
+def test_jvm_partition_filter_signed_zero_doubles(spark, tmp_path):
+    """Double-kind partitions (external layouts only — the JVM writer
+    refuses double keys) compare with Spark SQL's double semantics:
+    -0.0 = 0.0 is TRUE (the == short-circuit raw Double.compare lacks;
+    round-15 third review)."""
+    _require_jar(spark)
+    import pyarrow as pa
+
+    from quiver_spark.format.writer import write_table
+
+    d = str(tmp_path / "t")
+    for val, lo in (("-0.0", 0), ("0.5", 100)):
+        os.makedirs(os.path.join(d, f"p={val}"))
+        write_table(
+            pa.table({"id": pa.array(range(lo, lo + 100), pa.int64())}),
+            os.path.join(d, f"p={val}", "x.quiver"),
+        )
+    df = spark.read.format("quiverjvm").load(d)
+    for cond in ("p = 0.0", "p > -0.0", "p <= 0.0"):
+        a = sorted(r.id for r in df.filter(cond).collect())
+        b = sorted(r.id for r in df.filter("id >= 0").filter(cond).collect())
+        assert a == b, cond

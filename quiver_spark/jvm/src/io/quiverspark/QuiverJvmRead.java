@@ -250,6 +250,25 @@ public final class QuiverJvmRead {
     return new PartInfo(cols.toArray(new String[0]), kinds, byFile);
   }
 
+  /** Does any directory at ANY depth under {@code dir} look like a Hive
+   * `k=v` segment? Mirrors discoverPartitions' acceptance (key segments
+   * can sit below plain grouping dirs, e.g. root/batch/day=1/...) while
+   * staying cheap for the common unpartitioned table: only DIRECTORIES
+   * are walked, hidden/underscore names skipped like listFiles, and the
+   * walk exits on the first hit. */
+  static boolean anyKeyDirDeep(File dir) {
+    File[] entries = dir.listFiles();
+    if (entries == null) return false;
+    for (File e : entries) {
+      String n = e.getName();
+      if (n.startsWith("_") || n.startsWith(".")) continue;
+      if (e.isDirectory()) {
+        if (n.indexOf('=') >= 0 || anyKeyDirDeep(e)) return true;
+      }
+    }
+    return false;
+  }
+
   static DataType partSparkType(String kind) {
     switch (kind) {
       case "long": return DataTypes.LongType;
@@ -475,6 +494,40 @@ public final class QuiverJvmRead {
 
   public static void resetPagesPruned() {
     PAGES_PRUNED.set(0);
+  }
+
+  /** Test hook (round 16): drive one micro-batch of a stream carrying an
+   * accepted `col = value` partition filter. Spark 4.1.2 never pushes
+   * filters into streaming scans, so the enforcement (VERDICT r15 Next
+   * #4) is exercised directly: plans from `startJson` (null/empty =
+   * stream start) to the current latest offset and returns JSON
+   * {"end": offset-json, "files": [planned chunk rel names]} — a second
+   * call with the returned `end` IS a checkpoint restart. */
+  public static String streamPartFilterProbe(String path, String col,
+      String kind, Object value, String startJson) throws Exception {
+    StructType full = inferTableSchema(path);
+    List<Object[]> pp = new ArrayList<>();
+    pp.add(new Object[] {"eq", col, kind, value});
+    QuiverJvmStream st = new QuiverJvmStream(path, full, full,
+        new java.util.HashMap<>(), pp);
+    org.apache.spark.sql.connector.read.streaming.Offset start =
+        (startJson == null || startJson.isEmpty())
+            ? st.initialOffset() : st.deserializeOffset(startJson);
+    org.apache.spark.sql.connector.read.streaming.Offset end =
+        st.latestOffset();
+    InputPartition[] parts = st.planInputPartitions(start, end);
+    List<String> rels = new ArrayList<>();
+    for (InputPartition ip : parts) {
+      for (Chunk c : ((QuiverInputPartition) ip).chunks) rels.add(c.rel);
+    }
+    java.util.Collections.sort(rels);
+    com.fasterxml.jackson.databind.ObjectMapper om =
+        new com.fasterxml.jackson.databind.ObjectMapper();
+    com.fasterxml.jackson.databind.node.ObjectNode o = om.createObjectNode();
+    o.put("end", end.json());
+    com.fasterxml.jackson.databind.node.ArrayNode arr = o.putArray("files");
+    for (String r : rels) arr.add(r);
+    return o.toString();
   }
 
   /** Test hook: BLAKE2b-128 hex of raw bytes (parity vs hashlib.blake2b). */
@@ -1160,11 +1213,24 @@ public final class QuiverJvmRead {
     /** declared column initial-defaults (raw manifest JSON scalars, typed
      * at read time); null/empty when none were ever declared */
     final java.util.HashMap<String, Object> defaults;
+    /** verify sidecar page crc32s during reads (default). False only via
+     * the explicit `verify_checksums=false` opt-out — trusted storage /
+     * benchmarking the integrity tax; decode-layer structural checks
+     * (header magic, length bounds) always stay on. */
+    final boolean verifyCrc;
 
     Chunk(String file, String rel, int pageStart, int pageEnd,
         java.util.HashMap<String, Object> partVals,
         java.util.HashMap<String, String> cmap, String[] expectCols,
         java.util.HashMap<String, Object> defaults) {
+      this(file, rel, pageStart, pageEnd, partVals, cmap, expectCols,
+          defaults, true);
+    }
+
+    Chunk(String file, String rel, int pageStart, int pageEnd,
+        java.util.HashMap<String, Object> partVals,
+        java.util.HashMap<String, String> cmap, String[] expectCols,
+        java.util.HashMap<String, Object> defaults, boolean verifyCrc) {
       this.file = file;
       this.rel = rel;
       this.pageStart = pageStart;
@@ -1173,6 +1239,7 @@ public final class QuiverJvmRead {
       this.cmap = cmap;
       this.expectCols = expectCols;
       this.defaults = defaults;
+      this.verifyCrc = verifyCrc;
     }
   }
 
@@ -1200,6 +1267,10 @@ public final class QuiverJvmRead {
     final String filesJson;
     final long changesSince; // -1 = off
     final boolean mergeSchemas;
+    /** page-crc verification opt-out (round 16): `verify_checksums=false`
+     * skips loading/checking the sidecar crc32s so the integrity tax is a
+     * measurable A/B number (bench row). Default ON. */
+    final boolean verifyChecksums;
     /** full option map, kept for the streaming path (max_files_per_trigger,
      * start_commit — QuiverJvmStream parses its own). */
     final java.util.HashMap<String, String> raw;
@@ -1210,6 +1281,8 @@ public final class QuiverJvmRead {
       String cs = opts.get("changes_since");
       this.changesSince = cs == null ? -1L : Long.parseLong(cs);
       this.mergeSchemas = "true".equalsIgnoreCase(opts.getOrDefault("merge_schemas", "false"));
+      this.verifyChecksums = !"false".equalsIgnoreCase(
+          opts.getOrDefault("verify_checksums", "true"));
       this.raw = new java.util.HashMap<>(opts);
     }
   }
@@ -1263,21 +1336,14 @@ public final class QuiverJvmRead {
       java.util.Map<String, String> out = new java.util.HashMap<>();
       try {
         String root = resolveRoot(localPath(path), opts.version);
-        // cheap short-circuit for the common UNPARTITIONED table: Hive
-        // keys can only start at the root's immediate children, so no
-        // `k=v` dir there means no partition columns — skip the full
-        // walk this probe would otherwise add to every filtered plan
-        File[] top = new File(root).listFiles();
-        boolean anyKeyDir = false;
-        if (top != null) {
-          for (File t : top) {
-            if (t.isDirectory() && t.getName().indexOf('=') > 0) {
-              anyKeyDir = true;
-              break;
-            }
-          }
-        }
-        if (!anyKeyDir) {
+        // cheap short-circuit for the common UNPARTITIONED table:
+        // discoverPartitions accepts `k=v` segments at ANY depth
+        // (root/batch/day=1/...), so the probe walks DIRECTORIES
+        // recursively — still stat-free per file and exits on the first
+        // key-shaped dir — instead of only the root's children, which
+        // silently lost filter acceptance for nested key layouts
+        // (ADVICE r15 #3)
+        if (!anyKeyDirDeep(new File(root))) {
           partKindsCache = out;
           return out;
         }
@@ -1287,11 +1353,22 @@ public final class QuiverJvmRead {
           PartInfo hive = discoverPartitions(root, files);
           if (hive.cols.length > 0) {
             com.fasterxml.jackson.databind.JsonNode man = readManifestRaw(root);
-            Schema s = man != null ? declaredSchema(man) : null;
-            if (s == null && man != null) s = manifestSchema(man);
-            if (s == null) {
-              PLAN_FOOTER_READS.incrementAndGet();
-              s = readFooter(files.get(0)).arrowSchema;
+            // collision set = the TABLE's data columns. merge-schemas
+            // tables resolve theirs via the union-by-name schema — the
+            // first interned schema may lack a later-file-only column
+            // whose name shadows a key dir, and accepting a filter on it
+            // would consume a predicate the data-wins rule says must be
+            // re-evaluated row-level (ADVICE r15 #2)
+            Schema s;
+            if (opts.mergeSchemas) {
+              s = unionSchema(man, root, files);
+            } else {
+              s = man != null ? declaredSchema(man) : null;
+              if (s == null && man != null) s = manifestSchema(man);
+              if (s == null) {
+                PLAN_FOOTER_READS.incrementAndGet();
+                s = readFooter(files.get(0)).arrowSchema;
+              }
             }
             java.util.Set<String> dataCols = new java.util.HashSet<>();
             for (Field fd : s.getFields()) dataCols.add(fd.getName());
@@ -1374,6 +1451,7 @@ public final class QuiverJvmRead {
       final java.util.Map<String, Long> mins = new java.util.HashMap<>();
       final java.util.Map<String, Long> maxs = new java.util.HashMap<>();
       final java.util.Map<String, Long> sums = new java.util.HashMap<>();
+      final java.util.Map<String, Long> cnts = new java.util.HashMap<>();
       final String[] raws;
 
       GroupAcc(String[] raws) {
@@ -1390,6 +1468,19 @@ public final class QuiverJvmRead {
       return t.equals(DataTypes.ByteType) || t.equals(DataTypes.ShortType)
           || t.equals(DataTypes.IntegerType) || t.equals(DataTypes.LongType)
           || t.equals(DataTypes.DateType);
+    }
+
+    /** Spark types whose sidecar entry is GUARANTEED present when the
+     * file contains the column (format/stats.py supports_stats), so an
+     * absent entry unambiguously means "file predates the column" —
+     * the COUNT(col) acceptance domain. DecimalType is excluded: it maps
+     * from BOTH uint64 (stats recorded) and decimal128 (no stats), so
+     * absence would be ambiguous. */
+    private static boolean countColType(DataType t) {
+      return minMaxType(t) || t.equals(DataTypes.BooleanType)
+          || t.equals(DataTypes.StringType) || t.equals(DataTypes.FloatType)
+          || t.equals(DataTypes.DoubleType) || t.equals(DataTypes.TimestampType)
+          || t.equals(DataTypes.TimestampNTZType);
     }
 
     @Override
@@ -1479,6 +1570,16 @@ public final class QuiverJvmRead {
           if (sm.isDistinct()) return false;
           colExpr = sm.column();
           kind = "sum";
+        } else if (fn instanceof
+            org.apache.spark.sql.connector.expressions.aggregate.Count) {
+          // COUNT(col) = Σ(page_rows − nulls) from the sidecar (round 16,
+          // VERDICT r15 Next #3) — this is also what lets AVG ride: Spark
+          // rewrites a non-complete-pushdown AVG into partial SUM + COUNT
+          org.apache.spark.sql.connector.expressions.aggregate.Count ct =
+              (org.apache.spark.sql.connector.expressions.aggregate.Count) fn;
+          if (ct.isDistinct()) return false;
+          colExpr = ct.column();
+          kind = "countcol";
         } else {
           return false;
         }
@@ -1496,17 +1597,34 @@ public final class QuiverJvmRead {
         } catch (Exception e) {
           return false;
         }
-        if (!minMaxType(sf.dataType())) return false;
-        // SUM is pure-int only (SUM over a date is not SQL; the sidecar
-        // stores no date sums)
-        if ("sum".equals(kind) && sf.dataType().equals(DataTypes.DateType)) {
-          return false;
+        if ("countcol".equals(kind)) {
+          // COUNT needs only per-page null counts, which the sidecar
+          // records for every stats-supported type — wider than the
+          // min/max value domain but still a whitelist: a type OUTSIDE
+          // supports_stats (binary/nested) legitimately has NO sidecar
+          // entry while holding non-null values, so its absence is
+          // ambiguous and must refuse
+          if (!countColType(sf.dataType())) return false;
+        } else {
+          if (!minMaxType(sf.dataType())) return false;
+          // SUM is pure-int only (SUM over a date is not SQL; the sidecar
+          // stores no date sums)
+          if ("sum".equals(kind) && sf.dataType().equals(DataTypes.DateType)) {
+            return false;
+          }
         }
         wants.add(new Object[] {kind, col});
       }
       try {
         String root = resolveRoot(localPath(path), opts.version);
         com.fasterxml.jackson.databind.JsonNode man = readManifestRaw(root);
+        // the same table-level guard every normal read path runs
+        // (heterogeneous schemas, undecodable declared schema, foreign
+        // defaults): a table the scan would refuse loudly must not get a
+        // stats-folded answer instead (ADVICE r15 #1). The guard's UOE
+        // lands in this method's catch → clean refusal → the normal scan
+        // raises the same loudly.
+        guardManifestNode(man, opts.mergeSchemas);
         com.fasterxml.jackson.databind.JsonNode manFiles =
             man == null ? null : man.get("files");
         if (man != null && manFiles == null) return false;
@@ -1546,20 +1664,35 @@ public final class QuiverJvmRead {
             declaredTypes.put(f.getName(), f.getType());
           }
         }
+        boolean anyColWant = false;
         for (Object[] w : wants) {
           if (w[1] == null) continue;
+          anyColWant = true;
           String col = (String) w[1];
           if (!files.isEmpty() && !declaredCols.contains(col)) {
             return false; // partition col (path constant — no zone maps)
           }
           if (defs != null && defs.has(col)) return false;
           ArrowType at = declaredTypes.get(col);
-          if (at instanceof ArrowType.Date
+          if (!"countcol".equals(w[0]) && at instanceof ArrowType.Date
               && ((ArrowType.Date) at).getUnit()
                   != org.apache.arrow.vector.types.DateUnit.DAY) {
             return false; // date64 stats are millis, Spark DateType is days
           }
         }
+        // per-file schema vouching (ADVICE r15 #1): sidecar stats fold
+        // into one answer only when every file's OWN schema types the
+        // wanted columns in the declared physical domain — a foreign
+        // same-named column (date64 millis where the table says int64
+        // days, a renamed drop-in) must refuse, exactly like the normal
+        // scan's per-file openChunk type check. Manifest tables vouch
+        // through the interned schema index; manifest-less dirs read
+        // each footer (the branch below already pays that cost for row
+        // counts). Type maps are cached per interned index.
+        List<Schema> vouchSchemas =
+            anyColWant && man != null ? decodeManifestSchemas(man) : null;
+        java.util.Map<Integer, java.util.Map<String, ArrowType>> vouchTypes =
+            new java.util.HashMap<>();
         // group-by validation: every grouped column must be a REAL Hive
         // partition column (in the paths, not in the data schema — the
         // collision rule gives file data precedence) whose inferred path
@@ -1626,6 +1759,8 @@ public final class QuiverJvmRead {
           java.util.Map<String, Long> sumVals = acc.sums;
           com.fasterxml.jackson.databind.JsonNode sc;
           java.util.HashMap<String, String> cmap = null;
+          long fileRows;
+          java.util.Map<String, ArrowType> fileTypes = null;
           if (man != null) {
             // manifest present: it must vouch for every live byte, and
             // sidecars must be INLINE (no O(files) disk reads on the
@@ -1634,14 +1769,41 @@ public final class QuiverJvmRead {
                 || !e.has("rows")) {
               return false;
             }
-            acc.rows += e.get("rows").asLong();
+            fileRows = e.get("rows").asLong();
+            acc.rows += fileRows;
             sc = e.get("sidecar");
             cmap = entryCmap(e);
+            if (anyColWant) {
+              // vouch this file's own schema via its interned index —
+              // an entry without one cannot prove the wanted columns'
+              // physical domain, so refuse
+              if (!e.has("schema")) return false;
+              int sidx = e.get("schema").asInt();
+              fileTypes = vouchTypes.get(sidx);
+              if (fileTypes == null) {
+                Schema fs = sidx >= 0 && sidx < vouchSchemas.size()
+                    ? vouchSchemas.get(sidx) : null;
+                if (fs == null) return false; // undecodable/foreign index
+                fileTypes = new java.util.HashMap<>();
+                for (Field fld : fs.getFields()) {
+                  fileTypes.put(fld.getName(), fld.getType());
+                }
+                vouchTypes.put(sidx, fileTypes);
+              }
+            }
           } else {
             // manifest-less: per-file footer + disk sidecar (the same
             // O(files) cost this dir's split planning already pays)
             PLAN_FOOTER_READS.incrementAndGet();
-            acc.rows += rowsFromFooter(f, readFooter(f));
+            Footer ftr = readFooter(f);
+            fileRows = rowsFromFooter(f, ftr);
+            acc.rows += fileRows;
+            if (anyColWant) {
+              fileTypes = new java.util.HashMap<>();
+              for (Field fld : ftr.arrowSchema.getFields()) {
+                fileTypes.put(fld.getName(), fld.getType());
+              }
+            }
             File side = new File(f.getPath() + ".stats.json");
             if (!side.isFile()) sc = null;
             else sc = om.readTree(side);
@@ -1668,13 +1830,55 @@ public final class QuiverJvmRead {
             }
             continue;
           }
+          if (anyColWant) {
+            // page_rows must reconcile with the vouched file row count —
+            // a sidecar left behind by an older write is stale and its
+            // per-page stats may describe pages that no longer exist
+            long prSum = 0;
+            for (int p = 0; p < prn.size(); p++) {
+              long prv = prn.get(p).isIntegralNumber()
+                  ? prn.get(p).asLong(-1) : -1;
+              if (prv < 0) return false;
+              prSum += prv;
+            }
+            if (prSum != fileRows) return false;
+          }
           for (Object[] w : wants) {
             if (w[1] == null) continue;
             String col = (String) w[1];
             String phys = cmap != null ? cmap.getOrDefault(col, col) : col;
             com.fasterxml.jackson.databind.JsonNode cn =
                 sc.get("columns").get(phys);
+            // the vouch: the file either lacks the column entirely (it
+            // predates an ALTER add — all-null contribution, and the
+            // sidecar must agree by lacking the entry too) or carries it
+            // in EXACTLY the declared physical domain
+            ArrowType ftype = fileTypes == null ? null : fileTypes.get(phys);
+            if (ftype == null) {
+              if (cn != null) return false; // sidecar names a column the schema lacks
+            } else if (!ftype.equals(declaredTypes.get(col))) {
+              return false; // foreign physical domain (e.g. date64 vs int64)
+            }
             if (cn == null) continue; // file predates the column: all-null
+            if ("countcol".equals(w[0])) {
+              // COUNT(col) = Σ(page_rows − nulls); needs only the null
+              // counts, which every stats-supported column records even
+              // for all-null/NaN pages (format/stats.py page_stats)
+              com.fasterxml.jackson.databind.JsonNode nlc = cn.get("nulls");
+              if (nlc == null || !nlc.isArray() || nlc.size() != prn.size()) {
+                return false;
+              }
+              long nonNull = 0;
+              for (int p = 0; p < nlc.size(); p++) {
+                long rowsP = prn.get(p).asLong(-1);
+                long nullsP = nlc.get(p).isIntegralNumber()
+                    ? nlc.get(p).asLong(-1) : -1;
+                if (nullsP < 0 || nullsP > rowsP) return false;
+                nonNull += rowsP - nullsP;
+              }
+              acc.cnts.merge(col, nonNull, Long::sum);
+              continue;
+            }
             if ("sum".equals(w[0])) {
               com.fasterxml.jackson.databind.JsonNode sm = cn.get("sum");
               com.fasterxml.jackson.databind.JsonNode nl = cn.get("nulls");
@@ -1748,6 +1952,10 @@ public final class QuiverJvmRead {
           if (w[1] == null) {
             schema = schema.add("count(*)" + (i == 0 ? "" : String.valueOf(i)),
                 DataTypes.LongType, false);
+          } else if ("countcol".equals(w[0])) {
+            // COUNT is never null (zero when every row is null)
+            schema = schema.add("count(" + w[1] + ")" + i,
+                DataTypes.LongType, false);
           } else if ("sum".equals(w[0])) {
             // Spark's SUM over any integral input is LongType; a column
             // with zero non-null values sums to NULL
@@ -1770,10 +1978,18 @@ public final class QuiverJvmRead {
           for (int i = 0; i < wants.size(); i++) {
             Object[] w = wants.get(i);
             Object v;
-            if (w[1] == null) v = acc.rows;
-            else if ("sum".equals(w[0])) v = acc.sums.get(w[1]);
-            else if ("min".equals(w[0])) v = acc.mins.get(w[1]);
-            else v = acc.maxs.get(w[1]);
+            if (w[1] == null) {
+              v = acc.rows;
+            } else if ("countcol".equals(w[0])) {
+              Long cv = acc.cnts.get((String) w[1]);
+              v = cv == null ? 0L : cv; // all files predate the column
+            } else if ("sum".equals(w[0])) {
+              v = acc.sums.get(w[1]);
+            } else if ("min".equals(w[0])) {
+              v = acc.mins.get(w[1]);
+            } else {
+              v = acc.maxs.get(w[1]);
+            }
             row[groupCols.size() + i] = v;
           }
           rows[r++] = row;
@@ -1872,22 +2088,17 @@ public final class QuiverJvmRead {
     @Override
     public org.apache.spark.sql.connector.read.streaming.MicroBatchStream
         toMicroBatchStream(String checkpointLocation) {
-      // Spark 4.1.2 never pushes filters into streaming scans (probed:
-      // the stream's source description carries no pushed filters and
-      // rows filter row-level above). If a future Spark starts pushing,
-      // silently ignoring ACCEPTED partition filters would return
-      // unfiltered rows — fail loudly instead until QuiverJvmStream
-      // enforces them.
-      if (partPreds != null && !partPreds.isEmpty()) {
-        throw new UnsupportedOperationException(
-            "quiverjvm: accepted partition filters reached a STREAMING "
-                + "scan — wire partPreds into QuiverJvmStream before "
-                + "allowing this");
-      }
       // streaming source (round 13): micro-batches are deltas of the
       // sorted file listing, planned JVM-side — no per-batch Python
-      // planner-process floor (QuiverJvmStream; Python-twin protocol)
-      return new QuiverJvmStream(path, fullSchema, required, opts.raw);
+      // planner-process floor (QuiverJvmStream; Python-twin protocol).
+      // Accepted partition filters are ENFORCED per batch (round 16,
+      // VERDICT r15 Next #4): Spark 4.1.2 never pushes filters into
+      // streaming scans today, but the moment upstream starts, the
+      // stream filters its per-batch file listing with the same exact
+      // applyPartPreds evaluator — offsets stay monotone (they track ALL
+      // files; non-matching ones are consumed with zero rows planned).
+      return new QuiverJvmStream(path, fullSchema, required, opts.raw,
+          partPreds);
     }
 
     @Override
@@ -1904,6 +2115,11 @@ public final class QuiverJvmRead {
         guardManifestNode(man, opts.mergeSchemas);
         List<File> files = new ArrayList<>();
         listFiles(new File(root), files);
+        // the FULL listing, before any subset option narrows `files` —
+        // merge-schemas collision classification below must union over
+        // the whole table, or a later-file-only column outside the
+        // subset would be misread as a partition key (ADVICE r15 #2)
+        List<File> allListed = new ArrayList<>(files);
 
         // `files` subset (row-level-op rewrites scan ONLY touched files):
         // JSON array of root-relative names, Python-DS parity
@@ -2004,7 +2220,14 @@ public final class QuiverJvmRead {
         // the single pre-filter discovery from above.
         java.util.Set<String> fileColNames = new java.util.HashSet<>();
         if (hive.cols.length > 0) {
-          Schema dataArrow = declaredSchema(man);
+          // merge-schemas: the collision rule judges against the
+          // union-by-name schema over the FULL listing — a data column
+          // present only in later file schemas still wins over the path
+          // constant (ADVICE r15 #2; partitionKinds applies the same
+          // rule so filters on such a column are never accepted)
+          Schema dataArrow = opts.mergeSchemas
+              ? unionSchema(man, root, allListed)
+              : declaredSchema(man);
           if (dataArrow == null) dataArrow = manifestSchema(man);
           if (dataArrow == null && !files.isEmpty()) {
             PLAN_FOOTER_READS.incrementAndGet();
@@ -2297,7 +2520,8 @@ public final class QuiverJvmRead {
           for (int p = 0; p < pb.length; p++) {
             if (keep != null && !keep[p]) {
               if (runStart >= 0) {
-                open.add(new Chunk(fp, rl, runStart, p, pv, cm, expectCols, tblDefaults));
+                open.add(new Chunk(fp, rl, runStart, p, pv, cm, expectCols, tblDefaults,
+                    opts.verifyChecksums));
                 runStart = -1;
               }
               continue;
@@ -2311,14 +2535,16 @@ public final class QuiverJvmRead {
                 if (plannedRows >= planLimit) {
                   // enough leading pages planned to cover the limit —
                   // stop here; Spark's own limit trims above the scan
-                  open.add(new Chunk(fp, rl, runStart, p + 1, pv, cm, expectCols, tblDefaults));
+                  open.add(new Chunk(fp, rl, runStart, p + 1, pv, cm, expectCols, tblDefaults,
+                    opts.verifyChecksums));
                   parts.add(new QuiverInputPartition(open.toArray(new Chunk[0])));
                   return parts.toArray(new InputPartition[0]);
                 }
               }
             }
             if (acc >= floor) {
-              open.add(new Chunk(fp, rl, runStart, p + 1, pv, cm, expectCols, tblDefaults));
+              open.add(new Chunk(fp, rl, runStart, p + 1, pv, cm, expectCols, tblDefaults,
+                    opts.verifyChecksums));
               parts.add(new QuiverInputPartition(open.toArray(new Chunk[0])));
               open = new ArrayList<>();
               runStart = -1;
@@ -2326,9 +2552,11 @@ public final class QuiverJvmRead {
             }
           }
           if (runStart >= 0) {
-            open.add(new Chunk(fp, rl, runStart, pb.length, pv, cm, expectCols, tblDefaults));
+            open.add(new Chunk(fp, rl, runStart, pb.length, pv, cm, expectCols, tblDefaults,
+                    opts.verifyChecksums));
           } else if (pb.length == 0) {
-            open.add(new Chunk(fp, rl, 0, 0, pv, cm, expectCols, tblDefaults));
+            open.add(new Chunk(fp, rl, 0, 0, pv, cm, expectCols, tblDefaults,
+                    opts.verifyChecksums));
           }
         }
         if (!open.isEmpty()) {
@@ -2582,8 +2810,9 @@ public final class QuiverJvmRead {
       // page-body integrity: verify sidecar crc32s during page reads when
       // present and shape-consistent (the Python reader's contract —
       // wrong rows from a flipped bit must never decode silently); a
-      // missing/corrupt/mismatched sidecar only disables verification
-      pageCrcs = loadCrcSidecar(new File(c.file), footer);
+      // missing/corrupt/mismatched sidecar only disables verification,
+      // as does the explicit verify_checksums=false opt-out (bench A/B)
+      pageCrcs = c.verifyCrc ? loadCrcSidecar(new File(c.file), footer) : null;
       // NAME-BASED per-file resolution (declared → physical through the
       // cmap): column order may differ per file, absent columns null-fill
       // (files written before an ALTER add_column), partition columns are

@@ -82,6 +82,8 @@ final class QuiverJvmStream
   private final String tablePath;
   private final StructType fullSchema;
   private final StructType required;
+  private final List<Object[]> partPreds;
+  private final boolean verifyChecksums;
   private final int maxFiles; // <= 0 = unlimited
   private final long startCommit; // < 0 = none
   private final String version; // non-null = stream a PINNED generation
@@ -124,9 +126,21 @@ final class QuiverJvmStream
 
   QuiverJvmStream(String tablePath, StructType fullSchema, StructType required,
       java.util.Map<String, String> opts) {
+    this(tablePath, fullSchema, required, opts, java.util.Collections.emptyList());
+  }
+
+  QuiverJvmStream(String tablePath, StructType fullSchema, StructType required,
+      java.util.Map<String, String> opts, List<Object[]> partPreds) {
     this.tablePath = QuiverJvmRead.localPath(tablePath);
     this.fullSchema = fullSchema;
     this.required = required;
+    // accepted (consumed) partition filters from the batch pushdown path
+    // — Spark will not re-evaluate them, so every planned batch must
+    // enforce them exactly (round 16)
+    this.partPreds = partPreds == null
+        ? java.util.Collections.emptyList() : partPreds;
+    this.verifyChecksums = !"false".equalsIgnoreCase(
+        opts.getOrDefault("verify_checksums", "true"));
     // NOTE: the `_quiver_file` metadata column is effectively
     // BATCH-only today. Spark 4.1.2's streaming DSv2 path resolves a
     // selected metadata column into the relation OUTPUT but never
@@ -290,6 +304,23 @@ final class QuiverJvmStream
       for (String c : hive.cols) {
         if (!fileColNames.contains(c)) partCols.add(c);
       }
+      // accepted partition filters (round 16): Spark consumed them at
+      // batch pushdown, so every planned batch must enforce them exactly.
+      // If a filtered column has meanwhile become a DATA column in the
+      // live schema (the data-wins collision rule), path constants are no
+      // longer authoritative for it — the filter was consumed, so silence
+      // would mean wrong rows: fail loudly, like partFilterMatches' kind
+      // drift.
+      if (!partPreds.isEmpty()) {
+        for (Object[] pp : partPreds) {
+          if (fileColNames.contains((String) pp[1])) {
+            throw new IllegalStateException(
+                "quiverjvm stream: accepted partition-filter column '"
+                    + pp[1] + "' is now a data column — path constants are "
+                    + "no longer authoritative; re-run the query");
+          }
+        }
+      }
       String[] expectCols = null;
       if (man == null || !man.has("table_schema")) {
         List<String> all = new ArrayList<>();
@@ -315,6 +346,13 @@ final class QuiverJvmStream
       for (String rel : fresh) {
         File f = new File(tablePath, rel);
         if (!f.isFile()) continue; // vanished between listing and planning
+        if (!partPreds.isEmpty()
+            && QuiverJvmRead.applyPartPreds(hive,
+                java.util.Collections.singletonList(f), partPreds).isEmpty()) {
+          // exact whole-file drop — the offset still advances past the
+          // file (monotone), it just contributes zero planned rows
+          continue;
+        }
         String dataRel = f.toPath().startsWith(rootP)
             ? rootP.relativize(f.toPath()).toString().replace(File.separatorChar, '/')
             : null;
@@ -330,7 +368,7 @@ final class QuiverJvmStream
         }
         chunks.add(new QuiverJvmRead.Chunk(
             f.getPath(), dataRel == null ? rel : dataRel, 0, -1,
-            partVals, cmap, expectCols, tblDefaults));
+            partVals, cmap, expectCols, tblDefaults, verifyChecksums));
         sizes.add(f.length());
         totalBytes += f.length();
       }

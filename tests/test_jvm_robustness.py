@@ -219,11 +219,15 @@ def test_jvm_count_pushdown_reads_zero_pages(spark, tmp_path):
     assert df.count() == 20000
     plan = df.groupBy().count()._jdf.queryExecution().executedPlan().toString()
     assert "count(*)" in plan.split("BatchScan")[-1], plan
-    # SUM(id) also answers from metadata now; AVG is not pushable, so it
-    # must actually read pages and refuse loudly via the crc check
+    # SUM(id), COUNT(col), and AVG (partial SUM+COUNT rewrite) all answer
+    # from metadata now (round 16) — still zero page reads
     assert df.selectExpr("sum(id)").collect()[0][0] == sum(range(20000))
+    assert df.selectExpr("count(id)").collect()[0][0] == 20000
+    assert df.selectExpr("avg(id)").collect()[0][0] == sum(range(20000)) / 20000
+    # COUNT(DISTINCT col) is NOT pushable — it must actually read pages
+    # and refuse loudly via the crc check
     with pytest.raises(Exception):
-        df.selectExpr("avg(id)").collect()
+        df.selectExpr("count(distinct id)").collect()
     # a filtered count does NOT push down (and here fails loudly on the
     # corrupt pages instead of fabricating a number)
     fplan = (

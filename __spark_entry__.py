@@ -22,94 +22,90 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 15 window (50). Staleness audit at the start of round 15 (computed
-# from CORRECTNESS_r1..r14; every one of the 204 queries registered then
-# has at least one driver-green row and ZERO hard failures ever — the two
-# historical `no_oracle` rows are the designed rows-only checks):
-# r10-stale = 15, r11 = 48, r12 = 46, r13 = 45, r14 = 50; 5 new gates
-# this round (209 total). Window: (a) the 5 NEW round-15 gates
-# (spherical k-means, SemDeDup blocking on it, the unified batch write
-# router, metadata-served COUNT/MIN/MAX/SUM pushdown, and the
-# partition-grouped pushdown) — every new gate gets a
-# driver row in its birth round, keeping the all-queries-driver-green
-# union invariant; (b) the 4 queries whose ENGINE or SHAPE materially
-# changed this round (SemDeDup's report stage became a union-aggregate
-# via the shared _sem_pairs; the epoch-shuffle rank is now
-# range-partitioned; quiverjvm_scan_agg representing the hardened JVM
-# read path — header-magic check + sidecar crc32 verification on every
-# page read; the JVM streaming sink's GC walk became
-# cutoff-short-circuiting); (c) the 15 r10-stale rows deferred from
-# round 14 — the oldest cohort, now cleared; (d) 26 of the 48 r11-stale
-# rows, prioritizing format-path scans (the CRC change touches every
-# quiverjvm read) and operator-logic pipelines over simple relational
-# rows. 5+4+15+26 = 50; position 51+ falls back to registry order. The
-# 22 r11-stale rows deferred to round 16 (they will head its window)
-# are the simple relational/scalar operators with every-round pytest
-# parity and no code motion since r11 — plus text_fingerprint
-# (rolling-hash pipeline, pytest parity every round, displaced by the
-# fifth new gate): agg_collect_sorted,
-# agg_minby_maxby, agg_quantiles, agg_stats_moments, agg_string_ordered,
-# case_when_buckets, distinct_counts, grouped_minmax_norm,
-# in_between_filter, null_handling, q12_priority_shipping,
-# scalar_array_funcs, scalar_json_funcs, scalar_regexp_funcs,
-# setop_bag_semantics, setop_intersect_all, setop_union_distinct,
-# text_lang_id, text_length_histogram, text_quality_stats,
-# text_token_topk.
+# Round 16 window (50). Staleness audit at the start of round 16 (computed
+# from CORRECTNESS_r01..r15; every one of the 209 queries registered then
+# has at least one driver-green row and ZERO hard failures ever):
+# r11-stale = 22, r12 = 46, r13 = 45, r14 = 46, r15 = 50; 2 new gates
+# this round (211 total). Window: (a) the 2 NEW round-16 gates
+# (COUNT(col)/AVG metadata pushdown; exact-collapsed SemDeDup) — every
+# new gate gets a driver row in its birth round, keeping the
+# all-queries-driver-green union invariant; (b) the 5 queries whose
+# ENGINE or SHAPE materially changed this round (both SemDeDup gates:
+# corpus-derived K via sem_auto_k + the predicted_recall column; the
+# three aggregate-pushdown / partition-classification gates riding the
+# hardened acceptance path — per-file schema vouching, page_rows
+# reconciliation, union-schema collision rule, deep key-dir probe);
+# (c) the 22 r11-stale rows deferred from round 15 — the oldest cohort,
+# now cleared; (d) 21 of the 46 r12-stale rows, prioritizing the format
+# scans the round-16 JVM changes touch (merge-schemas, partitioned,
+# pruned, quiverjvm_*) and ANN pipelines over simple relational rows.
+# 2+5+22+21 = 50; position 51+ falls back to registry order. The 25
+# r12-stale rows deferred to round 17 (they will head its window) are
+# simple scan/relational/scalar rows with every-round pytest parity and
+# no code motion since r12: approx_distinct_parts,
+# pipeline_mixture_weights, quiver_scan_bools, quiver_scan_decimals,
+# quiver_scan_delta, quiver_scan_documents, quiver_scan_embeddings,
+# quiver_scan_freq, quiver_scan_nested_types, quiver_scan_uints,
+# quiver_sql_view_agg, sample_per_source_topk, sample_stratified_docs,
+# scalar_date_funcs, scalar_map_funcs, scalar_math_funcs,
+# scalar_string_funcs, scalar_subquery_above_avg, setop_union_counts,
+# text_bigram_topk, text_repetition_stats, text_type_token_ratio,
+# text_zipf_slope, topk_orders, unpivot_lineitem_metrics.
 _PRIORITY = [
-    # (a) new round-15 gates
-    "embedding_kmeans_cosine",
-    "dedup_semantic_semdedup_cos",
-    "quiver_write_unified_scan",
-    "quiver_count_pushdown",
-    "quiver_grouped_count_pushdown",
+    # (a) new round-16 gates
+    "quiver_countcol_pushdown",
+    "dedup_semantic_semdedup_collapsed",
     # (b) materially changed this round
     "dedup_semantic_semdedup",
-    "pipeline_epoch_shuffle_plan",
-    "quiverjvm_scan_agg",
-    "quiverjvm_stream_sink_scan",
-    # (c) the 15 round-10-stale rows deferred from round 14
-    "anti_join_customers",
-    "cube_orders",
-    "dedup_simhash",
-    "multimodal_binary_meta",
-    "nonequi_acctbal_pairs",
-    "outer_join_coverage",
-    "quiver_analyze_stats",
-    "rollup_returns",
-    "semi_join_customers",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "window_lag_gap",
-    "window_ntile_share",
-    "window_rank_orders",
-    "window_running_total",
-    # (d) 26 of the 48 round-11-stale rows (format paths + pipelines)
-    "arrow_ipc_scan",
-    "quiver_inplace_compact_scan",
-    "quiver_narrow_projection",
-    "quiver_scan_events",
-    "quiverjvm_alter_scan",
+    "dedup_semantic_semdedup_cos",
+    "quiver_count_pushdown",
+    "quiver_grouped_count_pushdown",
     "quiverjvm_partitioned_ingest",
-    "ann_ivf_topk",
-    "decontaminate_eval_overlap",
-    "dedup_canonical_docs",
-    "dedup_clusters",
-    "dedup_cross_source_matrix",
-    "dedup_minhash_signature",
-    "embedding_norm_stats",
-    "events_anomaly_hours",
-    "events_gapfill_hourly",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_pivot_types",
-    "events_sessionize",
-    "events_sliding_daily",
-    "events_transition_matrix",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    "pipeline_pack_sequences",
-    "sample_token_budget",
-    "text_context_windows",
+    # (c) the 22 round-11-stale rows deferred from round 15
+    "agg_collect_sorted",
+    "agg_minby_maxby",
+    "agg_quantiles",
+    "agg_stats_moments",
+    "agg_string_ordered",
+    "case_when_buckets",
+    "distinct_counts",
+    "grouped_minmax_norm",
+    "in_between_filter",
+    "null_handling",
+    "q12_priority_shipping",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "scalar_regexp_funcs",
+    "setop_bag_semantics",
+    "setop_intersect_all",
+    "setop_union_distinct",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_length_histogram",
+    "text_quality_stats",
+    "text_token_topk",
+    # (d) 21 of the 46 round-12-stale rows (format paths + ANN)
+    "quiver_merge_schemas_scan",
+    "quiver_partitioned_scan",
+    "quiver_pruned_date_scan",
+    "quiverjvm_default_fill_scan",
+    "quiverjvm_limit_scan",
+    "quiverjvm_nested_scan",
+    "quiverjvm_uint_scan",
+    "quiver_batch_read",
+    "quiver_compacted_scan",
+    "quiver_manifest_packed_scan",
+    "quiver_manifest_rebuild_scan",
+    "quiver_rollback_scan",
+    "quiver_scan_q1",
+    "quiver_scan_checksums",
+    "quiver_adaptive_zstd_join",
+    "ann_cosine_topk",
+    "ann_dot_topk",
+    "ann_lsh_bucketed_pairs",
+    "ann_sq8_topk",
+    "text_char_lm_score",
+    "q13_customer_distribution",
 ]
 
 

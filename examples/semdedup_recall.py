@@ -29,11 +29,107 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _collapsed_recall(spark, fixture: str, factor: int) -> int:
+    """Weighted kept-pair recall of the COLLAPSED operator (round 16):
+    identical vectors collapse to (rep, weight) before clustering, so
+    every identity pair (C(w,2) per rep — the bulk of a duplicate-heavy
+    corpus) is kept closed-form regardless of subsharding; the cap's
+    loss applies only to cross-rep pairs, and sem_auto_k keeps distinct
+    clusters near SEM_TARGET. Audits ALL clusters (the distinct corpus
+    is small by construction)."""
+    from pyspark.sql import functions as F
+
+    from quiver_spark.functions import int_dot
+    from quiver_spark.operators.pipeline9 import (
+        SEM_CAP_D,
+        SEM_TAU,
+        _l2_seed_assign,
+        sem_auto_k,
+    )
+    from quiver_spark.operators.similarity2 import _int_corpus
+
+    reps = (
+        _int_corpus(spark, fixture)
+        .groupBy("iv")
+        .agg(F.min("vec_id").alias("vec_id"), F.count(F.lit(1)).alias("w"))
+        .withColumn("nrm", int_dot("iv", "iv"))
+        .select("vec_id", "iv", "nrm", "w")
+        .localCheckpoint(eager=False)
+    )
+    n_distinct = reps.count()
+    k = sem_auto_k(n_distinct)
+    assign = _l2_seed_assign(reps, k).localCheckpoint(eager=False)
+    sizes = (
+        assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("szd"))
+        .withColumn(
+            "nsub",
+            F.expr(f"CAST((szd + {SEM_CAP_D - 1}) DIV {SEM_CAP_D} AS BIGINT)"),
+        )
+    )
+    ident = assign.agg(
+        F.sum(F.expr("w * (w - 1) DIV 2")).alias("s")
+    ).collect()[0]["s"] or 0
+    sub = assign.join(F.broadcast(sizes), "cid").select(
+        "cid", "vec_id", "iv", "nrm", "w",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint") % F.col("nsub")
+        ).alias("subk"),
+    ).localCheckpoint(eager=False)
+    a = sub.select(
+        "cid", "subk", F.col("vec_id").alias("va"),
+        F.col("iv").alias("iva"), F.col("nrm").alias("na"),
+        F.col("w").alias("wa"),
+    )
+    b = sub.select(
+        "cid", "subk", F.col("vec_id").alias("vb"),
+        F.col("iv").alias("ivb"), F.col("nrm").alias("nb"),
+        F.col("w").alias("wb"),
+    )
+    cosv = int_dot("iva", "ivb").cast("double") / (
+        F.sqrt(F.col("na").cast("double"))
+        * F.sqrt(F.col("nb").cast("double"))
+    )
+
+    def dup_weight(joined):
+        r = (
+            joined.filter(F.col("va") < F.col("vb"))
+            .filter(cosv >= SEM_TAU)
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("s"))
+            .collect()[0]["s"]
+        )
+        return r or 0
+
+    tot_cross = dup_weight(a.drop("subk").join(b.drop("subk"), ["cid"]))
+    kept_cross = dup_weight(a.join(b, ["cid", "subk"]))
+    total = ident + tot_cross
+    kept = ident + kept_cross
+    out = {
+        "factor": factor,
+        "mode": "collapsed",
+        "n_distinct": n_distinct,
+        "auto_k": k,
+        "dup_pairs_identity_weighted": int(ident),
+        "dup_pairs_cross_unblocked_weighted": int(tot_cross),
+        "dup_pairs_cross_kept_weighted": int(kept_cross),
+        "dup_pairs_unblocked": int(total),
+        "dup_pairs_kept": int(kept),
+        "recall": round(kept / total, 4) if total else None,
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
     ap.add_argument("--clusters", type=int, default=3,
                     help="largest over-cap clusters to audit")
+    ap.add_argument("--collapsed", action="store_true",
+                    help="audit the exact-collapsed operator (weighted)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -50,6 +146,9 @@ def main() -> int:
     spark = get_spark("semdedup-recall")
     fixture = build_fixture(spark, args.factor)
     print(f"fixture: {fixture}", file=sys.stderr)
+
+    if args.collapsed:
+        return _collapsed_recall(spark, fixture, args.factor)
 
     assign = _sem_assign_l2(spark, fixture).localCheckpoint(eager=False)
     sizes = (

@@ -408,6 +408,78 @@ def quiver_grouped_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame
     return g
 
 
+def _countcol_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Marker-cached orders derivative with NULL-bearing long and string
+    columns (TPC-H proper has no nulls), ingested via the JVM writer —
+    the COUNT(col)/AVG pushdown fixture."""
+    from quiver_spark.maintenance import ingest
+    from quiver_spark.operators.format_queries import CACHE_ROOT
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_ROOT, tag, "orders-countcol-jvm")
+    marker = os.path.join(d, "_done_countcol")
+    if not os.path.exists(marker):
+        src = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+            "o_orderkey",
+            "IF(o_orderkey % 3 = 0, CAST(NULL AS BIGINT), o_custkey) AS v",
+            "IF(o_orderkey % 7 = 0, CAST(NULL AS STRING),"
+            " o_orderpriority) AS c",
+        )
+        info = ingest(spark, src, d, codec="zstd")
+        if info["engine"] != "jvm":
+            raise RuntimeError(
+                f"quiverjvm countcol ingest fell back to engine={info['engine']}"
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "quiver_countcol_pushdown",
+    oracle="""
+WITH t AS (
+    SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS v,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderpriority END AS c
+    FROM orders
+)
+SELECT COUNT(*) AS total_cnt,
+       COUNT(v) AS v_cnt,
+       COUNT(c) AS c_cnt,
+       CAST(AVG(v) AS DOUBLE) AS v_avg,
+       CAST(SUM(v) AS BIGINT) AS v_sum
+FROM t
+""",
+    tags=("format", "jvm", "scan", "agg", "pushdown"),
+)
+def quiver_countcol_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(col) + AVG metadata pushdown (round 16, VERDICT r15 Next
+    #3): COUNT(col) = Σ(page_rows − nulls) from the sidecar's per-page
+    null counts, and AVG rides as Spark's partial SUM+COUNT rewrite —
+    so null-aware counts and means over a 100 TB table read ZERO pages.
+    Every file's schema is vouched (interned manifest index) before its
+    stats fold, and page_rows must reconcile with the manifest row count
+    (stale sidecars refuse). Pushdown asserted in-query; the oracle
+    replays the same aggregate over the source parquet."""
+    d = _countcol_orders_dir(spark, sf_dir)
+    agg = _jvm_scan(spark, d).agg(
+        F.count(F.lit(1)).alias("total_cnt"),
+        F.count("v").alias("v_cnt"),
+        F.count("c").alias("c_cnt"),
+        F.avg("v").alias("v_avg"),
+        F.sum("v").alias("v_sum"),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("BatchScan")[-1]
+    for token in ("count(v)", "count(c)", "sum(v)"):
+        if token not in scan:
+            raise RuntimeError(
+                f"COUNT(col)/AVG pushdown did not engage for {token}:\n{plan}"
+            )
+    return agg
+
+
 @register(
     "quiverjvm_alter_scan",
     oracle="""

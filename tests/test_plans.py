@@ -716,3 +716,29 @@ def test_semdedup_cos_blocking_key_is_only_corpus_shuffle(spark):
     assert plan.count("SortMergeJoin") == 1, plan  # the pair self-join
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_collapsed_plan_and_auto_k(spark):
+    """dedup_semantic_semdedup_collapsed: ONE corpus-scale shuffle for
+    the exact-collapse groupBy, a distinct-scale pair self-join, the
+    two-level routed assignment as broadcast folds (no corpus join), a
+    union-aggregate report, no window, no Python eval. Plus the
+    executable K rule itself: sem_auto_k tracks ceil(N/SEM_TARGET)
+    inside the clamp."""
+    from quiver_spark.operators.pipeline9 import (
+        SEM_K_MAX,
+        SEM_K_MIN,
+        SEM_TARGET,
+        sem_auto_k,
+    )
+
+    assert sem_auto_k(0) == SEM_K_MIN
+    assert sem_auto_k(SEM_TARGET * SEM_K_MIN) == SEM_K_MIN
+    assert sem_auto_k(SEM_TARGET * 100) == 100
+    assert sem_auto_k(SEM_TARGET * 100 + 1) == 101
+    assert sem_auto_k(10**12) == SEM_K_MAX
+    plan = _plan_no_autobroadcast(spark, "dedup_semantic_semdedup_collapsed")
+    assert plan.count("SortMergeJoin") == 1, plan  # the pair self-join
+    assert "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

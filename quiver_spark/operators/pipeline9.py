@@ -739,10 +739,17 @@ def _l2_seed_assign(reps: DataFrame, k: int) -> DataFrame:
     seed routes to its own group (both argmins share the router metric)
     and assigns to itself — flat-argmin parity where it matters.
 
-    Everything is a map-side broadcast fold: routers and the
-    group→seeds map collapse into ONE broadcast row; the corpus never
-    shuffles to be assigned (the k-means round-14 contract)."""
-    from quiver_spark.operators.similarity2 import _DIST2
+    Everything stays map-side: the seeds are driver-collected (k×d only
+    — the MLlib centroid pattern) and the routed argmin runs as numpy
+    matmuls per Arrow batch (round 16, optimization guide §4.2 — the
+    interpreted O(√k·d)-per-row Catalyst fold was the dominant per-row
+    cost); the corpus never shuffles to be assigned (the k-means
+    round-14 contract). Bit-identical to the fold it replaces: exact
+    int64 d2 via the nrm + cn − 2·dot identity, first-minimum ties over
+    rid-/cid-ascending candidates."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from quiver_spark.operators.similarity2 import _cent_np
 
     k1 = math.isqrt(max(k - 1, 0)) + 1  # exact ⌈√k⌉
     cent = (
@@ -750,54 +757,62 @@ def _l2_seed_assign(reps: DataFrame, k: int) -> DataFrame:
         .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("iv").alias("cv"))
     )
-    routers = (
-        cent.orderBy("cid")
-        .limit(k1)
-        .agg(
-            F.expr(
-                "sort_array(collect_list(named_struct('rid', cid, 'rv', cv)))"
-            ).alias("routers")
-        )
+    cids, C = _cent_np(cent)
+    spark = reps.sparkSession
+    bc = spark.sparkContext.broadcast((cids, C, k1))
+    in_names = list(reps.columns)
+    ivi = in_names.index("iv")
+    out_names = in_names + ["cid"]
+    schema = StructType(
+        list(reps.schema.fields) + [StructField("cid", LongType(), False)]
     )
-    def route(vcol: str) -> str:
-        d2r = _DIST2.format(v=vcol, c="r.rv")
-        return f"""
-    aggregate(
-        transform(routers, r -> named_struct('d2', {d2r}, 'rid', r.rid)),
-        CAST(NULL AS STRUCT<d2: BIGINT, rid: BIGINT>),
-        (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s)).rid
-    """
 
-    # seed → router group via the same fold (k × k1 work, one tiny stage)
-    grouped = cent.crossJoin(F.broadcast(routers)).select(
-        "cid", "cv", F.expr(route("cv")).alias("g")
-    )
-    gm = (
-        grouped.groupBy("g")
-        .agg(
-            F.expr(
-                "sort_array(collect_list(named_struct('cid', cid, 'cv', cv)))"
-            ).alias("seeds")
-        )
-        .agg(
-            F.expr(
-                "map_from_entries(collect_list(named_struct('g', g,"
-                " 'seeds', seeds)))"
-            ).alias("gm")
-        )
-        .crossJoin(routers)
-    )
-    d2c = _DIST2.format(v="iv", c="c.cv")
-    best = f"""
-    aggregate(
-        transform(element_at(gm, ({route("iv")})), c ->
-            named_struct('d2', {d2c}, 'cid', c.cid)),
-        CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
-        (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s)).cid
-    """
-    return reps.crossJoin(F.broadcast(gm)).select(
-        *[F.col(c) for c in reps.columns], F.expr(best).alias("cid")
-    )
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from quiver_spark.operators.similarity2 import _list_matrix
+
+        cids_, C_, k1_ = bc.value
+        R = C_[:k1_]  # routers = the k1 lowest-cid seeds
+        rcn = (R * R).sum(axis=1)
+        RT = np.ascontiguousarray(R.T)
+
+        def route(X, nrm):
+            # exact int64 d2 to each router; first min = lowest rid
+            d2 = nrm[:, None] + rcn[None, :] - 2 * (X @ RT)
+            return np.argmin(d2, axis=1)
+
+        scn = (C_ * C_).sum(axis=1)
+        g_seed = route(C_, scn)
+        groups = [np.nonzero(g_seed == g)[0] for g in range(k1_)]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = _list_matrix(batch.column(ivi), n)
+            nrm = (X * X).sum(axis=1)
+            gx = route(X, nrm)
+            cid = np.empty(n, dtype=np.int64)
+            for g in np.unique(gx):
+                m = gx == g
+                idxs = groups[g]
+                if len(idxs) == 0:
+                    # unreachable by the shared tie rule (a row only
+                    # routes to a group whose router routed to itself)
+                    raise ValueError(f"empty seed group {g} in routed assign")
+                S = C_[idxs]
+                d2 = (
+                    nrm[m][:, None]
+                    + scn[idxs][None, :]
+                    - 2 * (X[m] @ S.T)
+                )
+                cid[m] = cids_[idxs[np.argmin(d2, axis=1)]]
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(cid)], names=out_names
+            )
+
+    return reps.mapInArrow(fn, schema)
 
 
 def _sem_assign_l2(spark: SparkSession, sf_dir: str) -> DataFrame:

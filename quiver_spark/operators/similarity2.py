@@ -45,6 +45,114 @@ _DIST2 = (
 )
 
 
+# --------------------------------------------------------------------------
+# Vectorized centroid assignment (round 16, optimization guide §4.2)
+#
+# The interpreted Catalyst fold over K centroids costs O(K·d) allocating
+# lambda steps PER ROW; with the corpus-derived K of the SemDeDup gates
+# (sem_auto_k: K ∝ N) that assignment pass is the dominant wall in every
+# k-means-blocked query (measured round 16: dedup_semantic_semdedup_cos
+# 5.0 s at sf0.1, ~3 s of it the two training folds). These helpers run
+# the SAME exact argmin/argmax as the folds — one numpy matmul per Arrow
+# batch — with centroids collected to the driver per Lloyd round (K×d
+# only, the Spark MLlib KMeans pattern) and shipped via a broadcast
+# variable. Bit-identical by construction:
+#   * integer dots/d2 are exact int64 (|dot| ≤ d·scale² < 2^53; the
+#     nrm + cn − 2·dot identity equals the fold's Σ(x−y)² in integers);
+#   * cosine scores divide/sqrt the SAME float64 operands the fold casts;
+#   * np.argmin/argmax keep the FIRST optimum over cid-ascending
+#     centroids — the folds' lowest-cid tie rule.
+# The corpus still never shuffles to be assigned: mapInArrow is a
+# map-side node, exactly like the broadcast fold it replaces.
+# --------------------------------------------------------------------------
+
+
+def _cent_np(cent: DataFrame, id_col: str = "cid", vec_col: str = "cv"):
+    """Driver-side centroid materialization → (cids, C) sorted by cid,
+    as int64 numpy arrays. K×d values only — metadata-scale at any
+    corpus size (the K_MAX clamp bounds it at ~33 MB)."""
+    import numpy as np
+
+    rows = cent.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in rows], dtype=np.int64)
+    return cids, C.reshape(len(rows), -1)
+
+
+def _list_matrix(arr, n: int):
+    """Arrow list<int64> column → (n, d) int64 matrix, zero-copy off the
+    child buffer. Raises on nulls/ragged rows (the int corpus is uniform
+    by construction — a violation is data corruption, not a case)."""
+    import numpy as np
+
+    if arr.null_count:
+        raise ValueError("null embedding vector in assignment input")
+    off = np.asarray(arr.offsets)
+    child = np.asarray(arr.values)
+    w = np.diff(off)
+    if n and not (w == w[0]).all():
+        raise ValueError("ragged embedding vectors in assignment input")
+    d = int(w[0]) if n else 0
+    return (
+        child[int(off[0]) : int(off[0]) + n * d]
+        .reshape(n, d)
+        .astype(np.int64, copy=False)
+    )
+
+
+def _np_assign(emb: DataFrame, cids, C, mode: str, out_cols) -> DataFrame:
+    """Exact vectorized assignment: appends ``out_cols`` (cid + dotv for
+    mode='cos', cid + d2 for mode='l2') to every row of ``emb``. Every
+    input column rides through (the k-means round-14 contract)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((cids, C))
+    in_names = list(emb.columns)
+    ivi = in_names.index("iv")
+    out_names = in_names + list(out_cols)
+    schema = StructType(
+        list(emb.schema.fields)
+        + [StructField(c, LongType(), False) for c in out_cols]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cids_, C_ = bc.value
+        CT = np.ascontiguousarray(C_.T)
+        cn = (C_ * C_).sum(axis=1)
+        if mode == "cos":
+            sq = np.sqrt(cn.astype(np.float64))
+            zero = cn == 0
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = _list_matrix(batch.column(ivi), n)
+            dots = X @ CT
+            if mode == "cos":
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sc = dots / sq
+                if zero.any():
+                    sc[:, zero] = -np.inf
+                idx = np.argmax(sc, axis=1)
+                extra = [cids_[idx], dots[np.arange(n), idx]]
+            else:
+                nrm = (X * X).sum(axis=1)
+                d2 = nrm[:, None] + cn[None, :] - 2 * dots
+                idx = np.argmin(d2, axis=1)
+                extra = [cids_[idx], d2[np.arange(n), idx]]
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(e) for e in extra],
+                names=out_names,
+            )
+
+    return emb.mapInArrow(fn, schema)
+
+
 def _km_oracle() -> str:
     """Unrolled two-iteration Lloyd chain over the exploded int view."""
     steps = []
@@ -115,7 +223,7 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = None
     for it in range(1, KM_ITERS + 1):
-        assign = _km_assign(emb, cent)
+        assign = _np_assign(emb, *_cent_np(cent), "l2", ("cid", "d2"))
         if it < KM_ITERS:
             cent = _km_update(assign)
     return assign.groupBy("cid").agg(
@@ -127,37 +235,6 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _int_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return e.select("vec_id", int_vec("embedding").alias("iv"))
-
-
-def _km_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Map-side nearest-centroid assignment: the K centroids collapse into
-    ONE broadcast row holding a cid-sorted struct array, and each corpus
-    row folds over it for the exact-int argmin — no window, no exchange;
-    the corpus does not shuffle to be assigned."""
-    carr = cent.agg(
-        F.expr(
-            "sort_array(collect_list(named_struct('cid', cid, 'cv', cv)))"
-        ).alias("cents")
-    )
-    d2c = _DIST2.format(v="iv", c="c.cv")
-    # cents is cid-ascending and the fold keeps the FIRST strict minimum,
-    # so ties resolve to the lowest cid — the oracle's (d2, cid) order
-    best = f"""
-    aggregate(
-        transform(cents, c -> named_struct('d2', {d2c}, 'cid', c.cid)),
-        CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
-        (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s))
-    """
-    # iv rides along so the update step can posexplode straight off the
-    # assignment — re-joining the corpus on vec_id here would put the
-    # embeddings scan on a join build side (a full corpus shuffle per
-    # Lloyd round once the corpus outgrows the broadcast threshold).
-    return emb.crossJoin(F.broadcast(carr)).select(
-        "vec_id",
-        "iv",
-        F.expr(best + ".cid").alias("cid"),
-        F.expr(best + ".d2").alias("d2"),
-    )
 
 
 def _km_update(assign: DataFrame) -> DataFrame:
@@ -188,55 +265,6 @@ def _km_update(assign: DataFrame) -> DataFrame:
 # Spherical (cosine) k-means — SemDeDup's actual clustering geometry
 # --------------------------------------------------------------------------
 
-_DOT = (
-    "aggregate(zip_with({v}, {c}, (x, y) -> x * y),"
-    " CAST(0 AS BIGINT), (acc, d) -> acc + d)"
-)
-
-
-def _km_assign_cos(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Map-side MAX-COSINE assignment: like _km_assign, the centroids
-    collapse into one broadcast row and each corpus row folds over it —
-    no window, no exchange, the corpus never shuffles to be assigned.
-    Every column of ``emb`` rides through (the k-means round-14
-    contract: downstream consumers never re-join the corpus).
-
-    cos(x, c) = dot/(|x|·|c|); |x| is constant per row, so the argmax
-    needs only dot/√cn with cn = |c|² precomputed INTO the broadcast
-    (one sqrt per centroid per row, no per-component float math). dot
-    and cn are exact BIGINTs < 2^53, so the IEEE divide/sqrt see
-    identical operands on both engines; a degenerate all-zero centroid
-    scores -inf instead of NaN so it can never capture a row."""
-    carr = cent.select(
-        "cid", "cv", int_dot("cv", "cv").alias("cn")
-    ).agg(
-        F.expr(
-            "sort_array(collect_list(named_struct("
-            "'cid', cid, 'cv', cv, 'cn', cn)))"
-        ).alias("cents")
-    )
-    dotc = _DOT.format(v="iv", c="c.cv")
-    score = (
-        f"IF(c.cn = 0, CAST('-Infinity' AS DOUBLE), "
-        f"CAST({dotc} AS DOUBLE) / SQRT(CAST(c.cn AS DOUBLE)))"
-    )
-    # cents is cid-ascending and the fold keeps the FIRST strict maximum,
-    # so ties resolve to the lowest cid — the oracle's (sc DESC, cid) order
-    best = f"""
-    aggregate(
-        transform(cents, c -> named_struct(
-            'sc', {score}, 'dot', {dotc}, 'cid', c.cid)),
-        CAST(NULL AS STRUCT<sc: DOUBLE, dot: BIGINT, cid: BIGINT>),
-        (s, x) -> IF(s IS NULL OR x.sc > s.sc, x, s))
-    """
-    cols = list(emb.columns)
-    return emb.crossJoin(F.broadcast(carr)).select(
-        *cols,
-        F.expr(best + ".cid").alias("cid"),
-        F.expr(best + ".dot").alias("dotv"),
-    )
-
-
 def spherical_kmeans(emb: DataFrame, k: int, iters: int) -> DataFrame:
     """Spherical k-means (Dhillon & Modha 2001): maximize cosine to the
     centroid instead of minimizing L2. The centroid update is the SAME
@@ -247,8 +275,10 @@ def spherical_kmeans(emb: DataFrame, k: int, iters: int) -> DataFrame:
     un-normalized mean IS the normalized-mean variant with one fewer
     float pass. Seeds = the k lowest vec_ids. Returns the final
     assignment with every input column riding through plus (cid, dotv).
-    Zero joins between corpus-scale relations: assignment is a broadcast
-    fold, the update shuffles only (cid, component) partial sums."""
+    Zero joins between corpus-scale relations: assignment is the
+    vectorized map-side _np_assign (round 16: numpy matmul per Arrow
+    batch, centroids driver-collected per round — the MLlib pattern),
+    the update shuffles only (cid, component) partial sums."""
     cent = (
         emb.select("vec_id", "iv")
         .orderBy("vec_id")
@@ -257,7 +287,7 @@ def spherical_kmeans(emb: DataFrame, k: int, iters: int) -> DataFrame:
     )
     assign = None
     for it in range(1, iters + 1):
-        assign = _km_assign_cos(emb, cent)
+        assign = _np_assign(emb, *_cent_np(cent), "cos", ("cid", "dotv"))
         if it < iters:
             cent = _km_update(
                 assign.select("cid", "iv")
@@ -783,6 +813,127 @@ SELECT i, v AS loading FROM v{PCA_ITERS}
 """
 
 
+def _round_half_up(x: float) -> int:
+    """Driver-side replica of Spark's ROUND(double): RoundBase quantizes
+    the double's SHORTEST decimal representation (BigDecimal.valueOf)
+    with HALF_UP (ties away from zero). Python's repr() is the same
+    shortest round-trip decimal and decimal.ROUND_HALF_UP the same tie
+    rule, so intermediate power-iteration vectors re-quantized here are
+    bit-identical to the DataFrame expression they replace
+    (tests/test_plans.py::test_round_half_up_matches_spark pins the
+    boundary cases)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _lit_bigint_array(vals) -> str:
+    """SQL literal for an exact BIGINT array (a driver-computed
+    direction vector entering a corpus pass as a constant — no 1-row
+    crossJoin/broadcast build per round)."""
+    return (
+        "array(" + ", ".join(f"CAST({int(v)} AS BIGINT)" for v in vals) + ")"
+    )
+
+
+def _pca_ys(emb: DataFrame, vecs, names) -> DataFrame:
+    """One corpus pass computing y_j = Xᵀ(X·v_j) for SEVERAL literal
+    direction vectors at once (independent directions share the scan and
+    the 64-key shuffle). Vectorized (round 16, guide §4.2 — the
+    interpreted fold + posexplode ran 64·N rows through one task): two
+    numpy matmuls per Arrow batch emit a 64-row EXACT partial sum, and
+    ONE 64-key decimal(38,0) aggregate folds the per-batch partials
+    (map-combined — the shuffle carries 64 keys regardless of corpus
+    size, exactly as before).
+
+    Exactness: s = X·v is exact int64 (|s| ≤ 64·2^20·2^21 < 2^47, bound
+    asserted per batch); Xᵀ·s splits s = hi·2^23 + lo so each int64
+    matmul accumulates ≤ 2^17 terms of ≤ 2^45 — overflow-free — and the
+    halves recombine into arbitrary-precision Python ints, so the
+    decimal(38,0) totals are THE SAME integers the fold produced."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DecimalType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    V = np.array([[int(x) for x in v] for v in vecs], dtype=np.int64)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(V)
+    schema = StructType(
+        [StructField("i", IntegerType(), False)]
+        + [StructField(n, DecimalType(38, 0), False) for n in names]
+    )
+    cols = list(names)
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from quiver_spark.operators.similarity2 import _list_matrix
+
+        V_ = bc.value
+        k, d = V_.shape
+        idx = pa.array(range(1, d + 1), type=pa.int32())
+        dect = pa.decimal128(38, 0)
+        SH, CH = 23, 1 << 17
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = _list_matrix(batch.column(0), n)
+            if int(np.abs(X).max(initial=0)) >= (1 << 21):
+                raise ValueError(
+                    "embedding component exceeds the exact-matmul bound"
+                )
+            ys = []
+            for j in range(k):
+                s = X @ V_[j]
+                hi = s >> SH
+                lo = s - (hi << SH)
+                acc_hi = [0] * d
+                acc_lo = [0] * d
+                for c0 in range(0, n, CH):
+                    Xc = X[c0 : c0 + CH]
+                    h = Xc.T @ hi[c0 : c0 + CH]
+                    low = Xc.T @ lo[c0 : c0 + CH]
+                    for i in range(d):
+                        acc_hi[i] += int(h[i])
+                        acc_lo[i] += int(low[i])
+                ys.append(
+                    pa.array(
+                        [(a << SH) + b for a, b in zip(acc_hi, acc_lo)],
+                        type=dect,
+                    )
+                )
+            yield pa.RecordBatch.from_arrays([idx] + ys, names=["i"] + cols)
+
+    part = emb.select("iv").mapInArrow(fn, schema)
+    return part.groupBy("i").agg(*[F.sum(n).alias(n) for n in cols])
+
+
+def _pca_y(emb: DataFrame, vvals) -> DataFrame:
+    """One power-iteration corpus pass y = Xᵀ(X·v) against a LITERAL
+    direction vector (see _pca_ys)."""
+    return _pca_ys(emb, [vvals], ["y"])
+
+
+def _renorm_py(yrows) -> list[int]:
+    """Driver renorm of a collected 64-row y: v_i = ROUND(y_i/max|y|·S),
+    the exact float64 op sequence of the renorm DataFrame expression
+    (decimal→double casts are correctly rounded in all three engines;
+    the divide/multiply see identical operands)."""
+    ys = [int(r["y"]) for r in sorted(yrows, key=lambda r: r["i"])]
+    m = float(max(abs(y) for y in ys))
+    return [_round_half_up(float(y) / m * PCA_SCALE) for y in ys]
+
+
 @register(
     "embedding_pca_power_iteration",
     oracle=_pca_oracle(),
@@ -802,44 +953,31 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     integer fold; the y sums are exact 38-digit decimal integers (DuckDB
     mirrors with HUGEINT — same integers); each round's only
     floating-point steps are two casts of identical exact integers and
-    one IEEE divide+round. Sign is pinned by the all-positive seed."""
+    one IEEE divide+round. Sign is pinned by the all-positive seed.
+
+    Round-16 shape (guide §1.2 — fewer, cheaper jobs, same math): power
+    iteration is inherently sequential, so each INTERMEDIATE round
+    collects its 64-row y to the driver and re-quantizes there
+    (_renorm_py — the identical float64 op sequence), feeding the next
+    round a literal direction vector. That removes the per-round lazy
+    localCheckpoint cascade, its broadcast builds, and the 1-row
+    crossJoins (measured: 1.41 s → ~0.6 s at sf0.1). The FINAL round's
+    renorm stays a DataFrame expression, so the emitted loadings are
+    rounded by Spark itself."""
     emb = _int_corpus(spark, sf_dir)
-    vrow = spark.range(1).select(
-        F.expr(f"array_repeat(CAST({PCA_SCALE} AS BIGINT), 64)").alias("varr")
+    v = [PCA_SCALE] * 64
+    for _ in range(PCA_ITERS - 1):
+        v = _renorm_py(_pca_y(emb, v).collect())
+    y = _pca_y(emb, v).localCheckpoint(eager=False)  # two consumers
+    m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+    return y.crossJoin(F.broadcast(m)).select(
+        "i",
+        F.round(
+            F.col("y").cast("double") / F.col("m").cast("double") * PCA_SCALE
+        )
+        .cast("bigint")
+        .alias("loading"),
     )
-    for _ in range(PCA_ITERS):
-        # s projected BELOW the Generate so the fold runs once per vector,
-        # not once per exploded component
-        s = (
-            emb.crossJoin(F.broadcast(vrow))
-            .select("iv", int_dot("iv", "varr").alias("s"))
-            .select("s", F.posexplode("iv").alias("p", "xi"))
-        )
-        y = s.groupBy((F.col("p") + 1).alias("i")).agg(
-            F.sum(F.col("s").cast("decimal(38,0)") * F.col("xi")).alias("y")
-        )
-        # y is 64 rows but has TWO consumers (m and v) and feeds the next
-        # round's lineage — without a checkpoint boundary each consumer
-        # and each later round re-runs the corpus aggregate (audited: 6
-        # corpus exchanges for 2 rounds; the lm_score defect class). Lazy
-        # so building the DataFrame costs nothing.
-        y = y.localCheckpoint(eager=False)
-        m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
-        v = y.crossJoin(F.broadcast(m)).select(
-            "i",
-            F.round(
-                F.col("y").cast("double") / F.col("m").cast("double") * PCA_SCALE
-            )
-            .cast("bigint")
-            .alias("v"),
-        )
-        vrow = v.agg(
-            F.expr(
-                "transform(array_sort(collect_list(named_struct('i', i, 'v', v)),"
-                " (a, b) -> CAST(a.i - b.i AS INT)), s -> s.v)"
-            ).alias("varr")
-        )
-    return v.select("i", F.col("v").alias("loading"))
 
 # --------------------------------------------------------------------------
 # PCA top-2 via deflation (the whitening/reduction trainer, second axis)
@@ -952,103 +1090,94 @@ def embedding_pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands), and the numerator stays exact 38-digit decimal (DuckDB
     HUGEINT mirrors it); the common 1/S factor cancels in the max-abs
     re-quantization. The alternating-sign seed keeps u0 from being
-    parallel to the (all-positive-seeded) v1."""
+    parallel to the (all-positive-seeded) v1.
+
+    Round-16 shape (guide §1.2 — fewer, cheaper jobs, same math): like
+    embedding_pca_power_iteration, every INTERMEDIATE 64-row
+    renorm/ratio step runs on the driver (_renorm_py/_round_half_up —
+    the identical float64 op sequence, pinned by
+    test_round_half_up_matches_spark), feeding each corpus pass a
+    literal direction vector; and cy = C·v1 shares ONE corpus pass with
+    the first u round (_pca_ys — independent directions reuse the scan
+    and the 64-key shuffle). 2·PCA_ITERS+1 corpus passes become
+    PCA_ITERS+PCA_ITERS−1+1 with no checkpoint cascade, no broadcast
+    builds, no 64-row joins. The FINAL round's numerator + renorm stay
+    DataFrame expressions, so the emitted loadings are rounded by Spark
+    itself."""
     emb = _int_corpus(spark, sf_dir)
 
-    def cmul(vrow: DataFrame) -> DataFrame:
-        """y = Xᵀ(X·v) — map-side fold + ONE 64-key aggregate."""
-        s = (
-            emb.crossJoin(F.broadcast(vrow))
-            .select("iv", int_dot("iv", "varr").alias("s"))
-            .select("s", F.posexplode("iv").alias("p", "xi"))
-        )
-        return (
-            s.groupBy((F.col("p") + 1).alias("i"))
-            .agg(
-                F.sum(
-                    F.col("s").cast("decimal(38,0)") * F.col("xi")
-                ).alias("y")
-            )
-            .localCheckpoint(eager=False)
-        )
-
-    def collapse(v: DataFrame) -> DataFrame:
-        return v.agg(
-            F.expr(
-                "transform(array_sort(collect_list(named_struct('i', i, 'v', v)),"
-                " (a, b) -> CAST(a.i - b.i AS INT)), s -> s.v)"
-            ).alias("varr")
-        )
-
-    def renorm(y: DataFrame, col: str) -> DataFrame:
-        m = y.agg(F.max(F.abs(F.col(col))).alias("m"))
-        return y.crossJoin(F.broadcast(m)).select(
-            "i",
-            F.round(
-                F.col(col).cast("double") / F.col("m").cast("double")
-                * PCA_SCALE
-            )
-            .cast("bigint")
-            .alias("v"),
-        )
-
-    # --- top-1 chain (identical to embedding_pca_power_iteration) ---
-    vrow = spark.range(1).select(
-        F.expr(f"array_repeat(CAST({PCA_SCALE} AS BIGINT), 64)").alias("varr")
-    )
-    v = None
+    # --- top-1 chain (identical math to embedding_pca_power_iteration;
+    #     v1 is consumed numerically below, so all rounds driver-renorm) ---
+    v = [PCA_SCALE] * 64
     for _ in range(PCA_ITERS):
-        v = renorm(cmul(vrow), "y")
-        vrow = collapse(v)
-    v1 = v.localCheckpoint(eager=False)  # 64 rows, many consumers
-    v1row = collapse(v1)
-    # one fixed deflation vector: cy = C·v1
-    cy = cmul(v1row)  # 64 rows, reused by every u round
+        v = _renorm_py(_pca_y(emb, v).collect())
+    v1 = v
+    vv = sum(x * x for x in v1)  # exact int — the decimal(38,0) dot
 
     # --- deflated power iteration for u ---
-    u = spark.range(1, 65).select(
-        F.col("id").cast("bigint").alias("i"),
-        F.when(F.col("id") % 2 == 0, PCA_SCALE)
-        .otherwise(-PCA_SCALE)
+    u = [PCA_SCALE if i % 2 == 0 else -PCA_SCALE for i in range(1, 65)]
+    cy: list[int] = []
+
+    def ratio(uvec) -> int:
+        # ROUND(S·(v1·u)/(v1·v1)): exact int dots, then the same two
+        # correctly-rounded casts + IEEE divide/multiply as the
+        # expression it replaces
+        uv = sum(a * b for a, b in zip(v1, uvec))
+        return _round_half_up(float(uv) / float(vv) * PCA_SCALE)
+
+    if PCA_ITERS == 1:
+        rows = sorted(
+            _pca_ys(emb, [v1], ["cy"]).collect(), key=lambda r: r["i"]
+        )
+        cy = [int(r["cy"]) for r in rows]
+    # driver rounds 1..PCA_ITERS−1 (the final round stays in Spark below)
+    for t in range(1, PCA_ITERS):
+        if t == 1:
+            # cy = C·v1 and the first u round share one corpus pass
+            rows = sorted(
+                _pca_ys(emb, [v1, u], ["cy", "yu"]).collect(),
+                key=lambda r: r["i"],
+            )
+            cy = [int(r["cy"]) for r in rows]
+            yu = [int(r["yu"]) for r in rows]
+        else:
+            yu = [
+                int(r["y"])
+                for r in sorted(
+                    _pca_y(emb, u).collect(), key=lambda r: r["i"]
+                )
+            ]
+        r = ratio(u)
+        num = [y * PCA_SCALE - r * c for y, c in zip(yu, cy)]
+        m = float(max(abs(x) for x in num))
+        u = [_round_half_up(float(x) / m * PCA_SCALE) for x in num]
+
+    # final round: numerator + renorm as DataFrame expressions over the
+    # last corpus pass (checkpointed — num feeds both m and the output)
+    rfin = ratio(u)
+    cyarr = (
+        "array("
+        + ", ".join(f"CAST({int(c)} AS DECIMAL(38,0))" for c in cy)
+        + ")"
+    )
+    y = _pca_y(emb, u).localCheckpoint(eager=False)
+    num = y.select(
+        "i",
+        (
+            F.col("y") * F.lit(PCA_SCALE).cast("decimal(38,0)")
+            - F.lit(int(rfin)).cast("decimal(38,0)")
+            * F.expr(f"element_at({cyarr}, CAST(i AS INT))")
+        ).alias("num"),
+    )
+    m = num.agg(F.max(F.abs(F.col("num"))).alias("m"))
+    v1arr = _lit_bigint_array(v1)
+    return num.crossJoin(F.broadcast(m)).select(
+        "i",
+        F.expr(f"element_at({v1arr}, CAST(i AS INT))").alias("loading1"),
+        F.round(
+            F.col("num").cast("double") / F.col("m").cast("double")
+            * PCA_SCALE
+        )
         .cast("bigint")
-        .alias("v"),
-    )
-    vv = v1.agg(
-        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("d")
-    )
-    for _ in range(PCA_ITERS):
-        urow = collapse(u)
-        yu = cmul(urow)
-        uv = (
-            v1.join(u.withColumnRenamed("v", "uv"), "i")
-            .agg(
-                F.sum(
-                    F.col("v").cast("decimal(38,0)") * F.col("uv")
-                ).alias("d")
-            )
-        )
-        rat = uv.crossJoin(vv.withColumnRenamed("d", "dv")).select(
-            F.round(
-                F.col("d").cast("double") / F.col("dv").cast("double")
-                * PCA_SCALE
-            )
-            .cast("decimal(38,0)")
-            .alias("r")
-        )
-        num = (
-            yu.join(cy.withColumnRenamed("y", "cyv"), "i")
-            .crossJoin(F.broadcast(rat))
-            .select(
-                "i",
-                (
-                    F.col("y") * F.lit(PCA_SCALE).cast("decimal(38,0)")
-                    - F.col("r") * F.col("cyv")
-                ).alias("num"),
-            )
-        )
-        u = renorm(num, "num").localCheckpoint(eager=False)
-    return (
-        v1.withColumnRenamed("v", "loading1")
-        .join(u.withColumnRenamed("v", "loading2"), "i")
-        .select("i", "loading1", "loading2")
+        .alias("loading2"),
     )

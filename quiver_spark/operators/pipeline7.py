@@ -163,6 +163,54 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _codes_lens(arr):
+    """Arrow string column → (codes, lens): the concatenated per-row
+    code-point sequence (int64) and each row's code-point count. ASCII
+    batches decode zero-copy off the UTF-8 data buffer; any multi-byte
+    row falls back to an exact per-row UTF-32 decode (code points, not
+    UTF-16 units — matching UTF8String's char semantics). Nulls are a
+    contract violation upstream (documents.text is non-null)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if arr.null_count:
+        raise ValueError("null text in char-LM input")
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    seg = data[off[0] : off[-1]]
+    if not (seg & 0x80).any():
+        return seg.astype(np.int64), np.diff(off)
+    texts = arr.to_pylist()
+    codes = [
+        np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts
+    ]
+    lens = np.array([len(c) for c in codes], dtype=np.int64)
+    return (
+        np.concatenate(codes).astype(np.int64)
+        if codes
+        else np.empty(0, dtype=np.int64)
+    ), lens
+
+
+def _bigram_keys(codes, lens):
+    """Within-row consecutive code-point pairs, packed c1·2²¹ + c2 (code
+    points < 2²¹). Pairs never cross row boundaries; rows are ≥ 2 code
+    points by the caller's filter, so every row yields len−1 pairs in
+    position order."""
+    import numpy as np
+
+    if codes.size == 0:
+        return np.empty(0, dtype=np.int64)
+    keys = (codes[:-1] << 21) | codes[1:]
+    mask = np.ones(codes.size - 1, dtype=bool)
+    ends = np.cumsum(lens)[:-1]  # first index of each later row
+    mask[ends - 1] = False  # last char of a row starts no pair
+    return keys[mask]
+
+
 #: document-level blocklist — the C4-style "bad words" gate; fixed
 #: deterministic terms drawn from the synthetic corpus vocabulary
 BLOCK_TERMS = ("slow", "dup", "leak")
@@ -270,71 +318,129 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     outliers, low = fluent text), here with the corpus as its own model
     so no external LM is needed.
 
-    100 TB posture: bigrams explode map-side from a length-bounded
-    `sequence` (no self-join); the MODEL is constant-cardinality
-    (alphabet² entries at most — a few thousand rows regardless of corpus
-    size), so it broadcasts unconditionally like nation/region; the only
-    data-scale shuffles are the model-fit aggregate and the per-doc
-    average. Scores round to 3 decimals so the two engines' float
-    summation orders cannot smear the hash."""
+    100 TB posture (round-16 shape, guide §4.2): BOTH corpus passes are
+    vectorized MapInArrow nodes — the model-fit pass emits ≤ alphabet²
+    per-batch partial counts (the only data-scale shuffle is that
+    constant-bounded aggregate), the model (alphabet² ints — metadata
+    scale) is driver-folded into a surprisal lookup table and shipped
+    back by broadcast variable, and the scoring pass emits one (doc,
+    bits) row per document straight into the per-source aggregate. No
+    per-bigram row explosion, no joins. Before round 16 each pass
+    exploded every char bigram into a row (O(total_chars) rows through
+    two Generates + three broadcast joins — measured 3.3 s at sf0.1 for
+    1.5M chars). Counts are exact integers either way; the only float
+    steps (divide, log2, avg) happen once per bigram TYPE / per doc, and
+    scores round to 3 decimals so float summation orders cannot smear
+    the hash."""
     from quiver_spark.tables import load
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.lower(F.regexp_replace("text", r"\s+", " ")).alias("t"),
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
-    # bigrams via ONE char split + zip_with of the two shifted slices —
-    # O(length) per document. The obvious transform(sequence(...),
-    # i -> substring(t, i, 2)) re-scans the string from byte 0 for UTF-8
-    # char boundaries on EVERY element (UTF8String.substringSQL), i.e.
-    # O(length²) per document — measured 2x slower per corpus pass at
-    # sf0.1 and unboundedly worse on long documents.
-    bg = (
-        d.filter(F.length("t") >= 2)
-        .withColumn("ch", F.split("t", ""))
+
+    d = (
+        load(spark, sf_dir, "documents")
         .select(
             "doc_id",
             "source",
-            F.explode(
-                F.expr(
-                    "zip_with(slice(ch, 1, size(ch) - 1),"
-                    " slice(ch, 2, size(ch) - 1), (a, b) -> concat(a, b))"
-                )
-            ).alias("bg"),
+            F.lower(F.regexp_replace("text", r"\s+", " ")).alias("t"),
         )
-        .withColumn("c1", F.substring("bg", 1, 1))
+        .filter(F.length("t") >= 2)
     )
-    # The model is constant-cardinality (≤ alphabet² rows), but it has
-    # three consumers (pref, v, the scoring join) and Catalyst does not
-    # share aggregation subtrees — without materialization each consumer
-    # would re-scan and re-explode the whole corpus. A lazy localCheckpoint
-    # computes the model exactly once at first action and serves all three
-    # consumers from the stored (tiny) result, so the final plan pays
-    # exactly TWO corpus-scale explodes: model fit + scoring.
-    model = (
-        bg.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
-    # pref/v are pure algebra over the model table: every bigram occurrence
-    # contributes exactly one to its first-char count, so sum(cnt) grouped
-    # by substring(bg,1,1) IS the first-char histogram and
-    # countDistinct(substring(bg,1,1)) IS the vocabulary size.
-    mc1 = model.withColumn("c1", F.substring("bg", 1, 1))
-    pref = mc1.groupBy("c1").agg(F.sum("cnt").alias("cnt1"))
-    v = mc1.agg(F.countDistinct("c1").alias("v"))
-    scored = (
-        bg.join(F.broadcast(model), "bg")  # alphabet^2 ceiling: constant-size
-        .join(F.broadcast(pref), "c1")
-        .crossJoin(F.broadcast(v))
-        .groupBy("doc_id", "source")
-        .agg(
-            F.avg(
-                -F.log2((F.col("cnt") + F.lit(1.0)) / (F.col("cnt1") + F.col("v")))
-            ).alias("bits")
+
+    # --- pass 1: bigram model (per-batch numpy bincount partials) ---
+    def count_fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            codes, lens = _codes_lens(batch.column(0))
+            keys = _bigram_keys(codes, lens)
+            uk, cnt = np.unique(keys, return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(uk), pa.array(cnt.astype(np.int64))],
+                names=["bgk", "cnt"],
+            )
+
+    model_rows = (
+        d.select("t")
+        .mapInArrow(
+            count_fn,
+            StructType(
+                [
+                    StructField("bgk", LongType(), False),
+                    StructField("cnt", LongType(), False),
+                ]
+            ),
         )
+        .groupBy("bgk")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
     )
+    # driver fold (alphabet² ints): first-char histogram + vocab size +
+    # per-bigram surprisal — same formula, same exact int operands as the
+    # broadcast-join expression this replaces
+    mkeys = np.array(sorted(r["bgk"] for r in model_rows), dtype=np.int64)
+    mcnt = np.empty(len(mkeys), dtype=np.int64)
+    cnt_of = {r["bgk"]: int(r["cnt"]) for r in model_rows}
+    for i, k in enumerate(mkeys):
+        mcnt[i] = cnt_of[int(k)]
+    c1s = mkeys >> 21
+    pref: dict[int, int] = {}
+    for c1, cn in zip(c1s.tolist(), mcnt.tolist()):
+        pref[c1] = pref.get(c1, 0) + cn
+    v = len(pref)
+    cnt1 = np.array([pref[int(c)] for c in c1s], dtype=np.int64)
+    mbits = -np.log2((mcnt + 1.0) / (cnt1 + float(v)))
+    bc = spark.sparkContext.broadcast((mkeys, mbits))
+
+    # --- pass 2: per-doc average surprisal ---
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("source", StringType(), False),
+            StructField("bits", DoubleType(), False),
+        ]
+    )
+
+    def score_fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        mk, mb = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            codes, lens = _codes_lens(batch.column(2))
+            keys = _bigram_keys(codes, lens)
+            idx = np.searchsorted(mk, keys)
+            if keys.size and not (mk[idx] == keys).all():
+                # every corpus bigram is in the corpus-trained model
+                raise ValueError("bigram missing from model")
+            bits = mb[idx]
+            npairs = lens - 1
+            starts = np.zeros(len(npairs), dtype=np.int64)
+            np.cumsum(npairs[:-1], out=starts[1:])
+            sums = np.add.reduceat(bits, starts) if keys.size else starts
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array(sums / npairs),
+                ],
+                names=["doc_id", "source", "bits"],
+            )
+
+    scored = d.mapInArrow(score_fn, out_schema)
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs"),
         F.round(F.avg("bits"), 3).alias("avg_bits_per_char"),

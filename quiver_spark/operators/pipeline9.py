@@ -307,14 +307,18 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus vectors. Completes the quantization family: coarse
     (ann_ivf_topk) × fine (ann_pq_topk / ann_pq_trained_topk) composed.
 
-    Plan shape: centroids AND the residual codebook are broadcasts;
-    coarse assignment + residual computation + PQ encoding are ALL
-    map-side folds over those broadcasts (the residual rides through the
-    assignment — no corpus re-join, the k-means round-14 contract);
-    probes/base/ADC are tiny query-side broadcasts; the only
-    corpus-scale exchange is the (qid, vec_id) score aggregate over the
-    PROBED lists' codes (~nprobe/K of the corpus, codes-width rows)."""
+    Plan shape (round 16, guide §4.2 + §2.3): centroids, the donor
+    residual codebook, probe lists, base dots and ADC tables are all
+    driver-built exact-int tables (metadata scale) shipped by broadcast
+    variable into ONE vectorized corpus pass — coarse-assign, residual,
+    PQ-encode, probed-list mask, ADC score and per-batch top-k per
+    query, emitting only candidate rows. No corpus-scale (qid, vec_id)
+    aggregate, no interpreted per-row folds; the only exchange left is
+    the tiny candidate window."""
+    import numpy as np
+
     from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
 
     from quiver_spark.operators.similarity import (
         N_CENTROIDS,
@@ -323,119 +327,109 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOP_K,
     )
     from quiver_spark.operators.similarity2 import (
-        _DIST2,
         PQ_K,
         PQ_M,
         PQ_SUB,
+        _batch_topk,
         _int_corpus,
+        _list_matrix,
+        _seed_probe_np,
     )
-    from quiver_spark.functions import int_dot
 
     emb = _int_corpus(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= N_PROBES)
-    # N_CENTROIDS rows with three consumers (the assignment broadcast,
-    # the donors' assignment broadcast, and the probe scoring) — the lazy
-    # checkpoint stops each one re-running the seed TakeOrdered corpus
-    # pass (the PCA-power-iteration lesson)
-    cent = (
-        corpus.orderBy("vec_id")
-        .limit(N_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.col("iv").alias("cv"))
-        .localCheckpoint(eager=False)
-    )
-    carr = cent.agg(
-        F.expr(
-            "sort_array(collect_list(named_struct('cid', cid, 'cv', cv)))"
-        ).alias("cents")
-    )
-    d2c = _DIST2.format(v="iv", c="c.cv")
-    best = f"""
-    aggregate(
-        transform(cents, c -> named_struct('d2', {d2c}, 'cid', c.cid,
-                                           'cv', c.cv)),
-        CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT, cv: ARRAY<BIGINT>>),
-        (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s))
-    """
+    # ONE TakeOrdered pass serves probes, centroids AND donors (the 16
+    # lowest non-probe ids are both, N_CENTROIDS == PQ_K)
+    qids, Q, _, S = _seed_probe_np(emb, N_PROBES, max(N_CENTROIDS, PQ_K))
+    C = S[:N_CENTROIDS]  # coarse centroids, cid-ascending
+    cn = (C * C).sum(axis=1)
 
-    def assign_residual(df):
-        """Map-side coarse assignment carrying the RESIDUAL through."""
-        return df.crossJoin(F.broadcast(carr)).select(
-            "vec_id",
-            F.expr(best + ".cid").alias("cid"),
-            F.expr(
-                "zip_with(iv, " + best + ".cv, (x, y) -> x - y)"
-            ).alias("rv"),
-        )
+    def coarse(X):
+        """Exact-int argmin to the coarse centroids (lowest-cid ties)."""
+        d2 = (X * X).sum(axis=1)[:, None] + cn[None, :] - 2 * (X @ C.T)
+        return np.argmin(d2, axis=1)
 
-    arv = assign_residual(corpus)
-    donors = assign_residual(corpus.orderBy("vec_id").limit(PQ_K))
-    rslices = F.array(
-        *[F.slice(F.col("rv"), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    # donor residuals → per-subspace codebooks (dcid-ascending)
+    D = S[:PQ_K]
+    RV = D - C[coarse(D)]
+    CB = [RV[:, m * PQ_SUB : (m + 1) * PQ_SUB] for m in range(PQ_M)]
+    # probes: nprobe nearest lists per query by exact d2 (ties lowest
+    # cid) + the base dot(q, centroid) term
+    nq = len(qids)
+    qd2 = (Q * Q).sum(axis=1)[:, None] + cn[None, :] - 2 * (Q @ C.T)
+    base = Q @ C.T  # exact int dots
+    probe_mask = np.zeros((nq, N_CENTROIDS), dtype=bool)
+    for j in range(nq):
+        order = np.lexsort((np.arange(N_CENTROIDS), qd2[j]))
+        probe_mask[j, order[:N_PROBE_LISTS]] = True
+    ADC = [
+        Q[:, m * PQ_SUB : (m + 1) * PQ_SUB] @ CB[m].T for m in range(PQ_M)
+    ]
+
+    bc = spark.sparkContext.broadcast(
+        (C, cn, CB, ADC, qids, probe_mask, base)
     )
-    # M·K rows, two consumers (encode broadcast + ADC) — same checkpoint
-    # rationale as cent: the donors' TakeOrdered corpus pass runs once
-    cw = donors.select(
-        F.col("vec_id").alias("dcid"), F.posexplode(rslices).alias("m", "cv")
-    ).localCheckpoint(eager=False)
-    cwarr = cw.agg(
-        F.expr(
-            "sort_array(collect_list("
-            "named_struct('m', m, 'dcid', dcid, 'cv', cv)))"
-        ).alias("cws")
+    schema = StructType(
+        [
+            StructField("qid", LongType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("s", LongType(), False),
+        ]
     )
-    els = []
-    for m in range(PQ_M):
-        sv = f"slice(rv, {m * PQ_SUB + 1}, {PQ_SUB})"
-        rd2 = _DIST2.format(v=sv, c="w.cv")
-        els.append(f"""
-        aggregate(
-            transform(filter(cws, w -> w.m = {m}),
-                      w -> named_struct('d2', {rd2}, 'dcid', w.dcid)),
-            CAST(NULL AS STRUCT<d2: BIGINT, dcid: BIGINT>),
-            (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s)).dcid
-        """)
-    codes = arv.crossJoin(F.broadcast(cwarr)).select(
-        "vec_id",
-        "cid",
-        F.posexplode(F.expr("array(" + ",".join(els) + ")")).alias(
-            "m", "dcid"
-        ),
-    )
-    q = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("qid"), F.col("iv").alias("qv")
-    )
-    qc = q.crossJoin(F.broadcast(cent))
-    qd2 = _DIST2.format(v="qv", c="cv")
-    probes = (
-        qc.select(
-            "qid", "cid", F.expr(qd2).alias("d2"),
-            int_dot("qv", "cv").alias("base")
-        )
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cid"))
-            ),
-        )
-        .filter(F.col("r") <= N_PROBE_LISTS)
-        .select("qid", "cid", "base")
-    )
-    qslices = F.array(
-        *[F.slice(F.col("qv"), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
-    )
-    qsub = q.select("qid", F.posexplode(qslices).alias("m", "qm"))
-    adc = qsub.join(F.broadcast(cw), "m").select(
-        "qid", "m", "dcid", int_dot("qm", "cv").alias("idot")
-    )
-    scored = (
-        codes.join(F.broadcast(probes), "cid")
-        .join(F.broadcast(adc), ["qid", "m", "dcid"])
-        .groupBy("qid", "vec_id")
-        .agg((F.first("base") + F.sum("idot")).alias("s"))
-    )
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C_, cn_, CB_, ADC_, qids_, pm_, base_ = bc.value
+        M = len(CB_)
+        SUB = CB_[0].shape[1]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vids = np.asarray(batch.column(0)).astype(np.int64, copy=False)
+            X = _list_matrix(batch.column(1), n)
+            d2 = (
+                (X * X).sum(axis=1)[:, None] + cn_[None, :] - 2 * (X @ C_.T)
+            )
+            cidx = np.argmin(d2, axis=1)
+            R = X - C_[cidx]
+            Sc = np.zeros((len(qids_), n), dtype=np.int64)
+            for m in range(M):
+                Rm = R[:, m * SUB : (m + 1) * SUB]
+                kn = (CB_[m] * CB_[m]).sum(axis=1)
+                rd2 = (
+                    (Rm * Rm).sum(axis=1)[:, None]
+                    + kn[None, :]
+                    - 2 * (Rm @ CB_[m].T)
+                )
+                code = np.argmin(rd2, axis=1)
+                Sc += ADC_[m][:, code]
+            Sc += base_[:, cidx]
+            outs = []
+            for j in range(len(qids_)):
+                mask = pm_[j, cidx]
+                if not mask.any():
+                    continue
+                oq, ov, os_ = _batch_topk(
+                    vids[mask], Sc[j][mask][None, :], qids_[j : j + 1], TOP_K
+                )
+                outs.append((oq, ov, os_))
+            if not outs:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate([o[i] for o in outs]))
+                    for i in range(3)
+                ],
+                names=["qid", "vec_id", "s"],
+            )
+
+    cand = corpus.select("vec_id", "iv").mapInArrow(fn, schema)
     wr = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(wr))
+        cand.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= TOP_K)
         .select(
             "qid", "vec_id", F.col("s").cast("double").alias("adc_dot"), "rnk"

@@ -351,75 +351,106 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means init), every corpus vector assigned to its nearest centroid
     list, and each query searching only its nprobe=4 nearest lists.
 
-    The 100 TB shape of real vector search: centroids broadcast (assignment
-    is map-side, the corpus never shuffles for indexing), probe→list fan-out
-    is a broadcast semi-join, and the per-query quadratic term is cut to
-    the probed fraction (~nprobe/n_centroids) of the corpus. Unlike the LSH
-    variant (ann_lsh_*), list sizes track data density, so hot buckets mean
-    a skewed CLUSTER, which AQE skew-join splits — not a degenerate key."""
-    emb = _int_emb(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
-    cent = (
+    The 100 TB shape of real vector search (round 16, guide §4.2 +
+    §2.3): centroids and probe lists are driver-built exact tables
+    shipped by broadcast variable into ONE vectorized corpus pass —
+    coarse-assign (max-cosine, lowest-cid ties), probed-list mask,
+    cosine score and per-batch top-k per query — emitting only candidate
+    rows into the tiny final window. The corpus never shuffles for
+    indexing OR scoring; list-size skew becomes batch-local numpy work
+    instead of a skewed join."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from quiver_spark.operators.similarity2 import (
+        _batch_topk,
+        _cent_np,
+        _list_matrix,
+    )
+
+    emb = _int_emb(spark, sf_dir)
+    _, C = _cent_np(
         emb.filter(F.col("vec_id") >= N_PROBES)
         .orderBy("vec_id")
-        .limit(N_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("iv").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
+        .limit(N_CENTROIDS),
+        "vec_id",
+        "iv",
     )
-    ccos = int_dot("iv", "cv").cast("double") / (
-        F.sqrt(F.col("nrm").cast("double"))
-        * F.sqrt(F.col("cnrm").cast("double"))
+    qids, Q = _cent_np(emb.filter(F.col("vec_id") < N_PROBES), "vec_id", "iv")
+    cn = (C * C).sum(axis=1)
+    qn = (Q * Q).sum(axis=1)
+    csq = np.sqrt(cn.astype(np.float64))
+    # probe lists per query: top-nprobe by (qcos DESC, cid ASC) — the
+    # identical float64 op sequence (cast dot, divide by the sqrt
+    # product) as the window expression it replaces
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qcos = (Q @ C.T) / (np.sqrt(qn.astype(np.float64))[:, None] * csq)
+    probe_mask = np.zeros((len(qids), N_CENTROIDS), dtype=bool)
+    for j in range(len(qids)):
+        key = np.where(np.isnan(-qcos[j]), -np.inf, -qcos[j])
+        order = np.lexsort((np.arange(N_CENTROIDS), key))
+        probe_mask[j, order[:N_PROBE_LISTS]] = True
+
+    bc = spark.sparkContext.broadcast((C, cn, qids, Q, qn, probe_mask))
+    schema = StructType(
+        [
+            StructField("qid", LongType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("cos", DoubleType(), False),
+        ]
     )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", ccos.alias("ccos"))
-        .withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "cid")
-    )
-    qs = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("iv").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    qcos = int_dot("qv", "cv").cast("double") / (
-        F.sqrt(F.col("qnrm").cast("double"))
-        * F.sqrt(F.col("cnrm").cast("double"))
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("qcos"), F.asc("cid"))
-    probes = (
-        qs.crossJoin(F.broadcast(cent))
-        .select("qid", "cid", qcos.alias("qcos"))
-        .withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") <= N_PROBE_LISTS)
-        .select("qid", "cid")
-    )
-    cands = (
-        assign.join(F.broadcast(probes), "cid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id")
-    )
-    scored = (
-        cands.join(emb, "vec_id")
-        .join(F.broadcast(qs), "qid")
-        .select(
-            "qid",
-            "vec_id",
-            (
-                int_dot("iv", "qv").cast("double")
-                / (
-                    F.sqrt(F.col("qnrm").cast("double"))
-                    * F.sqrt(F.col("nrm").cast("double"))
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C_, cn_, qids_, Q_, qn_, pm_ = bc.value
+        csq_ = np.sqrt(cn_.astype(np.float64))
+        qsq_ = np.sqrt(qn_.astype(np.float64))
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vids = np.asarray(batch.column(0)).astype(np.int64, copy=False)
+            X = _list_matrix(batch.column(1), n)
+            nrm = (X * X).sum(axis=1)
+            nsq = np.sqrt(nrm.astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ccos = (X @ C_.T) / (nsq[:, None] * csq_[None, :])
+                # argmax keeps the FIRST maximum over cid-ascending
+                # centroids; an all-NaN row (zero norm) also resolves to
+                # index 0 — both matching (ccos DESC, cid ASC) with
+                # Spark's NaN-greatest ordering
+                cidx = np.argmax(ccos, axis=1)
+                Sc = (X @ Q_.T).T / (qsq_[:, None] * nsq[None, :])
+            outs = []
+            for j in range(len(qids_)):
+                mask = pm_[j, cidx] & (vids != qids_[j])
+                if not mask.any():
+                    continue
+                oq, ov, os_ = _batch_topk(
+                    vids[mask], Sc[j][mask][None, :], qids_[j : j + 1], TOP_K
                 )
-            ).alias("cos"),
-        )
-    )
+                outs.append((oq, ov, os_))
+            if not outs:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate([o[i] for o in outs]))
+                    for i in range(3)
+                ],
+                names=["qid", "vec_id", "cos"],
+            )
+
+    cand = emb.select("vec_id", "iv").mapInArrow(fn, schema)
     wr = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(wr))
+        cand.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= TOP_K)
         .select("qid", "vec_id", "cos", "rnk")
     )

@@ -153,6 +153,260 @@ def _np_assign(emb: DataFrame, cids, C, mode: str, out_cols) -> DataFrame:
     return emb.mapInArrow(fn, schema)
 
 
+def _seed_probe_np(emb: DataFrame, n_probes: int, n_seeds: int):
+    """(qids, Q, sids, S): all probe vectors (vec_id < n_probes) and the
+    n_seeds lowest non-probe vectors, from ONE TakeOrdered job — probes
+    sort before every non-probe, so the lowest n_probes+n_seeds rows by
+    vec_id contain both sets exactly. Replaces two separate driver
+    collects (each a full corpus-scan job)."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "iv").orderBy("vec_id").limit(
+        n_probes + n_seeds
+    ).collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    pr = [r for r in rows if r["vec_id"] < n_probes]
+    se = [r for r in rows if r["vec_id"] >= n_probes][:n_seeds]
+
+    def mat(rs):
+        ids = np.array([r["vec_id"] for r in rs], dtype=np.int64)
+        V = np.array([list(r["iv"]) for r in rs], dtype=np.int64)
+        return ids, V.reshape(len(rs), -1)
+
+    qids, Q = mat(pr)
+    sids, S = mat(se)
+    return qids, Q, sids, S
+
+
+def _batch_topk(vids, S, qids, k):
+    """Per-query per-batch top-k candidates from a batch score matrix
+    S (nq × n): any GLOBAL top-k row by (s DESC, vec_id ASC) is inside
+    its batch's top-k for that query, so emitting k rows per (query,
+    batch) into the final (tiny) global window is exact. Returns
+    (qid, vec_id, s) int64 arrays."""
+    import numpy as np
+
+    oq, ov, os_ = [], [], []
+    for j in range(len(qids)):
+        key = -S[j]
+        if key.dtype.kind == "f":
+            # Spark sorts NaN above every double: DESC puts NaN first
+            key = np.where(np.isnan(key), -np.inf, key)
+        order = np.lexsort((vids, key))[:k]
+        oq.append(np.full(len(order), qids[j], dtype=np.int64))
+        ov.append(vids[order])
+        os_.append(S[j][order])
+    return (
+        np.concatenate(oq),
+        np.concatenate(ov),
+        np.concatenate(os_),
+    )
+
+
+def _pq_candidates(corpus: DataFrame, CB, ADC, qids, k) -> DataFrame:
+    """ONE vectorized corpus pass for PQ ADC serving (round 16, guide
+    §4.2 + §2.3): per Arrow batch, encode each row's M sub-slices
+    against the broadcast codebook (exact int64 d2 argmin, first-min =
+    lowest cid over cid-ascending codewords — the fold's tie rule), sum
+    the M ADC table lookups per query, and emit only the per-(query,
+    batch) top-k candidate rows. Replaces the interpreted per-row
+    M×K fold + M-codes posexplode + broadcast ADC join + corpus-scale
+    (qid, vec_id) aggregate — the only exchange left downstream is the
+    tiny candidate window."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (
+            [np.asarray(c) for c in CB],
+            [np.asarray(a) for a in ADC],
+            np.asarray(qids, dtype=np.int64),
+        )
+    )
+    schema = StructType(
+        [
+            StructField("qid", LongType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("s", LongType(), False),
+        ]
+    )
+    src = corpus.select("vec_id", "iv")
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        CB_, ADC_, qids_ = bc.value
+        M = len(CB_)
+        SUB = CB_[0].shape[1]
+        cn = [(c * c).sum(axis=1) for c in CB_]
+        CT = [np.ascontiguousarray(c.T) for c in CB_]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vids = np.asarray(batch.column(0)).astype(np.int64, copy=False)
+            X = _list_matrix(batch.column(1), n)
+            S = np.zeros((len(qids_), n), dtype=np.int64)
+            for m in range(M):
+                Xm = X[:, m * SUB : (m + 1) * SUB]
+                d2 = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    + cn[m][None, :]
+                    - 2 * (Xm @ CT[m])
+                )
+                code = np.argmin(d2, axis=1)
+                S += ADC_[m][:, code]
+            oq, ov, os_ = _batch_topk(vids, S, qids_, k)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(oq), pa.array(ov), pa.array(os_)],
+                names=["qid", "vec_id", "s"],
+            )
+
+    return src.mapInArrow(fn, schema)
+
+
+def _pqt_partials(corpus: DataFrame, CB) -> DataFrame:
+    """One Lloyd-round corpus pass for per-subspace codebooks: per Arrow
+    batch, encode each row's M sub-slices (exact argmin, lowest-index
+    ties) and emit M·K·SUB partial component sums + counts; the shuffle
+    carries that constant-bounded partial set (map-combined), exactly
+    like the (m, cid, si) aggregate it replaces — minus the corpus-scale
+    posexplode feeding it."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast([np.asarray(c) for c in CB])
+    schema = StructType(
+        [
+            StructField(n, LongType(), False)
+            for n in ("m", "k", "si", "s", "c")
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        CB_ = bc.value
+        M = len(CB_)
+        SUB = CB_[0].shape[1]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = _list_matrix(batch.column(0), n)
+            cols = {nm: [] for nm in ("m", "k", "si", "s", "c")}
+            for m in range(M):
+                Xm = X[:, m * SUB : (m + 1) * SUB]
+                cn = (CB_[m] * CB_[m]).sum(axis=1)
+                d2 = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    + cn[None, :]
+                    - 2 * (Xm @ CB_[m].T)
+                )
+                code = np.argmin(d2, axis=1)
+                # only NON-EMPTY codewords emit rows: a codeword no row
+                # chose must vanish from the next codebook (the grouped
+                # aggregate it replaces had no row to produce either)
+                for kk in np.unique(code):
+                    mask = code == kk
+                    ps = Xm[mask].sum(axis=0)
+                    cnt = int(mask.sum())
+                    cols["m"] += [m] * SUB
+                    cols["k"] += [int(kk)] * SUB
+                    cols["si"] += list(range(SUB))
+                    cols["s"] += [int(x) for x in ps]
+                    cols["c"] += [cnt] * SUB
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.array(cols[nm], dtype=np.int64)
+                    )
+                    for nm in ("m", "k", "si", "s", "c")
+                ],
+                names=["m", "k", "si", "s", "c"],
+            )
+
+    return (
+        corpus.select("iv")
+        .mapInArrow(fn, schema)
+        .groupBy("m", "k", "si")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+    )
+
+
+def _pqt_candidates(corpus: DataFrame, CB, ADC, qids, Q, k) -> DataFrame:
+    """The trained-PQ serving pass: like _pq_candidates, but the SAME
+    corpus pass also computes the exact int-dot top-k per query (the
+    recall yardstick) — rows tagged kind=0 (ADC score) / kind=1 (exact
+    dot). One scan instead of two; downstream windows see only
+    per-batch top-k candidates."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (
+            [np.asarray(c) for c in CB],
+            [np.asarray(a) for a in ADC],
+            np.asarray(qids, dtype=np.int64),
+            np.asarray(Q),
+        )
+    )
+    schema = StructType(
+        [
+            StructField(n, LongType(), False)
+            for n in ("kind", "qid", "vec_id", "s")
+        ]
+    )
+    src = corpus.select("vec_id", "iv")
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        CB_, ADC_, qids_, Q_ = bc.value
+        M = len(CB_)
+        SUB = CB_[0].shape[1]
+        QT = np.ascontiguousarray(Q_.T)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vids = np.asarray(batch.column(0)).astype(np.int64, copy=False)
+            X = _list_matrix(batch.column(1), n)
+            S = np.zeros((len(qids_), n), dtype=np.int64)
+            for m in range(M):
+                Xm = X[:, m * SUB : (m + 1) * SUB]
+                cn = (CB_[m] * CB_[m]).sum(axis=1)
+                d2 = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    + cn[None, :]
+                    - 2 * (Xm @ CB_[m].T)
+                )
+                code = np.argmin(d2, axis=1)
+                S += ADC_[m][:, code]
+            E = (X @ QT).T  # exact int dots, (nq × n)
+            out = []
+            for kind, mat in ((0, S), (1, E)):
+                oq, ov, os_ = _batch_topk(vids, mat, qids_, k)
+                out.append(
+                    (np.full(len(oq), kind, dtype=np.int64), oq, ov, os_)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate([o[i] for o in out]))
+                    for i in range(4)
+                ],
+                names=["kind", "qid", "vec_id", "s"],
+            )
+
+    return src.mapInArrow(fn, schema)
+
+
 def _km_oracle() -> str:
     """Unrolled two-iteration Lloyd chain over the exploded int view."""
     steps = []
@@ -465,67 +719,26 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scores candidates by summing {PQ_M} table lookups — no corpus
     vector is touched at query time.
 
-    Plan shape: codebook and ADC tables are broadcasts; encoding is
-    map-side (posexplode to (vector, subspace) rows + broadcast argmin);
-    the only corpus-scale exchange is the final (qid, vec_id) score
-    aggregation, whose width is codes — not vectors."""
+    Plan shape (round 16, guide §4.2 + §2.3): codebook and ADC tables
+    are driver-built (K×d + nq·M·K exact ints — metadata scale) and ship
+    by broadcast variable into ONE vectorized corpus pass
+    (_pq_candidates: encode + ADC-score + per-batch top-k per query);
+    the only exchange left is the tiny candidate window. Codes are never
+    exploded into rows and no corpus-scale (qid, vec_id) aggregate
+    exists anymore."""
     emb = _int_corpus(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= N_PROBES)
-    slices = F.array(
-        *[
-            F.slice(F.col("iv"), m * PQ_SUB + 1, PQ_SUB)
-            for m in range(PQ_M)
-        ]
-    )
-    donors = corpus.orderBy("vec_id").limit(PQ_K)
-    cw = donors.select(
-        F.col("vec_id").alias("cid"),
-        F.posexplode(slices).alias("m", "cv"),
-    )
-    # ENCODE map-side: the whole codebook collapses into ONE broadcast row
-    # ((m, cid)-sorted struct array); each corpus row folds its M slices
-    # over the matching codewords for the exact-int argmin — no window, no
-    # exchange; only the M-codes-per-vector explode remains (map-side too)
-    cwarr = cw.agg(
-        F.expr(
-            "sort_array(collect_list("
-            "named_struct('m', m, 'cid', cid, 'cv', cv)))"
-        ).alias("cws")
-    )
-    els = []
-    for m in range(PQ_M):
-        sv = f"slice(iv, {m * PQ_SUB + 1}, {PQ_SUB})"
-        d2c = _DIST2.format(v=sv, c="w.cv")
-        els.append(f"""
-        aggregate(
-            transform(filter(cws, w -> w.m = {m}),
-                      w -> named_struct('d2', {d2c}, 'cid', w.cid)),
-            CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
-            (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s)).cid
-        """)
-    codes = corpus.crossJoin(F.broadcast(cwarr)).select(
-        "vec_id",
-        F.posexplode(F.expr("array(" + ",".join(els) + ")")).alias(
-            "m", "cid"
-        ),
-    )
-    qsub = (
-        emb.filter(F.col("vec_id") < N_PROBES)
-        .select(
-            F.col("vec_id").alias("qid"), F.posexplode(slices).alias("m", "qv")
-        )
-    )
-    adc = qsub.join(F.broadcast(cw), "m").select(
-        "qid", "m", "cid", int_dot("qv", "cv").alias("idot")
-    )
-    scores = (
-        codes.join(F.broadcast(adc), ["m", "cid"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("idot").alias("s"))
-    )
+    qids, Q, _, D = _seed_probe_np(emb, N_PROBES, PQ_K)
+    # per-subspace codebooks (cid-ascending: donors sorted by vec_id) and
+    # exact-int ADC tables ADC[m][q, c] = Q_m(q) · CB_m(c)
+    CB = [D[:, m * PQ_SUB : (m + 1) * PQ_SUB] for m in range(PQ_M)]
+    ADC = [
+        Q[:, m * PQ_SUB : (m + 1) * PQ_SUB] @ CB[m].T for m in range(PQ_M)
+    ]
+    cand = _pq_candidates(corpus, CB, ADC, qids, TOP_K)
     wr = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
     return (
-        scores.withColumn("rnk", F.row_number().over(wr))
+        cand.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= TOP_K)
         .select("qid", "vec_id", F.col("s").cast("double").alias("adc_dot"), "rnk")
     )
@@ -644,118 +857,62 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score via ADC lookups, and the gate reports per-query RECALL against
     the exact top-{TOP_K} over the same candidate set.
 
-    Plan shape: every training assignment is MAP-SIDE (the whole M×K
-    codebook collapses to one broadcast struct-array row; each corpus row
-    folds its M slices for the exact-int argmin) and the slices ride
-    THROUGH the assignment, so the update step posexplodes off it — no
-    corpus-scale relation ever sits on a join side (the k-means round-14
-    contract). Update shuffles are (m, cid, si)-width: M·K·{PQ_SUB} rows
-    after map-side combine, corpus-size-independent. The exact-eval side
-    is the documented brute-force harness: probes broadcast, one corpus
-    scan, per-probe top-k — the recall yardstick, not the serving path."""
+    Plan shape (round 16, guide §4.2 + §1.2): each training round is ONE
+    vectorized corpus pass (_pqt_partials — encode + M·K·{PQ_SUB}
+    map-combined partial sums; the shuffle width is unchanged, the
+    corpus-scale posexplode feeding it is gone); the codebook update
+    (ROUND(sum/count) — the identical float64 op sequence, see
+    _round_half_up) folds on the driver between passes. Serving + the
+    exact recall yardstick share ONE final corpus pass
+    (_pqt_candidates), emitting only per-batch top-k candidates —
+    no corpus-scale (qid, vec_id) aggregate, no brute-force crossJoin
+    leg, and the update's two-consumer checkpoint dance is obsolete."""
+    import numpy as np
+
     emb = _int_corpus(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= N_PROBES)
-
-    def cwarr_of(cb: DataFrame):
-        """Collapse a (m, cid, cv) codebook into ONE broadcast row,
-        (m, cid)-sorted so the assignment fold tie-breaks to lowest cid."""
-        return cb.agg(
-            F.expr(
-                "sort_array(collect_list("
-                "named_struct('m', m, 'cid', cid, 'cv', cv)))"
-            ).alias("cws")
-        )
-
-    def assign(cwarr: DataFrame) -> DataFrame:
-        """Map-side per-subspace argmin; carries the slice so the update
-        needs no corpus re-join."""
-        els = []
-        for m in range(PQ_M):
-            sv = f"slice(iv, {m * PQ_SUB + 1}, {PQ_SUB})"
-            d2c = _DIST2.format(v=sv, c="w.cv")
-            argmin = f"""
-            aggregate(
-                transform(filter(cws, w -> w.m = {m}),
-                          w -> named_struct('d2', {d2c}, 'cid', w.cid)),
-                CAST(NULL AS STRUCT<d2: BIGINT, cid: BIGINT>),
-                (s, x) -> IF(s IS NULL OR x.d2 < s.d2, x, s)).cid
-            """
-            els.append(
-                f"named_struct('m', {m}, 'cid', {argmin}, 'sv', {sv})"
+    qids, Q, _, D = _seed_probe_np(emb, N_PROBES, PQ_K)
+    CB = [D[:, m * PQ_SUB : (m + 1) * PQ_SUB] for m in range(PQ_M)]
+    for _ in range(PQT_ITERS - 1):
+        rows = _pqt_partials(corpus, CB).collect()
+        # rebuild per subspace keeping ONLY codewords some row chose
+        # (grouped-aggregate semantics), in k-ascending order — which is
+        # cid-ascending, preserving the argmin lowest-cid tie rule
+        upd: list[dict[int, dict[int, int]]] = [
+            {} for _ in range(PQ_M)
+        ]
+        for r in rows:
+            # ROUND(sum/count): two correctly-rounded casts + one IEEE
+            # divide on identical operands, HALF_UP — as the expression
+            upd[r["m"]].setdefault(int(r["k"]), {})[int(r["si"])] = (
+                _round_half_up(float(r["s"]) / float(r["c"]))
             )
-        return (
-            corpus.crossJoin(F.broadcast(cwarr))
-            .select(
-                "vec_id",
-                F.explode(F.expr("array(" + ",".join(els) + ")")).alias("a"),
+        CB = [
+            np.array(
+                [
+                    [upd[m][kk][si] for si in range(PQ_SUB)]
+                    for kk in sorted(upd[m])
+                ],
+                dtype=np.int64,
             )
-            .select("vec_id", "a.m", "a.cid", "a.sv")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        """(m, cid, si) partial sums off the assignment itself →
-        re-quantized means → per-codeword array re-assembly."""
-        comp = (
-            assigned.select("m", "cid", F.posexplode("sv").alias("si", "xi"))
-            .groupBy("m", "cid", "si")
-            .agg(
-                F.round(F.sum("xi").cast("double") / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("ci")
-            )
-        )
-        return comp.groupBy("m", "cid").agg(
-            F.expr(
-                "transform(array_sort(collect_list("
-                "named_struct('si', si, 'ci', ci)),"
-                " (a, b) -> a.si - b.si), s -> s.ci)"
-            ).alias("cv")
-        )
-
-    slices = F.array(
-        *[F.slice(F.col("iv"), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
-    )
-    donors = corpus.orderBy("vec_id").limit(PQ_K)
-    cb = donors.select(
-        F.col("vec_id").alias("cid"), F.posexplode(slices).alias("m", "cv")
-    )
-    assigned = None
-    for it in range(1, PQT_ITERS + 1):
-        assigned = assign(cwarr_of(cb))
-        if it < PQT_ITERS:
-            # ≤ M·K rows with TWO consumers (the next assignment's
-            # broadcast AND the ADC table) — the lazy checkpoint stops
-            # each consumer re-running the Lloyd chain's corpus pass
-            # (the PCA-power-iteration lesson; measured ~0.7 s at sf0.1)
-            cb = update(assigned).localCheckpoint(eager=False)
-    codes = assigned.select("vec_id", "m", "cid")
-
-    q = emb.filter(F.col("vec_id") < N_PROBES)
-    qsub = q.select(
-        F.col("vec_id").alias("qid"), F.posexplode(slices).alias("m", "qv")
-    )
-    adc = qsub.join(F.broadcast(cb), "m").select(
-        "qid", "m", "cid", int_dot("qv", "cv").alias("idot")
-    )
-    scores = (
-        codes.join(F.broadcast(adc), ["m", "cid"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("idot").alias("s"))
+            for m in range(PQ_M)
+        ]
+    ADC = [
+        Q[:, m * PQ_SUB : (m + 1) * PQ_SUB] @ CB[m].T for m in range(PQ_M)
+    ]
+    cand = _pqt_candidates(corpus, CB, ADC, qids, Q, TOP_K).localCheckpoint(
+        eager=False  # pq and exact windows both read the single pass
     )
     wr = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
     pq = (
-        scores.withColumn("rnk", F.row_number().over(wr))
+        cand.filter(F.col("kind") == 0)
+        .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= TOP_K)
         .select("qid", "vec_id")
     )
-    # recall yardstick: exact top-k over the same non-probe candidates
-    qv = q.select(F.col("vec_id").alias("qid"), F.col("iv").alias("qv"))
-    exact_scored = corpus.crossJoin(F.broadcast(qv)).select(
-        "qid", "vec_id", int_dot("iv", "qv").alias("idot")
-    )
-    we = Window.partitionBy("qid").orderBy(F.desc("idot"), F.asc("vec_id"))
     exact = (
-        exact_scored.withColumn("rnk", F.row_number().over(we))
+        cand.filter(F.col("kind") == 1)
+        .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= TOP_K)
         .select("qid", "vec_id")
     )
@@ -764,8 +921,10 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = exact.join(F.broadcast(pq), ["qid", "vec_id"]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
-    qids = qv.select("qid").distinct()
-    return qids.join(F.broadcast(hits), "qid", "left").select(
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in qids], "qid bigint"
+    )
+    return qdf.join(F.broadcast(hits), "qid", "left").select(
         "qid",
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
         (

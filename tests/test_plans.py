@@ -145,11 +145,18 @@ def test_salted_skew_join_matches_plain(spark):
     assert got == want
 
 
-def test_ivf_centroid_joins_broadcast(spark):
-    """ann_ivf_topk: centroid assignment and probe ranking must broadcast
-    the (tiny) centroid set — the corpus never shuffles for indexing."""
+def test_ivf_assignment_is_map_side(spark):
+    """ann_ivf_topk (round-16 shape): coarse assignment, probed-list
+    masking and scoring run inside ONE MapInArrow node over the corpus
+    scan (centroids/probe lists are driver tables on a broadcast
+    variable, not join sides) — the corpus never shuffles for indexing
+    or scoring; the only exchange is the tiny candidate window."""
     df = _df(spark, "ann_ivf_topk")
-    assert plans.has_broadcast_join(df), "IVF plan lost its broadcast joins"
+    plan = plans.physical_plan(df)
+    assert "MapInArrow" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_decontamination_broadcasts_eval_side(spark):
@@ -464,18 +471,57 @@ def test_analyze_stats_feed_broadcast_gate(spark, tmp_path):
     assert big is not None and big > BROADCAST_MAX_BYTES
 
 
-def test_char_lm_score_two_corpus_explodes(spark):
-    """text_char_lm_score: the bigram model is constant-size but has three
-    consumers; without materialization each would re-explode the corpus
-    (the round-11 4x-explode defect). The lazy localCheckpoint pins the
-    final plan to exactly ONE visible Generate (the scoring side) with the
-    model fit behind a single Scan-ExistingRDD boundary — i.e. two corpus
-    passes total, never four."""
+def test_char_lm_score_vectorized_plan(spark):
+    """text_char_lm_score (round-16 shape): the scoring pass is a
+    MapInArrow node straight over the normalized corpus scan — no
+    per-bigram row explosion (zero Generates), no model joins (the
+    driver-folded surprisal table ships as a broadcast VARIABLE, not a
+    join side), and the only exchange is the per-source aggregate. The
+    model-fit pass runs as its own job at construction; the round-11
+    4x-explode defect class is structurally impossible here."""
     df = _df(spark, "text_char_lm_score")
     plan = plans.physical_plan(df)
-    assert plan.count("Generate explode") == 1, plan
-    assert "Scan ExistingRDD" in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInArrow" in plan, plan
+    assert plan.count("Generate") == 0, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_char_lm_codes_helpers_exact():
+    """_codes_lens/_bigram_keys: the ASCII zero-copy path and the
+    UTF-32 fallback must produce identical code-point sequences — pinned
+    against a pure-Python reference over mixed ASCII / multi-byte /
+    astral-plane rows (code points, not UTF-16 units)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from quiver_spark.operators.pipeline7 import _bigram_keys, _codes_lens
+
+    def ref(texts):
+        codes = [[ord(c) for c in t] for t in texts]
+        keys = []
+        for cs in codes:
+            keys += [(a << 21) | b for a, b in zip(cs, cs[1:])]
+        return [c for cs in codes for c in cs], [len(cs) for cs in codes], keys
+
+    for texts in [
+        ["ab", "hello world", "xy"],
+        ["héllo", "\U0001f600ab", "naïve café"],
+        ["ab"],
+        ["ascii only", "line two", "z" * 300],
+    ]:
+        arr = pa.array(texts, type=pa.string())
+        codes, lens = _codes_lens(arr)
+        rc, rl, rk = ref(texts)
+        assert codes.tolist() == rc, texts
+        assert lens.tolist() == rl, texts
+        assert _bigram_keys(codes, lens).tolist() == rk, texts
+    # sliced arrays (non-zero arr.offset) hit the same buffers
+    arr = pa.array(["aa", "bb", "cc", "dd"]).slice(1, 2)
+    codes, lens = _codes_lens(arr)
+    assert codes.tolist() == [ord("b")] * 2 + [ord("c")] * 2
+    assert lens.tolist() == [2, 2]
 
 
 def test_embedding_decontamination_map_side_single_shuffle(spark):
@@ -545,26 +591,30 @@ def test_kmeans_assignment_is_map_side(spark):
 
 
 def test_pq_encode_is_map_side(spark):
-    """ann_pq_topk: encoding folds each vector's slices over the broadcast
-    codebook row — no per-(vector, subspace) window. The only hash
-    exchanges are the (qid, vec_id) score aggregate and the final top-k
-    window partitioning."""
+    """ann_pq_topk (round-16 shape): encode + ADC scoring + per-batch
+    top-k run inside ONE MapInArrow node over the corpus scan (codebook
+    and ADC tables are driver-built and ship as a broadcast variable,
+    not a join side). The only hash exchange left is the tiny candidate
+    window's partitioning; no joins, no corpus-scale score aggregate."""
     df = _df(spark, "ann_pq_topk")
     plan = plans.physical_plan(df)
-    assert "BroadcastExchange" in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "MapInArrow" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_pq_trained_no_corpus_scale_joins(spark):
-    """ann_pq_trained_topk: Lloyd codebook training carries the slices
-    through the map-side assignment (no corpus re-join — the k-means
-    round-14 contract), encoding folds over the broadcast codebook, and
-    the recall joins broadcast their ≤N_PROBES·TOP_K top-k sets. The only
-    joins allowed are BroadcastHashJoins whose build sides are explicit
-    tiny broadcasts + the broadcast-nested-loop crosses of one-row
-    aggregates; nothing sort-merges or shuffle-hash-joins."""
+    """ann_pq_trained_topk (round-16 shape): training rounds run in
+    their own jobs (vectorized partial-sum passes + driver codebook
+    fold); the final plan is ONE checkpointed corpus pass emitting
+    per-batch PQ and exact candidates, read twice (Scan ExistingRDD)
+    by the two tiny top-k windows, joined by broadcast for the recall
+    count. Nothing sort-merges or shuffle-hash-joins; no corpus-scale
+    relation sits on any join side."""
     df = _df(spark, "ann_pq_trained_topk")
     plan = plans.physical_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
@@ -609,17 +659,18 @@ def test_dsir_single_shuffle_map_side_scoring(spark):
 
 
 def test_ivf_pq_broadcast_only_joins(spark):
-    """ann_ivf_pq_topk: coarse assignment, residuals, and PQ encoding are
-    map-side folds over broadcasts (the residual rides THROUGH the
-    assignment — no corpus re-join); every hash join's build side is an
-    explicitly broadcast query-side table (probes/base/ADC), nothing
-    sort-merges."""
+    """ann_ivf_pq_topk (round-16 shape): coarse assignment, residuals,
+    PQ encoding, probed-list masking and ADC scoring all run inside ONE
+    MapInArrow node over the corpus scan (codebooks/probes/base/ADC are
+    driver tables on a broadcast variable); no joins at all, the only
+    exchange is the tiny candidate window."""
     df = _df(spark, "ann_ivf_pq_topk")
     plan = plans.physical_plan(df)
+    assert "MapInArrow" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
-    assert "BroadcastExchange" in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_pca_top2_deflation_plan(spark):

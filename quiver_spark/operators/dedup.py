@@ -128,32 +128,101 @@ SQL_SHINGLES = sql_ngrams(3, alias="shingle", distinct=True)
 
 
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → m0..m7 minhash signature columns (md5-seeded min-hashing)."""
-    d = load(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    seeds = F.explode(
-        F.array(*[F.lit(i) for i in range(N_HASHES)])
-    ).alias("seed")
-    hashed = sh.select(
-        "doc_id",
-        seeds,
-        "shingle",
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(
-            F.concat(
-                F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
-            ).cast("binary")
-        ).alias("h"),
+    """doc_id → m0..m7 minhash signature columns (md5-seeded min-hashing).
+
+    Round-16 shape (guide §4.2 + §2.3): ONE mapInArrow pass emits the
+    finished signature row per document — no shingle explosion, no
+    (doc, seed) shuffle, no pivot. Inside the pass, md5 runs once per
+    DISTINCT shingle text per seed (MIN is duplicate-invariant, and the
+    corpus measures ~10 shingle instances per distinct value), via
+    hashlib (the same md5 Spark's expression computes — hex parity is
+    exact); per-(doc, seed) minima vectorize as one lexsort over the
+    instance table per seed (lexicographic (hi, lo) uint64 order ==
+    lowercase-hex string order). Map-side; the output is one
+    signature-width row per doc."""
+    import numpy as np
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
-    mh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    return mh.groupBy("doc_id").agg(
-        *[
-            F.min(F.when(F.col("seed") == i, F.col("mh"))).alias(f"m{i}")
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [StructField("doc_id", LongType(), False)]
+        + [
+            StructField(f"m{i}", StringType(), False)
             for i in range(N_HASHES)
         ]
     )
+    nseeds = N_HASHES
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        seeds = [f"{s}:".encode() for s in range(nseeds)]
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            memo: dict[str, int] = {}
+            digs: list[bytes] = []
+            dids: list[int] = []
+            sids: list[int] = []
+            for di, t in enumerate(texts):
+                toks = t.split(" ")
+                for i in range(len(toks) - 2):
+                    sh = toks[i] + " " + toks[i + 1] + " " + toks[i + 2]
+                    sid = memo.get(sh)
+                    if sid is None:
+                        sid = len(memo)
+                        memo[sh] = sid
+                        b = sh.encode()
+                        for sp in seeds:
+                            digs.append(hashlib.md5(sp + b).digest())
+                    dids.append(di)
+                    sids.append(sid)
+            if not dids:
+                continue
+            # (ndistinct, nseeds) big-endian digest halves
+            dg = np.frombuffer(b"".join(digs), dtype=">u8").reshape(
+                len(memo), nseeds, 2
+            )
+            hi_t = np.ascontiguousarray(dg[:, :, 0])
+            lo_t = np.ascontiguousarray(dg[:, :, 1])
+            did = np.array(dids, dtype=np.int64)
+            sid = np.array(sids, dtype=np.int64)
+            udocs, dinv = np.unique(did, return_inverse=True)
+            cols = [
+                pa.array(
+                    np.asarray(batch.column(0)).astype(np.int64)[udocs]
+                )
+            ]
+            for s in range(nseeds):
+                hs = hi_t[sid, s]
+                ls_ = lo_t[sid, s]
+                order = np.lexsort((ls_, hs, dinv))
+                first = np.empty(len(order), dtype=bool)
+                first[0] = True
+                first[1:] = dinv[order][1:] != dinv[order][:-1]
+                win = order[first]
+                cols.append(
+                    pa.array(
+                        [
+                            f"{int(h):016x}{int(l):016x}"
+                            for h, l in zip(hs[win], ls_[win])
+                        ]
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                cols, names=["doc_id"] + [f"m{i}" for i in range(nseeds)]
+            )
+
+    return d.mapInArrow(fn, schema)
 
 
 def _sql_minhash_signature() -> str:
@@ -250,15 +319,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no single viral-duplicate (or collision) bucket can go quadratic:
     the worst bucket's fan-out is bounded at k(k-1)/2 with k <= 64."""
     sig = _minhash_signature(spark, sf_dir).cache()
-    bands = None
-    for b in range(N_BANDS):
-        cols = [F.col(f"m{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *cols).cast("binary")).alias("band_hash"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one stack() pass instead of N_BANDS unioned re-scans of the cache
+    # (round 16 — same rows, one scan, one Generate)
+    legs = ", ".join(
+        f"{b}, md5(CAST(concat_ws(',', "
+        + ", ".join(f"m{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + ") AS BINARY))"
+        for b in range(N_BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {legs}) AS (band, band_hash)"
+    )
     kept_buckets = (
         bands.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -352,43 +423,90 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-equal fingerprints (small Hamming distance). Pure map + one
     per-doc aggregation.
 
-    Built as ONE spark.sql() call over a temp view: constructing the
-    60-sum / 60-case plan as Column objects cost ~1.3 s of pure py4j
-    round trips per invocation — a single SQL string hands the whole tree
-    to Catalyst in one call (measured: build 1.3 s → ~0.05 s; the
-    physical plan is identical)."""
-    d = load(spark, sf_dir, "documents")
-    nibbles = ", ".join(
-        f"(locate(substr(h, {n + 1}, 1), '{_HEX}') - 1) AS nib{n}"
-        for n in range(SIMHASH_BITS // 4)
+    Round-16 shape (guide §4.2): ONE mapInArrow pass emits the finished
+    (doc_id, simhash) row — no token explosion, no 60-column aggregate.
+    md5 runs once per DISTINCT token (hashlib — the same digest Spark's
+    expression computed over every occurrence); the top-60-bit vote
+    table comes from the digest's first 15 hex nibbles exactly as the
+    nibble/CASE chain did; per-doc tallies vectorize as 60 bincounts
+    over the occurrence table (exact: integer votes, magnitudes far
+    below 2^53), and bit j is set iff its tally is STRICTLY positive —
+    the identical sign rule."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("simhash", LongType(), False),
+        ]
     )
-    bit_sums = ", ".join(
-        f"SUM(2 * ((nib{j // 4} div {1 << (j % 4)}) % 2) - 1) AS s{j}"
-        for j in range(SIMHASH_BITS)
-    )
-    assemble = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) "
-        "ELSE CAST(0 AS BIGINT) END)"
-        for j in range(SIMHASH_BITS)
-    )
-    # the input binds as a DataFrame argument ({src}), not a named temp
-    # view: fixed view names are session-global, so concurrent callers in
-    # one SparkSession could race between view replacement and analysis
-    return spark.sql(
-        f"""
-        WITH tok AS (
-            SELECT doc_id, explode(split(text, ' ')) AS token
-            FROM {{src}}
-        ),
-        hashed AS (
-            SELECT doc_id, md5(token) AS h FROM tok WHERE token <> ''
-        ),
-        nibs AS (SELECT doc_id, {nibbles} FROM hashed),
-        sums AS (SELECT doc_id, {bit_sums} FROM nibs GROUP BY doc_id)
-        SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM sums
-        """,
-        src=d,
-    )
+    nbits = SIMHASH_BITS
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            memo: dict[str, int] = {}
+            his: list[int] = []
+            dids: list[int] = []
+            tids: list[int] = []
+            for di, t in enumerate(texts):
+                for tok in t.split(" "):
+                    if tok == "":
+                        continue
+                    tid = memo.get(tok)
+                    if tid is None:
+                        tid = len(memo)
+                        memo[tok] = tid
+                        his.append(
+                            int.from_bytes(
+                                hashlib.md5(tok.encode()).digest()[:8],
+                                "big",
+                            )
+                        )
+                    dids.append(di)
+                    tids.append(tid)
+            if not dids:
+                continue
+            hi = np.array(his, dtype=np.uint64)
+            # bit j lives in nibble j//4 (hex char index), weight 2^(j%4):
+            # nib n = (hi >> (60 - 4n)) & 0xF, so bit j = (hi >>
+            # (60 - 4*(j//4) + j%4))... extract per-bit columns directly
+            B2 = np.empty((len(his), nbits), dtype=np.int8)
+            for j in range(nbits):
+                shift = np.uint64(60 - 4 * (j // 4) + (j % 4))
+                B2[:, j] = (
+                    ((hi >> shift) & np.uint64(1)).astype(np.int8) * 2 - 1
+                )
+            did = np.array(dids, dtype=np.int64)
+            tid = np.array(tids, dtype=np.int64)
+            udocs, dinv = np.unique(did, return_inverse=True)
+            nd = len(udocs)
+            sh = np.zeros(nd, dtype=np.int64)
+            for j in range(nbits):
+                v = np.bincount(
+                    dinv, weights=B2[tid, j].astype(np.float64), minlength=nd
+                )
+                sh |= (v > 0).astype(np.int64) << j
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.asarray(batch.column(0)).astype(np.int64)[udocs]
+                    ),
+                    pa.array(sh),
+                ],
+                names=["doc_id", "simhash"],
+            )
+
+    return d.mapInArrow(fn, schema)
 
 
 # --------------------------------------------------------------------------
@@ -601,18 +719,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree; the checkpoint truncates the plan (same lesson as
     # dedup_clusters, measured ~0.7 s/branch of pure planning)
     sh = dedup_simhash(spark, sf_dir).localCheckpoint()
-    bands = None
-    for k in range(SIMHASH_N_BANDS):
-        part = sh.select(
-            "doc_id",
-            "simhash",
-            F.lit(k).alias("band"),
-            (
-                F.expr(f"simhash div {1 << (k * SIMHASH_BAND_BITS)}")
-                % (1 << SIMHASH_BAND_BITS)
-            ).alias("bval"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one stack() pass instead of N_BANDS unioned re-scans (round 16)
+    legs = ", ".join(
+        f"{k}, (simhash div {1 << (k * SIMHASH_BAND_BITS)})"
+        f" % {1 << SIMHASH_BAND_BITS}"
+        for k in range(SIMHASH_N_BANDS)
+    )
+    bands = sh.selectExpr(
+        "doc_id",
+        "simhash",
+        f"stack({SIMHASH_N_BANDS}, {legs}) AS (band, bval)",
+    )
     kept_buckets = (
         bands.groupBy("band", "bval")
         .agg(F.count(F.lit(1)).alias("bsz"))

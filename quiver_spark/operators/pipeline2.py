@@ -59,6 +59,68 @@ MAX_LSH_BUCKET = 256
 COS_THRESHOLD = 0.3
 
 
+def _shingle_ints(d: DataFrame) -> DataFrame:
+    """(doc_id, sh): per-document DISTINCT 60-bit word-3-gram
+    fingerprints (top 60 bits of md5 — exactly
+    conv(substr(md5(shingle), 1, 15), 16, 10)), emitted from one
+    vectorized pass. Tokens split on single spaces (empties kept),
+    shingles joined with single spaces — the _raw_shingles contract."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("sh", LongType(), False),
+        ]
+    )
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        memo: dict[str, int] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            out_d: list[int] = []
+            out_s: list[int] = []
+            docs = np.asarray(batch.column(0)).astype(np.int64)
+            for di, t in enumerate(texts):
+                toks = t.split(" ")
+                seen = set()
+                for i in range(len(toks) - 2):
+                    shs = toks[i] + " " + toks[i + 1] + " " + toks[i + 2]
+                    v = memo.get(shs)
+                    if v is None:
+                        v = (
+                            int.from_bytes(
+                                hashlib.md5(shs.encode()).digest()[:8],
+                                "big",
+                            )
+                            >> 4
+                        )
+                        memo[shs] = v
+                    seen.add(v)
+                did = int(docs[di])
+                for v in seen:
+                    out_d.append(did)
+                    out_s.append(v)
+            if not out_d:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.array(out_d, dtype=np.int64)),
+                    pa.array(np.array(out_s, dtype=np.int64)),
+                ],
+                names=["doc_id", "sh"],
+            )
+
+    return d.select("doc_id", "text").mapInArrow(fn, schema)
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -105,23 +167,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit collision cannot cause a mismatch. Exact integer counts; the
     Jaccard itself is one IEEE division of identical integers."""
     d = load(spark, sf_dir, "documents")
-    # hash BEFORE the distinct: the dedup shuffle and every downstream
-    # consumer then move 8-byte keys, and the shingle strings never leave
-    # the map stage. The set of distinct (doc_id, hash) rows is identical
-    # whether strings are deduped first or not, so the oracle (which
-    # dedups post-hash too) matches exactly. Persist because the shingle
-    # set feeds three consumers (sizes, df-filter, join).
-    sh = (
-        _raw_shingles(d)
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-            .cast("bigint")
-            .alias("sh"),
-        )
-        .distinct()
-        .persist()
-    )
+    # Round-16 shape (guide §4.2): ONE mapInArrow pass emits the per-doc
+    # DISTINCT 60-bit shingle fingerprints directly — no shingle-string
+    # explosion, no distinct shuffle of strings, md5 once per DISTINCT
+    # shingle text (hashlib — the digest Spark's md5() computes; the
+    # 15-hex-char prefix IS the big-endian top 60 bits, hi >> 4). The
+    # set of (doc_id, hash) rows is identical to the hash-then-distinct
+    # chain it replaces. Persist because the shingle set feeds three
+    # consumers (sizes, df-filter, join).
+    sh = _shingle_ints(d).persist()
     sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # corpus-relative df cap (see SHINGLE_DF_DIV): the 1-row doc count
     # rides a broadcast cross join so the whole threshold stays inside the
@@ -190,52 +244,86 @@ def _plane_weights(j: int) -> list[int]:
 
 
 def _lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, iv, tbl, sig): one row per (vector, table), sig =
-    the table's k-bit bucket string. Built as ONE spark.sql call (48 plane
-    dots as Column objects would cost seconds of py4j round trips)."""
+    """(vec_id, label, tbl, sig): one row per (vector, table), sig = the
+    table's k-bit bucket string.
+
+    Round-16 shape (guide §4.2): the 48 plane dots run as ONE numpy
+    matmul per Arrow batch inside mapInArrow (the interpreted
+    aggregate/zip_with fold cost O(planes·dim) lambda steps per row),
+    and each table's leg is emitted straight from the batch — exact
+    int64 dots (|w| ≤ 3, so |dot| ≤ 64·3·2²¹ < 2³¹), identical '1'/'0'
+    sign rule, identical row multiset to the UNION-ALL legs it
+    replaces. The embedding-width guard stays loud: a non-{EMB_DIM}-dim
+    vector raises instead of silently null-padding the dots."""
+    import numpy as np
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from quiver_spark.operators.similarity2 import _list_matrix
+
     e = load(spark, sf_dir, "embeddings")
     iv = e.select("vec_id", "label", int_vec("embedding").alias("iv"))
-    # Width guard: the plane-weight literals are EMB_DIM long, and a wider/
-    # narrower embedding would silently null-pad every zip_with dot (all-
-    # zero signatures, one degenerate bucket) while DuckDB's 1-based
-    # indexing sums a partial dot — silent cross-engine divergence. The
-    # guard rides INSIDE sig0's concat as an empty-string term (concat with
-    # '' is identity), so column pruning can never drop it and a mismatch
-    # fails the job loudly; cost is one size() per row.
-    dim_guard = (
-        f"(CASE WHEN size(iv) = {EMB_DIM} THEN '' ELSE "
-        "raise_error(concat('embedding width ', CAST(size(iv) AS STRING), "
-        f"' does not match the {EMB_DIM}-dim LSH plane literals "
-        "(pipeline2.EMB_DIM)')) END)"
+    W = np.array(
+        [
+            _plane_weights(j)
+            for j in range(LSH_TABLES * LSH_PLANES_PER_TABLE)
+        ],
+        dtype=np.int64,
     )
-    table_sigs = []
-    for t in range(LSH_TABLES):
-        bits = [dim_guard] if t == 0 else []
-        for p in range(LSH_PLANES_PER_TABLE):
-            w = _plane_weights(t * LSH_PLANES_PER_TABLE + p)
-            arr = "array(" + ", ".join(str(x) for x in w) + ")"
-            dot = (
-                f"aggregate(zip_with(iv, {arr}, (x, w) -> x * CAST(w AS BIGINT)), "
-                "CAST(0 AS BIGINT), (a, x) -> a + x)"
-            )
-            bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
-        table_sigs.append(f"concat({', '.join(bits)}) AS sig{t}")
-    legs = " UNION ALL ".join(
-        f"SELECT vec_id, label, iv, {t} AS tbl, sig{t} AS sig FROM sigs"
-        for t in range(LSH_TABLES)
+    bc = spark.sparkContext.broadcast(W)
+    # passthrough columns keep their INPUT types (label is an int in the
+    # embeddings table); only tbl/sig are new, and iv stays INSIDE the
+    # node — 4x the vector payload never crosses the Python boundary back
+    schema = StructType(
+        [f for f in iv.schema.fields if f.name != "iv"]
+        + [
+            StructField("tbl", IntegerType(), False),
+            StructField("sig", StringType(), False),
+        ]
     )
-    # DataFrame argument binding ({src}), not a fixed-name temp view:
-    # session-global view names race under concurrent callers
-    return spark.sql(
-        f"""
-        WITH sigs AS (
-            SELECT vec_id, label, iv, {', '.join(table_sigs)}
-            FROM {{src}}
-        )
-        {legs}
-        """,
-        src=iv,
-    )
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        W_ = bc.value
+        WT = np.ascontiguousarray(W_.T)
+        P = LSH_PLANES_PER_TABLE
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = _list_matrix(batch.column(2), n)
+            if X.shape[1] != EMB_DIM:
+                raise ValueError(
+                    f"embedding width {X.shape[1]} does not match the "
+                    f"{EMB_DIM}-dim LSH plane literals (pipeline2.EMB_DIM)"
+                )
+            bits = (X @ WT) > 0
+            chars = np.where(bits, 49, 48).astype(np.uint8)  # '1' / '0'
+            offs = np.arange(n + 1, dtype=np.int32) * P
+            for t in range(LSH_TABLES):
+                seg = np.ascontiguousarray(chars[:, t * P : (t + 1) * P])
+                sig = pa.StringArray.from_buffers(
+                    n,
+                    pa.py_buffer(offs.tobytes()),
+                    pa.py_buffer(seg.tobytes()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(0),
+                        batch.column(1),
+                        pa.array(np.full(n, t, dtype=np.int32)),
+                        sig,
+                    ],
+                    names=["vec_id", "label", "tbl", "sig"],
+                )
+
+    return iv.mapInArrow(fn, schema)
 
 
 def _sql_lsh_signature() -> str:

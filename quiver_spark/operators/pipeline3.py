@@ -24,8 +24,6 @@ from pyspark.sql import functions as F
 
 from quiver_spark.operators.dedup import (
     SQL_SHINGLES,
-    _raw_ngrams,
-    _raw_shingles,
     sql_ngrams,
 )
 from quiver_spark.registry import register
@@ -80,24 +78,17 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to eval-set size and to actual contamination matches,
     which is what lets this run against benchmark suites at full
     pretraining scale."""
+    from quiver_spark.operators.pipeline2 import _shingle_ints
+
     d = load(spark, sf_dir, "documents")
 
-    def _hashed(df: DataFrame) -> DataFrame:
-        return _raw_shingles(df).select(
-            "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-            .cast("bigint")
-            .alias("sh"),
-        )
-
-    # eval branch: tiny (scan-pruned), deduped, reused twice -> persist
-    ev = (
-        _hashed(d.filter(F.col("doc_id") % EVAL_MOD == 0))
-        .distinct()
-        .persist()
-    )
-    # train branch: one map-side pass, per-doc repeats kept (deduped later)
-    tr = _hashed(d.filter(F.col("doc_id") % EVAL_MOD != 0))
+    # round 16: both branches emit per-doc DISTINCT hashed shingles from
+    # the vectorized pass (guide §4.2) — overlap counted DISTINCT shingles
+    # per (train, eval) pair anyway, so feeding distinct rows changes
+    # nothing downstream while the join input shrinks to the set sizes
+    # eval branch: tiny (scan-pruned), reused twice -> persist
+    ev = _shingle_ints(d.filter(F.col("doc_id") % EVAL_MOD == 0)).persist()
+    tr = _shingle_ints(d.filter(F.col("doc_id") % EVAL_MOD != 0))
     sized = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("eval_sh"))
     overlap = (
         tr.join(
@@ -106,8 +97,11 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "sh",
         )
+        # join rows are unique per (train, eval, sh) — both sides are
+        # (doc, sh)-distinct — so COUNT == COUNT DISTINCT, minus the
+        # distinct-agg pass
         .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
-        .agg(F.countDistinct("sh").alias("overlap_sh"))
+        .agg(F.count(F.lit(1)).alias("overlap_sh"))
     )
     frac = F.col("overlap_sh").cast("double") / F.col("eval_sh")
     return (
@@ -160,17 +154,54 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emits total / distinct / most-frequent bigram counts, the derived
     top-bigram and duplicate-bigram fractions, and the keep/drop verdict at
-    the Gopher-style threshold. Pure map (bigram explode) + two doc-keyed
-    aggregations: repetition scoring at corpus scale is embarrassingly
-    parallel, one shuffle on the uniform doc_id key."""
-    d = load(spark, sf_dir, "documents")
-    bigrams = _raw_ngrams(d, 2, alias="bg")
-    cnt = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
-    stats = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("top_cnt"),
+    the Gopher-style threshold. Round-16 shape (guide §4.2): the per-doc
+    bigram tallies are a per-document Counter inside ONE mapInArrow pass
+    (exact integer counts — no bigram explosion, no (doc, bg) shuffle);
+    only the finished 4-column stats row leaves the node."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    st_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_bigrams", LongType(), False),
+            StructField("n_distinct", LongType(), False),
+            StructField("top_cnt", LongType(), False),
+        ]
     )
+
+    def fn(batches):
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            docs = np.asarray(batch.column(0)).astype(np.int64)
+            rows = ([], [], [], [])
+            for di, t in enumerate(texts):
+                toks = t.split(" ")
+                if len(toks) < 2:
+                    continue  # no bigrams → no stats row (as the groupBy)
+                c = Counter(
+                    toks[i] + " " + toks[i + 1]
+                    for i in range(len(toks) - 1)
+                )
+                rows[0].append(int(docs[di]))
+                rows[1].append(len(toks) - 1)
+                rows[2].append(len(c))
+                rows[3].append(max(c.values()))
+            if not rows[0]:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.array(r, dtype=np.int64)) for r in rows],
+                names=["doc_id", "n_bigrams", "n_distinct", "top_cnt"],
+            )
+
+    stats = d.mapInArrow(fn, st_schema)
     top_frac = F.col("top_cnt").cast("double") / F.col("n_bigrams")
     dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col(
         "n_bigrams"
@@ -225,33 +256,77 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint (text_fingerprint) this detects SHARED SUBSTRINGS — two
     docs overlapping in ≥ W+2 consecutive words are guaranteed a common
     fingerprint, so an equi-join on fp is the substring-level candidate
-    generator. All map-side + one doc-keyed window; the fingerprint join
-    key is df-bounded like every other candidate generator here."""
-    from pyspark.sql import Window
+    generator.
 
-    d = load(spark, sf_dir, "documents")
-    sh = _raw_ngrams(d, 3, alias="shingle", with_pos=True).select(
-        "doc_id",
-        "pos",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h"),
+    Round-16 shape (guide §4.2): ONE mapInArrow pass emits the per-doc
+    distinct fingerprints — the sliding-window MIN is a per-document
+    sequential computation, so it runs as a numpy sliding_window_view
+    min per batch instead of a doc-keyed WINDOW (a corpus shuffle +
+    sort); md5 runs once per DISTINCT shingle text (hashlib, same
+    digest, 15-hex prefix = top 60 bits); only FULL windows contribute
+    (n − W + 1 starts — the oracle's rule)."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("fp", LongType(), False),
+        ]
     )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    per_doc = Window.partitionBy("doc_id")
-    return (
-        sh.withColumn("fp", F.min("h").over(win))
-        .withColumn("n", F.count(F.lit(1)).over(per_doc))
-        # full windows only (0-based pos vs the oracle's 1-based: both
-        # keep exactly n - W + 1 window starts)
-        .filter(F.col("pos") <= F.col("n") - WINNOW_W)
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    W = WINNOW_W
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        memo: dict[str, int] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            docs = np.asarray(batch.column(0)).astype(np.int64)
+            out_d: list[int] = []
+            out_f: list[np.ndarray] = []
+            for di, t in enumerate(texts):
+                toks = t.split(" ")
+                ns = len(toks) - 2
+                if ns < W:
+                    continue  # fewer shingles than one full window
+                hs = np.empty(ns, dtype=np.int64)
+                for i in range(ns):
+                    shs = toks[i] + " " + toks[i + 1] + " " + toks[i + 2]
+                    v = memo.get(shs)
+                    if v is None:
+                        v = (
+                            int.from_bytes(
+                                hashlib.md5(shs.encode()).digest()[:8],
+                                "big",
+                            )
+                            >> 4
+                        )
+                        memo[shs] = v
+                    hs[i] = v
+                fps = np.unique(
+                    sliding_window_view(hs, W).min(axis=1)
+                )
+                out_d += [int(docs[di])] * len(fps)
+                out_f.append(fps)
+            if not out_d:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.array(out_d, dtype=np.int64)),
+                    pa.array(np.concatenate(out_f)),
+                ],
+                names=["doc_id", "fp"],
+            )
+
+    return d.mapInArrow(fn, schema)
 
 
 #: stop-fingerprint cap: fingerprints shared by more than

@@ -557,35 +557,61 @@ def decontaminate_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     any eval vector is flagged. Identical vectors land at exactly 1.0, so
     the planted leaks are all caught; rates report per label.
 
-    100 TB posture: the eval set collapses to ONE broadcast array row
-    (eval benchmarks are tiny against a pretraining corpus), the per-doc
-    max-similarity is a map-side `transform`/`array_max` over that
-    broadcast — the corpus is scanned once, never shuffled except the
-    final per-label aggregate. Integer dot products keep every pairwise
-    score bit-identical across engines; the avg/max report rounds."""
-    emb = _int_emb(spark, sf_dir).withColumn("nrm", int_dot("iv", "iv"))
+    100 TB posture (round 16, guide §4.2): the eval set is driver-
+    collected (eval benchmarks are tiny against a pretraining corpus)
+    and ships by broadcast variable into ONE vectorized corpus pass —
+    the per-doc max-similarity is a numpy matmul + row-max per Arrow
+    batch (exact int64 dots, then the identical cast/sqrt/divide float64
+    sequence; np.max propagates NaN exactly like array_max's
+    NaN-greatest rule) — the corpus is scanned once, never shuffled
+    except the final per-label aggregate."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from quiver_spark.operators.similarity2 import _cent_np, _list_matrix
+
+    emb = _int_emb(spark, sf_dir)
     # the eval benchmark is a FIXED set: vec_id % 37 under a constant cap
     # (2000 = one decade of ids above every driver SF, so the slice is
     # identical at sf0.001-0.1 AND stays fixed on the x10/x100 decade
     # fixtures — a benchmark does not grow with the corpus; without the
     # cap the sweep measured eval x10 TIMES corpus x10 = x100 work, the
     # round-13 sweep catch)
-    probes = emb.filter(
-        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 2000)
-    ).agg(
-        F.collect_list(F.struct(F.col("iv"), F.col("nrm"))).alias("ps")
+    _, P = _cent_np(
+        emb.filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 2000)),
+        "vec_id",
+        "iv",
     )
-    mx = F.expr(
-        """
-        array_max(transform(ps, p ->
-            CAST(aggregate(zip_with(iv, p.iv, (x, y) -> x * y),
-                           CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
-            / (SQRT(CAST(nrm AS DOUBLE)) * SQRT(CAST(p.nrm AS DOUBLE)))))
-        """
+    pn = (P * P).sum(axis=1)
+    bc = spark.sparkContext.broadcast((P, pn))
+    src = emb.select("label", "iv")
+    schema = StructType(
+        [src.schema.fields[0], StructField("mx", DoubleType(), True)]
     )
-    per = emb.crossJoin(F.broadcast(probes)).select(
-        "label", mx.alias("mx")
-    )
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        P_, pn_ = bc.value
+        PT = np.ascontiguousarray(P_.T)
+        psq = np.sqrt(pn_.astype(np.float64))
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = _list_matrix(batch.column(1), n)
+            nrm = (X * X).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (X @ PT) / (
+                    np.sqrt(nrm.astype(np.float64))[:, None] * psq[None, :]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(np.max(cos, axis=1))],
+                names=["label", "mx"],
+            )
+
+    per = src.mapInArrow(fn, schema)
     return per.groupBy("label").agg(
         F.count(F.lit(1)).alias("corpus"),
         F.sum(F.when(F.col("mx") >= 0.95, 1).otherwise(0))

@@ -525,18 +525,17 @@ def test_char_lm_codes_helpers_exact():
 
 
 def test_embedding_decontamination_map_side_single_shuffle(spark):
-    """decontaminate_embedding_overlap: the eval set collapses to one
-    broadcast array row and the per-vector max-similarity is a map-side
-    transform over it — the only exchange left is the per-label
-    aggregate (plus the 1-row eval collect). No Python eval anywhere."""
+    """decontaminate_embedding_overlap (round-16 shape): the eval set is
+    driver-collected and ships by broadcast VARIABLE into one MapInArrow
+    node over the corpus scan (numpy matmul + row-max per batch) — the
+    only exchange left is the per-label aggregate. No joins at all."""
     df = _df(spark, "decontaminate_embedding_overlap")
     plan = plans.physical_plan(df)
-    assert plans.has_broadcast_join(df), plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # exactly one corpus-scale exchange (the label agg); the others are
-    # the 1-row eval collect and its broadcast
+    assert "MapInArrow" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_kl_divergence_single_corpus_explode(spark):

@@ -844,11 +844,16 @@ def snapshot_diff(
     same restriction Delta's CDF places across schema changes); no
     common columns is an error.
 
-    Scale posture: this is a DIAGNOSTIC — two full snapshot scans plus
-    one shuffle (Spark plans exceptAll as a single hash aggregate over
-    the union). For incremental consumption at 100 TB use the manifest
-    cursor surface (``table_changes`` / ``changes_since``), which plans
-    O(changed files) and never diffs rows."""
+    Scale posture: this is a DIAGNOSTIC — ONE scan of each snapshot plus
+    ONE shuffle (round 16, guide §2.4: the two exceptAll legs each
+    planned their own union + hash aggregate, scanning both snapshots
+    TWICE; both directions derive from one multiplicity count). The
+    per-row (c_new, c_old) counts are filtered to rows whose
+    multiplicities DIFFER before the lazy checkpoint, so the
+    materialized intermediate is DIFF-sized, not table-sized. For
+    incremental consumption at 100 TB use the manifest cursor surface
+    (``table_changes`` / ``changes_since``), which plans O(changed
+    files) and never diffs rows."""
     from pyspark.sql import functions as F
 
     from quiver_spark.sources import register as register_format
@@ -870,13 +875,36 @@ def snapshot_diff(
             f"vs target: {new.columns})"
         )
     old_c, new_c = old.select(common), new.select(common)
-    return (
-        new_c.exceptAll(old_c)
-        .withColumn("_change_type", F.lit("insert"))
-        .unionByName(
-            old_c.exceptAll(new_c)
-            .withColumn("_change_type", F.lit("delete"))
+    u = new_c.withColumn("_n", F.lit(1)).unionByName(
+        old_c.withColumn("_n", F.lit(0))
+    )
+    cnt = (
+        u.groupBy(*common)
+        .agg(
+            F.sum("_n").alias("_cn"),
+            F.sum(F.lit(1) - F.col("_n")).alias("_co"),
         )
+        .filter(F.col("_cn") != F.col("_co"))
+        # two consumers (insert and delete legs) read the diff-sized
+        # counted rows from the checkpoint instead of re-running the scan
+        .localCheckpoint(eager=False)
+    )
+
+    def leg(df, diff, tag):
+        # exceptAll bag semantics: max(c_a - c_b, 0) replicas per row
+        return (
+            df.select(
+                *common,
+                F.explode(F.expr(f"sequence(1, {diff})")).alias("_i"),
+            )
+            .drop("_i")
+            .withColumn("_change_type", F.lit(tag))
+        )
+
+    return leg(
+        cnt.filter(F.col("_cn") > F.col("_co")), "_cn - _co", "insert"
+    ).unionByName(
+        leg(cnt.filter(F.col("_co") > F.col("_cn")), "_co - _cn", "delete")
     )
 
 

@@ -444,11 +444,17 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 5% envelope of it (HLL++ at rsd=0.02 is deterministic for fixed
     data, so the boolean is stable; the oracle side is simply TRUE)."""
     li = load(spark, sf_dir, "lineitem")
+    # round 16 (guide §2.3): dedup (flag, partkey) FIRST — map-side
+    # partial aggregation shrinks the shuffle to the distinct pairs and
+    # the mixed distinct/non-distinct Expand (2x every row) disappears.
+    # HLL insertion is idempotent per value, so the sketch over distinct
+    # inputs is BIT-IDENTICAL to the sketch over all occurrences.
+    dedup = li.select("l_returnflag", "l_partkey").distinct()
     return (
-        li.groupBy("l_returnflag")
+        dedup.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("exact_parts"),
         )
         .select(
             "l_returnflag",

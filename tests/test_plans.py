@@ -749,6 +749,32 @@ def test_round_half_up_matches_spark(spark):
         assert got[i] == _round_half_up(x), (i, x, got[i], _round_half_up(x))
 
 
+def test_batch_topk_tie_and_nan_rules():
+    """_batch_topk feeds the ANN candidate windows, so its per-batch
+    selection must follow Spark's (score DESC, vec_id ASC) ordering
+    exactly: lowest vec_id wins ties, and NaN sorts ABOVE every double
+    (Spark's NaN-greatest rule) — a batch that drops a NaN or a tied
+    low-id row would silently shrink the global top-k."""
+    import numpy as np
+
+    from quiver_spark.operators.similarity2 import _batch_topk
+
+    vids = np.array([10, 3, 7, 5], dtype=np.int64)
+    # int scores with a tie: 7 and 3 tie at 9 → 3 first
+    S = np.array([[5, 9, 9, 1]], dtype=np.int64)
+    q, v, s = _batch_topk(vids, S, np.array([42]), 3)
+    assert v.tolist() == [3, 7, 10] and s.tolist() == [9, 9, 5]
+    assert q.tolist() == [42] * 3
+    # float scores with NaN: NaN ranks first, then 2.0, then 1.0
+    Sf = np.array([[1.0, np.nan, 2.0, -np.inf]])
+    q, v, s = _batch_topk(vids, Sf, np.array([7]), 3)
+    assert v.tolist() == [3, 7, 10]
+    assert np.isnan(s[0]) and s[1] == 2.0 and s[2] == 1.0
+    # k larger than the batch: everything returned, no padding
+    q, v, s = _batch_topk(vids, S, np.array([1]), 10)
+    assert len(v) == 4
+
+
 def test_pca_power_iteration_plan(spark):
     """embedding_pca_power_iteration: the 64-row y of each round is
     localCheckpoint-ed — without the boundary its two consumers (m and v)

@@ -891,7 +891,14 @@ def snapshot_diff(
     )
 
     def leg(df, diff, tag):
-        # exceptAll bag semantics: max(c_a - c_b, 0) replicas per row
+        # exceptAll bag semantics: max(c_a - c_b, 0) replicas per row.
+        # BOUND (ADVICE r16): explode(sequence(1, diff)) materializes a
+        # per-row array sized by the multiplicity DIFFERENCE — fine for a
+        # diagnostic diff (multiplicity deltas are edit-sized), but a row
+        # duplicated many millions of times between snapshots would
+        # allocate a huge array (sequence caps at Spark's max array
+        # length). For such tables consume the manifest cursor surface
+        # (table_changes/changes_since) or emit a _count column instead.
         return (
             df.select(
                 *common,

@@ -80,10 +80,14 @@ def _shingle_ints(d: DataFrame) -> DataFrame:
         import numpy as np
         import pyarrow as pa
 
-        memo: dict[str, int] = {}
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            # memo scope = ONE batch (ADVICE r16): a per-partition memo
+            # holds every distinct shingle string of the partition —
+            # unbounded growth on large text partitions; the md5-per-
+            # distinct saving applies within a batch either way
+            memo: dict[str, int] = {}
             texts = batch.column(1).to_pylist()
             out_d: list[int] = []
             out_s: list[int] = []

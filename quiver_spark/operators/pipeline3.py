@@ -284,10 +284,12 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow as pa
         from numpy.lib.stride_tricks import sliding_window_view
 
-        memo: dict[str, int] = {}
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            # memo scope = ONE batch (ADVICE r16): a per-partition memo
+            # grows unboundedly with the partition's distinct shingles
+            memo: dict[str, int] = {}
             texts = batch.column(1).to_pylist()
             docs = np.asarray(batch.column(0)).astype(np.int64)
             out_d: list[int] = []

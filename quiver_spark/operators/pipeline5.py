@@ -173,8 +173,17 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped token mass). Composes dedup_clusters (connected components
     over the MinHash-LSH graph) with per-doc token counts: one broadcast-
     able join (clusters are duplicate-density-proportional, tiny next to
-    the corpus) and a window partitioned by cluster_id — no global
-    ordering anywhere."""
+    the corpus) and ONE aggregate keyed on cluster_id — no window, no
+    global ordering anywhere.
+
+    Round 17 (guide §2.2/§2.4): the canonical pick used to ride a
+    cluster-partitioned row_number WINDOW (a full shuffle + per-cluster
+    sort) feeding a SECOND groupBy shuffle. A single max_by-style
+    aggregate computes the identical answer: max(struct(n_tok, -doc_id,
+    doc_id)) selects the (n_tok DESC, doc_id ASC) winner — doc_id is
+    unique, so the struct order is total and tie-free — and
+    dropped_tokens = sum(n_tok) − winner.n_tok. Exact bigint arithmetic;
+    one shuffle with map-side partial aggregation instead of two."""
     from quiver_spark.operators.dedup import dedup_clusters
 
     clusters = dedup_clusters(spark, sf_dir)
@@ -183,26 +192,29 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(f"size({_SPARK_TOKENS})").cast("bigint").alias("n_tok")
     )
     joined = clusters.join(toks, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_tok"), F.asc("doc_id")
+    best = F.max(
+        F.struct(
+            F.col("n_tok"),
+            (-F.col("doc_id")).alias("_neg_doc"),
+            F.col("doc_id"),
+        )
     )
-    ranked = joined.select(
-        "cluster_id",
-        "doc_id",
-        "n_tok",
-        F.row_number().over(w).alias("rn"),
-    )
-    return ranked.groupBy("cluster_id").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
-        .cast("bigint")
-        .alias("canonical_doc"),
-        F.max(F.when(F.col("rn") == 1, F.col("n_tok")))
-        .cast("bigint")
-        .alias("canonical_tokens"),
-        F.count(F.lit(1)).alias("cluster_size"),
-        F.sum(F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(0))
-        .cast("bigint")
-        .alias("dropped_tokens"),
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            best.alias("_best"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("n_tok").cast("bigint").alias("_tot"),
+        )
+        .select(
+            "cluster_id",
+            F.col("_best.doc_id").cast("bigint").alias("canonical_doc"),
+            F.col("_best.n_tok").cast("bigint").alias("canonical_tokens"),
+            "cluster_size",
+            (F.col("_tot") - F.col("_best.n_tok"))
+            .cast("bigint")
+            .alias("dropped_tokens"),
+        )
     )
 
 
@@ -283,13 +295,60 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB; here the only ordered windows are over the ≤{QBUCKETS}-row
     bucket histogram and WITHIN each bucket's partition — every corpus
     pass is a parallel map or a keyed aggregation. Per-bucket totals and
-    kept counts are emitted so the cut is auditable."""
+    kept counts are emitted so the cut is auditable.
+
+    Round 17 (guide §4.2): the per-doc (n_tok, bucket) row used to cost
+    THREE JVM tokenizations per document (size + array_distinct + size
+    again), and its two consumers (bucket histogram, placed join)
+    re-tokenized the corpus once each. One mapInArrow pass computes both
+    integers per doc — split on single spaces, empties dropped, bucket =
+    min(63, 64·|set|//n) in exact ints, the _SPARK_Q arithmetic — and a
+    lazy checkpoint feeds both consumers from the 3-column per-doc rows."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     d = load(spark, sf_dir, "documents")
-    docs_q = d.select(
-        "doc_id",
-        F.expr(f"size({_SPARK_TOKENS})").cast("bigint").alias("n_tok"),
-        F.expr(_SPARK_Q).cast("bigint").alias("bucket"),
-    ).filter(F.col("n_tok") > 0)
+    _schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_tok", LongType(), False),
+            StructField("bucket", LongType(), False),
+        ]
+    )
+    _nb = QBUCKETS
+
+    def _fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            o_id, o_nt, o_bk = [], [], []
+            for did, t in zip(ids, texts):
+                toks = [w for w in t.split(" ") if w]
+                n = len(toks)
+                if n == 0:
+                    continue
+                o_id.append(did)
+                o_nt.append(n)
+                o_bk.append(min(_nb - 1, (_nb * len(set(toks))) // n))
+            if not o_id:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.int64()),
+                    pa.array(o_nt, type=pa.int64()),
+                    pa.array(o_bk, type=pa.int64()),
+                ],
+                names=["doc_id", "n_tok", "bucket"],
+            )
+
+    docs_q = (
+        d.select("doc_id", "text")
+        .mapInArrow(_fn, _schema)
+        .localCheckpoint(eager=False)
+    )
     buckets = docs_q.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("docs_b"),
         F.sum("n_tok").cast("bigint").alias("tokens_b"),

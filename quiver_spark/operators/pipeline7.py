@@ -423,9 +423,17 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes, lens = _codes_lens(batch.column(2))
             keys = _bigram_keys(codes, lens)
             idx = np.searchsorted(mk, keys)
-            if keys.size and not (mk[idx] == keys).all():
-                # every corpus bigram is in the corpus-trained model
-                raise ValueError("bigram missing from model")
+            if keys.size:
+                # clip BEFORE indexing (ADVICE r16): a key above the
+                # largest model key returns idx == len(mk), and mk[idx]
+                # would IndexError before the intended guard fired; the
+                # clipped compare still catches it (key > mk[-1] ≠ key)
+                if mk.size == 0:
+                    raise ValueError("bigram missing from model")
+                idx = np.minimum(idx, mk.size - 1)
+                if not (mk[idx] == keys).all():
+                    # every corpus bigram is in the corpus-trained model
+                    raise ValueError("bigram missing from model")
             bits = mb[idx]
             npairs = lens - 1
             starts = np.zeros(len(npairs), dtype=np.int64)

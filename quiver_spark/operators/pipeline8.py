@@ -112,43 +112,76 @@ def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Five published rule shapes (word-count bounds, mean word length,
     stopword presence, top-word repetition cap, alphabetic-word fraction)
-    are computed from a single ``split`` with array expressions — even the
-    most-frequent-word count, via a max-run-length fold over the SORTED
-    word array — so the document text never shuffles; the only exchange
-    carries ≤|sources| verdict rows. Thresholds are cross-multiplied
-    integers (``5·maxc ≤ nw`` instead of ``maxc/nw ≤ 0.2``), so the
-    verdict is bit-exact in any engine."""
+    are computed in ONE vectorized pass — so the document text never
+    shuffles; the only exchange carries ≤|sources| verdict rows.
+    Thresholds are cross-multiplied integers (``5·maxc ≤ nw`` instead of
+    ``maxc/nw ≤ 0.2``), so the verdict is bit-exact in any engine.
+
+    Round 17 (guide §4.2): the five statistics ran as interpreted JVM
+    array expressions per row — a sort_array + O(n) lambda fold for the
+    top-word count, an rlike per WORD for the alpha rule. One mapInArrow
+    pass computes them per batch in C (one split, a Counter for the
+    multiplicity max, per-DISTINCT-token memoized length/stopword/alpha
+    lookups — the memo resets per batch). Token semantics are pinned to
+    the JVM expressions they replace: Java regex \\s+ ==
+    re.ASCII \\s+ == [ \\t\\n\\x0B\\f\\r]+, empties dropped, length in
+    code points, rlike '[a-zA-Z]' == re.search. Counts are exact ints."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     docs = load(spark, sf_dir, "documents")
-    words = "filter(split(text, '\\\\s+'), x -> x <> '')"
-    stoplist = ", ".join(f"'{w}'" for w in GQ_STOPWORDS)
-    # most-frequent-word count as a fold over the sorted array: runs of
-    # equal words are contiguous after sort_array, so one O(n) pass with a
-    # (prev, run, best) accumulator yields max multiplicity — no explode.
-    maxc = f"""
-    aggregate(
-        sort_array({words}),
-        named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-        (s, x) -> named_struct(
-            'prev', x,
-            'run', IF(x <=> s.prev, s.run + 1, 1L),
-            'best', GREATEST(s.best, IF(x <=> s.prev, s.run + 1, 1L))),
-        s -> s.best)
-    """
-    stats = docs.select(
-        "source",
-        F.expr(f"CAST(size({words}) AS BIGINT)").alias("nw"),
-        F.expr(
-            f"aggregate(transform({words}, x -> CAST(length(x) AS BIGINT)),"
-            " 0L, (acc, v) -> acc + v)"
-        ).alias("chars"),
-        F.expr(
-            f"CAST(size(filter({words}, x -> x IN ({stoplist}))) AS BIGINT)"
-        ).alias("stopc"),
-        F.expr(
-            f"CAST(size(filter({words}, x -> x rlike '[a-zA-Z]')) AS BIGINT)"
-        ).alias("alphac"),
-        F.expr(maxc).alias("maxc"),
+    src = docs.select("source", "text")
+    _schema = StructType(
+        [src.schema.fields[0]]
+        + [
+            StructField(n, LongType(), False)
+            for n in ("nw", "chars", "stopc", "alphac", "maxc")
+        ]
     )
+    _stops = frozenset(GQ_STOPWORDS)
+
+    def _fn(batches):
+        import re
+        from collections import Counter
+
+        import pyarrow as pa
+
+        ws = re.compile(r"\s+", re.ASCII)
+        has_alpha = re.compile("[a-zA-Z]").search
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            cols = ([], [], [], [], [])
+            tinfo: dict[str, tuple[int, int, int]] = {}
+            for t in texts:
+                toks = [w for w in ws.split(t) if w]
+                c = Counter(toks)
+                nw = len(toks)
+                chars = stopc = alphac = 0
+                for w, k in c.items():
+                    info = tinfo.get(w)
+                    if info is None:
+                        info = (
+                            len(w),
+                            1 if w in _stops else 0,
+                            1 if has_alpha(w) else 0,
+                        )
+                        tinfo[w] = info
+                    chars += info[0] * k
+                    stopc += info[1] * k
+                    alphac += info[2] * k
+                cols[0].append(nw)
+                cols[1].append(chars)
+                cols[2].append(stopc)
+                cols[3].append(alphac)
+                cols[4].append(max(c.values()) if c else 0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0)]
+                + [pa.array(x, type=pa.int64()) for x in cols],
+                names=["source", "nw", "chars", "stopc", "alphac", "maxc"],
+            )
+
+    stats = src.mapInArrow(_fn, _schema)
     rules = stats.select(
         "source",
         F.col("nw").between(GQ_MIN_WORDS, GQ_MAX_WORDS).alias("r_wc"),
@@ -484,43 +517,100 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ across engines; ln on identical doubles is correctly rounded
     identically (the zipf-slope operator pins the same property).
 
-    Plan shape: one corpus-token shuffle for the (source, token)
-    frequencies plus the two-phase countDistinct for document
-    frequencies; N comes MAP-SIDE from the documents scan (no third
-    tokenize-explode); the token join is between the two AGGREGATES
-    (never the raw token stream), per-source top-k windows over
-    ≤|vocabulary| rows."""
+    Plan shape (round 17, guide §4.2 + §2.3): ONE vectorized corpus pass
+    replaces the three JVM tokenizations (the stf explode, a second
+    explode feeding the two-phase countDistinct, and the map-side n_docs
+    scan), and the shuffle now carries per-batch PRE-AGGREGATED (token,
+    count) partials instead of every token occurrence. Exactness: every
+    document lands in exactly one Arrow batch, so the per-batch
+    per-token distinct-document counts partition the corpus disjointly —
+    summing them IS countDistinct(doc_id); occurrence counts are plain
+    sums; the n_docs partials count docs with ≥1 token. Tokenization is
+    pinned to the JVM split it replaces (Java \\s+ == re.ASCII \\s+,
+    empties dropped). The token join stays between the two AGGREGATES,
+    per-source top-k windows over ≤|vocabulary| rows."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr("filter(split(text, '\\\\s+'), x -> x <> '')")
-        ).alias("token"),
+    _schema = StructType(
+        [
+            StructField("kind", IntegerType(), False),
+            StructField("token", StringType(), True),
+            StructField("source", StringType(), True),
+            StructField("cnt", LongType(), False),
+        ]
     )
-    # N as a broadcast 1-row aggregate — never a driver-side count(),
-    # and computed MAP-SIDE from the documents scan (docs with >=1 token)
-    # instead of a third tokenize-explode + doc_id dedup shuffle
-    # NOTE the double escaping: a single '\\s+' in the F.expr literal is
-    # unescaped by the SQL parser to the regex 's+' (split on the LETTER
-    # s), so whitespace-only docs counted as tokenized and all-'s' docs
-    # dropped — diverging N from the oracle (ADVICE r13). Must match the
-    # toks explode's '\\\\s+'.
-    n = docs.agg(
-        F.sum(
-            (
-                F.expr(
-                    "size(filter(split(text, '\\\\s+'), x -> x <> ''))"
-                )
-                > 0
-            ).cast("bigint")
-        ).alias("n_docs")
+
+    def _fn(batches):
+        import re
+        from collections import Counter
+
+        import pyarrow as pa
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            sources = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            stf_c: Counter = Counter()
+            df_c: Counter = Counter()
+            nd = 0
+            for s, t in zip(sources, texts):
+                toks = [w for w in ws.split(t) if w]
+                if not toks:
+                    continue
+                nd += 1
+                c = Counter(toks)
+                for w, k in c.items():
+                    stf_c[(s, w)] += k
+                df_c.update(c.keys())
+            kinds, tok_a, src_a, cnt_a = [], [], [], []
+            for (s, w), k in stf_c.items():
+                kinds.append(0)
+                tok_a.append(w)
+                src_a.append(s)
+                cnt_a.append(k)
+            for w, k in df_c.items():
+                kinds.append(1)
+                tok_a.append(w)
+                src_a.append(None)
+                cnt_a.append(k)
+            kinds.append(2)
+            tok_a.append(None)
+            src_a.append(None)
+            cnt_a.append(nd)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(kinds, type=pa.int32()),
+                    pa.array(tok_a, type=pa.string()),
+                    pa.array(src_a, type=pa.string()),
+                    pa.array(cnt_a, type=pa.int64()),
+                ],
+                names=["kind", "token", "source", "cnt"],
+            )
+
+    # one pass, three consumers (n, df, stf) — the lazy checkpoint holds
+    # the vocabulary-bounded partials, never the corpus
+    parts = (
+        docs.select("source", "text")
+        .mapInArrow(_fn, _schema)
+        .localCheckpoint(eager=False)
     )
-    df = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("doc_freq")
+    n = parts.filter(F.col("kind") == 2).agg(
+        F.sum("cnt").alias("n_docs")
     )
-    stf = toks.groupBy("source", "token").agg(
-        F.count(F.lit(1)).alias("sum_tf")
+    df = parts.filter(F.col("kind") == 1).groupBy("token").agg(
+        F.sum("cnt").alias("doc_freq")
+    )
+    stf = parts.filter(F.col("kind") == 0).groupBy("source", "token").agg(
+        F.sum("cnt").alias("sum_tf")
     )
     idf = (
         F.log(

@@ -449,6 +449,11 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the mixed distinct/non-distinct Expand (2x every row) disappears.
     # HLL insertion is idempotent per value, so the sketch over distinct
     # inputs is BIT-IDENTICAL to the sketch over all occurrences.
+    # PRECONDITION (ADVICE r16): count(1)-over-distinct equals
+    # countDistinct only for NON-NULL keys — true for TPC-H's NOT NULL
+    # l_partkey; a nullable key would need a `l_partkey IS NOT NULL`
+    # filter before the distinct (countDistinct and
+    # approx_count_distinct both ignore NULLs).
     dedup = li.select("l_returnflag", "l_partkey").distinct()
     return (
         dedup.groupBy("l_returnflag")

@@ -74,6 +74,13 @@ def _cent_np(cent: DataFrame, id_col: str = "cid", vec_col: str = "cv"):
     import numpy as np
 
     rows = cent.select(id_col, vec_col).collect()
+    if not rows:
+        # loud guard (ADVICE r16): callers collect data-dependent sets
+        # (eval probes, seeds); an empty one used to die in reshape(0,-1)
+        raise ValueError(
+            f"_cent_np: empty ({id_col}, {vec_col}) input — the collected "
+            "probe/centroid set matched no rows"
+        )
     rows.sort(key=lambda r: r[0])
     cids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.array([list(r[1]) for r in rows], dtype=np.int64)

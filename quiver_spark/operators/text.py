@@ -165,32 +165,61 @@ def _lang_score_sql(lang: str, markers: tuple[str, ...]) -> str:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID: score each language by marker-word
     occurrences, predict the argmax (first-listed language wins ties),
-    report the (actual, predicted) confusion counts."""
+    report the (actual, predicted) confusion counts.
+
+    Round 17 (guide §4.2): the 15 marker scores ran as 15 full-string
+    REPLACE passes + length arithmetic per document (interpreted JVM
+    string expressions). One mapInArrow pass computes the same
+    non-overlapping occurrence counts with str.count (C speed) and
+    applies the identical first-listed argmax/tie rule per doc. The JVM
+    scores are (len_diff)/len(needle) doubles that are exactly these
+    small integer counts, so every >, >= comparison is identical; only
+    (lang, pred_lang) rows leave the node into the unchanged aggregate."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     d = load(spark, sf_dir, "documents")
-    text = F.col("text")
-    scored = d.select(
-        "doc_id",
-        "lang",
-        *[
-            sum(
-                (_occurrence_count(text, m) for m in markers),
-                F.lit(0).cast("double"),
-            ).alias(f"score_{lang}")
-            for lang, markers in LANG_MARKERS
-        ],
+    src = d.select("lang", "text")
+    _schema = StructType(
+        [src.schema.fields[0], StructField("pred_lang", StringType(), False)]
     )
-    pred = None
-    for lang, _ in LANG_MARKERS:
-        cond = (F.col(f"score_{lang}") > 0)
-        for other, _ in LANG_MARKERS:
-            if other != lang:
-                cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
-        pred = (
-            F.when(cond, lang) if pred is None else pred.when(cond, lang)
-        )
-    pred = pred.otherwise("und").alias("pred_lang")
-    return scored.select("lang", pred).groupBy("lang", "pred_lang").agg(
-        F.count(F.lit(1)).alias("cnt")
+    _markers = LANG_MARKERS
+
+    def _fn(batches):
+        import pyarrow as pa
+
+        needles = [
+            (lang, tuple(f" {m} " for m in ms)) for lang, ms in _markers
+        ]
+        nl = len(needles)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            preds = []
+            for t in texts:
+                padded = " " + t + " "
+                scores = [
+                    sum(padded.count(nd) for nd in nds)
+                    for _lang, nds in needles
+                ]
+                pred = "und"
+                for j in range(nl):
+                    sj = scores[j]
+                    if sj > 0 and all(
+                        sj >= scores[o] for o in range(nl) if o != j
+                    ):
+                        pred = needles[j][0]
+                        break
+                preds.append(pred)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(preds, type=pa.string())],
+                names=["lang", "pred_lang"],
+            )
+
+    return (
+        src.mapInArrow(_fn, _schema)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 

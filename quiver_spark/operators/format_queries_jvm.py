@@ -967,23 +967,44 @@ def quiverjvm_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = quiver_dir(spark, sf_dir, "documents")
     name = "qjs_" + uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix="quiver_qjs_ckpt_")
-    q = (
-        spark.readStream.format("quiverjvm")
-        .load(d)
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum("n_chars").cast("bigint").alias("chars_sum"),
-            F.min("doc_id").cast("bigint").alias("min_doc"),
+    # Round 17 (guide §1.1 instrumentation → §2.2): the wall here was the
+    # STATE STORE, not the scan — a streaming aggregate allocates one
+    # HDFS-backed state store (open + delta write + snapshot maintenance)
+    # per shuffle partition, and under the session default (64) a 5-group
+    # aggregate paid 64 store lifecycles per micro-batch: measured
+    # addBatch 13-37 s (and wildly noisy — store maintenance is
+    # asynchronous) at 64 partitions vs 0.7-1.1 s at 1-8. State
+    # partitions for a BOUNDED-cardinality aggregate are O(|groups|) at
+    # any corpus size (map-side partial aggregation still parallelizes
+    # with input splits; only ≤|langs| merged rows reach the store), so a
+    # small constant is the scale-correct setting, not a local tune.
+    # Streaming pins the number at first start from the session conf —
+    # set it for the start() window only, restore after.
+    _prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.format("quiverjvm")
+            .load(d)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_chars").cast("bigint").alias("chars_sum"),
+                F.min("doc_id").cast("bigint").alias("min_doc"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+        # restore only after the drain: the micro-batch thread snapshots
+        # the session conf asynchronously after start()
+        done = q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _prev_parts)
+    if not done:
         q.stop()
         raise RuntimeError(
             "quiverjvm_stream_scan: stream did not drain within 300 s — "

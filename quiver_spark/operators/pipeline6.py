@@ -328,14 +328,18 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         # merge them — without the checkpoint the token-window transform
         # + hash runs twice (plan showed 2× posexplode/xxhash64)
     ).localCheckpoint(eager=False)
+    # round 17 (guide §2.3): "appears in >= 2 distinct docs" is exactly
+    # min(doc_id) != max(doc_id) — the count_distinct forced a two-phase
+    # distinct aggregate ((gram, doc_id) partial dedup shuffle); min/max
+    # partial-aggregate map-side and shuffle one row per gram per task
     dup = (
         grams.groupBy("gram")
         .agg(
             F.min("doc_id").alias("owner"),
-            F.count_distinct("doc_id").alias("nd"),
+            F.max("doc_id").alias("_mx"),
         )
-        .filter(F.col("nd") >= 2)
-        .drop("nd")
+        .filter(F.col("_mx") != F.col("owner"))
+        .drop("_mx")
     )
     excised = (
         grams.join(dup, "gram")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quiver_spark.registry import register
-from quiver_spark.tables import load
+from quiver_spark.tables import load, spread
 
 N_HASHES = 8  # minhash signature length
 BAND_SIZE = 2  # rows per LSH band → 4 bands
@@ -148,7 +148,14 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # round 17: spread the single-split gate-SF scan across cores before
+    # the Python pass (guide §2.5); per-doc output — partition-invariant
+    d = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+        sf_dir,
+        "documents",
+    )
     schema = StructType(
         [StructField("doc_id", LongType(), False)]
         + [
@@ -435,7 +442,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # round 17: spread the single-split gate-SF scan across cores before
+    # the Python pass (guide §2.5); per-doc output — partition-invariant
+    d = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+        sf_dir,
+        "documents",
+    )
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
@@ -712,13 +726,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Buckets above MAX_SIMHASH_BUCKET are dropped before the self-join
     (same viral-group rationale as the minhash cap), so shuffle stays
     proportional to genuine near-dup density at any corpus size."""
-    # localCheckpoint: the fingerprint pipeline (token explode + 60
-    # bit-tallies) appears in ~12 branches of this plan (4 band legs ×
-    # bucket-count/keep/self-join sides) — a cache() would run it once but
-    # Catalyst would still ANALYZE every embedded copy of the 60-agg
-    # subtree; the checkpoint truncates the plan (same lesson as
-    # dedup_clusters, measured ~0.7 s/branch of pure planning)
-    sh = dedup_simhash(spark, sf_dir).localCheckpoint()
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from quiver_spark.operators._bucketpairs import (
+        popcount64,
+        stream_bucket_pairs,
+    )
+
+    sh = dedup_simhash(spark, sf_dir)
     # one stack() pass instead of N_BANDS unioned re-scans (round 16)
     legs = ", ".join(
         f"{k}, (simhash div {1 << (k * SIMHASH_BAND_BITS)})"
@@ -726,41 +741,53 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(SIMHASH_N_BANDS)
     )
     bands = sh.selectExpr(
+        f"stack({SIMHASH_N_BANDS}, {legs}) AS (band, bval)",
         "doc_id",
         "simhash",
-        f"stack({SIMHASH_N_BANDS}, {legs}) AS (band, bval)",
     )
-    kept_buckets = (
-        bands.groupBy("band", "bval")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") <= MAX_SIMHASH_BUCKET)
-        .select("band", "bval")
+    # Round-17 shape (guide §2.4): bucket-size aggregate + filter join +
+    # self-join shared the (band, bval) key but cost three corpus-scale
+    # shuffles (12 Exchanges in the round-16 plan; the fingerprint
+    # pipeline needed a localCheckpoint just to keep its ~12 plan
+    # branches analyzable). One shuffle now — the fingerprint pass has a
+    # single consumer, so the checkpoint is gone too: partition by the
+    # band key, sort within partitions, stream contiguous buckets
+    # through the shared cap-and-pair pass, compute the Hamming distance
+    # per pair (vectorized xor + popcount — the same popcount the JVM's
+    # bit_count ran) and apply the <= max filter before the distinct
+    # (filter commutes with distinct; ha/hb are functionally determined
+    # by the doc ids, so the two-column distinct is the oracle's cand
+    # distinct).
+    rows = bands.repartition("band", "bval").sortWithinPartitions(
+        "band", "bval", "doc_id"
     )
-    kept = bands.join(kept_buckets, ["band", "bval"])
-    a = kept.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("ha"),
-        "band",
-        "bval",
-    )
-    b = kept.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("hb"),
-        "band",
-        "bval",
-    )
-    cand = (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()
-    )
-    hamming = F.expr("bit_count(ha ^ hb)")
-    return (
-        cand.filter(hamming <= SIMHASH_HAMMING_MAX)
-        .select(
-            "doc_a",
-            "doc_b",
-            hamming.cast("bigint").alias("hamming"),
+    cap, hmax = MAX_SIMHASH_BUCKET, SIMHASH_HAMMING_MAX
+
+    def emit(tbl, i, j):
+        import numpy as np
+        import pyarrow as pa
+
+        doc = tbl.column(2).to_numpy()
+        hsh = tbl.column(3).to_numpy()
+        ia, ja = i.to_numpy(), j.to_numpy()
+        ham = popcount64(hsh[ia] ^ hsh[ja]).astype(np.int64)
+        keep = ham <= hmax
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc[ia][keep]),
+                pa.array(doc[ja][keep]),
+                pa.array(ham[keep]),
+            ],
+            names=["doc_a", "doc_b", "hamming"],
         )
+
+    pair_schema = StructType(
+        [
+            StructField("doc_a", LongType(), False),
+            StructField("doc_b", LongType(), False),
+            StructField("hamming", LongType(), False),
+        ]
     )
+    return rows.mapInArrow(
+        stream_bucket_pairs(2, lambda _b: cap, emit), pair_schema
+    ).distinct()

@@ -59,20 +59,24 @@ MAX_LSH_BUCKET = 256
 COS_THRESHOLD = 0.3
 
 
-def _shingle_ints(d: DataFrame) -> DataFrame:
-    """(doc_id, sh): per-document DISTINCT 60-bit word-3-gram
+def _shingle_ints(d: DataFrame, with_size: bool = False) -> DataFrame:
+    """(doc_id, sh[, n_sh]): per-document DISTINCT 60-bit word-3-gram
     fingerprints (top 60 bits of md5 — exactly
     conv(substr(md5(shingle), 1, 15), 16, 10)), emitted from one
     vectorized pass. Tokens split on single spaces (empties kept),
-    shingles joined with single spaces — the _raw_shingles contract."""
+    shingles joined with single spaces — the _raw_shingles contract.
+    ``with_size`` adds the document's distinct-shingle count to every
+    row (each input row is one whole document, so the per-doc COUNT(*)
+    of the sized CTE is just len(seen) — no extra aggregation pass)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    schema = StructType(
-        [
-            StructField("doc_id", LongType(), False),
-            StructField("sh", LongType(), False),
-        ]
-    )
+    fields = [
+        StructField("doc_id", LongType(), False),
+        StructField("sh", LongType(), False),
+    ]
+    if with_size:
+        fields.append(StructField("n_sh", LongType(), False))
+    schema = StructType(fields)
 
     def fn(batches):
         import hashlib
@@ -91,6 +95,7 @@ def _shingle_ints(d: DataFrame) -> DataFrame:
             texts = batch.column(1).to_pylist()
             out_d: list[int] = []
             out_s: list[int] = []
+            out_n: list[int] = []
             docs = np.asarray(batch.column(0)).astype(np.int64)
             for di, t in enumerate(texts):
                 toks = t.split(" ")
@@ -112,15 +117,19 @@ def _shingle_ints(d: DataFrame) -> DataFrame:
                 for v in seen:
                     out_d.append(did)
                     out_s.append(v)
+                if with_size:
+                    out_n += [len(seen)] * len(seen)
             if not out_d:
                 continue
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.array(out_d, dtype=np.int64)),
-                    pa.array(np.array(out_s, dtype=np.int64)),
-                ],
-                names=["doc_id", "sh"],
-            )
+            cols = [
+                pa.array(np.array(out_d, dtype=np.int64)),
+                pa.array(np.array(out_s, dtype=np.int64)),
+            ]
+            names = ["doc_id", "sh"]
+            if with_size:
+                cols.append(pa.array(np.array(out_n, dtype=np.int64)))
+                names.append("n_sh")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return d.select("doc_id", "text").mapInArrow(fn, schema)
 
@@ -170,6 +179,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed over the hashed shingle sets on BOTH engines, so the rare
     60-bit collision cannot cause a mismatch. Exact integer counts; the
     Jaccard itself is one IEEE division of identical integers."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from quiver_spark.operators._bucketpairs import stream_bucket_pairs
+
     d = load(spark, sf_dir, "documents")
     # Round-16 shape (guide §4.2): ONE mapInArrow pass emits the per-doc
     # DISTINCT 60-bit shingle fingerprints directly — no shingle-string
@@ -177,59 +190,70 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle text (hashlib — the digest Spark's md5() computes; the
     # 15-hex-char prefix IS the big-endian top 60 bits, hi >> 4). The
     # set of (doc_id, hash) rows is identical to the hash-then-distinct
-    # chain it replaces. Persist because the shingle set feeds three
-    # consumers (sizes, df-filter, join).
-    sh = _shingle_ints(d).persist()
-    sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # chain it replaces. with_size carries the per-doc distinct-shingle
+    # count on every row (round 17) so the sized CTE needs no aggregate
+    # and no join — na/nb ride the pair rows into the final groupBy.
+    sh = _shingle_ints(d, with_size=True)
     # corpus-relative df cap (see SHINGLE_DF_DIV): the 1-row doc count
     # rides a broadcast cross join so the whole threshold stays inside the
     # plan — no driver-side action. Integer-exact ceil(nd/DIV) on both
     # engines ((nd + DIV-1) DIV DIV — no float literal can diverge).
-    # Corpus size = COUNT(*) over the DOCUMENTS table, not
-    # COUNT(DISTINCT doc_id) over the shingle set: the distinct-count was
-    # a full extra pass over the (much larger) shingle table and measured
-    # +0.6 s of the round-9 regression at sf0.1 (BASELINE.md round-10
-    # decomposition); a zero-column document count is near-free, and the
-    # cap policy is the same corpus-relative fraction either way (the
-    # one-decade recall property rides total corpus size, and at the gate
-    # SFs the absolute floor binds so outputs are byte-identical).
+    # Corpus size = COUNT(*) over the DOCUMENTS table (see round-10 note:
+    # a distinct-count over the shingle table was a full extra pass).
     ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
-    df_cap = F.greatest(
-        F.lit(MAX_SHINGLE_DF).cast("bigint"),
-        F.expr(
-            f"CAST((nd + {SHINGLE_DF_DIV - 1}) DIV {SHINGLE_DF_DIV} "
-            "AS BIGINT)"
-        ),
+    # Round-17 shape (guide §2.4): the df-cap filter, the inverted-index
+    # self-join and the pair counting shared ONE bucket key (sh) but ran
+    # as a count aggregate + filter join + self-join — three corpus-scale
+    # shuffles on that key (26 Exchanges / 10 joins in the round-16
+    # plan). Now the shingle table is shuffled ONCE by sh, sorted within
+    # partitions so buckets are contiguous, and a streaming pass applies
+    # the df cap and emits the in-bucket (a < b) pairs with na/nb
+    # attached — identical pair multiset (doc_id is unique per bucket:
+    # the shingle set is per-doc distinct; buckets above the cap are
+    # counted, never buffered, so task memory is bounded at cap+1 rows).
+    rows = (
+        sh.crossJoin(F.broadcast(ndocs))
+        .select("sh", "doc_id", "n_sh", "nd")
+        .repartition("sh")
+        .sortWithinPartitions("sh", "doc_id")
     )
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(ndocs))
-        .filter(F.col("df") <= df_cap)
-        .select("sh")
+    max_df, df_div = MAX_SHINGLE_DF, SHINGLE_DF_DIV
+
+    def cap_fn(batch):
+        nd = batch.column(3)[0].as_py()
+        return max(max_df, (nd + df_div - 1) // df_div)
+
+    def emit(tbl, i, j):
+        import pyarrow as pa
+
+        doc = tbl.column(1).combine_chunks()
+        nsh = tbl.column(2).combine_chunks()
+        return pa.RecordBatch.from_arrays(
+            [doc.take(i), doc.take(j), nsh.take(i), nsh.take(j)],
+            names=["a", "b", "na", "nb"],
+        )
+
+    pair_schema = StructType(
+        [
+            StructField("a", LongType(), False),
+            StructField("b", LongType(), False),
+            StructField("na", LongType(), False),
+            StructField("nb", LongType(), False),
+        ]
     )
-    kept = sh.join(rare, "sh")
-    a = kept.select(F.col("doc_id").alias("a"), "sh")
-    b = kept.select(F.col("doc_id").alias("b"), "sh")
-    pairs = (
-        a.join(b, "sh")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pairs = rows.mapInArrow(
+        stream_bucket_pairs(1, cap_fn, emit), pair_schema
+    ).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("inter"),
+        # na/nb are functionally determined by a/b — max picks the value
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
     )
-    sa = sized.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
-    sb = sized.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
-    # No broadcast hints here: `sized` has one row per DOCUMENT — linear in
-    # the corpus, a forced broadcast would OOM at fleet scale. `pairs` is the
-    # small side (df-capped pair generation); AQE picks broadcast-vs-shuffle
-    # from runtime sizes, and at bench SF it still broadcasts the small side.
     return (
-        pairs.join(sa, "a")
-        .join(sb, "b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        pairs.filter(jac >= JACCARD_THRESHOLD)
         .select("a", "b", F.round(jac, 4).alias("jaccard"))
     )
 

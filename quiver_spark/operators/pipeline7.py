@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quiver_spark.registry import register
-from quiver_spark.tables import load
+from quiver_spark.tables import load, spread
 
 #: detection patterns — deliberately simple, portable regex (Java regex
 #: on the Spark side, RE2 in the DuckDB oracle): word-ish email, a
@@ -343,14 +343,20 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    d = (
+    # round 17: spread the single-split gate-SF scan across cores before
+    # the Python passes (guide §2.5); the bincount partials are exact
+    # integers and the scores are per-doc — both partition-invariant
+    d = spread(
         load(spark, sf_dir, "documents")
         .select(
             "doc_id",
             "source",
             F.lower(F.regexp_replace("text", r"\s+", " ")).alias("t"),
         )
-        .filter(F.length("t") >= 2)
+        .filter(F.length("t") >= 2),
+        spark,
+        sf_dir,
+        "documents",
     )
 
     # --- pass 1: bigram model (per-batch numpy bincount partials) ---

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quiver_spark.registry import register
-from quiver_spark.tables import load
+from quiver_spark.tables import load, spread
 
 # --------------------------------------------------------------------------
 # Gopher-style quality rules (integer-exact thresholds)
@@ -128,7 +128,12 @@ def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     code points, rlike '[a-zA-Z]' == re.search. Counts are exact ints."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    docs = load(spark, sf_dir, "documents")
+    # round 17: spread the single-split gate-SF scan across cores
+    # before the Python pass (guide §2.5); per-doc output rows —
+    # partition-invariant
+    docs = spread(
+        load(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     src = docs.select("source", "text")
     _schema = StructType(
         [src.schema.fields[0]]

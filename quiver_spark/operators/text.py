@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quiver_spark.registry import register
-from quiver_spark.tables import load
+from quiver_spark.tables import load, spread
 
 # --------------------------------------------------------------------------
 # Token counting / quality stats
@@ -177,7 +177,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, pred_lang) rows leave the node into the unchanged aggregate."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    d = load(spark, sf_dir, "documents")
+    # round 17: spread the single-split gate-SF scan across cores
+    # before the Python pass (guide §2.5); per-doc output —
+    # partition-invariant
+    d = spread(load(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     src = d.select("lang", "text")
     _schema = StructType(
         [src.schema.fields[0], StructField("pred_lang", StringType(), False)]

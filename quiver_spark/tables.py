@@ -152,6 +152,51 @@ def quiver_gate_size_bytes(table_dir: str) -> int | None:
         return None
 
 
+def spread(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Scale-adaptive parallelism floor for heavy Python-pass front ends.
+
+    The gate-SF tables are single-row-group parquet files, so a
+    mapInArrow pass directly downstream of the scan runs as ONE task no
+    matter how many cores the session has (guide §2.5 "input skew — one
+    huge unsplittable file: repartition immediately after the read").
+    This spreads such a scan across ``defaultParallelism`` via a
+    round-robin exchange of the (tiny) input — and is a NO-OP whenever
+    the scan already yields at least that many natural splits, so at
+    fleet scale (thousands of row groups per table) no corpus-scale
+    shuffle is ever added. The decision derives from input bytes vs
+    spark.sql.files.maxPartitionBytes, not from a local[32] constant;
+    at the driver's 8-core bench it spreads to 8, at 32 cores to 32.
+
+    Only safe for passes whose OUTPUT is partition-invariant (per-row
+    emitters and exact-integer partial aggregations — every Python pass
+    in this engine by construction; float partial sums in a different
+    order would NOT qualify).
+    """
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
+    s = raw.strip().lower()
+    mult = 1
+    for suf, m in units.items():
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        max_split = int(s) * mult
+    except ValueError:
+        max_split = 128 * 1024**2
+    cores = spark.sparkContext.defaultParallelism
+    natural_splits = -(-nbytes // max(max_split, 1))
+    if natural_splits >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame with engine-canonical types."""
     configure(spark)

@@ -822,6 +822,112 @@ def _sem_assign_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _l2_seed_assign(emb, sem_auto_k(emb.count()))
 
 
+def _sem_bucket_stats(sub: DataFrame, weighted: bool) -> DataFrame:
+    """Per-cluster partial pair statistics from ONE shuffle (round 17,
+    guide §2.4 + §4.2): partition the subsharded assignment by its
+    blocking key (cid, subk), sort within partitions so blocks are
+    contiguous, and stream every block through a vectorized in-bucket
+    pair scorer. Replaces the (cid, subk) self-join — which shuffled the
+    iv payload twice and scored each pair with an interpreted
+    aggregate(zip_with) fold — with one exchange of the payload and one
+    numpy matmul per block.
+
+    Exactness: the cosine is the SAME arithmetic the JVM fold ran —
+    exact int64 dot (|x|·|y|·d far below 2^63), cast to double, divided
+    by the product of two correctly-rounded sqrts of exactly-
+    representable int64 norms (< 2^53) — identical IEEE steps, so the
+    ≥ SEM_TAU verdicts are bit-identical. The emitted rows are
+    per-BUCKET partials, exact under the downstream per-cid SUM because
+    every block is wholly contained in one emit call and every vec_id
+    belongs to exactly one (cid, subk) block — so per-bucket DISTINCT
+    drop counts add up to the per-cid COUNT(DISTINCT dropv) they
+    replace, and pair/dup counts are plain integer sums.
+
+    ``weighted`` switches the dup statistic: False → (pc, dup, ndrop)
+    for the plain SemDeDup report, True → (pc, dupw = Σ wa·wb over
+    duplicate pairs) for the collapsed/rep-weighted variant."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from quiver_spark.operators._bucketpairs import stream_bucket_pairs
+
+    cols = ["cid", "subk", "vec_id", "nrm", "iv"] + (
+        ["w"] if weighted else []
+    )
+    rows = (
+        sub.select(*cols)
+        .repartition("cid", "subk")
+        .sortWithinPartitions("cid", "subk", "vec_id")
+    )
+    tau = SEM_TAU
+
+    def emit(tbl, i, j):
+        import numpy as np
+        import pyarrow as pa
+
+        from quiver_spark.operators.similarity2 import _list_matrix
+
+        cid = tbl.column(0).to_numpy()
+        vid = tbl.column(2).to_numpy()
+        nrm = tbl.column(3).to_numpy()
+        X = _list_matrix(tbl.column(4).combine_chunks(), tbl.num_rows)
+        ia, ja = i.to_numpy(), j.to_numpy()
+        dots = np.einsum("ij,ij->i", X[ia], X[ja])
+        cos = dots.astype(np.float64) / (
+            np.sqrt(nrm[ia].astype(np.float64))
+            * np.sqrt(nrm[ja].astype(np.float64))
+        )
+        dup = cos >= tau
+        uc, inv = np.unique(cid[ia], return_inverse=True)
+        pc = np.bincount(inv, minlength=len(uc)).astype(np.int64)
+        if weighted:
+            w = tbl.column(5).to_numpy()
+            # exact int64 accumulation (bincount weights are float64 and
+            # would round above 2^53 at extreme copy counts)
+            dupw = np.zeros(len(uc), dtype=np.int64)
+            np.add.at(dupw, inv[dup], w[ia[dup]] * w[ja[dup]])
+            arrs = [pa.array(uc), pa.array(pc), pa.array(dupw)]
+            return pa.RecordBatch.from_arrays(
+                arrs, names=["cid", "pc", "dupw"]
+            )
+        dups = np.bincount(inv[dup], minlength=len(uc)).astype(np.int64)
+        # distinct dropped ids per cid: unique (cid, vb) among dup pairs
+        # (vb lives in exactly one block, so per-call uniqueness is
+        # global uniqueness)
+        ndrop = np.zeros(len(uc), dtype=np.int64)
+        if dup.any():
+            dc, dv = cid[ja[dup]], vid[ja[dup]]
+            uniq = np.unique(np.stack([dc, dv], axis=1), axis=0)
+            di = np.searchsorted(uc, uniq[:, 0])
+            ndrop = np.bincount(di, minlength=len(uc)).astype(np.int64)
+        arrs = [
+            pa.array(uc),
+            pa.array(pc),
+            pa.array(dups),
+            pa.array(ndrop),
+        ]
+        return pa.RecordBatch.from_arrays(
+            arrs, names=["cid", "pc", "dup", "ndrop"]
+        )
+
+    fields = [
+        StructField("cid", LongType(), False),
+        StructField("pc", LongType(), False),
+    ] + (
+        [StructField("dupw", LongType(), False)]
+        if weighted
+        else [
+            StructField("dup", LongType(), False),
+            StructField("ndrop", LongType(), False),
+        ]
+    )
+    # no bucket cap here — the md5 subsharding already bounds block sizes
+    # by design, and every pair must be scored (the oracle drops none)
+    return rows.mapInArrow(
+        stream_bucket_pairs(2, lambda _b: 1 << 62, emit),
+        StructType(fields),
+    )
+
+
 def _sem_pairs(assign: DataFrame) -> DataFrame:
     """The SemDeDup pair stage, shared by the L2-seed and spherical
     blockings: within-cluster md5-subsharded cosine comparison + the
@@ -831,8 +937,6 @@ def _sem_pairs(assign: DataFrame) -> DataFrame:
     centroid argmin/argmax fold is the expensive map-side step — the lazy
     checkpoint materializes it once (SemDeDup itself persists cluster
     assignments; the dedup-family localCheckpoint precedent)."""
-    from quiver_spark.functions import int_dot
-
     assign = assign.select("vec_id", "iv", "nrm", "cid").localCheckpoint(
         eager=False
     )
@@ -857,50 +961,31 @@ def _sem_pairs(assign: DataFrame) -> DataFrame:
             % F.col("nsub")
         ).alias("subk"),
     )
-    a = sub.select(
-        "cid",
-        "subk",
-        F.col("vec_id").alias("va"),
-        F.col("iv").alias("iva"),
-        F.col("nrm").alias("na"),
-    )
-    b = sub.select(
-        "cid",
-        "subk",
-        F.col("vec_id").alias("vb"),
-        F.col("iv").alias("ivb"),
-        F.col("nrm").alias("nb"),
-    )
-    cosv = int_dot("iva", "ivb").cast("double") / (
-        F.sqrt(F.col("na").cast("double"))
-        * F.sqrt(F.col("nb").cast("double"))
-    )
-    scored = (
-        a.join(b, ["cid", "subk"])
-        .filter(F.col("va") < F.col("vb"))
-        .select("cid", "vb", cosv.alias("cosv"))
-    )
+    # round 17: ONE (cid, subk) exchange + streamed in-bucket scoring —
+    # see _sem_bucket_stats. The self-join and its per-pair interpreted
+    # int_dot fold are gone; only ≤|buckets| partial rows leave the pass.
+    stats = _sem_bucket_stats(sub, weighted=False)
     # per-cluster report WITHOUT a sizes⟕pairs join: the size rows union
     # in as zero-pair contributions and ONE ≤K-key aggregate produces the
     # report, so zero-pair clusters survive and no report join exists to
     # mis-plan (a broadcast hint on the pair-side rollup propagates into
     # its subtree and flips the corpus-scale pair self-join to a
     # broadcast of the whole corpus — observed in the executed plan)
-    pairpart = scored.select(
+    pairpart = stats.select(
         "cid",
         F.lit(None).cast("bigint").alias("sz"),
         F.lit(None).cast("bigint").alias("nsub"),
-        F.lit(1).alias("pc"),
-        F.when(F.col("cosv") >= SEM_TAU, 1).otherwise(0).alias("dup"),
-        F.when(F.col("cosv") >= SEM_TAU, F.col("vb")).alias("dropv"),
+        "pc",
+        "dup",
+        "ndrop",
     )
     sizepart = sizes.select(
         "cid",
         F.col("sz").cast("bigint").alias("sz"),
         F.col("nsub").cast("bigint").alias("nsub"),
-        F.lit(0).alias("pc"),
-        F.lit(0).alias("dup"),
-        F.lit(None).cast("bigint").alias("dropv"),
+        F.lit(0).cast("bigint").alias("pc"),
+        F.lit(0).cast("bigint").alias("dup"),
+        F.lit(0).cast("bigint").alias("ndrop"),
     )
     return (
         sizepart.unionByName(pairpart)
@@ -910,7 +995,7 @@ def _sem_pairs(assign: DataFrame) -> DataFrame:
             F.max("nsub").cast("bigint").alias("n_subshards"),
             F.sum("pc").cast("bigint").alias("pairs_checked"),
             F.sum("dup").cast("bigint").alias("n_dups"),
-            F.countDistinct("dropv").cast("bigint").alias("n_dropped"),
+            F.sum("ndrop").cast("bigint").alias("n_dropped"),
         )
         # the executable recall model (1/nsub per cluster, round-15
         # measured): every report row SHOWS what the subshard cap costs
@@ -1189,39 +1274,19 @@ def dedup_semantic_semdedup_collapsed(spark: SparkSession, sf_dir: str) -> DataF
             % F.col("nsub")
         ).alias("subk"),
     )
-    a = sub.select(
-        "cid", "subk", F.col("vec_id").alias("va"),
-        F.col("iv").alias("iva"), F.col("nrm").alias("na"),
-        F.col("w").alias("wa"),
-    )
-    b = sub.select(
-        "cid", "subk", F.col("vec_id").alias("vb"),
-        F.col("iv").alias("ivb"), F.col("nrm").alias("nb"),
-        F.col("w").alias("wb"),
-    )
-    cosv = int_dot("iva", "ivb").cast("double") / (
-        F.sqrt(F.col("na").cast("double"))
-        * F.sqrt(F.col("nb").cast("double"))
-    )
-    scored = (
-        a.join(b, ["cid", "subk"])
-        .filter(F.col("va") < F.col("vb"))
-        .select(
-            "cid",
-            F.when(cosv >= SEM_TAU, F.col("wa") * F.col("wb"))
-            .otherwise(0)
-            .alias("dupw"),
-        )
-    )
+    # round 17: ONE (cid, subk) exchange + streamed in-bucket scoring —
+    # see _sem_bucket_stats. The self-join and its per-pair interpreted
+    # int_dot fold are gone; only ≤|buckets| partial rows leave the pass.
+    stats = _sem_bucket_stats(sub, weighted=True)
     # union-aggregate report (the _sem_pairs pattern — no sizes⟕pairs
     # join for a broadcast hint to mis-plan)
-    pairpart = scored.select(
+    pairpart = stats.select(
         "cid",
         F.lit(None).cast("bigint").alias("szd"),
         F.lit(None).cast("bigint").alias("wsum"),
         F.lit(None).cast("bigint").alias("ident_dups"),
         F.lit(None).cast("bigint").alias("nsub"),
-        F.lit(1).alias("pc"),
+        "pc",
         F.col("dupw"),
     )
     sizepart = sizes.select(
@@ -1230,7 +1295,7 @@ def dedup_semantic_semdedup_collapsed(spark: SparkSession, sf_dir: str) -> DataF
         F.col("wsum").cast("bigint"),
         F.col("ident_dups").cast("bigint"),
         F.col("nsub").cast("bigint"),
-        F.lit(0).alias("pc"),
+        F.lit(0).cast("bigint").alias("pc"),
         F.lit(0).cast("bigint").alias("dupw"),
     )
     return (

@@ -702,12 +702,14 @@ def _plan_no_autobroadcast(spark, name):
 def test_semdedup_single_blocking_join(spark):
     """dedup_semantic_semdedup: cluster assignment is the map-side
     broadcast fold (vectors+norms carried through — no corpus re-join);
-    the ONLY corpus-scale join is the (cid, subshard)-blocked self-join
-    (one SortMergeJoin), whose fan-out the subshard cap bounds; sizes
-    broadcast by hint; the report is a union-aggregate, not a join; no
-    Python eval."""
+    the pair stage is ONE exchange on the (cid, subk) blocking key into
+    the streamed in-bucket scorer (round 17: no corpus-scale join at
+    all — the old self-join shuffled the payload twice); sizes
+    broadcast by hint; the report is a union-aggregate, not a join."""
     plan = _plan_no_autobroadcast(spark, "dedup_semantic_semdedup")
-    assert plan.count("SortMergeJoin") == 1, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert "MapInArrow" in plan, plan  # the in-bucket pair scorer
+    assert "hashpartitioning(cid" in plan, plan  # the one blocking shuffle
     assert "BroadcastExchange" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -812,18 +814,21 @@ def test_semdedup_cos_blocking_key_is_only_corpus_shuffle(spark):
     """dedup_semantic_semdedup_cos: spherical training adds NO corpus
     shuffles on top of the base SemDeDup contract — assignment stays a
     broadcast fold, updates shuffle (cid, component) partials, and the
-    one corpus-scale join is the within-cluster pair self-join on the
-    blocking key (+ the hinted broadcast sizes join)."""
+    one corpus-scale exchange is the (cid, subk) blocking shuffle into
+    the streamed in-bucket scorer (+ the hinted broadcast sizes join;
+    round 17: the pair self-join is gone)."""
     plan = _plan_no_autobroadcast(spark, "dedup_semantic_semdedup_cos")
     assert "BroadcastExchange" in plan, plan
-    assert plan.count("SortMergeJoin") == 1, plan  # the pair self-join
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert "MapInArrow" in plan, plan  # the in-bucket pair scorer
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_semdedup_collapsed_plan_and_auto_k(spark):
     """dedup_semantic_semdedup_collapsed: ONE corpus-scale shuffle for
-    the exact-collapse groupBy, a distinct-scale pair self-join, the
+    the exact-collapse groupBy, a distinct-scale blocking exchange into
+    the streamed in-bucket scorer, the
     two-level routed assignment as broadcast folds (no corpus join), a
     union-aggregate report, no window, no Python eval. Plus the
     executable K rule itself: sem_auto_k tracks ceil(N/SEM_TARGET)
@@ -841,7 +846,8 @@ def test_semdedup_collapsed_plan_and_auto_k(spark):
     assert sem_auto_k(SEM_TARGET * 100 + 1) == 101
     assert sem_auto_k(10**12) == SEM_K_MAX
     plan = _plan_no_autobroadcast(spark, "dedup_semantic_semdedup_collapsed")
-    assert plan.count("SortMergeJoin") == 1, plan  # the pair self-join
+    assert plan.count("SortMergeJoin") == 0, plan  # round 17: no pair join
+    assert "MapInArrow" in plan, plan  # the in-bucket pair scorer
     assert "BroadcastExchange" in plan, plan
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -325,54 +325,78 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets larger than MAX_BAND_BUCKET are dropped before the self-join,
     so no single viral-duplicate (or collision) bucket can go quadratic:
     the worst bucket's fan-out is bounded at k(k-1)/2 with k <= 64."""
-    sig = _minhash_signature(spark, sf_dir).cache()
-    # one stack() pass instead of N_BANDS unioned re-scans of the cache
-    # (round 16 — same rows, one scan, one Generate)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from quiver_spark.operators._bucketpairs import stream_bucket_pairs
+
+    sig = _minhash_signature(spark, sf_dir)
+    # one stack() pass instead of N_BANDS unioned re-scans (round 16 —
+    # same rows, one scan, one Generate); the signature columns ride
+    # along so agreement is computable inside the bucket (round 17)
     legs = ", ".join(
         f"{b}, md5(CAST(concat_ws(',', "
         + ", ".join(f"m{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
         + ") AS BINARY))"
         for b in range(N_BANDS)
     )
+    ms = [f"m{i}" for i in range(N_HASHES)]
     bands = sig.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {legs}) AS (band, band_hash)"
+        f"stack({N_BANDS}, {legs}) AS (band, band_hash)", "doc_id", *ms
     )
-    kept_buckets = (
-        bands.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") <= MAX_BAND_BUCKET)
-        .select("band", "band_hash")
+    # Round-17 shape (guide §2.4): bucket-size aggregate + filter join +
+    # self-join + two signature joins shared the (band, band_hash) and
+    # doc_id keys but cost six shuffles and three joins (16 Exchanges in
+    # the round-16 plan). One shuffle now: partition by the band key,
+    # sort within partitions, stream contiguous buckets through the
+    # shared cap-and-pair pass; the est_jaccard numerator is the count
+    # of equal signature columns, computed per pair from the carried
+    # m0..m7 strings (Arrow equality of the identical hex digests the
+    # JVM compared) — n/8 is binary-exact in a double. distinct() then
+    # dedups pairs that collide in several bands: est_jaccard is
+    # functionally determined by (doc_a, doc_b), so a three-column
+    # distinct equals the oracle's pair-distinct + signature join.
+    # (The round-16 sig.cache() is gone WITH the multi-branch plan that
+    # justified it — sig now has a single consumer. Its removal costs
+    # the bench's repeat passes their cache-hot minimum on THIS query,
+    # but dedup_clusters / dedup_canonical_docs, which pay the pairs
+    # pipeline cold inside an eager checkpoint every run, got faster by
+    # the same cold delta — see OPTIMIZATION_r17.md.)
+    rows = bands.repartition("band", "band_hash").sortWithinPartitions(
+        "band", "band_hash", "doc_id"
     )
-    bands = bands.join(kept_buckets, ["band", "band_hash"])
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    cap, nh = MAX_BAND_BUCKET, N_HASHES
+
+    def emit(tbl, i, j):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        doc = tbl.column(2).combine_chunks()
+        agree = None
+        for c in range(3, 3 + nh):
+            col = tbl.column(c).combine_chunks()
+            eq = pc.cast(pc.equal(col.take(i), col.take(j)), pa.int32())
+            agree = eq if agree is None else pc.add(agree, eq)
+        est = pc.divide(pc.cast(agree, pa.float64()), float(nh))
+        return pa.RecordBatch.from_arrays(
+            [doc.take(i), doc.take(j), est],
+            names=["doc_a", "doc_b", "est_jaccard"],
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+
+    pair_schema = StructType(
+        [
+            StructField("doc_a", LongType(), False),
+            StructField("doc_b", LongType(), False),
+            StructField("est_jaccard", DoubleType(), False),
+        ]
     )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    agree = sum(
-        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
-        for i in range(N_HASHES)
-    )
-    return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (agree.cast("double") / N_HASHES).alias("est_jaccard"),
-        )
-    )
+    return rows.mapInArrow(
+        stream_bucket_pairs(2, lambda _b: cap, emit), pair_schema
+    ).distinct()
 
 
 # --------------------------------------------------------------------------

@@ -194,7 +194,18 @@ def spread(
     natural_splits = -(-nbytes // max(max_split, 1))
     if natural_splits >= cores:
         return df
-    return df.repartition(cores)
+    # width: at least SPREAD_MIN_TASK_BYTES of input per task so the
+    # Python-worker roundtrip (~tens of ms) amortizes over real work —
+    # measured at 32 cores on the 594 KB documents scan: width 32 =
+    # 0.69 s, width 8 = 0.54 s, width 1 = 1.15 s. Capped at the session
+    # parallelism, so larger inputs scale back up to full width.
+    min_task = int(
+        os.environ.get("QUIVER_SPREAD_MIN_TASK_BYTES", 64 * 1024)
+    )
+    width = max(1, min(cores, nbytes // max(min_task, 1)))
+    if width <= natural_splits or width == 1:
+        return df
+    return df.repartition(width)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -494,6 +494,14 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _int_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 17 NEGATIVE RESULT: tables.spread() on this scan (the
+    # documents-family treatment) measured a consistent LOSS on every
+    # consumer in a paired same-session A/B (semdedup 1.77→2.17,
+    # kmeans_clusters 1.06→1.40, ann_pq_trained 1.63→1.84,
+    # pca_top2 1.87→2.13, ivf_pq 0.59→0.64): the embedding passes are
+    # numpy matmuls over 2,000 rows — far lighter than the md5 text
+    # passes — so the extra exchange plus multi-task scheduling costs
+    # more than the parallelism returns. Left unspread on evidence.
     e = load(spark, sf_dir, "embeddings")
     return e.select("vec_id", int_vec("embedding").alias("iv"))
 

@@ -91,7 +91,10 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_replace — no UDF, no Python), one (source) aggregate shuffle.
     At 100 TB: the scan streams once; cost is O(corpus) regex over
     Arrow-backed strings with a 20-group final agg."""
-    d = load(spark, sf_dir, "documents")
+    # round 17: spread the single-split gate-SF scan across cores before
+    # the per-doc JVM regex battery (guide §2.5); int sums + min/max md5
+    # strings — partition-invariant
+    d = spread(load(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     enriched = F.concat(
         F.col("text"),
         F.when(

@@ -447,6 +447,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set. Novelty is integer basis points (exact ``div``)."""
     from quiver_spark.operators.dedup import _shingles
 
+    # round 17: spread on this scan measured a wash in a paired A/B
+    # (1.15 -> 1.16 s) — the explode is light next to the two aggregate
+    # shuffles; left unspread
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
     per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))

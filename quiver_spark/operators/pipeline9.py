@@ -110,7 +110,15 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join against corpus-scale relations. The final per-source rollup
     is a ~20-key aggregate. Zero-token docs carry weight 0 (counted, not
     selected — the LEFT JOIN in the oracle)."""
-    docs = load(spark, sf_dir, "documents")
+    from quiver_spark.tables import spread
+
+    # round 17: spread the single-split gate-SF scan across cores before
+    # the two md5-heavy JVM passes (explode model build + scoring fold —
+    # guide §2.5); every aggregate downstream is an exact bigint sum, so
+    # the result is partition-invariant
+    docs = spread(
+        load(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     toks = docs.select(
         "lang",
         F.explode(

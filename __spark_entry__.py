@@ -22,90 +22,83 @@ from quiver_spark.registry import load_all_operators  # noqa: E402
 
 # Registration order drives which queries a bounded correctness sample sees
 # first. Rotated per round so every operator gets a recent driver-green row.
-# Round 16 window (50). Staleness audit at the start of round 16 (computed
-# from CORRECTNESS_r01..r15; every one of the 209 queries registered then
-# has at least one driver-green row and ZERO hard failures ever):
-# r11-stale = 22, r12 = 46, r13 = 45, r14 = 46, r15 = 50; 2 new gates
-# this round (211 total). Window: (a) the 2 NEW round-16 gates
-# (COUNT(col)/AVG metadata pushdown; exact-collapsed SemDeDup) — every
-# new gate gets a driver row in its birth round, keeping the
-# all-queries-driver-green union invariant; (b) the 5 queries whose
-# ENGINE or SHAPE materially changed this round (both SemDeDup gates:
-# corpus-derived K via sem_auto_k + the predicted_recall column; the
-# three aggregate-pushdown / partition-classification gates riding the
-# hardened acceptance path — per-file schema vouching, page_rows
-# reconciliation, union-schema collision rule, deep key-dir probe);
-# (c) the 22 r11-stale rows deferred from round 15 — the oldest cohort,
-# now cleared; (d) 21 of the 46 r12-stale rows, prioritizing the format
-# scans the round-16 JVM changes touch (merge-schemas, partitioned,
-# pruned, quiverjvm_*) and ANN pipelines over simple relational rows.
-# 2+5+22+21 = 50; position 51+ falls back to registry order. The 25
-# r12-stale rows deferred to round 17 (they will head its window) are
-# simple scan/relational/scalar rows with every-round pytest parity and
-# no code motion since r12: approx_distinct_parts,
-# pipeline_mixture_weights, quiver_scan_bools, quiver_scan_decimals,
-# quiver_scan_delta, quiver_scan_documents, quiver_scan_embeddings,
-# quiver_scan_freq, quiver_scan_nested_types, quiver_scan_uints,
-# quiver_sql_view_agg, sample_per_source_topk, sample_stratified_docs,
-# scalar_date_funcs, scalar_map_funcs, scalar_math_funcs,
-# scalar_string_funcs, scalar_subquery_above_avg, setop_union_counts,
-# text_bigram_topk, text_repetition_stats, text_type_token_ratio,
-# text_zipf_slope, topk_orders, unpivot_lineitem_metrics.
+# Round 17 window (50), per the round-16 verdict's item 1 and the rotation
+# contract's clause (b) "queries whose ENGINE or SHAPE materially changed
+# this round" — REAPPLIED AT ROUND CLOSE, after the optimization work, so
+# the window covers what actually changed:
+# (a) the 24 round-16-rewritten queries that had no driver sf0.01 row yet
+#     (the r16 window was authored before those rewrites landed); most of
+#     this round's changes overlap this set (minhash/simhash/ngram pair
+#     streaming, spread front ends, canonical/clusters front-end effects),
+#     so clause (b) coverage rides along;
+# (b) the 12 remaining queries whose engine or shape materially changed in
+#     round 17 and are not already in (a): the three SemDeDup variants
+#     (streamed per-bucket pair scorer), the vectorized
+#     gopher/tfidf/lang_id/token_budget stats, the span-excision dup
+#     aggregate, the stream-scan state-partition sizing, and the three
+#     spread JVM passes (DSIR, PII scrub, moment aggregation);
+# (c) the first 14 of the 25 r12-stale rows promised to head this window
+#     (simple scan/relational/scalar rows, pytest-parity every round).
+# 24+12+14 = 50; position 51+ falls back to registry order. Deferred to
+# round 18 (r12-stale remainder; the last two already carry round-16
+# driver-green rows): scalar_math_funcs, scalar_string_funcs,
+# scalar_subquery_above_avg, setop_union_counts, text_bigram_topk,
+# text_type_token_ratio, text_zipf_slope, topk_orders,
+# unpivot_lineitem_metrics, approx_distinct_parts, text_repetition_stats.
 _PRIORITY = [
-    # (a) new round-16 gates
-    "quiver_countcol_pushdown",
-    "dedup_semantic_semdedup_collapsed",
-    # (b) materially changed this round
+    # (a) the 24 round-16 rewrites awaiting a driver sf0.01 row
+    "dedup_minhash_signature",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_canonical_docs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_winnow_pairs",
+    "text_winnow_fingerprints",
+    "text_char_lm_score",
+    "decontaminate_eval_overlap",
+    "decontaminate_embedding_overlap",
+    "embedding_kmeans_clusters",
+    "embedding_kmeans_cosine",
+    "embedding_pca_power_iteration",
+    "embedding_pca_top2_deflation",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "ann_pq_trained_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_bucketed_pairs",
+    "embedding_near_dup",
+    "quiver_snapshot_diff",
+    # (b) round-17 engine/shape changes not already above
     "dedup_semantic_semdedup",
     "dedup_semantic_semdedup_cos",
-    "quiver_count_pushdown",
-    "quiver_grouped_count_pushdown",
-    "quiverjvm_partitioned_ingest",
-    # (c) the 22 round-11-stale rows deferred from round 15
-    "agg_collect_sorted",
-    "agg_minby_maxby",
-    "agg_quantiles",
-    "agg_stats_moments",
-    "agg_string_ordered",
-    "case_when_buckets",
-    "distinct_counts",
-    "grouped_minmax_norm",
-    "in_between_filter",
-    "null_handling",
-    "q12_priority_shipping",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
-    "scalar_regexp_funcs",
-    "setop_bag_semantics",
-    "setop_intersect_all",
-    "setop_union_distinct",
-    "text_fingerprint",
+    "dedup_semantic_semdedup_collapsed",
+    "text_gopher_quality_filter",
+    "text_tfidf_topk",
     "text_lang_id",
-    "text_length_histogram",
-    "text_quality_stats",
-    "text_token_topk",
-    # (d) 21 of the 46 round-12-stale rows (format paths + ANN)
-    "quiver_merge_schemas_scan",
-    "quiver_partitioned_scan",
-    "quiver_pruned_date_scan",
-    "quiverjvm_default_fill_scan",
-    "quiverjvm_limit_scan",
-    "quiverjvm_nested_scan",
-    "quiverjvm_uint_scan",
-    "quiver_batch_read",
-    "quiver_compacted_scan",
-    "quiver_manifest_packed_scan",
-    "quiver_manifest_rebuild_scan",
-    "quiver_rollback_scan",
-    "quiver_scan_q1",
-    "quiver_scan_checksums",
-    "quiver_adaptive_zstd_join",
-    "ann_cosine_topk",
-    "ann_dot_topk",
-    "ann_lsh_bucketed_pairs",
-    "ann_sq8_topk",
-    "text_char_lm_score",
-    "q13_customer_distribution",
+    "sample_token_budget",
+    "dedup_span_excision",
+    "quiverjvm_stream_scan",
+    "sample_dsir_weights",
+    "text_pii_scrub",
+    "agg_stats_moments",
+    # (c) 14 of the 25 promised r12-stale rows
+    "pipeline_mixture_weights",
+    "quiver_scan_bools",
+    "quiver_scan_decimals",
+    "quiver_scan_delta",
+    "quiver_scan_documents",
+    "quiver_scan_embeddings",
+    "quiver_scan_freq",
+    "quiver_scan_nested_types",
+    "quiver_scan_uints",
+    "quiver_sql_view_agg",
+    "sample_per_source_topk",
+    "sample_stratified_docs",
+    "scalar_date_funcs",
+    "scalar_map_funcs",
 ]
 
 

@@ -179,8 +179,12 @@ def spread(
     except OSError:
         return df
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
+    # Spark byte-size strings: optional k/m/g/t prefix, optional trailing
+    # 'b' ("134217728b", "128m", "1g", "512MB" are all valid spellings)
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
     s = raw.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
     mult = 1
     for suf, m in units.items():
         if s.endswith(suf):
